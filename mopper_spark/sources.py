@@ -1,0 +1,97 @@
+"""Source resolution: plan SourceOp config → DataFrame.
+
+The reference supports only CSV files with a header row, reading every field
+as a string (``/root/reference/src/source/csv_file.rs:27-115``;
+``ReferenceFormulation::CSVRows`` is the single handled iterator,
+``lib.rs:129-137``).  We generalize: CSV (string-typed, header), Parquet and
+catalog tables (all columns cast to string for the all-strings runtime model,
+SURVEY.md §1.2), plus an in-memory registry so tests and library callers can
+bind DataFrames to plan paths directly.
+
+Projection (the plan's folded-in attribute set) is applied as a ``select`` —
+Catalyst pushes it into the scan (column pruning), which is the Spark-native
+version of the reference's projection-at-scan (``csv_file.rs:71-98``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mopper_spark.options import MopperOptions
+
+log = logging.getLogger(__name__)
+
+
+class SourceRegistry:
+    """Maps plan source paths to in-memory DataFrames (test/library hook)."""
+
+    def __init__(self) -> None:
+        self._frames: dict[str, DataFrame] = {}
+
+    def register(self, path: str, df: DataFrame) -> None:
+        self._frames[path] = df
+
+    def get(self, path: str) -> DataFrame | None:
+        return self._frames.get(path)
+
+
+def _all_string(df: DataFrame) -> DataFrame:
+    return df.select(
+        [F.col(c).cast("string").alias(c) for c in df.columns]
+    )
+
+
+def resolve_source(
+    spark: SparkSession,
+    config: dict,
+    options: MopperOptions,
+    registry: SourceRegistry | None = None,
+    attributes: set[str] | None = None,
+) -> DataFrame:
+    source_type = config.get("source_type", "File")
+    path = config.get("path", "")
+    it = config.get("root_iterator") or {}
+    ref_form = it.get("reference_formulation", "CSVRows")
+
+    df: DataFrame | None = None
+    if registry is not None:
+        df = registry.get(path)
+
+    if df is None:
+        if source_type == "Table":
+            df = _all_string(spark.read.table(path))
+        elif source_type == "File":
+            resolved = path
+            if options.working_dir_hint and not os.path.isabs(path):
+                resolved = os.path.join(options.working_dir_hint, path)
+            if not os.path.exists(resolved):
+                raise FileNotFoundError(
+                    f"Source file {resolved!r} does not exist"
+                )
+            if resolved.endswith(".parquet") or os.path.isdir(resolved):
+                df = _all_string(spark.read.parquet(resolved))
+            elif ref_form == "CSVRows":
+                df = spark.read.option("header", "true").csv(resolved)
+            else:
+                raise NotImplementedError(
+                    f"Reference formulation {ref_form!r} not supported "
+                    "(reference handles CSVRows only, lib.rs:129-137)"
+                )
+        else:
+            raise NotImplementedError(f"Source type {source_type!r} not supported")
+
+    if attributes:
+        present = [a for a in attributes if a in df.columns]
+        missing = sorted(set(attributes) - set(present))
+        for m in missing:
+            # reference warns and continues (csv_file.rs:84-87)
+            log.warning("Source %s: requested column %r missing; binding ''", path, m)
+        cols = [F.col(a) for a in sorted(present)] + [
+            F.lit("").alias(m) for m in missing
+        ]
+        df = df.select(cols)
+    return df

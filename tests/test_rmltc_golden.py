@@ -1,0 +1,117 @@
+"""Golden end-to-end parity tests against the reference's RML test cases.
+
+The reference ships three W3C-style RML test cases
+(``/root/reference/src/tests.rs:68-84``); when the reference checkout is
+present we execute its *exact* plan JSONs with our engine and compare
+set-wise against its golden ``output.nq`` files — the same correctness
+contract its own tests use (``tests.rs:52-66``).
+
+Fixture *inputs* are registered as in-memory DataFrames (same rows as the
+reference's CSVs, FIXTURES.md §2) so no reference file is copied into this
+repo; the plans and goldens are read from the read-only reference checkout
+and the tests skip if it is absent.
+"""
+
+import os
+
+import pytest
+
+from mopper_spark.engine import run_plan_to_lines
+from mopper_spark.options import MopperOptions
+from mopper_spark.sources import SourceRegistry
+from tests.conftest import normalize_statements
+
+REF = "/root/reference/test-resources/rml-testcases"
+
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available"
+)
+
+
+def _run_case(spark, case: str, frames: dict[str, list[tuple]], schemas: dict[str, str]):
+    registry = SourceRegistry()
+    for path, rows in frames.items():
+        registry.register(path, spark.createDataFrame(rows, schemas[path]))
+    with open(f"{REF}/{case}/mapping.json") as f:
+        plan = f.read()
+    with open(f"{REF}/{case}/output.nq") as f:
+        golden = normalize_statements(f.read().splitlines())
+    produced = normalize_statements(
+        run_plan_to_lines(plan, spark, MopperOptions(), registry)
+    )
+    return produced, golden
+
+
+@needs_reference
+def test_rmltc0000_empty_database(spark):
+    # header-only CSV → zero triples (output.nq is just '# empty database')
+    produced, golden = _run_case(
+        spark,
+        "RMLTC0000-CSV",
+        {"student.csv": []},
+        {"student.csv": "Name string"},
+    )
+    assert produced == golden == set()
+
+
+@needs_reference
+def test_rmltc0008b_multipom_selfjoin_uriencode(spark):
+    produced, golden = _run_case(
+        spark,
+        "RMLTC0008b-CSV",
+        {"student.csv": [("10", "Venus Williams", "Tennis")]},
+        {"student.csv": "ID string, Name string, Sport string"},
+    )
+    assert produced == golden
+    assert len(golden) == 5
+
+
+@needs_reference
+def test_rmltc1036_real_join_named_graphs(spark):
+    students = [
+        ("10", "100", "Venus Williams"),
+        ("20", "200", "Demi Moore"),
+        ("30", "100", "Roger F Rabbit"),
+        ("40", "300", "De René"),
+        ("50", "200", "Roger De Vlaeminck"),
+        ("60", "300", "Het Loze Visserke"),
+    ]
+    sports = [
+        ("100", "Tennis"),
+        ("200", "Fietsen"),
+        ("300", "Vissen"),
+        ("400", "De sport die niemand doet"),
+    ]
+    produced, golden = _run_case(
+        spark,
+        "RMLTC1036-CSV",
+        {"student.csv": students, "sport.csv": sports},
+        {
+            "student.csv": "ID string, Sport string, Name string",
+            "sport.csv": "ID string, Name string",
+        },
+    )
+    assert produced == golden
+    assert len(golden) == 32
+
+
+@needs_reference
+def test_rmltc0008b_dedup_flag(spark):
+    """-d dedup drops repeated statements; set-compare is unaffected."""
+    registry = SourceRegistry()
+    registry.register(
+        "student.csv",
+        spark.createDataFrame(
+            [("10", "Venus Williams", "Tennis")] * 2,
+            "ID string, Name string, Sport string",
+        ),
+    )
+    with open(f"{REF}/RMLTC0008b-CSV/mapping.json") as f:
+        plan = f.read()
+    lines = run_plan_to_lines(
+        plan, spark, MopperOptions(deduplicate=True, force_to_std_out=True), registry
+    )
+    assert len(lines) == 5  # one sink after forcing; duplicates collapsed
+    with open(f"{REF}/RMLTC0008b-CSV/output.nq") as f:
+        golden = normalize_statements(f.read().splitlines())
+    assert normalize_statements(lines) == golden
