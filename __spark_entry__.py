@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``: flagship transcript→KG extraction (smoke).
+``queries``/``oracle_sql``: one entry per implemented operator/capability
+from SURVEY.md §2 — the ``rml_*`` queries execute *real AlgeMapLoom plans*
+through the engine (``mopper_spark.engine``), exercising source scan,
+projection pushdown, extend-function trees (templates, UriEncode, Iri,
+Literal, BlankNode, constants, references), the inner join with alias
+prefixing, multi-line serializer fan-out, quads, union-into-one-sink and
+dedup.  ``dedup_*`` / ``similarity_*`` / ``text_*`` queries cover the
+corpus-scale operations (textops).
 """
 
 from __future__ import annotations
@@ -12,27 +16,545 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EX = "http://example.com/"
 
 
+# --------------------------------------------------------------------------
+# plan-building helpers (AlgeMapLoom JSON shape, see mopper_spark.plan)
+# --------------------------------------------------------------------------
+def _src(path: str) -> dict:
+    return {
+        "type": "SourceOp",
+        "config": {
+            "path": path,
+            "source_type": "File",
+            "root_iterator": {"reference_formulation": "CSVRows", "fields": []},
+        },
+    }
+
+
+def _iri_tfv(template: str, vars_: list[str]) -> dict:
+    return {
+        "type": "Iri",
+        "base_iri": EX + "base/",
+        "inner_function": {
+            "type": "TemplateFunctionValue",
+            "template": template,
+            "variable_function_pairs": [
+                [v, {"type": "UriEncode", "inner_function": {"type": "Reference", "value": v}}]
+                for v in vars_
+            ],
+        },
+    }
+
+
+def _iri_const(value: str) -> dict:
+    return {"type": "Iri", "base_iri": EX + "base/",
+            "inner_function": {"type": "Constant", "value": value}}
+
+
+def _lit_ref(col: str) -> dict:
+    return {"type": "Literal", "inner_function": {"type": "Reference", "value": col},
+            "dtype_function": None, "langtype_function": None}
+
+
+def _plan(nodes: list[tuple[str, dict]], edges: list[tuple[int, int]]) -> dict:
+    return {
+        "nodes": [{"id": nid, "operator": op} for nid, op in nodes],
+        "edges": [[a, b, {"fragment": "default"}] for a, b in edges],
+    }
+
+
+def _run(spark: SparkSession, plan: dict, dedup: bool = False) -> DataFrame:
+    from mopper_spark.engine import run_plan
+    from mopper_spark.options import MopperOptions
+
+    targets = run_plan(plan, spark, MopperOptions(deduplicate=dedup))
+    df = targets[0].statements
+    for t in targets[1:]:
+        df = df.unionByName(t.statements)
+    # multi-line templates emit per-statement rows already; normalize NFC no-op
+    return df
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transcript→KG extraction + mention triples (sf0.001 tier)."""
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+    from mopper_spark.pipeline.transcripts import synth_transcripts
+
+    tr = synth_transcripts(spark, n_turns=1000, n_convs=50, seed=42)
+    triples = extract_triples(tr)
+    mentions = extract_mentions(tr)
+    return triples.unionByName(mention_triples(mentions))
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+def _q_rml_extend_customer(spark: SparkSession, sf: str) -> DataFrame:
+    nodes = [
+        ("S0", _src(f"{sf}/customer.parquet")),
+        ("E1", {"type": "ExtendOp", "config": {
+            "?s": _iri_tfv(EX + "customer/{c_custkey}/{c_name}", ["c_custkey", "c_name"]),
+            "?p1": _iri_const(EX + "ontology/name"),
+            "?o1": _lit_ref("c_name"),
+            "?p2": _iri_const(EX + "ontology/segment"),
+            "?o2": _lit_ref("c_mktsegment"),
+        }}),
+        ("Z2", {"type": "SerializerOp", "config": {
+            "template": "?s ?p1 ?o1 .\n?s ?p2 ?o2 .", "format": "NQuads"}}),
+        ("T3", {"type": "TargetOp", "config": {"target_type": "StdOut"}}),
+    ]
+    return _run(spark, _plan(nodes, [(0, 1), (1, 2), (2, 3)]))
+
+
+_SQL_RML_EXTEND_CUSTOMER = """
+WITH c AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS ck, c_name, c_mktsegment FROM customer
+), s AS (
+  SELECT '<http://example.com/customer/' || ck || '/' || replace(c_name, '#', '%23') || '>' AS subj,
+         c_name, c_mktsegment FROM c
+)
+SELECT subj || ' <http://example.com/ontology/name> "' || c_name || '" .' AS statement FROM s
+UNION ALL
+SELECT subj || ' <http://example.com/ontology/segment> "' || c_mktsegment || '" .' FROM s
+"""
+
+
+def _q_rml_join_customer_nation(spark: SparkSession, sf: str) -> DataFrame:
+    nodes = [
+        ("S0", _src(f"{sf}/customer.parquet")),
+        ("S1", _src(f"{sf}/nation.parquet")),
+        ("J2", {"type": "JoinOp", "config": {
+            "left_right_attr_pairs": [["c_nationkey", "n_nationkey"]],
+            "join_type": "InnerJoin", "predicate_type": "Equal",
+            "join_alias": "join_0"}}),
+        ("E3", {"type": "ExtendOp", "config": {
+            "?s": _iri_tfv(EX + "customer/{c_custkey}", ["c_custkey"]),
+            "?p": _iri_const(EX + "ontology/nation"),
+            "?o": _iri_tfv(EX + "nation/{join_0_n_name}", ["join_0_n_name"]),
+            "?g": _iri_tfv(EX + "graph/{c_mktsegment}", ["c_mktsegment"]),
+        }}),
+        ("Z4", {"type": "SerializerOp", "config": {"template": "?s ?p ?o ?g .", "format": "NQuads"}}),
+        ("T5", {"type": "TargetOp", "config": {"target_type": "StdOut"}}),
+    ]
+    return _run(spark, _plan(nodes, [(0, 2), (1, 2), (2, 3), (3, 4), (4, 5)]))
+
+
+_SQL_RML_JOIN = """
+SELECT '<http://example.com/customer/' || CAST(c.c_custkey AS VARCHAR) || '>'
+       || ' <http://example.com/ontology/nation> '
+       || '<http://example.com/nation/' || n.n_name || '>'
+       || ' <http://example.com/graph/' || c.c_mktsegment || '> .' AS statement
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+def _q_rml_quads_orders(spark: SparkSession, sf: str) -> DataFrame:
+    nodes = [
+        ("S0", _src(f"{sf}/orders.parquet")),
+        ("E1", {"type": "ExtendOp", "config": {
+            "?s": _iri_tfv(EX + "order/{o_orderkey}", ["o_orderkey"]),
+            "?p": _iri_const(EX + "ontology/status"),
+            "?o": _lit_ref("o_orderstatus"),
+            "?g": _iri_tfv(EX + "graph/{o_orderstatus}", ["o_orderstatus"]),
+        }}),
+        ("Z2", {"type": "SerializerOp", "config": {"template": "?s ?p ?o ?g .", "format": "NQuads"}}),
+        ("T3", {"type": "TargetOp", "config": {"target_type": "StdOut"}}),
+    ]
+    return _run(spark, _plan(nodes, [(0, 1), (1, 2), (2, 3)]))
+
+
+_SQL_RML_QUADS_ORDERS = """
+SELECT '<http://example.com/order/' || CAST(o_orderkey AS VARCHAR) || '>'
+       || ' <http://example.com/ontology/status> "' || o_orderstatus || '"'
+       || ' <http://example.com/graph/' || o_orderstatus || '> .' AS statement
+FROM orders
+"""
+
+
+def _q_rml_fanout_nation(spark: SparkSession, sf: str) -> DataFrame:
+    template = (
+        "?s <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://example.com/ontology/Nation> .\n"
+        "?s ?p1 ?o1 .\n"
+        "?s ?p2 ?o2 ."
+    )
+    nodes = [
+        ("S0", _src(f"{sf}/nation.parquet")),
+        ("E1", {"type": "ExtendOp", "config": {
+            "?s": _iri_tfv(EX + "nation/{n_nationkey}", ["n_nationkey"]),
+            "?p1": _iri_const("http://www.w3.org/2000/01/rdf-schema#label"),
+            "?o1": _lit_ref("n_name"),
+            "?p2": _iri_const(EX + "ontology/region"),
+            "?o2": _lit_ref("n_regionkey"),
+        }}),
+        ("Z2", {"type": "SerializerOp", "config": {"template": template, "format": "NQuads"}}),
+        ("T3", {"type": "TargetOp", "config": {"target_type": "StdOut"}}),
+    ]
+    return _run(spark, _plan(nodes, [(0, 1), (1, 2), (2, 3)]))
+
+
+_SQL_RML_FANOUT = """
+WITH n AS (SELECT '<http://example.com/nation/' || CAST(n_nationkey AS VARCHAR) || '>' AS subj,
+                  n_name, CAST(n_regionkey AS VARCHAR) AS rk FROM nation)
+SELECT subj || ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://example.com/ontology/Nation> .' AS statement FROM n
+UNION ALL
+SELECT subj || ' <http://www.w3.org/2000/01/rdf-schema#label> "' || n_name || '" .' FROM n
+UNION ALL
+SELECT subj || ' <http://example.com/ontology/region> "' || rk || '" .' FROM n
+"""
+
+
+def _q_rml_union_one_target(spark: SparkSession, sf: str) -> DataFrame:
+    """Two triples maps (region + nation) into ONE sink (union semantics)."""
+    nodes = [
+        ("S0", _src(f"{sf}/region.parquet")),
+        ("S1", _src(f"{sf}/nation.parquet")),
+        ("E2", {"type": "ExtendOp", "config": {
+            "?s": _iri_tfv(EX + "region/{r_regionkey}", ["r_regionkey"]),
+            "?p": _iri_const("http://www.w3.org/2000/01/rdf-schema#label"),
+            "?o": _lit_ref("r_name")}}),
+        ("E3", {"type": "ExtendOp", "config": {
+            "?s": _iri_tfv(EX + "nation/{n_nationkey}", ["n_nationkey"]),
+            "?p": _iri_const("http://www.w3.org/2000/01/rdf-schema#label"),
+            "?o": _lit_ref("n_name")}}),
+        ("Z4", {"type": "SerializerOp", "config": {"template": "?s ?p ?o .", "format": "NTriples"}}),
+        ("Z5", {"type": "SerializerOp", "config": {"template": "?s ?p ?o .", "format": "NTriples"}}),
+        ("T6", {"type": "TargetOp", "config": {"target_type": "StdOut"}}),
+    ]
+    return _run(spark, _plan(nodes, [(0, 2), (1, 3), (2, 4), (3, 5), (4, 6), (5, 6)]))
+
+
+_SQL_RML_UNION = """
+SELECT '<http://example.com/region/' || CAST(r_regionkey AS VARCHAR)
+       || '> <http://www.w3.org/2000/01/rdf-schema#label> "' || r_name || '" .' AS statement
+FROM region
+UNION ALL
+SELECT '<http://example.com/nation/' || CAST(n_nationkey AS VARCHAR)
+       || '> <http://www.w3.org/2000/01/rdf-schema#label> "' || n_name || '" .'
+FROM nation
+"""
+
+
+def _q_rml_blank_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    nodes = [
+        ("S0", _src(f"{sf}/region.parquet")),
+        ("E1", {"type": "ExtendOp", "config": {
+            "?s": {"type": "BlankNode", "inner_function": {
+                "type": "TemplateString", "value": "region_{r_regionkey}"}},
+            "?p": _iri_const(EX + "ontology/name"),
+            "?o": _lit_ref("r_name")}}),
+        ("Z2", {"type": "SerializerOp", "config": {"template": "?s ?p ?o .", "format": "NQuads"}}),
+        ("T3", {"type": "TargetOp", "config": {"target_type": "StdOut"}}),
+    ]
+    return _run(spark, _plan(nodes, [(0, 1), (1, 2), (2, 3)]))
+
+
+_SQL_RML_BLANK = """
+SELECT '_:region_' || CAST(r_regionkey AS VARCHAR)
+       || ' <http://example.com/ontology/name> "' || r_name || '" .' AS statement
+FROM region
+"""
+
+
+def _q_rml_invalid_iri(spark: SparkSession, sf: str) -> DataFrame:
+    """IRI INVALID sentinel: events.props is JSON → always invalid as IRI."""
+    nodes = [
+        ("S0", _src(f"{sf}/events.parquet")),
+        ("E1", {"type": "ExtendOp", "config": {
+            "?s": _iri_tfv(EX + "event/{event_id}", ["event_id"]),
+            "?p": _iri_const(EX + "ontology/props"),
+            "?o": {"type": "Iri", "base_iri": EX + "base/",
+                   "inner_function": {"type": "Reference", "value": "props"}}}}),
+        ("Z2", {"type": "SerializerOp", "config": {"template": "?s ?p ?o .", "format": "NQuads"}}),
+        ("T3", {"type": "TargetOp", "config": {"target_type": "StdOut"}}),
+    ]
+    return _run(spark, _plan(nodes, [(0, 1), (1, 2), (2, 3)]))
+
+
+_SQL_RML_INVALID = """
+SELECT '<http://example.com/event/' || CAST(event_id AS VARCHAR)
+       || '> <http://example.com/ontology/props> <INVALID> .' AS statement
+FROM events
+"""
+
+
+# ---------------------------------------------------------------- textops --
+def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    return (
+        docs.groupBy(norm.alias("norm"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_count"))
+        .select("doc_id", "dup_count")
+    )
+
+
+_SQL_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm FROM documents)
+GROUP BY norm
+"""
+
+
+def _q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    from mopper_spark.textops.dedup import minhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return minhash_near_dup_pairs(docs, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def _q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    from mopper_spark.textops.dedup import simhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return simhash_near_dup_pairs(docs, max_hamming=6)
+
+
+def _q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    from mopper_spark.textops.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    # synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.46);
+    # 0.3 with few LSH planes yields a non-trivial, verifiable pair set
+    return embedding_near_dup_pairs(emb, threshold=0.3, n_planes=6).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def _q_cosine_pairs_exact(spark: SparkSession, sf: str) -> DataFrame:
+    from mopper_spark.textops.similarity import cosine_native
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").filter("vec_id < 300")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = cosine_native(
+        F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 5).alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+_SQL_COSINE_PAIRS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 300 AND b.vec_id < 300
+  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) >= 0.3
+"""
+
+
+def _q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from mopper_spark.textops.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = brute_force_topk(emb, emb.filter("vec_id < 5"), k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 5).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SQL_SIMILARITY_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, ROUND(cos, 5) AS cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+def _q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from mopper_spark.textops.analysis import (
+        bpe_token_count,
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_tokens"),
+        bpe_token_count(t).cast("long").alias("n_bpe_tokens"),
+        F.round(punct_ratio(t), 5).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 5).alias("stopword_ratio"),
+    )
+
+
+_SQL_TEXT_QUALITY = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+             ELSE 0 END, 5) AS punct_ratio,
+       ROUND(CASE WHEN len(tk) > 0
+             THEN len(list_filter(tk, x -> lower(x) IN
+                  ('the','and','of','to','a','in','is','that','it','for','this','with','as','on','be','are'))) * 1.0 / len(tk)
+             ELSE 0 END, 5) AS stopword_ratio
+FROM toks
+"""
+
+
+def _q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    from mopper_spark.textops.analysis import lang_id
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+_SQL_LANG_ID = """
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                        x -> lower(x)) AS tk
+  FROM documents
+), scores AS (
+  SELECT doc_id,
+    len(list_filter(tk, x -> x IN ('the','and','of','to','a','in','is','that','it','for'))) AS s_en,
+    len(list_filter(tk, x -> x IN ('el','la','de','que','y','en','un','por','con','los'))) AS s_es,
+    len(list_filter(tk, x -> x IN ('le','la','de','et','les','des','un','une','que','dans'))) AS s_fr,
+    len(list_filter(tk, x -> x IN ('der','die','und','das','von','zu','mit','den','ist','ein'))) AS s_de
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+       WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+       WHEN s_en >= s_de THEN 'en'
+       ELSE 'de' END AS lang_pred
+FROM scores
+"""
+
+
+def _q_token_frequencies(spark: SparkSession, sf: str) -> DataFrame:
+    from mopper_spark.textops.analysis import tokens
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_SQL_TOKEN_FREQ = """
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS token
+      FROM documents)
+GROUP BY token
+"""
+
+
+def _q_fingerprint_md5(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp_md5"))
+
+
+_SQL_FINGERPRINT = """
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_md5
+FROM documents
+"""
+
+
+def _q_entity_linking_transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocking-key EL + CC canonicalization (no SQL oracle: iterative)."""
+    from mopper_spark.pipeline.canonicalize import canonical_map
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.linking import link_mentions, normalize_surface
+    from mopper_spark.pipeline.transcripts import synth_transcripts
+
+    tr = synth_transcripts(spark, n_turns=2000, n_convs=40, seed=42)
+    mentions = extract_mentions(tr)
+    edges = link_mentions(mentions)
+    forms = mentions.select(normalize_surface(F.col("surface")).alias("norm")).distinct()
+    return canonical_map(forms, edges).orderBy("norm")
+
+
+def _q_kg_graph_transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    """Full KG extraction: triple counts per graph (rows-only check)."""
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+    from mopper_spark.pipeline.transcripts import synth_transcripts
+
+    tr = synth_transcripts(spark, n_turns=2000, n_convs=40, seed=42)
+    graph = extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
+    return graph.groupBy("graph").agg(F.count("*").alias("n_triples"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rml_extend_customer": _q_rml_extend_customer,
+        "rml_join_customer_nation": _q_rml_join_customer_nation,
+        "rml_quads_orders": _q_rml_quads_orders,
+        "rml_fanout_nation": _q_rml_fanout_nation,
+        "rml_union_one_target": _q_rml_union_one_target,
+        "rml_blank_nodes": _q_rml_blank_nodes,
+        "rml_invalid_iri": _q_rml_invalid_iri,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "cosine_pairs_exact": _q_cosine_pairs_exact,
+        "similarity_topk": _q_similarity_topk,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "token_frequencies": _q_token_frequencies,
+        "fingerprint_md5": _q_fingerprint_md5,
+        "entity_linking_transcripts": _q_entity_linking_transcripts,
+        "kg_graph_transcripts": _q_kg_graph_transcripts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rml_extend_customer": _SQL_RML_EXTEND_CUSTOMER,
+        "rml_join_customer_nation": _SQL_RML_JOIN,
+        "rml_quads_orders": _SQL_RML_QUADS_ORDERS,
+        "rml_fanout_nation": _SQL_RML_FANOUT,
+        "rml_union_one_target": _SQL_RML_UNION,
+        "rml_blank_nodes": _SQL_RML_BLANK,
+        "rml_invalid_iri": _SQL_RML_INVALID,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "cosine_pairs_exact": _SQL_COSINE_PAIRS,
+        "similarity_topk": _SQL_SIMILARITY_TOPK,
+        "text_quality": _SQL_TEXT_QUALITY,
+        "lang_id": _SQL_LANG_ID,
+        "token_frequencies": _SQL_TOKEN_FREQ,
+        "fingerprint_md5": _SQL_FINGERPRINT,
+        # dedup_minhash / dedup_simhash / dedup_embedding: LSH banding —
+        # not SQL-expressible, rows-only check (driver contract).
+        # entity_linking_transcripts / kg_graph_transcripts: iterative CC /
+        # synthetic generator (xxhash64) — rows-only.
+    }

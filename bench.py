@@ -1,0 +1,198 @@
+"""Benchmark harness: headline queries + transcript-KG throughput + scaling.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <dir>,
+   "throughput": {"turns_per_sec@8": ..., "turns_per_sec@32": ...,
+                   "scaling_efficiency_8_to_32": ...},
+   "pipeline": {...}}
+
+Scaling proxy for the two-cluster-size criterion (BASELINE.md): the same
+extraction job over the same deterministic 1M-turn input at local[8] and
+local[32]; efficiency = (tp@32 / tp@8) / 4.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_TURNS (default 1,000,000), BENCH_SKIP_SCALING=1 to skip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entry_mod
+from mopper_spark.session import get_spark
+
+HEADLINE = [
+    "rml_extend_customer",
+    "rml_join_customer_nation",
+    "rml_quads_orders",
+    "dedup_exact",
+    "dedup_minhash",
+    "similarity_topk",
+    "text_quality",
+    "token_frequencies",
+]
+
+
+def _force(df) -> int:
+    return df.count()
+
+
+def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    qs = entry_mod.queries()
+    for name in HEADLINE:
+        t0 = time.time()
+        _force(qs[name](spark, sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def warm_python_workers(spark: SparkSession, n_workers: int) -> None:
+    """Force every executor slot to spawn (and keep) its Python UDF worker.
+
+    A Python worker pays ~1-2 s of pandas/pyarrow import on first use; with
+    N slots, a small warmup job only warms the workers that happened to grab
+    its tasks. Holding every slot busy simultaneously (one sleeping task per
+    slot) guarantees the whole pool is warm, so measurements reflect
+    steady-state — the regime a long-running cluster job is actually in.
+    """
+    import pandas as pd  # noqa: F401
+
+    def hold(batches):
+        import time as _t
+
+        _t.sleep(0.5)
+        yield from batches
+
+    spark.range(n_workers).repartition(n_workers).mapInPandas(
+        hold, "id long"
+    ).count()
+
+
+def materialize_transcripts(spark: SparkSession, n_turns: int, path: str) -> str:
+    """Write the deterministic corpus to parquet once (untimed setup) —
+    the measured job then reads from storage like a real cluster job."""
+    from mopper_spark.pipeline.transcripts import synth_transcripts
+
+    synth_transcripts(
+        spark, n_turns=n_turns, n_convs=max(n_turns // 200, 10)
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def extraction_throughput(
+    spark: SparkSession, n_turns: int, path: str | None = None
+) -> float:
+    """turns/sec for the per-turn KG work (extract + mentions), forced."""
+    import tempfile
+
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+
+    owned = path is None
+    if owned:
+        path = tempfile.mkdtemp(prefix="bench_tr_") + "/tr.parquet"
+        materialize_transcripts(spark, n_turns, path)
+    tr = spark.read.parquet(path)
+    t0 = time.time()
+    graph = extract_triples(tr).unionByName(
+        mention_triples(extract_mentions(tr))
+    )
+    _force(graph)
+    dt = time.time() - t0
+    if owned:
+        import shutil
+
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return n_turns / dt
+
+
+def full_pipeline_stats(spark: SparkSession, n_turns: int, root: str) -> dict:
+    from mopper_spark.pipeline.job import run_pipeline
+
+    res = run_pipeline(spark, root, n_turns=n_turns, n_convs=max(n_turns // 200, 10))
+    return {
+        "turns": res.turns,
+        "seconds": round(res.seconds, 2),
+        "turns_per_sec": round(res.turns_per_sec, 1),
+        "graph_triples": res.graph.count(),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_turns = int(os.environ.get("BENCH_TURNS", "1000000"))
+    skip_scaling = os.environ.get("BENCH_SKIP_SCALING") == "1"
+
+    spark = get_spark("mopper-bench", f"local[{cpus}]", shuffle_partitions=cpus)
+    queries = time_queries(spark, sf_dir)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pipeline = full_pipeline_stats(spark, n_turns // 10, tmp)
+
+    throughput: dict[str, float] = {}
+    if not skip_scaling:
+        # Persist the corpus once; each level runs in its OWN CPU-pinned
+        # process (taskset) so local[8] genuinely has 8 CPUs for JVM and
+        # Python workers alike — the honest two-machine-size proxy.
+        import shutil
+        import subprocess
+        import tempfile
+
+        data_dir = tempfile.mkdtemp(prefix="bench_scaling_")
+        corpus = os.path.join(data_dir, "tr.parquet")
+        materialize_transcripts(spark, n_turns, corpus)
+        spark.stop()
+        here = os.path.dirname(os.path.abspath(__file__))
+        have_taskset = shutil.which("taskset") is not None
+        for m in (8, 32):
+            cmd = ["taskset", "-c", f"0-{m - 1}"] if have_taskset else []
+            cmd += [
+                sys.executable,
+                os.path.join(here, "scripts", "scaling_run.py"),
+                str(m),
+                str(n_turns),
+                corpus,
+            ]
+            out = subprocess.run(
+                cmd,
+                capture_output=True,
+                text=True,
+                env={**os.environ, "PYTHONPATH": here},
+            )
+            throughput[f"turns_per_sec@{m}"] = round(float(out.stdout.strip()), 1)
+        shutil.rmtree(data_dir, ignore_errors=True)
+        eff = throughput["turns_per_sec@32"] / throughput["turns_per_sec@8"] / 4.0
+        throughput["scaling_efficiency_8_to_32"] = round(eff, 3)
+        throughput["pinned_cpus"] = have_taskset
+
+    result = {
+        "metric": "headline query wall-clock (sum) + transcript-KG throughput",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "pipeline": pipeline,
+        "throughput": throughput,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,7 +33,7 @@ from pyspark.sql.types import StringType
 from mopper_spark import rules
 from mopper_spark.functions.encoding import pct_encode, pct_encode_series
 from mopper_spark.functions.iri import (
-    INVALID_URI_CHAR_CLASS_JAVA,
+    URI_ALLOWED_CHARS,
     iri_finalize,
     is_valid_uri,
     is_valid_uri_reference,
@@ -251,9 +251,11 @@ class FunctionCompiler:
             return None
 
         value = F.concat(*prefix_cols, self._template_fv_col(inner))
-        return F.when(
-            value.rlike(INVALID_URI_CHAR_CLASS_JAVA), F.lit("INVALID")
-        ).otherwise(value)
+        # invalid iff any char survives stripping the URI-allowed alphabet
+        # (translate keeps whole-stage codegen; rlike-in-when does not —
+        # see scripts/profile_validity.py: 0.7s vs 5.7s per 1M rows)
+        has_invalid = F.length(F.translate(value, URI_ALLOWED_CHARS, "")) > 0
+        return F.when(has_invalid, F.lit("INVALID")).otherwise(value)
 
 
 def compile_extend(

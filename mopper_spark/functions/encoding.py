@@ -35,15 +35,21 @@ def pct_encode(value: str) -> str:
 
 
 def pct_encode_series(values: pd.Series) -> pd.Series:
-    """Vectorized-ish percent-encode over a pandas Series (Arrow batch).
+    """Percent-encode a pandas Series (one Arrow batch).
 
-    Only rows that actually contain an encodable character pay the
-    ``re.sub`` cost; clean rows (common for id-like columns) pass through.
+    Two hot-path optimizations for corpus-scale columns:
+    - factorize first: massively repeated values (conv ids, roles, graph
+      names) are encoded once per distinct value per batch;
+    - distinct values without any encodable character skip ``re.sub``.
     """
+    import numpy as np
+
     values = values.fillna("")
-    mask = values.str.contains(_ENCODE_RE, regex=True)
-    if not mask.any():
+    codes, uniques = pd.factorize(values, sort=False)
+    if len(uniques) == 0:
         return values
-    out = values.copy()
-    out[mask] = values[mask].map(pct_encode)
-    return out
+    encoded = np.array(
+        [pct_encode(u) if _ENCODE_RE.search(u) else u for u in uniques],
+        dtype=object,
+    )
+    return pd.Series(encoded[codes], index=values.index)

@@ -1,0 +1,188 @@
+"""Stage 2: blocking-key entity linking over detected mentions.
+
+Scale design (north rule: 10^12 turns):
+
+1. **Collapse to distinct surface forms first.**  Mentions at corpus scale
+   are ~10^12 rows but *distinct* normalized forms are orders of magnitude
+   fewer; every subsequent step runs on the distinct-forms table, never on
+   the raw mention stream.
+2. **Blocking keys** bound the candidate space — no all-pairs join:
+   - token-sort key (sorted tokens joined),
+   - first-token-initial + last-token key (catches "V. Williams" ↔
+     "Venus Williams"),
+   - MinHash band keys over character 3-shingles (LSH: forms sharing any
+     band key become candidates), computed in one Arrow-batched pandas UDF.
+3. **Candidate pairs** = self-equi-join of the exploded (key, form) table —
+   a plain shuffled hash join on the block key; hot keys are bounded by a
+   per-key cap (blocking keys whose bucket exceeds ``max_block_size`` are
+   dropped as non-discriminative, the standard ER guard against
+   quadratic blowup on stop-word-ish blocks).
+4. **Pair scoring** in Arrow batches (shingle Jaccard + token containment +
+   initial-expansion rule), threshold → accepted edges.
+
+Everything shuffles on either ``norm`` or a block key — never on conv_id —
+so conversation skew cannot concentrate here.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, BooleanType, StringType
+
+# MinHash parameters: 16 hashes in 4 bands of 4 — near-dup recall at
+# Jaccard ≳ 0.5 for short strings.
+_NUM_HASHES = 16
+_BANDS = 4
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+_MERSENNE = (1 << 61) - 1
+# deterministic affine hash params seeded by a fixed PRNG
+_HASH_PARAMS = []
+_state = 88172645463325252
+for _ in range(_NUM_HASHES):
+    _state = (_state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+    a = (_state % (_MERSENNE - 1)) + 1
+    _state = (_state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+    b = _state % _MERSENNE
+    _HASH_PARAMS.append((a, b))
+
+
+_ACCENTS = "àáâãäåèéêëìíîïòóôõöùúûüýçñ"
+_FOLDED = "aaaaaaeeeeiiiiooooouuuuycn"
+
+
+def normalize_surface(col: Column) -> Column:
+    """lower-case, accent-fold, strip periods, collapse whitespace."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.translate(F.lower(col), _ACCENTS, _FOLDED), r"\.", ""
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+
+
+def normalize_surface_py(s: str) -> str:
+    """Python mirror of :func:`normalize_surface` (for oracles/tests)."""
+    s = s.lower().translate(str.maketrans(_ACCENTS, _FOLDED)).replace(".", "")
+    return " ".join(s.split())
+
+
+def _shingles(s: str, k: int = 3) -> set[int]:
+    # zlib.crc32: deterministic across processes (python str hash() is
+    # salted per-interpreter and would break executor-side determinism)
+    s = f"^{s}$"
+    if len(s) <= k:
+        return {zlib.crc32(s.encode("utf-8"))}
+    return {
+        zlib.crc32(s[i : i + k].encode("utf-8")) for i in range(len(s) - k + 1)
+    }
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def minhash_band_keys(norms: pd.Series) -> pd.Series:
+    """Per form: LSH band keys 'mh{band}:{joined minhash values}'."""
+
+    def keys(norm: str) -> list[str]:
+        sh = _shingles(norm or "")
+        sig = []
+        for a, b in _HASH_PARAMS:
+            sig.append(min((a * x + b) % _MERSENNE for x in sh))
+        out = []
+        for band in range(_BANDS):
+            vals = sig[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]
+            out.append(f"mh{band}:" + ",".join(map(str, vals)))
+        return out
+
+    return norms.map(keys)
+
+
+def blocking_keys(forms: DataFrame) -> DataFrame:
+    """Distinct forms → exploded (key, norm) blocking table."""
+    toks = F.split(F.col("norm"), " ")
+    token_sort = F.concat(F.lit("ts:"), F.array_join(F.array_sort(toks), " "))
+    initial_last = F.concat(
+        F.lit("il:"),
+        F.substring(F.element_at(toks, 1), 1, 1),
+        F.lit("|"),
+        F.element_at(toks, -1),
+    )
+    keys = F.concat(
+        F.array(token_sort, initial_last), minhash_band_keys(F.col("norm"))
+    )
+    return forms.select(F.col("norm"), F.explode(keys).alias("key"))
+
+
+@F.pandas_udf(BooleanType())
+def _score_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Accept/reject a candidate pair of normalized forms."""
+
+    def initials_match(ta: list[str], tb: list[str]) -> bool:
+        # "v williams" vs "venus williams": same length, each token either
+        # equal or one is the other's initial
+        if len(ta) != len(tb):
+            return False
+        ok = False
+        for x, y in zip(ta, tb):
+            if x == y:
+                continue
+            if len(x) == 1 and y.startswith(x):
+                ok = True
+            elif len(y) == 1 and x.startswith(y):
+                ok = True
+            else:
+                return False
+        return ok
+
+    def token_subset(ta: list[str], tb: list[str]) -> bool:
+        sa, sb = set(ta), set(tb)
+        small, big = (sa, sb) if len(sa) <= len(sb) else (sb, sa)
+        extra = big - small
+        # subset with only initial-like extras ("alan m turing" ⊃ "alan turing")
+        return small <= big and all(len(t) <= 2 for t in extra)
+
+    def score(x: str, y: str) -> bool:
+        if x == y:
+            return True
+        ta, tb = x.split(" "), y.split(" ")
+        if initials_match(ta, tb) or token_subset(ta, tb):
+            return True
+        sa, sb = _shingles(x), _shingles(y)
+        jac = len(sa & sb) / max(len(sa | sb), 1)
+        return jac >= 0.6
+
+    return pd.Series([score(x, y) for x, y in zip(a, b)])
+
+
+def candidate_pairs(forms: DataFrame, max_block_size: int = 64) -> DataFrame:
+    """Blocking self-join → distinct candidate (norm_a < norm_b) pairs."""
+    keys = blocking_keys(forms)
+    # drop non-discriminative blocks (quadratic-blowup guard)
+    sized = keys.join(
+        keys.groupBy("key").count().filter(F.col("count") <= max_block_size),
+        "key",
+    )
+    a = sized.alias("a")
+    b = sized.alias("b")
+    return (
+        a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col("a.norm") < F.col("b.norm")))
+        .select(F.col("a.norm").alias("norm_a"), F.col("b.norm").alias("norm_b"))
+        .distinct()
+    )
+
+
+def link_mentions(mentions: DataFrame, max_block_size: int = 64) -> DataFrame:
+    """Mentions → accepted co-reference edges between normalized forms.
+
+    Returns (norm_a, norm_b) with norm_a < norm_b.
+    """
+    forms = mentions.select(
+        normalize_surface(F.col("surface")).alias("norm")
+    ).distinct()
+    pairs = candidate_pairs(forms, max_block_size)
+    return pairs.filter(_score_pair(F.col("norm_a"), F.col("norm_b")))

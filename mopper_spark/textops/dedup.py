@@ -1,0 +1,252 @@
+"""Corpus deduplication: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes:
+
+- **exact**: one hash-aggregate on a 64-bit content fingerprint — the map
+  side combines, so the shuffle carries one row per distinct hash per task.
+- **MinHash-LSH**: signature per doc (one Arrow batch pass) → explode band
+  keys → shuffle on band key → within-bucket pairs (bucket size capped) →
+  verify Jaccard on the pair set only.  Never all-pairs.
+- **SimHash**: 64-bit signature per doc; near-dup candidates via 4×16-bit
+  band equality joins (hamming ≤ 3 guaranteeable recall), verified by
+  ``bit_count(xor)``— entirely native after the signature pass.
+- **embedding cosine**: random-hyperplane LSH buckets → within-bucket
+  cosine (Arrow batch) — the scale path of similarity.py.
+
+All candidate-pair generators return canonical (id_a < id_b) pairs; `dedup`
+keeps the minimum id per connected duplicate cluster so results are
+deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from mopper_spark.pipeline.cc import connected_components
+from mopper_spark.textops.analysis import fingerprint
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(n: int, seed: int = 7) -> list[tuple[int, int]]:
+    state = seed * 0x9E3779B97F4A7C15 % (1 << 63) + 1
+    out = []
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (_MERSENNE - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        out.append((a, state % _MERSENNE))
+    return out
+
+
+# ---------------------------------------------------------------- exact --
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the minimum id per exact (normalized) content fingerprint."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------- minhash-LSH --
+def _word_shingle_hashes(text: str, k: int = 3) -> set[int]:
+    toks = text.lower().split()
+    if len(toks) < k:
+        return {zlib.crc32(" ".join(toks).encode())} if toks else set()
+    return {
+        zlib.crc32(" ".join(toks[i : i + k]).encode())
+        for i in range(len(toks) - k + 1)
+    }
+
+
+def make_minhash_udf(num_hashes: int = 32):
+    params = _hash_params(num_hashes)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_sig(texts: pd.Series) -> pd.Series:
+        def sig(t: str) -> list[int]:
+            sh = _word_shingle_hashes(t or "")
+            if not sh:
+                return [0] * num_hashes
+            arr = np.fromiter(sh, dtype=np.int64)
+            return [
+                int(((a * arr + b) % _MERSENNE).min()) for a, b in params
+            ]
+
+        return texts.map(sig)
+
+    return minhash_sig
+
+
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, band_key) table: docs sharing any band key are candidates."""
+    rows = num_hashes // bands
+    sig = make_minhash_udf(num_hashes)(F.col(text_col))
+    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                F.lit(b),
+                *[F.element_at("sig", b * rows + r + 1) for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    )
+    return with_sig.select("id", F.explode(band_keys).alias("key"))
+
+
+def _pairs_from_buckets(keyed: DataFrame, max_bucket: int = 256) -> DataFrame:
+    sized = keyed.join(
+        keyed.groupBy("key").count().filter(F.col("count") <= max_bucket), "key"
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    return (
+        a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate pairs via LSH, verified by exact word-shingle Jaccard."""
+    cands = _pairs_from_buckets(minhash_band_table(df, text_col, id_col, num_hashes, bands))
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    paired = (
+        cands.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
+        .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
+    )
+
+    @F.pandas_udf("double")
+    def jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        def j(x: str, y: str) -> float:
+            sx, sy = _word_shingle_hashes(x or ""), _word_shingle_hashes(y or "")
+            if not sx or not sy:
+                return 0.0
+            return len(sx & sy) / len(sx | sy)
+
+        return pd.Series([j(x, y) for x, y in zip(a, b)])
+
+    return paired.withColumn("jaccard", jaccard("t_a", "t_b")).filter(
+        F.col("jaccard") >= threshold
+    ).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------- simhash --
+def make_simhash_udf(ngram: int = 2):
+    @F.pandas_udf(LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        def sh(t: str) -> int:
+            toks = (t or "").lower().split()
+            grams = (
+                [" ".join(toks[i : i + ngram]) for i in range(len(toks) - ngram + 1)]
+                if len(toks) >= ngram
+                else toks
+            )
+            if not grams:
+                return 0
+            acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for g in grams:
+                h = np.uint64(
+                    zlib.crc32(g.encode()) | (zlib.crc32(g[::-1].encode()) << 32)
+                )
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                acc += 2 * bits - 1
+            v = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    v |= 1 << i
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        return texts.map(sh)
+
+    return simhash
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash banding: 4×16-bit bands guarantee recall for hamming ≤ 3."""
+    sig = make_simhash_udf()(F.col(text_col))
+    t = df.select(F.col(id_col).alias("id"), sig.alias("sim"))
+    bands = F.array(
+        *[
+            F.concat_ws(":", F.lit(i), F.shiftright("sim", i * 16).bitwiseAND(F.lit(0xFFFF)))
+            for i in range(4)
+        ]
+    )
+    keyed = t.select("id", "sim", F.explode(bands).alias("key"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------------- embedding cosine --
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    dim: int | None = None,
+    seed: int = 11,
+) -> DataFrame:
+    """Random-hyperplane LSH buckets → within-bucket exact cosine."""
+    from mopper_spark.textops.similarity import cosine_udf, hyperplane_bucket_udf
+
+    t = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    bucket = hyperplane_bucket_udf(n_planes=n_planes, seed=seed)
+    keyed = t.select("id", "v", bucket(F.col("v")).alias("key"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b, (F.col("a.key") == F.col("b.key")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine_udf(F.col("a.v"), F.col("b.v")).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)
+
+
+# ------------------------------------------------------------- clustering --
+def dedup_keep_min(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drop every doc that is in a duplicate cluster and not its min id."""
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    comp = connected_components(edges)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,161 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two tiers:
+
+- ``brute_force_topk``: exact cosine top-k of every query against the
+  corpus.  The query set is broadcast (it is small by construction); the
+  corpus is scanned once; per-partition scoring is a native ``zip_with`` +
+  ``aggregate`` dot product (JVM, no Python), then a top-k window.  This is
+  the correctness oracle and is already the right plan for "few queries ×
+  huge corpus".
+- ``lsh_topk``: random-hyperplane LSH — corpus vectors bucketed by sign
+  pattern; each query probes only its bucket (and optionally multi-probe
+  neighbours).  Sub-linear candidate sets at 100 TB; same scoring kernel.
+
+Hyperplanes are generated deterministically from a seed on the driver and
+shipped in the UDF closure (a few KB).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, StringType
+
+
+def cosine_native(a: Column, b: Column) -> Column:
+    """Exact cosine similarity, pure native expressions."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+@F.pandas_udf(DoubleType())
+def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched cosine (numpy) — for UDF-stage composition."""
+
+    def c(x, y) -> float:
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        nx, ny = np.linalg.norm(x), np.linalg.norm(y)
+        return float(x @ y / (nx * ny)) if nx > 0 and ny > 0 else 0.0
+
+    return pd.Series([c(x, y) for x, y in zip(a, b)])
+
+
+def _sign_pattern(planes: np.ndarray, v) -> str:
+    v = np.asarray(v, dtype=np.float64)
+    p = planes[:, : v.shape[0]] if v.shape[0] < planes.shape[1] else planes
+    signs = (p @ v[: p.shape[1]]) >= 0
+    return "".join("1" if s else "0" for s in signs)
+
+
+def hyperplane_bucket_udf(n_planes: int = 16, seed: int = 11, dim: int = 64):
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @F.pandas_udf(StringType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        return vecs.map(lambda v: _sign_pattern(planes, v))
+
+    return bucket
+
+
+def hyperplane_probes_udf(
+    n_planes: int = 16, seed: int = 11, dim: int = 64, radius: int = 1
+):
+    """Multi-probe buckets: the vector's bucket plus every bucket within
+    hamming distance ``radius`` (flip-1 probing; standard LSH recall boost
+    that costs probes, not an extra corpus pass)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        def one(v) -> list[str]:
+            base = _sign_pattern(planes, v)
+            out = [base]
+            if radius >= 1:
+                for i in range(len(base)):
+                    flipped = base[:i] + ("0" if base[i] == "1" else "1") + base[i + 1 :]
+                    out.append(flipped)
+            return out
+
+        return vecs.map(one)
+
+    return probes
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k: (query_id, vec_id, cosine, rank). Queries broadcast."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    scored = F.broadcast(q).crossJoin(c).filter(
+        F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        cosine_native(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 11,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Approximate top-k: probe the query's hyperplane bucket plus all
+    buckets within hamming distance ``probe_radius`` (multi-probe LSH).
+
+    Recall < 1.0 by design; candidates per query ≈ corpus/2^n_planes ×
+    (1+n_planes probes) — tune ``n_planes`` up as the corpus grows.
+    """
+    bucket = hyperplane_bucket_udf(n_planes=n_planes, seed=seed)
+    probes = hyperplane_probes_udf(n_planes=n_planes, seed=seed, radius=probe_radius)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        bucket(F.col(vec_col)).alias("bkt"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probes(F.col(vec_col))).alias("bkt"),
+    )
+    scored = F.broadcast(q).join(c, "bkt").filter(
+        F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        cosine_native(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1,0 +1,173 @@
+"""Textops tests: dedup (exact/minhash/simhash/embedding), similarity
+search, analysis functions, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mopper_spark.textops.analysis import analyze
+from mopper_spark.textops.dedup import (
+    dedup_keep_min,
+    exact_dedup,
+    embedding_near_dup_pairs,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from mopper_spark.textops.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synth_media,
+)
+from mopper_spark.textops.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("quick", "speedy")),  # near dup of 0
+        (3, "completely different text about spark query engines and joins"),
+        (4, "THE  QUICK brown fox jumps over the lazy dog and runs far away today"),  # case/ws dup
+        (5, "short one"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        out = exact_dedup(docs).collect()
+        clusters = {r.doc_id: r.dup_count for r in out}
+        assert clusters[0] == 3  # 0, 1, 4 normalize identically
+        assert clusters[2] == 1 and clusters[3] == 1 and clusters[5] == 1
+
+    def test_minhash_near_dup(self, docs):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in minhash_near_dup_pairs(docs, threshold=0.5).collect()
+        }
+        assert (0, 1) in pairs
+        assert (0, 2) in pairs  # one-word change → high shingle jaccard
+        assert not any(3 in p for p in pairs)
+
+    def test_simhash_near_dup(self, spark):
+        # simhash needs enough features for a small edit to stay within a
+        # few bits: use paragraph-sized docs with one word changed
+        para = (
+            "the quick brown fox jumps over the lazy dog and runs far away "
+            "while the river flows past the old stone bridge near the mill "
+        ) * 5
+        rows = [
+            (0, para),
+            (1, para),
+            (2, para.replace("river", "stream", 1)),
+            (3, "an entirely different document about distributed query engines"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in simhash_near_dup_pairs(df, max_hamming=6).collect()
+        }
+        assert (0, 1) in pairs
+        assert (0, 2) in pairs
+        assert not any(3 in p for p in pairs)
+
+    def test_dedup_keep_min(self, docs):
+        pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+        kept = sorted(r.doc_id for r in dedup_keep_min(docs, pairs).collect())
+        assert 0 in kept and 1 not in kept and 2 not in kept
+        assert 3 in kept and 5 in kept
+
+    def test_embedding_near_dup(self, spark):
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal(64)
+        rows = [
+            (0, (base / np.linalg.norm(base)).tolist()),
+            (1, ((base + 0.01 * rng.standard_normal(64)) / np.linalg.norm(base)).tolist()),
+            (2, rng.standard_normal(64).tolist()),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = embedding_near_dup_pairs(df, threshold=0.95).collect()
+        assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_brute_force_topk(self, emb):
+        out = brute_force_topk(emb, emb.filter("vec_id < 3"), k=4)
+        rows = out.collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        assert set(by_q) == {0, 1, 2}
+        for q, rs in by_q.items():
+            assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == [1, 2, 3, 4]
+            cos = [r.cosine for r in sorted(rs, key=lambda r: r.rank)]
+            assert cos == sorted(cos, reverse=True)
+            assert all(r.vec_id != q for r in rs)
+
+    def test_lsh_recall_vs_exact(self, emb):
+        exact = brute_force_topk(emb, emb.filter("vec_id < 10"), k=3)
+        approx = lsh_topk(emb, emb.filter("vec_id < 10"), k=3, n_planes=4)
+        e = {(r.query_id, r.vec_id) for r in exact.collect()}
+        a = {(r.query_id, r.vec_id) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.5  # multi-probe (radius 1), 4 planes
+        assert all(q != v for q, v in a)
+
+
+class TestAnalysis:
+    def test_analyze_columns(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat and the dog sat on a mat in the sun, it is warm."),
+                (2, "el perro y el gato en la casa con los amigos"),
+                (3, "???!!!"),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in analyze(df).collect()}
+        assert out[1].lang_pred == "en"
+        assert out[2].lang_pred == "es"
+        assert out[3].lang_pred == "und"
+        assert out[1].n_tokens == 15
+        assert out[4].n_tokens == 0 and out[4].quality == 0.0
+        assert 0 < out[1].stopword_ratio < 1
+        assert out[3].punct_ratio == 1.0
+        # fingerprint ignores case/whitespace
+        df2 = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world")], "doc_id long, text string"
+        )
+        fps = [r.fingerprint for r in analyze(df2).collect()]
+        assert fps[0] == fps[1]
+
+
+class TestMultimodal:
+    def test_feature_extraction_fake(self, spark):
+        media = synth_media(spark, n=16)
+        feats = extract_features(media, feature_dim=8, deterministic_fake=True)
+        rows = feats.collect()
+        assert len(rows) == 16
+        assert all(len(r.features) == 8 for r in rows)
+        assert all(r.n_bytes > 0 for r in rows)
+        # deterministic across runs
+        again = extract_features(synth_media(spark, n=16), 8, True).collect()
+        assert {r.media_id: tuple(r.features) for r in rows} == {
+            r.media_id: tuple(r.features) for r in again
+        }
+
+    def test_decode_stub_raises(self, spark):
+        media = synth_media(spark, n=2)
+        with pytest.raises(Exception, match="NotImplementedError|decode"):
+            extract_features(media, deterministic_fake=False).collect()
+
+    def test_frame_sample_plan(self, spark):
+        media = synth_media(spark, n=4)
+        plan = frame_sample_plan(media, every_n=1)
+        counts = {r.media_id: r["count"] for r in plan.groupBy("media_id").count().collect()}
+        assert all(c >= 1 for c in counts.values())
