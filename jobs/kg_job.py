@@ -1,0 +1,67 @@
+"""spark-submit entrypoint: the transcript -> knowledge-graph job.
+
+Cluster run (north rule):
+    spark-submit --py-files dist/mopper_spark.zip jobs/kg_job.py \
+        --input <transcripts parquet/iceberg table> \
+        --checkpoints /path/ckpt --output /path/graph
+
+Local smoke:
+    spark-submit --master 'local[8]' --py-files dist/mopper_spark.zip \
+        jobs/kg_job.py --synth-turns 10000 --checkpoints /tmp/ck --output /tmp/g
+
+The session comes from spark-submit (master/executors configured there);
+this script only sets job-level SQL conf.
+"""
+
+import argparse
+import json
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", help="transcripts parquet path or catalog table")
+    p.add_argument("--synth-turns", type=int, help="generate a synthetic corpus instead")
+    p.add_argument("--checkpoints", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--write-buckets", type=int, default=32)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("mopper-spark-kg").getOrCreate()
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }.items():
+        spark.conf.set(k, v)
+
+    from mopper_spark.pipeline.job import run_pipeline
+    from mopper_spark.pipeline.materialize import write_graph_table
+
+    transcripts = None
+    if args.input:
+        transcripts = (
+            spark.read.table(args.input)
+            if not args.input.startswith(("/", "file:", "s3:", "hdfs:"))
+            else spark.read.parquet(args.input)
+        )
+
+    res = run_pipeline(
+        spark,
+        checkpoint_root=args.checkpoints,
+        transcripts=transcripts,
+        n_turns=args.synth_turns or 1000,
+    )
+    write_graph_table(spark, res.graph, args.output, num_buckets=args.write_buckets)
+    print(json.dumps({
+        "turns": res.turns,
+        "seconds": round(res.seconds, 2),
+        "turns_per_sec": round(res.turns_per_sec, 1),
+        "stages": res.metrics,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Compiler coverage for the full function inventory (SURVEY.md §2.2),
+including the functions the reference declares but leaves todo!()
+(Concatenate, Lower, Upper, Replace, FnO) — implemented here as extensions.
+Plus property-based checks (hypothesis) for the template parser and
+percent-encoder against their specs."""
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mopper_spark import rules as R
+from mopper_spark.compiler import FunctionCompiler, compile_extend
+from mopper_spark.functions.encoding import pct_encode
+from mopper_spark.functions.templates import TemplateParseError, parse_template
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [("Alice", "x y", "10"), ("Bob", "z", "20")],
+        "name string, words string, num string",
+    )
+
+
+def _vals(df, term):
+    return [r[0] for r in df.select(term.col.alias("v")).collect()]
+
+
+class TestExtensionFunctions:
+    def test_lower_upper(self, df):
+        fc = FunctionCompiler(df.columns)
+        assert _vals(df, fc.compile(R.Lower(R.Reference("name")))) == ["alice", "bob"]
+        assert _vals(df, fc.compile(R.Upper(R.Reference("name")))) == ["ALICE", "BOB"]
+
+    def test_replace(self, df):
+        fc = FunctionCompiler(df.columns)
+        out = _vals(df, fc.compile(R.Replace(R.Reference("words"), " ", "_")))
+        assert out == ["x_y", "z"]
+
+    def test_concatenate(self, df):
+        fc = FunctionCompiler(df.columns)
+        fn = R.Concatenate((R.Reference("name"), R.Constant("-"), R.Reference("num")))
+        assert _vals(df, fc.compile(fn)) == ["Alice-10", "Bob-20"]
+        sep = R.Concatenate((R.Reference("name"), R.Reference("num")), separator="/")
+        assert _vals(df, fc.compile(sep)) == ["Alice/10", "Bob/20"]
+
+    def test_fno_registry(self, df):
+        fc = FunctionCompiler(
+            df.columns,
+            fno_registry={"ex:reverse": lambda value: F.reverse(value)},
+        )
+        fn = R.FnO("ex:reverse", (("value", R.Reference("name")),))
+        assert _vals(df, fc.compile(fn)) == ["ecilA", "boB"]
+
+    def test_fno_unregistered_raises(self, df):
+        fc = FunctionCompiler(df.columns)
+        with pytest.raises(NotImplementedError):
+            fc.compile(R.FnO("ex:nope", ()))
+
+    def test_template_string_standalone(self, df):
+        fc = FunctionCompiler(df.columns)
+        fn = R.TemplateString("hello {name}!")
+        assert _vals(df, fc.compile(fn)) == ["hello Alice!", "hello Bob!"]
+
+    def test_nested_composition(self, df):
+        # Iri(TemplateFunctionValue(UriEncode(Lower(Reference))))
+        fc = FunctionCompiler(df.columns)
+        fn = R.Iri(
+            R.TemplateFunctionValue(
+                "http://e.com/{words}",
+                (("words", R.UriEncode(R.Lower(R.Reference("words")))),),
+            ),
+            "http://base/",
+        )
+        term = fc.compile(fn)
+        assert term.kind == "iri"
+        assert _vals(df, term) == ["http://e.com/x%20y", "http://e.com/z"]
+
+    def test_compile_extend_json_roundtrip(self, df):
+        compiled = compile_extend(
+            {"?v": {"type": "Upper", "inner_function": {"type": "Reference", "value": "name"}}},
+            df.columns,
+        )
+        assert compiled[0][0] == "v"
+        assert _vals(df, compiled[0][1]) == ["ALICE", "BOB"]
+
+
+class TestProperties:
+    @given(st.text(alphabet=st.characters(blacklist_characters="{}\\"), max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def test_parse_roundtrip_plain_text(self, s):
+        parts = parse_template(s)
+        assert "".join(t for _, t in parts) == s
+        assert all(not v for v, _ in parts)
+
+    @given(st.text(max_size=30))
+    @settings(max_examples=200, deadline=None)
+    def test_escaped_text_roundtrips(self, s):
+        escaped = s.replace("\\", "\\\\").replace("{", "\\{").replace("}", "\\}")
+        parts = parse_template(escaped)
+        assert "".join(t for _, t in parts) == s
+
+    @given(st.text(max_size=50))
+    @settings(max_examples=300, deadline=None)
+    def test_pct_encode_spec(self, s):
+        out = pct_encode(s)
+        # decodable back to the original
+        from urllib.parse import unquote
+
+        assert unquote(out, errors="strict") == s
+        # every remaining raw char is ASCII-graphic and not URI-reserved
+        for c in out:
+            assert 0x21 <= ord(c) <= 0x7E
+            if c != "%":
+                assert c not in "!#$&'()*+,/:;=?@[]"
+
+    @given(st.text(max_size=30))
+    @settings(max_examples=200, deadline=None)
+    def test_pct_encode_series_matches_scalar(self, s):
+        from mopper_spark.functions.encoding import pct_encode_series
+
+        out = pct_encode_series(pd.Series([s, s, "plain"]))
+        assert list(out) == [pct_encode(s), pct_encode(s), "plain"]
+
+    def test_unbalanced_always_raises(self):
+        for bad in ["{", "}", "a{b", "a}b", "{a{b}}", "\\x", "end\\"]:
+            with pytest.raises(TemplateParseError):
+                parse_template(bad)
