@@ -288,6 +288,50 @@ FROM events
 """
 
 
+_TTL_SUPPLIER = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix ex: <http://example.com/> .
+@base <http://example.com/base/> .
+
+<SupplierMap> a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "supplier.parquet" ] ;
+  rr:subjectMap [ rr:template "http://example.com/supplier/{s_suppkey}" ;
+                  rr:class ex:Supplier ] ;
+  rr:predicateObjectMap [ rr:predicate rdfs:label ;
+                          rr:objectMap [ rml:reference "s_name" ] ] ;
+  rr:predicateObjectMap [ rr:predicate ex:nation ;
+                          rr:objectMap [ rr:template "http://example.com/nation/{s_nationkey}" ] ] .
+"""
+
+
+def _q_rml_turtle_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Full RML front-end: Turtle mapping → plan → engine (SURVEY §3.1)."""
+    from mopper_spark.engine import run_plan
+    from mopper_spark.options import MopperOptions
+    from mopper_spark.rml import rml_to_plan
+
+    plan = rml_to_plan(_TTL_SUPPLIER)
+    targets = run_plan(plan, spark, MopperOptions(working_dir_hint=sf))
+    df = targets[0].statements
+    for t in targets[1:]:
+        df = df.unionByName(t.statements)
+    return df
+
+
+_SQL_RML_TURTLE_SUPPLIER = """
+WITH s AS (SELECT '<http://example.com/supplier/' || CAST(s_suppkey AS VARCHAR) || '>' AS subj,
+                  s_name, CAST(s_nationkey AS VARCHAR) AS nk FROM supplier)
+SELECT subj || ' <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://example.com/Supplier> .' AS statement FROM s
+UNION ALL
+SELECT subj || ' <http://www.w3.org/2000/01/rdf-schema#label> "' || s_name || '" .' FROM s
+UNION ALL
+SELECT subj || ' <http://example.com/nation> <http://example.com/nation/' || nk || '> .' FROM s
+"""
+
+
 # ---------------------------------------------------------------- textops --
 def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -522,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rml_union_one_target": _q_rml_union_one_target,
         "rml_blank_nodes": _q_rml_blank_nodes,
         "rml_invalid_iri": _q_rml_invalid_iri,
+        "rml_turtle_supplier": _q_rml_turtle_supplier,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -546,6 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "rml_union_one_target": _SQL_RML_UNION,
         "rml_blank_nodes": _SQL_RML_BLANK,
         "rml_invalid_iri": _SQL_RML_INVALID,
+        "rml_turtle_supplier": _SQL_RML_TURTLE_SUPPLIER,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "cosine_pairs_exact": _SQL_COSINE_PAIRS,
         "similarity_topk": _SQL_SIMILARITY_TOPK,
