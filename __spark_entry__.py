@@ -377,6 +377,66 @@ def _q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from mopper_spark.textops.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.2).select(
+        "id_a", "id_b", F.round("jaccard", 5).alias("jaccard")
+    )
+
+
+_SQL_DEDUP_NGRAM = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), shingled AS (
+  SELECT id,
+         list_distinct(CASE WHEN len(tk) >= 3
+           THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+           ELSE [array_to_string(tk, ' ')] END) AS sh
+  FROM toks
+), inv AS (SELECT id, unnest(sh) AS g FROM shingled),
+sizes AS (SELECT id, len(sh) AS n_sh FROM shingled),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, ROUND(i * 1.0 / (sa.n_sh + sb.n_sh - i), 5) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2
+"""
+
+
+def _q_similarity_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN scale path: hyperplane-LSH bucketed top-k (rows-only check —
+    the bucketing is deterministic but not SQL-expressible)."""
+    from mopper_spark.textops.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    out = lsh_topk(emb, emb.filter("vec_id < 5"), k=5, n_planes=4)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 5).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary media columns → typed features via mapInPandas (rows-only:
+    synthetic media; decode is a deterministic fake, Spark plumbing real)."""
+    from mopper_spark.textops.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=64, seed=5)
+    feats = extract_features(media, deterministic_fake=True)
+    return feats.select(
+        "media_id", "mime", "n_bytes",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4)
+        .alias("feat_sum"),
+    )
+
+
 def _q_cosine_pairs_exact(spark: SparkSession, sf: str) -> DataFrame:
     from mopper_spark.textops.similarity import cosine_native
 
@@ -571,8 +631,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "cosine_pairs_exact": _q_cosine_pairs_exact,
         "similarity_topk": _q_similarity_topk,
+        "similarity_topk_lsh": _q_similarity_topk_lsh,
+        "multimodal_features": _q_multimodal_features,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "token_frequencies": _q_token_frequencies,
@@ -593,6 +656,7 @@ def oracle_sql() -> dict[str, str]:
         "rml_invalid_iri": _SQL_RML_INVALID,
         "rml_turtle_supplier": _SQL_RML_TURTLE_SUPPLIER,
         "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
         "cosine_pairs_exact": _SQL_COSINE_PAIRS,
         "similarity_topk": _SQL_SIMILARITY_TOPK,
         "text_quality": _SQL_TEXT_QUALITY,

@@ -153,6 +153,61 @@ def minhash_near_dup_pairs(
     ).select("id_a", "id_b", "jaccard")
 
 
+# -------------------------------------------------------- n-gram Jaccard --
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact word n-gram Jaccard similarity pairs, entirely native.
+
+    Inverted-index shape, not all-pairs: explode distinct shingles, shuffle
+    on the shingle (docs sharing none never meet), count co-occurrences per
+    pair, then ``|A∩B| / (|A|+|B|-|A∩B|)``.  At corpus scale the shingle
+    join is the standard SIGMOD-style set-similarity-join plan; hot
+    (stop-phrase) shingles can be capped the same way `_pairs_from_buckets`
+    caps LSH buckets.  No Python UDFs — whole-stage codegen end to end.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    sh = F.when(
+        F.size("toks") >= n,
+        F.expr(
+            f"transform(sequence(0, size(toks)-{n}), "
+            f"i -> concat_ws(' ', slice(toks, i+1, {n})))"
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
+    shingled = base.select("id", F.array_distinct(sh).alias("sh"))
+    sizes = shingled.select("id", F.size("sh").alias("n_sh"))
+    inv = shingled.select("id", F.explode("sh").alias("g"))
+    inter = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------- simhash --
 def make_simhash_udf(ngram: int = 2):
     @F.pandas_udf(LongType())

@@ -11,6 +11,7 @@ from mopper_spark.textops.dedup import (
     exact_dedup,
     embedding_near_dup_pairs,
     minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
 from mopper_spark.textops.multimodal import (
@@ -50,6 +51,28 @@ class TestDedup:
         assert (0, 1) in pairs
         assert (0, 2) in pairs  # one-word change → high shingle jaccard
         assert not any(3 in p for p in pairs)
+
+    def test_ngram_jaccard_exact_values(self, docs):
+        rows = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()
+        }
+        # identical docs → jaccard exactly 1.0 on distinct 3-gram sets
+        assert rows[(0, 1)] == 1.0
+        # one word changed mid-way: 14 tokens → 12 trigrams, 3 differ
+        assert 0.5 < rows[(0, 2)] < 1.0
+        assert not any(3 in p for p in rows)
+
+    def test_ngram_jaccard_short_docs_whole_text_shingle(self, spark):
+        df = spark.createDataFrame(
+            [(0, "short one"), (1, "short one"), (2, "short two")],
+            "doc_id long, text string",
+        )
+        rows = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+        }
+        assert rows == {(0, 1): 1.0}
 
     def test_simhash_near_dup(self, spark):
         # simhash needs enough features for a small edit to stay within a
