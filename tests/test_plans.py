@@ -54,17 +54,16 @@ def test_engine_scan_is_column_pruned(spark):
     assert "BatchEvalPython" not in s
 
 
-def test_extraction_udfs_below_explode(transcripts):
+def test_extraction_fully_native(transcripts):
+    """The extraction hot path compiles to zero Python stages: UriEncode is
+    a native hybrid (translate fast path + char-wise hex encode), so the
+    whole plan is JVM-side and scales with cores instead of contending for
+    the UDF worker pool (if a UDF ever reappears here, it must at least
+    sit BELOW the explode — see git history for that weaker audit)."""
     s = _plan_str(extract_triples(transcripts))
     assert "BatchEvalPython" not in s
-    # every ArrowEvalPython must appear BELOW (after, in toString order)
-    # the Generate node: generate is printed above its child
-    gen_pos = s.index("Generate explode")
-    arrow_positions = [i for i in range(len(s)) if s.startswith("ArrowEvalPython", i)]
-    assert arrow_positions, "expected Arrow UDF stages"
-    assert all(p > gen_pos for p in arrow_positions), (
-        "ArrowEvalPython above Generate → UDFs run per exploded row"
-    )
+    assert "ArrowEvalPython" not in s, "extraction should be fully native"
+    assert "Generate explode" in s
 
 
 def test_no_batch_eval_python_in_queries(spark):

@@ -17,7 +17,7 @@ from mopper_spark.options import MopperOptions
 from mopper_spark.rml import mapping_to_plan, parse_rml, rml_to_plan
 from mopper_spark.sources import SourceRegistry
 from mopper_spark.turtle import RDF_TYPE, parse_turtle
-from tests.conftest import normalize_statements
+from tests.conftest import assert_pr, normalize_statements
 
 REF = "/root/reference/test-resources/rml-testcases"
 
@@ -176,6 +176,7 @@ def test_ttl_rmltc0008b_selfjoin_uriencode(spark):
         {"student.csv": [("10", "Venus Williams", "Tennis")]},
         {"student.csv": "ID string, Name string, Sport string"},
     )
+    assert_pr(produced, golden)
     assert produced == golden
     assert len(golden) == 5
 
@@ -205,6 +206,7 @@ def test_ttl_rmltc1036_join_named_graphs(spark):
             "sport.csv": "ID string, Name string",
         },
     )
+    assert_pr(produced, golden)
     assert produced == golden
     assert len(golden) == 32
 
@@ -232,4 +234,40 @@ def test_cli_rml_golden_to_file(tmp_path):
     with open(f"{REF}/RMLTC1036-CSV/output.nq") as f:
         golden = normalize_statements(f.read().splitlines())
     produced = normalize_statements(out.read_text().splitlines())
+    assert_pr(produced, golden)
     assert produced == golden
+
+
+# --------------------------------------------------------------------------
+# property: literal escape round-trip through the Turtle parser
+# --------------------------------------------------------------------------
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _escape_turtle(s: str) -> str:
+    out = []
+    for ch in s:
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == '"':
+            out.append('\\"')
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\r":
+            out.append("\\r")
+        elif ch == "\t":
+            out.append("\\t")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=60))
+def test_turtle_literal_roundtrip(s):
+    doc = parse_turtle(
+        '@prefix ex: <http://ex.org/> .\n'
+        f'ex:s ex:p "{_escape_turtle(s)}" .'
+    )
+    assert doc.value(("iri", "http://ex.org/s"), "http://ex.org/p") == ("lit", s)

@@ -19,7 +19,7 @@ import pytest
 from mopper_spark.engine import run_plan_to_lines
 from mopper_spark.options import MopperOptions
 from mopper_spark.sources import SourceRegistry
-from tests.conftest import normalize_statements
+from tests.conftest import assert_pr, normalize_statements
 
 REF = "/root/reference/test-resources/rml-testcases"
 
@@ -62,6 +62,7 @@ def test_rmltc0008b_multipom_selfjoin_uriencode(spark):
         {"student.csv": [("10", "Venus Williams", "Tennis")]},
         {"student.csv": "ID string, Name string, Sport string"},
     )
+    assert_pr(produced, golden)
     assert produced == golden
     assert len(golden) == 5
 
@@ -91,6 +92,7 @@ def test_rmltc1036_real_join_named_graphs(spark):
             "sport.csv": "ID string, Name string",
         },
     )
+    assert_pr(produced, golden)
     assert produced == golden
     assert len(golden) == 32
 
