@@ -589,6 +589,84 @@ FROM documents
 """
 
 
+def _q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Window functions over event streams: 30-min-gap sessionization."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp_ltz").cast("long")  # parquet ts is NTZ
+    gap = secs - F.lag(secs).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_session).over(w).cast("long").alias("session_num"),
+        F.row_number().over(w).cast("long").alias("event_rank"),
+    )
+
+
+_SQL_EVENTS_SESSIONIZE = """
+SELECT user_id, event_id,
+       SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_num,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_rank
+FROM (SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+"""
+
+
+def _q_cc_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative large-star/small-star connected components, verified
+    against a DuckDB recursive-CTE transitive closure (min-label)."""
+    from mopper_spark.pipeline.cc import connected_components
+    from mopper_spark.textops.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    edges = ngram_jaccard_pairs(docs, n=3, threshold=0.2).select(
+        F.col("id_a").cast("long").alias("u"), F.col("id_b").cast("long").alias("v")
+    )
+    return connected_components(edges).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+_SQL_CC_COMPONENTS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), shingled AS (
+  SELECT id,
+         list_distinct(CASE WHEN len(tk) >= 3
+           THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+           ELSE [array_to_string(tk, ' ')] END) AS sh
+  FROM toks
+), inv AS (SELECT id, unnest(sh) AS g FROM shingled),
+sizes AS (SELECT id, len(sh) AS n_sh FROM shingled),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(node, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(comp) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
 def _q_entity_linking_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     """Blocking-key EL + CC canonicalization (no SQL oracle: iterative)."""
     from mopper_spark.pipeline.canonicalize import canonical_map
@@ -640,6 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_frequencies": _q_token_frequencies,
         "fingerprint_md5": _q_fingerprint_md5,
+        "events_sessionize": _q_events_sessionize,
+        "cc_components": _q_cc_components,
         "entity_linking_transcripts": _q_entity_linking_transcripts,
         "kg_graph_transcripts": _q_kg_graph_transcripts,
     }
@@ -663,6 +743,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _SQL_LANG_ID,
         "token_frequencies": _SQL_TOKEN_FREQ,
         "fingerprint_md5": _SQL_FINGERPRINT,
+        "events_sessionize": _SQL_EVENTS_SESSIONIZE,
+        "cc_components": _SQL_CC_COMPONENTS,
         # dedup_minhash / dedup_simhash / dedup_embedding: LSH banding —
         # not SQL-expressible, rows-only check (driver contract).
         # entity_linking_transcripts / kg_graph_transcripts: iterative CC /
