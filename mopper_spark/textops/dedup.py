@@ -69,6 +69,8 @@ def _word_shingle_hashes(text: str, k: int = 3) -> set[int]:
 
 def make_minhash_udf(num_hashes: int = 32):
     params = _hash_params(num_hashes)
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in params], dtype=np.int64)[:, None]
 
     @F.pandas_udf(ArrayType(LongType()))
     def minhash_sig(texts: pd.Series) -> pd.Series:
@@ -76,10 +78,11 @@ def make_minhash_udf(num_hashes: int = 32):
             sh = _word_shingle_hashes(t or "")
             if not sh:
                 return [0] * num_hashes
-            arr = np.fromiter(sh, dtype=np.int64)
-            return [
-                int(((a * arr + b) % _MERSENNE).min()) for a, b in params
-            ]
+            arr = np.fromiter(sh, dtype=np.int64)[None, :]
+            # one (num_hashes × |shingles|) vectorized pass instead of a
+            # python loop per hash fn; int64 wraparound in a*x is part of
+            # the (deterministic) hash family, same as the scalar loop had
+            return ((a_vec * arr + b_vec) % _MERSENNE).min(axis=1).tolist()
 
         return texts.map(sig)
 
