@@ -91,12 +91,19 @@ class CheckpointManager:
                 "|".join(str(r[c]) for c in partition_by): r["count"]
                 for r in out.groupBy(*partition_by).count().collect()
             }
-        counters["files"] = sum(
-            1
-            for _, _, files in os.walk(data_path)
-            for fn in files
-            if fn.endswith(".parquet")
-        )
+        # per-partition lineage: one row-count per written parquet file
+        # (the resume unit) — a partial/corrupt partition shows up as a
+        # count mismatch on the next run's manifest comparison
+        abs_data = os.path.abspath(data_path)
+        counters["files_detail"] = {
+            # input_file_name is a file:// URI; key by the path relative
+            # to the stage dir (keeps partition subdirs in the key)
+            r["f"].split(abs_data, 1)[-1].lstrip("/"): r["count"]
+            for r in out.groupBy(F.input_file_name().alias("f"))
+            .count()
+            .collect()
+        }
+        counters["files"] = len(counters["files_detail"])
         counters["seconds"] = round(time.time() - t0, 3)
 
         man = {
