@@ -288,6 +288,38 @@ FROM events
 """
 
 
+def _q_rml_selfjoin_part(spark: SparkSession, sf: str) -> DataFrame:
+    """RefObjectMap over the SAME source with a NaturalJoin (RMLTC0008b
+    shape): source merging turns it into a self-join, which the rewriter
+    eliminates entirely (plan_rewriter.rs:169-204) — the extend reads the
+    join_0_-prefixed refs from the original row, no join in the plan."""
+    nodes = [
+        ("S0", _src(f"{sf}/part.parquet")),
+        ("S1", _src(f"{sf}/part.parquet")),
+        ("J2", {"type": "JoinOp", "config": {
+            "left_right_attr_pairs": [], "join_type": "NaturalJoin",
+            "predicate_type": "Equal", "join_alias": "join_0"}}),
+        ("E3", {"type": "ExtendOp", "config": {
+            "?s": _iri_tfv(EX + "part/{p_partkey}", ["p_partkey"]),
+            "?p": _iri_const(EX + "ontology/brandType"),
+            "?o": _iri_tfv(EX + "brand/{join_0_p_brand}/{join_0_p_type}",
+                           ["join_0_p_brand", "join_0_p_type"]),
+        }}),
+        ("Z4", {"type": "SerializerOp", "config": {"template": "?s ?p ?o .", "format": "NQuads"}}),
+        ("T5", {"type": "TargetOp", "config": {"target_type": "StdOut"}}),
+    ]
+    return _run(spark, _plan(nodes, [(0, 2), (1, 2), (2, 3), (3, 4), (4, 5)]))
+
+
+_SQL_RML_SELFJOIN = """
+SELECT '<http://example.com/part/' || CAST(p_partkey AS VARCHAR) || '>'
+       || ' <http://example.com/ontology/brandType> '
+       || '<http://example.com/brand/' || replace(p_brand, '#', '%23')
+       || '/' || replace(replace(p_type, ' ', '%20'), '#', '%23') || '> .' AS statement
+FROM part
+"""
+
+
 _TTL_SUPPLIER = """
 @prefix rr: <http://www.w3.org/ns/r2rml#> .
 @prefix rml: <http://semweb.mmlab.be/ns/rml#> .
@@ -705,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rml_blank_nodes": _q_rml_blank_nodes,
         "rml_invalid_iri": _q_rml_invalid_iri,
         "rml_turtle_supplier": _q_rml_turtle_supplier,
+        "rml_selfjoin_part": _q_rml_selfjoin_part,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -735,6 +768,7 @@ def oracle_sql() -> dict[str, str]:
         "rml_blank_nodes": _SQL_RML_BLANK,
         "rml_invalid_iri": _SQL_RML_INVALID,
         "rml_turtle_supplier": _SQL_RML_TURTLE_SUPPLIER,
+        "rml_selfjoin_part": _SQL_RML_SELFJOIN,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
         "cosine_pairs_exact": _SQL_COSINE_PAIRS,

@@ -24,6 +24,11 @@ def main() -> None:
     p.add_argument("--checkpoints", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--write-buckets", type=int, default=32)
+    p.add_argument(
+        "--checkpoint-stages",
+        help="comma-separated stage names to persist as resume points "
+        "(default: all); e.g. 'edges,graph' fuses the narrow stages",
+    )
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,6 +57,11 @@ def main() -> None:
         checkpoint_root=args.checkpoints,
         transcripts=transcripts,
         n_turns=args.synth_turns or 1000,
+        checkpoint_stages=(
+            set(args.checkpoint_stages.split(","))
+            if args.checkpoint_stages
+            else None
+        ),
     )
     write_graph_table(spark, res.graph, args.output, num_buckets=args.write_buckets)
     print(json.dumps({

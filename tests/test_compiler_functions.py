@@ -128,3 +128,38 @@ class TestProperties:
         for bad in ["{", "}", "a{b", "a}b", "{a{b}}", "\\x", "end\\"]:
             with pytest.raises(TemplateParseError):
                 parse_template(bad)
+
+
+class TestPctEncodeNativeParity:
+    """The native (pure-JVM) UriEncode compilation must match the python
+    reference implementation byte-for-byte - one Spark job over a corpus
+    of hypothesis-found tricky strings plus handwritten edge cases."""
+
+    def test_native_matches_python(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from mopper_spark.compiler import pct_encode_native
+        from mopper_spark.functions.encoding import pct_encode
+
+        corpus = [
+            "", " ", "%", "%%20", "a b", "100% done",
+            "na\u00efve caf\u00e9 \u2615", "\ttab\nnl", "{curly} \\slash",
+            'quote" tick` caret^ bar| lt< gt>', "\u00fcmlaut-\u00df",
+            "\u65e5\u672c\u8a9e\u30c6\u30ad\u30b9\u30c8",
+            "a" * 300, "%" * 50, "\u00a0",
+        ]
+
+        @settings(
+            max_examples=300, deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(st.text(max_size=40))
+        def collect(s):
+            corpus.append(s)
+
+        collect()
+        df = spark.createDataFrame([(s,) for s in corpus], "v string")
+        rows = df.select("v", pct_encode_native(F.col("v")).alias("e")).collect()
+        for r in rows:
+            assert r.e == pct_encode(r.v), repr(r.v)
