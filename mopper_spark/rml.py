@@ -511,8 +511,7 @@ def mapping_to_plan(text: str, lang: str = "rml") -> dict:
     if lang == "rml":
         return rml_to_plan(text)
     if lang == "shexml":
-        raise NotImplementedError(
-            "ShExML translation is not implemented (the reference delegates "
-            "it to the external ltranslator crate)"
-        )
+        from mopper_spark.shexml import shexml_to_plan
+
+        return shexml_to_plan(text)
     raise ValueError(f"Unknown mapping language {lang!r}")

@@ -138,9 +138,14 @@ def test_rml_simple_end_to_end(spark):
     }
 
 
-def test_shexml_not_implemented():
-    with pytest.raises(NotImplementedError):
-        mapping_to_plan("dummy", "shexml")
+def test_shexml_dispatch():
+    # -l shexml routes to the ShExML front-end (full tests: test_shexml.py)
+    from mopper_spark.shexml import ShexmlTranslateError
+
+    with pytest.raises(ShexmlTranslateError):
+        mapping_to_plan("NOT A MAPPING", "shexml")
+    with pytest.raises(ValueError, match="Unknown mapping language"):
+        mapping_to_plan("x", "r2rmlish")
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,193 @@
+"""ShExML front-end: parser + translation + engine end-to-end.
+
+The reference accepts ShExML through the external ltranslator crate
+(``MappingLang::ShExML``, ``/root/reference/src/main.rs:66-70``); it ships
+no ShExML fixtures, so these tests pin our subset against (a) hand-derived
+expected triples and (b) the RML front-end run over an equivalent mapping —
+cross-front-end consistency on identical inputs.
+"""
+
+import pytest
+
+from mopper_spark.engine import run_plan_to_lines
+from mopper_spark.options import MopperOptions
+from mopper_spark.rml import mapping_to_plan
+from mopper_spark.shexml import ShexmlTranslateError, parse_shexml, shexml_to_plan
+from mopper_spark.sources import SourceRegistry
+from tests.conftest import normalize_statements
+
+SHEXML_DOC = """
+PREFIX : <http://example.com/>
+PREFIX dbr: <http://dbpedia.org/resource/>
+
+SOURCE films_file <films.csv>
+
+ITERATOR film_csv csvperrow {
+    FIELD id <id>
+    FIELD name <name>
+    FIELD year <year>
+    FIELD director <director>
+}
+
+EXPRESSION films <films_file.film_csv>
+
+:Films :[films.id] {
+    :name [films.name] ;
+    :year [films.year] ;
+    :directedBy dbr:[films.director] ;
+    :type :Film ;
+}
+"""
+
+RML_EQUIV = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix ex: <http://example.com/> .
+
+<FilmMap> a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "films.csv" ; rml:referenceFormulation ql:CSV ] ;
+  rr:subjectMap [ rr:template "http://example.com/{id}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ; rr:objectMap [ rml:reference "name" ] ] ;
+  rr:predicateObjectMap [ rr:predicate ex:year ; rr:objectMap [ rml:reference "year" ] ] ;
+  rr:predicateObjectMap [ rr:predicate ex:directedBy ;
+      rr:objectMap [ rr:template "http://dbpedia.org/resource/{director}" ] ] ;
+  rr:predicateObjectMap [ rr:predicate ex:type ; rr:object ex:Film ] .
+"""
+
+FILMS = [
+    ("1", "Inception", "2010", "Christopher Nolan"),
+    ("2", "The Prestige", "2006", "Christopher Nolan"),
+]
+FILMS_SCHEMA = "id string, name string, year string, director string"
+
+
+def _registry(spark, frames):
+    reg = SourceRegistry()
+    for path, (rows, schema) in frames.items():
+        reg.register(path, spark.createDataFrame(rows, schema))
+    return reg
+
+
+def test_parse_shexml_model():
+    doc = parse_shexml(SHEXML_DOC)
+    assert doc.sources == {"films_file": "films.csv"}
+    assert doc.iterators["film_csv"].fields["director"] == "director"
+    assert doc.expressions["films"].branches == [("films_file", "film_csv")]
+    (shape,) = doc.shapes
+    assert shape.subject_prefix == "http://example.com/"
+    assert shape.subject_field == "id"
+    assert len(shape.poms) == 4
+
+
+def test_shexml_end_to_end(spark):
+    reg = _registry(spark, {"films.csv": (FILMS, FILMS_SCHEMA)})
+    lines = normalize_statements(
+        run_plan_to_lines(shexml_to_plan(SHEXML_DOC), spark, MopperOptions(), reg)
+    )
+    assert (
+        "<http://example.com/1> <http://example.com/name> \"Inception\" ." in lines
+    )
+    assert (
+        "<http://example.com/2> <http://example.com/directedBy> "
+        "<http://dbpedia.org/resource/Christopher%20Nolan> ." in lines
+    )
+    assert (
+        "<http://example.com/1> <http://example.com/type> "
+        "<http://example.com/Film> ." in lines
+    )
+    assert len(lines) == 8
+
+
+def test_shexml_matches_rml_front_end(spark):
+    """Same data, two mapping languages, identical triples."""
+    reg = _registry(spark, {"films.csv": (FILMS, FILMS_SCHEMA)})
+    via_shexml = normalize_statements(
+        run_plan_to_lines(
+            mapping_to_plan(SHEXML_DOC, "shexml"), spark, MopperOptions(), reg
+        )
+    )
+    via_rml = normalize_statements(
+        run_plan_to_lines(
+            mapping_to_plan(RML_EQUIV, "rml"), spark, MopperOptions(), reg
+        )
+    )
+    assert via_shexml == via_rml
+
+
+def test_shexml_union_expression(spark):
+    doc = """
+PREFIX : <http://example.com/>
+SOURCE a_file <a.csv>
+SOURCE b_file <b.csv>
+ITERATOR rows csvperrow {
+    FIELD id <id>
+    FIELD label <label>
+}
+EXPRESSION both <a_file.rows UNION b_file.rows>
+:Thing :[both.id] {
+    :label [both.label] ;
+}
+"""
+    reg = _registry(
+        spark,
+        {
+            "a.csv": ([("a1", "from a")], "id string, label string"),
+            "b.csv": ([("b1", "from b")], "id string, label string"),
+        },
+    )
+    lines = normalize_statements(
+        run_plan_to_lines(shexml_to_plan(doc), spark, MopperOptions(), reg)
+    )
+    assert lines == {
+        '<http://example.com/a1> <http://example.com/label> "from a" .',
+        '<http://example.com/b1> <http://example.com/label> "from b" .',
+    }
+
+
+def test_shexml_shape_link_same_expression(spark):
+    doc = """
+PREFIX : <http://example.com/>
+SOURCE f <films.csv>
+ITERATOR rows csvperrow {
+    FIELD id <id>
+    FIELD director <director>
+}
+EXPRESSION films <f.rows>
+:Film :[films.id] {
+    :director @:Director ;
+}
+:Director :[films.director] {
+    :appearsIn @:Film ;
+}
+"""
+    reg = _registry(spark, {"films.csv": (FILMS, FILMS_SCHEMA)})
+    lines = normalize_statements(
+        run_plan_to_lines(shexml_to_plan(doc), spark, MopperOptions(), reg)
+    )
+    assert (
+        "<http://example.com/1> <http://example.com/director> "
+        "<http://example.com/Christopher%20Nolan> ." in lines
+    )
+    assert (
+        "<http://example.com/Christopher%20Nolan> <http://example.com/appearsIn> "
+        "<http://example.com/2> ." in lines
+    )
+
+
+@pytest.mark.parametrize(
+    "doc,msg",
+    [
+        ("ITERATOR x <jsonpath: $.x> {\n}", "csvperrow only"),
+        (
+            "PREFIX : <http://e.com/>\nSOURCE s <a.csv>\n"
+            "ITERATOR r csvperrow {\nFIELD id <id>\n}\n"
+            "EXPRESSION e <s.r JOIN s.r>\n",
+            "not supported",
+        ),
+        ("MATCHING thing <x AS y>", "Unsupported ShExML construct"),
+    ],
+)
+def test_shexml_unsupported_constructs(doc, msg):
+    with pytest.raises(ShexmlTranslateError, match=msg):
+        parse_shexml(doc)
