@@ -276,3 +276,30 @@ def test_turtle_literal_roundtrip(s):
         f'ex:s ex:p "{_escape_turtle(s)}" .'
     )
     assert doc.value(("iri", "http://ex.org/s"), "http://ex.org/p") == ("lit", s)
+
+
+
+def test_non_existing_file_source_errors(spark):
+    """Mirror of the reference's negative-path case
+    (test-resources/tests/non-existing-file-source, lib.rs:138-142): a
+    SourceOp whose file is missing fails the run with a clear error."""
+    import json
+
+    from mopper_spark.engine import run_plan
+
+    path = "/root/reference/test-resources/tests/non-existing-file-source/mapping.json"
+    if os.path.exists(path):
+        with open(path) as f:
+            plan = f.read()
+    else:
+        plan = json.dumps({
+            "nodes": [
+                {"id": "S0", "operator": {"type": "SourceOp", "config": {
+                    "path": "does-not-exist.csv", "source_type": "File",
+                    "root_iterator": {"reference_formulation": "CSVRows", "fields": []}}}},
+                {"id": "T1", "operator": {"type": "TargetOp", "config": {"target_type": "StdOut"}}},
+            ],
+            "edges": [[0, 1, {"fragment": "default"}]],
+        })
+    with pytest.raises(FileNotFoundError):
+        run_plan(plan, spark, MopperOptions(working_dir_hint="/tmp"))
