@@ -37,7 +37,9 @@ from mopper_spark.functions.encoding import (
     pct_encode_series,
 )
 from mopper_spark.functions.iri import (
+    RELREF_FULLMATCH,
     URI_ALLOWED_CHARS,
+    URI_FULLMATCH,
     iri_finalize,
     is_valid_uri,
     is_valid_uri_reference,
@@ -98,6 +100,8 @@ _iri_udf_cache: dict[str | None, object] = {}
 
 
 def _iri_udf(base_iri: str | None):
+    """Arrow-batched fallback for Iri resolution (kept for A/B testing and
+    as the behavioural reference for ``iri_finalize_native``)."""
     if base_iri not in _iri_udf_cache:
         base = base_iri  # capture by closure; extra params break UDF inference
 
@@ -107,6 +111,26 @@ def _iri_udf(base_iri: str | None):
 
         _iri_udf_cache[base_iri] = fin
     return _iri_udf_cache[base_iri]
+
+
+def iri_finalize_native(col: Column, base_iri: str | None) -> Column:
+    """The reference's Iri resolution (iri.rs:44-69) entirely JVM-side.
+
+    The RFC 3986 fullmatch regexes run via ``rlike`` — slower than the
+    translate trick of the skeleton fast path, but with no Arrow round
+    trip and no Python worker contention; byte parity with
+    ``iri_finalize`` is pinned by a hypothesis property test.
+    """
+    v = F.coalesce(col, F.lit(""))
+    with_base = F.concat(F.lit(base_iri), v) if base_iri else v
+    return (
+        F.when(v.rlike(URI_FULLMATCH), v)
+        .when(
+            with_base.rlike(URI_FULLMATCH) | with_base.rlike(RELREF_FULLMATCH),
+            with_base,
+        )
+        .otherwise(F.lit("INVALID"))
+    )
 
 
 def _maybe_absolute(parts: list[tuple[bool, str]]) -> bool:
@@ -236,13 +260,13 @@ class FunctionCompiler:
                 cols.append(F.lit(text))
         return F.concat(*cols) if cols else F.lit("")
 
-    # -- Iri: fast native path when provably safe, else pandas UDF --------
+    # -- Iri: proven-safe skeleton fast path, else native rlike resolution --
     def _compile_iri(self, fn: rules.Iri) -> CompiledTerm:
         fast = self._try_iri_fast(fn)
         if fast is not None:
             return CompiledTerm(fast, "iri")
         inner = self.compile(fn.inner)
-        return CompiledTerm(_iri_udf(fn.base_iri)(inner.col), "iri")
+        return CompiledTerm(iri_finalize_native(inner.col, fn.base_iri), "iri")
 
     def _try_iri_fast(self, fn: rules.Iri) -> Column | None:
         inner = fn.inner

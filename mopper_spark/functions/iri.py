@@ -78,6 +78,14 @@ URI_ALLOWED_CHARS = (
 )
 
 
+#: anchored pattern strings for JVM-side ``rlike`` (Spark's rlike is a
+#: *find*, not a fullmatch — anchoring makes it equivalent; the ABNF
+#: transcription above uses only constructs with identical semantics in
+#: python `re` and java.util.regex, pinned by the parity property test)
+URI_FULLMATCH = rf"^(?:{_URI_RE.pattern})$"
+RELREF_FULLMATCH = rf"^(?:{_RELREF_RE.pattern})$"
+
+
 def is_valid_uri(value: str) -> bool:
     """True iff ``value`` is a valid absolute RFC 3986 URI (opt. fragment)."""
     return _URI_RE.fullmatch(value) is not None

@@ -163,3 +163,45 @@ class TestPctEncodeNativeParity:
         rows = df.select("v", pct_encode_native(F.col("v")).alias("e")).collect()
         for r in rows:
             assert r.e == pct_encode(r.v), repr(r.v)
+
+
+
+class TestIriNativeParity:
+    """iri_finalize_native (rlike, JVM) must match iri_finalize (python re)
+    for every input - same regexes, two engines; hypothesis hunts for
+    java/python regex semantic differences."""
+
+    def test_native_matches_python(self, spark):
+        import pandas as pd
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from mopper_spark.compiler import iri_finalize_native
+        from mopper_spark.functions.iri import iri_finalize
+
+        corpus = [
+            "", "http://example.com/a", "http://example.com/a b",
+            "relative/path", "//host/p", "?q=1", "#frag", "a:b", ":nope",
+            "http://[::1]:8080/x", "http://[v7.abc]/", "http://1.2.3.4/",
+            "mailto:x@y", "%41%zz", "%4", "sch3m+e:ok", "3scheme:no",
+            "http://ex.com/\u00e9", "sp ace:x", "..", "./a/../b",
+        ]
+
+        @settings(max_examples=300, deadline=None,
+                  suppress_health_check=[HealthCheck.function_scoped_fixture])
+        @given(st.text(
+            alphabet=st.sampled_from(list(
+                "abzAZ09:/?#[]@!$&'()*+,;=%-._~ \\^{}<>\u00e9\u2615")),
+            max_size=30))
+        def collect(s):
+            corpus.append(s)
+
+        collect()
+        for base in (None, "http://example.com/base/", "notascheme"):
+            expected = list(iri_finalize(pd.Series(corpus), base))
+            df = spark.createDataFrame([(s,) for s in corpus], "v string")
+            got = [r.e for r in df.select(
+                iri_finalize_native(F.col("v"), base).alias("e")).collect()]
+            assert got == expected, [
+                (v, g, x) for v, g, x in zip(corpus, got, expected) if g != x
+            ][:5]

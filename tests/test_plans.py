@@ -76,6 +76,10 @@ def test_no_batch_eval_python_in_queries(spark):
             continue
         s = _plan_str(fn(spark, sf))
         assert "BatchEvalPython" not in s, f"{name} uses row-at-a-time Python"
+        if name.startswith("rml_"):
+            # the whole mapping-engine surface (UriEncode + Iri incl. the
+            # INVALID slow path) compiles to native expressions
+            assert "ArrowEvalPython" not in s, f"{name} should be UDF-free"
 
 
 def test_canonical_rewrite_broadcasts(spark, transcripts):
