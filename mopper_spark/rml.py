@@ -43,6 +43,9 @@ QL = "http://semweb.mmlab.be/ns/ql#"
 
 _FORMULATIONS = {
     QL + "CSV": "CSVRows",
+    # beyond reference parity (JSON is roadmap-only there): simple
+    # JSONPath iterators execute via sources._json_iterate
+    QL + "JSONPath": "JSONPath",
 }
 
 
@@ -91,6 +94,7 @@ class TriplesMap:
     name: str
     source_path: str
     formulation: str
+    iterator: str | None
     subject: TermMap
     classes: list[str]
     subject_graphs: list[TermMap]
@@ -142,7 +146,7 @@ def _graph_maps(doc: TurtleDocument, node: Term) -> list[TermMap]:
     return [g for g in out if g.constant != RR + "defaultGraph"]
 
 
-def _logical_source(doc: TurtleDocument, tm_node: Term) -> tuple[str, str]:
+def _logical_source(doc: TurtleDocument, tm_node: Term) -> tuple[str, str, str | None]:
     ls = doc.value(tm_node, RML + "logicalSource") or doc.value(
         tm_node, RR + "logicalTable"
     )
@@ -155,12 +159,13 @@ def _logical_source(doc: TurtleDocument, tm_node: Term) -> tuple[str, str]:
     formulation = "CSVRows"
     if form is not None:
         if form[1] not in _FORMULATIONS:
-            # reference parity: only CSVRows is executable (lib.rs:129-137)
             raise RmlTranslateError(
-                f"Reference formulation {form[1]!r} not supported (CSV only)"
+                f"Reference formulation {form[1]!r} not supported "
+                "(CSV and JSONPath)"
             )
         formulation = _FORMULATIONS[form[1]]
-    return src[1], formulation
+    iterator = doc.value(ls, RML + "iterator")
+    return src[1], formulation, iterator[1] if iterator else None
 
 
 def parse_rml(text: str) -> tuple[list[TriplesMap], dict[Term, TriplesMap], str | None]:
@@ -171,7 +176,7 @@ def parse_rml(text: str) -> tuple[list[TriplesMap], dict[Term, TriplesMap], str 
     maps: list[TriplesMap] = []
     by_node: dict[Term, TriplesMap] = {}
     for i, node in enumerate(nodes):
-        source_path, formulation = _logical_source(doc, node)
+        source_path, formulation, iterator = _logical_source(doc, node)
 
         sm_node = doc.value(node, RR + "subjectMap")
         if sm_node is not None:
@@ -219,6 +224,7 @@ def parse_rml(text: str) -> tuple[list[TriplesMap], dict[Term, TriplesMap], str 
             name=f"tm{i}_{name}",
             source_path=source_path,
             formulation=formulation,
+            iterator=iterator,
             subject=subject,
             classes=classes,
             subject_graphs=subject_graphs,
@@ -337,7 +343,7 @@ def rml_to_plan(text: str, base_iri: str | None = None) -> dict:
                 "path": tmap.source_path,
                 "source_type": "File",
                 "root_iterator": {
-                    "reference": None,
+                    "reference": tmap.iterator,
                     "reference_formulation": tmap.formulation,
                     "fields": [],
                     "alias": None,

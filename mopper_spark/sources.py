@@ -17,9 +17,11 @@ from __future__ import annotations
 
 import logging
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 from mopper_spark.options import MopperOptions
 
@@ -42,6 +44,45 @@ class SourceRegistry:
 def _all_string(df: DataFrame) -> DataFrame:
     return df.select(
         [F.col(c).cast("string").alias(c) for c in df.columns]
+    )
+
+
+def _json_iterate(spark: SparkSession, path: str, iterator: str | None) -> DataFrame:
+    """Apply a JSONPath-subset iterator to a JSON document.
+
+    Supported iterator shapes (the ones RML mappings use in practice):
+    ``$.a.b[*]`` (descend fields, iterate the final array), ``$.a.b``
+    (single object), ``$`` / empty (document root; a top-level JSON array
+    iterates naturally via Spark's reader).  Anything else raises.
+    Fields of each iterated object become string-typed columns; nested
+    structs stay JSON-encoded strings (reference model: all strings).
+    """
+    df = spark.read.option("multiLine", "true").json(path)
+    steps = (iterator or "$").strip()
+    if not re.fullmatch(r"\$?(\.\w+(\[\*\])?)*", steps):
+        raise NotImplementedError(
+            f"JSONPath iterator {iterator!r} not supported "
+            "(subset: $.field.field[*])"
+        )
+    for step in [p for p in steps.lstrip("$").split(".") if p]:
+        explode_it = step.endswith("[*]")
+        name = step[:-3] if explode_it else step
+        if name not in df.columns:
+            raise ValueError(f"JSON iterator step {name!r} not in {df.columns}")
+        col = F.explode(name) if explode_it else F.col(name)
+        df = df.select(col.alias("_it"))
+        df = df.select("_it.*") if isinstance(
+            df.schema["_it"].dataType, StructType
+        ) else df.withColumnRenamed("_it", name)
+    return df.select(
+        [
+            (
+                F.to_json(c).alias(c.name)
+                if isinstance(c.dataType, (StructType, ArrayType, MapType))
+                else F.col(c.name).cast("string").alias(c.name)
+            )
+            for c in df.schema.fields
+        ]
     )
 
 
@@ -76,6 +117,11 @@ def resolve_source(
                 df = _all_string(spark.read.parquet(resolved))
             elif ref_form == "CSVRows":
                 df = spark.read.option("header", "true").csv(resolved)
+            elif ref_form == "JSONPath":
+                # beyond reference parity (its README lists JSON as
+                # roadmap-only): iterate a JSON document with a simple
+                # JSONPath subset — `$`, dotted fields, trailing `[*]`
+                df = _json_iterate(spark, resolved, it.get("reference"))
             else:
                 raise NotImplementedError(
                     f"Reference formulation {ref_form!r} not supported "

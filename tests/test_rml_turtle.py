@@ -303,3 +303,48 @@ def test_non_existing_file_source_errors(spark):
         })
     with pytest.raises(FileNotFoundError):
         run_plan(plan, spark, MopperOptions(working_dir_hint="/tmp"))
+
+
+
+def test_rml_json_source_end_to_end(spark, tmp_path):
+    """Beyond reference parity: ql:JSONPath logical source with a simple
+    iterator executes through the same plan pipeline (the reference lists
+    JSON as roadmap-only, README.md:62-65)."""
+    doc = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix ex: <http://example.com/> .
+
+<JMap> a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "students.json" ;
+                      rml:referenceFormulation ql:JSONPath ;
+                      rml:iterator "$.students[*]" ] ;
+  rr:subjectMap [ rr:template "http://example.com/student/{id}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ; rr:objectMap [ rml:reference "name" ] ] .
+"""
+    jf = tmp_path / "students.json"
+    jf.write_text(
+        '{"students": [{"id": 7, "name": "Ada L"}, {"id": 8, "name": "Grace H"}]}'
+    )
+    plan = rml_to_plan(doc)
+    lines = normalize_statements(
+        run_plan_to_lines(
+            plan, spark, MopperOptions(working_dir_hint=str(tmp_path))
+        )
+    )
+    assert lines == {
+        '<http://example.com/student/7> <http://example.com/name> "Ada L" .',
+        '<http://example.com/student/8> <http://example.com/name> "Grace H" .',
+    }
+
+
+def test_json_iterator_subset_errors(spark, tmp_path):
+    from mopper_spark.sources import _json_iterate
+
+    jf = tmp_path / "x.json"
+    jf.write_text('{"a": {"b": [1, 2]}}')
+    with pytest.raises(NotImplementedError, match="JSONPath iterator"):
+        _json_iterate(spark, str(jf), "$..recursive")
+    with pytest.raises(ValueError, match="not in"):
+        _json_iterate(spark, str(jf), "$.nope[*]")
