@@ -43,9 +43,10 @@ QL = "http://semweb.mmlab.be/ns/ql#"
 
 _FORMULATIONS = {
     QL + "CSV": "CSVRows",
-    # beyond reference parity (JSON is roadmap-only there): simple
-    # JSONPath iterators execute via sources._json_iterate
+    # beyond reference parity (JSON/XML are roadmap-only there): simple
+    # JSONPath/XPath iterators execute via sources._json_iterate/_xml_iterate
     QL + "JSONPath": "JSONPath",
+    QL + "XPath": "XPath",
 }
 
 

@@ -21,7 +21,13 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, MapType, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from mopper_spark.options import MopperOptions
 
@@ -86,6 +92,54 @@ def _json_iterate(spark: SparkSession, path: str, iterator: str | None) -> DataF
     )
 
 
+def _xml_iterate(spark: SparkSession, path: str, iterator: str | None) -> DataFrame:
+    """Apply an XPath-subset iterator to XML files (beyond reference
+    parity — its README lists XML as roadmap-only).
+
+    Subset: ``/root/child/item`` absolute element paths (ElementTree
+    ``./child/item`` relative to the document root).  Each matched element
+    becomes a row; its attributes and single-valued child-element texts
+    become string columns.  Files are read whole (one XML document per
+    file) and parsed in Arrow batches via ``mapInPandas`` — the documents
+    move straight from storage to executors, never through the driver.
+    """
+    steps = (iterator or "/").strip()
+    if not re.fullmatch(r"/?(\w+(/\w+)*)?", steps):
+        raise NotImplementedError(
+            f"XPath iterator {iterator!r} not supported (subset: /a/b/c)"
+        )
+    rel = "./" + "/".join(steps.strip("/").split("/")[1:]) if steps.strip("/") else "."
+
+    docs = spark.read.text(path, wholetext=True)
+
+    def parse(batches):
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc in pdf["value"]:
+                root = ET.fromstring(doc)
+                for el in root.iterfind(rel) if rel != "." else [root]:
+                    row = dict(el.attrib)
+                    for child in el:
+                        if len(child) == 0:
+                            row[child.tag] = child.text or ""
+                    rows.append(row)
+            yield pd.DataFrame({"kv": rows})
+
+    kv = docs.mapInPandas(
+        parse,
+        schema=StructType([StructField("kv", MapType(StringType(), StringType()))]),
+    )
+    keys = sorted(
+        r[0]
+        for r in kv.select(F.explode(F.map_keys("kv")).alias("k")).distinct().collect()
+    )
+    return kv.select([F.col("kv").getItem(k).alias(k) for k in keys])
+
+
 def resolve_source(
     spark: SparkSession,
     config: dict,
@@ -122,6 +176,8 @@ def resolve_source(
                 # roadmap-only): iterate a JSON document with a simple
                 # JSONPath subset — `$`, dotted fields, trailing `[*]`
                 df = _json_iterate(spark, resolved, it.get("reference"))
+            elif ref_form == "XPath":
+                df = _xml_iterate(spark, resolved, it.get("reference"))
             else:
                 raise NotImplementedError(
                     f"Reference formulation {ref_form!r} not supported "

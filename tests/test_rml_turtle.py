@@ -348,3 +348,37 @@ def test_json_iterator_subset_errors(spark, tmp_path):
         _json_iterate(spark, str(jf), "$..recursive")
     with pytest.raises(ValueError, match="not in"):
         _json_iterate(spark, str(jf), "$.nope[*]")
+
+
+
+def test_rml_xml_source_end_to_end(spark, tmp_path):
+    """Beyond reference parity: ql:XPath logical source (subset /a/b)."""
+    doc = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix ex: <http://example.com/> .
+
+<XMap> a rr:TriplesMap ;
+  rml:logicalSource [ rml:source "students.xml" ;
+                      rml:referenceFormulation ql:XPath ;
+                      rml:iterator "/students/student" ] ;
+  rr:subjectMap [ rr:template "http://example.com/student/{id}" ] ;
+  rr:predicateObjectMap [ rr:predicate ex:name ; rr:objectMap [ rml:reference "name" ] ] .
+"""
+    xf = tmp_path / "students.xml"
+    xf.write_text(
+        "<students>"
+        "<student id=\"7\"><name>Ada L</name></student>"
+        "<student id=\"8\"><name>Grace H</name></student>"
+        "</students>"
+    )
+    lines = normalize_statements(
+        run_plan_to_lines(
+            rml_to_plan(doc), spark, MopperOptions(working_dir_hint=str(tmp_path))
+        )
+    )
+    assert lines == {
+        '<http://example.com/student/7> <http://example.com/name> "Ada L" .',
+        '<http://example.com/student/8> <http://example.com/name> "Grace H" .',
+    }
