@@ -64,6 +64,40 @@ def stream_transcripts(
     return reader.parquet(input_dir)
 
 
+def stream_transcripts_rate(
+    spark: SparkSession, rows_per_second: int = 1000, n_convs: int = 50
+) -> DataFrame:
+    """Transcript-shaped stream from Spark's built-in unbounded ``rate``
+    source — the Kafka-less stand-in for a true infinite feed (swap for
+    ``format("kafka")`` + a deserializer in production; everything
+    downstream is identical).  Turn content is the same deterministic
+    column arithmetic as the batch generator, keyed by the rate source's
+    monotonically increasing ``value``."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    conv = F.pmod("value", F.lit(n_convs))
+    return rate.select(
+        F.format_string("conv_%05d", conv).alias("conv_id"),
+        (F.col("value") / n_convs).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.pmod(F.xxhash64("value"), 3) + 1).cast("int"),
+        ).alias("role"),
+        F.concat(
+            F.lit("streamed turn about "),
+            F.element_at(
+                F.array(F.lit("Ada Lovelace"), F.lit("Grace Hopper"), F.lit("Alan Turing")),
+                (F.pmod(F.xxhash64("value", F.lit(1)), 3) + 1).cast("int"),
+            ),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("timestamp").alias("ts"),
+    )
+
+
 def stream_extract(transcripts: DataFrame) -> DataFrame:
     """Incremental triple extraction — stateless, identical semantics to
     the batch path (stream/batch parity is asserted in tests)."""

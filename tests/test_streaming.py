@@ -102,3 +102,38 @@ class TestStatefulOperator:
         assert len(final) == len(batch)
         for r in final:
             assert (r["turns_seen"], r["max_turn_idx"]) == batch[r["conv_id"]]
+
+
+class TestRateSource:
+    def test_rate_stream_extracts_triples(self, spark, tmp_path):
+        """Unbounded rate source -> transcript shape -> the SAME extraction
+        plan, trigger-bounded for the test."""
+        from mopper_spark.streaming import stream_extract, stream_transcripts_rate
+
+        tr = stream_transcripts_rate(spark, rows_per_second=500)
+        assert tr.isStreaming
+        triples = stream_extract(tr)
+        q = (
+            triples.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        import time
+
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            time.sleep(2)
+            try:
+                n = spark.read.parquet(str(tmp_path / "out")).count()
+            except Exception:
+                continue
+            if n > 0:
+                break
+        q.stop()
+        assert n > 0
+        out = spark.read.parquet(str(tmp_path / "out"))
+        assert set(out.columns) == {"subj", "pred", "obj", "okind", "graph"}
+        assert out.filter(out.subj.startswith("<") | (out.subj == "INVALID")).count() == 0
