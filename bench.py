@@ -40,11 +40,15 @@ HEADLINE = [
     "rml_extend_customer",
     "rml_join_customer_nation",
     "rml_quads_orders",
+    "rml_turtle_supplier",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_ngram_jaccard",
     "similarity_topk",
     "text_quality",
     "token_frequencies",
+    "events_sessionize",
+    "cc_components",
 ]
 
 

@@ -16,6 +16,21 @@ this script only sets job-level SQL conf.
 import argparse
 import json
 
+KNOWN_STAGES = {"transcripts", "triples", "mentions", "edges", "canonical", "graph"}
+
+
+def _parse_stages(arg: str | None) -> set[str] | None:
+    if not arg:
+        return None
+    stages = {s.strip() for s in arg.split(",") if s.strip()}
+    unknown = stages - KNOWN_STAGES
+    if unknown:
+        raise SystemExit(
+            f"--checkpoint-stages: unknown stage(s) {sorted(unknown)}; "
+            f"known: {sorted(KNOWN_STAGES)}"
+        )
+    return stages
+
 
 def main() -> None:
     p = argparse.ArgumentParser()
@@ -57,11 +72,7 @@ def main() -> None:
         checkpoint_root=args.checkpoints,
         transcripts=transcripts,
         n_turns=args.synth_turns or 1000,
-        checkpoint_stages=(
-            set(args.checkpoint_stages.split(","))
-            if args.checkpoint_stages
-            else None
-        ),
+        checkpoint_stages=_parse_stages(args.checkpoint_stages),
     )
     write_graph_table(spark, res.graph, args.output, num_buckets=args.write_buckets)
     print(json.dumps({

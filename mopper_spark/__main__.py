@@ -74,8 +74,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     spark = get_spark()
     out_path = args.force_to_file
-    if out_path and os.path.exists(out_path):
-        os.remove(out_path)  # fresh run, never append to stale output
+    written: set[str] = set()  # first write per path this run truncates —
+    # appending to a file left by a PREVIOUS run would duplicate output
     try:
         for target in run_plan(plan, spark, options):
             rows = target.statements.collect()
@@ -83,7 +83,8 @@ def main(argv: list[str] | None = None) -> int:
             target_type = target.config.get("target_type", "StdOut")
             if out_path or (target_type == "File" and not args.force_std_out):
                 path = out_path or target.config.get("path", "output.nq")
-                mode = "a" if os.path.exists(path) else "w"
+                mode = "a" if path in written else "w"
+                written.add(path)
                 with open(path, mode) as f:
                     f.writelines(ln + "\n" for ln in lines)
             else:

@@ -81,9 +81,12 @@ URI_ALLOWED_CHARS = (
 #: anchored pattern strings for JVM-side ``rlike`` (Spark's rlike is a
 #: *find*, not a fullmatch — anchoring makes it equivalent; the ABNF
 #: transcription above uses only constructs with identical semantics in
-#: python `re` and java.util.regex, pinned by the parity property test)
-URI_FULLMATCH = rf"^(?:{_URI_RE.pattern})$"
-RELREF_FULLMATCH = rf"^(?:{_RELREF_RE.pattern})$"
+#: python `re` and java.util.regex, pinned by the parity property test).
+#: ``\A``/``\z``, NOT ``^``/``$``: java's ``$`` matches before a final
+#: line terminator, which would accept values with a trailing newline
+#: that ``re.fullmatch`` (and the reference) reject as INVALID.
+URI_FULLMATCH = rf"\A(?:{_URI_RE.pattern})\z"
+RELREF_FULLMATCH = rf"\A(?:{_RELREF_RE.pattern})\z"
 
 
 def is_valid_uri(value: str) -> bool:

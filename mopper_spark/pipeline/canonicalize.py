@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mopper_spark.compiler import _pct_encode_udf
+from mopper_spark.compiler import pct_encode_native
 from mopper_spark.pipeline.cc import connected_components
 
 EX = "http://example.com/"
@@ -51,7 +51,7 @@ def canonical_map(forms: DataFrame, edges: DataFrame) -> DataFrame:
         "norm",
         "canonical_norm",
         F.concat(
-            F.lit(EX + "entity/"), _pct_encode_udf(F.col("canonical_norm"))
+            F.lit(EX + "entity/"), pct_encode_native(F.col("canonical_norm"))
         ).alias("canonical_iri"),
     )
     return out

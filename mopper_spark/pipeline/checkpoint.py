@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from urllib.parse import unquote, urlparse
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -92,18 +93,26 @@ class CheckpointManager:
                 for r in out.groupBy(*partition_by).count().collect()
             }
         # per-partition lineage: one row-count per written parquet file
-        # (the resume unit) — a partial/corrupt partition shows up as a
-        # count mismatch on the next run's manifest comparison
+        # (the resume unit) — recorded for audit/debugging of partial or
+        # corrupt partitions (resume itself gates on fingerprint+_SUCCESS)
         abs_data = os.path.abspath(data_path)
         counters["files_detail"] = {
-            # input_file_name is a file:// URI; key by the path relative
-            # to the stage dir (keeps partition subdirs in the key)
-            r["f"].split(abs_data, 1)[-1].lstrip("/"): r["count"]
+            # input_file_name is a file:// URI (percent-encoded) — decode
+            # before computing the stage-relative key, keeping partition
+            # subdirs in it
+            os.path.relpath(unquote(urlparse(r["f"]).path), abs_data): r["count"]
             for r in out.groupBy(F.input_file_name().alias("f"))
             .count()
             .collect()
         }
-        counters["files"] = len(counters["files_detail"])
+        # count files on disk, not via the groupBy: a zero-row part file
+        # produces no group but is still a real output file
+        counters["files"] = sum(
+            1
+            for _, _, files in os.walk(data_path)
+            for fn in files
+            if fn.endswith(".parquet")
+        )
         counters["seconds"] = round(time.time() - t0, 3)
 
         man = {

@@ -108,7 +108,11 @@ def _xml_iterate(spark: SparkSession, path: str, iterator: str | None) -> DataFr
         raise NotImplementedError(
             f"XPath iterator {iterator!r} not supported (subset: /a/b/c)"
         )
-    rel = "./" + "/".join(steps.strip("/").split("/")[1:]) if steps.strip("/") else "."
+    parts = steps.strip("/").split("/") if steps.strip("/") else []
+    root_tag = parts[0] if parts else None
+    # '/items' selects the document ROOT (when its tag matches), not the
+    # root's children — iterfind('./') would wrongly return the children
+    rel = "./" + "/".join(parts[1:]) if len(parts) > 1 else "."
 
     docs = spark.read.text(path, wholetext=True)
 
@@ -121,6 +125,8 @@ def _xml_iterate(spark: SparkSession, path: str, iterator: str | None) -> DataFr
             rows = []
             for doc in pdf["value"]:
                 root = ET.fromstring(doc)
+                if root_tag is not None and root.tag != root_tag:
+                    continue  # path's first step must be the document root
                 for el in root.iterfind(rel) if rel != "." else [root]:
                     row = dict(el.attrib)
                     for child in el:
@@ -132,7 +138,7 @@ def _xml_iterate(spark: SparkSession, path: str, iterator: str | None) -> DataFr
     kv = docs.mapInPandas(
         parse,
         schema=StructType([StructField("kv", MapType(StringType(), StringType()))]),
-    )
+    ).persist()  # key discovery below would otherwise re-parse every file
     keys = sorted(
         r[0]
         for r in kv.select(F.explode(F.map_keys("kv")).alias("k")).distinct().collect()

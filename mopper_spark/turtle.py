@@ -32,7 +32,7 @@ _TOKEN_RE = re.compile(
   | (?P<base_decl>@base\b)
   | (?P<langtag>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)
   | (?P<dtype_sep>\^\^)
-  | (?P<pname>(?:[A-Za-z_][\w.\-]*)?:(?:[\w.\-%]*))
+  | (?P<pname>(?:[A-Za-z_](?:[\w.\-]*[\w\-])?)?:(?:[\w\-%](?:[\w.\-%]*[\w\-%])?)?)
   | (?P<bnode_label>_:[\w.\-]+)
   | (?P<a_kw>\ba\b)
   | (?P<punct>[\[\];,.()])

@@ -28,8 +28,11 @@ max_reps = int(sys.argv[4]) if len(sys.argv) > 4 else 10
 # Heap must scale WITH the simulated cluster size (1 GB/core): on a real
 # cluster 4N executors bring 4N× heap, but a fixed local heap turns the
 # high-parallelism run into a GC benchmark — measured 1.4M turns/s at 8 GB
-# vs 2.3M at 32 GB on the same local[32] job.
-os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{m}g")
+# vs 2.3M at 32 GB on the same local[32] job.  A pre-exported
+# SPARK_DRIVER_MEMORY wins, and -Xms below always matches it (Xms > Xmx
+# would refuse to start the JVM).
+heap = os.environ.get("SPARK_DRIVER_MEMORY") or f"{m}g"
+os.environ["SPARK_DRIVER_MEMORY"] = heap
 
 # one split per corpus file: packing small files into 128 MB splits would
 # leave local[32] with ~5 tasks (split starvation — see
@@ -45,7 +48,7 @@ s = get_spark(
         # heap commit turns steady-state GC into a host-page-fault storm
         # on virtualized memory — measured 60-80% SYSTEM cpu and rep
         # throughput collapsing 1.4M -> 0.3M turns/s without this
-        "spark.driver.extraJavaOptions": f"-Xms{m}g -XX:+AlwaysPreTouch",
+        "spark.driver.extraJavaOptions": f"-Xms{heap} -XX:+AlwaysPreTouch",
     },
 )
 print(

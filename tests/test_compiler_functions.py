@@ -185,13 +185,15 @@ class TestIriNativeParity:
             "http://[::1]:8080/x", "http://[v7.abc]/", "http://1.2.3.4/",
             "mailto:x@y", "%41%zz", "%4", "sch3m+e:ok", "3scheme:no",
             "http://ex.com/\u00e9", "sp ace:x", "..", "./a/../b",
+            # java '$' matches before a final newline; our anchors use \z
+            "a\n", "http://ok.example/x\n", "line1\nline2", "b\r",
         ]
 
         @settings(max_examples=300, deadline=None,
                   suppress_health_check=[HealthCheck.function_scoped_fixture])
         @given(st.text(
             alphabet=st.sampled_from(list(
-                "abzAZ09:/?#[]@!$&'()*+,;=%-._~ \\^{}<>\u00e9\u2615")),
+                "abzAZ09:/?#[]@!$&'()*+,;=%-._~ \\^{}<>\u00e9\u2615\n\r\t")),
             max_size=30))
         def collect(s):
             corpus.append(s)
