@@ -8,15 +8,15 @@ Prints ONE JSON line:
    "pipeline": {...}}
 
 Scaling proxy for the two-cluster-size criterion (BASELINE.md): the same
-extraction job over the same deterministic 20M-turn stored input at
-pinned local[N] and local[4N]; efficiency = (tp@4N / tp@N) / 4.  See
-BENCH.md for the five-factor methodology and why the default pair is
-4 -> 16 cores on this VM.
+extraction job over the same deterministic 40M-turn stored input at
+pinned local[N] and local[4N]; efficiency = (tp@4N / tp@N) / 4, each
+throughput the MEDIAN of post-warmup reps.  See BENCH.md for the
+methodology and why the default pair is 4 -> 16 cores on this VM.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      BENCH_TURNS (default 1,000,000, pipeline stats),
-     BENCH_SCALING_TURNS (default 20,000,000),
+     BENCH_SCALING_TURNS (default 40,000,000),
      BENCH_SCALING_LEVELS (default "4,16"),
      BENCH_SKIP_SCALING=1 to skip.
 """
@@ -189,7 +189,7 @@ def main() -> None:
             int(x)
             for x in os.environ.get("BENCH_SCALING_LEVELS", "4,16").split(",")
         )
-        scaling_turns = int(os.environ.get("BENCH_SCALING_TURNS", "20000000"))
+        scaling_turns = int(os.environ.get("BENCH_SCALING_TURNS", "40000000"))
         data_dir = tempfile.mkdtemp(prefix="bench_scaling_")
         corpus = os.path.join(data_dir, "tr.parquet")
         materialize_transcripts(spark, scaling_turns, corpus)

@@ -12,6 +12,11 @@ Re-expresses the query/data-processing capabilities of the reference engine
 - ``serializer`` : N-Triples/N-Quads statement templating
                    (``src/operator/serializer.rs``)
 - ``engine``     : end-to-end plan execution (``src/lib.rs``)
+- ``turtle``     : Turtle-subset parser for mapping documents
+- ``rml``        : RML/R2RML mapping → plan translation (``-l rml``)
+- ``shexml``     : ShExML mapping → plan translation (``-l shexml``)
+- ``sources``    : CSV / JSON / XML / parquet / table source resolution
+- ``streaming``  : Structured Streaming surface (incremental extraction)
 - ``pipeline``   : the transcript→KG job (extract, link, canonicalize,
                    materialize, checkpoint/resume)
 - ``textops``    : large-scale corpus operations (dedup, similarity search,
