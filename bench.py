@@ -211,6 +211,9 @@ def main() -> None:
                 text=True,
                 env={**os.environ, "PYTHONPATH": here},
             )
+            for ln in out.stderr.splitlines():  # rep traces → our stderr
+                if ln.startswith("#"):
+                    print(ln, file=sys.stderr)
             throughput[f"turns_per_sec@{m}"] = round(float(out.stdout.strip()), 1)
         shutil.rmtree(data_dir, ignore_errors=True)
         eff = (
