@@ -1,0 +1,52 @@
+"""Driver-contract meta-checks.
+
+The correctness gate sorts columns BY NAME before hashing values, so a
+Spark result and its DuckDB oracle must agree on column names exactly —
+a mismatch hash-fails even with identical values.  This test pins that
+agreement for every oracle pair without running the full compare: the
+oracle runs with LIMIT 0 semantics (DuckDB still resolves the schema).
+"""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not available"
+)
+
+
+@needs_testdata
+def test_every_query_key_resolves_and_columns_match_oracle(spark):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(queries), "oracle without a query"
+    mismatches = []
+    for name, sql in oracles.items():
+        spark_cols = set(queries[name](spark, SF).columns)
+        oracle_cols = {
+            d[0] for d in con.execute(f"SELECT * FROM ({sql}) LIMIT 0").description
+        }
+        if spark_cols != oracle_cols:
+            mismatches.append((name, sorted(spark_cols), sorted(oracle_cols)))
+    assert not mismatches, mismatches
+
+
+def test_entry_returns_dataframe(spark):
+    df = entry_mod.entry(spark)
+    assert df.columns and not df.isStreaming
