@@ -627,20 +627,31 @@ def _q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = F.col("ts").cast("timestamp_ltz").cast("long")  # parquet ts is NTZ
-    gap = secs - F.lag(secs).over(w)
-    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.sum(new_session).over(w).cast("long").alias("session_num"),
-        F.row_number().over(w).cast("long").alias("event_rank"),
+    # Gap computed directly on the NTZ timestamp via timestampdiff, which
+    # never consults the session timezone — boundaries are identical under
+    # any driver TZ and across DST transitions (round-1 hash-fail was an
+    # NTZ->LTZ cast here). MICROSECOND granularity: the events carry
+    # sub-second timestamps, and SECOND would truncate a 1800.9 s gap to
+    # 1800, flipping the boundary vs the exact-epoch oracle.
+    gap = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) over"
+        " (partition by user_id order by ts, event_id), ts)"
+    )
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0)
+    return (
+        ev.withColumn("_new_session", new_session)
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("_new_session").over(w).cast("long").alias("session_num"),
+            F.row_number().over(w).cast("long").alias("event_rank"),
+        )
     )
 
 
 _SQL_EVENTS_SESSIONIZE = """
 SELECT user_id, event_id,
-       SUM(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+       SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END)
          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_num,
        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_rank
 FROM (SELECT user_id, event_id, ts,

@@ -50,3 +50,24 @@ def test_every_query_key_resolves_and_columns_match_oracle(spark):
 def test_entry_returns_dataframe(spark):
     df = entry_mod.entry(spark)
     assert df.columns and not df.isStreaming
+
+
+@needs_testdata
+def test_events_sessionize_is_timezone_independent(spark):
+    """Round-1 regression: the driver's harness session does not pin UTC,
+    so the sessionize plan must be TZ-free (timestampdiff on NTZ, never an
+    LTZ cast).  Run the query under UTC and two offset/DST-odd timezones
+    and require identical results."""
+    q = entry_mod.queries()["events_sessionize"]
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    results = []
+    try:
+        for tz in ("UTC", "America/New_York", "Australia/Lord_Howe"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            rows = sorted(tuple(r) for r in q(spark, SF).collect())
+            results.append((tz, rows))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+    base_tz, base = results[0]
+    for tz, rows in results[1:]:
+        assert rows == base, f"sessionize differs between {base_tz} and {tz}"
