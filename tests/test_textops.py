@@ -115,6 +115,116 @@ class TestDedup:
         assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
 
 
+class TestDedupScaleGuards:
+    """Hot-bucket caps + banding recall: the properties that keep the LSH
+    dedup family correct at the gate AND non-quadratic at corpus scale."""
+
+    def test_minhash_banding_recall_is_total(self, spark):
+        """The dedup_minhash oracle is exact-Jaccard SQL, which is only an
+        equality oracle if banding recall is 1.0 on the fixture.  Pin that:
+        every exact word-3-shingle-Jaccard ≥ 0.5 pair (computed by the
+        independent native inverted-index path) must be found by the
+        banded-LSH path."""
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        exact = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in minhash_near_dup_pairs(docs, threshold=0.5).collect()
+        }
+        assert exact == lsh
+
+    def test_embedding_banding_recall_is_total(self, spark):
+        """Same pinning for dedup_embedding: banded hyperplane LSH at the
+        gate parameters (2 planes × 24 bands, threshold 0.4) must find every
+        exact-cosine pair."""
+        from mopper_spark.textops.similarity import cosine_native
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        t = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        a, b = t.alias("a"), t.alias("b")
+        exact = {
+            (r.id_a, r.id_b)
+            for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                cosine_native(F.col("a.v"), F.col("b.v")).alias("c"),
+            )
+            .filter(F.col("c") >= 0.4)
+            .collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dup_pairs(
+                emb, threshold=0.4, n_planes=2, n_bands=24
+            ).collect()
+        }
+        assert exact == lsh
+
+    def test_ngram_hot_shingle_cap_stays_linear(self, spark):
+        """One stop-phrase trigram shared by EVERY doc must not go
+        quadratic: with the df cap binding, docs that share nothing else
+        produce zero candidate pairs (uncapped this corpus would emit
+        n(n-1)/2 ≈ 45k pairs through a single 300-doc bucket)."""
+        n = 300
+        rows = [(i, f"common stop phrase unique{i} tail{i} word{i}") for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = ngram_jaccard_pairs(df, n=3, threshold=0.01, max_df=10).collect()
+        assert out == []
+
+    def test_ngram_cap_keeps_jaccard_exact(self, spark):
+        """Docs sharing a hot shingle AND discriminative shingles: the
+        capped run must return the SAME jaccard values as the uncapped run
+        (the hot-set correction restores the full intersection count)."""
+        hot = "the shared stop phrase appears everywhere"
+        rows = [(i, f"{hot} filler{i} padding{i}") for i in range(40)]
+        # two docs with real overlap beyond the hot phrase
+        rows += [
+            (100, hot + " alpha beta gamma delta epsilon zeta"),
+            (101, hot + " alpha beta gamma delta epsilon eta"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(df, n=3, threshold=0.3, max_df=5).collect()
+        }
+        uncapped = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(df, n=3, threshold=0.3, max_df=10**6).collect()
+        }
+        assert (100, 101) in capped
+        assert capped[(100, 101)] == uncapped[(100, 101)]
+
+    def test_simhash_bucket_cap(self, spark):
+        """All-identical docs collapse every band to one bucket; the cap
+        must drop those degenerate buckets instead of emitting n² pairs."""
+        df = spark.createDataFrame(
+            [(i, "identical text body for the skew stress") for i in range(50)],
+            "doc_id long, text string",
+        )
+        capped = simhash_near_dup_pairs(df, max_hamming=3, max_bucket=10).collect()
+        assert capped == []
+        full = simhash_near_dup_pairs(df, max_hamming=3, max_bucket=100).collect()
+        assert len(full) == 50 * 49 // 2
+
+    def test_embedding_bucket_cap(self, spark):
+        df = spark.createDataFrame(
+            [(i, [1.0] * 8 + [0.0] * 56) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+        capped = embedding_near_dup_pairs(
+            df, threshold=0.9, n_planes=4, max_bucket=10
+        ).collect()
+        assert capped == []
+        full = embedding_near_dup_pairs(
+            df, threshold=0.9, n_planes=4, max_bucket=100
+        ).collect()
+        assert len(full) == 40 * 39 // 2
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def emb(self, spark):
