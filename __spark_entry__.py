@@ -781,14 +781,29 @@ FROM reach GROUP BY node
 """
 
 
+#: committed transcript fixture (synth_transcripts(n_turns=2000, n_convs=40,
+#: seed=42), sorted by (conv_id, turn_idx)) — both the Spark queries and the
+#: DuckDB oracles read THIS parquet, so the xxhash64-based generator never
+#: needs reproducing in SQL.  tests/test_pipeline.py pins fixture == generator.
+_TRANSCRIPTS_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "transcripts_2000.parquet"
+)
+
+
 def _q_entity_linking_transcripts(spark: SparkSession, sf: str) -> DataFrame:
-    """Blocking-key EL + CC canonicalization (no SQL oracle: iterative)."""
+    """Blocking-key EL + CC canonicalization over the transcript fixture.
+
+    Strict oracle: the DuckDB side scores ALL distinct-norm pairs with the
+    ``_score_pair`` predicate transcribed to SQL and closes them with a
+    recursive CTE; equality holds because blocking recall is 1.0 on the
+    fixture (pinned by tests/test_pipeline.py::test_blocking_recall_total)
+    and the scoring predicate is exact on both sides.
+    """
     from mopper_spark.pipeline.canonicalize import canonical_map
     from mopper_spark.pipeline.extract import extract_mentions
     from mopper_spark.pipeline.linking import link_mentions, normalize_surface
-    from mopper_spark.pipeline.transcripts import synth_transcripts
 
-    tr = synth_transcripts(spark, n_turns=2000, n_convs=40, seed=42)
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
     mentions = extract_mentions(tr)
     edges = link_mentions(mentions)
     forms = mentions.select(normalize_surface(F.col("surface")).alias("norm")).distinct()
@@ -796,17 +811,135 @@ def _q_entity_linking_transcripts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_kg_graph_transcripts(spark: SparkSession, sf: str) -> DataFrame:
-    """Full KG extraction: triple counts per graph (rows-only check)."""
+    """Full KG extraction over the transcript fixture: the COMPLETE
+    (subj, pred, obj, okind, graph) statement set — per-POM turn triples
+    (NULL-tool rule included) plus mention triples — strict-oracled by
+    pure string-building SQL."""
     from mopper_spark.pipeline.extract import (
         extract_mentions,
         extract_triples,
         mention_triples,
     )
-    from mopper_spark.pipeline.transcripts import synth_transcripts
 
-    tr = synth_transcripts(spark, n_turns=2000, n_convs=40, seed=42)
-    graph = extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
-    return graph.groupBy("graph").agg(F.count("*").alias("n_triples"))
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
+
+
+def _transcript_oracle_sqls() -> tuple[str, str]:
+    """Build the kg_graph / entity_linking oracle SQL from the same public
+    constants the Spark pipeline uses (gazetteer, mention regex, accent
+    fold table), so the two sides cannot silently drift apart.
+
+    Encoding note: mention surfaces draw from a closed alphabet
+    (letters incl. é/ü, space, period); pct-str URIReserved keeps period
+    raw and encodes space/é/ü, so three ``replace`` calls reproduce
+    UriEncode exactly — any unexpected character would surface as a hash
+    mismatch rather than being silently accepted.
+    """
+    from mopper_spark.pipeline.extract import MENTION_REGEX
+    from mopper_spark.pipeline.linking import _ACCENTS, _FOLDED
+    from mopper_spark.pipeline.transcripts import ENTITY_FORMS
+
+    forms = ", ".join(f"'{f}'" for f, _ in ENTITY_FORMS)
+    enc = "replace(replace(replace({v}, ' ', '%20'), 'é', '%C3%A9'), 'ü', '%C3%BC')"
+    norm = (
+        "trim(regexp_replace(regexp_replace(translate(lower({v}), "
+        f"'{_ACCENTS}', '{_FOLDED}'), '\\.', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    mentions_cte = f"""
+tr AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')),
+men AS (
+  SELECT conv_id, turn_idx, surface FROM (
+    SELECT conv_id, turn_idx,
+           unnest(list_distinct(list_concat(
+             regexp_extract_all(text, '{MENTION_REGEX}'),
+             list_filter([{forms}], f -> contains(text, f))
+           ))) AS surface
+    FROM tr
+  ) WHERE length(surface) >= 3
+)"""
+
+    kg_sql = f"""
+WITH {mentions_cte},
+base AS (
+  SELECT 'http://example.com/turn/' || conv_id || '/' || turn_idx AS subj,
+         'http://example.com/graph/' || role AS graph,
+         'http://example.com/conv/' || conv_id AS conv_iri,
+         role, text, tool
+  FROM tr
+)
+SELECT subj, 'http://example.com/ontology/role' AS pred, role AS obj, 'lit' AS okind, graph FROM base
+UNION ALL
+SELECT subj, 'http://example.com/ontology/text', text, 'lit', graph FROM base
+UNION ALL
+SELECT subj, 'http://example.com/ontology/tool', tool, 'lit', graph FROM base WHERE tool IS NOT NULL
+UNION ALL
+SELECT subj, 'http://example.com/ontology/inConversation', conv_iri, 'iri', graph FROM base
+UNION ALL
+SELECT 'http://example.com/turn/' || conv_id || '/' || turn_idx,
+       'http://example.com/ontology/mentions',
+       'http://example.com/entity/' || {enc.format(v="surface")},
+       'iri',
+       'http://example.com/graph/mentions'
+FROM men
+"""
+
+    linking_sql = f"""
+WITH RECURSIVE {mentions_cte},
+norms AS (SELECT DISTINCT {norm.format(v="surface")} AS norm FROM men),
+feat AS (
+  SELECT a.norm AS x, b.norm AS y,
+         string_split(a.norm, ' ') AS tx, string_split(b.norm, ' ') AS ty,
+         '^' || a.norm || '$' AS sx, '^' || b.norm || '$' AS sy
+  FROM norms a JOIN norms b ON a.norm < b.norm
+),
+grams AS (
+  SELECT x, y, tx, ty,
+         CASE WHEN length(sx) <= 3 THEN [sx]
+              ELSE list_distinct(list_transform(range(1, length(sx) - 1),
+                                                i -> substr(sx, i::INT, 3))) END AS gx,
+         CASE WHEN length(sy) <= 3 THEN [sy]
+              ELSE list_distinct(list_transform(range(1, length(sy) - 1),
+                                                i -> substr(sy, i::INT, 3))) END AS gy
+  FROM feat
+),
+scored AS (
+  SELECT x, y,
+    (len(tx) = len(ty) AND len(list_filter(list_zip(tx, ty),
+        p -> NOT (p[1] = p[2]
+                  OR (length(p[1]) = 1 AND starts_with(p[2], p[1]))
+                  OR (length(p[2]) = 1 AND starts_with(p[1], p[2]))))) = 0
+    ) AS initials_ok,
+    (CASE WHEN len(list_distinct(tx)) <= len(list_distinct(ty))
+          THEN list_has_all(list_distinct(ty), list_distinct(tx))
+               AND len(list_filter(list_distinct(ty),
+                     t -> NOT list_contains(list_distinct(tx), t) AND length(t) > 2)) = 0
+          ELSE list_has_all(list_distinct(tx), list_distinct(ty))
+               AND len(list_filter(list_distinct(tx),
+                     t -> NOT list_contains(list_distinct(ty), t) AND length(t) > 2)) = 0
+     END) AS subset_ok,
+    (len(list_intersect(gx, gy)) * 1.0
+       / greatest(len(gx) + len(gy) - len(list_intersect(gx, gy)), 1) >= 0.6) AS jac_ok
+  FROM grams
+),
+edges AS (SELECT x AS u, y AS v FROM scored WHERE initials_ok OR subset_ok OR jac_ok),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+reach AS (
+  SELECT u AS node, u AS comp FROM sym
+  UNION
+  SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.node
+),
+members AS (SELECT node, MIN(comp) AS canonical_norm FROM reach GROUP BY node)
+SELECT n.norm AS norm,
+       coalesce(m.canonical_norm, n.norm) AS canonical_norm,
+       'http://example.com/entity/'
+         || replace(coalesce(m.canonical_norm, n.norm), ' ', '%20') AS canonical_iri
+FROM norms n LEFT JOIN members m ON m.node = n.norm
+"""
+    return kg_sql, linking_sql
+
+
+_SQL_KG_GRAPH, _SQL_ENTITY_LINKING = _transcript_oracle_sqls()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -864,6 +997,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": _SQL_FINGERPRINT,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "cc_components": _SQL_CC_COMPONENTS,
+        "entity_linking_transcripts": _SQL_ENTITY_LINKING,
+        "kg_graph_transcripts": _SQL_KG_GRAPH,
         # similarity_topk_lsh: approximate by design (rows-only check);
         # multimodal_features: decode kernels stubbed (rows-only check).
     }

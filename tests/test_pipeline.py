@@ -182,3 +182,44 @@ class TestResume:
         # changing params invalidates
         res3 = run_pipeline(spark, root, n_turns=151, n_convs=5)
         assert not any(m.get("skipped") for m in res3.metrics)
+
+
+class TestOracleFixturePins:
+    """Properties the flagship DuckDB oracles rely on (see __spark_entry__):
+    the committed transcript fixture matches the generator, and blocking
+    loses no accepted pair on it."""
+
+    FIXTURE = "/root/repo/fixtures/transcripts_2000.parquet"
+
+    def test_fixture_matches_generator(self, spark):
+        gen = synth_transcripts(spark, n_turns=2000, n_convs=40, seed=42)
+        fix = spark.read.parquet(self.FIXTURE)
+        assert fix.columns == gen.columns
+        sym_diff = fix.exceptAll(gen).unionAll(gen.exceptAll(fix))
+        assert sym_diff.isEmpty()
+
+    def test_blocking_recall_total(self, spark):
+        """The linking oracle scores ALL norm pairs; the Spark path scores
+        only blocked candidates.  Equality of the two edge sets on the
+        fixture is what makes the oracle strict."""
+        from mopper_spark.pipeline.linking import _score_pair, link_mentions
+
+        tr = spark.read.parquet(self.FIXTURE)
+        mentions = extract_mentions(tr)
+        forms = mentions.select(
+            normalize_surface(F.col("surface")).alias("norm")
+        ).distinct()
+        a, b = forms.alias("a"), forms.alias("b")
+        all_pairs = a.join(b, F.col("a.norm") < F.col("b.norm")).select(
+            F.col("a.norm").alias("norm_a"), F.col("b.norm").alias("norm_b")
+        )
+        exhaustive = {
+            (r.norm_a, r.norm_b)
+            for r in all_pairs.filter(
+                _score_pair(F.col("norm_a"), F.col("norm_b"))
+            ).collect()
+        }
+        blocked = {
+            (r.norm_a, r.norm_b) for r in link_mentions(mentions).collect()
+        }
+        assert exhaustive == blocked
