@@ -78,8 +78,12 @@ def main(argv: list[str] | None = None) -> int:
     # appending to a file left by a PREVIOUS run would duplicate output
     try:
         for target in run_plan(plan, spark, options):
-            rows = target.statements.collect()
-            lines = [ln for r in rows if r[0] for ln in r[0].split("\n")]
+            # Stream partition-by-partition: the driver holds at most one
+            # partition of serialized statements, never the whole output
+            # (the reference's sink is likewise a single sequential writer,
+            # writer_sink.rs:57-66 — same contract, bounded memory).
+            rows = target.statements.toLocalIterator(prefetchPartitions=True)
+            lines = (ln for r in rows if r[0] for ln in r[0].split("\n"))
             target_type = target.config.get("target_type", "StdOut")
             if out_path or (target_type == "File" and not args.force_std_out):
                 path = out_path or target.config.get("path", "output.nq")

@@ -84,20 +84,42 @@ def _shingles(s: str, k: int = 3) -> set[int]:
     }
 
 
+_A_VEC = None
+_B_VEC = None
+
+
+def _hash_vecs():
+    global _A_VEC, _B_VEC
+    if _A_VEC is None:
+        import numpy as np
+
+        _A_VEC = np.array([a for a, _ in _HASH_PARAMS], dtype=np.int64)[:, None]
+        _B_VEC = np.array([b for _, b in _HASH_PARAMS], dtype=np.int64)[:, None]
+    return _A_VEC, _B_VEC
+
+
 @F.pandas_udf(ArrayType(StringType()))
 def minhash_band_keys(norms: pd.Series) -> pd.Series:
-    """Per form: LSH band keys 'mh{band}:{joined minhash values}'."""
+    """Per form: LSH band keys 'mh{band}:{joined minhash values}'.
+
+    One (num_hashes × |shingles|) numpy pass per form instead of a Python
+    generator per hash function (same formulation as
+    ``dedup.make_minhash_udf``); int64 wraparound in ``a*x`` is part of the
+    (deterministic) hash family.
+    """
+    import numpy as np
+
+    a_vec, b_vec = _hash_vecs()
 
     def keys(norm: str) -> list[str]:
         sh = _shingles(norm or "")
-        sig = []
-        for a, b in _HASH_PARAMS:
-            sig.append(min((a * x + b) % _MERSENNE for x in sh))
-        out = []
-        for band in range(_BANDS):
-            vals = sig[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]
-            out.append(f"mh{band}:" + ",".join(map(str, vals)))
-        return out
+        arr = np.fromiter(sh, dtype=np.int64)[None, :]
+        sig = ((a_vec * arr + b_vec) % _MERSENNE).min(axis=1)
+        return [
+            f"mh{band}:"
+            + ",".join(map(str, sig[band * _ROWS_PER_BAND : (band + 1) * _ROWS_PER_BAND]))
+            for band in range(_BANDS)
+        ]
 
     return norms.map(keys)
 

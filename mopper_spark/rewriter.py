@@ -96,8 +96,30 @@ def _bypass(graph: PlanGraph, node: Node) -> None:
 
 
 def eliminate_self_joins(graph: PlanGraph) -> None:
+    """Replace a join whose two inputs are the same node with a pass-through.
+
+    Only joins whose condition is an identity — no key pairs, or every pair
+    ``child == parent`` — are eliminated (RMLTC0008b shape: a RefObjectMap
+    whose parent triples map iterates the same logical source row).
+
+    DOCUMENTED DIVERGENCE from the reference: ``plan_rewriter.rs:169-204``
+    eliminates same-source joins unconditionally, so a mapping that joins a
+    source to itself on *different* columns (e.g. rr:child "mgr_id" /
+    rr:parent "id") silently builds objects from the current row with no
+    join filtering.  We keep such joins — the engine's ``_join`` executes
+    them as a true alias-prefixed self-join — because the eliminated form
+    produces wrong values, not a different-but-defensible plan.
+    """
     for node in [n for n in graph.nodes.values() if n.operator_type == "JoinOp"]:
         if len(node.from_) >= 2 and node.from_[0] == node.from_[1]:
+            pairs = [tuple(p) for p in node.config.get("left_right_attr_pairs", [])]
+            if pairs and not all(l == r for l, r in pairs):
+                log.warning(
+                    "Join %s reads one source twice with a non-identity "
+                    "condition %s; keeping the self-join (the reference "
+                    "would eliminate it and mis-evaluate)", node.id, pairs
+                )
+                continue
             alias = node.config.get("join_alias")
             for cons_id in node.to:
                 graph.nodes[cons_id].join_alias = alias

@@ -22,7 +22,12 @@ use, ``test-resources/rml-testcases/*/mapping.ttl``):
   ``rr:joinCondition`` (``rr:child`` / ``rr:parent``).  No join condition
   compiles to the reference's ``NaturalJoin`` node, which survives only as
   a self-join over a merged identical source (plan_rewriter.rs:169-204) —
-  same semantics, same plan shape.
+  same semantics, same plan shape.  When the parent reads the SAME source
+  but joins on *different* columns (e.g. rr:child "mgr_id" / rr:parent
+  "id"), the rewriter keeps a true alias-prefixed self-join — a documented
+  divergence from the reference, whose unconditional elimination would
+  build the object from the current row with no join filtering (see
+  ``rewriter.eliminate_self_joins``).
 
 The emitted plan mirrors ltranslator's structure: per triples-map a chain
 ``Source → Project → Extend → Serialize → Sink`` for the non-join
@@ -160,9 +165,9 @@ def _logical_source(doc: TurtleDocument, tm_node: Term) -> tuple[str, str, str |
     formulation = "CSVRows"
     if form is not None:
         if form[1] not in _FORMULATIONS:
+            supported = ", ".join(sorted(f.rsplit("#", 1)[-1] for f in _FORMULATIONS))
             raise RmlTranslateError(
-                f"Reference formulation {form[1]!r} not supported "
-                "(CSV and JSONPath)"
+                f"Reference formulation {form[1]!r} not supported ({supported})"
             )
         formulation = _FORMULATIONS[form[1]]
     iterator = doc.value(ls, RML + "iterator")
@@ -205,10 +210,17 @@ def parse_rml(text: str) -> tuple[list[TriplesMap], dict[Term, TriplesMap], str 
             for om in doc.objects(pom_node, RR + "objectMap"):
                 parent = doc.value(om, RR + "parentTriplesMap")
                 if parent is not None:
-                    conds = [
-                        (doc.value(jc, RR + "child")[1], doc.value(jc, RR + "parent")[1])
-                        for jc in doc.objects(om, RR + "joinCondition")
-                    ]
+                    conds = []
+                    for jc in doc.objects(om, RR + "joinCondition"):
+                        child = doc.value(jc, RR + "child")
+                        par = doc.value(jc, RR + "parent")
+                        if child is None or par is None:
+                            missing = "rr:child" if child is None else "rr:parent"
+                            raise RmlTranslateError(
+                                f"rr:joinCondition {jc[1]} of object map {om[1]} "
+                                f"is missing {missing}"
+                            )
+                        conds.append((child[1], par[1]))
                     objects.append(RefObjectMap(parent=parent, join_conditions=conds))
                 else:
                     objects.append(_term_map(doc, om, "object"))

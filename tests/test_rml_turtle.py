@@ -84,6 +84,42 @@ def test_turtle_errors_are_clear():
         parse_turtle("nope:s nope:p nope:o .")
 
 
+_RML_PREAMBLE = """
+@prefix rr: <http://www.w3.org/ns/r2rml#> .
+@prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+@prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+@prefix ex: <http://ex.org/> .
+"""
+
+
+def test_rml_refusals_are_named():
+    """Malformed mappings raise RmlTranslateError with the offending node
+    named — never a bare TypeError (ADVICE r1)."""
+    from mopper_spark.rml import RmlTranslateError
+
+    missing_child = _RML_PREAMBLE + """
+    <TM> a rr:TriplesMap ;
+      rml:logicalSource [ rml:source "a.csv" ; rml:referenceFormulation ql:CSV ] ;
+      rr:subjectMap [ rr:template "http://ex.org/{id}" ] ;
+      rr:predicateObjectMap [
+        rr:predicate ex:p ;
+        rr:objectMap [ rr:parentTriplesMap <TM> ;
+                       rr:joinCondition [ rr:parent "id" ] ]
+      ] .
+    """
+    with pytest.raises(RmlTranslateError, match="missing rr:child"):
+        rml_to_plan(missing_child)
+
+    bad_formulation = _RML_PREAMBLE + """
+    <TM> a rr:TriplesMap ;
+      rml:logicalSource [ rml:source "a.csv" ;
+                          rml:referenceFormulation ql:SPARQLResults ] ;
+      rr:subjectMap [ rr:template "http://ex.org/{id}" ] .
+    """
+    with pytest.raises(RmlTranslateError, match="CSV, JSONPath, XPath"):
+        rml_to_plan(bad_formulation)
+
+
 # --------------------------------------------------------------------------
 # rml model extraction
 # --------------------------------------------------------------------------
@@ -135,6 +171,51 @@ def test_rml_simple_end_to_end(spark):
         "<http://xmlns.com/foaf/0.1/Person> <http://example.com/g/people> .",
         "<http://example.com/p/1> <http://xmlns.com/foaf/0.1/name> \"Ada Lovelace\" "
         "<http://example.com/g/people> .",
+    }
+
+
+def test_rml_same_source_nonidentity_selfjoin(spark):
+    """A RefObjectMap whose parent reads the SAME source but joins on
+    different columns (employee→manager) must execute as a TRUE self-join:
+    objects come from the matched parent row and unmatched rows emit
+    nothing.  The reference would eliminate this join and mis-evaluate
+    (documented divergence, rewriter.eliminate_self_joins)."""
+    doc = """
+    @prefix rr: <http://www.w3.org/ns/r2rml#> .
+    @prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+    @prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+    @prefix ex: <http://ex.org/> .
+
+    <TMEmp> a rr:TriplesMap ;
+      rml:logicalSource [ rml:source "emp.csv" ; rml:referenceFormulation ql:CSV ] ;
+      rr:subjectMap [ rr:template "http://ex.org/emp/{id}" ] ;
+      rr:predicateObjectMap [
+        rr:predicate ex:name ;
+        rr:objectMap [ rml:reference "name" ]
+      ] ;
+      rr:predicateObjectMap [
+        rr:predicate ex:manager ;
+        rr:objectMap [ rr:parentTriplesMap <TMEmp> ;
+                       rr:joinCondition [ rr:child "mgr_id" ; rr:parent "id" ] ]
+      ] .
+    """
+    registry = SourceRegistry()
+    registry.register(
+        "emp.csv",
+        spark.createDataFrame(
+            [("1", "99", "A"), ("2", "1", "B"), ("3", "1", "C")],
+            "id string, mgr_id string, name string",
+        ),
+    )
+    produced = normalize_statements(
+        run_plan_to_lines(rml_to_plan(doc), spark, MopperOptions(), registry)
+    )
+    assert produced == {
+        '<http://ex.org/emp/1> <http://ex.org/name> "A" .',
+        '<http://ex.org/emp/2> <http://ex.org/name> "B" .',
+        '<http://ex.org/emp/3> <http://ex.org/name> "C" .',
+        "<http://ex.org/emp/2> <http://ex.org/manager> <http://ex.org/emp/1> .",
+        "<http://ex.org/emp/3> <http://ex.org/manager> <http://ex.org/emp/1> .",
     }
 
 
