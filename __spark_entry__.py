@@ -540,6 +540,36 @@ def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_multimodal_wav_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL WAV decode path: deterministic RIFF/WAVE payloads generated
+    executor-side, decoded with the stdlib ``wave`` kernel (header fields +
+    PCM16 RMS / zero-crossing rate in Arrow batches).  Oracle: a parquet
+    fixture computed by an independent pure-Python (no Spark, no numpy)
+    re-derivation — scripts/gen_wav_oracle.py."""
+    from mopper_spark.textops.multimodal import extract_wav_features, synth_wav_media
+
+    media = synth_wav_media(spark, n=32, seed=7)
+    feats = extract_wav_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        F.round(F.col("rms").cast("double"), 6).alias("rms"),
+        F.round(F.col("zcr").cast("double"), 6).alias("zcr"),
+    )
+
+
+_WAV_ORACLE_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "wav_features.parquet"
+)
+
+_SQL_MULTIMODAL_WAV = f"""
+SELECT media_id, sample_rate, n_channels, n_frames, rms, zcr
+FROM read_parquet('{_WAV_ORACLE_FIXTURE}')
+"""
+
+
 def _q_cosine_pairs_exact(spark: SparkSession, sf: str) -> DataFrame:
     from mopper_spark.textops.similarity import cosine_native
 
@@ -962,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _q_similarity_topk,
         "similarity_topk_lsh": _q_similarity_topk_lsh,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_wav_features": _q_multimodal_wav_features,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "token_frequencies": _q_token_frequencies,
@@ -999,6 +1030,8 @@ def oracle_sql() -> dict[str, str]:
         "cc_components": _SQL_CC_COMPONENTS,
         "entity_linking_transcripts": _SQL_ENTITY_LINKING,
         "kg_graph_transcripts": _SQL_KG_GRAPH,
+        "multimodal_wav_features": _SQL_MULTIMODAL_WAV,
         # similarity_topk_lsh: approximate by design (rows-only check);
-        # multimodal_features: decode kernels stubbed (rows-only check).
+        # multimodal_features: image decode stubbed (rows-only check; the
+        # WAV mime path is the real, oracled kernel above).
     }

@@ -170,10 +170,25 @@ class FunctionCompiler:
         available_columns: list[str],
         join_alias: str | None = None,
         fno_registry: dict | None = None,
+        literal_annotations: bool = False,
     ):
         self.columns = list(available_columns)
         self.join_alias = join_alias
         self.fno_registry = fno_registry or {}
+        self.literal_annotations = literal_annotations
+
+    @staticmethod
+    def _const_value(fn: rules.Function | None) -> str | None:
+        """Constant annotation value or None (dynamic dtype/lang maps are
+        not in the subset — R2RML's rr:datatype/rr:language are constants)."""
+        if fn is None:
+            return None
+        if isinstance(fn, rules.Constant):
+            return fn.value
+        raise NotImplementedError(
+            "Dynamic datatype/language maps are not supported "
+            f"({type(fn).__name__})"
+        )
 
     # -- helpers ---------------------------------------------------------
     def _ref_col(self, name: str) -> Column:
@@ -201,9 +216,20 @@ class FunctionCompiler:
         if isinstance(fn, rules.Iri):
             return self._compile_iri(fn)
         if isinstance(fn, rules.Literal):
-            # dtype/lang intentionally unapplied — reference parity
-            # (src/function/literal.rs:36-37 TODO).
-            return CompiledTerm(self.compile(fn.inner).col, "lit")
+            # dtype/lang unapplied by DEFAULT — reference parity
+            # (src/function/literal.rs:36-37 TODO).  With
+            # literal_annotations on, the (constant) annotation rides in
+            # the kind string ("lit@en" / "lit^^<iri>") and the serializer
+            # appends it after the closing quote.
+            kind = "lit"
+            if self.literal_annotations:
+                lang = self._const_value(fn.lang)
+                dtype = self._const_value(fn.dtype)
+                if lang:
+                    kind = f"lit@{lang}"
+                elif dtype:
+                    kind = f"lit^^{dtype}"
+            return CompiledTerm(self.compile(fn.inner).col, kind)
         if isinstance(fn, rules.BlankNode):
             return CompiledTerm(self.compile(fn.inner).col, "blank")
         if isinstance(fn, rules.Concatenate):
@@ -222,6 +248,18 @@ class FunctionCompiler:
                 ),
                 "str",
             )
+        if isinstance(fn, rules.Match):
+            col = self.compile(fn.inner).col
+            # chained native when/isin — full-string equality, first rule
+            # wins, non-matching values pass through (codegen-friendly; a
+            # matcher is a handful of literals, never data-sized)
+            w = None
+            for canonical, variants in fn.rules:
+                cond = col.isin(list(variants))
+                w = F.when(cond, F.lit(canonical)) if w is None else w.when(
+                    cond, F.lit(canonical)
+                )
+            return CompiledTerm(w.otherwise(col) if w is not None else col, "str")
         if isinstance(fn, rules.FnO):
             impl = self.fno_registry.get(fn.function)
             if impl is None:
@@ -322,13 +360,14 @@ def compile_extend(
     available_columns: list[str],
     join_alias: str | None = None,
     fno_registry: dict | None = None,
+    literal_annotations: bool = False,
 ) -> list[tuple[str, CompiledTerm]]:
     """Compile an ExtendOp config ``{"?var": function-json-or-Function}``.
 
     Output variable names drop the leading ``?`` exactly like the reference
     header protocol (``extension.rs:73-80``).
     """
-    fc = FunctionCompiler(available_columns, join_alias, fno_registry)
+    fc = FunctionCompiler(available_columns, join_alias, fno_registry, literal_annotations)
     out: list[tuple[str, CompiledTerm]] = []
     for name, fn in extend_config.items():
         if isinstance(fn, dict):

@@ -100,6 +100,7 @@ class PlanExecutor:
                 parent.columns,
                 node.join_alias,
                 self.options.fno_registry,
+                self.options.literal_annotations,
             )
             df = parent.select([t.col.alias(var) for var, t in compiled])
             self._kinds[node_id] = {var: t.kind for var, t in compiled}

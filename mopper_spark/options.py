@@ -27,3 +27,8 @@ class MopperOptions:
     persist_shared_sources: bool = False
     # named vectorized implementations for FnO calls
     fno_registry: dict = field(default_factory=dict)
+    # serialize literal datatype/language annotations ("v"^^<dtype>,
+    # "v"@lang).  OFF by default: the reference parses but never applies
+    # them (src/function/literal.rs:36-37 TODO, serializer.rs:144-153
+    # reserves the '^' terminator), so parity output omits annotations.
+    literal_annotations: bool = False

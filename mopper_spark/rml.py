@@ -71,6 +71,11 @@ class TermMap:
     constant_is_iri: bool = False
     reference: str | None = None
     term_type: str | None = None  # "IRI" | "Literal" | "BlankNode"
+    # rr:datatype / rr:language (constants per R2RML) — carried into the
+    # plan's dtype_function/langtype_function; applied only under
+    # MopperOptions.literal_annotations (reference parity default: off)
+    datatype: str | None = None
+    language: str | None = None
 
     def references(self) -> list[str]:
         if self.reference is not None:
@@ -122,6 +127,13 @@ def _term_map(doc: TurtleDocument, node: Term, default_type: str) -> TermMap:
     ref = doc.value(node, RML + "reference") or doc.value(node, RR + "column")
     if ref is not None:
         tm.reference = ref[1]
+
+    dt = doc.value(node, RR + "datatype")
+    if dt is not None:
+        tm.datatype = dt[1]
+    lng = doc.value(node, RR + "language")
+    if lng is not None:
+        tm.language = lng[1]
 
     tt = doc.value(node, RR + "termType")
     if tt is not None:
@@ -315,8 +327,10 @@ def _compile_term_map(tm: TermMap, base_iri: str, prefix: str = "") -> dict:
         inner = {"type": "TemplateString", "value": _prefix_template(tm.template, prefix)}
     else:
         inner = {"type": "Constant", "value": tm.constant or ""}
+    dtype_fn = {"type": "Constant", "value": tm.datatype} if tm.datatype else None
+    lang_fn = {"type": "Constant", "value": tm.language} if tm.language else None
     return {"type": "Literal", "inner_function": inner,
-            "dtype_function": None, "langtype_function": None}
+            "dtype_function": dtype_fn, "langtype_function": lang_fn}
 
 
 class _PlanBuilder:

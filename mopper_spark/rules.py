@@ -95,6 +95,19 @@ class Replace(Function):
 
 
 @dataclass(frozen=True)
+class Match(Function):
+    """ShExML MATCHER normalization (beyond the reference's plan schema —
+    it routes ShExML through the external ``ltranslator`` crate,
+    lib.rs:234-242; spec: shexml.herminiogarcia.com §Matchers): full-string
+    equality against each rule's variants replaces the value with that
+    rule's canonical form; non-matching values pass through unchanged."""
+
+    inner: Function
+    rules: tuple[tuple[str, tuple[str, ...]], ...] = field(default_factory=tuple)
+    # ((canonical, (variant, ...)), ...) — first matching rule wins
+
+
+@dataclass(frozen=True)
 class FnO(Function):
     """Function-Ontology call: dispatched against a registry of named
     vectorized Python functions at compile time (reference: unimplemented)."""
@@ -146,6 +159,11 @@ def from_json(obj: dict) -> Function:
             obj.get("old_value", obj.get("from", "")),
             obj.get("new_value", obj.get("to", "")),
         )
+    if typ == "Match":
+        rules_ = tuple(
+            (canonical, tuple(variants)) for canonical, variants in obj["rules"]
+        )
+        return Match(from_json(obj["inner_function"]), rules_)
     if typ == "FnO":
         params = tuple(
             (name, from_json(fn)) for name, fn in obj.get("parameters", [])

@@ -71,6 +71,13 @@ def format_term(value: Column, kind: str) -> Column:
         return F.concat(F.lit("<"), value, F.lit(">"))
     if kind == "lit":
         return F.concat(F.lit('"'), value, F.lit('"'))
+    if kind.startswith("lit@"):
+        # language-tagged literal: "v"@lang (kind carries the constant tag;
+        # only produced under MopperOptions.literal_annotations)
+        return F.concat(F.lit('"'), value, F.lit('"@' + kind[4:]))
+    if kind.startswith("lit^^"):
+        # typed literal: "v"^^<dtype>
+        return F.concat(F.lit('"'), value, F.lit('"^^<' + kind[5:] + ">"))
     if kind == "blank":
         return F.concat(F.lit("_:"), value)
     # kind "str": emit the value (reference bug emits the text "str";

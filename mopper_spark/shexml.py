@@ -18,14 +18,26 @@ the common CSV-backed subset of the language
   template), ``"constant"`` / ``pfx:constant`` (constants),
   ``@:OtherShape`` (shape link: the object is the linked shape's subject
   built from the SAME row — supported when both shapes read the same
-  expression, the analogue of the RML same-source RefObjectMap that the
-  plan rewriter reduces to a self-join-free read).
-- Language tags / datatypes on objects are parsed and dropped, matching
-  the reference's unimplemented literal annotations
-  (``src/function/literal.rs:36-37`` TODO).
+  underlying rows, i.e. their expressions resolve to the same
+  (source, iterator) branch set; the analogue of the RML same-source
+  RefObjectMap).
+- ``MATCHER name <v1, v2 AS Canonical & v3 AS Other>`` declarations and
+  ``[expr.field MATCHING name]`` usage (spec §Matchers): values equal to a
+  listed variant are replaced by that rule's canonical form, others pass
+  through unchanged.  Compiles to the plan-dialect ``Match`` function
+  (native chained ``isin``/``when``).
+- String operations (spec §"Applying string operations"): concatenation
+  of fields and quoted literals with ``+`` — both ``[a.f + "-" + a.g]``
+  and ``[a.f] + "-" + [a.g]`` spellings are accepted.
+- Language tags on field objects (``[expr.field] @en``) are carried into
+  the plan and serialized as ``"v"@en`` when
+  ``MopperOptions.literal_annotations`` is on; with the default
+  (reference-parity) options they are dropped, matching the reference's
+  unimplemented literal annotations (``src/function/literal.rs:36-37``
+  TODO).
 
-Unsupported constructs (MATCHER, JOIN/string operations, nested
-iterators, JSON/XML sources, cross-expression shape links) raise
+Unsupported constructs (expression-level JOIN, nested iterators, JSON/XML
+sources, shape links whose expressions read different rows) raise
 ``ShexmlTranslateError`` with the construct named — same contract as the
 engine's explicit ``todo!()``-style refusals.
 
@@ -61,12 +73,18 @@ class Expression:
 
 @dataclass
 class ShapeObject:
-    kind: str  # "literal" | "iri" | "constant_iri" | "constant_lit" | "link"
+    kind: str  # "literal" | "iri" | "constant_iri" | "constant_lit" | "link" | "concat"
     expr: str | None = None
     fld: str | None = None
     prefix_iri: str | None = None
     constant: str | None = None
     link: str | None = None
+    matcher: str | None = None
+    #: for kind == "concat": ordered (is_field, text-or-(expr, fld)) parts
+    parts: list | None = None
+    #: language tag ("en", "en-US") — serialized only under
+    #: MopperOptions.literal_annotations
+    lang: str | None = None
 
 
 @dataclass
@@ -75,6 +93,7 @@ class Shape:
     subject_prefix: str  # expanded prefix IRI
     subject_expr: str
     subject_field: str
+    subject_matcher: str | None = None
     poms: list[tuple[str, ShapeObject]] = field(default_factory=list)
 
 
@@ -83,15 +102,24 @@ _SOURCE_RE = re.compile(r"^SOURCE\s+(\w+)\s+<([^>]*)>\s*$")
 _ITER_RE = re.compile(r"^ITERATOR\s+(\w+)\s+<?([^>{]+?)>?\s*\{\s*$")
 _FIELD_RE = re.compile(r"^FIELD\s+(\w+)\s+<([^>]*)>\s*$")
 _EXPR_RE = re.compile(r"^EXPRESSION\s+(\w+)\s+<(.+)>\s*$")
-_SHAPE_RE = re.compile(r"^:(\w+)\s+(\w*):\[(\w+)\.(\w+)\]\s*\{\s*$")
+_MATCHER_RE = re.compile(r"^MATCHER\s+(\w+)\s+<(.+)>\s*$")
+_SHAPE_RE = re.compile(
+    r"^:(\w+)\s+(\w*):\[(\w+)\.(\w+)(?:\s+MATCHING\s+(\w+))?\]\s*\{\s*$"
+)
 _POM_RE = re.compile(
     r"^(\w*):(\w+)\s+(.+?)\s*;?\s*$"
 )
-_OBJ_FIELD_RE = re.compile(r"^\[(\w+)\.(\w+)\](?:\s*@\w+)?$")
-_OBJ_PREF_FIELD_RE = re.compile(r"^(\w*):\[(\w+)\.(\w+)\]$")
+_OBJ_FIELD_RE = re.compile(
+    r"^\[(\w+)\.(\w+)(?:\s+MATCHING\s+(\w+))?\](?:\s*@(\w+(?:-\w+)*))?$"
+)
+_OBJ_PREF_FIELD_RE = re.compile(
+    r"^(\w*):\[(\w+)\.(\w+)(?:\s+MATCHING\s+(\w+))?\]$"
+)
 _OBJ_LINK_RE = re.compile(r"^@:(\w+)$")
 _OBJ_LIT_RE = re.compile(r'^"([^"]*)"(?:\s*(?:@\w+|\^\^\S+))?$')
 _OBJ_CONST_RE = re.compile(r"^(\w*):(\w[\w\-.]*)$")
+#: one term of a string operation: a [expr.field] slot or a "literal"
+_CONCAT_TERM_RE = re.compile(r'\[?(\w+)\.(\w+)\]?|"([^"]*)"')
 
 
 @dataclass
@@ -101,6 +129,26 @@ class ShexmlDoc:
     iterators: dict[str, Iterator_]
     expressions: dict[str, Expression]
     shapes: list[Shape]
+    #: matcher name → ((canonical, (variant, ...)), ...)
+    matchers: dict[str, tuple] = field(default_factory=dict)
+
+
+def _split_plus(txt: str) -> list[str]:
+    """Split a string-operation body on top-level ``+`` (quote-aware)."""
+    parts: list[str] = []
+    cur: list[str] = []
+    in_quote = False
+    for ch in txt:
+        if ch == '"':
+            in_quote = not in_quote
+            cur.append(ch)
+        elif ch == "+" and not in_quote:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
 
 
 def parse_shexml(text: str) -> ShexmlDoc:
@@ -109,6 +157,7 @@ def parse_shexml(text: str) -> ShexmlDoc:
     iterators: dict[str, Iterator_] = {}
     expressions: dict[str, Expression] = {}
     shapes: list[Shape] = []
+    matchers: dict[str, tuple] = {}
 
     lines = [ln.strip() for ln in text.splitlines()]
     i = 0
@@ -143,6 +192,21 @@ def parse_shexml(text: str) -> ShexmlDoc:
                 it.fields[fm.group(1)] = fm.group(2)
             iterators[it.name] = it
             continue
+        if m := _MATCHER_RE.match(ln):
+            rules_: list[tuple[str, tuple[str, ...]]] = []
+            for rule in m.group(2).split("&"):
+                rm = re.match(r"^(.*?)\s+AS\s+(.+?)\s*$", rule.strip())
+                if not rm:
+                    raise ShexmlTranslateError(
+                        f"Bad MATCHER rule {rule.strip()!r} (expected "
+                        "'variant[, variant…] AS Canonical')"
+                    )
+                variants = [v.strip() for v in rm.group(1).split(",") if v.strip()]
+                canonical = rm.group(2).strip()
+                # the canonical form also matches itself (idempotent apply)
+                rules_.append((canonical, tuple(variants + [canonical])))
+            matchers[m.group(1)] = tuple(rules_)
+            continue
         if m := _EXPR_RE.match(ln):
             body = m.group(2)
             branches = []
@@ -152,8 +216,8 @@ def parse_shexml(text: str) -> ShexmlDoc:
                 if not pm:
                     raise ShexmlTranslateError(
                         f"Expression {part!r} not supported (plain "
-                        "source.iterator and UNION only; JOIN/string ops are "
-                        "out of the subset)"
+                        "source.iterator and UNION only; JOIN is out of "
+                        "the subset)"
                     )
                 branches.append((pm.group(1), pm.group(2)))
             expressions[m.group(1)] = Expression(m.group(1), branches)
@@ -167,6 +231,7 @@ def parse_shexml(text: str) -> ShexmlDoc:
                 subject_prefix=prefixes[pfx],
                 subject_expr=m.group(3),
                 subject_field=m.group(4),
+                subject_matcher=m.group(5),
             )
             while i < len(lines):
                 pl = lines[i]
@@ -187,7 +252,11 @@ def parse_shexml(text: str) -> ShexmlDoc:
             continue
         raise ShexmlTranslateError(f"Unsupported ShExML construct: {ln!r}")
 
-    return ShexmlDoc(prefixes, sources, iterators, expressions, shapes)
+    return ShexmlDoc(prefixes, sources, iterators, expressions, shapes, matchers)
+
+
+_CONCAT_FIELD_RE = re.compile(r"^\[?(\w+)\.(\w+)(?:\s+MATCHING\s+(\w+))?\]?$")
+_CONCAT_LIT_RE = re.compile(r'^"([^"]*)"$')
 
 
 def _parse_object(txt: str, prefixes: dict[str, str]) -> ShapeObject:
@@ -199,10 +268,14 @@ def _parse_object(txt: str, prefixes: dict[str, str]) -> ShapeObject:
         if pfx not in prefixes:
             raise ShexmlTranslateError(f"Undefined prefix {pfx!r}:")
         return ShapeObject(
-            kind="iri", prefix_iri=prefixes[pfx], expr=m.group(2), fld=m.group(3)
+            kind="iri", prefix_iri=prefixes[pfx], expr=m.group(2), fld=m.group(3),
+            matcher=m.group(4),
         )
     if m := _OBJ_FIELD_RE.match(txt):
-        return ShapeObject(kind="literal", expr=m.group(1), fld=m.group(2))
+        return ShapeObject(
+            kind="literal", expr=m.group(1), fld=m.group(2), matcher=m.group(3),
+            lang=m.group(4),
+        )
     if m := _OBJ_LIT_RE.match(txt):
         return ShapeObject(kind="constant_lit", constant=m.group(1))
     if m := _OBJ_CONST_RE.match(txt):
@@ -210,6 +283,28 @@ def _parse_object(txt: str, prefixes: dict[str, str]) -> ShapeObject:
         if pfx not in prefixes:
             raise ShexmlTranslateError(f"Undefined prefix {pfx!r}:")
         return ShapeObject(kind="constant_iri", constant=prefixes[pfx] + m.group(2))
+    toks = _split_plus(txt)
+    if len(toks) > 1:
+        # string operation: concatenation of field slots and literals.
+        # Normalize the outer-bracket spelling [a.f + "-" + a.g] to
+        # per-token slots.
+        if toks[0].startswith("[") and not toks[0].endswith("]"):
+            toks[0] = toks[0][1:]
+            if toks[-1].endswith("]"):
+                toks[-1] = toks[-1][:-1].strip()
+        parts: list = []
+        for t in toks:
+            t = t.strip()
+            if m := _CONCAT_LIT_RE.match(t):
+                parts.append(("lit", m.group(1)))
+            elif m := _CONCAT_FIELD_RE.match(t):
+                parts.append(("field", m.group(1), m.group(2), m.group(3)))
+            else:
+                raise ShexmlTranslateError(
+                    f"Unsupported string-operation term {t!r} (field slots "
+                    "and quoted literals joined by '+' only)"
+                )
+        return ShapeObject(kind="concat", parts=parts)
     raise ShexmlTranslateError(f"Unsupported object expression: {txt!r}")
 
 
@@ -222,6 +317,57 @@ def _iri_template_map(prefix_iri: str, column: str) -> TermMap:
     if "{" in prefix_iri or "}" in prefix_iri:
         raise ShexmlTranslateError(f"Brace in prefix IRI {prefix_iri!r}")
     return TermMap(template=prefix_iri + "{" + column + "}", term_type="IRI")
+
+
+def _match_rules_json(doc: ShexmlDoc, matcher_name: str) -> list:
+    rules_ = doc.matchers.get(matcher_name)
+    if rules_ is None:
+        raise ShexmlTranslateError(f"Unknown MATCHER {matcher_name!r}")
+    return [[canonical, list(variants)] for canonical, variants in rules_]
+
+
+def _ref_fn(doc: ShexmlDoc, column: str, matcher_name: str | None) -> dict:
+    fn: dict = {"type": "Reference", "value": column}
+    if matcher_name:
+        fn = {
+            "type": "Match",
+            "inner_function": fn,
+            "rules": _match_rules_json(doc, matcher_name),
+        }
+    return fn
+
+
+def _iri_fn(
+    doc: ShexmlDoc, prefix_iri: str, column: str, matcher_name: str | None
+) -> dict:
+    """IRI template function JSON — identical to rml._fn_template_iri output
+    when no matcher applies, with the Match node threaded below UriEncode
+    otherwise (normalize first, THEN percent-encode)."""
+    if "{" in prefix_iri or "}" in prefix_iri:
+        raise ShexmlTranslateError(f"Brace in prefix IRI {prefix_iri!r}")
+    return {
+        "type": "Iri",
+        "base_iri": "",
+        "inner_function": {
+            "type": "TemplateFunctionValue",
+            "template": prefix_iri + "{" + column + "}",
+            "variable_function_pairs": [
+                [column, {"type": "UriEncode",
+                          "inner_function": _ref_fn(doc, column, matcher_name)}]
+            ],
+        },
+    }
+
+
+def _literal_fn(
+    doc: ShexmlDoc, column: str, matcher_name: str | None, lang: str | None = None
+) -> dict:
+    return {
+        "type": "Literal",
+        "inner_function": _ref_fn(doc, column, matcher_name),
+        "dtype_function": None,
+        "langtype_function": {"type": "Constant", "value": lang} if lang else None,
+    }
 
 
 def shexml_to_plan(text: str) -> dict:
@@ -253,13 +399,13 @@ def shexml_to_plan(text: str) -> dict:
                 return it.fields[fld]
 
             extend: dict[str, dict] = {}
-            subj_map = _iri_template_map(
-                shape.subject_prefix, col_of(shape.subject_field, f":{shape.name}")
-            )
             subj_var = f"?sx_{shape.name}_sm"
-            extend[subj_var] = _compile_term_map(subj_map, "")
+            subj_col = col_of(shape.subject_field, f":{shape.name}")
+            extend[subj_var] = _iri_fn(
+                doc, shape.subject_prefix, subj_col, shape.subject_matcher
+            )
             lines: list[str] = []
-            attrs = [col_of(shape.subject_field, f":{shape.name}")]
+            attrs = [subj_col]
 
             for pi, (predicate, obj) in enumerate(shape.poms):
                 p_var = f"?sx_{shape.name}_p{pi}"
@@ -274,29 +420,64 @@ def shexml_to_plan(text: str) -> dict:
                         raise ShexmlTranslateError(
                             f"Shape link @:{obj.link} has no target shape"
                         )
-                    if doc.expressions.get(target.subject_expr) is not expr:
+                    target_expr = doc.expressions.get(target.subject_expr)
+                    if target_expr is None or sorted(target_expr.branches) != sorted(
+                        expr.branches
+                    ):
                         raise ShexmlTranslateError(
-                            f"Shape link @:{obj.link} crosses expressions "
-                            f"({shape.subject_expr!r} → {target.subject_expr!r}); "
-                            "only same-expression links are in the subset "
-                            "(the RML same-source RefObjectMap analogue)"
+                            f"Shape link @:{obj.link} crosses expressions over "
+                            f"different rows ({shape.subject_expr!r} → "
+                            f"{target.subject_expr!r}); links are supported when "
+                            "both expressions resolve to the same "
+                            "(source, iterator) branches — the RML same-source "
+                            "RefObjectMap analogue"
                         )
-                    o_map = _iri_template_map(
-                        target.subject_prefix,
-                        col_of(target.subject_field, f"@:{obj.link}"),
+                    link_col = col_of(target.subject_field, f"@:{obj.link}")
+                    o_fn = _iri_fn(
+                        doc, target.subject_prefix, link_col, target.subject_matcher
                     )
-                    attrs.append(col_of(target.subject_field, f"@:{obj.link}"))
+                    attrs.append(link_col)
                 elif obj.kind == "iri":
-                    o_map = _iri_template_map(obj.prefix_iri, col_of(obj.fld, predicate))
+                    o_fn = _iri_fn(
+                        doc, obj.prefix_iri, col_of(obj.fld, predicate), obj.matcher
+                    )
                     attrs.append(col_of(obj.fld, predicate))
                 elif obj.kind == "literal":
-                    o_map = TermMap(reference=col_of(obj.fld, predicate), term_type="Literal")
+                    o_fn = _literal_fn(
+                        doc, col_of(obj.fld, predicate), obj.matcher, obj.lang
+                    )
                     attrs.append(col_of(obj.fld, predicate))
+                elif obj.kind == "concat":
+                    inners = []
+                    for part in obj.parts:
+                        if part[0] == "lit":
+                            inners.append({"type": "Constant", "value": part[1]})
+                        else:
+                            _, _pexpr, pfld, pmatcher = part
+                            pcol = col_of(pfld, predicate)
+                            inners.append(_ref_fn(doc, pcol, pmatcher))
+                            attrs.append(pcol)
+                    o_fn = {
+                        "type": "Literal",
+                        "inner_function": {
+                            "type": "Concatenate",
+                            "inner_functions": inners,
+                            "separator": "",
+                        },
+                        "dtype_function": None,
+                        "langtype_function": None,
+                    }
                 elif obj.kind == "constant_iri":
-                    o_map = TermMap(constant=obj.constant, constant_is_iri=True, term_type="IRI")
+                    o_fn = _compile_term_map(
+                        TermMap(constant=obj.constant, constant_is_iri=True,
+                                term_type="IRI"),
+                        "",
+                    )
                 else:  # constant_lit
-                    o_map = TermMap(constant=obj.constant, term_type="Literal")
-                extend[o_var] = _compile_term_map(o_map, "")
+                    o_fn = _compile_term_map(
+                        TermMap(constant=obj.constant, term_type="Literal"), ""
+                    )
+                extend[o_var] = o_fn
                 lines.append(f"{subj_var} {p_var} {o_var} .")
 
             if not lines:

@@ -174,6 +174,52 @@ def test_rml_simple_end_to_end(spark):
     }
 
 
+def test_rml_literal_annotations_flagged(spark):
+    """rr:datatype / rr:language serialize as "v"^^<dtype> / "v"@lang under
+    MopperOptions(literal_annotations=True) and are omitted (reference
+    parity, literal.rs:36-37 TODO) by default."""
+    doc = """
+    @prefix rr: <http://www.w3.org/ns/r2rml#> .
+    @prefix rml: <http://semweb.mmlab.be/ns/rml#> .
+    @prefix ql: <http://semweb.mmlab.be/ns/ql#> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    @prefix ex: <http://ex.org/> .
+
+    <TM> a rr:TriplesMap ;
+      rml:logicalSource [ rml:source "p.csv" ; rml:referenceFormulation ql:CSV ] ;
+      rr:subjectMap [ rr:template "http://ex.org/p/{id}" ] ;
+      rr:predicateObjectMap [
+        rr:predicate ex:age ;
+        rr:objectMap [ rml:reference "age" ; rr:datatype xsd:integer ]
+      ] ;
+      rr:predicateObjectMap [
+        rr:predicate ex:label ;
+        rr:objectMap [ rml:reference "label" ; rr:language "en" ]
+      ] .
+    """
+    registry = SourceRegistry()
+    registry.register(
+        "p.csv",
+        spark.createDataFrame([("1", "42", "hi")], "id string, age string, label string"),
+    )
+    plan = rml_to_plan(doc)
+    parity = normalize_statements(
+        run_plan_to_lines(plan, spark, MopperOptions(), registry)
+    )
+    assert '<http://ex.org/p/1> <http://ex.org/age> "42" .' in parity
+    assert '<http://ex.org/p/1> <http://ex.org/label> "hi" .' in parity
+    annotated = normalize_statements(
+        run_plan_to_lines(
+            plan, spark, MopperOptions(literal_annotations=True), registry
+        )
+    )
+    assert (
+        '<http://ex.org/p/1> <http://ex.org/age> '
+        '"42"^^<http://www.w3.org/2001/XMLSchema#integer> .' in annotated
+    )
+    assert '<http://ex.org/p/1> <http://ex.org/label> "hi"@en .' in annotated
+
+
 def test_rml_same_source_nonidentity_selfjoin(spark):
     """A RefObjectMap whose parent reads the SAME source but joins on
     different columns (employee→manager) must execute as a TRUE self-join:

@@ -191,3 +191,170 @@ EXPRESSION films <f.rows>
 def test_shexml_unsupported_constructs(doc, msg):
     with pytest.raises(ShexmlTranslateError, match=msg):
         parse_shexml(doc)
+
+
+MATCHER_DOC = """
+PREFIX : <http://example.com/>
+PREFIX dbr: <http://dbpedia.org/resource/>
+
+SOURCE films_file <films.csv>
+
+ITERATOR film_csv csvperrow {
+    FIELD id <id>
+    FIELD name <name>
+    FIELD region <director>
+}
+
+EXPRESSION films <films_file.film_csv>
+
+MATCHER dir <Christopher Nolan, C. Nolan AS Nolan & Lilly Wachowski AS Wachowski>
+
+:Films :[films.id] {
+    :director [films.region MATCHING dir] ;
+    :directorIri dbr:[films.region MATCHING dir] ;
+}
+"""
+
+
+def test_shexml_matcher_normalizes_literal_and_iri(spark):
+    """MATCHER rules (spec §Matchers): listed variants normalize to the
+    canonical AS value, unlisted values pass through; the Match node sits
+    BELOW UriEncode so the IRI is built from the normalized form."""
+    rows = [
+        ("1", "Inception", "Christopher Nolan"),
+        ("2", "Matrix", "Lilly Wachowski"),
+        ("3", "Other", "Greta Gerwig"),
+    ]
+    reg = _registry(spark, {"films.csv": (rows, "id string, name string, director string")})
+    lines = normalize_statements(
+        run_plan_to_lines(shexml_to_plan(MATCHER_DOC), spark, MopperOptions(), reg)
+    )
+    assert '<http://example.com/1> <http://example.com/director> "Nolan" .' in lines
+    assert '<http://example.com/2> <http://example.com/director> "Wachowski" .' in lines
+    # unmatched value passes through unchanged
+    assert '<http://example.com/3> <http://example.com/director> "Greta Gerwig" .' in lines
+    assert (
+        "<http://example.com/1> <http://example.com/directorIri> "
+        "<http://dbpedia.org/resource/Nolan> ." in lines
+    )
+    assert (
+        "<http://example.com/3> <http://example.com/directorIri> "
+        "<http://dbpedia.org/resource/Greta%20Gerwig> ." in lines
+    )
+
+
+STRING_OP_DOC = """
+PREFIX : <http://example.com/>
+
+SOURCE films_file <films.csv>
+
+ITERATOR film_csv csvperrow {
+    FIELD id <id>
+    FIELD name <name>
+    FIELD year <year>
+}
+
+EXPRESSION films <films_file.film_csv>
+
+:Films :[films.id] {
+    :label [films.name + " (" + films.year + ")"] ;
+    :alt [films.name] + "/" + [films.year] ;
+}
+"""
+
+
+def test_shexml_string_operations_concat(spark):
+    """String operations: '+'-joined field slots and quoted literals, in
+    both the outer-bracket and per-slot spellings."""
+    rows = [("1", "Inception", "2010")]
+    reg = _registry(spark, {"films.csv": (rows, "id string, name string, year string")})
+    lines = normalize_statements(
+        run_plan_to_lines(shexml_to_plan(STRING_OP_DOC), spark, MopperOptions(), reg)
+    )
+    assert '<http://example.com/1> <http://example.com/label> "Inception (2010)" .' in lines
+    assert '<http://example.com/1> <http://example.com/alt> "Inception/2010" .' in lines
+
+
+def test_shexml_shape_link_across_equal_expressions(spark):
+    """A shape link may cross DIFFERENTLY-NAMED expressions when both
+    resolve to the same (source, iterator) branches — same rows, so the
+    same-row link semantics of the RML same-source RefObjectMap apply."""
+    doc = """
+PREFIX : <http://example.com/>
+SOURCE films_file <films.csv>
+ITERATOR film_csv csvperrow {
+    FIELD id <id>
+    FIELD director <director>
+}
+EXPRESSION films <films_file.film_csv>
+EXPRESSION helmers <films_file.film_csv>
+
+:Film :[films.id] {
+    :director @:Director ;
+}
+:Director :[helmers.director] {
+    :directed @:Film ;
+}
+"""
+    rows = [("1", "Nolan")]
+    reg = _registry(spark, {"films.csv": (rows, "id string, director string")})
+    lines = normalize_statements(
+        run_plan_to_lines(shexml_to_plan(doc), spark, MopperOptions(), reg)
+    )
+    assert (
+        "<http://example.com/1> <http://example.com/director> "
+        "<http://example.com/Nolan> ." in lines
+    )
+    assert (
+        "<http://example.com/Nolan> <http://example.com/directed> "
+        "<http://example.com/1> ." in lines
+    )
+
+
+def test_shexml_language_tag_flagged(spark):
+    doc = """
+PREFIX : <http://example.com/>
+SOURCE f <films.csv>
+ITERATOR it csvperrow {
+    FIELD id <id>
+    FIELD name <name>
+}
+EXPRESSION films <f.it>
+
+:Films :[films.id] {
+    :name [films.name] @en ;
+}
+"""
+    rows = [("1", "Inception")]
+    reg = _registry(spark, {"films.csv": (rows, "id string, name string")})
+    plan = shexml_to_plan(doc)
+    parity = normalize_statements(
+        run_plan_to_lines(plan, spark, MopperOptions(), reg)
+    )
+    assert '<http://example.com/1> <http://example.com/name> "Inception" .' in parity
+    tagged = normalize_statements(
+        run_plan_to_lines(plan, spark, MopperOptions(literal_annotations=True), reg)
+    )
+    assert '<http://example.com/1> <http://example.com/name> "Inception"@en .' in tagged
+
+
+def test_shexml_shape_link_different_rows_refused(spark):
+    doc = """
+PREFIX : <http://example.com/>
+SOURCE a_file <a.csv>
+SOURCE b_file <b.csv>
+ITERATOR it csvperrow {
+    FIELD id <id>
+}
+EXPRESSION ea <a_file.it>
+EXPRESSION eb <b_file.it>
+
+:A :[ea.id] {
+    :linked @:B ;
+}
+:B :[eb.id] {
+    :x "y" ;
+}
+"""
+    with pytest.raises(ShexmlTranslateError, match="different rows"):
+        shexml_to_plan(doc)
