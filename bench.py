@@ -43,6 +43,8 @@ HEADLINE = [
     "rml_turtle_supplier",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding",
     "dedup_ngram_jaccard",
     "similarity_topk",
     "text_quality",

@@ -273,6 +273,9 @@ def ngram_jaccard_pairs(
 
 # ---------------------------------------------------------------- simhash --
 def make_simhash_udf(ngram: int = 2):
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.int64)  # int64 wrap for bit 63 is fine
+
     @F.pandas_udf(LongType())
     def simhash(texts: pd.Series) -> pd.Series:
         def sh(t: str) -> int:
@@ -284,19 +287,20 @@ def make_simhash_udf(ngram: int = 2):
             )
             if not grams:
                 return 0
-            acc = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for g in grams:
-                h = np.uint64(
+            # one (n_grams × 64) vectorized pass: per-gram numpy calls were
+            # the bench hot spot (17.5 s → see BENCH.md)
+            hs = np.fromiter(
+                (
                     zlib.crc32(g.encode()) | (zlib.crc32(g[::-1].encode()) << 32)
-                )
-                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                acc += 2 * bits - 1
-            v = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    v |= 1 << i
-            return v - (1 << 64) if v >= 1 << 63 else v
+                    for g in grams
+                ),
+                dtype=np.uint64,
+                count=len(grams),
+            )
+            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8)
+            acc = (2 * bits.astype(np.int32) - 1).sum(axis=0)
+            v = int(((acc > 0) * weights).sum())  # int64 two's complement
+            return v
 
         return texts.map(sh)
 
