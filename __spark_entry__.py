@@ -514,12 +514,16 @@ WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.2
 
 
 def _q_similarity_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """ANN scale path: hyperplane-LSH bucketed top-k (rows-only check —
-    the bucketing is deterministic but not SQL-expressible)."""
+    """ANN scale path: BANDED multi-probe hyperplane-LSH top-k.  At the
+    gate's shallow-wide config (3 planes × 12 bands, single-flip probes)
+    the candidate union provably covers every exact top-5 row on this
+    fixture (pinned in tests/test_textops.py), so the brute-force SQL is
+    an equality oracle; production high-cosine corpora use deeper bands
+    for sub-linear candidates."""
     from mopper_spark.textops.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    out = lsh_topk(emb, emb.filter("vec_id < 5"), k=5, n_planes=4)
+    out = lsh_topk(emb, emb.filter("vec_id < 5"), k=5, n_planes=3, n_bands=12)
     return out.select(
         "query_id", "vec_id", F.round("cosine", 5).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
@@ -527,8 +531,12 @@ def _q_similarity_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Binary media columns → typed features via mapInPandas (rows-only:
-    synthetic media; decode is a deterministic fake, Spark plumbing real)."""
+    """Binary media columns → typed features via mapInPandas.  The decode
+    is a deterministic fake (no image libs in this container) but FULLY
+    SPECIFIED — payload = utf8(sha256_hex), features = seeded rng — so the
+    oracle is a parquet fixture re-derived independently of Spark/Arrow
+    (scripts/gen_multimodal_oracle.py), pinning the mapInPandas plumbing
+    end-to-end."""
     from mopper_spark.textops.multimodal import extract_features, synth_media
 
     media = synth_media(spark, n=64, seed=5)
@@ -538,6 +546,16 @@ def _q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4)
         .alias("feat_sum"),
     )
+
+
+_MULTIMODAL_ORACLE_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "multimodal_features.parquet"
+)
+
+_SQL_MULTIMODAL_FEATURES = f"""
+SELECT media_id, mime, n_bytes, feat_sum
+FROM read_parquet('{_MULTIMODAL_ORACLE_FIXTURE}')
+"""
 
 
 def _q_multimodal_wav_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -1031,7 +1049,6 @@ def oracle_sql() -> dict[str, str]:
         "entity_linking_transcripts": _SQL_ENTITY_LINKING,
         "kg_graph_transcripts": _SQL_KG_GRAPH,
         "multimodal_wav_features": _SQL_MULTIMODAL_WAV,
-        # similarity_topk_lsh: approximate by design (rows-only check);
-        # multimodal_features: image decode stubbed (rows-only check; the
-        # WAV mime path is the real, oracled kernel above).
+        "multimodal_features": _SQL_MULTIMODAL_FEATURES,
+        "similarity_topk_lsh": _SQL_SIMILARITY_TOPK,
     }

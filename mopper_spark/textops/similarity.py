@@ -120,6 +120,18 @@ def brute_force_topk(
     )
 
 
+def _band_keys(signs: Column, n_planes: int, n_bands: int) -> Column:
+    """Split a sign-string into per-band 'b:signs' keys (native substring)."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ":", F.lit(b), F.substring(signs, b * n_planes + 1, n_planes)
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -127,33 +139,68 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = 8,
+    n_bands: int = 1,
     seed: int = 11,
     probe_radius: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: probe the query's hyperplane bucket plus all
-    buckets within hamming distance ``probe_radius`` (multi-probe LSH).
+    """Approximate top-k via BANDED multi-probe hyperplane LSH.
 
-    Recall < 1.0 by design; candidates per query ≈ corpus/2^n_planes ×
-    (1+n_planes probes) — tune ``n_planes`` up as the corpus grows.
+    The corpus is keyed by ``n_bands`` independent bands of ``n_planes``
+    plane-signs each (one UDF pass for all signs); each query probes, per
+    band, its own key plus every single-flip neighbour when
+    ``probe_radius >= 1``.  A pair is a candidate if ANY band probe hits,
+    so the miss probability per pair is ``(1 - hit_band)^B`` — shallow
+    wide banding reaches measured recall 1.0 on the gate fixture even for
+    the near-orthogonal tail (pinned in tests), while deep narrow bands
+    are the production shape for high-cosine corpora.  Duplicated
+    candidates across bands are deduped by (query, doc) BEFORE ranking.
+
+    Plan shape at scale: corpus scanned once (exploded ×B in flight),
+    probe table broadcast, one shuffle of the scored candidate set for
+    the dedup + per-query top-k window.
     """
-    bucket = hyperplane_bucket_udf(n_planes=n_planes, seed=seed)
-    probes = hyperplane_probes_udf(n_planes=n_planes, seed=seed, radius=probe_radius)
-    c = corpus.select(
+    total = n_planes * n_bands
+    bucket = hyperplane_bucket_udf(n_planes=total, seed=seed)
+
+    c = corpus.withColumn("_signs", bucket(F.col(vec_col))).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
-        bucket(F.col(vec_col)).alias("bkt"),
+        F.explode(_band_keys(F.col("_signs"), n_planes, n_bands)).alias("bkt"),
     )
-    q = queries.select(
+
+    def probe_keys(signs: Column) -> Column:
+        keys = []
+        for b in range(n_bands):
+            band = F.substring(signs, b * n_planes + 1, n_planes)
+            keys.append(F.concat_ws(":", F.lit(b), band))
+            if probe_radius >= 1:
+                for i in range(1, n_planes + 1):
+                    flipped = F.concat(
+                        F.substring(band, 1, i - 1),
+                        F.when(F.substring(band, i, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+                        F.substring(band, i + 1, n_planes - i),
+                    )
+                    keys.append(F.concat_ws(":", F.lit(b), flipped))
+        return F.array_distinct(F.array(*keys))
+
+    q = queries.withColumn("_signs", bucket(F.col(vec_col))).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(probes(F.col(vec_col))).alias("bkt"),
+        F.explode(probe_keys(F.col("_signs"))).alias("bkt"),
     )
-    scored = F.broadcast(q).join(c, "bkt").filter(
-        F.col("query_id") != F.col("vec_id")
-    ).select(
-        "query_id",
-        "vec_id",
-        cosine_native(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")).alias("cosine"),
+    scored = (
+        F.broadcast(q)
+        .join(c, "bkt")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_native(
+                F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")
+            ).alias("cosine"),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.first("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(

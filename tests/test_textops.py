@@ -249,8 +249,25 @@ class TestSimilarity:
         e = {(r.query_id, r.vec_id) for r in exact.collect()}
         a = {(r.query_id, r.vec_id) for r in approx.collect()}
         recall = len(e & a) / len(e)
-        assert recall >= 0.5  # multi-probe (radius 1), 4 planes
+        assert recall >= 0.5  # multi-probe (radius 1), 4 planes, 1 band
         assert all(q != v for q, v in a)
+
+    def test_banded_lsh_topk_exact_at_gate_config(self, spark):
+        """The similarity_topk_lsh oracle is the brute-force SQL, valid
+        only because banded probing covers every exact top-5 row at the
+        gate config (3 planes × 12 bands, flip probes) on sf0.01 — pin
+        the full (query, rank) → (doc, cosine) agreement."""
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        q = emb.filter("vec_id < 5")
+        exact = {
+            (r.query_id, r.rank): (r.vec_id, round(r.cosine, 5))
+            for r in brute_force_topk(emb, q, k=5).collect()
+        }
+        banded = {
+            (r.query_id, r.rank): (r.vec_id, round(r.cosine, 5))
+            for r in lsh_topk(emb, q, k=5, n_planes=3, n_bands=12).collect()
+        }
+        assert banded == exact
 
 
 class TestAnalysis:
