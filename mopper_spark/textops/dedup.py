@@ -342,7 +342,12 @@ def simhash_near_dup_pairs(
             for i in range(n_bands)
         ]
     )
-    keyed = t.select("id", "sim", F.explode(bands).alias("key"))
+    # materialize the small (id, sim, key) table once: it feeds the bucket
+    # count AND both self-join sides, and without this the signature UDF
+    # re-runs per consumer (plan audit: 12 ArrowEvalPython nodes → 4)
+    keyed = t.select("id", "sim", F.explode(bands).alias("key")).localCheckpoint(
+        eager=True
+    )
     sized = keyed.join(
         keyed.groupBy("key").count().filter(F.col("count") <= max_bucket), "key"
     )
@@ -389,20 +394,26 @@ def embedding_near_dup_pairs(
     # one UDF pass computes all plane signs (projection BELOW the explode so
     # the Arrow batch runs once per vector, not once per band); the
     # sign-string is then split into per-band keys natively
-    keyed = t.withColumn("signs", bucket(F.col("v"))).select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(bnd),
-                        F.substring(F.col("signs"), bnd * n_planes + 1, n_planes),
-                    )
-                    for bnd in range(n_bands)
-                ]
-            )
-        ).alias("key"),
+    keyed = (
+        t.withColumn("signs", bucket(F.col("v")))
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":",
+                            F.lit(bnd),
+                            F.substring(F.col("signs"), bnd * n_planes + 1, n_planes),
+                        )
+                        for bnd in range(n_bands)
+                    ]
+                )
+            ).alias("key"),
+        )
+        # (id, key) only — vectors join back later; materialize once so the
+        # hyperplane UDF doesn't re-run for the count and both join sides
+        .localCheckpoint(eager=True)
     )
     sized = keyed.join(
         keyed.groupBy("key").count().filter(F.col("count") <= max_bucket), "key"
