@@ -489,6 +489,48 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 """
 
+def _q_dedup_keep_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end dedup pipeline: minhash near-dup pairs → connected
+    components over the duplicate graph → keep the minimum doc_id per
+    cluster (drop the rest).  Oracle: exact-Jaccard pairs + recursive-CTE
+    closure + anti-join in SQL."""
+    from mopper_spark.textops.dedup import dedup_keep_min, minhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5)
+    return dedup_keep_min(docs, pairs).select("doc_id")
+
+
+_SQL_DEDUP_KEEP_DOCS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), shingled AS (
+  SELECT id,
+         list_distinct(CASE WHEN len(tk) >= 3
+           THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+           ELSE [array_to_string(tk, ' ')] END) AS sh
+  FROM toks
+), pairs AS (
+  SELECT a.id AS u, b.id AS v
+  FROM shingled a JOIN shingled b ON a.id < b.id
+  WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+), sym AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+), reach AS (
+  SELECT u AS node, u AS comp FROM sym
+  UNION
+  SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.node
+), comp AS (
+  SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id FROM documents d
+LEFT JOIN comp c ON c.node = d.doc_id
+WHERE c.node IS NULL OR c.component = d.doc_id
+"""
+
 _SQL_DEDUP_NGRAM = """
 WITH toks AS (
   SELECT doc_id AS id,
@@ -1005,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_keep_docs": _q_dedup_keep_docs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "cosine_pairs_exact": _q_cosine_pairs_exact,
         "similarity_topk": _q_similarity_topk,
@@ -1037,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _SQL_DEDUP_MINHASH,
         "dedup_simhash": _SQL_DEDUP_SIMHASH,
         "dedup_embedding": _SQL_DEDUP_EMBEDDING,
+        "dedup_keep_docs": _SQL_DEDUP_KEEP_DOCS,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
         "cosine_pairs_exact": _SQL_COSINE_PAIRS,
         "similarity_topk": _SQL_SIMILARITY_TOPK,
