@@ -211,11 +211,17 @@ def ngram_jaccard_pairs(
     ).persist()
     try:
         # split postings by shingle document frequency: only light shingles
-        # generate pairs; hot ones are folded back in as per-doc arrays
-        dfreq = inv.groupBy("g").agg(F.count("*").alias("df"))
-        light = inv.join(dfreq.filter(F.col("df") <= max_df), "g")
+        # generate pairs; hot ones are folded back in as per-doc arrays.
+        # The hot set is TINY by construction (df > max_df ⇒ at most
+        # |postings|/max_df distinct shingles), so both the exclusion and
+        # the per-doc hot arrays are broadcast joins — the postings table
+        # never shuffles for the split, only for the df count itself.
+        hot = F.broadcast(
+            inv.groupBy("g").count().filter(F.col("count") > max_df).select("g")
+        )
+        light = inv.join(hot, "g", "left_anti")
         hot_sets = (
-            inv.join(dfreq.filter(F.col("df") > max_df), "g")
+            inv.join(hot, "g")
             .groupBy("id")
             .agg(F.collect_set("g").alias("hotg"))
         )
