@@ -8,9 +8,10 @@ Two tiers:
   ``aggregate`` dot product (JVM, no Python), then a top-k window.  This is
   the correctness oracle and is already the right plan for "few queries ×
   huge corpus".
-- ``lsh_topk``: random-hyperplane LSH — corpus vectors bucketed by sign
-  pattern; each query probes only its bucket (and optionally multi-probe
-  neighbours).  Sub-linear candidate sets at 100 TB; same scoring kernel.
+- ``lsh_topk``: BANDED multi-probe random-hyperplane LSH — corpus vectors
+  keyed by independent sign-pattern bands; each query probes its per-band
+  keys plus single-flip neighbours.  Sub-linear candidate sets at 100 TB;
+  same scoring kernel.
 
 Hyperplanes are generated deterministically from a seed on the driver and
 shipped in the UDF closure (a few KB).
@@ -22,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, StringType
+from pyspark.sql.types import DoubleType, StringType
 
 
 def cosine_native(a: Column, b: Column) -> Column:
@@ -66,31 +67,6 @@ def hyperplane_bucket_udf(n_planes: int = 16, seed: int = 11, dim: int = 64):
         return vecs.map(lambda v: _sign_pattern(planes, v))
 
     return bucket
-
-
-def hyperplane_probes_udf(
-    n_planes: int = 16, seed: int = 11, dim: int = 64, radius: int = 1
-):
-    """Multi-probe buckets: the vector's bucket plus every bucket within
-    hamming distance ``radius`` (flip-1 probing; standard LSH recall boost
-    that costs probes, not an extra corpus pass)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-
-    @F.pandas_udf(ArrayType(StringType()))
-    def probes(vecs: pd.Series) -> pd.Series:
-        def one(v) -> list[str]:
-            base = _sign_pattern(planes, v)
-            out = [base]
-            if radius >= 1:
-                for i in range(len(base)):
-                    flipped = base[:i] + ("0" if base[i] == "1" else "1") + base[i + 1 :]
-                    out.append(flipped)
-            return out
-
-        return vecs.map(one)
-
-    return probes
 
 
 def brute_force_topk(
