@@ -915,7 +915,7 @@ def _q_kg_graph_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     return extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
 
 
-def _transcript_oracle_sqls() -> tuple[str, str]:
+def _transcript_oracle_sqls() -> tuple[str, str, str]:
     """Build the kg_graph / entity_linking oracle SQL from the same public
     constants the Spark pipeline uses (gazetteer, mention regex, accent
     fold table), so the two sides cannot silently drift apart.
@@ -949,7 +949,7 @@ men AS (
   ) WHERE length(surface) >= 3
 )"""
 
-    kg_sql = f"""
+    turns_sql = f"""
 WITH {mentions_cte},
 base AS (
   SELECT 'http://example.com/turn/' || conv_id || '/' || turn_idx AS subj,
@@ -965,6 +965,9 @@ UNION ALL
 SELECT subj, 'http://example.com/ontology/tool', tool, 'lit', graph FROM base WHERE tool IS NOT NULL
 UNION ALL
 SELECT subj, 'http://example.com/ontology/inConversation', conv_iri, 'iri', graph FROM base
+"""
+
+    kg_sql = turns_sql + f"""
 UNION ALL
 SELECT 'http://example.com/turn/' || conv_id || '/' || turn_idx,
        'http://example.com/ontology/mentions',
@@ -1026,10 +1029,36 @@ SELECT n.norm AS norm,
          || replace(coalesce(m.canonical_norm, n.norm), ' ', '%20') AS canonical_iri
 FROM norms n LEFT JOIN members m ON m.node = n.norm
 """
-    return kg_sql, linking_sql
+    return kg_sql, linking_sql, turns_sql
 
 
-_SQL_KG_GRAPH, _SQL_ENTITY_LINKING = _transcript_oracle_sqls()
+_SQL_KG_GRAPH, _SQL_ENTITY_LINKING, _SQL_KG_STREAM = _transcript_oracle_sqls()
+
+
+def _q_kg_stream_parity(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured-Streaming/batch parity: incremental triple extraction
+    over the transcript fixture (file-source stream, one file per
+    micro-batch, availableNow trigger) must emit EXACTLY the batch turn
+    triples — strict-oracled by the same string-building SQL the batch
+    flagship uses.  Stateless narrow extraction is the streaming scale
+    path for continuously-arriving transcripts."""
+    import tempfile
+
+    from mopper_spark.streaming import (
+        stream_extract,
+        stream_transcripts,
+        write_stream,
+    )
+
+    root = tempfile.mkdtemp(prefix="kg_stream_parity_")
+    src_dir, out_dir, ck_dir = (os.path.join(root, d) for d in ("src", "out", "ck"))
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    # ts is unused by extraction; cast NTZ→LTZ only to match the stream
+    # reader's schema (output is ts-free, so TZ interpretation is moot)
+    tr.withColumn("ts", F.col("ts").cast("timestamp")).repartition(4).write.parquet(src_dir)
+    stream = stream_transcripts(spark, src_dir, max_files_per_trigger=1)
+    write_stream(stream_extract(stream), out_dir, ck_dir).awaitTermination()
+    return spark.read.parquet(out_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1062,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": _q_cc_components,
         "entity_linking_transcripts": _q_entity_linking_transcripts,
         "kg_graph_transcripts": _q_kg_graph_transcripts,
+        "kg_stream_parity": _q_kg_stream_parity,
     }
 
 
@@ -1092,6 +1122,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_components": _SQL_CC_COMPONENTS,
         "entity_linking_transcripts": _SQL_ENTITY_LINKING,
         "kg_graph_transcripts": _SQL_KG_GRAPH,
+        "kg_stream_parity": _SQL_KG_STREAM,
         "multimodal_wav_features": _SQL_MULTIMODAL_WAV,
         "multimodal_features": _SQL_MULTIMODAL_FEATURES,
         "similarity_topk_lsh": _SQL_SIMILARITY_TOPK,
