@@ -8,8 +8,11 @@ the common CSV-backed subset of the language
 
 - ``PREFIX pfx: <iri>``
 - ``SOURCE name <file-or-url>``
-- ``ITERATOR name csvperrow { FIELD f <column> ... }`` (csvperrow only —
-  the reference engine itself executes only CSV rows, lib.rs:129-137)
+- ``ITERATOR name csvperrow { FIELD f <column> ... }`` plus
+  ``<jsonpath: $.items[*]>`` / ``<xpath: /root/item>`` iterators over the
+  engine's JSON/XML source subsets (beyond the reference, whose engine
+  executes only CSV rows, lib.rs:129-137); FIELD paths must be flat keys
+  / attribute-or-child names — nested paths are named refusals
 - ``EXPRESSION name <source.iterator>`` and N-way
   ``<a.b UNION c.d [UNION …]>`` (each branch instantiates every shape
   that uses the expression — union-into-one-sink semantics)
@@ -61,8 +64,10 @@ class ShexmlTranslateError(ValueError):
 @dataclass
 class Iterator_:
     name: str
-    kind: str  # csvperrow
+    kind: str  # raw kind text ("csvperrow" | "jsonpath: …" | "xpath: …")
     fields: dict[str, str] = field(default_factory=dict)  # field name -> column
+    formulation: str = "CSVRows"  # CSVRows | JSONPath | XPath
+    query: str | None = None  # iterator expression for JSONPath/XPath
 
 
 @dataclass
@@ -173,11 +178,20 @@ def parse_shexml(text: str) -> ShexmlDoc:
             sources[m.group(1)] = m.group(2)
             continue
         if m := _ITER_RE.match(ln):
-            it = Iterator_(name=m.group(1), kind=m.group(2))
-            if it.kind != "csvperrow":
+            it = Iterator_(name=m.group(1), kind=m.group(2).strip())
+            if it.kind == "csvperrow":
+                it.formulation, it.query = "CSVRows", None
+            elif it.kind.startswith("jsonpath:"):
+                it.formulation = "JSONPath"
+                it.query = it.kind.split(":", 1)[1].strip()
+            elif it.kind.startswith("xpath:"):
+                it.formulation = "XPath"
+                it.query = it.kind.split(":", 1)[1].strip()
+            else:
                 raise ShexmlTranslateError(
-                    f"Iterator kind {it.kind!r} not supported (csvperrow only, "
-                    "matching the reference's CSVRows-only execution)"
+                    f"Iterator kind {it.kind!r} not supported (csvperrow, "
+                    "jsonpath: …, xpath: … — the formulations the engine's "
+                    "source layer executes)"
                 )
             while i < len(lines):
                 fl = lines[i]
@@ -189,7 +203,24 @@ def parse_shexml(text: str) -> ShexmlDoc:
                 fm = _FIELD_RE.match(fl)
                 if not fm:
                     raise ShexmlTranslateError(f"Bad FIELD line: {fl!r}")
-                it.fields[fm.group(1)] = fm.group(2)
+                col = fm.group(2)
+                if it.formulation == "JSONPath":
+                    # flat keys only: the iterated objects' fields become
+                    # columns; nested paths are a named refusal
+                    col = col.removeprefix("$.").removeprefix("$")
+                    if re.search(r"[.\[\]/]", col):
+                        raise ShexmlTranslateError(
+                            f"FIELD path {fm.group(2)!r} not supported "
+                            "(flat keys of the iterated object only)"
+                        )
+                elif it.formulation == "XPath":
+                    col = col.lstrip("./@")
+                    if re.search(r"[/\[\]]", col):
+                        raise ShexmlTranslateError(
+                            f"FIELD path {fm.group(2)!r} not supported "
+                            "(attributes and single child elements only)"
+                        )
+                it.fields[fm.group(1)] = col
             iterators[it.name] = it
             continue
         if m := _MATCHER_RE.match(ln):
@@ -488,8 +519,8 @@ def shexml_to_plan(text: str) -> dict:
                     "path": doc.sources[src_name],
                     "source_type": "File",
                     "root_iterator": {
-                        "reference": None,
-                        "reference_formulation": "CSVRows",
+                        "reference": it.query,
+                        "reference_formulation": it.formulation,
                         "fields": [],
                         "alias": None,
                     },

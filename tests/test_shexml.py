@@ -178,7 +178,9 @@ EXPRESSION films <f.rows>
 @pytest.mark.parametrize(
     "doc,msg",
     [
-        ("ITERATOR x <jsonpath: $.x> {\n}", "csvperrow only"),
+        ("ITERATOR x <sqlquery: SELECT 1> {\n}", "not supported"),
+        ("ITERATOR x <jsonpath: $.x> {\nFIELD a <$.nested.path>\n}", "flat keys"),
+        ("ITERATOR x <xpath: /r/i> {\nFIELD a <sub/element>\n}", "attributes and single child"),
         (
             "PREFIX : <http://e.com/>\nSOURCE s <a.csv>\n"
             "ITERATOR r csvperrow {\nFIELD id <id>\n}\n"
@@ -191,6 +193,67 @@ EXPRESSION films <f.rows>
 def test_shexml_unsupported_constructs(doc, msg):
     with pytest.raises(ShexmlTranslateError, match=msg):
         parse_shexml(doc)
+
+
+def test_shexml_json_source_end_to_end(spark, tmp_path):
+    """jsonpath iterators execute through the same JSON source subset the
+    RML front-end uses (beyond the reference's CSV-only engine)."""
+    doc = """
+PREFIX : <http://example.com/>
+SOURCE students_file <students.json>
+ITERATOR student_it <jsonpath: $.students[*]> {
+    FIELD id <id>
+    FIELD name <name>
+}
+EXPRESSION students <students_file.student_it>
+
+:Student :[students.id] {
+    :name [students.name] ;
+}
+"""
+    (tmp_path / "students.json").write_text(
+        '{"students": [{"id": 7, "name": "Ada L"}, {"id": 8, "name": "Grace H"}]}'
+    )
+    lines = normalize_statements(
+        run_plan_to_lines(
+            shexml_to_plan(doc), spark,
+            MopperOptions(working_dir_hint=str(tmp_path)),
+        )
+    )
+    assert lines == {
+        '<http://example.com/7> <http://example.com/name> "Ada L" .',
+        '<http://example.com/8> <http://example.com/name> "Grace H" .',
+    }
+
+
+def test_shexml_xml_source_end_to_end(spark, tmp_path):
+    doc = """
+PREFIX : <http://example.com/>
+SOURCE films_file <films.xml>
+ITERATOR film_it <xpath: /films/film> {
+    FIELD id <@id>
+    FIELD name <name>
+}
+EXPRESSION films <films_file.film_it>
+
+:Film :[films.id] {
+    :name [films.name] ;
+}
+"""
+    (tmp_path / "films.xml").write_text(
+        '<films><film id="1"><name>Dune</name></film>'
+        '<film id="2"><name>Arrival</name></film></films>'
+    )
+    lines = normalize_statements(
+        run_plan_to_lines(
+            shexml_to_plan(doc), spark,
+            MopperOptions(working_dir_hint=str(tmp_path)),
+        )
+    )
+    assert lines == {
+        '<http://example.com/1> <http://example.com/name> "Dune" .',
+        '<http://example.com/2> <http://example.com/name> "Arrival" .',
+    }
 
 
 MATCHER_DOC = """
