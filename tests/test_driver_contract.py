@@ -52,6 +52,18 @@ def test_entry_returns_dataframe(spark):
     assert df.columns and not df.isStreaming
 
 
+def test_every_query_has_a_strict_oracle():
+    """Round-2 invariant: NO rows-only checks remain — every queries()
+    entry has an oracle_sql() entry.  A new query without an oracle is a
+    deliberate decision, not an accident; remove it from this pin only
+    with a documented reason."""
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(queries) == set(oracles), sorted(
+        set(queries).symmetric_difference(oracles)
+    )
+
+
 @needs_testdata
 def test_events_sessionize_is_timezone_independent(spark):
     """Round-1 regression: the driver's harness session does not pin UTC,
