@@ -401,33 +401,16 @@ def _q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-#: where _q_dedup_simhash materializes (doc_id, sim) signatures so the
-#: DuckDB oracle can hamming-verify the banding join over the very same
-#: signatures (the crc32-based signature kernel itself is covered by unit
-#: tests; committed so the oracle also works if it runs before the query).
-_SIMHASH_SIG_FIXTURE = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "fixtures", "simhash_sigs.parquet"
-)
-
-
 def _q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs; 8×8-bit bands GUARANTEE recall at hamming ≤ 6
-    (pigeonhole), and the hamming filter is exact — so the all-pairs hamming
-    SQL over the materialized signatures is an equality oracle."""
-    from mopper_spark.textops.dedup import make_simhash_udf, simhash_near_dup_pairs
+    (pigeonhole) and the hamming filter is exact, so an all-pairs hamming
+    SQL is an equality oracle.  The signature itself is INDEPENDENTLY
+    recomputed in DuckDB — the gram hash is md5_number_lower on both
+    sides — so the oracle covers kernel, banding, and verification with
+    no shared artifacts."""
+    from mopper_spark.textops.dedup import simhash_near_dup_pairs
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    if os.path.basename(os.path.normpath(sf)) == "sf0.01":
-        # refresh the oracle's signature fixture (atomic replace; tiny —
-        # one int64 per doc at the correctness-gate scale)
-        sigs = docs.select(
-            F.col("doc_id").alias("id"), make_simhash_udf()(F.col("text")).alias("sim")
-        )
-        pdf = sigs.toPandas().sort_values("id").reset_index(drop=True)
-        os.makedirs(os.path.dirname(_SIMHASH_SIG_FIXTURE), exist_ok=True)
-        tmp = _SIMHASH_SIG_FIXTURE + ".tmp"
-        pdf.to_parquet(tmp, index=False)
-        os.replace(tmp, _SIMHASH_SIG_FIXTURE)
     return simhash_near_dup_pairs(docs, max_hamming=6)
 
 
@@ -474,11 +457,36 @@ WHERE len(list_intersect(a.sh, b.sh)) * 1.0
       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
 """
 
-_SQL_DEDUP_SIMHASH = f"""
-WITH s AS (SELECT id, sim FROM read_parquet('{_SIMHASH_SIG_FIXTURE}'))
+# Full independent SimHash oracle: the signature is recomputed from the
+# raw documents in SQL (md5_number_lower gram hash == the kernel's
+# little-endian lower-8-bytes-of-md5), then all pairs hamming-filtered.
+_SQL_DEDUP_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT id, unnest(CASE WHEN len(tk) >= 2
+      THEN [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]
+      ELSE tk END) AS g
+  FROM toks
+), bits AS (
+  SELECT id, b.b AS b,
+         SUM(CASE WHEN (md5_number_lower(g) >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM grams CROSS JOIN (SELECT unnest(range(64)) AS b) b
+  GROUP BY id, b.b
+), usig AS (
+  SELECT id, SUM(CASE WHEN acc > 0 THEN CAST(1::UBIGINT << b AS HUGEINT) ELSE 0::HUGEINT END) AS u
+  FROM bits GROUP BY id
+), sigs AS (
+  SELECT t.id,
+         COALESCE(CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                        THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT), 0) AS sim
+  FROM toks t LEFT JOIN usig s ON s.id = t.id
+)
 SELECT a.id AS id_a, b.id AS id_b,
        CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
-FROM s a JOIN s b ON a.id < b.id
+FROM sigs a JOIN sigs b ON a.id < b.id
 WHERE bit_count(xor(a.sim, b.sim)) <= 6
 """
 

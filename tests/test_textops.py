@@ -198,6 +198,58 @@ class TestDedupScaleGuards:
         assert (100, 101) in capped
         assert capped[(100, 101)] == uncapped[(100, 101)]
 
+    def test_simhash_signature_matches_duckdb(self, spark):
+        """The dedup_simhash oracle recomputes signatures in SQL; pin the
+        cross-engine agreement (md5_number_lower == little-endian lower 8
+        bytes of md5, bit votes, sign fold, int64 two's complement) on the
+        gate corpus including short/empty-ish docs."""
+        import duckdb
+
+        from mopper_spark.textops.dedup import make_simhash_udf
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        spark_sigs = {
+            r.id: r.sim
+            for r in docs.select(
+                F.col("doc_id").alias("id"),
+                make_simhash_udf()(F.col("text")).alias("sim"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.01/documents.parquet'"
+        )
+        sql_sigs = dict(
+            con.execute(
+                r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT id, unnest(CASE WHEN len(tk) >= 2
+      THEN [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]
+      ELSE tk END) AS g
+  FROM toks
+), bits AS (
+  SELECT id, b.b AS b,
+         SUM(CASE WHEN (md5_number_lower(g) >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM grams CROSS JOIN (SELECT unnest(range(64)) AS b) b
+  GROUP BY id, b.b
+), usig AS (
+  SELECT id, SUM(CASE WHEN acc > 0 THEN CAST(1::UBIGINT << b AS HUGEINT) ELSE 0::HUGEINT END) AS u
+  FROM bits GROUP BY id
+)
+SELECT t.id,
+       COALESCE(CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                      THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT), 0)
+FROM toks t LEFT JOIN usig s ON s.id = t.id
+"""
+            ).fetchall()
+        )
+        assert spark_sigs == sql_sigs
+
     def test_simhash_bucket_cap(self, spark):
         """All-identical docs collapse every band to one bucket; the cap
         must drop those degenerate buckets instead of emitting n² pairs."""
