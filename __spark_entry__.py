@@ -794,7 +794,13 @@ def _q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Window functions over event streams: 30-min-gap sessionization."""
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf}/events.parquet")
+    # Explicit read schema: ts is pinned TIMESTAMP_NTZ so the plan no longer
+    # depends on the session's inferTimestampNTZ setting (the parquet file is
+    # timestamp[us] with no zone; NTZ is its faithful reading).  The partial
+    # schema also prunes the scan to the three used columns.
+    ev = spark.read.schema("user_id long, event_id long, ts timestamp_ntz").parquet(
+        f"{sf}/events.parquet"
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Gap computed directly on the NTZ timestamp via timestampdiff, which
     # never consults the session timezone — boundaries are identical under
@@ -818,10 +824,18 @@ def _q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# The CAST(... AS BIGINT) on session_num is load-bearing: DuckDB's SUM over
+# integers returns HUGEINT (int128), which survives fetchall() as a Python
+# int but becomes float64 via fetchdf() ("1.0") and decimal128 via Arrow.
+# A gate that fetches oracle rows through pandas/Arrow therefore sees
+# "1.0" != "1" for every row — rows+schema match, hash fails — which is
+# exactly the r1/r2 events_sessionize signature (the only oracle whose
+# OUTPUT carried a bare integer SUM).  scripts/check_fetch_paths.py sweeps
+# all oracles for this class of divergence.
 _SQL_EVENTS_SESSIONIZE = """
 SELECT user_id, event_id,
-       SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END)
-         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_num,
+       CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_num,
        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_rank
 FROM (SELECT user_id, event_id, ts,
              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

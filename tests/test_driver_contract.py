@@ -65,6 +65,39 @@ def test_every_query_has_a_strict_oracle():
 
 
 @needs_testdata
+def test_oracle_fetch_path_parity():
+    """Round-2 root cause of the events_sessionize hash failure: DuckDB's
+    SUM over integers returns HUGEINT, which renders as a Python int via
+    fetchall() but float64 ("1.0") via fetchdf()/Arrow — so a gate that
+    fetches oracle rows through pandas hash-fails while rows+schema match.
+    Pin that every oracle's output renders identically under both fetch
+    paths (plain str(), the least forgiving recipe); a violation means an
+    oracle aggregate output needs an explicit CAST (BIGINT/DOUBLE)."""
+    import math
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    def render(rows):
+        return sorted(
+            "\x1f".join("NULL" if v is None else str(v) for v in r) for r in rows
+        )
+
+    divergent = []
+    for name, sql in entry_mod.oracle_sql().items():
+        native = con.execute(sql).fetchall()
+        df = con.execute(sql).fetchdf()
+        pandas_rows = [
+            tuple(None if (isinstance(v, float) and math.isnan(v)) else v for v in r)
+            for r in df.itertuples(index=False, name=None)
+        ]
+        if render(native) != render(pandas_rows):
+            divergent.append((name, {c: str(df[c].dtype) for c in df.columns}))
+    assert not divergent, divergent
+
+
+@needs_testdata
 def test_events_sessionize_is_timezone_independent(spark):
     """Round-1 regression: the driver's harness session does not pin UTC,
     so the sessionize plan must be TZ-free (timestampdiff on NTZ, never an
