@@ -16,6 +16,16 @@ the common CSV-backed subset of the language
 - ``EXPRESSION name <source.iterator>`` and N-way
   ``<a.b UNION c.d [UNION …]>`` (each branch instantiates every shape
   that uses the expression — union-into-one-sink semantics)
+- Iterator-level JOIN expressions
+  ``EXPRESSION name <a.b JOIN c.d ON key1=key2>``: the expression's rows
+  are the inner equi-join of iterator ``a.b`` (left) with ``c.d`` (right)
+  on the named FIELDs (bare or ``[src.]iterator.field``-qualified, either
+  operand order); shape field references resolve against the left
+  iterator first, then the right via the engine's alias-prefixed JoinOp —
+  the plan emitted is identical in shape to rml.py's RefObjectMap join
+  chain, and a JOIN document produces the same triples as the equivalent
+  RML mapping with ``rr:parentTriplesMap``/``rr:joinCondition``
+  (pinned by tests/test_shexml.py::test_join_expression_rml_equivalence)
 - Shapes: ``:Name pfx:[expr.field] { pfx:p [expr.field] ; … }`` with
   objects: ``[expr.field]`` (literal), ``pfx:[expr.field]`` (IRI
   template), ``"constant"`` / ``pfx:constant`` (constants),
@@ -39,8 +49,8 @@ the common CSV-backed subset of the language
   unimplemented literal annotations (``src/function/literal.rs:36-37``
   TODO).
 
-Unsupported constructs (expression-level JOIN, nested iterators, JSON/XML
-sources, shape links whose expressions read different rows) raise
+Unsupported constructs (nested iterators, UNION combined with JOIN,
+shape links whose expressions read different rows) raise
 ``ShexmlTranslateError`` with the construct named — same contract as the
 engine's explicit ``todo!()``-style refusals.
 
@@ -71,9 +81,29 @@ class Iterator_:
 
 
 @dataclass
+class JoinSpec:
+    """Iterator-level JOIN: ``<lsrc.lit JOIN rsrc.rit ON k1=k2>``.
+
+    Semantics (the RML RefObjectMap analogue, which is what the reference
+    executes for multi-source mappings): the expression's row set is the
+    inner equi-join of the left iterator's rows with the right iterator's
+    rows on ``left_key = right_key``; shape field references resolve against
+    the left iterator first, then the right (whose columns are
+    alias-prefixed through the engine's JoinOp, ``engine.py`` join path).
+    ON operands may be bare field names (resolved against both iterators;
+    ambiguity refused) or qualified ``[src.]iterator.field``."""
+
+    left: tuple[str, str]  # (source, iterator)
+    right: tuple[str, str]
+    left_key: str  # FIELD name on the left iterator
+    right_key: str  # FIELD name on the right iterator
+
+
+@dataclass
 class Expression:
     name: str
     branches: list[tuple[str, str]]  # (source name, iterator name)
+    join: JoinSpec | None = None
 
 
 @dataclass
@@ -121,6 +151,9 @@ _OBJ_PREF_FIELD_RE = re.compile(
     r"^(\w*):\[(\w+)\.(\w+)(?:\s+MATCHING\s+(\w+))?\]$"
 )
 _OBJ_LINK_RE = re.compile(r"^@:(\w+)$")
+_JOIN_RE = re.compile(
+    r"^(\w+)\.(\w+)\s+JOIN\s+(\w+)\.(\w+)\s+ON\s+([\w.]+)\s*=\s*([\w.]+)$"
+)
 _OBJ_LIT_RE = re.compile(r'^"([^"]*)"(?:\s*(?:@\w+|\^\^\S+))?$')
 _OBJ_CONST_RE = re.compile(r"^(\w*):(\w[\w\-.]*)$")
 #: one term of a string operation: a [expr.field] slot or a "literal"
@@ -154,6 +187,74 @@ def _split_plus(txt: str) -> list[str]:
             cur.append(ch)
     parts.append("".join(cur).strip())
     return parts
+
+
+def _parse_join(jm: re.Match, iterators: dict[str, Iterator_]) -> JoinSpec:
+    """Resolve a ``l.lit JOIN r.rit ON a=b`` match to a JoinSpec.
+
+    Each ON operand is a bare FIELD name or a qualified ``[src.]it.field``;
+    an operand must resolve to exactly one of the two joined iterators."""
+    left = (jm.group(1), jm.group(2))
+    right = (jm.group(3), jm.group(4))
+    for _, itn in (left, right):
+        if itn not in iterators:
+            raise ShexmlTranslateError(
+                f"JOIN references unknown ITERATOR {itn!r} (declare "
+                "iterators before the expression)"
+            )
+
+    def resolve(op: str) -> tuple[str, str]:
+        parts = op.split(".")
+        if len(parts) == 1:
+            fld = parts[0]
+            sides = [
+                side
+                for side, (_, itn) in (("left", left), ("right", right))
+                if fld in iterators[itn].fields
+            ]
+            if not sides:
+                raise ShexmlTranslateError(
+                    f"JOIN key {op!r} is not a FIELD of either joined iterator"
+                )
+            if len(sides) > 1:
+                raise ShexmlTranslateError(
+                    f"JOIN key {op!r} is a FIELD of both iterators — qualify "
+                    "it as iterator.field"
+                )
+            return sides[0], fld
+        if len(parts) == 2:
+            itn, fld = parts
+        elif len(parts) == 3:
+            srcn, itn, fld = parts
+            for side, (s, i) in (("left", left), ("right", right)):
+                if (s, i) == (srcn, itn):
+                    break
+            else:
+                raise ShexmlTranslateError(
+                    f"JOIN key {op!r} does not name a joined source.iterator"
+                )
+        else:
+            raise ShexmlTranslateError(f"Bad JOIN key {op!r}")
+        for side, (_, i) in (("left", left), ("right", right)):
+            if i == itn:
+                if fld not in iterators[itn].fields:
+                    raise ShexmlTranslateError(
+                        f"JOIN key {op!r}: no FIELD {fld!r} on iterator {itn!r}"
+                    )
+                return side, fld
+        raise ShexmlTranslateError(
+            f"JOIN key {op!r} does not name a joined iterator"
+        )
+
+    s1, f1 = resolve(jm.group(5))
+    s2, f2 = resolve(jm.group(6))
+    if {s1, s2} != {"left", "right"}:
+        raise ShexmlTranslateError(
+            "JOIN condition must relate one field of each iterator "
+            f"(got both on the {s1} side)"
+        )
+    lk, rk = (f1, f2) if s1 == "left" else (f2, f1)
+    return JoinSpec(left=left, right=right, left_key=lk, right_key=rk)
 
 
 def parse_shexml(text: str) -> ShexmlDoc:
@@ -239,7 +340,20 @@ def parse_shexml(text: str) -> ShexmlDoc:
             matchers[m.group(1)] = tuple(rules_)
             continue
         if m := _EXPR_RE.match(ln):
-            body = m.group(2)
+            name, body = m.group(1), m.group(2)
+            if jm := _JOIN_RE.match(body):
+                expressions[name] = Expression(
+                    name,
+                    branches=[(jm.group(1), jm.group(2))],
+                    join=_parse_join(jm, iterators),
+                )
+                continue
+            if " JOIN " in f" {body} ":
+                raise ShexmlTranslateError(
+                    f"Expression {body!r} not supported (JOIN form is "
+                    "'src.it JOIN src2.it2 ON key=key'; UNION cannot be "
+                    "combined with JOIN in this subset)"
+                )
             branches = []
             for part in re.split(r"\s+UNION\s+", body):
                 part = part.strip()
@@ -247,11 +361,11 @@ def parse_shexml(text: str) -> ShexmlDoc:
                 if not pm:
                     raise ShexmlTranslateError(
                         f"Expression {part!r} not supported (plain "
-                        "source.iterator and UNION only; JOIN is out of "
-                        "the subset)"
+                        "source.iterator, UNION, and iterator-level JOIN "
+                        "only)"
                     )
                 branches.append((pm.group(1), pm.group(2)))
-            expressions[m.group(1)] = Expression(m.group(1), branches)
+            expressions[name] = Expression(name, branches)
             continue
         if m := _SHAPE_RE.match(ln):
             pfx = m.group(2)
@@ -401,11 +515,153 @@ def _literal_fn(
     }
 
 
+class _UnionCtx:
+    """Row context for a plain/union branch: one iterator, one source chain."""
+
+    def __init__(self, doc: ShexmlDoc, src_name: str, it_name: str):
+        if src_name not in doc.sources:
+            raise ShexmlTranslateError(f"Unknown SOURCE {src_name!r}")
+        it = doc.iterators.get(it_name)
+        if it is None:
+            raise ShexmlTranslateError(f"Unknown ITERATOR {it_name!r}")
+        self.doc, self.src_name, self.it = doc, src_name, it
+        self.attrs: list[str] = []
+
+    def col_of(self, fld: str, where: str) -> str:
+        if fld not in self.it.fields:
+            raise ShexmlTranslateError(
+                f"Unknown FIELD {fld!r} in {where} (iterator {self.it.name})"
+            )
+        col = self.it.fields[fld]
+        self.attrs.append(col)
+        return col
+
+    def build_chain(self, pb: _PlanBuilder, upstream_of_extend):
+        src = pb.add(
+            "SourceOp",
+            _source_config(self.doc, self.src_name, self.it),
+            "Source",
+        )
+        proj = pb.add(
+            "ProjectOp",
+            {"projection_attributes": sorted(set(self.attrs))},
+            "Projection",
+        )
+        pb.connect(src, proj)
+        pb.connect(proj, upstream_of_extend)
+
+
+class _JoinCtx:
+    """Row context for an iterator-level JOIN expression: rows are the inner
+    equi-join of the left iterator with the right; field references resolve
+    left-first, then right via the engine's alias-prefixed JoinOp columns —
+    the plan produced is identical in shape to rml.py's RefObjectMap chain
+    (child proj + parent proj → JoinOp → Extend)."""
+
+    def __init__(self, doc: ShexmlDoc, join: JoinSpec, alias: str):
+        self.doc, self.join, self.alias = doc, join, alias
+        for src_name, _ in (join.left, join.right):
+            if src_name not in doc.sources:
+                raise ShexmlTranslateError(f"Unknown SOURCE {src_name!r}")
+        self.lit = doc.iterators[join.left[1]]
+        self.rit = doc.iterators[join.right[1]]
+        self.left_attrs: list[str] = []
+        self.right_attrs: list[str] = []
+
+    def col_of(self, fld: str, where: str) -> str:
+        in_left = fld in self.lit.fields
+        in_right = fld in self.rit.fields
+        if in_left and in_right:
+            raise ShexmlTranslateError(
+                f"FIELD {fld!r} in {where} exists on both joined iterators "
+                f"({self.lit.name}, {self.rit.name}) — rename one FIELD to "
+                "disambiguate"
+            )
+        if in_left:
+            col = self.lit.fields[fld]
+            self.left_attrs.append(col)
+            return col
+        if in_right:
+            col = self.rit.fields[fld]
+            self.right_attrs.append(col)
+            return f"{self.alias}_{col}"
+        raise ShexmlTranslateError(
+            f"Unknown FIELD {fld!r} in {where} (joined iterators "
+            f"{self.lit.name}, {self.rit.name})"
+        )
+
+    def build_chain(self, pb: _PlanBuilder, upstream_of_extend):
+        lk = self.lit.fields[self.join.left_key]
+        rk = self.rit.fields[self.join.right_key]
+        self.left_attrs.append(lk)
+        self.right_attrs.append(rk)
+        left_src = pb.add(
+            "SourceOp",
+            _source_config(self.doc, self.join.left[0], self.lit),
+            "Source",
+        )
+        left_proj = pb.add(
+            "ProjectOp",
+            {"projection_attributes": sorted(set(self.left_attrs))},
+            "Projection",
+        )
+        right_src = pb.add(
+            "SourceOp",
+            _source_config(self.doc, self.join.right[0], self.rit),
+            "Source",
+        )
+        right_proj = pb.add(
+            "ProjectOp",
+            {"projection_attributes": sorted(set(self.right_attrs))},
+            "Projection",
+        )
+        join = pb.add(
+            "JoinOp",
+            {
+                "left_right_attr_pairs": [[lk, rk]],
+                "join_type": "InnerJoin",
+                "predicate_type": "Equal",
+                "join_alias": self.alias,
+            },
+            "Join",
+        )
+        pb.connect(left_src, left_proj)
+        pb.connect(right_src, right_proj)
+        # left/child edge FIRST (src/lib.rs:197-202 edge-order contract)
+        pb.connect(left_proj, join, self.alias)
+        pb.connect(right_proj, join, self.alias)
+        pb.connect(join, upstream_of_extend)
+
+
+def _source_config(doc: ShexmlDoc, src_name: str, it: Iterator_) -> dict:
+    return {
+        "path": doc.sources[src_name],
+        "source_type": "File",
+        "root_iterator": {
+            "reference": it.query,
+            "reference_formulation": it.formulation,
+            "fields": [],
+            "alias": None,
+        },
+    }
+
+
+def _same_rows(a: Expression, b: Expression) -> bool:
+    """Do two expressions read the same underlying rows (so a shape link
+    between them is a same-row reference, not a cross-row join)?"""
+    if (a.join is None) != (b.join is None):
+        return False
+    if a.join is not None:
+        return a.join == b.join
+    return sorted(a.branches) == sorted(b.branches)
+
+
 def shexml_to_plan(text: str) -> dict:
     """Translate a ShExML document to an executable plan dict."""
     doc = parse_shexml(text)
     pb = _PlanBuilder()
     shapes_by_name = {s.name: s for s in doc.shapes}
+    join_n = 0
 
     for shape in doc.shapes:
         expr = doc.expressions.get(shape.subject_expr)
@@ -414,20 +670,18 @@ def shexml_to_plan(text: str) -> dict:
                 f"Shape :{shape.name} references unknown expression "
                 f"{shape.subject_expr!r}"
             )
-        # one chain per union branch (union-into-sink semantics)
-        for src_name, it_name in expr.branches:
-            if src_name not in doc.sources:
-                raise ShexmlTranslateError(f"Unknown SOURCE {src_name!r}")
-            it = doc.iterators.get(it_name)
-            if it is None:
-                raise ShexmlTranslateError(f"Unknown ITERATOR {it_name!r}")
-
-            def col_of(fld: str, where: str) -> str:
-                if fld not in it.fields:
-                    raise ShexmlTranslateError(
-                        f"Unknown FIELD {fld!r} in {where} (iterator {it.name})"
-                    )
-                return it.fields[fld]
+        # one chain per union branch (union-into-sink semantics); a JOIN
+        # expression is a single branch whose rows are the joined rows
+        if expr.join is not None:
+            contexts = [_JoinCtx(doc, expr.join, f"sxjoin_{join_n}")]
+            join_n += 1
+        else:
+            contexts = [
+                _UnionCtx(doc, src_name, it_name)
+                for src_name, it_name in expr.branches
+            ]
+        for ctx in contexts:
+            col_of = ctx.col_of
 
             extend: dict[str, dict] = {}
             subj_var = f"?sx_{shape.name}_sm"
@@ -436,7 +690,6 @@ def shexml_to_plan(text: str) -> dict:
                 doc, shape.subject_prefix, subj_col, shape.subject_matcher
             )
             lines: list[str] = []
-            attrs = [subj_col]
 
             for pi, (predicate, obj) in enumerate(shape.poms):
                 p_var = f"?sx_{shape.name}_p{pi}"
@@ -452,32 +705,27 @@ def shexml_to_plan(text: str) -> dict:
                             f"Shape link @:{obj.link} has no target shape"
                         )
                     target_expr = doc.expressions.get(target.subject_expr)
-                    if target_expr is None or sorted(target_expr.branches) != sorted(
-                        expr.branches
-                    ):
+                    if target_expr is None or not _same_rows(target_expr, expr):
                         raise ShexmlTranslateError(
                             f"Shape link @:{obj.link} crosses expressions over "
                             f"different rows ({shape.subject_expr!r} → "
                             f"{target.subject_expr!r}); links are supported when "
                             "both expressions resolve to the same "
-                            "(source, iterator) branches — the RML same-source "
-                            "RefObjectMap analogue"
+                            "(source, iterator) branches or the same JOIN — "
+                            "the RML same-source RefObjectMap analogue"
                         )
                     link_col = col_of(target.subject_field, f"@:{obj.link}")
                     o_fn = _iri_fn(
                         doc, target.subject_prefix, link_col, target.subject_matcher
                     )
-                    attrs.append(link_col)
                 elif obj.kind == "iri":
                     o_fn = _iri_fn(
                         doc, obj.prefix_iri, col_of(obj.fld, predicate), obj.matcher
                     )
-                    attrs.append(col_of(obj.fld, predicate))
                 elif obj.kind == "literal":
                     o_fn = _literal_fn(
                         doc, col_of(obj.fld, predicate), obj.matcher, obj.lang
                     )
-                    attrs.append(col_of(obj.fld, predicate))
                 elif obj.kind == "concat":
                     inners = []
                     for part in obj.parts:
@@ -487,7 +735,6 @@ def shexml_to_plan(text: str) -> dict:
                             _, _pexpr, pfld, pmatcher = part
                             pcol = col_of(pfld, predicate)
                             inners.append(_ref_fn(doc, pcol, pmatcher))
-                            attrs.append(pcol)
                     o_fn = {
                         "type": "Literal",
                         "inner_function": {
@@ -513,23 +760,6 @@ def shexml_to_plan(text: str) -> dict:
 
             if not lines:
                 continue
-            src = pb.add(
-                "SourceOp",
-                {
-                    "path": doc.sources[src_name],
-                    "source_type": "File",
-                    "root_iterator": {
-                        "reference": it.query,
-                        "reference_formulation": it.formulation,
-                        "fields": [],
-                        "alias": None,
-                    },
-                },
-                "Source",
-            )
-            proj = pb.add(
-                "ProjectOp", {"projection_attributes": sorted(set(attrs))}, "Projection"
-            )
             ext = pb.add("ExtendOp", extend, "Extend")
             ser = pb.add(
                 "SerializerOp",
@@ -539,8 +769,7 @@ def shexml_to_plan(text: str) -> dict:
             sink = pb.add(
                 "TargetOp", {"target_type": "StdOut", "data_format": "NQuads"}, "Sink"
             )
-            pb.connect(src, proj)
-            pb.connect(proj, ext)
+            ctx.build_chain(pb, ext)
             pb.connect(ext, ser)
             pb.connect(ser, sink)
 
