@@ -11,8 +11,12 @@ the common CSV-backed subset of the language
 - ``ITERATOR name csvperrow { FIELD f <column> ... }`` plus
   ``<jsonpath: $.items[*]>`` / ``<xpath: /root/item>`` iterators over the
   engine's JSON/XML source subsets (beyond the reference, whose engine
-  executes only CSV rows, lib.rs:129-137); FIELD paths must be flat keys
-  / attribute-or-child names — nested paths are named refusals
+  executes only CSV rows, lib.rs:129-137).  JSON FIELD paths may be
+  nested dotted keys (``a.b.c``); XML FIELD paths may be ``@attr``,
+  ``child``, ``child/sub`` or ``child/@attr``.  Declared FIELDs ride into
+  the source config, so JSON/XML sources build exactly the declared
+  columns in one pass (no key-discovery job — sources.py fast path);
+  filters, wildcards, predicates and descendant axes stay named refusals
 - ``EXPRESSION name <source.iterator>`` and N-way
   ``<a.b UNION c.d [UNION …]>`` (each branch instantiates every shape
   that uses the expression — union-into-one-sink semantics)
@@ -30,10 +34,14 @@ the common CSV-backed subset of the language
   objects: ``[expr.field]`` (literal), ``pfx:[expr.field]`` (IRI
   template), ``"constant"`` / ``pfx:constant`` (constants),
   ``@:OtherShape`` (shape link: the object is the linked shape's subject
-  built from the SAME row — supported when both shapes read the same
-  underlying rows, i.e. their expressions resolve to the same
-  (source, iterator) branch set; the analogue of the RML same-source
-  RefObjectMap).
+  built from the SAME row when both shapes read the same underlying rows
+  — same (source, iterator) branch set or the same JOIN, the analogue of
+  the RML same-source RefObjectMap.  A link across expressions reading
+  DIFFERENT rows uses template-reuse semantics: the target's subject
+  template is applied to the current row, so its subject FIELD name must
+  resolve on this iterator — the RML re-templating idiom, which emits
+  dangling IRIs when referential integrity doesn't hold; for
+  join-filtered links, put both shapes on one JOIN expression).
 - ``MATCHER name <v1, v2 AS Canonical & v3 AS Other>`` declarations and
   ``[expr.field MATCHING name]`` usage (spec §Matchers): values equal to a
   listed variant are replaced by that rule's canonical form, others pass
@@ -75,9 +83,19 @@ class ShexmlTranslateError(ValueError):
 class Iterator_:
     name: str
     kind: str  # raw kind text ("csvperrow" | "jsonpath: …" | "xpath: …")
-    fields: dict[str, str] = field(default_factory=dict)  # field name -> column
+    fields: dict[str, str] = field(default_factory=dict)  # field name -> path
     formulation: str = "CSVRows"  # CSVRows | JSONPath | XPath
     query: str | None = None  # iterator expression for JSONPath/XPath
+
+    def column(self, fld: str) -> str:
+        """Engine-visible column name for a FIELD.  JSON/XML sources run
+        in declared-field mode (sources.py fast path): output columns are
+        named by the FIELD itself, with the possibly-nested path carried
+        in the source config.  CSV keeps raw header names (reference
+        model, csv_file.rs:74-98)."""
+        if self.formulation in ("JSONPath", "XPath"):
+            return fld
+        return self.fields[fld]
 
 
 @dataclass
@@ -306,20 +324,31 @@ def parse_shexml(text: str) -> ShexmlDoc:
                     raise ShexmlTranslateError(f"Bad FIELD line: {fl!r}")
                 col = fm.group(2)
                 if it.formulation == "JSONPath":
-                    # flat keys only: the iterated objects' fields become
-                    # columns; nested paths are a named refusal
+                    # dotted (possibly nested) keys of the iterated object;
+                    # filters/wildcards/recursive descent are refusals
                     col = col.removeprefix("$.").removeprefix("$")
-                    if re.search(r"[.\[\]/]", col):
+                    # empty segments also catch recursive descent ($..y)
+                    if re.search(r"[\[\]/]", col) or not all(col.split(".")):
                         raise ShexmlTranslateError(
                             f"FIELD path {fm.group(2)!r} not supported "
-                            "(flat keys of the iterated object only)"
+                            "(dotted keys of the iterated object only, "
+                            "e.g. a.b.c — no filters or wildcards)"
                         )
                 elif it.formulation == "XPath":
-                    col = col.lstrip("./@")
-                    if re.search(r"[/\[\]]", col):
+                    # @attr, child, child/sub, child/@attr paths relative
+                    # to the iterated element; predicates and descendant
+                    # axes are refusals
+                    col = col.removeprefix("./")
+                    # empty path segments also catch descendant axes (.//x)
+                    if (
+                        re.search(r"[\[\]]", col)
+                        or not col.strip("/@")
+                        or not all(col.split("/"))
+                    ):
                         raise ShexmlTranslateError(
                             f"FIELD path {fm.group(2)!r} not supported "
-                            "(attributes and single child elements only)"
+                            "(@attr and child[/sub][/@attr] element paths "
+                            "only — no predicates or descendant axes)"
                         )
                 it.fields[fm.group(1)] = col
             iterators[it.name] = it
@@ -532,7 +561,7 @@ class _UnionCtx:
             raise ShexmlTranslateError(
                 f"Unknown FIELD {fld!r} in {where} (iterator {self.it.name})"
             )
-        col = self.it.fields[fld]
+        col = self.it.column(fld)
         self.attrs.append(col)
         return col
 
@@ -578,11 +607,11 @@ class _JoinCtx:
                 "disambiguate"
             )
         if in_left:
-            col = self.lit.fields[fld]
+            col = self.lit.column(fld)
             self.left_attrs.append(col)
             return col
         if in_right:
-            col = self.rit.fields[fld]
+            col = self.rit.column(fld)
             self.right_attrs.append(col)
             return f"{self.alias}_{col}"
         raise ShexmlTranslateError(
@@ -591,8 +620,8 @@ class _JoinCtx:
         )
 
     def build_chain(self, pb: _PlanBuilder, upstream_of_extend):
-        lk = self.lit.fields[self.join.left_key]
-        rk = self.rit.fields[self.join.right_key]
+        lk = self.lit.column(self.join.left_key)
+        rk = self.rit.column(self.join.right_key)
         self.left_attrs.append(lk)
         self.right_attrs.append(rk)
         left_src = pb.add(
@@ -634,13 +663,19 @@ class _JoinCtx:
 
 
 def _source_config(doc: ShexmlDoc, src_name: str, it: Iterator_) -> dict:
+    # JSON/XML iterators ship their FIELD declarations into the source
+    # config: sources.py builds the columns straight from the declared
+    # (possibly nested) paths — no key-discovery pass, fixed schema
+    fields: list = []
+    if it.formulation in ("JSONPath", "XPath"):
+        fields = [{"name": n, "path": p} for n, p in it.fields.items()]
     return {
         "path": doc.sources[src_name],
         "source_type": "File",
         "root_iterator": {
             "reference": it.query,
             "reference_formulation": it.formulation,
-            "fields": [],
+            "fields": fields,
             "alias": None,
         },
     }
@@ -705,16 +740,35 @@ def shexml_to_plan(text: str) -> dict:
                             f"Shape link @:{obj.link} has no target shape"
                         )
                     target_expr = doc.expressions.get(target.subject_expr)
-                    if target_expr is None or not _same_rows(target_expr, expr):
+                    if target_expr is None:
+                        raise ShexmlTranslateError(
+                            f"Shape link @:{obj.link}: target shape references "
+                            f"unknown expression {target.subject_expr!r}"
+                        )
+                    # Same-row link (same branches / same JOIN): the RML
+                    # same-source RefObjectMap analogue.  Cross-row link:
+                    # template-reuse semantics — the target's subject
+                    # template is applied to the CURRENT row, so the
+                    # target's subject FIELD name must resolve here (the
+                    # RML re-templating idiom; emits dangling IRIs when
+                    # referential integrity doesn't hold, exactly like an
+                    # RML template object map).  For join-filtered links,
+                    # put both shapes on one JOIN expression.
+                    try:
+                        link_col = col_of(target.subject_field, f"@:{obj.link}")
+                    except ShexmlTranslateError:
+                        if _same_rows(target_expr, expr):
+                            raise
                         raise ShexmlTranslateError(
                             f"Shape link @:{obj.link} crosses expressions over "
                             f"different rows ({shape.subject_expr!r} → "
-                            f"{target.subject_expr!r}); links are supported when "
-                            "both expressions resolve to the same "
-                            "(source, iterator) branches or the same JOIN — "
-                            "the RML same-source RefObjectMap analogue"
-                        )
-                    link_col = col_of(target.subject_field, f"@:{obj.link}")
+                            f"{target.subject_expr!r}) and the target subject "
+                            f"FIELD {target.subject_field!r} does not resolve "
+                            "on the current rows; cross-row links are "
+                            "template-reuse (target subject template over the "
+                            "current row) — declare the field on this "
+                            "iterator, or join the rows with a JOIN expression"
+                        ) from None
                     o_fn = _iri_fn(
                         doc, target.subject_prefix, link_col, target.subject_matcher
                     )

@@ -53,15 +53,54 @@ def _all_string(df: DataFrame) -> DataFrame:
     )
 
 
-def _json_iterate(spark: SparkSession, path: str, iterator: str | None) -> DataFrame:
+def _stringify(expr, dt):
+    if isinstance(dt, (StructType, ArrayType, MapType)):
+        return F.to_json(expr)
+    return expr.cast("string")
+
+
+def _nested_string_col(schema: StructType, path: str, source: str):
+    """Resolve a dotted nested field path (``a.b.c``) against a struct
+    schema to a string-typed Column.  A segment absent from the static
+    schema binds ``''`` with a warning — the reference's missing-column
+    contract (csv_file.rs:84-87) extended to nested paths."""
+    segs = path.split(".")
+    if segs[0] not in schema.names:
+        log.warning("Source %s: field path %r missing; binding ''", source, path)
+        return F.lit("")
+    expr = F.col(segs[0])
+    dt = schema[segs[0]].dataType
+    for seg in segs[1:]:
+        if not (isinstance(dt, StructType) and seg in dt.names):
+            log.warning(
+                "Source %s: field path %r missing at %r; binding ''",
+                source, path, seg,
+            )
+            return F.lit("")
+        expr = expr.getField(seg)
+        dt = dt[seg].dataType
+    return _stringify(expr, dt)
+
+
+def _json_iterate(
+    spark: SparkSession,
+    path: str,
+    iterator: str | None,
+    fields: list[dict] | None = None,
+) -> DataFrame:
     """Apply a JSONPath-subset iterator to a JSON document.
 
     Supported iterator shapes (the ones RML mappings use in practice):
     ``$.a.b[*]`` (descend fields, iterate the final array), ``$.a.b``
     (single object), ``$`` / empty (document root; a top-level JSON array
     iterates naturally via Spark's reader).  Anything else raises.
-    Fields of each iterated object become string-typed columns; nested
-    structs stay JSON-encoded strings (reference model: all strings).
+
+    Without declared ``fields``, the iterated objects' top-level keys
+    become string-typed columns (nested structs stay JSON-encoded
+    strings — reference model: all strings).  With declared fields
+    (``[{"name": …, "path": "a.b.c"}]``, the ShExML FIELD fast path) each
+    output column is built directly from its dotted path — nested fields
+    resolve natively and no schema-wide stringification happens.
     """
     df = spark.read.option("multiLine", "true").json(path)
     steps = (iterator or "$").strip()
@@ -80,28 +119,60 @@ def _json_iterate(spark: SparkSession, path: str, iterator: str | None) -> DataF
         df = df.select("_it.*") if isinstance(
             df.schema["_it"].dataType, StructType
         ) else df.withColumnRenamed("_it", name)
+    if fields:
+        return df.select(
+            [
+                _nested_string_col(df.schema, f["path"], path).alias(f["name"])
+                for f in fields
+            ]
+        )
     return df.select(
-        [
-            (
-                F.to_json(c).alias(c.name)
-                if isinstance(c.dataType, (StructType, ArrayType, MapType))
-                else F.col(c.name).cast("string").alias(c.name)
-            )
-            for c in df.schema.fields
-        ]
+        [_stringify(F.col(c.name), c.dataType).alias(c.name) for c in df.schema.fields]
     )
 
 
-def _xml_iterate(spark: SparkSession, path: str, iterator: str | None) -> DataFrame:
+def _xml_field_value(el, path: str) -> str:
+    """Evaluate an XPath-subset field path against an element: ``@attr``,
+    ``child``, ``child/sub``, ``child/@attr`` (first match; missing → '').
+    A bare name prefers a child element's text over a same-named attribute
+    (mirroring discovery mode, where child tags override attributes)."""
+    if path.startswith("@"):
+        return el.attrib.get(path[1:], "")
+    if "/" in path:
+        head, last = path.rsplit("/", 1)
+        if last.startswith("@"):
+            sub = el.find(head)
+            return "" if sub is None else sub.attrib.get(last[1:], "")
+        sub = el.find(path)
+        return "" if sub is None else (sub.text or "")
+    sub = el.find(path)
+    if sub is not None:
+        return sub.text or ""
+    return el.attrib.get(path, "")
+
+
+def _xml_iterate(
+    spark: SparkSession,
+    path: str,
+    iterator: str | None,
+    fields: list[dict] | None = None,
+) -> DataFrame:
     """Apply an XPath-subset iterator to XML files (beyond reference
     parity — its README lists XML as roadmap-only).
 
     Subset: ``/root/child/item`` absolute element paths (ElementTree
     ``./child/item`` relative to the document root).  Each matched element
-    becomes a row; its attributes and single-valued child-element texts
-    become string columns.  Files are read whole (one XML document per
-    file) and parsed in Arrow batches via ``mapInPandas`` — the documents
-    move straight from storage to executors, never through the driver.
+    becomes a row.  Files are read whole (one XML document per file) and
+    parsed in Arrow batches via ``mapInPandas`` — the documents move
+    straight from storage to executors, never through the driver.
+
+    Without declared ``fields``, each row's columns are discovered from
+    the data: attributes and single-valued child-element texts, with a
+    distinct-map-keys pass to fix the schema (one extra job, and at scale
+    a full corpus pass).  With declared fields
+    (``[{"name": …, "path": "a/b" | "@attr" | "a/@attr"}]``, the ShExML
+    FIELD fast path) the output schema is fixed up front and the parse is
+    a single pass — no discovery job, no persist.
     """
     steps = (iterator or "/").strip()
     if not re.fullmatch(r"/?(\w+(/\w+)*)?", steps):
@@ -116,23 +187,45 @@ def _xml_iterate(spark: SparkSession, path: str, iterator: str | None) -> DataFr
 
     docs = spark.read.text(path, wholetext=True)
 
-    def parse(batches):
+    def matched_elements(pdf):
         import xml.etree.ElementTree as ET
 
+        for doc in pdf["value"]:
+            root = ET.fromstring(doc)
+            if root_tag is not None and root.tag != root_tag:
+                continue  # path's first step must be the document root
+            yield from (root.iterfind(rel) if rel != "." else [root])
+
+    if fields:
+        names = [f["name"] for f in fields]
+        paths = [f["path"] for f in fields]
+
+        def parse_declared(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                rows = [
+                    tuple(_xml_field_value(el, p) for p in paths)
+                    for el in matched_elements(pdf)
+                ]
+                yield pd.DataFrame(rows, columns=names).astype("string")
+
+        return docs.mapInPandas(
+            parse_declared,
+            schema=StructType([StructField(n, StringType()) for n in names]),
+        )
+
+    def parse(batches):
         import pandas as pd
 
         for pdf in batches:
             rows = []
-            for doc in pdf["value"]:
-                root = ET.fromstring(doc)
-                if root_tag is not None and root.tag != root_tag:
-                    continue  # path's first step must be the document root
-                for el in root.iterfind(rel) if rel != "." else [root]:
-                    row = dict(el.attrib)
-                    for child in el:
-                        if len(child) == 0:
-                            row[child.tag] = child.text or ""
-                    rows.append(row)
+            for el in matched_elements(pdf):
+                row = dict(el.attrib)
+                for child in el:
+                    if len(child) == 0:
+                        row[child.tag] = child.text or ""
+                rows.append(row)
             yield pd.DataFrame({"kv": rows})
 
     kv = docs.mapInPandas(
@@ -157,6 +250,14 @@ def resolve_source(
     path = config.get("path", "")
     it = config.get("root_iterator") or {}
     ref_form = it.get("reference_formulation", "CSVRows")
+    # declared-field fast path (ShExML FIELD declarations): only
+    # {name, path} dict entries count — AlgeMapLoom plans carry other
+    # shapes in root_iterator.fields, which stay on the discovery path
+    decl_fields = [
+        f
+        for f in (it.get("fields") or [])
+        if isinstance(f, dict) and "name" in f and "path" in f
+    ] or None
 
     df: DataFrame | None = None
     if registry is not None:
@@ -181,9 +282,9 @@ def resolve_source(
                 # beyond reference parity (its README lists JSON as
                 # roadmap-only): iterate a JSON document with a simple
                 # JSONPath subset — `$`, dotted fields, trailing `[*]`
-                df = _json_iterate(spark, resolved, it.get("reference"))
+                df = _json_iterate(spark, resolved, it.get("reference"), decl_fields)
             elif ref_form == "XPath":
-                df = _xml_iterate(spark, resolved, it.get("reference"))
+                df = _xml_iterate(spark, resolved, it.get("reference"), decl_fields)
             else:
                 raise NotImplementedError(
                     f"Reference formulation {ref_form!r} not supported "

@@ -179,8 +179,10 @@ EXPRESSION films <f.rows>
     "doc,msg",
     [
         ("ITERATOR x <sqlquery: SELECT 1> {\n}", "not supported"),
-        ("ITERATOR x <jsonpath: $.x> {\nFIELD a <$.nested.path>\n}", "flat keys"),
-        ("ITERATOR x <xpath: /r/i> {\nFIELD a <sub/element>\n}", "attributes and single child"),
+        ("ITERATOR x <jsonpath: $.x> {\nFIELD a <$.items[0].y>\n}", "no filters"),
+        ("ITERATOR x <jsonpath: $.x> {\nFIELD a <$..y>\n}", "no filters"),
+        ("ITERATOR x <xpath: /r/i> {\nFIELD a <sub[1]>\n}", "no predicates"),
+        ("ITERATOR x <xpath: /r/i> {\nFIELD a <.//deep>\n}", "no predicates"),
         (
             "PREFIX : <http://e.com/>\nSOURCE s <a.csv>\n"
             "ITERATOR r csvperrow {\nFIELD id <id>\n}\n"
@@ -401,7 +403,11 @@ EXPRESSION films <f.it>
     assert '<http://example.com/1> <http://example.com/name> "Inception"@en .' in tagged
 
 
-def test_shexml_shape_link_different_rows_refused(spark):
+def test_shexml_shape_link_cross_rows_template_reuse(spark):
+    """A link across expressions reading different rows uses template-reuse
+    semantics: the target's subject template applied to the CURRENT row
+    (the RML re-templating idiom) — requires the target's subject FIELD
+    name to resolve on this iterator."""
     doc = """
 PREFIX : <http://example.com/>
 SOURCE a_file <a.csv>
@@ -416,6 +422,48 @@ EXPRESSION eb <b_file.it>
     :linked @:B ;
 }
 :B :[eb.id] {
+    :x "y" ;
+}
+"""
+    reg = _registry(
+        spark,
+        {
+            "a.csv": ([("a1",), ("b9",)], "id string"),
+            "b.csv": ([("b9",)], "id string"),
+        },
+    )
+    lines = normalize_statements(
+        run_plan_to_lines(shexml_to_plan(doc), spark, MopperOptions(), reg)
+    )
+    # every a-row emits a link built from ITS OWN id — including the
+    # dangling a1 (no b-row), exactly like an RML template object map
+    assert lines == {
+        "<http://example.com/a1> <http://example.com/linked> "
+        "<http://example.com/a1> .",
+        "<http://example.com/b9> <http://example.com/linked> "
+        "<http://example.com/b9> .",
+        '<http://example.com/b9> <http://example.com/x> "y" .',
+    }
+
+
+def test_shexml_shape_link_cross_rows_unresolvable_refused(spark):
+    doc = """
+PREFIX : <http://example.com/>
+SOURCE a_file <a.csv>
+SOURCE b_file <b.csv>
+ITERATOR a_it csvperrow {
+    FIELD id <id>
+}
+ITERATOR b_it csvperrow {
+    FIELD code <code>
+}
+EXPRESSION ea <a_file.a_it>
+EXPRESSION eb <b_file.b_it>
+
+:A :[ea.id] {
+    :linked @:B ;
+}
+:B :[eb.code] {
     :x "y" ;
 }
 """
@@ -638,3 +686,117 @@ EXPRESSION e <a_f.a_it JOIN b_f.b_it ON a_it.k=b_it.k>
 """
     with pytest.raises(ShexmlTranslateError, match="both joined iterators"):
         shexml_to_plan(doc)
+
+
+def test_shexml_json_nested_field_paths(spark, tmp_path):
+    """Nested dotted FIELD paths resolve inside the iterated objects
+    (r2 VERDICT item #3 — previously a named refusal)."""
+    doc = """
+PREFIX : <http://example.com/>
+SOURCE people_file <people.json>
+ITERATOR person_it <jsonpath: $.people[*]> {
+    FIELD id <id>
+    FIELD city <address.city>
+    FIELD zip <address.geo.zip>
+}
+EXPRESSION people <people_file.person_it>
+
+:Person :[people.id] {
+    :city [people.city] ;
+    :zip [people.zip] ;
+}
+"""
+    (tmp_path / "people.json").write_text(
+        '{"people": ['
+        '{"id": 1, "address": {"city": "Gent", "geo": {"zip": "9000"}}},'
+        '{"id": 2, "address": {"city": "Oslo", "geo": {"zip": "0150"}}}]}'
+    )
+    lines = normalize_statements(
+        run_plan_to_lines(
+            shexml_to_plan(doc), spark, MopperOptions(working_dir_hint=str(tmp_path))
+        )
+    )
+    assert lines == {
+        '<http://example.com/1> <http://example.com/city> "Gent" .',
+        '<http://example.com/1> <http://example.com/zip> "9000" .',
+        '<http://example.com/2> <http://example.com/city> "Oslo" .',
+        '<http://example.com/2> <http://example.com/zip> "0150" .',
+    }
+
+
+def test_shexml_xml_nested_field_paths(spark, tmp_path):
+    """child/sub and child/@attr XML FIELD paths (previously refusals)."""
+    doc = """
+PREFIX : <http://example.com/>
+SOURCE films_file <films.xml>
+ITERATOR film_it <xpath: /films/film> {
+    FIELD id <@id>
+    FIELD director <crew/director>
+    FIELD lang <meta/@lang>
+}
+EXPRESSION films <films_file.film_it>
+
+:Film :[films.id] {
+    :director [films.director] ;
+    :lang [films.lang] ;
+}
+"""
+    (tmp_path / "films.xml").write_text(
+        '<films>'
+        '<film id="1"><crew><director>Villeneuve</director></crew>'
+        '<meta lang="en"/></film>'
+        '<film id="2"><crew><director>Nolan</director></crew>'
+        '<meta lang="fr"/></film>'
+        '</films>'
+    )
+    lines = normalize_statements(
+        run_plan_to_lines(
+            shexml_to_plan(doc), spark, MopperOptions(working_dir_hint=str(tmp_path))
+        )
+    )
+    assert lines == {
+        '<http://example.com/1> <http://example.com/director> "Villeneuve" .',
+        '<http://example.com/1> <http://example.com/lang> "en" .',
+        '<http://example.com/2> <http://example.com/director> "Nolan" .',
+        '<http://example.com/2> <http://example.com/lang> "fr" .',
+    }
+
+
+def test_declared_fields_skip_discovery_job(spark, tmp_path):
+    """r2 VERDICT item #6: with declared FIELDs the XML source builds its
+    schema up front — resolving the source must launch NO Spark job (the
+    discovery path runs a distinct-map-keys collect).  Probe via job
+    groups; the discovery branch validates that the probe itself works."""
+    from mopper_spark.sources import _xml_iterate
+
+    xml = tmp_path / "f.xml"
+    xml.write_text(
+        '<films><film id="1"><name>Dune</name></film>'
+        '<film id="2"><name>Arrival</name></film></films>'
+    )
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    sc.setJobGroup("decl_probe", "declared-field source resolution")
+    try:
+        df = _xml_iterate(
+            spark,
+            str(xml),
+            "/films/film",
+            [{"name": "id", "path": "@id"}, {"name": "name", "path": "name"}],
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(tracker.getJobIdsForGroup("decl_probe")) == []
+
+    sc.setJobGroup("disc_probe", "discovery-mode source resolution")
+    try:
+        _xml_iterate(spark, str(xml), "/films/film", None)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(tracker.getJobIdsForGroup("disc_probe")) != []
+
+    assert sorted(tuple(r) for r in df.collect()) == [
+        ("1", "Dune"),
+        ("2", "Arrival"),
+    ]
