@@ -638,6 +638,38 @@ FROM read_parquet('{_WAV_ORACLE_FIXTURE}')
 """
 
 
+def _q_multimodal_png_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL PNG decode path (second non-stub media kernel): deterministic
+    PNGs generated executor-side through all five scanline filters, decoded
+    with the stdlib zlib/struct kernel (CRC-checked chunk walk, multi-IDAT
+    inflate, unfilter incl. Paeth).  Oracle: a parquet fixture re-derived
+    from the pixel FORMULA alone — no PNG parsing anywhere in the oracle
+    (scripts/gen_png_oracle.py), so only a genuinely correct decoder
+    round-trips it."""
+    from mopper_spark.textops.multimodal import extract_png_features, synth_png_media
+
+    media = synth_png_media(spark, n=24, seed=9)
+    feats = extract_png_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "bit_depth",
+        "color_type",
+        F.round(F.col("mean_px").cast("double"), 6).alias("mean_px"),
+    )
+
+
+_PNG_ORACLE_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "png_features.parquet"
+)
+
+_SQL_MULTIMODAL_PNG = f"""
+SELECT media_id, width, height, bit_depth, color_type, mean_px
+FROM read_parquet('{_PNG_ORACLE_FIXTURE}')
+"""
+
+
 def _q_cosine_pairs_exact(spark: SparkSession, sf: str) -> DataFrame:
     from mopper_spark.textops.similarity import cosine_native
 
@@ -1105,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_lsh": _q_similarity_topk_lsh,
         "multimodal_features": _q_multimodal_features,
         "multimodal_wav_features": _q_multimodal_wav_features,
+        "multimodal_png_features": _q_multimodal_png_features,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "token_frequencies": _q_token_frequencies,
@@ -1146,6 +1179,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_transcripts": _SQL_KG_GRAPH,
         "kg_stream_parity": _SQL_KG_STREAM,
         "multimodal_wav_features": _SQL_MULTIMODAL_WAV,
+        "multimodal_png_features": _SQL_MULTIMODAL_PNG,
         "multimodal_features": _SQL_MULTIMODAL_FEATURES,
         "similarity_topk_lsh": _SQL_SIMILARITY_TOPK,
     }

@@ -214,6 +214,219 @@ def extract_wav_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, WAV_FEATURE_SCHEMA)
 
 
+PNG_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+        StructField("color_type", IntegerType()),
+        StructField("mean_px", DoubleType()),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def synth_png_pixel(media_id: int, x: int, y: int, c: int, seed: int = 9) -> int:
+    """The deterministic pixel formula — the ONLY ground truth shared with
+    the oracle (scripts/gen_png_oracle.py re-derives features from this
+    formula alone, never parsing PNG bytes; the decode kernel must
+    round-trip the actual encoder output back to these values)."""
+    return (x * 7 + y * 13 + c * 29 + media_id * 31 + seed * 17) % 256
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+
+    return (
+        len(data).to_bytes(4, "big")
+        + tag
+        + data
+        + (zlib.crc32(tag + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def synth_png_payload(media_id: int, seed: int = 9) -> bytes:
+    """Deterministic REAL PNG payload (stdlib zlib/struct only): 8-bit
+    grayscale (even ids) or RGB (odd ids), non-interlaced, with the filter
+    type cycling 0..4 per scanline so a decoder must implement all five
+    PNG filters (None/Sub/Up/Average/Paeth) to recover the pixels; every
+    third image splits IDAT across two chunks."""
+    import struct
+
+    color_type = 2 if media_id % 2 else 0
+    channels = 3 if color_type == 2 else 1
+    width = 8 + (media_id * 5) % 24
+    height = 8 + (media_id * 3) % 16
+    bpp = channels  # bytes per pixel at bit depth 8
+
+    raw = bytearray()
+    prev = bytes(width * channels)
+    for y in range(height):
+        row = bytes(
+            synth_png_pixel(media_id, x, y, c, seed)
+            for x in range(width)
+            for c in range(channels)
+        )
+        ft = y % 5
+        raw.append(ft)
+        for i, v in enumerate(row):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                raw.append(v)
+            elif ft == 1:
+                raw.append((v - left) % 256)
+            elif ft == 2:
+                raw.append((v - up) % 256)
+            elif ft == 3:
+                raw.append((v - (left + up) // 2) % 256)
+            else:
+                raw.append((v - _paeth(left, up, ul)) % 256)
+        prev = row
+
+    idat = zlib.compress(bytes(raw))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if media_id % 3 == 0 and len(idat) > 1:
+        mid = len(idat) // 2
+        out += _png_chunk(b"IDAT", idat[:mid]) + _png_chunk(b"IDAT", idat[mid:])
+    else:
+        out += _png_chunk(b"IDAT", idat)
+    return out + _png_chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, int, bytes]:
+    """Minimal-but-real PNG decoder (stdlib only): signature + CRC-checked
+    chunk walk, IHDR parse, multi-IDAT concat, zlib inflate, and scanline
+    unfiltering for all five PNG filter types.  Supported subset: 8-bit
+    depth, grayscale (0) and truecolor (2), non-interlaced — anything else
+    is a named refusal (this container has no PIL to fall back to).
+    Returns (width, height, bit_depth, color_type, pixel_bytes)."""
+    import struct
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG subset: 8-bit gray/RGB non-interlaced only (got depth="
+            f"{bit_depth}, color_type={color_type}, interlace={interlace}); "
+            "full decode requires PIL (unavailable in this container)"
+        )
+    channels = 3 if color_type == 2 else 1
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) % 256
+        elif ft == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) % 256
+        elif ft == 3:
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) % 256
+        elif ft == 4:
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                ul = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) % 256
+        elif ft != 0:
+            raise ValueError(f"PNG filter type {ft} invalid")
+        out += line
+        prev = bytes(line)
+    return width, height, bit_depth, color_type, bytes(out)
+
+
+def synth_png_media(spark, n: int = 24, seed: int = 9) -> DataFrame:
+    """Media table whose payloads are REAL decodable PNG bytes (generated
+    executor-side in Arrow batches — payloads never touch the driver)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "mime": ["image/png"] * len(ids),
+                    "payload": [synth_png_payload(i, seed) for i in ids],
+                    "width": pd.array([None] * len(ids), dtype="Int32"),
+                    "height": pd.array([None] * len(ids), dtype="Int32"),
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def extract_png_features(media: DataFrame) -> DataFrame:
+    """REAL decode kernel for ``image/png`` payloads — the second
+    non-stub media kernel after WAV: full chunk/inflate/unfilter decode in
+    Arrow batches, features = header fields + mean pixel value over all
+    channels.  Malformed payloads raise (fail-loud, same contract as the
+    stubbed kernels)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height",
+                                   "bit_depth", "color_type", "mean_px")}
+            for media_id, mime, payload in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"]
+            ):
+                if mime != "image/png":
+                    raise NotImplementedError(
+                        f"decode for {mime!r} requires PIL/torchaudio "
+                        "(unavailable in this container)"
+                    )
+                w, h, depth, ctype, px = decode_png(bytes(payload))
+                arr = np.frombuffer(px, dtype=np.uint8)
+                out["media_id"].append(media_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bit_depth"].append(depth)
+                out["color_type"].append(ctype)
+                out["mean_px"].append(float(arr.mean()) if arr.size else 0.0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, PNG_FEATURE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: which frames a decoder would extract.
 

@@ -399,6 +399,75 @@ class TestMultimodal:
         with pytest.raises(Exception, match="Error|wave|RIFF|file"):
             extract_wav_features(bad).collect()
 
+    def test_png_decode_round_trips_all_filters(self):
+        """decode_png must invert every scanline filter the synth encoder
+        emits (cycling 0..4 per row) and reassemble split IDAT chunks:
+        decoded pixels == the closed-form synth_png_pixel values."""
+        from mopper_spark.textops.multimodal import (
+            decode_png,
+            synth_png_payload,
+            synth_png_pixel,
+        )
+
+        for media_id in (0, 1, 2, 3, 6):  # gray+RGB, incl. split-IDAT ids
+            payload = synth_png_payload(media_id)
+            assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+            w, h, depth, ctype, px = decode_png(payload)
+            channels = 3 if ctype == 2 else 1
+            assert (w, h, depth) == (8 + (media_id * 5) % 24,
+                                     8 + (media_id * 3) % 16, 8)
+            expected = bytes(
+                synth_png_pixel(media_id, x, y, c)
+                for y in range(h)
+                for x in range(w)
+                for c in range(channels)
+            )
+            assert px == expected
+
+    def test_png_decode_kernel_end_to_end(self, spark):
+        from mopper_spark.textops.multimodal import (
+            extract_png_features,
+            synth_png_media,
+        )
+
+        rows = {
+            r.media_id: r
+            for r in extract_png_features(synth_png_media(spark, n=6)).collect()
+        }
+        assert len(rows) == 6
+        for media_id, r in rows.items():
+            assert r.color_type == (2 if media_id % 2 else 0)
+            assert r.bit_depth == 8
+            assert 0.0 <= r.mean_px <= 255.0
+
+    def test_png_decode_refusals_and_corruption(self):
+        import struct
+        import zlib as _zlib
+
+        from mopper_spark.textops.multimodal import (
+            _png_chunk,
+            decode_png,
+            synth_png_payload,
+        )
+
+        with pytest.raises(ValueError, match="signature"):
+            decode_png(b"not a png at all")
+        # interlaced image: named refusal
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+        interlaced = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _zlib.compress(b"\x00" * 20))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError, match="non-interlaced"):
+            decode_png(interlaced)
+        # flipped payload byte: CRC check fails loud
+        good = bytearray(synth_png_payload(1))
+        good[40] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC|IDAT|invalid|error"):
+            decode_png(bytes(good))
+
     def test_frame_sample_plan(self, spark):
         media = synth_media(spark, n=4)
         plan = frame_sample_plan(media, every_n=1)
