@@ -428,6 +428,63 @@ def _q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def _dedup_deep_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup corpus for the production-shape ANN config: every 4th
+    vector gets a perturbed copy (id + 1_000_000).  The perturbation uses
+    only +/*/% on doubles — IEEE-exact and therefore bit-identical between
+    Spark and DuckDB (no transcendentals) — so the oracle can rebuild the
+    same corpus in SQL."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dupes = emb.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + F.lit(0.01) * ((F.col("vec_id") * 31 + i * 7) % 5 - 2).cast("double"),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(dupes)
+
+
+def _q_dedup_embedding_deep(spark: SparkSession, sf: str) -> DataFrame:
+    """Production-shape embedding near-dup config (r2 VERDICT item #5):
+    threshold 0.9 with DEEP bands (8 planes × 8 bands) over a corpus with
+    real near-duplicates, vs the gate fixture's near-orthogonal vectors
+    that force threshold 0.4 with shallow bands.  Deep bands mean tiny
+    buckets (≤2 expected members), so the quadratic verify stage is
+    near-linear — this is the config a 100 TB run would use.  Oracle:
+    exact all-pairs cosine in SQL; equality rests on banding recall 1.0 at
+    this (threshold, planes, bands) on this corpus, PINNED by
+    tests/test_textops.py::test_embedding_deep_band_recall_total — if that
+    test is ever skipped or the fixture changes, re-validate before
+    trusting a gate failure (it would be a recall gap, not an engine bug)."""
+    from mopper_spark.textops.dedup import embedding_near_dup_pairs
+
+    corpus = _dedup_deep_corpus(spark, sf)
+    return embedding_near_dup_pairs(
+        corpus, threshold=0.9, n_planes=8, n_bands=8
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+_SQL_DEDUP_EMBEDDING_DEEP = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(range(len(embedding)),
+                        i -> embedding[i+1]::DOUBLE
+                             + 0.01::DOUBLE * ((vec_id*31 + i*7) % 5 - 2))
+  FROM embeddings WHERE vec_id % 4 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+"""
+
+
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     from mopper_spark.textops.dedup import ngram_jaccard_pairs
 
@@ -1130,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_deep": _q_dedup_embedding_deep,
         "dedup_keep_docs": _q_dedup_keep_docs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "cosine_pairs_exact": _q_cosine_pairs_exact,
@@ -1165,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _SQL_DEDUP_MINHASH,
         "dedup_simhash": _SQL_DEDUP_SIMHASH,
         "dedup_embedding": _SQL_DEDUP_EMBEDDING,
+        "dedup_embedding_deep": _SQL_DEDUP_EMBEDDING_DEEP,
         "dedup_keep_docs": _SQL_DEDUP_KEEP_DOCS,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
         "cosine_pairs_exact": _SQL_COSINE_PAIRS,

@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_embedding",
+    "dedup_embedding_deep",
     "dedup_ngram_jaccard",
     "similarity_topk",
     "text_quality",

@@ -164,6 +164,40 @@ class TestDedupScaleGuards:
         }
         assert exact == lsh
 
+    def test_embedding_deep_band_recall_total(self, spark):
+        """ORACLE PRECONDITION for the dedup_embedding_deep gate query
+        (__spark_entry__.py): at the production config (threshold 0.9,
+        8 planes × 8 bands) over the perturbed-dupe corpus, banded LSH
+        must find every exact-cosine pair.  If this test is skipped or the
+        corpus construction changes, a dedup_embedding_deep gate failure
+        means a RECALL GAP, not an engine bug — re-validate here first."""
+        import __spark_entry__ as entry_mod
+        from mopper_spark.textops.similarity import cosine_native
+
+        corpus = entry_mod._dedup_deep_corpus(spark, "/root/testdata/sf0.001")
+        t = corpus.select("vec_id", F.col("embedding").alias("v"))
+        a, b = t.alias("a"), t.alias("b")
+        exact = {
+            (r.id_a, r.id_b)
+            for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                cosine_native(F.col("a.v"), F.col("b.v")).alias("c"),
+            )
+            .filter(F.col("c") >= 0.9)
+            .collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dup_pairs(
+                corpus, threshold=0.9, n_planes=8, n_bands=8
+            ).collect()
+        }
+        assert exact == lsh
+        # every 4th vector got a dupe; all must be recovered
+        assert len(exact) == 125
+
     def test_ngram_hot_shingle_cap_stays_linear(self, spark):
         """One stop-phrase trigram shared by EVERY doc must not go
         quadratic: with the df cap binding, docs that share nothing else
