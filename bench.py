@@ -209,7 +209,12 @@ def main() -> None:
             int(x)
             for x in os.environ.get("BENCH_SCALING_LEVELS", "4,16").split(",")
         )
-        scaling_turns = int(os.environ.get("BENCH_SCALING_TURNS", "40000000"))
+        # 24M (was 40M in r2): the two-draws-PER-LEG symmetric estimator
+        # below costs one extra lo-leg draw, so the corpus shrinks to keep
+        # total bench wall-clock ~flat; the hi leg's steady-state measured
+        # run stays ≥ 15 s — comfortably above the 5 s floor the
+        # methodology requires (scripts/scaling_run.py)
+        scaling_turns = int(os.environ.get("BENCH_SCALING_TURNS", "24000000"))
         data_dir = tempfile.mkdtemp(prefix="bench_scaling_")
         corpus = os.path.join(data_dir, "tr.parquet")
         materialize_transcripts(spark, scaling_turns, corpus)
@@ -237,30 +242,54 @@ def main() -> None:
                     print(ln, file=sys.stderr)
             return float(out.stdout.strip())
 
-        # The hi leg is short (~3 min of reps) AND the volatile one: an
-        # ambient steal burst can depress its entire series (observed
-        # 1.26M vs 1.16M turns/s across solo runs of identical code).
-        # Sample it TWICE, separated by the long lo leg, and take the max
-        # of the two series' window-medians: noise is one-sided (steal
-        # only slows reps), so the max over well-separated draws estimates
-        # the un-stolen steady state. Each draw is still a median over 3
-        # consecutive reps — no cherry-picked single rep.
-        hi_first = run_leg(hi)
-        throughput[f"turns_per_sec@{lo}"] = round(run_leg(lo), 1)
-        hi_second = run_leg(hi)
-        throughput[f"turns_per_sec@{hi}"] = round(max(hi_first, hi_second), 1)
+        # SYMMETRIC estimator (r2 ADVICE fix): BOTH legs are drawn twice,
+        # interleaved (hi, lo, hi, lo) so each leg's draws are separated
+        # in time, and each leg's statistic is the max of its two draws'
+        # window-medians.  Ambient hypervisor steal is one-sided noise
+        # (it only ever slows reps), so per-leg max-of-draws estimates the
+        # un-stolen steady state — and applying it to numerator AND
+        # denominator means a noisy draw can no longer inflate the ratio
+        # (the r2 asymmetry: hardened hi over single-draw lo).  Each draw
+        # is still a median over 3 consecutive reps, never a single rep.
+        hi_draws = [run_leg(hi)]
+        lo_draws = [run_leg(lo)]
+        hi_draws.append(run_leg(hi))
+        lo_draws.append(run_leg(lo))
+        throughput[f"turns_per_sec@{lo}"] = round(max(lo_draws), 1)
+        throughput[f"turns_per_sec@{hi}"] = round(max(hi_draws), 1)
         print(
-            f"# hi-leg draws: {hi_first:,.0f} / {hi_second:,.0f}",
+            f"# hi-leg draws: {hi_draws[0]:,.0f} / {hi_draws[1]:,.0f}  "
+            f"lo-leg draws: {lo_draws[0]:,.0f} / {lo_draws[1]:,.0f}",
             file=sys.stderr,
         )
         shutil.rmtree(data_dir, ignore_errors=True)
-        eff = (
-            throughput[f"turns_per_sec@{hi}"]
-            / throughput[f"turns_per_sec@{lo}"]
-            / (hi / lo)
-        )
+        ratio = hi / lo
+        eff = throughput[f"turns_per_sec@{hi}"] / throughput[f"turns_per_sec@{lo}"] / ratio
+        # first-draw efficiency: one draw per leg, no hardening — the
+        # plain embedded statistic, reported alongside (VERDICT r2 #7)
+        eff_first = hi_draws[0] / lo_draws[0] / ratio
         throughput[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff, 3)
+        throughput[f"scaling_efficiency_{lo}_to_{hi}_first_draw"] = round(eff_first, 3)
         throughput["pinned_cpus"] = have_taskset
+
+    # regression alerts (VERDICT r2 #7): compare against the last round's
+    # committed artifact; a headline query >1.5x its r2 time or a scaling
+    # efficiency below the 0.8 gate is flagged in the artifact itself
+    alerts: list[str] = []
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as fh:
+            prev = json.load(fh).get("queries", {})
+        for name, secs in queries.items():
+            if name in prev and prev[name] > 0 and secs > 1.5 * prev[name]:
+                alerts.append(
+                    f"{name}: {secs:.2f}s vs {prev[name]:.2f}s in r2 (>1.5x)"
+                )
+    for key, val in throughput.items():
+        if key.startswith("scaling_efficiency") and val < 0.8:
+            alerts.append(f"{key}={val} below the 0.8 gate")
+    for a in alerts:
+        print(f"# ALERT {a}", file=sys.stderr)
 
     result = {
         "metric": "headline query wall-clock (sum) + transcript-KG throughput",
@@ -270,6 +299,7 @@ def main() -> None:
         "sf": sf_dir,
         "pipeline": pipeline,
         "throughput": throughput,
+        "alerts": alerts,
     }
     print(json.dumps(result))
 

@@ -106,6 +106,14 @@ def minhash_band_keys(norms: pd.Series) -> pd.Series:
     generator per hash function (same formulation as
     ``dedup.make_minhash_udf``); int64 wraparound in ``a*x`` is part of the
     (deterministic) hash family.
+
+    NOTE (behavior change, round 2): the round-1 pure-Python version
+    computed ``a*x + b`` exactly (big-int); this int64 version wraps, so
+    band keys — and therefore blocking candidates — differ from round 1.
+    That is acceptable ONLY because blocking recall 1.0 is re-pinned on
+    the committed fixture by
+    tests/test_pipeline.py (blocking-recall test); whenever the fixture
+    changes, that pin re-validates the fixture-dependent recall.
     """
     import numpy as np
 

@@ -97,6 +97,55 @@ def test_oracle_fetch_path_parity():
     assert not divergent, divergent
 
 
+# md5 digests of the fixtures the RECALL_PINS oracles were validated on.
+# A change here is NOT an ordinary test failure: it means the strict
+# equality oracles for the named queries rest on UNVALIDATED recall.
+_RECALL_PIN_DIGESTS = {
+    "/root/testdata/sf0.01/documents.parquet": "b733c5a4f655b98c6136fbe529e33dc4",
+    "/root/testdata/sf0.01/embeddings.parquet": "4232d4b317b4b9f35bd5a6abf25d0ade",
+    "/root/testdata/sf0.001/embeddings.parquet": "d68af55d86db0576d8bd68a6857087bb",
+    "fixtures/transcripts_2000.parquet": "f6842bc21b86a71825995762c6519f9c",
+}
+
+
+def test_recall_pins_coupled():
+    """ADVICE r2: the LSH/blocked strict oracles are equality oracles only
+    because recall is pinned total on specific fixtures.  Couple the two:
+    (a) every RECALL_PINS test nodeid must exist in the test suite, and
+    (b) every fixture must digest to the value it had when recall was
+    last validated.  A digest mismatch fails with a DISTINCT message so a
+    gate failure on these queries is investigated as a recall gap first."""
+    import hashlib
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for query, pin in entry_mod.RECALL_PINS.items():
+        test_id = pin["test"]
+        path, _, func = test_id.partition("::")
+        func = func.split("::")[-1]
+        test_file = os.path.join(repo, path)
+        assert os.path.exists(test_file), f"{query}: pin file {path} missing"
+        with open(test_file) as fh:
+            assert f"def {func}(" in fh.read(), (
+                f"{query}: recall-pin test {test_id} no longer exists — the "
+                f"strict oracle is unvalidated; restore or re-pin it"
+            )
+        for fixture in pin["fixtures"]:
+            fpath = fixture if fixture.startswith("/") else os.path.join(repo, fixture)
+            if not os.path.exists(fpath):
+                pytest.skip(f"fixture {fixture} not available in this env")
+            with open(fpath, "rb") as fh:
+                digest = hashlib.md5(fh.read()).hexdigest()
+            expected = _RECALL_PIN_DIGESTS[fixture]
+            assert digest == expected, (
+                f"RECALL-PIN FIXTURE CHANGED: {fixture} md5 {digest} != pinned "
+                f"{expected}. The strict oracle for '{query}' is only valid if "
+                f"recall is total on this fixture — re-run {test_id}, confirm "
+                f"it passes on the NEW fixture, then update this digest. A "
+                f"driver-gate hash failure on '{query}' before that is a "
+                f"recall gap, not an engine bug."
+            )
+
+
 @needs_testdata
 def test_events_sessionize_is_timezone_independent(spark):
     """Round-1 regression: the driver's harness session does not pin UTC,

@@ -1,0 +1,104 @@
+"""Stage-5 materialize: partitioned graph-table writes.
+
+VERDICT r2 #8: exercise the Iceberg path end-to-end when the runtime jar
+is present; otherwise pin the NAMED REFUSAL (the sandbox ships no
+``iceberg-spark-runtime`` jar and has no network to fetch one — verified
+by the probe below, which scans the active Spark install's jar dir and
+the session's ``spark.jars``/``spark.jars.packages`` config).  The
+parquet fallback — same partition layout — is tested unconditionally,
+including partition-overwrite idempotence.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mopper_spark.pipeline.materialize import (
+    prepare_for_write,
+    write_graph_table,
+)
+
+
+def _iceberg_available(spark) -> bool:
+    """True iff an Iceberg Spark runtime jar is on the session classpath."""
+    spark_home = os.environ.get("SPARK_HOME")
+    if not spark_home:
+        import pyspark
+
+        spark_home = os.path.dirname(pyspark.__file__)
+    jar_dirs = glob.glob(os.path.join(spark_home, "jars", "*iceberg*"))
+    conf = spark.sparkContext.getConf()
+    extra = (conf.get("spark.jars", "") or "") + (
+        conf.get("spark.jars.packages", "") or ""
+    )
+    return bool(jar_dirs) or "iceberg" in extra
+
+
+def _triples(spark, n=200):
+    return spark.range(n).select(
+        F.concat(F.lit("http://ex.org/s/"), F.col("id")).alias("subj"),
+        F.lit("http://ex.org/p").alias("pred"),
+        F.concat(F.lit("o"), (F.col("id") % 7)).alias("obj"),
+        F.lit("iri").alias("okind"),
+        F.concat(
+            F.lit("http://ex.org/g/role"), (F.col("id") % 3)
+        ).alias("graph"),
+    )
+
+
+def test_parquet_fallback_partition_layout_and_idempotence(spark, tmp_path):
+    out = str(tmp_path / "graph_pq")
+    tr = _triples(spark)
+    write_graph_table(spark, tr, out)
+    # partitioned by graph_key (last path segment of graph)
+    parts = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(out, "graph_key=*"))
+    )
+    assert parts == ["graph_key=role0", "graph_key=role1", "graph_key=role2"]
+    first = sorted(
+        spark.read.parquet(out).select("subj", "pred", "obj", "graph").collect()
+    )
+    # overwrite idempotence: re-running the same write yields the same set
+    write_graph_table(spark, tr, out)
+    second = sorted(
+        spark.read.parquet(out).select("subj", "pred", "obj", "graph").collect()
+    )
+    assert first == second
+    assert len(first) == 200
+
+
+def test_prepare_for_write_spreads_by_subject_hash(spark):
+    df = prepare_for_write(_triples(spark, 500), num_buckets=8)
+    assert df.rdd.getNumPartitions() == 8
+    # skew defused: no partition holds more than half the rows even though
+    # graph has only 3 distinct values
+    sizes = df.rdd.glom().map(len).collect()
+    assert max(sizes) < 250
+
+
+def test_iceberg_path_or_named_refusal(spark, tmp_path):
+    tr = _triples(spark, 50)
+    if _iceberg_available(spark):
+        # end-to-end: createOrReplace twice must be idempotent
+        write_graph_table(spark, tr, "mopper_test.db.graph", use_iceberg=True)
+        write_graph_table(spark, tr, "mopper_test.db.graph", use_iceberg=True)
+        got = spark.read.table("mopper_test.db.graph")
+        assert got.count() == 50
+    else:
+        # NAMED REFUSAL: no iceberg-spark-runtime jar in this sandbox
+        # (/opt/spark-4.1.2-bin-hadoop3/jars has none; no network) — the
+        # writer must fail loud with the documented message, never
+        # silently write parquet to a catalog-table name
+        with pytest.raises(RuntimeError, match="Iceberg catalog unavailable"):
+            write_graph_table(spark, tr, "mopper_test.db.graph", use_iceberg=True)
+
+
+def test_catalog_name_inference(spark, tmp_path):
+    # dotted non-path name infers iceberg; absolute path infers parquet
+    out = str(tmp_path / "inferred.dir")  # contains "." but starts with "/"
+    write_graph_table(spark, _triples(spark, 30), out)
+    assert os.path.isdir(out)
