@@ -1179,6 +1179,219 @@ def _q_kg_stream_parity(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def _scratch_root(tag: str) -> str:
+    """Per-process scratch dir, wiped on re-entry, removed at exit (the
+    kg_stream_parity pattern — repeated gate/bench runs don't accumulate)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"{tag}_{os.getpid()}")
+    if os.path.isdir(root):
+        shutil.rmtree(root, ignore_errors=True)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
+def _q_events_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (purchase → most recent prior view per user): union +
+    single hash partition + running `last ignorenulls` window — ONE
+    shuffle, never a per-key cross product (mopper_spark/textops/joins.py).
+    Strict oracle: DuckDB's native ASOF LEFT JOIN.  Timestamps are emitted
+    as epoch microseconds (TZ- and fetch-path-proof); (user_id, ts) is
+    globally unique in the fixture so the match is deterministic."""
+    from mopper_spark.textops.joins import asof_join
+
+    ev = spark.read.schema(
+        "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    ).parquet(f"{sf}/events.parquet")
+    epoch = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {})"
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    joined = asof_join(
+        purchases, views, by="user_id", on="ts", right_cols=["view_id"]
+    )
+    # no-match sentinel -1 instead of NULL: a nullable BIGINT becomes
+    # float64 through pandas/Arrow oracle fetch paths ("123.0" vs "123"),
+    # the same divergence class as the r2 HUGEINT bug — the fetch-path
+    # sweep (tests/test_driver_contract.py) pins this
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.expr(epoch.format("ts")).alias("purchase_ts_us"),
+        F.coalesce("view_id_right", F.lit(-1)).alias("view_id"),
+        F.coalesce(F.expr(epoch.format("ts_right")), F.lit(-1)).alias(
+            "view_ts_us"
+        ),
+    )
+
+
+_SQL_EVENTS_ASOF = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       COALESCE(v.event_id, -1) AS view_id,
+       COALESCE(epoch_us(v.ts), -1) AS view_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def _q_events_value_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval/range join via fixed-width bucketing: overlapping value
+    bands derived from the nation table (stride 20, width 30 — every fact
+    can match two bands), exploded into bucket ids and equi-joined with a
+    residual predicate.  A broadcast HASH join where Catalyst would
+    otherwise pick a nested-loop theta join; cost is O(|facts| ×
+    bands-per-bucket), not |facts| × |bands|."""
+    from mopper_spark.textops.joins import range_join_buckets
+
+    ev = spark.read.schema("event_id long, value double").parquet(
+        f"{sf}/events.parquet"
+    )
+    bands = (
+        spark.read.parquet(f"{sf}/nation.parquet")
+        .select(
+            F.col("n_nationkey").cast("long").alias("band_id"),
+            (F.col("n_nationkey") * 20.0).alias("lo"),
+            (F.col("n_nationkey") * 20.0 + 30.0).alias("hi"),
+        )
+    )
+    return range_join_buckets(
+        ev, bands, "value", "lo", "hi", bucket_width=20.0
+    ).select("event_id", "value", "band_id", "lo", "hi")
+
+
+# the CASTs to DOUBLE are load-bearing: DuckDB's 20.0 literal is
+# DECIMAL(3,1), and a DECIMAL output column renders "30.0" where Spark's
+# DOUBLE renders "30" — same fetch-path/format class as the HUGEINT bug
+_SQL_EVENTS_RANGE = """
+SELECT e.event_id, e.value, CAST(n.n_nationkey AS BIGINT) AS band_id,
+       CAST(n.n_nationkey * 20.0 AS DOUBLE) AS lo,
+       CAST(n.n_nationkey * 20.0 + 30.0 AS DOUBLE) AS hi
+FROM events e
+JOIN nation n
+  ON e.value >= n.n_nationkey * 20.0 AND e.value < n.n_nationkey * 20.0 + 30.0
+"""
+
+
+def _q_events_sessions_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured-Streaming gap sessionization: the built-in
+    ``session_window`` + event-time watermark, drained with availableNow.
+    Append mode emits exactly the sessions finalized by the final
+    watermark; the oracle replicates that cutoff in SQL (see
+    _SQL_EVENTS_SESSIONS_STREAM for the exact emission rule).  Epoch-µs
+    output columns keep the hash TZ- and fetch-path-proof."""
+    from mopper_spark.streaming import (
+        sessionize_stream,
+        stream_events,
+        write_stream,
+    )
+
+    root = _scratch_root("events_sessions_stream")
+    src, out, ck = (os.path.join(root, d) for d in ("src", "out", "ck"))
+    spark.read.schema(
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(f"{sf}/events.parquet").repartition(4).write.parquet(src)
+
+    q = write_stream(
+        sessionize_stream(
+            stream_events(spark, src), gap="30 minutes", watermark="1 hour"
+        ),
+        out,
+        ck,
+    )
+    q.awaitTermination(300)
+    # session_start/end are UTC-instant TIMESTAMPs (see as_utc_instant);
+    # unix_micros is the TZ-free instant→µs conversion (a timestampdiff
+    # against an NTZ literal would consult the session timezone here)
+    return spark.read.parquet(out).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+# Emission rule measured empirically (two boundary probes, µs-grain):
+# append mode emits a session iff
+#   session_end <= floor_to_ms(max event ts over ALL data) - watermark_delay
+# — INCLUSIVE at the boundary, and the watermark truncates the max event
+# time to milliseconds (a session ending 300 µs past the truncated cutoff
+# is held back even though the raw max-ts arithmetic would release it).
+# Session semantics: merge is INCLUSIVE at the boundary — a gap exactly
+# equal to the gap duration still merges (measured: events 10 s apart with
+# a 10 s gap form ONE session), so the break rule is diff > gap, the same
+# convention as the batch events_sessionize query.  Pinned by
+# tests/test_streaming.py.  All timestamps compared as epoch µs (TZ-free).
+_SQL_EVENTS_SESSIONS_STREAM = """
+WITH ev AS (SELECT user_id, ts FROM events),
+wm AS (SELECT (epoch_us(MAX(ts)) // 1000) * 1000
+              - CAST(3600 AS BIGINT) * 1000000 AS cutoff_us
+       FROM ev),
+o AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM (SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM ev)
+),
+s AS (SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+g AS (SELECT user_id,
+             MIN(epoch_us(ts)) AS session_start_us,
+             MAX(epoch_us(ts)) + 1800 * 1000000 AS session_end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM s GROUP BY user_id, sid)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM g, wm
+WHERE session_end_us <= cutoff_us
+"""
+
+
+def _q_stream_dedup_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact-dedup ledger: per-fingerprint running counts held in
+    applyInPandasWithState state across 4 micro-batches
+    (maxFilesPerTrigger=1); the final ledger row per fingerprint (max of
+    the running counts) must equal the batch GROUP BY."""
+    from mopper_spark.streaming import dedup_counts_stream, write_stream
+
+    root = _scratch_root("stream_dedup_counts")
+    src, out, ck = (os.path.join(root, d) for d in ("src", "out", "ck"))
+    spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = write_stream(dedup_counts_stream(stream), out, ck, output_mode="update")
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(out)
+        .groupBy("fingerprint")
+        .agg(F.max("n_seen").alias("n_seen"))
+    )
+
+
+_SQL_STREAM_DEDUP_COUNTS = """
+SELECT md5(text) AS fingerprint, CAST(COUNT(*) AS BIGINT) AS n_seen
+FROM documents
+GROUP BY md5(text)
+"""
+
+
 # ADVICE r2: several strict oracles below are exact all-pairs SQL over an
 # approximate (LSH-banded / blocked) Spark path; they are EQUALITY oracles
 # only because recall is measured-or-guaranteed total at the gate config,
@@ -1253,6 +1466,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_linking_transcripts": _q_entity_linking_transcripts,
         "kg_graph_transcripts": _q_kg_graph_transcripts,
         "kg_stream_parity": _q_kg_stream_parity,
+        "events_asof_attribution": _q_events_asof_attribution,
+        "events_value_bands": _q_events_value_bands,
+        "events_sessions_stream": _q_events_sessions_stream,
+        "stream_dedup_counts": _q_stream_dedup_counts,
     }
 
 
@@ -1289,4 +1506,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_png_features": _SQL_MULTIMODAL_PNG,
         "multimodal_features": _SQL_MULTIMODAL_FEATURES,
         "similarity_topk_lsh": _SQL_SIMILARITY_TOPK,
+        "events_asof_attribution": _SQL_EVENTS_ASOF,
+        "events_value_bands": _SQL_EVENTS_RANGE,
+        "events_sessions_stream": _SQL_EVENTS_SESSIONS_STREAM,
+        "stream_dedup_counts": _SQL_STREAM_DEDUP_COUNTS,
     }

@@ -51,6 +51,8 @@ HEADLINE = [
     "text_quality",
     "token_frequencies",
     "events_sessionize",
+    "events_asof_attribution",
+    "events_value_bands",
     "cc_components",
 ]
 

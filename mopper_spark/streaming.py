@@ -158,6 +158,102 @@ def conversation_progress(transcripts: DataFrame) -> DataFrame:
     )
 
 
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def as_utc_instant(ntz_col: str):
+    """NTZ wall time → TIMESTAMP (LTZ) carrying the same value as a UTC
+    instant, via epoch-µs arithmetic only — the session timezone is never
+    consulted, so downstream event-time processing (watermarks, session
+    windows) is TZ-independent.  Needed because Spark 4.1 rejects
+    TIMESTAMP_NTZ as an event-time/watermark column
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)."""
+    return F.timestamp_micros(
+        F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            f" {ntz_col})"
+        )
+    )
+
+
+def stream_events(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an events directory with the driver-testdata
+    schema.  ``ts`` is read TIMESTAMP_NTZ (the parquet file's faithful
+    type) then converted to a UTC-instant TIMESTAMP via epoch arithmetic —
+    see ``as_utc_instant`` — so event-time processing is
+    session-timezone-free (same rationale as the batch sessionize read)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir).withColumn("ts", as_utc_instant("ts"))
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 minute"
+) -> DataFrame:
+    """Gap-based session aggregation over an event stream — the built-in
+    ``session_window`` with an event-time watermark (Spark's native
+    streaming sessionization; state is evicted once the watermark passes a
+    session's end, so per-key state is bounded by active sessions only).
+
+    Sessions merge while consecutive events are strictly less than ``gap``
+    apart; ``session_end`` is ``last event + gap``.  In append mode a
+    session is emitted only once the watermark passes its end — the
+    correct late-data contract for continuously-arriving events; the batch
+    cutoff equivalent is pinned by tests and the gate oracle.
+
+    Output is fully deterministic (counts and timestamps only — no
+    float sums whose partial order could wobble the last ulp)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_counts_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming exact-dedup ledger: running per-fingerprint occurrence
+    counts via ``applyInPandasWithState`` — the streaming analogue of
+    exact dedup for continuously-arriving documents (state per distinct
+    fingerprint: one long; emission per batch in update mode, so the
+    latest row per key is the running total).
+
+    The fingerprint is computed natively (``md5`` over the text bytes,
+    JVM-side) BEFORE the stateful operator, so the Python stage only ever
+    sees (fingerprint) rows — at 100 TB the state store holds one long per
+    distinct document, and the text never crosses into Python."""
+
+    keyed = docs.select(F.md5(F.col(text_col).cast("binary")).alias("fingerprint"))
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"fingerprint": [key[0]], "n_seen": [n]})
+
+    return keyed.groupBy("fingerprint").applyInPandasWithState(
+        update,
+        outputStructType="fingerprint string, n_seen long",
+        stateStructType="n_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def write_stream(
     df: DataFrame,
     output_dir: str,

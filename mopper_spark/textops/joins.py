@@ -1,0 +1,139 @@
+"""Temporal and range joins the DataFrame API lacks as primitives.
+
+The reference engine (ghsnd/mopper) has only inner equi-joins
+(``src/operator/join.rs``); these operators extend the engine the way a
+training-data / event-log pipeline needs, each expressed as a composition
+of built-in operators so Catalyst keeps whole-stage codegen and AQE:
+
+- ``asof_join``: for every left row, the single right row with the
+  greatest ``on`` value ≤ the left row's (backward, inclusive) within the
+  same ``by`` key — pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics.
+  Implemented as union → one hash partition by key → in-partition sort →
+  ``last(…, ignorenulls)`` running window.  ONE shuffle, no range scan, no
+  per-key driver loop: at 100 TB this is a single repartition of the
+  combined stream, the same cost as any keyed aggregation.  (A naive
+  theta-join ``l.ts >= r.ts`` is a per-key cross product — quadratic in
+  events-per-key — and is what this operator exists to avoid.)
+- ``range_join_buckets``: join facts with a value column against
+  ``[lo, hi)`` interval rows by exploding each interval into fixed-width
+  buckets and equi-joining on the bucket id with a residual predicate.
+  Buckets turn an inequality join (nested-loop / cartesian under Catalyst)
+  into a shuffle-or-broadcast HASH join; cost scales with
+  interval-width/bucket-width, not |facts| × |ranges|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    on: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+    tolerance=None,
+) -> DataFrame:
+    """Backward-inclusive as-of join: each left row picks the right row
+    with the greatest ``on`` ≤ its own ``on``, per ``by`` key.
+
+    Ties on ``on`` across sides match (inclusive — the right row sorts
+    before the left row at equal timestamps).  Ties WITHIN the right side
+    at the same ``(by, on)`` resolve to the row that sorts last in the
+    window order; keep ``(by, on)`` unique on the right for deterministic
+    output (asserted cheaply by callers' oracles, not here).
+
+    ``tolerance``: optional Column/literal; matches older than
+    ``left.on - tolerance`` are nulled out (row is kept), mirroring
+    pandas ``merge_asof(tolerance=...)``.
+
+    Output: every left column, plus each ``right_cols`` entry renamed
+    ``<col><suffix>`` (``on`` → ``<on><suffix>`` is included implicitly).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (by, on)]
+    carry = [on] + [c for c in right_cols if c != on]
+
+    r = right.select(
+        F.col(by),
+        F.col(on).alias("__on"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in carry]).alias("__r"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("__l"),
+    )
+    l = left.select(
+        F.col(by),
+        F.col(on).alias("__on"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        F.struct(*left.columns).alias("__l"),
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy("__on", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "__match",
+            F.when(
+                F.col("__match").isNotNull()
+                & (F.col("__on") - F.col("__match")[on] <= tolerance),
+                F.col("__match"),
+            ),
+        )
+    out = [F.col("__l")[c].alias(c) for c in left.columns]
+    out += [F.col("__match")[c].alias(f"{c}{suffix}") for c in carry]
+    return matched.select(*out)
+
+
+def range_join_buckets(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    broadcast_ranges: bool = True,
+) -> DataFrame:
+    """Inner join ``facts`` to every interval row with
+    ``lo <= value < hi`` (half-open), via fixed-width bucketing.
+
+    Each interval explodes into ``ceil(width / bucket_width)`` bucket ids;
+    facts compute one bucket id; the join is a plain equi-join on
+    ``(bucket)`` with the interval predicate as a residual filter.  Pick
+    ``bucket_width`` near the typical interval width so each interval
+    lands in O(1) buckets.  Small interval tables broadcast (default) —
+    zero shuffle on the fact side; a huge interval table instead
+    shuffle-joins on the bucket id, which AQE handles like any keyed join.
+    """
+    w = float(bucket_width)
+    exploded = ranges.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    if broadcast_ranges:
+        exploded = F.broadcast(exploded)
+    keyed = facts.withColumn("__bucket", F.floor(F.col(value_col) / w).cast("long"))
+    return (
+        keyed.join(exploded, "__bucket")
+        .filter(
+            (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+        )
+        .drop("__bucket")
+    )

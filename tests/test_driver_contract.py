@@ -165,3 +165,23 @@ def test_events_sessionize_is_timezone_independent(spark):
     base_tz, base = results[0]
     for tz, rows in results[1:]:
         assert rows == base, f"sessionize differs between {base_tz} and {tz}"
+
+
+@needs_testdata
+def test_new_event_time_queries_are_timezone_independent(spark):
+    """Same TZ-parity pin for the round-3 event-time queries: the as-of
+    join (NTZ + epoch arithmetic) and the streaming sessionization (NTZ →
+    UTC-instant conversion + unix_micros) must produce identical rows
+    under offset/DST-odd session timezones."""
+    qs = entry_mod.queries()
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    for name in ("events_asof_attribution", "events_sessions_stream"):
+        results = []
+        try:
+            for tz in ("UTC", "Australia/Lord_Howe"):
+                spark.conf.set("spark.sql.session.timeZone", tz)
+                rows = sorted(tuple(r) for r in qs[name](spark, SF).collect())
+                results.append(rows)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", saved)
+        assert results[0] == results[1], f"{name} differs across session TZs"

@@ -1,0 +1,127 @@
+"""asof_join / range_join_buckets: semantics vs independent references
+(DuckDB ASOF JOIN / a naive theta join) and the plan shapes that make
+them scale."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mopper_spark.textops.joins import asof_join, range_join_buckets
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            ("A", 1000, 1),
+            ("A", 2000, 2),
+            ("A", 2500, 3),
+            ("B", 1500, 4),
+            ("B", 9999, 5),
+            ("C", 500, 6),  # no quote at or before → null match
+        ],
+        "sym string, ts long, trade_id long",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", 900, 10.0),
+            ("A", 2000, 11.0),  # tie with trade 2 → inclusive match
+            ("A", 2400, 12.0),
+            ("B", 1500, 20.0),
+            ("B", 1600, 21.0),
+            ("C", 600, 30.0),  # after the only C trade
+        ],
+        "sym string, ts long, px double",
+    )
+    return trades, quotes
+
+
+class TestAsofJoin:
+    def test_backward_inclusive_matches_duckdb(self, spark, trades_quotes):
+        trades, quotes = trades_quotes
+        got = {
+            (r.sym, r.ts, r.trade_id, r.ts_right, r.px_right)
+            for r in asof_join(trades, quotes, by="sym", on="ts").collect()
+        }
+        con = duckdb.connect()
+        con.register("t", trades.toPandas())
+        con.register("q", quotes.toPandas())
+        want = {
+            tuple(r)
+            for r in con.execute(
+                """
+                SELECT t.sym, t.ts, t.trade_id, q.ts AS ts_right,
+                       q.px AS px_right
+                FROM t ASOF LEFT JOIN q
+                  ON t.sym = q.sym AND t.ts >= q.ts
+                """
+            ).fetchall()
+        }
+        assert got == want
+        # spot-check the semantics the oracle encodes
+        by_trade = {r[2]: r for r in got}
+        assert by_trade[2][3:] == (2000, 11.0)  # tie → inclusive
+        assert by_trade[6][3:] == (None, None)  # no prior quote
+        assert by_trade[5][3:] == (1600, 21.0)  # latest prior wins
+
+    def test_tolerance_nulls_stale_matches(self, spark, trades_quotes):
+        trades, quotes = trades_quotes
+        got = {
+            r.trade_id: r.ts_right
+            for r in asof_join(
+                trades, quotes, by="sym", on="ts", tolerance=F.lit(150)
+            ).collect()
+        }
+        # trade 1 @1000: quote @900 within 150 → kept
+        # trade 3 @2500: quote @2400 within 150 → kept
+        # trade 5 @9999: quote @1600 is 8399 stale → nulled, row kept
+        assert got[1] == 900 and got[3] == 2400 and got[5] is None
+        assert len(got) == 6
+
+    def test_single_shuffle_plan(self, spark, trades_quotes):
+        """The whole as-of join must cost ONE hash partitioning on the key
+        (plus the window sort) — never a cross/theta join."""
+        trades, quotes = trades_quotes
+        plan = asof_join(trades, quotes, by="sym", on="ts")._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestRangeJoinBuckets:
+    def test_matches_naive_theta_join(self, spark):
+        facts = spark.range(0, 500).select(
+            F.col("id").alias("fact_id"),
+            (F.col("id") % 97 * 2.13).alias("v"),
+        )
+        ranges = spark.createDataFrame(
+            [(i, i * 8.0, i * 8.0 + 12.0) for i in range(26)],
+            "band_id long, lo double, hi double",
+        )
+        got = {
+            (r.fact_id, r.band_id)
+            for r in range_join_buckets(
+                facts, ranges, "v", "lo", "hi", bucket_width=8.0
+            ).collect()
+        }
+        naive = {
+            (r.fact_id, r.band_id)
+            for r in facts.join(
+                ranges, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+            ).collect()
+        }
+        assert got == naive and len(got) > 500  # overlap → multi-match
+
+    def test_half_open_boundaries(self, spark):
+        facts = spark.createDataFrame([(1, 8.0), (2, 20.0)], "fact_id long, v double")
+        ranges = spark.createDataFrame([(0, 0.0, 8.0), (1, 8.0, 20.0)], "band_id long, lo double, hi double")
+        got = {(r.fact_id, r.band_id) for r in range_join_buckets(facts, ranges, "v", "lo", "hi", 8.0).collect()}
+        assert got == {(1, 1)}  # v=8 excluded from [0,8), included in [8,20); v=20 matches nothing
+
+    def test_broadcast_hash_join_plan(self, spark):
+        facts = spark.range(0, 100).select(F.col("id").alias("fact_id"), (F.col("id") * 1.0).alias("v"))
+        ranges = spark.createDataFrame([(0, 0.0, 50.0)], "band_id long, lo double, hi double")
+        plan = range_join_buckets(facts, ranges, "v", "lo", "hi", 10.0)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan

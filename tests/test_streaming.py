@@ -137,3 +137,143 @@ class TestRateSource:
         out = spark.read.parquet(str(tmp_path / "out"))
         assert set(out.columns) == {"subj", "pred", "obj", "okind", "graph"}
         assert out.filter(out.subj.startswith("<") | (out.subj == "INVALID")).count() == 0
+
+
+class TestSessionizeStream:
+    def test_sessions_match_batch_with_watermark_cutoff(self, spark, tmp_path):
+        """Streaming session_window + watermark (availableNow) must emit
+        exactly the batch session set restricted to sessions finalized by
+        the final watermark.  Fixture boundaries are placed well clear of
+        the cutoff so the assertion is insensitive to < vs <= and to ms
+        truncation of the watermark (the exact rule is pinned separately
+        by the gate oracle at sf0.01)."""
+        from mopper_spark.streaming import sessionize_stream, stream_events
+
+        src = str(tmp_path / "events_src")
+        # gap 10 s, watermark 60 s; max ts = 1000 s.  cutoff ≈ 940 s.
+        # u1: two sessions, ends 320 and 520 — both emitted
+        # u2: one session ending 890 — emitted
+        # u3: session ending 995 (past cutoff) — held back
+        rows = [
+            (1, 1, 300.0), (2, 1, 305.0), (3, 1, 310.0),
+            (4, 1, 505.0), (5, 1, 510.0),
+            (6, 2, 875.0), (7, 2, 880.0),
+            (8, 3, 980.0), (9, 3, 985.0),
+            (10, 2, 1000.0),  # max-ts driver; its own session also open
+            # gap EXACTLY equal to the 10 s duration -> still MERGES
+            # (inclusive boundary, same as the batch diff > gap rule)
+            (11, 4, 600.0), (12, 4, 610.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, sec double"
+        ).select(
+            "event_id",
+            F.timestamp_micros((F.col("sec") * 1_000_000).cast("long"))
+            .cast("timestamp_ntz")
+            .alias("ts"),
+            "user_id",
+            F.lit("x").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        df.repartition(2).write.parquet(src)
+
+        out, ck = str(tmp_path / "sout"), str(tmp_path / "sck")
+        q = write_stream(
+            sessionize_stream(
+                stream_events(spark, src), gap="10 seconds", watermark="60 seconds"
+            ),
+            out,
+            ck,
+        )
+        _drain(q)
+        from mopper_spark.streaming import as_utc_instant
+
+        got = {
+            (r.user_id, r.s_us, r.e_us, r.n_events)
+            for r in spark.read.parquet(out)
+            .select(
+                "user_id",
+                F.unix_micros("session_start").alias("s_us"),
+                F.unix_micros("session_end").alias("e_us"),
+                "n_events",
+            )
+            .collect()
+        }
+        # batch equivalent: session_window works on batch frames too, over
+        # the SAME utc-instant conversion the stream applies
+        batch_all = {
+            (r.user_id, r.s_us, r.e_us, r.n_events)
+            for r in df.withColumn("ts", as_utc_instant("ts"))
+            .groupBy(
+                "user_id", F.session_window("ts", "10 seconds")
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_micros("session_window.start").alias("s_us"),
+                F.unix_micros("session_window.end").alias("e_us"),
+                "n_events",
+            )
+            .collect()
+        }
+        emitted_users = {g[0] for g in got}
+        assert got <= batch_all
+        assert len(got) == 4  # u1 x2 + u2's first session + u4's merged one
+        assert 3 not in emitted_users  # open/late session held back
+        # exact-gap boundary merges: ONE session spanning both events
+        u4 = sorted(g for g in got if g[0] == 4)
+        assert [(g[1], g[2], g[3]) for g in u4] == [
+            (600_000_000, 620_000_000, 2),
+        ]
+        # the emitted sessions carry exact batch values
+        finalized = {b for b in batch_all if b in got}
+        assert finalized == got
+
+
+class TestDedupCountsStream:
+    def test_running_counts_accumulate_to_batch_totals(self, spark, tmp_path):
+        """applyInPandasWithState dedup ledger: across several
+        micro-batches the final running count per fingerprint equals the
+        batch GROUP BY — and intermediate emissions are monotone."""
+        from mopper_spark.streaming import dedup_counts_stream
+
+        src = str(tmp_path / "docs_src")
+        texts = [f"doc body {i % 7}" for i in range(40)]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        # 4 files → 4 micro-batches with maxFilesPerTrigger=1
+        df.repartition(4).write.parquet(src)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out, ck = str(tmp_path / "dout"), str(tmp_path / "dck")
+        q = write_stream(dedup_counts_stream(stream), out, ck, output_mode="update")
+        _drain(q)
+        got = spark.read.parquet(out)
+        final = {
+            r.fingerprint: r.n_seen
+            for r in got.groupBy("fingerprint")
+            .agg(F.max("n_seen").alias("n_seen"))
+            .collect()
+        }
+        batch = {
+            r.fingerprint: r.n
+            for r in df.select(
+                F.md5(F.col("text").cast("binary")).alias("fingerprint")
+            )
+            .groupBy("fingerprint")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert final == batch
+        # state visibly accumulated across batches: some fingerprint was
+        # emitted more than once with increasing totals
+        multi = (
+            got.groupBy("fingerprint").agg(F.count("*").alias("k")).filter("k > 1")
+        )
+        assert multi.count() > 0
