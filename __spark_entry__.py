@@ -1140,10 +1140,135 @@ SELECT n.norm AS norm,
          || replace(coalesce(m.canonical_norm, n.norm), ' ', '%20') AS canonical_iri
 FROM norms n LEFT JOIN members m ON m.node = n.norm
 """
-    return kg_sql, linking_sql, turns_sql
+    # triangle counts over the mention co-occurrence graph: same mentions
+    # CTE and normalization; edges = distinct normalized-form pairs
+    # co-mentioned in one conversation; triangles via the canonical
+    # 3-way self-join (x < y < z), then each triangle credits its 3 nodes
+    triangles_sql = f"""
+WITH {mentions_cte},
+cn AS (SELECT DISTINCT conv_id, {norm.format(v="surface")} AS norm FROM men),
+ed AS (SELECT DISTINCT a.norm AS u, b.norm AS v
+       FROM cn a JOIN cn b ON a.conv_id = b.conv_id AND a.norm < b.norm),
+tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM ed e1
+        JOIN ed e2 ON e2.u = e1.u AND e1.v < e2.v
+        JOIN ed e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+GROUP BY node
+"""
+    return kg_sql, linking_sql, turns_sql, triangles_sql
 
 
-_SQL_KG_GRAPH, _SQL_ENTITY_LINKING, _SQL_KG_STREAM = _transcript_oracle_sqls()
+(
+    _SQL_KG_GRAPH,
+    _SQL_ENTITY_LINKING,
+    _SQL_KG_STREAM,
+    _SQL_MENTION_TRIANGLES,
+) = _transcript_oracle_sqls()
+
+
+def _q_mention_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-node triangle counts over the mention co-occurrence graph
+    (normalized entity forms co-mentioned in one conversation), via the
+    degree-ordered node-iterator algorithm — wedge work is capped at
+    O(sqrt(|E|)) per node, so one celebrity entity cannot become "the
+    last reducer" (mopper_spark/pipeline/graph.py)."""
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.graph import triangle_counts
+    from mopper_spark.pipeline.linking import normalize_surface
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    cn = (
+        extract_mentions(tr)
+        .select("conv_id", normalize_surface(F.col("surface")).alias("norm"))
+        .distinct()
+    )
+    a, b = cn.alias("a"), cn.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.norm") < F.col("b.norm")),
+        )
+        .select(F.col("a.norm").alias("a"), F.col("b.norm").alias("b"))
+        .distinct()
+    )
+    return triangle_counts(edges)
+
+
+def _q_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: purchases
+    matched to same-user views at most 1 h older, both sides arriving as
+    independent file streams in several micro-batches.  The watermark is
+    set to the corpus's full time span so NO match can be lost to state
+    eviction on the unsorted replay — making stream output == batch join
+    provable (the oracle) — while the operator itself is the bounded-state
+    scale path when sources arrive roughly time-ordered."""
+    from mopper_spark.streaming import (
+        interval_join_stream,
+        stream_events,
+        write_stream,
+    )
+
+    root = _scratch_root("stream_interval_join")
+    src, out, ck = (os.path.join(root, d) for d in ("src", "out", "ck"))
+    spark.read.schema(
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(f"{sf}/events.parquet").repartition(4).write.parquet(src)
+
+    purchases = (
+        stream_events(spark, src, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+        )
+    )
+    views = (
+        stream_events(spark, src, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id")
+        )
+    )
+    j = interval_join_stream(
+        purchases,
+        views,
+        by="user_id",
+        left_ts="p_ts",
+        right_ts="v_ts",
+        max_span="1 hour",
+        watermark="40 days",
+    ).select(
+        F.col("l.purchase_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.p_ts").alias("p_ts"),
+        F.col("r.view_id").alias("view_id"),
+        F.col("r.v_ts").alias("v_ts"),
+    )
+    q = write_stream(j, out, ck)
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        "view_id",
+        F.unix_micros("v_ts").alias("view_ts_us"),
+    )
+
+
+_SQL_STREAM_INTERVAL_JOIN = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       v.event_id AS view_id, epoch_us(v.ts) AS view_ts_us
+FROM events p
+JOIN events v
+  ON p.event_type = 'purchase' AND v.event_type = 'view'
+ AND p.user_id = v.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
 
 
 def _q_kg_stream_parity(spark: SparkSession, sf: str) -> DataFrame:
@@ -1470,6 +1595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_bands": _q_events_value_bands,
         "events_sessions_stream": _q_events_sessions_stream,
         "stream_dedup_counts": _q_stream_dedup_counts,
+        "mention_triangles": _q_mention_triangles,
+        "stream_interval_join": _q_stream_interval_join,
     }
 
 
@@ -1510,4 +1637,6 @@ def oracle_sql() -> dict[str, str]:
         "events_value_bands": _SQL_EVENTS_RANGE,
         "events_sessions_stream": _SQL_EVENTS_SESSIONS_STREAM,
         "stream_dedup_counts": _SQL_STREAM_DEDUP_COUNTS,
+        "mention_triangles": _SQL_MENTION_TRIANGLES,
+        "stream_interval_join": _SQL_STREAM_INTERVAL_JOIN,
     }

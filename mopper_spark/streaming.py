@@ -254,6 +254,40 @@ def dedup_counts_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    max_span: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: left rows matched to right rows of the
+    same ``by`` key with ``left_ts ∈ [right_ts, right_ts + max_span]``.
+
+    Both sides carry an event-time watermark; with the time-range
+    condition on the event-time columns Spark bounds each side's join
+    state to ``watermark + max_span`` — the state-eviction contract that
+    makes an unbounded stream-stream join feasible.  Inner-join matches
+    emit eagerly (append mode), so the emitted set equals the batch join
+    whenever no matching partner is dropped by eviction: pick
+    ``watermark`` ≥ the worst-case event-time disorder of the source (for
+    a replay of unsorted files, the full time span — the gate query does
+    exactly that to make stream == batch provable; a production log
+    source arrives roughly time-ordered needs only minutes)."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    return l.join(
+        r,
+        (F.col(f"l.{by}") == F.col(f"r.{by}"))
+        & (lts >= rts)
+        & (lts <= rts + F.expr(f"INTERVAL {max_span}")),
+        "inner",
+    )
+
+
 def write_stream(
     df: DataFrame,
     output_dir: str,

@@ -125,3 +125,77 @@ class TestRangeJoinBuckets:
         plan = range_join_buckets(facts, ranges, "v", "lo", "hi", 10.0)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestTriangleCounts:
+    def test_known_graph(self, spark):
+        from mopper_spark.pipeline.graph import triangle_counts
+
+        # K4 on a,b,c,d (4 triangles, each node in 3) plus a pendant edge
+        # and a duplicate/reversed/self-loop noise row
+        edges = spark.createDataFrame(
+            [
+                ("a", "b"), ("a", "c"), ("a", "d"),
+                ("b", "c"), ("b", "d"), ("c", "d"),
+                ("d", "e"),           # pendant — no triangle
+                ("b", "a"),           # reversed duplicate
+                ("c", "c"),           # self-loop
+            ],
+            "a string, b string",
+        )
+        got = {
+            (r.node, r.n_triangles) for r in triangle_counts(edges).collect()
+        }
+        assert got == {("a", 3), ("b", 3), ("c", 3), ("d", 3)}
+
+    def test_matches_naive_three_way_join(self, spark):
+        from mopper_spark.pipeline.graph import triangle_counts
+
+        # deterministic pseudo-random graph on 40 nodes
+        edges = (
+            spark.range(0, 400)
+            .select(
+                (F.xxhash64("id") % 40).alias("a"),
+                (F.xxhash64("id", F.lit(1)) % 40).alias("b"),
+            )
+            .selectExpr("abs(a) as a", "abs(b) as b")
+        )
+        got = {
+            (r.node, r.n_triangles)
+            for r in triangle_counts(edges).collect()
+        }
+        e = (
+            edges.selectExpr("least(a,b) as u", "greatest(a,b) as v")
+            .filter("u != v")
+            .distinct()
+        )
+        e.createOrReplaceTempView("tri_e")
+        naive = {
+            (r.node, r.n)
+            for r in spark.sql(
+                """
+                SELECT node, CAST(COUNT(*) AS LONG) AS n FROM (
+                  SELECT explode(array(e1.u, e1.v, e2.v)) AS node
+                  FROM tri_e e1
+                  JOIN tri_e e2 ON e2.u = e1.u AND e1.v < e2.v
+                  JOIN tri_e e3 ON e3.u = e1.v AND e3.v = e2.v
+                ) GROUP BY node
+                """
+            ).collect()
+        }
+        assert got == naive and len(got) > 5
+
+    def test_degree_orientation_caps_wedges(self, spark):
+        """Star + one closing edge: the naive wedge join on the hub
+        generates C(n,2) wedges; degree orientation points every spoke AT
+        the hub, so the hub has out-degree ~0 and wedge work stays linear.
+        Assert correctness on the skewed shape (the plan property is the
+        orientation itself, exercised here with a 200-spoke hub)."""
+        from mopper_spark.pipeline.graph import triangle_counts
+
+        hub = [("hub", f"s{i}") for i in range(200)] + [("s0", "s1")]
+        edges = spark.createDataFrame(hub, "a string, b string")
+        got = {
+            (r.node, r.n_triangles) for r in triangle_counts(edges).collect()
+        }
+        assert got == {("hub", 1), ("s0", 1), ("s1", 1)}

@@ -277,3 +277,58 @@ class TestDedupCountsStream:
             got.groupBy("fingerprint").agg(F.count("*").alias("k")).filter("k > 1")
         )
         assert multi.count() > 0
+
+
+class TestIntervalJoinStream:
+    def test_cross_batch_matches_via_state(self, spark, tmp_path):
+        """A view arriving in micro-batch 1 must still match a purchase
+        arriving in micro-batch 2 (join state carries across triggers),
+        and pairs outside the 1 h window must not join."""
+        from mopper_spark.streaming import (
+            interval_join_stream,
+            stream_events,
+            write_stream,
+        )
+
+        src = str(tmp_path / "ev_src")
+
+        def mk(rows):
+            return spark.createDataFrame(
+                rows, "event_id long, user_id long, sec double, event_type string"
+            ).select(
+                "event_id",
+                F.timestamp_micros((F.col("sec") * 1_000_000).cast("long"))
+                .cast("timestamp_ntz")
+                .alias("ts"),
+                "user_id",
+                "event_type",
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+
+        # file/batch 1: views
+        mk([(1, 1, 100.0, "view"), (2, 2, 100.0, "view")]).repartition(1).write.parquet(src)
+        # file/batch 2: purchases — u1 within 1 h of its view, u2 not
+        mk([(3, 1, 1800.0, "purchase"), (4, 2, 9000.0, "purchase")]).repartition(
+            1
+        ).write.mode("append").parquet(src)
+
+        purchases = (
+            stream_events(spark, src, max_files_per_trigger=1)
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("pid"))
+        )
+        views = (
+            stream_events(spark, src, max_files_per_trigger=1)
+            .filter(F.col("event_type") == "view")
+            .select("user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("vid"))
+        )
+        j = interval_join_stream(
+            purchases, views, by="user_id", left_ts="p_ts", right_ts="v_ts",
+            max_span="1 hour", watermark="1 day",
+        ).select(F.col("l.pid").alias("pid"), F.col("r.vid").alias("vid"))
+        out, ck = str(tmp_path / "jout"), str(tmp_path / "jck")
+        q = write_stream(j, out, ck)
+        _drain(q)
+        got = {(r.pid, r.vid) for r in spark.read.parquet(out).collect()}
+        assert got == {(3, 1)}
