@@ -1517,6 +1517,40 @@ GROUP BY md5(text)
 """
 
 
+def _q_doc_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash (80/10/10):
+    reproducible across runs and engines, stable under corpus growth, and
+    group-safe when keyed by a group id (textops/sampling.py).  The oracle
+    re-derives the md5-hex bucket with pure string arithmetic."""
+    from mopper_spark.textops.sampling import hash_split
+
+    docs = spark.read.schema("doc_id long").parquet(f"{sf}/documents.parquet")
+    return hash_split(docs, key="doc_id")
+
+
+# bucket = first 4 md5 hex chars of 'split-v1' || key, parsed via strpos
+# arithmetic (DuckDB-portable); thresholds are the exact constants
+# hash_split compiles: round(0.8*65536)=52429, round(0.9*65536)=58982
+_SQL_DOC_HASH_SPLIT = """
+WITH h AS (
+  SELECT doc_id,
+         substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+  FROM documents
+),
+b AS (SELECT doc_id,
+        (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+      + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+      + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS bucket
+      FROM h)
+SELECT doc_id,
+       CASE WHEN bucket < 52429 THEN 'train'
+            WHEN bucket < 58982 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 # ADVICE r2: several strict oracles below are exact all-pairs SQL over an
 # approximate (LSH-banded / blocked) Spark path; they are EQUALITY oracles
 # only because recall is measured-or-guaranteed total at the gate config,
@@ -1597,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_counts": _q_stream_dedup_counts,
         "mention_triangles": _q_mention_triangles,
         "stream_interval_join": _q_stream_interval_join,
+        "doc_hash_split": _q_doc_hash_split,
     }
 
 
@@ -1639,4 +1674,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_counts": _SQL_STREAM_DEDUP_COUNTS,
         "mention_triangles": _SQL_MENTION_TRIANGLES,
         "stream_interval_join": _SQL_STREAM_INTERVAL_JOIN,
+        "doc_hash_split": _SQL_DOC_HASH_SPLIT,
     }

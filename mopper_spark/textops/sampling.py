@@ -1,0 +1,89 @@
+"""Deterministic, seed-stable sampling and dataset splitting.
+
+Training pipelines need splits that are (a) reproducible across runs and
+engines, (b) stable under corpus growth (a document's split never changes
+when other documents are added), and (c) group-safe (split by conv_id /
+source, not per row, so near-identical rows cannot leak across train and
+eval).  ``rand()``-based sampling has none of these properties; hashing
+the split key does — the assignment is a pure function of (seed, key).
+
+The bucket is the first 4 hex chars of ``md5(seed || key)`` parsed as an
+integer (0..65535): trivially portable (any engine with md5 and substring
+reproduces it bit-for-bit — the DuckDB oracle does), and uniform enough
+for split weights at any corpus size.  All expressions are native
+(JVM-side); nothing here touches Python at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 65536  # 16 bits of md5
+
+
+def hash_bucket(key: Column, seed: str) -> Column:
+    """Deterministic bucket in [0, 65536) — first 4 md5 hex chars of
+    ``seed || key``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    splits: dict[str, float] | None = None,
+    seed: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row a split label by hashing ``key``.
+
+    ``splits`` maps label → weight (normalized here); insertion order
+    defines the bucket layout, so keep it fixed for a given seed.  Rows
+    sharing a key share a split — pass a group key (conv_id, source
+    domain) to prevent leakage of near-duplicate rows across splits."""
+    if splits is None:
+        splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(splits.values())
+    bucket = hash_bucket(F.col(key), seed)
+    expr = None
+    acc = 0.0
+    labels = list(splits)
+    for label in labels[:-1]:
+        acc += splits[label] / total
+        threshold = int(round(acc * BUCKETS))
+        cond = bucket < threshold
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    expr = (
+        F.lit(labels[-1]) if expr is None else expr.otherwise(labels[-1])
+    )
+    return df.withColumn(out_col, expr)
+
+
+def split_thresholds(
+    splits: dict[str, float] | None = None,
+) -> list[tuple[str, int]]:
+    """(label, exclusive upper bucket bound) pairs — the exact constants
+    ``hash_split`` compiles, exposed so oracles/tests mirror them."""
+    if splits is None:
+        splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(splits.values())
+    out, acc = [], 0.0
+    for label, w in splits.items():
+        acc += w / total
+        out.append((label, int(round(acc * BUCKETS))))
+    return out
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, rate: float, seed: str = "sample-v1"
+) -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows by key hash.
+
+    Nested samples compose: a 1% sample is a subset of the 10% sample at
+    the same seed — the property that lets a pipeline debug on 0.1% and
+    scale the same cohort up."""
+    return df.filter(hash_bucket(F.col(key), seed) < int(round(rate * BUCKETS)))

@@ -507,3 +507,79 @@ class TestMultimodal:
         plan = frame_sample_plan(media, every_n=1)
         counts = {r.media_id: r["count"] for r in plan.groupBy("media_id").count().collect()}
         assert all(c >= 1 for c in counts.values())
+
+
+class TestSampling:
+    def test_split_proportions_and_determinism(self, spark):
+        from mopper_spark.textops.sampling import hash_split
+
+        keys = spark.range(0, 20000).withColumnRenamed("id", "k")
+        s1 = hash_split(keys, key="k")
+        counts = {r.split: r.n for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert abs(counts["train"] / 20000 - 0.8) < 0.02
+        assert abs(counts["val"] / 20000 - 0.1) < 0.01
+        assert abs(counts["test"] / 20000 - 0.1) < 0.01
+        # pure function of (seed, key): a second evaluation is identical
+        s2 = hash_split(keys, key="k")
+        assert s1.exceptAll(s2).isEmpty()
+        # a different seed reassigns a nontrivial fraction
+        s3 = hash_split(keys, key="k", seed="split-v2")
+        moved = (
+            s1.alias("a")
+            .join(s3.alias("b"), F.col("a.k") == F.col("b.k"))
+            .filter(F.col("a.split") != F.col("b.split"))
+            .count()
+        )
+        assert moved > 3000
+
+    def test_split_is_stable_under_corpus_growth(self, spark):
+        """A key's split never changes when more keys are added — the
+        property rand()-based splitting lacks."""
+        from mopper_spark.textops.sampling import hash_split
+
+        small = hash_split(spark.range(0, 100).withColumnRenamed("id", "k"), key="k")
+        big = hash_split(spark.range(0, 10000).withColumnRenamed("id", "k"), key="k")
+        joined = (
+            small.alias("s")
+            .join(big.alias("b"), F.col("s.k") == F.col("b.k"))
+            .filter(F.col("s.split") != F.col("b.split"))
+        )
+        assert joined.isEmpty()
+
+    def test_nested_samples_compose(self, spark):
+        from mopper_spark.textops.sampling import deterministic_sample
+
+        keys = spark.range(0, 20000).withColumnRenamed("id", "k")
+        one = {r.k for r in deterministic_sample(keys, "k", 0.01).collect()}
+        ten = {r.k for r in deterministic_sample(keys, "k", 0.10).collect()}
+        assert one <= ten
+        assert abs(len(ten) / 20000 - 0.10) < 0.01 and len(one) > 100
+
+    def test_bucket_matches_duckdb_arithmetic(self, spark):
+        """The portable contract: DuckDB's strpos-based hex parse of the
+        same md5 prefix reproduces hash_bucket bit-for-bit."""
+        import duckdb
+
+        from mopper_spark.textops.sampling import hash_bucket
+
+        keys = spark.range(0, 500).withColumnRenamed("id", "k")
+        got = {
+            r.k: r.b
+            for r in keys.select("k", hash_bucket(F.col("k"), "split-v1").alias("b")).collect()
+        }
+        want = {
+            k: b
+            for k, b in duckdb.sql(
+                """
+                SELECT k,
+                  (strpos('0123456789abcdef', substr(hx,1,1))-1)*4096
+                + (strpos('0123456789abcdef', substr(hx,2,1))-1)*256
+                + (strpos('0123456789abcdef', substr(hx,3,1))-1)*16
+                + (strpos('0123456789abcdef', substr(hx,4,1))-1) AS b
+                FROM (SELECT range AS k,
+                             substr(md5('split-v1' || CAST(range AS VARCHAR)), 1, 4) AS hx
+                      FROM range(0, 500))
+                """
+            ).fetchall()
+        }
+        assert got == want
