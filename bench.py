@@ -278,14 +278,22 @@ def main() -> None:
     # committed artifact; a headline query >1.5x its r2 time or a scaling
     # efficiency below the 0.8 gate is flagged in the artifact itself
     alerts: list[str] = []
-    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json")
-    if os.path.exists(prev_path):
+    import glob as _glob
+
+    prior = sorted(
+        _glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
+        )
+    )
+    if prior:
+        prev_path = prior[-1]  # latest committed round artifact
         with open(prev_path) as fh:
             prev = json.load(fh).get("queries", {})
+        tag = os.path.basename(prev_path)
         for name, secs in queries.items():
             if name in prev and prev[name] > 0 and secs > 1.5 * prev[name]:
                 alerts.append(
-                    f"{name}: {secs:.2f}s vs {prev[name]:.2f}s in r2 (>1.5x)"
+                    f"{name}: {secs:.2f}s vs {prev[name]:.2f}s in {tag} (>1.5x)"
                 )
     for key, val in throughput.items():
         if key.startswith("scaling_efficiency") and val < 0.8:
