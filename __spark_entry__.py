@@ -1026,7 +1026,7 @@ def _q_kg_graph_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     return extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
 
 
-def _transcript_oracle_sqls() -> tuple[str, str, str]:
+def _transcript_oracle_sqls() -> tuple[str, str, str, str, str]:
     """Build the kg_graph / entity_linking oracle SQL from the same public
     constants the Spark pipeline uses (gazetteer, mention regex, accent
     fold table), so the two sides cannot silently drift apart.
@@ -1157,7 +1157,36 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM (SELECT unnest([x, y, z]) AS node FROM tri)
 GROUP BY node
 """
-    return kg_sql, linking_sql, turns_sql, triangles_sql
+    # fixed-point PageRank (pipeline/graph.py::pagerank_fixed): all-integer
+    # arithmetic, so the oracle is EXACT — DuckDB's // and Spark's `div`
+    # both truncate non-negative BIGINTs identically; SUM(BIGINT)->HUGEINT
+    # is cast back to BIGINT at each iteration (the r2 events_sessionize
+    # fetch-path lesson).  3 unrolled iterations, scale 1e9, damping 85/100.
+    scale, base = 10**9, (15 * 10**9) // 100
+    pr_iters = []
+    prev = "r0"
+    for i in (1, 2, 3):
+        pr_iters.append(
+            f"""s{i} AS (SELECT d.dst AS node, SUM(r.pr // r.out_deg) AS s
+      FROM dirx d JOIN {prev} r ON d.src = r.node GROUP BY d.dst),
+r{i} AS (SELECT r.node, r.out_deg,
+               CAST({base} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+        FROM {prev} r LEFT JOIN s{i} s ON s.node = r.node)"""
+        )
+        prev = f"r{i}"
+    pagerank_sql = f"""
+WITH {mentions_cte},
+cn AS (SELECT DISTINCT conv_id, {norm.format(v="surface")} AS norm FROM men),
+ed AS (SELECT DISTINCT a.norm AS u, b.norm AS v
+       FROM cn a JOIN cn b ON a.conv_id = b.conv_id AND a.norm < b.norm),
+dirx AS (SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v AS src, u AS dst FROM ed),
+r0 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg,
+              CAST({scale} AS BIGINT) AS pr
+       FROM dirx GROUP BY src),
+{",".join(pr_iters)}
+SELECT node, pr AS pr_scaled FROM {prev}
+"""
+    return kg_sql, linking_sql, turns_sql, triangles_sql, pagerank_sql
 
 
 (
@@ -1165,17 +1194,15 @@ GROUP BY node
     _SQL_ENTITY_LINKING,
     _SQL_KG_STREAM,
     _SQL_MENTION_TRIANGLES,
+    _SQL_MENTION_PAGERANK,
 ) = _transcript_oracle_sqls()
 
 
-def _q_mention_triangles(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact per-node triangle counts over the mention co-occurrence graph
-    (normalized entity forms co-mentioned in one conversation), via the
-    degree-ordered node-iterator algorithm — wedge work is capped at
-    O(sqrt(|E|)) per node, so one celebrity entity cannot become "the
-    last reducer" (mopper_spark/pipeline/graph.py)."""
+def _mention_edges(spark: SparkSession) -> DataFrame:
+    """Undirected mention co-occurrence edges: normalized entity forms
+    co-mentioned in one conversation of the transcripts fixture — the
+    shared input of `mention_triangles` and `mention_pagerank`."""
     from mopper_spark.pipeline.extract import extract_mentions
-    from mopper_spark.pipeline.graph import triangle_counts
     from mopper_spark.pipeline.linking import normalize_surface
 
     tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
@@ -1185,7 +1212,7 @@ def _q_mention_triangles(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     a, b = cn.alias("a"), cn.alias("b")
-    edges = (
+    return (
         a.join(
             b,
             (F.col("a.conv_id") == F.col("b.conv_id"))
@@ -1194,7 +1221,28 @@ def _q_mention_triangles(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("a.norm").alias("a"), F.col("b.norm").alias("b"))
         .distinct()
     )
-    return triangle_counts(edges)
+
+
+def _q_mention_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-node triangle counts over the mention co-occurrence graph
+    (normalized entity forms co-mentioned in one conversation), via the
+    degree-ordered node-iterator algorithm — wedge work is capped at
+    O(sqrt(|E|)) per node, so one celebrity entity cannot become "the
+    last reducer" (mopper_spark/pipeline/graph.py)."""
+    from mopper_spark.pipeline.graph import triangle_counts
+
+    return triangle_counts(_mention_edges(spark))
+
+
+def _q_mention_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-point integer PageRank (3 iterations, damping 0.85, scale 1e9)
+    over the mention co-occurrence graph — bit-reproducible under any
+    partitioning because every reduction is an integer sum, which is what
+    lets a single-threaded SQL engine serve as an exact oracle
+    (mopper_spark/pipeline/graph.py::pagerank_fixed)."""
+    from mopper_spark.pipeline.graph import pagerank_fixed
+
+    return pagerank_fixed(_mention_edges(spark), iters=3, scale=10**9)
 
 
 def _q_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -1551,6 +1599,158 @@ FROM b
 """
 
 
+_BM25_TERMS = ["join", "hash", "stream", "vector"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _dlit(v: float) -> str:
+    """Render a Python double as a DuckDB DOUBLE literal that parses back
+    to the exact same bits.  Plain decimal literals in DuckDB are DECIMAL,
+    and DECIMAL->DOUBLE conversion of a 17-digit repr is NOT guaranteed
+    correctly rounded (the mantissa exceeds 2^53); an exponent suffix makes
+    the literal a DOUBLE parsed by strtod, which is."""
+    r = repr(float(v))
+    return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "e0"
+
+
+def _q_docs_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed topic seed — the
+    retrieval-style quality filter of a training-data pipeline
+    (mopper_spark/textops/ranking.py::bm25_scores).  One narrow native
+    pass + a one-row broadcast stats aggregate; zero Python, zero explode."""
+    from mopper_spark.textops.ranking import bm25_scores
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return bm25_scores(docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+
+
+def _bm25_oracle_sql() -> str:
+    """Mirror of bm25_scores with IDENTICAL association order: per-term
+    contributions added left-to-right, each a single division chain, and
+    every float constant emitted via _dlit so both engines hold the same
+    doubles (k1+1 = 2.1999999999999997 is not the literal 2.2!)."""
+    k1, k1p1 = _dlit(_BM25_K1), _dlit(_BM25_K1 + 1.0)
+    bb, omb = _dlit(_BM25_B), _dlit(1.0 - _BM25_B)
+    half, one = _dlit(0.5), _dlit(1.0)
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n        ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    contribs = []
+    for i in range(len(_BM25_TERMS)):
+        idf = (
+            f"ln({one} + ((CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE)) + {half})"
+            f" / (CAST(df_{i} AS DOUBLE) + {half}))"
+        )
+        denom = (
+            f"(CAST(tf_{i} AS DOUBLE) + {k1} * ({omb} + ({bb} * CAST(dl AS DOUBLE))"
+            f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+        )
+        contribs.append(f"({idf} * ((CAST(tf_{i} AS DOUBLE) * {k1p1}) / {denom}))")
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = f"({score} + {c})"
+    matched = " OR ".join(f"tf_{i} > 0" for i in range(len(_BM25_TERMS)))
+    return f"""
+WITH tf AS (
+  SELECT doc_id, len(t) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents)
+),
+st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+        {df_cols}
+       FROM tf)
+SELECT doc_id, {score} AS bm25
+FROM tf, st
+WHERE {matched}
+"""
+
+
+_SQL_DOCS_BM25 = _bm25_oracle_sql()
+
+
+def _q_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """PMI collocation mining over adjacent-token bigrams — phrase discovery
+    before tokenizer training (mopper_spark/textops/ranking.py::bigram_pmi).
+    Word-count-shaped shuffles only; pmi is ONE ln over an exact integer
+    ratio, so the double agrees across engines."""
+    from mopper_spark.textops.ranking import bigram_pmi
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return bigram_pmi(docs, min_count=5)
+
+
+# parallel unnest of two equal-length lists zips positionally in DuckDB;
+# range(1, len) is end-exclusive = Spark's sequence(1, size-1) inclusive.
+# Association mirrors bigram_pmi: num = (n_pair * n_tok) * n_tok,
+# den = (n_big * c1) * c2, pmi = ln(num / den).
+_SQL_BIGRAM_PMI = """
+WITH t AS (
+  SELECT tl AS t
+  FROM (SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS tl
+        FROM documents)
+  WHERE len(tl) > 0
+),
+uni AS (SELECT w, COUNT(*) AS c_w
+        FROM (SELECT unnest(t) AS w FROM t) GROUP BY w),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+  FROM t WHERE len(t) > 1
+),
+big AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2),
+tot AS (SELECT SUM(len(t)) AS n_tok, SUM(len(t) - 1) AS n_big FROM t)
+SELECT b.w1, b.w2, CAST(b.n_pair AS BIGINT) AS n_pair,
+       ln(((CAST(b.n_pair AS DOUBLE) * CAST(n_tok AS DOUBLE)) * CAST(n_tok AS DOUBLE))
+          / ((CAST(n_big AS DOUBLE) * CAST(u1.c_w AS DOUBLE)) * CAST(u2.c_w AS DOUBLE))) AS pmi
+FROM big b
+JOIN uni u1 ON b.w1 = u1.w
+JOIN uni u2 ON b.w2 = u2.w
+CROSS JOIN tot
+WHERE b.n_pair >= 5
+"""
+
+
+def _q_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicitly salted equi-join on a heavy-hitter key: events join a
+    per-type dim on event_type (a handful of distinct values — every row
+    of a type lands on one reducer in a plain shuffled join).  The salted
+    plan spreads each type across 16 reducers and returns results
+    identical to the plain join, which is exactly what the oracle checks
+    (mopper_spark/textops/joins.py::salted_join).  shuffle_hash hint
+    pins the shuffled-join path so the salt is actually load-bearing
+    (a broadcast would hide the skew rather than fix it)."""
+    from mopper_spark.textops.joins import salted_join
+
+    ev = spark.read.schema("event_id long, event_type string").parquet(
+        f"{sf}/events.parquet"
+    )
+    dim = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("type_cnt"),
+        F.min("event_id").alias("type_code"),
+    )
+    return salted_join(
+        ev, dim.hint("shuffle_hash"), "event_type", salts=16, salt_on=["event_id"]
+    ).select("event_id", "event_type", "type_cnt", "type_code")
+
+
+_SQL_SKEW_SALTED_JOIN = """
+WITH dim AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_cnt,
+                    MIN(event_id) AS type_code
+             FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, d.type_cnt, d.type_code
+FROM events e JOIN dim d USING (event_type)
+"""
+
+
 # ADVICE r2: several strict oracles below are exact all-pairs SQL over an
 # approximate (LSH-banded / blocked) Spark path; they are EQUALITY oracles
 # only because recall is measured-or-guaranteed total at the gate config,
@@ -1630,6 +1830,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions_stream": _q_events_sessions_stream,
         "stream_dedup_counts": _q_stream_dedup_counts,
         "mention_triangles": _q_mention_triangles,
+        "mention_pagerank": _q_mention_pagerank,
+        "docs_bm25": _q_docs_bm25,
+        "bigram_pmi": _q_bigram_pmi,
+        "skew_salted_join": _q_skew_salted_join,
         "stream_interval_join": _q_stream_interval_join,
         "doc_hash_split": _q_doc_hash_split,
     }
@@ -1673,6 +1877,10 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions_stream": _SQL_EVENTS_SESSIONS_STREAM,
         "stream_dedup_counts": _SQL_STREAM_DEDUP_COUNTS,
         "mention_triangles": _SQL_MENTION_TRIANGLES,
+        "mention_pagerank": _SQL_MENTION_PAGERANK,
         "stream_interval_join": _SQL_STREAM_INTERVAL_JOIN,
         "doc_hash_split": _SQL_DOC_HASH_SPLIT,
+        "docs_bm25": _SQL_DOCS_BM25,
+        "bigram_pmi": _SQL_BIGRAM_PMI,
+        "skew_salted_join": _SQL_SKEW_SALTED_JOIN,
     }

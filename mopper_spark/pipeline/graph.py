@@ -20,6 +20,93 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def pagerank_fixed(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    *,
+    iters: int = 3,
+    scale: int = 10**9,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected graph, in EXACT integer
+    (fixed-point) arithmetic so the result is bit-identical across engines,
+    partitionings, and re-runs.
+
+    Floating-point PageRank is famously non-reproducible on a cluster: the
+    per-node contribution sum is a double reduction whose association order
+    depends on partitioning, so two runs of the same job differ in the last
+    ulps.  Here ranks are ``int64`` in units of ``1/scale``:
+    ``r0 = scale``; each iteration sends ``r div deg`` along every directed
+    edge and sets ``r' = (15*scale) div 100 + (85 * sum) div 100``
+    (damping 0.85).  Integer division and addition are associative-safe, so
+    ANY execution order yields the same ranks — which is also what lets a
+    single-threaded SQL engine serve as a strict oracle.
+
+    ``scale`` bounds: total in-flight rank is ≤ n_nodes * scale and the
+    update multiplies by 85, so choose ``scale ≤ 2**63 / (100 * n_nodes)``
+    (1e9 is safe to ~9e7 nodes; drop to 1e6 for billion-node graphs — the
+    quantization error is bounded by ``iters * deg_max / scale``).
+
+    Physical shape per iteration: one equi-join of the directed edge list
+    with the rank table (AQE broadcast when ranks fit) + one
+    map-side-combining sum by destination — the same cost envelope as one
+    round of connected components.  Lineage is cut with ``localCheckpoint``
+    every ``checkpoint_every`` iterations so deep iteration counts do not
+    accumulate an unexecutable plan.
+
+    Returns ``(node, pr_scaled bigint)`` — divide by ``scale`` and
+    normalize by node count for the conventional probability vector.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    directed = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    # the directed edge list is probed by every iteration's join — cut the
+    # upstream lineage ONCE so edge construction (which may itself be an
+    # expensive extraction pipeline) doesn't re-execute per iteration
+    directed = directed.localCheckpoint(eager=False)
+    base = (15 * scale) // 100
+    state = (
+        directed.groupBy("src")
+        .agg(F.count("*").alias("out_deg"))
+        .select(
+            F.col("src").alias("node"),
+            "out_deg",
+            F.lit(scale).cast("long").alias("pr"),
+        )
+    )
+    for i in range(iters):
+        contrib = directed.join(state, directed["src"] == state["node"]).select(
+            F.col("dst").alias("node"), F.expr("pr div out_deg").alias("c")
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        state = (
+            state.select("node", "out_deg")
+            .join(sums, "node", "left")
+            .select(
+                "node",
+                "out_deg",
+                (F.lit(base) + F.expr("(85 * coalesce(s, 0L)) div 100"))
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+        # state is referenced TWICE per iteration (contribution join +
+        # carry-forward of out_deg), so an unmaterialized plan doubles per
+        # round — 2^iters recomputation.  A lazy checkpoint caps each
+        # iteration's plan at one join + one aggregation, same as cc.py.
+        state = state.localCheckpoint(eager=(i + 1) % checkpoint_every == 0)
+    return state.select("node", F.col("pr").alias("pr_scaled"))
+
+
 def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     """Exact per-node triangle counts.
 

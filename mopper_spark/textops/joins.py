@@ -137,3 +137,45 @@ def range_join_buckets(
         )
         .drop("__bucket")
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    salts: int = 16,
+    salt_on: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with EXPLICIT key salting for skewed join keys.
+
+    A hash join on a low-cardinality or heavy-hitter key ("the celebrity
+    problem") sends every row of the hot key to one reducer; at 100 TB that
+    single task runs for hours while 999 executors idle.  Salting rewrites
+    ``fact ⋈_key dim`` as ``fact ⋈_(key, salt) (dim × salts)``: the dim side
+    is replicated ``salts``× (one row per salt value), each fact row picks a
+    deterministic salt from ``xxhash64(salt_on)``, and the hot key's rows
+    spread across ``salts`` reducers.  Results are identical to the plain
+    join — the salt is an internal column, dropped on output.
+
+    Complements AQE's skew-join splitting (which only fires for sort-merge
+    joins and only re-splits oversized partitions after a shuffle has
+    already materialized); salting pre-spreads the load and also works for
+    shuffled hash joins and aggregations-after-join.
+
+    ``salt_on``: fact columns fed to the salt hash (default: the join key's
+    row is spread by ALL fact columns — pass a unique id column when one
+    exists; any deterministic per-row choice is correct, uniformity is the
+    only quality dimension).
+    """
+    if salts < 1:
+        raise ValueError("salts must be >= 1")
+    cols = salt_on if salt_on else [c for c in fact.columns]
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salts - 1).cast("long")))
+    )
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salts)).cast("long")
+    )
+    return salted_fact.join(salted_dim, [key, "__salt"], how).drop("__salt")

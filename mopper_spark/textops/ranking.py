@@ -1,0 +1,172 @@
+"""Corpus-statistics ranking: BM25 scoring and PMI collocation mining.
+
+Neither exists in the reference engine (ghsnd/mopper has no free-text
+ranking surface at all); a training-data pipeline needs both — BM25 for
+retrieval-style quality filtering ("keep documents relevant to a topic
+seed"), PMI for collocation/phrase mining before tokenizer training.
+
+Scale design (both operators):
+
+- The per-document work (tokenize, count) is a single narrow native pass —
+  whole-stage codegen, zero Python.
+- The corpus statistics (N, avgdl, per-term df; total token / bigram
+  counts) reduce to a ONE-ROW aggregate (or a small term-count table) that
+  is broadcast back.  At 100 TB the only shuffles are map-side-combining
+  aggregations on low-cardinality keys; nothing is ever collected to the
+  driver.
+- Cross-engine determinism: every floating-point expression is written
+  with a FIXED association order (per-term scores added left-to-right, one
+  ``ln`` per output value) so an independent SQL engine computing the same
+  formula bit-agrees within 1 ulp; integer statistics (tf, dl, df, counts)
+  are exact by construction.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mopper_spark.textops.analysis import tokens
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 score of every document against a fixed bag of query ``terms``.
+
+    Uses the Lucene/ATIRE idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    (never negative).  Returns ``(id_col, bm25 double)`` for documents
+    matching at least one term.
+
+    Physical shape: one narrow pass computes ``dl`` and one ``tf_i`` column
+    per term (native array ops); a single one-row aggregate yields
+    ``(N, sum_dl, df_1..df_k)`` and is cross-joined back (broadcast — one
+    row).  No explode, no per-term shuffle: cost is O(corpus) + one
+    scalar-aggregate exchange regardless of term count.
+
+    Determinism: the score is a sum of per-term closed forms added in the
+    fixed order of ``terms``; each term contributes one division chain with
+    explicit parenthesization mirrored by the SQL oracle.
+    """
+    if not terms:
+        raise ValueError("bm25_scores requires at least one query term")
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def _tf(term: str):
+        # NB: a two-arg lambda would be treated by F.filter as
+        # (element, index) — close over the term instead
+        return F.size(F.filter(toks, lambda t: t == term))
+
+    tf_cols = [_tf(term).alias(f"tf_{i}") for i, term in enumerate(terms)]
+    per_doc = docs.select(F.col(id_col), F.size(toks).alias("dl"), *tf_cols)
+
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    contribs = []
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}").cast("double")
+        n = F.col("n_docs").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (n - df + F.lit(0.5)) / (df + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + (F.lit(b) * F.col("dl").cast("double")) / avgdl
+        )
+        contribs.append(idf * ((tf * F.lit(k1 + 1.0)) / denom))
+    # fixed left-to-right association — mirrored exactly by the SQL oracle
+    score = reduce(lambda acc, c: acc + c, contribs)
+    matched = reduce(
+        lambda acc, i: acc | (F.col(f"tf_{i}") > 0), range(1, len(terms)), F.col("tf_0") > 0
+    )
+    return scored.filter(matched).select(F.col(id_col), score.alias("bm25"))
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    *,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pointwise mutual information of adjacent-token bigrams over the corpus.
+
+    ``pmi(a, b) = ln( P(ab) / (P(a) P(b)) )`` with ``P(ab) = c_ab / n_bigrams``
+    and ``P(x) = c_x / n_tokens``; computed as ONE ``ln`` over an exact
+    integer ratio ``(c_ab * n_tok * n_tok) / (n_big * c_a * c_b)`` (numerator
+    and denominator each a fixed-order double product of exact integers), so
+    two engines agree to 1 ulp.  Returns
+    ``(w1, w2, n_pair bigint, pmi double)`` for bigrams seen ≥ ``min_count``.
+
+    Physical shape: tokenize + explode adjacent pairs (narrow), then one
+    map-side-combining count per bigram and one per unigram; the unigram
+    count table and the two one-row totals are broadcast into the final
+    join.  The only data-sized shuffle is the bigram count aggregation —
+    exactly the word-count pattern that scales linearly.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    t = docs.select(toks.alias("t")).filter(F.size("t") > 0)
+
+    uni = (
+        t.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_w"))
+    )
+    # adjacent pairs via 1-based element_at over an index sequence — keeps
+    # the whole expression native and mirrors the SQL oracle's 1-based lists
+    pairs = t.filter(F.size("t") > 1).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    totals = t.agg(
+        F.sum(F.size("t")).alias("n_tok"),
+        F.sum(F.size("t") - 1).alias("n_big"),
+    )
+
+    # unigram joins are left to AQE: the vocab table is usually broadcastable
+    # but can reach hundreds of MB on a 100 TB corpus — a forced broadcast
+    # would OOM the driver, while AQE picks broadcast iff it actually fits
+    joined = (
+        big.filter(F.col("n_pair") >= min_count)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c2"), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    num = (
+        F.col("n_pair").cast("double")
+        * F.col("n_tok").cast("double")
+        * F.col("n_tok").cast("double")
+    )
+    den = (
+        F.col("n_big").cast("double")
+        * F.col("c1").cast("double")
+        * F.col("c2").cast("double")
+    )
+    return joined.select(
+        "w1", "w2", F.col("n_pair").cast("long").alias("n_pair"), F.log(num / den).alias("pmi")
+    )

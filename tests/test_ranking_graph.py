@@ -1,0 +1,217 @@
+"""Tests for ranking (BM25, bigram PMI), fixed-point PageRank, and the
+explicit salted skew-join — each against an independent pure-Python
+replica of the published formula, plus the determinism / plan properties
+that make them safe at cluster scale."""
+
+import math
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from mopper_spark.pipeline.graph import pagerank_fixed
+from mopper_spark.textops.joins import salted_join
+from mopper_spark.textops.ranking import bigram_pmi, bm25_scores
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick quick fox"),
+    (3, "lazy summer days drift by the quick fox river"),
+    (4, "fox and dog play in the quick river"),
+    (5, "completely unrelated tokens here"),
+    (6, ""),
+]
+
+
+def _tok(text):
+    return [t for t in text.strip().lower().split() if t]
+
+
+def _py_bm25(docs, terms, k1=1.2, b=0.75):
+    rows = [(i, _tok(t)) for i, t in docs]
+    n = len(rows)
+    dls = {i: len(t) for i, t in rows}
+    avgdl = float(sum(dls.values())) / float(n)
+    out = {}
+    for i, toks in rows:
+        score, matched = 0.0, False
+        for term in terms:  # fixed order, left-to-right accumulation
+            tf = float(toks.count(term))
+            if tf > 0:
+                matched = True
+            df = float(sum(1 for _, t in rows if term in t))
+            idf = math.log(1.0 + ((n - df) + 0.5) / (df + 0.5))
+            denom = tf + k1 * ((1.0 - b) + (b * dls[i]) / avgdl)
+            score = score + idf * ((tf * (k1 + 1.0)) / denom)
+        if matched:
+            out[i] = score
+    return out
+
+
+def _py_pagerank(edge_list, iters=3, scale=10**9):
+    und = {(min(a, b), max(a, b)) for a, b in edge_list if a != b}
+    adj = defaultdict(list)
+    for u, v in und:
+        adj[u].append(v)
+        adj[v].append(u)
+    pr = {n: scale for n in adj}
+    base = (15 * scale) // 100
+    for _ in range(iters):
+        s = defaultdict(int)
+        for n, vs in adj.items():
+            c = pr[n] // len(vs)
+            for v in vs:
+                s[v] += c
+        pr = {n: base + (85 * s[n]) // 100 for n in adj}
+    return pr
+
+
+class TestBM25:
+    def test_matches_python_replica(self, spark):
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        terms = ["quick", "river", "dog"]
+        got = {r.doc_id: r.bm25 for r in bm25_scores(docs, terms).collect()}
+        want = _py_bm25(DOCS, terms)
+        assert set(got) == set(want)
+        for i in got:
+            assert got[i] == pytest.approx(want[i], rel=1e-12, abs=1e-15)
+
+    def test_unmatched_docs_excluded(self, spark):
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        got = {r.doc_id for r in bm25_scores(docs, ["fox"]).collect()}
+        assert got == {1, 2, 3, 4}
+
+    def test_requires_terms(self, spark):
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        with pytest.raises(ValueError):
+            bm25_scores(docs, [])
+
+    def test_higher_tf_scores_higher(self, spark):
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        got = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["quick"]).collect()}
+        # doc 2 has tf=2 in a 4-token doc; doc 1 has tf=1 in a 9-token doc
+        assert got[2] > got[1]
+
+
+class TestBigramPMI:
+    def test_matches_python_replica(self, spark):
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        got = {
+            (r.w1, r.w2): (r.n_pair, r.pmi)
+            for r in bigram_pmi(docs, min_count=2).collect()
+        }
+        # python replica
+        toks = [_tok(t) for _, t in DOCS if _tok(t)]
+        uni, big = defaultdict(int), defaultdict(int)
+        n_tok = n_big = 0
+        for t in toks:
+            n_tok += len(t)
+            n_big += len(t) - 1
+            for w in t:
+                uni[w] += 1
+            for x, y in zip(t, t[1:]):
+                big[(x, y)] += 1
+        want = {
+            p: (c, math.log(((c * float(n_tok)) * n_tok) / ((float(n_big) * uni[p[0]]) * uni[p[1]])))
+            for p, c in big.items()
+            if c >= 2
+        }
+        assert set(got) == set(want)
+        for p in got:
+            assert got[p][0] == want[p][0]
+            assert got[p][1] == pytest.approx(want[p][1], rel=1e-12)
+
+    def test_collocation_ranks_above_chance(self, spark):
+        # "quick fox" co-occurs twice; with min_count=2 its PMI must be
+        # positive (above independence)
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        got = {(r.w1, r.w2): r.pmi for r in bigram_pmi(docs, min_count=2).collect()}
+        assert got[("quick", "fox")] > 0
+
+
+class TestPagerankFixed:
+    EDGES = [
+        ("a", "b"), ("b", "c"), ("c", "a"),  # triangle
+        ("c", "d"), ("d", "e"),              # tail
+        ("e", "d"),                          # duplicate (reversed)
+    ]
+
+    def test_matches_python_replica(self, spark):
+        edges = spark.createDataFrame(self.EDGES, "a string, b string")
+        got = {r.node: r.pr_scaled for r in pagerank_fixed(edges).collect()}
+        assert got == _py_pagerank(self.EDGES)
+
+    def test_bit_identical_under_repartitioning(self, spark):
+        # the reason for fixed-point arithmetic: ANY partitioning gives the
+        # same ranks, bit for bit
+        edges = spark.createDataFrame(self.EDGES, "a string, b string")
+        r1 = {r.node: r.pr_scaled for r in pagerank_fixed(edges.repartition(7)).collect()}
+        r2 = {r.node: r.pr_scaled for r in pagerank_fixed(edges.coalesce(1)).collect()}
+        assert r1 == r2
+
+    def test_hub_outranks_leaves(self, spark):
+        star = [("hub", f"leaf{i}") for i in range(20)]
+        edges = spark.createDataFrame(star, "a string, b string")
+        got = {r.node: r.pr_scaled for r in pagerank_fixed(edges, iters=5).collect()}
+        assert got["hub"] > got["leaf0"]
+        assert len({got[f"leaf{i}"] for i in range(20)}) == 1  # symmetry
+
+    def test_deeper_iterations_checkpoint(self, spark):
+        # exercises the eager-checkpoint path (checkpoint_every=2) and that
+        # iteration count changes results until convergence
+        edges = spark.createDataFrame(self.EDGES, "a string, b string")
+        deep = {
+            r.node: r.pr_scaled
+            for r in pagerank_fixed(edges, iters=6, checkpoint_every=2).collect()
+        }
+        assert deep == _py_pagerank(self.EDGES, iters=6)
+
+
+class TestSaltedJoin:
+    def _skewed(self, spark):
+        rows = [(i, "hot") for i in range(500)] + [(10_000 + i, f"k{i % 5}") for i in range(50)]
+        fact = spark.createDataFrame(rows, "id long, k string")
+        dim = spark.createDataFrame(
+            [("hot", 1), ("k0", 2), ("k1", 3), ("k2", 4)], "k string, payload int"
+        )
+        return fact, dim
+
+    def test_identical_to_plain_join(self, spark):
+        fact, dim = self._skewed(spark)
+        got = sorted(
+            tuple(r) for r in salted_join(fact, dim, "k", salts=16, salt_on=["id"]).collect()
+        )
+        want = sorted(tuple(r) for r in fact.join(dim, "k").collect())
+        assert got == want
+
+    def test_left_join_preserves_unmatched(self, spark):
+        fact, dim = self._skewed(spark)
+        got = sorted(
+            tuple(r)
+            for r in salted_join(fact, dim, "k", salts=8, salt_on=["id"], how="left").collect()
+        )
+        want = sorted(tuple(r) for r in fact.join(dim, "k", "left").collect())
+        assert got == want
+
+    def test_salt_spreads_hot_key(self, spark):
+        # the hot key's 500 rows must actually use >1 salt value — i.e. the
+        # salt is doing work, not collapsing to a constant
+        fact, _ = self._skewed(spark)
+        n = (
+            fact.filter(F.col("k") == "hot")
+            .select(F.pmod(F.xxhash64("id"), F.lit(16)).alias("s"))
+            .distinct()
+            .count()
+        )
+        assert n >= 12
+
+    def test_single_salt_degenerates_to_plain(self, spark):
+        fact, dim = self._skewed(spark)
+        got = sorted(tuple(r) for r in salted_join(fact, dim, "k", salts=1).collect())
+        want = sorted(tuple(r) for r in fact.join(dim, "k").collect())
+        assert got == want
+
+    def test_rejects_bad_salts(self, spark):
+        fact, dim = self._skewed(spark)
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, "k", salts=0)
