@@ -50,7 +50,10 @@ HEADLINE = [
     "similarity_topk",
     "text_quality",
     "token_frequencies",
+    "docs_bm25",
+    "bigram_pmi",
     "events_sessionize",
+    "skew_salted_join",
     "events_asof_attribution",
     "events_value_bands",
     "cc_components",
