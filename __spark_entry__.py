@@ -1026,6 +1026,48 @@ def _q_kg_graph_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     return extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
 
 
+def _q_kg_bgp_comention(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL-lite BGP over the extracted KG: the 4-pattern chain query
+
+        SELECT DISTINCT ?conv ?e1 ?e2 WHERE {
+          ?t1 ont:mentions ?e1 . ?t1 ont:inConversation ?conv .
+          ?t2 ont:mentions ?e2 . ?t2 ont:inConversation ?conv .
+          FILTER(?e1 < ?e2) }
+
+    (entities co-mentioned anywhere in one conversation — each fixture
+    turn carries exactly one mention, so the turn-level star is empty and
+    the conversation-level chain is the informative query) compiled to
+    DataFrame joins by ``pipeline/bgp.py`` (SPARQLGX/S2RDF relational
+    encoding): constant predicates become pushed scan filters, pattern
+    relations join on shared variables (``?t1``/``?t2`` then ``?conv``;
+    AQE broadcasts the small sides), and the oracle is the same chain as
+    DuckDB self-joins over the string-built triple set."""
+    from mopper_spark.pipeline.bgp import bgp_match
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
+    ont = "http://example.com/ontology/"
+    return (
+        bgp_match(
+            kg.select("subj", "pred", "obj"),
+            [
+                ("?t1", ont + "mentions", "?e1"),
+                ("?t1", ont + "inConversation", "?conv"),
+                ("?t2", ont + "mentions", "?e2"),
+                ("?t2", ont + "inConversation", "?conv"),
+            ],
+            select=["conv", "e1", "e2"],
+        )
+        .filter(F.col("e1") < F.col("e2"))
+        .distinct()
+    )
+
+
 def _transcript_oracle_sqls() -> tuple[str, str, str, str, str]:
     """Build the kg_graph / entity_linking oracle SQL from the same public
     constants the Spark pipeline uses (gazetteer, mention regex, accent
@@ -1196,6 +1238,22 @@ SELECT node, pr AS pr_scaled FROM {prev}
     _SQL_MENTION_TRIANGLES,
     _SQL_MENTION_PAGERANK,
 ) = _transcript_oracle_sqls()
+
+# BGP star query oracle: the same three-pattern self-join expressed directly
+# over the string-built triple set (kg = the kg_graph_transcripts oracle).
+_SQL_BGP_COMENTION = f"""
+WITH kg AS ({_SQL_KG_GRAPH})
+SELECT DISTINCT c1.obj AS conv, m1.obj AS e1, m2.obj AS e2
+FROM kg m1
+JOIN kg c1 ON m1.subj = c1.subj
+JOIN kg c2 ON c1.obj = c2.obj
+JOIN kg m2 ON c2.subj = m2.subj
+WHERE m1.pred = 'http://example.com/ontology/mentions'
+  AND m2.pred = 'http://example.com/ontology/mentions'
+  AND c1.pred = 'http://example.com/ontology/inConversation'
+  AND c2.pred = 'http://example.com/ontology/inConversation'
+  AND m1.obj < m2.obj
+"""
 
 
 def _mention_edges(spark: SparkSession) -> DataFrame:
@@ -1824,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": _q_cc_components,
         "entity_linking_transcripts": _q_entity_linking_transcripts,
         "kg_graph_transcripts": _q_kg_graph_transcripts,
+        "kg_bgp_comention": _q_kg_bgp_comention,
         "kg_stream_parity": _q_kg_stream_parity,
         "events_asof_attribution": _q_events_asof_attribution,
         "events_value_bands": _q_events_value_bands,
@@ -1867,6 +1926,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_components": _SQL_CC_COMPONENTS,
         "entity_linking_transcripts": _SQL_ENTITY_LINKING,
         "kg_graph_transcripts": _SQL_KG_GRAPH,
+        "kg_bgp_comention": _SQL_BGP_COMENTION,
         "kg_stream_parity": _SQL_KG_STREAM,
         "multimodal_wav_features": _SQL_MULTIMODAL_WAV,
         "multimodal_png_features": _SQL_MULTIMODAL_PNG,

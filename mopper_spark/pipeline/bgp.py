@@ -1,0 +1,113 @@
+"""SPARQL-lite basic-graph-pattern (BGP) queries over a triples DataFrame.
+
+The reference (ghsnd/mopper) only *produces* RDF; a user who has built a
+knowledge graph immediately needs to *query* it.  This module closes that
+loop Spark-first: a BGP — a conjunction of (subject, predicate, object)
+triple patterns with shared variables — is compiled to a tree of DataFrame
+equi-joins over the triples table, exactly the relational encoding used by
+the published SPARQL-on-Spark systems (SPARQLGX, VLDB'16 demo; S2RDF,
+VLDB'16: vertical partitioning by predicate + Catalyst joins).
+
+Compilation, per pattern:
+
+- every CONSTANT term becomes a ``filter`` on the triples scan — Catalyst
+  pushes these into the parquet/Iceberg scan (``PushedFilters``), and when
+  the graph table is partitioned or bucketed by ``pred`` (our
+  ``materialize.write_graph_table`` layout keys), a constant predicate
+  prunes partitions before any I/O;
+- every VARIABLE term (``?name``) becomes a column rename; a variable
+  repeated WITHIN one pattern becomes an equality filter;
+- patterns are then joined greedily: start from the most selective pattern
+  (most constants), and always join a pattern sharing ≥1 variable with the
+  result so far — no accidental cartesian products (a disconnected BGP is
+  rejected unless ``allow_cartesian=True``).
+
+Scale shape: each selective pattern yields a small relation that AQE
+broadcasts into the join with the big scan, so a typical star query is
+one pass over the triples table plus broadcast probes — no O(|G|²) step.
+The triples table is scanned once PER PATTERN; on a real cluster the scan
+is the cheap columnar part (3 narrow string columns) and the predicate
+constant cuts it to one vertical partition, which is precisely the S2RDF
+argument for this layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_POS_COLS = ("subj", "pred", "obj")
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _pattern_df(triples: DataFrame, pattern: tuple[str, str, str]) -> DataFrame:
+    """One triple pattern → filtered/renamed relation over (subj,pred,obj)."""
+    df = triples
+    seen: dict[str, str] = {}  # var name -> first source column
+    cols = []
+    for col, term in zip(_POS_COLS, pattern):
+        if _is_var(term):
+            var = term[1:]
+            if not var:
+                raise ValueError(f"empty variable name in pattern {pattern!r}")
+            if var in seen:  # repeated var within the pattern: equality
+                df = df.filter(F.col(col) == F.col(seen[var]))
+            else:
+                seen[var] = col
+                cols.append(F.col(col).alias(var))
+        else:
+            df = df.filter(F.col(col) == F.lit(term))
+    if not cols:
+        # all-constant pattern: existence probe; keep a marker column so the
+        # join degenerates to a (broadcast) semi-join driven by the caller
+        raise ValueError(
+            f"pattern {pattern!r} has no variables; BGP patterns must bind "
+            "at least one variable (use a filter on an existing one instead)"
+        )
+    return df.select(*cols)
+
+
+def bgp_match(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    select: list[str] | None = None,
+    distinct: bool = False,
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """Match a conjunctive BGP; returns one column per selected variable.
+
+    ``patterns``: ``[("?t", "http://…/mentions", "?e"), …]`` — terms
+    starting with ``?`` are variables, anything else is a constant.
+    ``select``: variable names (without ``?``) to project; default = all,
+    sorted for a deterministic column order.
+    """
+    if not patterns:
+        raise ValueError("empty BGP")
+    rels = [(_pattern_df(triples, p), p) for p in patterns]
+    # greedy selectivity order: most constants first, then connectivity
+    remaining = sorted(
+        rels, key=lambda r: (-sum(not _is_var(t) for t in r[1]), str(r[1]))
+    )
+    result, _ = remaining.pop(0)
+    bound = set(result.columns)
+    while remaining:
+        idx = next(
+            (i for i, (df, _) in enumerate(remaining) if bound & set(df.columns)),
+            None,
+        )
+        if idx is None:
+            if not allow_cartesian:
+                raise ValueError(
+                    "disconnected BGP (would need a cartesian product); "
+                    "pass allow_cartesian=True to force it"
+                )
+            idx = 0
+        df, _ = remaining.pop(idx)
+        shared = sorted(bound & set(df.columns))
+        result = result.join(df, on=shared) if shared else result.crossJoin(df)
+        bound |= set(df.columns)
+    out = result.select(*(select if select is not None else sorted(bound)))
+    return out.distinct() if distinct else out
