@@ -879,6 +879,47 @@ FROM documents
 """
 
 
+def _q_contamination_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination check (GPT-3 appendix-C style n-gram
+    overlap): docs with doc_id % 20 == 0 act as the held-out benchmark,
+    the rest are the training candidates; a candidate is contaminated if
+    it shares ≥1 distinct word 4-gram with ANY benchmark doc (4 chosen
+    because the synthetic vocab makes 13-grams never collide and 3-grams
+    almost always — 49/475 docs flag at sf0.01).  The benchmark side
+    collapses to its distinct-n-gram set and is broadcast, so the corpus
+    side is one narrow pass + broadcast probe — exact, no quadratic
+    regime (mopper_spark/textops/contamination.py)."""
+    from mopper_spark.textops.contamination import ngram_contamination
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    cand = docs.filter(F.col("doc_id") % 20 != 0)
+    return ngram_contamination(cand, bench, n=4)
+
+
+_SQL_CONTAMINATION = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, CASE WHEN len(tk) >= 4
+     THEN list_distinct(list_transform(range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], ' ')))
+     ELSE [array_to_string(tk, ' ')] END AS gs
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0
+), cand AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 20 <> 0
+)
+SELECT doc_id,
+       CAST(COUNT(g) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       SUM(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) >= 1 AS contaminated
+FROM cand GROUP BY doc_id
+"""
+
+
 def _q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Window functions over event streams: 30-min-gap sessionization."""
     from pyspark.sql import Window
@@ -1878,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_frequencies": _q_token_frequencies,
         "fingerprint_md5": _q_fingerprint_md5,
+        "contamination_ngram": _q_contamination_ngram,
         "events_sessionize": _q_events_sessionize,
         "cc_components": _q_cc_components,
         "entity_linking_transcripts": _q_entity_linking_transcripts,
@@ -1922,6 +1964,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _SQL_LANG_ID,
         "token_frequencies": _SQL_TOKEN_FREQ,
         "fingerprint_md5": _SQL_FINGERPRINT,
+        "contamination_ngram": _SQL_CONTAMINATION,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "cc_components": _SQL_CC_COMPONENTS,
         "entity_linking_transcripts": _SQL_ENTITY_LINKING,

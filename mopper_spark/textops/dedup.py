@@ -157,6 +157,35 @@ def minhash_near_dup_pairs(
 
 
 # -------------------------------------------------------- n-gram Jaccard --
+def _lower_tokens(text_col: str):
+    """Lower-cased whitespace tokens, empties dropped — native expression."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+
+
+def word_ngram_array(toks_col: str, n: int):
+    """Word n-grams of a token-array column as a native Column (with
+    duplicates; wrap in ``array_distinct`` for the shingle set).
+
+    Sliding window as a fold of zip_with over n equal-length slices —
+    3× faster than ``transform(sequence(...), i -> slice(...))``: the
+    sequence/lambda form allocates a fresh n-slice per gram in the
+    interpreted higher-order-function path.  Texts shorter than n words
+    collapse to one whole-text gram (so no document is ungrammable).
+    """
+    win = f"size({toks_col}) - {n - 1}"
+    grams = f"slice({toks_col}, 1, {win})"
+    for k in range(2, n + 1):
+        grams = (
+            f"zip_with({grams}, slice({toks_col}, {k}, {win}),"
+            " (a, b) -> concat(a, ' ', b))"
+        )
+    return F.when(F.size(toks_col) >= n, F.expr(grams)).otherwise(
+        F.array(F.concat_ws(" ", F.col(toks_col)))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -185,22 +214,12 @@ def ngram_jaccard_pairs(
     stress-asserts linear candidate growth under a corpus-wide shared
     shingle and cap-vs-uncapped result equality.
     """
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    base = df.select(
+        F.col(id_col).alias("id"), _lower_tokens(text_col).alias("toks")
     )
-    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
-    # sliding window as a fold of zip_with over n equal-length slices —
-    # 3× faster than transform(sequence(...), i -> slice(...)): the
-    # sequence/lambda form allocates a fresh 3-slice per trigram in the
-    # interpreted higher-order-function path
-    win = "size(toks) - " + str(n - 1)
-    grams = f"slice(toks, 1, {win})"
-    for k in range(2, n + 1):
-        grams = f"zip_with({grams}, slice(toks, {k}, {win}), (a, b) -> concat(a, ' ', b))"
-    sh = F.when(
-        F.size("toks") >= n, F.expr(grams)
-    ).otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
-    shingled = base.select("id", F.array_distinct(sh).alias("sh"))
+    shingled = base.select(
+        "id", F.array_distinct(word_ngram_array("toks", n)).alias("sh")
+    )
     # carry each doc's shingle count THROUGH the inverted index (one int
     # per posting) — re-joining a sizes table after the pair aggregation
     # would cost two extra shuffles.  Persist the postings: both sides of

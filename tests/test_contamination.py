@@ -1,0 +1,58 @@
+"""Benchmark n-gram contamination detection."""
+from pyspark.sql import functions as F
+
+from mopper_spark.textops.contamination import ngram_contamination
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_contamination_flags_shared_ngram(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    cand = _docs(
+        spark,
+        [
+            (1, "he saw the quick brown fox run"),  # shares 3-gram
+            (2, "completely different words here entirely"),  # clean
+            (3, "quick brown fox jumps over something else"),  # shares
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in ngram_contamination(cand, bench, n=3).collect()
+    }
+    assert out[1].contaminated and out[1].n_overlap == 2
+    assert not out[2].contaminated and out[2].n_overlap == 0
+    assert out[3].contaminated and out[3].n_overlap >= 3
+    # n_grams = distinct n-gram count of the candidate itself
+    assert out[2].n_grams == 3
+
+
+def test_short_doc_whole_text_gram(spark):
+    bench = _docs(spark, [(100, "tiny doc")])
+    cand = _docs(spark, [(1, "tiny doc"), (2, "tiny")])
+    out = {r.doc_id: r for r in ngram_contamination(cand, bench, n=13).collect()}
+    # both sides shorter than n: whole text is the single gram
+    assert out[1].contaminated and out[1].n_grams == 1
+    assert not out[2].contaminated
+
+
+def test_min_overlap_threshold(spark):
+    bench = _docs(spark, [(100, "a b c d e")])
+    cand = _docs(spark, [(1, "a b c x y z")])  # exactly one shared 3-gram
+    strict = ngram_contamination(cand, bench, n=3, min_overlap=2).collect()[0]
+    loose = ngram_contamination(cand, bench, n=3, min_overlap=1).collect()[0]
+    assert not strict.contaminated and loose.contaminated
+
+
+def test_no_shuffle_of_corpus_side(spark):
+    """With the benchmark broadcast, the corpus side must reach the final
+    per-doc aggregate through a BroadcastHashJoin — no corpus-wide
+    shuffle before the combine."""
+    bench = _docs(spark, [(100, "a b c d e")])
+    cand = _docs(spark, [(i, "a b c x y z") for i in range(50)])
+    out = ngram_contamination(cand, bench, n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
