@@ -920,6 +920,57 @@ FROM cand GROUP BY doc_id
 """
 
 
+def _q_docs_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: character
+    fraction covered by the most frequent word bigram (deterministic
+    smallest-gram tie-break) and duplicate-trigram occurrence fraction —
+    one explode + combine-able aggregates keyed by doc_id, no windows,
+    all native (mopper_spark/textops/analysis.py::repetition_metrics)."""
+    from mopper_spark.textops.analysis import repetition_metrics
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return repetition_metrics(docs, top_n=2, dup_n=3)
+
+
+_SQL_DOCS_REPETITION = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         CAST(COALESCE(list_sum(list_transform(tk, t -> length(t))), 0) AS BIGINT) AS total_chars,
+         CASE WHEN len(tk) >= 2
+              THEN list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))
+              ELSE [array_to_string(tk, ' ')] END AS g2,
+         CASE WHEN len(tk) >= 3
+              THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+              ELSE [array_to_string(tk, ' ')] END AS g3
+  FROM toks
+), counts AS (
+  SELECT doc_id, total_chars, g, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, total_chars, unnest(g2) AS g FROM base)
+  GROUP BY 1, 2, 3
+), top AS (
+  SELECT doc_id, total_chars, cnt AS top_cnt, g AS top_gram
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g ASC) AS rn
+        FROM counts)
+  WHERE rn = 1
+), dup AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
+  FROM (SELECT doc_id, unnest(g3) AS g FROM base) GROUP BY 1
+)
+SELECT t.doc_id, t.total_chars, t.top_cnt, t.top_gram,
+       ROUND(CASE WHEN t.total_chars > 0
+             THEN LEAST(t.top_cnt * length(replace(t.top_gram, ' ', '')) * 1.0 / t.total_chars, 1.0)
+             ELSE 0 END, 5) AS top_char_frac,
+       ROUND(CASE WHEN d.n_grams > 0 THEN 1.0 - d.n_distinct * 1.0 / d.n_grams ELSE 0 END, 5) AS dup_gram_frac
+FROM top t JOIN dup d USING (doc_id)
+"""
+
+
 def _q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Window functions over event streams: 30-min-gap sessionization."""
     from pyspark.sql import Window
@@ -1920,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_frequencies": _q_token_frequencies,
         "fingerprint_md5": _q_fingerprint_md5,
         "contamination_ngram": _q_contamination_ngram,
+        "docs_repetition": _q_docs_repetition,
         "events_sessionize": _q_events_sessionize,
         "cc_components": _q_cc_components,
         "entity_linking_transcripts": _q_entity_linking_transcripts,
@@ -1965,6 +2017,7 @@ def oracle_sql() -> dict[str, str]:
         "token_frequencies": _SQL_TOKEN_FREQ,
         "fingerprint_md5": _SQL_FINGERPRINT,
         "contamination_ngram": _SQL_CONTAMINATION,
+        "docs_repetition": _SQL_DOCS_REPETITION,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "cc_components": _SQL_CC_COMPONENTS,
         "entity_linking_transcripts": _SQL_ENTITY_LINKING,

@@ -100,3 +100,95 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1),
+    adapted to word streams (the corpus has no line structure):
+
+    - ``top{top_n}gram_char_frac``: fraction of the document's token
+      characters covered by occurrences of its single most frequent word
+      ``top_n``-gram (ties broken by lexicographically smallest gram, so
+      the statistic is deterministic under any partitioning);
+    - ``dup{dup_n}gram_frac``: fraction of word ``dup_n``-gram occurrences
+      that are repeats of an earlier occurrence (``1 - distinct/total``).
+
+    High values mean boilerplate/spam repetition; Gopher drops docs above
+    per-metric thresholds — thresholding is left to the caller.
+
+    Scale shape: one explode + two map-side-combining aggregates, all keyed
+    by (doc_id, gram) then doc_id — the doc id in every key means no
+    corpus-wide hot key exists, and no window function or driver state is
+    involved.  Entirely native expressions (whole-stage codegen).
+    """
+    from mopper_spark.textops.dedup import word_ngram_array
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        F.aggregate(
+            "toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("total_chars"),
+        word_ngram_array("toks", top_n).alias("top_grams"),
+        word_ngram_array("toks", dup_n).alias("dup_grams"),
+    )
+    # most-frequent top_n-gram per doc, ties broken by smallest gram: a
+    # max-count aggregate, a same-key join back, and a min(g) aggregate —
+    # all keyed by doc_id (combine-able, no per-doc window sort, and the
+    # tie-break is plain MIN on the string, exactly what a SQL oracle
+    # expresses with ORDER BY cnt DESC, g ASC)
+    counts = (
+        base.select("doc_id", "total_chars", F.explode("top_grams").alias("g"))
+        .groupBy("doc_id", "total_chars", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    mx = counts.groupBy("doc_id", "total_chars").agg(F.max("cnt").alias("top_cnt"))
+    top = (
+        counts.join(mx, on=["doc_id", "total_chars"])
+        .filter(F.col("cnt") == F.col("top_cnt"))
+        .groupBy("doc_id", "total_chars", "top_cnt")
+        .agg(F.min("g").alias("top_gram"))
+    )
+    dg = base.select("doc_id", F.explode("dup_grams").alias("g"))
+    dup = dg.groupBy("doc_id").agg(
+        F.count("g").cast("long").alias("n_grams"),
+        F.count_distinct("g").cast("long").alias("n_distinct"),
+    )
+    gram_chars = F.length(F.regexp_replace(F.col("top_gram"), " ", ""))
+    return (
+        top.join(dup, "doc_id")
+        .select(
+            "doc_id",
+            "total_chars",
+            "top_gram",
+            "top_cnt",
+            F.round(
+                F.when(
+                    F.col("total_chars") > 0,
+                    F.least(
+                        F.col("top_cnt") * gram_chars / F.col("total_chars"),
+                        F.lit(1.0),
+                    ),
+                ).otherwise(F.lit(0.0)),
+                5,
+            ).alias("top_char_frac"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    1.0 - F.col("n_distinct") / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                5,
+            ).alias("dup_gram_frac"),
+        )
+    )

@@ -56,3 +56,29 @@ def test_no_shuffle_of_corpus_side(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_repetition_metrics(spark):
+    from mopper_spark.textops.analysis import repetition_metrics
+
+    docs = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam"),          # top bigram "spam spam" x3
+            (2, "a b c d e"),                     # no repetition
+            (3, "x y x y x y"),                   # ties: "x y" x3 vs "y x" x2
+            (4, "hi"),                            # shorter than both n
+        ],
+    )
+    out = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    r1 = out[1]
+    assert r1.top_gram == "spam spam" and r1.top_cnt == 3
+    # 3 occurrences * 8 chars / 16 total chars, capped at 1.0
+    assert r1.top_char_frac == 1.0
+    # trigrams: [spam spam spam] x2 -> 1 - 1/2
+    assert r1.dup_gram_frac == 0.5
+    assert out[2].dup_gram_frac == 0.0 and out[2].top_cnt == 1
+    # deterministic tie-break: smallest gram among equal counts
+    assert out[3].top_gram == "x y"
+    r4 = out[4]
+    assert r4.top_gram == "hi" and r4.total_chars == 2 and r4.dup_gram_frac == 0.0
