@@ -19,6 +19,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_TRANSCRIPTS_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "transcripts_2000.parquet"
+)
+
 EX = "http://example.com/"
 
 
@@ -920,6 +924,38 @@ FROM cand GROUP BY doc_id
 """
 
 
+def _q_transcript_turn_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style boilerplate removal over the transcript corpus: turns
+    with identical normalized text (repeated system prompts, canned
+    replies) collapse to their first occurrence in (conv_id, turn_idx)
+    order.  Window-free: a combine-able min(struct)+count aggregate per
+    md5(text) key joined back — boilerplate hot keys are absorbed
+    map-side instead of sorted in one reducer
+    (mopper_spark/textops/dedup.py::keep_first_occurrence)."""
+    from mopper_spark.textops.dedup import keep_first_occurrence
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return keep_first_occurrence(tr).select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "n_copies",
+        "keep",
+    )
+
+
+_SQL_TURN_DEDUP = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS k
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n_copies,
+       ROW_NUMBER() OVER (PARTITION BY k ORDER BY conv_id, turn_idx) = 1 AS keep
+FROM t
+"""
+
+
 def _q_docs_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition quality signals per document: character
     fraction covered by the most frequent word bigram (deterministic
@@ -1078,9 +1114,6 @@ FROM reach GROUP BY node
 #: seed=42), sorted by (conv_id, turn_idx)) — both the Spark queries and the
 #: DuckDB oracles read THIS parquet, so the xxhash64-based generator never
 #: needs reproducing in SQL.  tests/test_pipeline.py pins fixture == generator.
-_TRANSCRIPTS_FIXTURE = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "fixtures", "transcripts_2000.parquet"
-)
 
 
 def _q_entity_linking_transcripts(spark: SparkSession, sf: str) -> DataFrame:
@@ -1972,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5": _q_fingerprint_md5,
         "contamination_ngram": _q_contamination_ngram,
         "docs_repetition": _q_docs_repetition,
+        "transcript_turn_dedup": _q_transcript_turn_dedup,
         "events_sessionize": _q_events_sessionize,
         "cc_components": _q_cc_components,
         "entity_linking_transcripts": _q_entity_linking_transcripts,
@@ -2018,6 +2052,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": _SQL_FINGERPRINT,
         "contamination_ngram": _SQL_CONTAMINATION,
         "docs_repetition": _SQL_DOCS_REPETITION,
+        "transcript_turn_dedup": _SQL_TURN_DEDUP,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "cc_components": _SQL_CC_COMPONENTS,
         "entity_linking_transcripts": _SQL_ENTITY_LINKING,

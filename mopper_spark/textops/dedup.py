@@ -479,3 +479,40 @@ def dedup_keep_min(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def keep_first_occurrence(
+    df: DataFrame,
+    text_col: str = "text",
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    key_out: str = "norm_key",
+) -> DataFrame:
+    """CCNet-style boilerplate dedup (Wenzek et al. 2020): group rows by
+    normalized text (lower-case, whitespace-collapsed — keyed by its md5 so
+    the shuffle moves 16 bytes, not the text) and keep the FIRST occurrence
+    in ``order_cols`` order; repeated system prompts / canned turns across
+    conversations collapse to one canonical row.
+
+    Returns the input plus ``n_copies`` (corpus-wide occurrence count of
+    this text) and ``keep`` (true for the canonical first occurrence).
+
+    Scale shape: NO window over the text key (a window would sort every
+    group, and boilerplate groups are exactly the hot ones).  Instead one
+    combine-able aggregate — ``min(struct(order_cols))`` + ``count`` —
+    produces a table with ONE row per distinct text, which joins back on
+    the md5 key.  The aggregate absorbs hot keys map-side; the join-back
+    matches N rows to 1 (no explosion) and AQE's skew-join splits any hot
+    partition.  Deterministic under any partitioning.
+    """
+    norm = F.md5(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")))
+    base = df.withColumn(key_out, norm)
+    order_struct = F.struct(*[F.col(c) for c in order_cols])
+    firsts = base.groupBy(key_out).agg(
+        F.min(order_struct).alias("_first"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+    return (
+        base.join(firsts, on=key_out)
+        .withColumn("keep", order_struct == F.col("_first"))
+        .drop("_first")
+    )

@@ -82,3 +82,34 @@ def test_repetition_metrics(spark):
     assert out[3].top_gram == "x y"
     r4 = out[4]
     assert r4.top_gram == "hi" and r4.total_chars == 2 and r4.dup_gram_frac == 0.0
+
+
+def test_keep_first_occurrence(spark):
+    from mopper_spark.textops.dedup import keep_first_occurrence
+
+    rows = [
+        ("c1", 0, "Hello   world"),
+        ("c1", 1, "unique one"),
+        ("c2", 0, "hello world"),   # dup of c1/0 after normalization
+        ("c0", 5, "HELLO WORLD"),   # dup, earliest conv_id wins
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {(r.conv_id, r.turn_idx): r for r in keep_first_occurrence(df).collect()}
+    assert out[("c0", 5)].keep and out[("c0", 5)].n_copies == 3
+    assert not out[("c1", 0)].keep and not out[("c2", 0)].keep
+    assert out[("c1", 1)].keep and out[("c1", 1)].n_copies == 1
+    # original columns survive
+    assert out[("c1", 1)].text == "unique one"
+
+
+def test_keep_first_occurrence_no_window_exchange(spark):
+    """The plan must contain no Window operator — hot boilerplate keys are
+    handled by a combine-able aggregate, not a per-key sort."""
+    from mopper_spark.textops.dedup import keep_first_occurrence
+
+    df = spark.createDataFrame(
+        [("c%d" % i, 0, "same text") for i in range(100)],
+        "conv_id string, turn_idx int, text string",
+    )
+    plan = keep_first_occurrence(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
