@@ -924,6 +924,52 @@ FROM cand GROUP BY doc_id
 """
 
 
+def _q_ivf_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse-quantizer training: one distributed Lloyd step over the
+    embeddings table (K=8 deterministic seeds), ENTIRELY in fixed-point
+    integer arithmetic so the cluster sums are associative — the same
+    bit-reproducibility trick as mention_pagerank, and what makes a
+    single-threaded SQL engine a strict oracle for a k-means step
+    (mopper_spark/textops/ivf.py)."""
+    from mopper_spark.textops.ivf import kmeans_step, seed_centroids
+
+    vecs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    seeds = seed_centroids(vecs, k=8)
+    _, new_centroids = kmeans_step(vecs, seeds)
+    return new_centroids
+
+
+_SQL_IVF_KMEANS = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, vec AS cvec
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)
+), crossd AS (
+  SELECT vec_id, cid, vec,
+         CAST(list_sum(list_transform(range(1, len(vec) + 1),
+              i -> CAST(round((vec[i] - cvec[i]) * (vec[i] - cvec[i]) * 1e12) AS BIGINT)))
+              AS BIGINT) AS dist_fp
+  FROM v CROSS JOIN seeds
+), best AS (
+  SELECT vec_id, cid, dist_fp, vec FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_fp, cid) AS rn
+    FROM crossd) WHERE rn = 1
+), dims AS (
+  SELECT cid, pos, CAST(round(x * 1000000) AS BIGINT) AS x_fp
+  FROM (SELECT cid, unnest(vec) AS x, unnest(range(1, len(vec) + 1)) AS pos FROM best)
+), cents AS (
+  SELECT cid, list(s ORDER BY pos) AS centroid_fp
+  FROM (SELECT cid, pos, CAST(SUM(x_fp) AS BIGINT) AS s FROM dims GROUP BY 1, 2)
+  GROUP BY cid
+)
+SELECT b.cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(b.dist_fp) AS BIGINT) AS inertia_fp,
+       ANY_VALUE(c.centroid_fp) AS centroid_fp
+FROM best b JOIN cents c USING (cid) GROUP BY b.cid
+"""
+
+
 def _q_transcript_turn_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style boilerplate removal over the transcript corpus: turns
     with identical normalized text (repeated system prompts, canned
@@ -2006,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_ngram": _q_contamination_ngram,
         "docs_repetition": _q_docs_repetition,
         "transcript_turn_dedup": _q_transcript_turn_dedup,
+        "ivf_kmeans_step": _q_ivf_kmeans_step,
         "events_sessionize": _q_events_sessionize,
         "cc_components": _q_cc_components,
         "entity_linking_transcripts": _q_entity_linking_transcripts,
@@ -2053,6 +2100,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_ngram": _SQL_CONTAMINATION,
         "docs_repetition": _SQL_DOCS_REPETITION,
         "transcript_turn_dedup": _SQL_TURN_DEDUP,
+        "ivf_kmeans_step": _SQL_IVF_KMEANS,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "cc_components": _SQL_CC_COMPONENTS,
         "entity_linking_transcripts": _SQL_ENTITY_LINKING,

@@ -56,6 +56,10 @@ HEADLINE = [
     "skew_salted_join",
     "events_asof_attribution",
     "events_value_bands",
+    "contamination_ngram",
+    "docs_repetition",
+    "transcript_turn_dedup",
+    "kg_bgp_comention",
     "cc_components",
 ]
 

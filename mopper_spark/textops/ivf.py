@@ -1,0 +1,147 @@
+"""IVF coarse quantizer: one distributed Lloyd (k-means) step, fixed-point.
+
+``lsh_topk`` (similarity.py) is one scale path for ANN; the other standard
+one is IVF (inverted-file) search: train K coarse centroids, assign every
+corpus vector to its nearest, and at query time scan only the ``nprobe``
+nearest clusters.  This module implements the training step — the part
+that is a genuine distributed computation over the full corpus.
+
+Everything is EXACT integer (fixed-point) arithmetic after a per-element
+rounding, for the same reason as ``pagerank_fixed``: a floating-point sum
+over a cluster's members is association-order-dependent, so two runs of
+the same job on different partitionings would produce different centroids
+in the last ulps — and a single-threaded SQL engine could not serve as a
+strict oracle.  Concretely:
+
+- squared-L2 distance = ``Σ_d round((x_d - c_d)² · S_dist)`` summed as
+  int64 (each term is rounded from the SAME double both engines compute,
+  then integer-summed — associative, partitioning-proof);
+- assignment = argmin over ``(dist_fp, cid)`` — integer tuple, total
+  order, deterministic tie-break;
+- new centroid = per-dimension ``Σ round(x_d · S_cent)`` as int64 plus the
+  member count (divide on read for the float centroid).
+
+Scale shape: centroids are tiny (K × dim) and BROADCAST; assignment is a
+single narrow pass over the corpus (broadcast nested-loop of K rows per
+vector inside one stage) followed by one combine-able min-struct aggregate
+keyed by vector id.  The centroid update explodes (cid, pos, value) and
+sums — keys are (K × dim) so the reduce side is tiny regardless of corpus
+size.  No iteration state lives on the driver beyond the K×dim centroid
+table itself.
+
+Bounds: with |x| ≤ X, dist terms ≤ (2X)²·S_dist; dim·(2X)²·S_dist must
+stay below 2⁶³ (defaults: dim 64, X ~1, S_dist 1e12 → ~2.6e14 ✓).  The
+centroid sum needs n_members·X·S_cent < 2⁶³ (S_cent 1e6 → safe to ~9e12
+members per cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+S_DIST = 10**12
+S_CENT = 10**6
+
+
+def seed_centroids(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic seeds: the vectors with the K smallest ids, numbered
+    0..K-1 in id order.  (k-means++ would need a random stream; seeded
+    determinism matters more here than seeding quality, and callers can
+    pass any centroid table to ``kmeans_step`` instead.)"""
+    return (
+        vectors.orderBy(id_col)
+        .limit(k)
+        .withColumn("cid", F.row_number().over(Window.orderBy(id_col)) - 1)
+        .select(
+            F.col("cid").cast("int"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
+        )
+    )
+
+
+def kmeans_step(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """One Lloyd iteration.  Returns ``(assignments, new_centroids)``:
+
+    - assignments: ``(vec_id, cid, dist_fp)`` — nearest centroid per
+      vector by fixed-point squared L2, ties to the smallest cid;
+    - new_centroids: ``(cid, n_members, inertia_fp, centroid_fp)`` where
+      ``centroid_fp[d] / (n_members · S_CENT)`` is the new coordinate and
+      ``inertia_fp`` is the cluster's summed fixed-point distance.
+
+    Empty clusters simply drop out of ``new_centroids`` (standard Lloyd
+    behaviour; re-seeding policy is the caller's).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    cross = v.crossJoin(F.broadcast(centroids))
+    dist_fp = F.aggregate(
+        F.zip_with(
+            "vec",
+            "cvec",
+            lambda a, b: F.round((a - b) * (a - b) * F.lit(float(S_DIST)), 0).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        cross.withColumn("dist_fp", dist_fp)
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("dist_fp"), F.col("cid"), F.col("vec")
+                )
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            F.col("b.cid").alias("cid"),
+            F.col("b.dist_fp").alias("dist_fp"),
+            F.col("b.vec").alias("vec"),
+        )
+    )
+    assignments = best.select("vec_id", "cid", "dist_fp")
+    dims = best.select(
+        "cid",
+        "dist_fp",
+        F.posexplode("vec").alias("pos", "x"),
+    ).select(
+        "cid",
+        "dist_fp",
+        "pos",
+        F.round(F.col("x") * F.lit(float(S_CENT)), 0).cast("long").alias("x_fp"),
+    )
+    per_dim = dims.groupBy("cid", "pos").agg(F.sum("x_fp").alias("s"))
+    new_centroids = (
+        per_dim.groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda st: st["s"],
+            ).alias("centroid_fp")
+        )
+        .join(
+            best.groupBy("cid").agg(
+                F.count(F.lit(1)).cast("long").alias("n_members"),
+                F.sum("dist_fp").alias("inertia_fp"),
+            ),
+            "cid",
+        )
+        .select("cid", "n_members", "inertia_fp", "centroid_fp")
+    )
+    return assignments, new_centroids

@@ -1,0 +1,52 @@
+"""IVF fixed-point k-means step."""
+from pyspark.sql import functions as F
+
+from mopper_spark.textops.ivf import S_CENT, kmeans_step, seed_centroids
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_step_two_clear_clusters(spark):
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 10.0]),
+        (2, [0.1, 0.2]),      # near seed 0
+        (3, [9.9, 10.1]),     # near seed 1
+        (4, [0.3, -0.1]),     # near seed 0
+    ]
+    df = _vecs(spark, rows)
+    seeds = seed_centroids(df, k=2)
+    assign, cents = kmeans_step(df, seeds)
+    a = {r.vec_id: r.cid for r in assign.collect()}
+    assert a == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1}
+    c = {r.cid: r for r in cents.collect()}
+    assert c[0].n_members == 3 and c[1].n_members == 2
+    # cluster-0 centroid: mean of (0,0.1,0.3) and (0,0.2,-0.1) in fixed point
+    got = [x / (c[0].n_members * S_CENT) for x in c[0].centroid_fp]
+    assert abs(got[0] - 0.13333) < 1e-4 and abs(got[1] - 0.03333) < 1e-4
+    # a vector equal to its seed has distance 0, counted in inertia
+    assert c[0].inertia_fp > 0
+
+
+def test_kmeans_assignment_partitioning_invariant(spark):
+    """Fixed-point sums are associative: repartitioning must not change
+    any output bit."""
+    rows = [(i, [float((i * 7) % 5), float((i * 3) % 4)]) for i in range(60)]
+    df = _vecs(spark, rows)
+    seeds = seed_centroids(df, k=4)
+    _, c1 = kmeans_step(df.repartition(1), seeds)
+    _, c2 = kmeans_step(df.repartition(13), seeds)
+    r1 = sorted(map(tuple, c1.collect()))
+    r2 = sorted(map(tuple, c2.collect()))
+    assert r1 == r2
+
+
+def test_kmeans_broadcast_plan(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(50)]
+    df = _vecs(spark, rows)
+    seeds = seed_centroids(df, k=2)
+    assign, _ = kmeans_step(df, seeds)
+    plan = assign._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
