@@ -970,6 +970,56 @@ FROM best b JOIN cents c USING (cid) GROUP BY b.cid
 """
 
 
+def _q_similarity_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate top-k search (FAISS IndexIVFFlat shape): K=8
+    fixed-point-seeded clusters, nprobe=3, exact cosine over probed
+    clusters only.  The oracle replicates the OPERATOR (routing is
+    all-integer, so strictly SQL-expressible); recall vs brute force is a
+    measured property (~0.8 on this clusterless fixture, pinned in
+    tests/test_ivf.py — production corpora with real cluster structure
+    sit far higher), NOT assumed equality — unlike similarity_topk_lsh,
+    whose gate config provably covers the exact top-5."""
+    from mopper_spark.textops.ivf import ivf_topk, seed_centroids
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = seed_centroids(emb, k=8)
+    return ivf_topk(emb, emb.filter("vec_id < 5"), cents, k=5, nprobe=3)
+
+
+_SQL_SIMILARITY_TOPK_IVF = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, vec AS cvec
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)
+), dists AS (
+  SELECT vec_id, cid, vec,
+         CAST(list_sum(list_transform(range(1, len(vec) + 1),
+              i -> CAST(round((vec[i] - cvec[i]) * (vec[i] - cvec[i]) * 1e12) AS BIGINT)))
+              AS BIGINT) AS dist_fp
+  FROM v CROSS JOIN seeds
+), corpus_assign AS (
+  SELECT vec_id, cid, vec FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_fp, cid) AS rn
+    FROM dists) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid, vec AS qvec FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_fp, cid) AS rn
+    FROM dists WHERE vec_id < 5) WHERE rn <= 3
+), scored AS (
+  SELECT p.query_id, c.vec_id,
+         list_cosine_similarity(p.qvec, c.vec) AS cos
+  FROM probes p JOIN corpus_assign c USING (cid)
+  WHERE c.vec_id <> p.query_id
+), r AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(cos, 5) AS cosine, rank FROM r WHERE rank <= 5
+"""
+
+
 def _q_transcript_turn_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style boilerplate removal over the transcript corpus: turns
     with identical normalized text (repeated system prompts, canned
@@ -2042,6 +2092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs_exact": _q_cosine_pairs_exact,
         "similarity_topk": _q_similarity_topk,
         "similarity_topk_lsh": _q_similarity_topk_lsh,
+        "similarity_topk_ivf": _q_similarity_topk_ivf,
         "multimodal_features": _q_multimodal_features,
         "multimodal_wav_features": _q_multimodal_wav_features,
         "multimodal_png_features": _q_multimodal_png_features,
@@ -2111,6 +2162,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_png_features": _SQL_MULTIMODAL_PNG,
         "multimodal_features": _SQL_MULTIMODAL_FEATURES,
         "similarity_topk_lsh": _SQL_SIMILARITY_TOPK,
+        "similarity_topk_ivf": _SQL_SIMILARITY_TOPK_IVF,
         "events_asof_attribution": _SQL_EVENTS_ASOF,
         "events_value_bands": _SQL_EVENTS_RANGE,
         "events_sessions_stream": _SQL_EVENTS_SESSIONS_STREAM,

@@ -65,6 +65,52 @@ def seed_centroids(
     )
 
 
+def _dist_fp_col():
+    """Fixed-point squared L2 between array columns ``vec`` and ``cvec``."""
+    return F.aggregate(
+        F.zip_with(
+            "vec",
+            "cvec",
+            lambda a, b: F.round((a - b) * (a - b) * F.lit(float(S_DIST)), 0).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_vectors(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest centroid per vector: ``(vec_id, cid, dist_fp, vec)``.
+
+    One narrow pass: centroids broadcast into a nested-loop expansion of K
+    rows per vector, then a combine-able ``min(struct(dist_fp, cid, vec))``
+    argmin — the vec rides inside the struct (cid is unique per group, so
+    the array is never compared) instead of costing a join-back.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    cross = v.crossJoin(F.broadcast(centroids))
+    return (
+        cross.withColumn("dist_fp", _dist_fp_col())
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("dist_fp"), F.col("cid"), F.col("vec"))).alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.cid").alias("cid"),
+            F.col("b.dist_fp").alias("dist_fp"),
+            F.col("b.vec").alias("vec"),
+        )
+    )
+
+
 def kmeans_step(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -82,39 +128,7 @@ def kmeans_step(
     Empty clusters simply drop out of ``new_centroids`` (standard Lloyd
     behaviour; re-seeding policy is the caller's).
     """
-    v = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
-    )
-    cross = v.crossJoin(F.broadcast(centroids))
-    dist_fp = F.aggregate(
-        F.zip_with(
-            "vec",
-            "cvec",
-            lambda a, b: F.round((a - b) * (a - b) * F.lit(float(S_DIST)), 0).cast(
-                "long"
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    best = (
-        cross.withColumn("dist_fp", dist_fp)
-        .groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct(
-                    F.col("dist_fp"), F.col("cid"), F.col("vec")
-                )
-            ).alias("b")
-        )
-        .select(
-            "vec_id",
-            F.col("b.cid").alias("cid"),
-            F.col("b.dist_fp").alias("dist_fp"),
-            F.col("b.vec").alias("vec"),
-        )
-    )
+    best = assign_vectors(vectors, centroids, id_col=id_col, vec_col=vec_col)
     assignments = best.select("vec_id", "cid", "dist_fp")
     dims = best.select(
         "cid",
@@ -145,3 +159,73 @@ def kmeans_step(
         .select("cid", "n_members", "inertia_fp", "centroid_fp")
     )
     return assignments, new_centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search.
+
+    Index side: every corpus vector is assigned to its nearest centroid
+    (``assign_vectors`` — one narrow broadcast pass; at scale this table
+    is materialized once and bucketed by ``cid``).  Query side: each query
+    probes its ``nprobe`` nearest centroids and exact-scores ONLY the
+    vectors in those clusters — the candidate set is ~``nprobe/K`` of the
+    corpus, which is the IVF speedup (Jégou et al., TPAMI'11; the
+    FAISS IndexIVFFlat design).
+
+    Every routing decision is fixed-point integer (dist_fp, cid) — so the
+    *operator* is deterministic and strictly oracle-able even though the
+    RESULT is approximate vs exact top-k; recall against brute force is a
+    property of the data/config, measured and pinned in tests, not assumed.
+
+    Returns ``(query_id, vec_id, cosine, rank)``, rank 1..k per query by
+    (unrounded cosine DESC, vec_id ASC) over the candidate set;
+    self-matches excluded.
+    """
+    from pyspark.sql import Window
+
+    from mopper_spark.textops.similarity import cosine_native
+
+    corpus_assign = assign_vectors(corpus, centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    q_probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("dist_fp", _dist_fp_col())
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist_fp", "cid")
+            ),
+        )
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "cid", F.col("vec").alias("qvec"))
+    )
+    cands = q_probes.join(
+        corpus_assign.select("cid", "vec_id", "vec"), on="cid"
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        cosine_native(F.col("qvec"), F.col("vec")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos", 5).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -50,3 +50,24 @@ def test_kmeans_broadcast_plan(spark):
     assign, _ = kmeans_step(df, seeds)
     plan = assign._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ivf_topk_measured_recall_pinned(spark):
+    """IVF is approximate: pin the measured recall vs brute force on the
+    sf0.001 fixture at the gate config (K=8, nprobe=3, k=5) so a silent
+    routing change shows up here, and document that the strict
+    similarity_topk_ivf oracle checks the OPERATOR, not ANN exactness."""
+    from mopper_spark.textops.ivf import ivf_topk, seed_centroids
+    from mopper_spark.textops.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter("vec_id < 5")
+    cents = seed_centroids(emb, k=8)
+    ivf = {(r.query_id, r.vec_id) for r in ivf_topk(emb, qs, cents, k=5, nprobe=3).collect()}
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, qs, k=5).collect()}
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.5, recall  # clusterless random fixture; real corpora higher
+    # and each query still returns a full k
+    from collections import Counter
+    per_q = Counter(q for q, _ in ivf)
+    assert all(v == 5 for v in per_q.values())
