@@ -924,6 +924,44 @@ FROM cand GROUP BY doc_id
 """
 
 
+def _q_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span mining: 5-token windows recurring
+    in ≥2 distinct docs (5 because the synthetic vocabulary makes
+    50-token exact repeats nonexistent; production window=50 per Lee et
+    al. 2022).  One combine-able aggregate keyed by span content — no
+    pair join (mopper_spark/textops/dedup.py::repeated_spans)."""
+    from mopper_spark.textops.dedup import repeated_spans
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return repeated_spans(docs, window=5, min_docs=2)
+
+
+_SQL_REPEATED_SPANS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), wins AS (
+  SELECT doc_id,
+         unnest(range(1, len(tk) - 3)) AS pos,
+         unnest(list_transform(range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' '))) AS g
+  FROM toks WHERE len(tk) >= 5
+), counts AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM wins GROUP BY g
+), firsts AS (
+  SELECT g, doc_id AS first_doc, CAST(pos AS BIGINT) AS first_pos FROM (
+    SELECT g, doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+    FROM wins) WHERE rn = 1
+)
+SELECT c.g, c.n_occ, c.n_docs, f.first_doc, f.first_pos
+FROM counts c JOIN firsts f USING (g)
+WHERE c.n_docs >= 2
+"""
+
+
 def _q_ivf_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
     """IVF coarse-quantizer training: one distributed Lloyd step over the
     embeddings table (K=8 deterministic seeds), ENTIRELY in fixed-point
@@ -2104,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": _q_docs_repetition,
         "transcript_turn_dedup": _q_transcript_turn_dedup,
         "ivf_kmeans_step": _q_ivf_kmeans_step,
+        "repeated_spans": _q_repeated_spans,
         "events_sessionize": _q_events_sessionize,
         "cc_components": _q_cc_components,
         "entity_linking_transcripts": _q_entity_linking_transcripts,
@@ -2152,6 +2191,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": _SQL_DOCS_REPETITION,
         "transcript_turn_dedup": _SQL_TURN_DEDUP,
         "ivf_kmeans_step": _SQL_IVF_KMEANS,
+        "repeated_spans": _SQL_REPEATED_SPANS,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "cc_components": _SQL_CC_COMPONENTS,
         "entity_linking_transcripts": _SQL_ENTITY_LINKING,

@@ -516,3 +516,56 @@ def keep_first_occurrence(
         .withColumn("keep", order_struct == F.col("_first"))
         .drop("_first")
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span mining (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    token windows of length ``window`` (stride 1) whose exact content
+    recurs in at least ``min_docs`` distinct documents — copied
+    boilerplate/licence blocks/quotations, which near-dup doc-level
+    methods miss because the *documents* differ.
+
+    The real ExactSubstr uses a corpus-wide suffix array (inherently
+    sequential); fixed-length windows are the distributed approximation —
+    any repeated substring of length ≥ window contains a repeated window,
+    so recall over ≥window-token copies is total; reported spans are the
+    window grain, not maximal extents.
+
+    Returns ``(g, n_occ, n_docs, first_doc, first_pos)`` — the span text,
+    corpus-wide occurrence count, distinct-doc count, and the earliest
+    (doc, 1-based pos) occurrence.
+
+    Scale shape: posexplode windows → ONE combine-able aggregate keyed by
+    the span content (hot boilerplate spans combine map-side; no pair
+    join, no df cap needed — count aggregation can't blow up
+    quadratically).  Shuffle carries (gram, partial counts), nothing else.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), _lower_tokens(text_col).alias("toks")
+    ).filter(F.size("toks") >= window)
+    wins = base.select(
+        "id", F.posexplode(word_ngram_array("toks", window)).alias("pos0", "g")
+    )
+    return (
+        wins.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.count_distinct("id").cast("long").alias("n_docs"),
+            F.min(F.struct(F.col("id"), (F.col("pos0") + 1).alias("p"))).alias("f"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "g",
+            "n_occ",
+            "n_docs",
+            F.col("f.id").alias("first_doc"),
+            F.col("f.p").cast("long").alias("first_pos"),
+        )
+    )

@@ -113,3 +113,37 @@ def test_keep_first_occurrence_no_window_exchange(spark):
     )
     plan = keep_first_occurrence(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_repeated_spans(spark):
+    from mopper_spark.textops.dedup import repeated_spans
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "prefix alpha beta gamma delta epsilon suffix"),
+        (3, "totally unrelated words in this document here"),
+        (4, "alpha beta gamma delta epsilon zeta"),  # full repeat of doc 1
+        (5, "tiny"),                                  # shorter than window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.g: r for r in repeated_spans(df, window=5, min_docs=2).collect()}
+    # the shared 5-window appears in docs 1, 2 (pos 2), 4
+    g1 = "alpha beta gamma delta epsilon"
+    assert out[g1].n_occ == 3 and out[g1].n_docs == 3
+    assert out[g1].first_doc == 1 and out[g1].first_pos == 1
+    g2 = "beta gamma delta epsilon zeta"
+    assert out[g2].n_docs == 2 and out[g2].first_doc == 1 and out[g2].first_pos == 2
+    # nothing from the unrelated or too-short docs
+    assert all(r.n_docs >= 2 for r in out.values())
+    assert len(out) == 2
+
+
+def test_repeated_spans_within_doc_repeat_not_flagged(spark):
+    """min_docs=2 is about CROSS-document copying: a span repeated twice
+    inside one doc must not appear."""
+    from mopper_spark.textops.dedup import repeated_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e x a b c d e")], "doc_id long, text string"
+    )
+    assert repeated_spans(df, window=5, min_docs=2).count() == 0
