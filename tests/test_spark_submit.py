@@ -1,0 +1,63 @@
+"""End-to-end spark-submit --py-files exercise (the north-rule ship shape).
+
+Runs the real ``spark-submit`` binary with the built ``dist/mopper_spark.zip``
+artifact in a SEPARATE JVM/Python process — proving executors resolve the
+package from the zip alone (no repo PYTHONPATH), per-stage lineage lands in
+the checkpoint manifests, and a re-run resumes (skips every stage).
+"""
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit binary not available"
+)
+def test_spark_submit_pyfiles_job_and_resume(tmp_path):
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_pyfiles.py")],
+        check=True,
+        capture_output=True,
+    )
+    zip_path = os.path.join(REPO, "dist", "mopper_spark.zip")
+    cmd = [
+        SPARK_SUBMIT,
+        "--master",
+        "local[4]",
+        "--py-files",
+        zip_path,
+        os.path.join(REPO, "jobs", "kg_job.py"),
+        "--synth-turns",
+        "400",
+        "--checkpoints",
+        str(tmp_path / "ck"),
+        "--output",
+        str(tmp_path / "graph"),
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    d1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert d1["turns"] == 400
+    stages1 = {s["stage"]: s for s in d1["stages"]}
+    assert not any(s["skipped"] for s in stages1.values())
+    assert stages1["graph"]["rows"] > 0
+    # per-partition lineage recorded for every stage
+    assert all(s["files"] >= 1 for s in stages1.values())
+    assert os.path.exists(tmp_path / "graph" / "_SUCCESS")
+
+    # second run: identical manifests -> every stage resumes (skips)
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    d2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert all(s["skipped"] for s in d2["stages"])
+    assert {s["stage"]: s["rows"] for s in d2["stages"]} == {
+        k: v["rows"] for k, v in stages1.items()
+    }
