@@ -1498,6 +1498,36 @@ SELECT node, pr AS pr_scaled FROM {prev}
     _SQL_MENTION_PAGERANK,
 ) = _transcript_oracle_sqls()
 
+def _q_kg_bgp_optional(spark: SparkSession, sf: str) -> DataFrame:
+    """BGP with a QUAD pattern and SPARQL OPTIONAL: every turn's role
+    triple (binding the named graph as ?g) left-joined with its tool
+    triple — tool comes back NULL for turns without one, exactly
+    SPARQL's OPTIONAL semantics compiled to a left join."""
+    from mopper_spark.pipeline.bgp import bgp_match
+    from mopper_spark.pipeline.extract import extract_triples
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = extract_triples(tr).select("subj", "pred", "obj", "graph")
+    ont = "http://example.com/ontology/"
+    return bgp_match(
+        kg,
+        [("?t", ont + "role", "?role", "?g")],
+        optional=[("?t", ont + "tool", "?tool")],
+        select=["t", "g", "role", "tool"],
+    )
+
+
+_SQL_BGP_OPTIONAL = f"""
+WITH kg AS ({_SQL_KG_GRAPH})
+SELECT r.subj AS t, r.graph AS g, r.obj AS role, tl.obj AS tool
+FROM kg r
+LEFT JOIN (SELECT subj, obj FROM kg
+           WHERE pred = 'http://example.com/ontology/tool') tl
+       ON tl.subj = r.subj
+WHERE r.pred = 'http://example.com/ontology/role'
+"""
+
+
 # BGP star query oracle: the same three-pattern self-join expressed directly
 # over the string-built triple set (kg = the kg_graph_transcripts oracle).
 _SQL_BGP_COMENTION = f"""
@@ -2148,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_linking_transcripts": _q_entity_linking_transcripts,
         "kg_graph_transcripts": _q_kg_graph_transcripts,
         "kg_bgp_comention": _q_kg_bgp_comention,
+        "kg_bgp_optional": _q_kg_bgp_optional,
         "kg_stream_parity": _q_kg_stream_parity,
         "events_asof_attribution": _q_events_asof_attribution,
         "events_value_bands": _q_events_value_bands,
@@ -2197,6 +2228,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_linking_transcripts": _SQL_ENTITY_LINKING,
         "kg_graph_transcripts": _SQL_KG_GRAPH,
         "kg_bgp_comention": _SQL_BGP_COMENTION,
+        "kg_bgp_optional": _SQL_BGP_OPTIONAL,
         "kg_stream_parity": _SQL_KG_STREAM,
         "multimodal_wav_features": _SQL_MULTIMODAL_WAV,
         "multimodal_png_features": _SQL_MULTIMODAL_PNG,

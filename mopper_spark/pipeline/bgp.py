@@ -36,15 +36,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_POS_COLS = ("subj", "pred", "obj")
+_POS_COLS = ("subj", "pred", "obj", "graph")
 
 
 def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
-def _pattern_df(triples: DataFrame, pattern: tuple[str, str, str]) -> DataFrame:
-    """One triple pattern → filtered/renamed relation over (subj,pred,obj)."""
+def _pattern_df(triples: DataFrame, pattern: tuple) -> DataFrame:
+    """One triple/quad pattern → filtered/renamed relation.
+
+    3-tuples match (subj, pred, obj); 4-tuples additionally constrain or
+    bind the named ``graph`` (the quad position our serializer/TargetOp
+    emits) — the triples DataFrame must then carry a ``graph`` column.
+    """
+    if len(pattern) not in (3, 4):
+        raise ValueError(f"pattern {pattern!r} must have 3 or 4 terms")
     df = triples
     seen: dict[str, str] = {}  # var name -> first source column
     cols = []
@@ -72,15 +79,21 @@ def _pattern_df(triples: DataFrame, pattern: tuple[str, str, str]) -> DataFrame:
 
 def bgp_match(
     triples: DataFrame,
-    patterns: list[tuple[str, str, str]],
+    patterns: list[tuple],
     select: list[str] | None = None,
     distinct: bool = False,
     allow_cartesian: bool = False,
+    optional: list[tuple] | None = None,
 ) -> DataFrame:
     """Match a conjunctive BGP; returns one column per selected variable.
 
     ``patterns``: ``[("?t", "http://…/mentions", "?e"), …]`` — terms
-    starting with ``?`` are variables, anything else is a constant.
+    starting with ``?`` are variables, anything else is a constant; a
+    4th term matches the named graph.
+    ``optional``: SPARQL OPTIONAL patterns, LEFT-joined (in order) after
+    the required block — their new variables come back NULL where the
+    pattern has no match.  Each must share ≥1 variable with what is
+    already bound (an unanchored OPTIONAL would be a cartesian).
     ``select``: variable names (without ``?``) to project; default = all,
     sorted for a deterministic column order.
     """
@@ -108,6 +121,16 @@ def bgp_match(
         df, _ = remaining.pop(idx)
         shared = sorted(bound & set(df.columns))
         result = result.join(df, on=shared) if shared else result.crossJoin(df)
+        bound |= set(df.columns)
+    for pat in optional or []:
+        df = _pattern_df(triples, pat)
+        shared = sorted(bound & set(df.columns))
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL pattern {pat!r} shares no variable with the "
+                "required block (would be a cartesian product)"
+            )
+        result = result.join(df, on=shared, how="left")
         bound |= set(df.columns)
     out = result.select(*(select if select is not None else sorted(bound)))
     return out.distinct() if distinct else out

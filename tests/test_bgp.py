@@ -103,3 +103,50 @@ def test_constant_filters_reach_the_scan(spark, tmp_path):
     pushed = plan.split("PushedFilters:", 1)
     assert len(pushed) == 2 and "EqualTo(pred," in pushed[1]
     assert out.count() == 50
+
+
+def test_quad_pattern_binds_graph(spark):
+    rows = [
+        (EX + "s1", EX + "p", EX + "o1", EX + "g1"),
+        (EX + "s2", EX + "p", EX + "o2", EX + "g2"),
+    ]
+    quads = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string"
+    )
+    out = bgp_match(quads, [("?s", EX + "p", "?o", EX + "g1")], select=["s", "o"])
+    assert [tuple(r) for r in out.collect()] == [(EX + "s1", EX + "o1")]
+    bound = bgp_match(quads, [("?s", EX + "p", "?o", "?g")])
+    assert sorted(r.g for r in bound.collect()) == [EX + "g1", EX + "g2"]
+
+
+def test_optional_pattern_left_join(triples):
+    # every turn-ish subject with an inConv triple, optionally a self link
+    out = bgp_match(
+        triples,
+        [("?t", EX + "inConv", "?c")],
+        optional=[("?t", EX + "mentions", "?e")],
+        select=["t", "c", "e"],
+    )
+    got = {(r.t, r.e) for r in out.collect()}
+    assert (EX + "t2", EX + "alice") in got
+    # t2 has one mention; all three turns bind c; no nulls here, so add one:
+    out2 = bgp_match(
+        triples,
+        [("?x", EX + "self", "?x")],
+        optional=[("?x", EX + "inConv", "?c")],
+        select=["x", "c"],
+    ).collect()
+    assert out2 == [type(out2[0])(x=EX + "loop", c=None)] or (
+        out2[0].x == EX + "loop" and out2[0].c is None
+    )
+
+
+def test_optional_must_share_variable(triples):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="OPTIONAL"):
+        bgp_match(
+            triples,
+            [("?t", EX + "inConv", "?c")],
+            optional=[("?a", EX + "self", "?b")],
+        )
