@@ -924,6 +924,33 @@ FROM cand GROUP BY doc_id
 """
 
 
+def _q_docs_length_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(lang, source) EXACT length profile: n, min, max, nearest-rank
+    p50/p90 of n_chars.  Exact order statistics, not an approx_percentile
+    sketch (sketches aren't engine-reproducible); the window sort is per
+    profiling dimension, never corpus-wide
+    (mopper_spark/textops/analysis.py::group_quantiles)."""
+    from mopper_spark.textops.analysis import group_quantiles
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return group_quantiles(docs, ["lang", "source"], "n_chars", qs=(0.5, 0.9))
+
+
+_SQL_DOCS_LENGTH_PROFILE = """
+WITH ranked AS (
+  SELECT lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY lang, source) AS n
+  FROM documents
+)
+SELECT lang, source, CAST(MAX(n) AS BIGINT) AS n,
+       MIN(n_chars) AS min_v, MAX(n_chars) AS max_v,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN n_chars END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN n_chars END) AS p90
+FROM ranked GROUP BY lang, source
+"""
+
+
 def _q_repeated_spans(spark: SparkSession, sf: str) -> DataFrame:
     """ExactSubstr-style duplicated-span mining: 5-token windows recurring
     in ≥2 distinct docs (5 because the synthetic vocabulary makes
@@ -974,7 +1001,18 @@ def _q_ivf_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
     vecs = spark.read.parquet(f"{sf}/embeddings.parquet")
     seeds = seed_centroids(vecs, k=8)
     _, new_centroids = kmeans_step(vecs, seeds)
-    return new_centroids
+    # the centroid vector is emitted as a comma-joined STRING: a LIST
+    # column renders "[1, 2]" via fetchall but "[1 2]" (numpy) via the
+    # pandas fetch path the driver gate uses — the exact class of
+    # divergence test_oracle_fetch_path_parity exists to catch
+    return new_centroids.select(
+        "cid",
+        "n_members",
+        "inertia_fp",
+        F.concat_ws(
+            ",", F.transform("centroid_fp", lambda x: x.cast("string"))
+        ).alias("centroid_fp"),
+    )
 
 
 _SQL_IVF_KMEANS = """
@@ -997,7 +1035,7 @@ WITH v AS (
   SELECT cid, pos, CAST(round(x * 1000000) AS BIGINT) AS x_fp
   FROM (SELECT cid, unnest(vec) AS x, unnest(range(1, len(vec) + 1)) AS pos FROM best)
 ), cents AS (
-  SELECT cid, list(s ORDER BY pos) AS centroid_fp
+  SELECT cid, array_to_string(list(s ORDER BY pos), ',') AS centroid_fp
   FROM (SELECT cid, pos, CAST(SUM(x_fp) AS BIGINT) AS s FROM dims GROUP BY 1, 2)
   GROUP BY cid
 )
@@ -2173,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_turn_dedup": _q_transcript_turn_dedup,
         "ivf_kmeans_step": _q_ivf_kmeans_step,
         "repeated_spans": _q_repeated_spans,
+        "docs_length_profile": _q_docs_length_profile,
         "events_sessionize": _q_events_sessionize,
         "cc_components": _q_cc_components,
         "entity_linking_transcripts": _q_entity_linking_transcripts,
@@ -2223,6 +2262,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_turn_dedup": _SQL_TURN_DEDUP,
         "ivf_kmeans_step": _SQL_IVF_KMEANS,
         "repeated_spans": _SQL_REPEATED_SPANS,
+        "docs_length_profile": _SQL_DOCS_LENGTH_PROFILE,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "cc_components": _SQL_CC_COMPONENTS,
         "entity_linking_transcripts": _SQL_ENTITY_LINKING,

@@ -192,3 +192,48 @@ def repetition_metrics(
             ).alias("dup_gram_frac"),
         )
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """EXACT per-group order statistics (nearest-rank quantiles, plus
+    n/min/max) — corpus profiling for length/score distributions where
+    ``approx_percentile`` sketches would not be engine-reproducible.
+
+    Nearest-rank definition: q-quantile = the value at rank ``ceil(q·n)``
+    in ascending order.  Ties in the value order don't matter: any tie
+    permutation puts the same VALUE at a given rank, so the result is
+    deterministic even though row_number itself is not.
+
+    Scale shape: one window sort per group (Spark's window sort spills;
+    groups are the profiling dimensions — lang/source — so no group
+    approaches corpus size) + one combine-able aggregate.  For truly
+    single-group corpus-wide quantiles at 100 TB, prefer a two-pass
+    count-then-select or a sketched estimate; this operator is for
+    per-dimension profiles.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    wn = Window.partitionBy(*group_cols)
+    ranked = (
+        df.select(*group_cols, value_col)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    aggs = [
+        F.max("n").cast("long").alias("n"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    ]
+    for q in qs:
+        aggs.append(
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.col("n") * F.lit(q)), F.col(value_col))
+            ).alias(f"p{int(round(q * 100))}")
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs)

@@ -147,3 +147,18 @@ def test_repeated_spans_within_doc_repeat_not_flagged(spark):
         [(1, "a b c d e x a b c d e")], "doc_id long, text string"
     )
     assert repeated_spans(df, window=5, min_docs=2).count() == 0
+
+
+def test_group_quantiles_exact(spark):
+    from mopper_spark.textops.analysis import group_quantiles
+
+    rows = [("a", v) for v in [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]] + [
+        ("b", v) for v in [5, 5, 5]
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {r.grp: r for r in group_quantiles(df, ["grp"], "v").collect()}
+    a = out["a"]
+    # nearest-rank: p50 = rank ceil(0.5*10)=5 -> 50; p90 = rank 9 -> 90
+    assert (a.n, a.min_v, a.max_v, a.p50, a.p90) == (10, 10, 100, 50, 90)
+    b = out["b"]
+    assert (b.n, b.p50, b.p90) == (3, 5, 5)
