@@ -1128,6 +1128,91 @@ FROM t
 """
 
 
+def _q_vocab_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-coverage profile: corpus top-20 vocabulary (deterministic
+    count-then-token tie-break, TakeOrdered not a global sort) broadcast
+    back for per-doc OOV counts/fraction
+    (mopper_spark/textops/analysis.py::vocab_oov; top_k=20 because the
+    synthetic vocabulary is ~50 words — production uses 10⁵-10⁶)."""
+    from mopper_spark.textops.analysis import vocab_oov
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return vocab_oov(docs, top_k=20)
+
+
+_SQL_VOCAB_OOV = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(tk) AS tok FROM toks
+), counts AS (
+  SELECT tok, COUNT(*) AS cnt FROM ex GROUP BY tok
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rn FROM counts)
+  WHERE rn <= 20
+), per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+  FROM ex GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_oov, 0) AS n_oov,
+       ROUND(CASE WHEN COALESCE(p.n_tokens, 0) > 0
+             THEN p.n_oov * 1.0 / p.n_tokens ELSE 0 END, 5) AS oov_frac
+FROM toks t LEFT JOIN per p USING (doc_id)
+"""
+
+
+def _q_stream_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ingest screen: candidate docs arrive as a 4-micro-batch
+    file stream; each batch's distinct 4-grams probe the STATIC broadcast
+    benchmark set (docs with doc_id % 20 == 0) in a stateless
+    stream-static join — no watermark, no state store.  Stream output
+    (all (doc_id, gram) hits) must equal the batch predicate
+    (mopper_spark/streaming.py::contamination_hits_stream)."""
+    from mopper_spark.streaming import contamination_hits_stream, write_stream
+
+    root = _scratch_root("stream_contamination")
+    src, out, ck = (os.path.join(root, d) for d in ("src", "out", "ck"))
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs.filter(F.col("doc_id") % 20 != 0).select("doc_id", "text").repartition(
+        4
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    q = write_stream(contamination_hits_stream(stream, bench, n=4), out, ck)
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select("doc_id", "g")
+
+
+_SQL_STREAM_CONTAMINATION = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, CASE WHEN len(tk) >= 4
+     THEN list_distinct(list_transform(range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], ' ')))
+     ELSE [array_to_string(tk, ' ')] END AS gs
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0
+)
+SELECT doc_id, g
+FROM (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 20 <> 0)
+WHERE g IN (SELECT g FROM bench)
+"""
+
+
 def _q_docs_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition quality signals per document: character
     fraction covered by the most frequent word bigram (deterministic
@@ -2208,6 +2293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_md5": _q_fingerprint_md5,
         "contamination_ngram": _q_contamination_ngram,
         "docs_repetition": _q_docs_repetition,
+        "vocab_oov_rate": _q_vocab_oov_rate,
+        "stream_contamination": _q_stream_contamination,
         "transcript_turn_dedup": _q_transcript_turn_dedup,
         "ivf_kmeans_step": _q_ivf_kmeans_step,
         "repeated_spans": _q_repeated_spans,
@@ -2259,6 +2346,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": _SQL_FINGERPRINT,
         "contamination_ngram": _SQL_CONTAMINATION,
         "docs_repetition": _SQL_DOCS_REPETITION,
+        "vocab_oov_rate": _SQL_VOCAB_OOV,
+        "stream_contamination": _SQL_STREAM_CONTAMINATION,
         "transcript_turn_dedup": _SQL_TURN_DEDUP,
         "ivf_kmeans_step": _SQL_IVF_KMEANS,
         "repeated_spans": _SQL_REPEATED_SPANS,

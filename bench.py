@@ -60,6 +60,8 @@ HEADLINE = [
     "docs_repetition",
     "transcript_turn_dedup",
     "kg_bgp_comention",
+    "repeated_spans",
+    "ivf_kmeans_step",
     "cc_components",
 ]
 

@@ -314,3 +314,33 @@ def write_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def contamination_hits_stream(
+    doc_stream: DataFrame, benchmark: DataFrame, n: int = 4
+) -> DataFrame:
+    """Streaming benchmark-contamination screen: every incoming document's
+    distinct word n-grams are probed against the (static) benchmark's
+    distinct n-gram set; emits one ``(doc_id, g)`` row per hit.
+
+    Entirely STATELESS — a stream-static inner join where the static side
+    is the broadcast benchmark set, so it is append-mode-safe with no
+    watermark and no state store: each document's grams are derived from
+    its own input row, and Spark re-plans the broadcast per micro-batch.
+    This is the shape for screening an ingest firehose before documents
+    ever land in the training corpus; the batch ``ngram_contamination``
+    is the retrospective full-corpus audit of the same predicate.
+    """
+    from pyspark.sql import functions as F
+
+    from mopper_spark.textops.contamination import benchmark_ngram_set
+    from mopper_spark.textops.dedup import _lower_tokens, word_ngram_array
+
+    bset = F.broadcast(benchmark_ngram_set(benchmark, n=n))
+    grams = doc_stream.select(
+        "doc_id", _lower_tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngram_array("toks", n))).alias("g"),
+    )
+    return grams.join(bset, "g").select("doc_id", "g")

@@ -237,3 +237,60 @@ def group_quantiles(
             ).alias(f"p{int(round(q * 100))}")
         )
     return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def vocab_oov(
+    df: DataFrame,
+    top_k: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-coverage profile: build the corpus top-``top_k``
+    vocabulary (by occurrence count, ties to the lexicographically
+    smallest token — deterministic under any partitioning) and report
+    each document's out-of-vocabulary token count/fraction.  The standard
+    pre-tokenizer health check: a rising OOV rate on new data means the
+    vocabulary (or BPE merges) no longer fit the distribution.
+
+    Scale shape: token counts are one combine-able aggregate; the top-K
+    cut is a TakeOrdered (per-partition top-K then a K-row driver merge —
+    never a global sort shuffle); the K-row vocabulary broadcasts back
+    into a narrow per-doc pass.  Exactly two corpus-wide shuffles (token
+    counts + per-doc aggregate).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    exploded = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).select(
+        "doc_id", F.explode_outer("toks").alias("tok")
+    )
+    vocab = (
+        exploded.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(top_k)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        exploded.join(F.broadcast(vocab), on="tok", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("tok").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("tok").isNotNull() & F.col("_in_vocab").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_frac",
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0, F.col("n_oov") / F.col("n_tokens")
+                ).otherwise(F.lit(0.0)),
+                5,
+            ),
+        )
+    )

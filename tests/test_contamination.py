@@ -162,3 +162,31 @@ def test_group_quantiles_exact(spark):
     assert (a.n, a.min_v, a.max_v, a.p50, a.p90) == (10, 10, 100, 50, 90)
     b = out["b"]
     assert (b.n, b.p50, b.p90) == (3, 5, 5)
+
+
+def test_vocab_oov(spark):
+    from mopper_spark.textops.analysis import vocab_oov
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a a a b b c"),     # corpus counts: a=5, b=3, c=2, z=1
+            (2, "a a b z c"),
+            (3, ""),                # empty doc -> 0 tokens, 0 oov
+        ],
+    )
+    out = {r.doc_id: r for r in vocab_oov(docs, top_k=2).collect()}
+    # vocab = {a, b}; c and z are OOV
+    assert (out[1].n_tokens, out[1].n_oov) == (6, 1)
+    assert (out[2].n_tokens, out[2].n_oov) == (5, 2)
+    assert out[2].oov_frac == 0.4
+    assert (out[3].n_tokens, out[3].n_oov, out[3].oov_frac) == (0, 0, 0.0)
+
+
+def test_vocab_oov_tie_break_deterministic(spark):
+    from mopper_spark.textops.analysis import vocab_oov
+
+    # b and c tie on count; top_k=2 must pick {a, b} (lexicographic tie)
+    docs = _docs(spark, [(1, "a a b c")])
+    out = vocab_oov(docs, top_k=2).collect()[0]
+    assert out.n_oov == 1  # only c
