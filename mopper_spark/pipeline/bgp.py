@@ -134,3 +134,25 @@ def bgp_match(
         bound |= set(df.columns)
     out = result.select(*(select if select is not None else sorted(bound)))
     return out.distinct() if distinct else out
+
+
+def bgp_union(*branches: DataFrame) -> DataFrame:
+    """SPARQL UNION: concatenate BGP results by column NAME (missing
+    variables in a branch come back NULL, per SPARQL's unbound
+    semantics).  Purely a metadata operation — no shuffle."""
+    if not branches:
+        raise ValueError("empty UNION")
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b, allowMissingColumns=True)
+    return out
+
+
+def describe_resource(triples: DataFrame, iri: str) -> DataFrame:
+    """SPARQL DESCRIBE-lite: every triple where the resource is subject or
+    object.  Two pushed-filter scans + a union — both filters reach the
+    parquet scan, so on a subject- or predicate-organized graph table
+    this touches only the matching row groups."""
+    return triples.filter(
+        (F.col("subj") == F.lit(iri)) | (F.col("obj") == F.lit(iri))
+    )

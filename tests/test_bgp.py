@@ -150,3 +150,19 @@ def test_optional_must_share_variable(triples):
             [("?t", EX + "inConv", "?c")],
             optional=[("?a", EX + "self", "?b")],
         )
+
+
+def test_bgp_union_and_describe(triples):
+    from mopper_spark.pipeline.bgp import bgp_union, describe_resource
+
+    a = bgp_match(triples, [("?t", EX + "mentions", EX + "alice")])
+    b = bgp_match(triples, [("?t", EX + "inConv", "?c")])
+    u = bgp_union(a, b)
+    rows = u.collect()
+    assert set(u.columns) == {"t", "c"}
+    # branch a contributes NULL c; branch b binds it
+    assert sum(1 for r in rows if r.c is None) == 2
+    assert len(rows) == 5
+
+    d = describe_resource(triples, EX + "alice")
+    assert sorted(r.subj for r in d.collect()) == [EX + "t1", EX + "t2"]
