@@ -1,0 +1,72 @@
+"""spark-submit entrypoint: BGP queries over a materialized graph table.
+
+    spark-submit --py-files dist/mopper_spark.zip jobs/kg_query.py \
+        --graph /path/graph \
+        -p '?t|http://example.com/ontology/mentions|?e' \
+        -p '?t|http://example.com/ontology/inConversation|?c' \
+        --select c,e --distinct --limit 100
+
+Patterns are '|'-separated term triples (or quadruples with a named-graph
+term); '?name' terms are variables, everything else is a constant.  Output
+is JSON lines on stdout (small results) or parquet via --output.
+"""
+
+import argparse
+import json
+import sys
+
+
+def parse_pattern(arg: str) -> tuple:
+    """'?s|p|?o' or '?s|p|?o|g' → pattern tuple (validated)."""
+    parts = arg.split("|")
+    if len(parts) not in (3, 4):
+        raise SystemExit(
+            f"--pattern {arg!r}: expected 3 or 4 '|'-separated terms, "
+            f"got {len(parts)}"
+        )
+    if not any(p.startswith("?") for p in parts):
+        raise SystemExit(f"--pattern {arg!r}: must bind at least one ?variable")
+    return tuple(parts)
+
+
+def build_query(spark, args):
+    from mopper_spark.pipeline.bgp import bgp_match
+
+    graph = spark.read.parquet(args.graph)
+    out = bgp_match(
+        graph,
+        [parse_pattern(p) for p in args.pattern],
+        select=args.select.split(",") if args.select else None,
+        distinct=args.distinct,
+        optional=[parse_pattern(p) for p in args.optional or []],
+    )
+    if args.limit:
+        out = out.limit(args.limit)
+    return out
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--graph", required=True, help="graph table path (parquet)")
+    p.add_argument("-p", "--pattern", action="append", required=True)
+    p.add_argument("--optional", action="append")
+    p.add_argument("--select")
+    p.add_argument("--distinct", action="store_true")
+    p.add_argument("--limit", type=int)
+    p.add_argument("--output", help="write parquet here instead of stdout JSONL")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("mopper-spark-query").getOrCreate()
+    out = build_query(spark, args)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    else:
+        # stdout is for human-scale results; use --output for big ones
+        for row in out.toLocalIterator():
+            print(json.dumps(row.asDict()), file=sys.stdout)
+
+
+if __name__ == "__main__":
+    main()

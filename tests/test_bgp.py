@@ -166,3 +166,42 @@ def test_bgp_union_and_describe(triples):
 
     d = describe_resource(triples, EX + "alice")
     assert sorted(r.subj for r in d.collect()) == [EX + "t1", EX + "t2"]
+
+
+def test_kg_query_cli(spark, tmp_path):
+    """jobs/kg_query.py: pattern parsing + query build over a materialized
+    graph table (in-process; the spark-submit path itself is covered by
+    test_spark_submit.py for the kg job)."""
+    import argparse
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from jobs.kg_query import build_query, parse_pattern
+
+    assert parse_pattern("?s|p|?o") == ("?s", "p", "?o")
+    assert parse_pattern("?s|p|?o|g") == ("?s", "p", "?o", "g")
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        parse_pattern("a|b")
+    with _pytest.raises(SystemExit):
+        parse_pattern("a|b|c")  # no variable
+
+    gp = str(tmp_path / "graph")
+    rows = [
+        (EX + "t1", EX + "mentions", EX + "alice", "lit", EX + "g"),
+        (EX + "t1", EX + "inConv", EX + "c1", "iri", EX + "g"),
+    ]
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj string, okind string, graph string"
+    ).write.parquet(gp)
+    args = argparse.Namespace(
+        graph=gp,
+        pattern=[f"?t|{EX}mentions|?e", f"?t|{EX}inConv|?c"],
+        optional=None,
+        select="c,e",
+        distinct=True,
+        limit=None,
+    )
+    got = [tuple(r) for r in build_query(spark, args).collect()]
+    assert got == [(EX + "c1", EX + "alice")]
