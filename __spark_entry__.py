@@ -1128,6 +1128,36 @@ FROM t
 """
 
 
+def _q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk training-sequence packing layout (seq_len=64):
+    global token offsets via a deterministic two-phase distributed prefix
+    sum (fixed id-range buckets, never sampled range partitioning), pure
+    integer arithmetic end to end
+    (mopper_spark/textops/packing.py::pack_sequences)."""
+    from mopper_spark.textops.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return pack_sequences(docs, seq_len=64, bucket_size=128)
+
+
+_SQL_PACK_SEQUENCES = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM toks
+)
+SELECT doc_id, n_tokens, start_tok,
+       CASE WHEN n_tokens > 0 THEN CAST(start_tok // 64 AS BIGINT) END AS seq_first,
+       CASE WHEN n_tokens > 0 THEN CAST((start_tok + n_tokens - 1) // 64 AS BIGINT) END AS seq_last
+FROM o
+"""
+
+
 def _q_vocab_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
     """Tokenizer-coverage profile: corpus top-20 vocabulary (deterministic
     count-then-token tie-break, TakeOrdered not a global sort) broadcast
@@ -2294,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_ngram": _q_contamination_ngram,
         "docs_repetition": _q_docs_repetition,
         "vocab_oov_rate": _q_vocab_oov_rate,
+        "pack_sequences": _q_pack_sequences,
         "stream_contamination": _q_stream_contamination,
         "transcript_turn_dedup": _q_transcript_turn_dedup,
         "ivf_kmeans_step": _q_ivf_kmeans_step,
@@ -2347,6 +2378,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_ngram": _SQL_CONTAMINATION,
         "docs_repetition": _SQL_DOCS_REPETITION,
         "vocab_oov_rate": _SQL_VOCAB_OOV,
+        "pack_sequences": _SQL_PACK_SEQUENCES,
         "stream_contamination": _SQL_STREAM_CONTAMINATION,
         "transcript_turn_dedup": _SQL_TURN_DEDUP,
         "ivf_kmeans_step": _SQL_IVF_KMEANS,
