@@ -62,6 +62,10 @@ HEADLINE = [
     "kg_bgp_comention",
     "repeated_spans",
     "ivf_kmeans_step",
+    "similarity_topk_ivf",
+    "vocab_oov_rate",
+    "docs_length_profile",
+    "pack_sequences",
     "cc_components",
 ]
 
