@@ -2292,6 +2292,142 @@ RECALL_PINS: dict[str, dict[str, object]] = {
 }
 
 
+def _q_graph_closure(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-naive transitive closure (pipeline/graph.py::transitive_closure
+    — the delta iteration behind rdfs:subClassOf*/skos:broader+ property-
+    path materialization) over a deterministic doc-id hierarchy
+    (doc_id -> doc_id div 2, a binary-tree parent relation with depth
+    ~log2 n, standing in for a class taxonomy), verified against DuckDB's
+    WITH RECURSIVE ... UNION fixpoint."""
+    from mopper_spark.pipeline.graph import transitive_closure
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    edges = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("src"),
+        F.expr("doc_id div 2").cast("long").alias("dst"),
+    )
+    return transitive_closure(edges)
+
+
+_SQL_GRAPH_CLOSURE = """
+WITH RECURSIVE e AS (
+  SELECT CAST(doc_id AS BIGINT) AS src, CAST(doc_id // 2 AS BIGINT) AS dst
+  FROM documents WHERE doc_id >= 2
+), tc AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src
+)
+SELECT src, dst FROM tc
+"""
+
+
+def _q_kg_predicate_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-predicate cardinality/functionality profile
+    (pipeline/curate.py::predicate_profile) over the extracted KG."""
+    from mopper_spark.pipeline.curate import predicate_profile
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
+    return predicate_profile(kg.select("subj", "pred", "obj"))
+
+
+_SQL_KG_PRED_PROFILE = None  # assigned below, needs _SQL_KG_GRAPH
+
+
+def _q_kg_resolve_functional(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-property conflict resolution
+    (pipeline/curate.py::resolve_functional): one canonical object per
+    (subj, pred) by (support desc, obj asc) — deterministic aggregate,
+    no per-group window sort."""
+    from mopper_spark.pipeline.curate import resolve_functional
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
+    return resolve_functional(kg.select("subj", "pred", "obj"))
+
+
+def _q_kg_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic filtered corrupt-object negative sampling for
+    KG-embedding training (pipeline/curate.py::negative_samples): draws
+    are md5-hash functions of (seed, triple, draw), the object vocabulary
+    index is the bucketed two-phase prefix sum — both replicated exactly
+    in the DuckDB oracle (ROW_NUMBER over (bucket, obj))."""
+    from mopper_spark.pipeline.curate import negative_samples
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
+    return negative_samples(kg.select("subj", "pred", "obj"), n_per=2, seed="neg-v1")
+
+
+_SQL_KG_PRED_PROFILE = f"""
+WITH kg AS ({_SQL_KG_GRAPH})
+SELECT pred,
+       CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subj,
+       CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_obj,
+       COUNT(DISTINCT (subj, obj)) = COUNT(DISTINCT subj) AS is_functional,
+       COUNT(DISTINCT (subj, obj)) = COUNT(DISTINCT obj) AS is_inverse_functional
+FROM kg GROUP BY pred
+"""
+
+_SQL_KG_RESOLVE_FUNCTIONAL = f"""
+WITH kg AS ({_SQL_KG_GRAPH}),
+sup AS (SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS support
+        FROM kg GROUP BY subj, pred, obj),
+ranked AS (
+  SELECT subj, pred, obj, support,
+         ROW_NUMBER() OVER (PARTITION BY subj, pred
+                            ORDER BY support DESC, obj ASC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY subj, pred) AS BIGINT) AS n_alternatives
+  FROM sup)
+SELECT subj, pred, obj, support, n_alternatives FROM ranked WHERE rn = 1
+"""
+
+# the negative-sampling oracle re-derives the WHOLE operator in SQL: the
+# bucketed vocabulary index collapses to ROW_NUMBER() OVER (ORDER BY
+# bucket, obj) - 1, and every md5 draw is recomputed hex-for-hex
+_SQL_KG_NEGATIVE_SAMPLES = f"""
+WITH kg AS ({_SQL_KG_GRAPH}),
+t AS (SELECT DISTINCT subj, pred, obj FROM kg),
+objs AS (SELECT DISTINCT obj FROM kg),
+b AS (SELECT obj, ('0x' || substr(md5('idx' || obj), 1, 4))::BIGINT AS bucket
+      FROM objs),
+v AS (SELECT obj AS neg_obj,
+             CAST(ROW_NUMBER() OVER (ORDER BY bucket, obj) - 1 AS BIGINT) AS idx
+      FROM b),
+n AS (SELECT COUNT(*) AS n_objs FROM objs),
+ex AS (
+  SELECT t.subj, t.pred, t.obj, d.draw,
+         ('0x' || substr(md5('neg-v1' || t.subj || chr(31) || t.pred
+                              || chr(31) || t.obj || chr(31) || d.draw),
+                 1, 12))::BIGINT % n.n_objs AS pick
+  FROM t, (SELECT unnest([0, 1]) AS draw) d, n
+)
+SELECT ex.subj, ex.pred, ex.obj, v.neg_obj, ex.draw
+FROM ex JOIN v ON v.idx = ex.pick
+WHERE v.neg_obj <> ex.obj
+  AND NOT EXISTS (SELECT 1 FROM t
+                  WHERE t.subj = ex.subj AND t.pred = ex.pred
+                    AND t.obj = v.neg_obj)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -2348,6 +2484,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": _q_skew_salted_join,
         "stream_interval_join": _q_stream_interval_join,
         "doc_hash_split": _q_doc_hash_split,
+        "graph_closure": _q_graph_closure,
+        "kg_predicate_profile": _q_kg_predicate_profile,
+        "kg_resolve_functional": _q_kg_resolve_functional,
+        "kg_negative_samples": _q_kg_negative_samples,
     }
 
 
@@ -2407,4 +2547,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_bm25": _SQL_DOCS_BM25,
         "bigram_pmi": _SQL_BIGRAM_PMI,
         "skew_salted_join": _SQL_SKEW_SALTED_JOIN,
+        "graph_closure": _SQL_GRAPH_CLOSURE,
+        "kg_predicate_profile": _SQL_KG_PRED_PROFILE,
+        "kg_resolve_functional": _SQL_KG_RESOLVE_FUNCTIONAL,
+        "kg_negative_samples": _SQL_KG_NEGATIVE_SAMPLES,
     }

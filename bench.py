@@ -66,6 +66,8 @@ HEADLINE = [
     "vocab_oov_rate",
     "docs_length_profile",
     "pack_sequences",
+    "kg_predicate_profile",
+    "kg_negative_samples",
     "cc_components",
 ]
 

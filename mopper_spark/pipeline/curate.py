@@ -1,0 +1,213 @@
+"""KG curation operators over the materialized triple table.
+
+The reference (ghsnd/mopper) stops at emitting triples; a production KG
+pipeline immediately needs to profile, repair, and consume them.  Three
+operators, all pure native expressions (zero Python at runtime), all
+deterministic under any partitioning, all strictly SQL-oracle-able:
+
+``predicate_profile``
+    Per-predicate cardinality statistics (triple count, distinct
+    subjects/objects, functionality/inverse-functionality flags) — the
+    standard schema-discovery pass (cf. LOD dataset profiling, e.g.
+    Auer et al., "LODStats", EKAW'12).  One map-side-combinable
+    aggregation; scales like word-count.
+
+``resolve_functional``
+    Conflict resolution for functional properties: when extraction emits
+    several objects for one (subj, pred), keep the object with the most
+    supporting triples, breaking ties on the lexicographically smallest
+    object (deterministic, engine-portable — no ``first()`` under an
+    undefined order).  Two aggregations, both combine map-side; the
+    "hot subject" skew case degrades gracefully because the first
+    aggregation collapses duplicates before any per-(subj, pred) state.
+
+``negative_samples``
+    Deterministic corrupt-object negative sampling for KG-embedding
+    training (the local-closed-world assumption of TransE, Bordes et al.
+    NeurIPS'13): each positive triple yields up to ``n_per`` corrupted
+    triples whose object is drawn pseudo-randomly from the distinct-object
+    vocabulary by an md5 hash of (seed, triple, draw index) — a pure
+    function of the row, so resampling is reproducible across runs,
+    engines, and partitionings (the same portability argument as
+    ``textops/sampling.py``).  Drawn negatives that collide with ANY true
+    triple are anti-joined away (filtered negative sampling).
+
+    The vocabulary must be uniformly indexable (draw = index in
+    [0, n_objects)); a global ``row_number`` would be a single-partition
+    sort, so the index is assigned with the same two-phase bucketed prefix
+    sum as ``textops/packing.py``: objects land in md5 buckets, ranks are
+    windowed WITHIN buckets (bounded partitions), bucket offsets are a
+    tiny cumsum broadcast back.  Reproducing that layout in the oracle is
+    one ``ROW_NUMBER() OVER (ORDER BY bucket, obj)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 16-bit md5 bucket space, matching textops/sampling.py::hash_bucket
+_IDX_BUCKETS = 65536
+
+
+def predicate_profile(triples: DataFrame) -> DataFrame:
+    """Per-predicate stats: ``(pred, n_triples, n_subj, n_obj,
+    is_functional, is_inverse_functional)``.
+
+    ``is_functional``: every subject has exactly one object (safe to feed
+    ``resolve_functional`` expecting no drops); inverse likewise.  Exact
+    distinct counts (not HLL sketches) so the output hashes stably; for
+    100 TB profiling swap ``countDistinct`` for ``approx_count_distinct``
+    — the plan shape (one partial+final aggregate) is unchanged.
+    """
+    return (
+        triples.groupBy("pred")
+        .agg(
+            F.count("*").cast("long").alias("n_triples"),
+            F.countDistinct("subj").cast("long").alias("n_subj"),
+            F.countDistinct("obj").cast("long").alias("n_obj"),
+            F.countDistinct("subj", "obj").cast("long").alias("n_pairs"),
+        )
+        .select(
+            "pred",
+            "n_triples",
+            "n_subj",
+            "n_obj",
+            (F.col("n_pairs") == F.col("n_subj")).alias("is_functional"),
+            (F.col("n_pairs") == F.col("n_obj")).alias("is_inverse_functional"),
+        )
+    )
+
+
+def resolve_functional(triples: DataFrame) -> DataFrame:
+    """One canonical object per (subj, pred): highest support, then
+    smallest object.  Returns ``(subj, pred, obj, support, n_alternatives)``
+    — ``n_alternatives`` > 1 marks rows where a conflict was resolved.
+
+    Implementation: support counts, then ``min(struct(-support, obj))`` —
+    an associative-commutative aggregate, so the winner is identical under
+    any partitioning (unlike window ``row_number`` whose per-group sort
+    would put the hottest subject's whole history in one task).
+    """
+    support = triples.groupBy("subj", "pred", "obj").agg(
+        F.count("*").cast("long").alias("support")
+    )
+    best = (
+        support.groupBy("subj", "pred")
+        .agg(
+            F.min(
+                F.struct((-F.col("support")).alias("neg"), F.col("obj").alias("obj"))
+            ).alias("w"),
+            F.count("*").cast("long").alias("n_alternatives"),
+        )
+        .select(
+            "subj",
+            "pred",
+            F.col("w.obj").alias("obj"),
+            (-F.col("w.neg")).cast("long").alias("support"),
+            "n_alternatives",
+        )
+    )
+    return best
+
+
+def _hash48(*cols) -> F.Column:
+    """First 48 bits of md5 as a non-negative long — portable: any engine
+    with md5/substr/hex-parse reproduces it (DuckDB:
+    ``('0x' || substr(md5(x), 1, 12))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(F.concat(*cols)), 1, 12), 16, 10).cast("long")
+
+
+def indexed_objects(triples: DataFrame) -> DataFrame:
+    """Distinct objects with a dense deterministic index in
+    [0, n_objects): position in (md5-bucket, obj) lexicographic order,
+    assigned by the two-phase bucketed prefix sum (no global sort).
+    Returns ``(obj, idx)``."""
+    objs = triples.select("obj").distinct()
+    bucketed = objs.withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.concat(F.lit("idx"), F.col("obj"))), 1, 4), 16, 10)
+        .cast("long"),
+    )
+    # within-bucket rank: bounded partitions (|objs| / 65536 expected rows)
+    in_bucket = Window.partitionBy("bucket").orderBy("obj")
+    ranked = bucketed.withColumn(
+        "rn", (F.row_number().over(in_bucket) - 1).cast("long")
+    )
+    # bucket offsets: tiny (≤ 65536-row) cumsum, broadcast back
+    bucket_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "off", F.coalesce(F.sum("n").over(bucket_w), F.lit(0)).cast("long")
+        )
+        .select("bucket", "off")
+    )
+    return ranked.join(F.broadcast(offsets), "bucket").select(
+        "obj", (F.col("off") + F.col("rn")).alias("idx")
+    )
+
+
+def negative_samples(
+    triples: DataFrame, n_per: int = 2, seed: str = "neg-v1"
+) -> DataFrame:
+    """Filtered corrupt-object negatives: ``(subj, pred, obj, neg_obj,
+    draw)`` — up to ``n_per`` rows per positive (draws that hit the true
+    object or any other true triple are dropped, per the local closed
+    world assumption).
+
+    Scale shape: one distinct + index pass over objects, one explode by
+    ``n_per``, one equi-join draw→index (AQE broadcasts the vocabulary
+    when it fits; for web-scale vocabularies it is a plain hash join),
+    one anti-join against the triple set.  No randomness, no driver loop.
+    """
+    vocab = indexed_objects(triples)
+    n_objs = vocab.groupBy().agg(F.count("*").alias("n_objs"))
+    sep = F.lit("\x1f")
+    expanded = (
+        triples.select("subj", "pred", "obj")
+        .distinct()
+        .crossJoin(F.broadcast(n_objs))
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.explode(F.sequence(F.lit(0), F.lit(n_per - 1))).alias("draw"),
+            "n_objs",
+        )
+        .withColumn(
+            "pick",
+            F.pmod(
+                _hash48(
+                    F.lit(seed),
+                    F.col("subj"),
+                    sep,
+                    F.col("pred"),
+                    sep,
+                    F.col("obj"),
+                    sep,
+                    F.col("draw").cast("string"),
+                ),
+                F.col("n_objs"),
+            ).cast("long"),
+        )
+    )
+    vocab_n = vocab.select(F.col("obj").alias("neg_obj"), "idx")
+    drawn = (
+        expanded.join(vocab_n, expanded["pick"] == vocab_n["idx"])
+        .select("subj", "pred", "obj", "neg_obj", "draw")
+        .filter(F.col("neg_obj") != F.col("obj"))
+    )
+    true_triples = triples.select(
+        F.col("subj").alias("t_subj"),
+        F.col("pred").alias("t_pred"),
+        F.col("obj").alias("t_obj"),
+    )
+    return drawn.join(
+        true_triples,
+        (drawn["subj"] == true_triples["t_subj"])
+        & (drawn["pred"] == true_triples["t_pred"])
+        & (drawn["neg_obj"] == true_triples["t_obj"]),
+        "left_anti",
+    )

@@ -1,0 +1,143 @@
+"""Tests for KG curation (pipeline/curate.py) and transitive closure
+(pipeline/graph.py::transitive_closure): python-replica correctness,
+determinism under repartitioning, and the closed-world filter guarantees
+that make negative sampling safe to feed a trainer."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mopper_spark.pipeline.curate import (
+    indexed_objects,
+    negative_samples,
+    predicate_profile,
+    resolve_functional,
+)
+from mopper_spark.pipeline.graph import transitive_closure
+
+TRIPLES = [
+    ("s1", "p1", "a"),
+    ("s1", "p1", "a"),
+    ("s1", "p1", "b"),
+    ("s2", "p1", "c"),
+    ("s2", "p2", "a"),
+    ("s3", "p2", "d"),
+    ("s4", "p3", "a"),
+]
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    return spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+
+
+class TestPredicateProfile:
+    def test_counts_and_flags(self, triples):
+        rows = {r.pred: r for r in predicate_profile(triples).collect()}
+        assert rows["p1"].n_triples == 4
+        assert rows["p1"].n_subj == 2
+        assert rows["p1"].n_obj == 3
+        # s1 has two distinct objects under p1 -> not functional
+        assert not rows["p1"].is_functional
+        # every p1 object has exactly one subject -> inverse functional
+        assert rows["p1"].is_inverse_functional
+        assert rows["p2"].is_functional and rows["p2"].is_inverse_functional
+        assert rows["p3"].is_functional
+
+
+class TestResolveFunctional:
+    def test_majority_then_lexicographic(self, triples):
+        got = {
+            (r.subj, r.pred): (r.obj, r.support, r.n_alternatives)
+            for r in resolve_functional(triples).collect()
+        }
+        # (s1, p1): 'a' has support 2 vs 'b' 1
+        assert got[("s1", "p1")] == ("a", 2, 2)
+        assert got[("s2", "p1")] == ("c", 1, 1)
+        assert got[("s2", "p2")] == ("a", 1, 1)
+
+    def test_tie_breaks_to_smallest_object(self, spark):
+        t = spark.createDataFrame(
+            [("s", "p", "z"), ("s", "p", "b")], "subj string, pred string, obj string"
+        )
+        (row,) = resolve_functional(t).collect()
+        assert row.obj == "b" and row.n_alternatives == 2
+
+    def test_partitioning_invariance(self, triples):
+        a = sorted(map(tuple, resolve_functional(triples).collect()))
+        b = sorted(map(tuple, resolve_functional(triples.repartition(7)).collect()))
+        assert a == b
+
+
+class TestNegativeSamples:
+    def test_index_is_dense_permutation(self, triples):
+        idx = [r.idx for r in indexed_objects(triples).collect()]
+        assert sorted(idx) == list(range(4))  # objects a, b, c, d
+
+    def test_no_true_triples_and_deterministic(self, triples):
+        true_set = {(s, p, o) for s, p, o in TRIPLES}
+        out1 = sorted(map(tuple, negative_samples(triples, n_per=3).collect()))
+        out2 = sorted(
+            map(tuple, negative_samples(triples.repartition(5), n_per=3).collect())
+        )
+        assert out1 == out2  # pure function of (seed, data)
+        assert out1  # fixture is small but draws must survive filtering
+        for subj, pred, obj, neg_obj, draw in out1:
+            assert (subj, pred, neg_obj) not in true_set
+            assert neg_obj != obj
+            assert 0 <= draw < 3
+            assert (subj, pred, obj) in true_set
+
+    def test_duplicated_positives_sample_once(self, triples):
+        # (s1, p1, a) appears twice in the input; its draws must not double
+        out = negative_samples(triples, n_per=3).collect()
+        keys = [(r.subj, r.pred, r.obj, r.draw) for r in out]
+        assert len(keys) == len(set(keys))
+
+    def test_seed_changes_draws(self, triples):
+        a = set(map(tuple, negative_samples(triples, n_per=3, seed="x").collect()))
+        b = set(map(tuple, negative_samples(triples, n_per=3, seed="y").collect()))
+        assert a != b
+
+
+def _py_closure(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    clo = set(edges)
+    changed = True
+    while changed:
+        changed = False
+        for a, b in list(clo):
+            for c in adj.get(b, ()):
+                if (a, c) not in clo:
+                    clo.add((a, c))
+                    changed = True
+    return clo
+
+
+class TestTransitiveClosure:
+    def test_tree_ancestors(self, spark):
+        edges = [(i, i // 2) for i in range(2, 64)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {(r.src, r.dst) for r in transitive_closure(df).collect()}
+        assert got == _py_closure(set(edges))
+
+    def test_cycle_reaches_fixpoint_including_self(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+        )
+        got = {(r.src, r.dst) for r in transitive_closure(df).collect()}
+        assert got == _py_closure({(1, 2), (2, 3), (3, 1), (3, 4)})
+        assert (1, 1) in got  # cycle members reach themselves
+
+    def test_constraint_conf_restored(self, spark):
+        key = "spark.sql.constraintPropagation.enabled"
+        before = spark.conf.get(key)
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        transitive_closure(df).count()
+        assert spark.conf.get(key) == before
+
+    def test_nonconvergence_raises(self, spark):
+        df = spark.createDataFrame([(i, i + 1) for i in range(10)], "src long, dst long")
+        with pytest.raises(RuntimeError, match="converge"):
+            transitive_closure(df, max_iters=3)
