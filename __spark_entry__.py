@@ -2428,6 +2428,31 @@ WHERE v.neg_obj <> ex.obj
 """
 
 
+def _q_kg_nquads_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """N-Quads write/read round trip (mopper_spark/ntriples.py): the full
+    extracted statement set is formatted to N-Quads lines (ECHAR-escaped)
+    and parsed back with the native regexp reader; the oracle is the
+    statement set itself — the gate passes iff parse∘format is the
+    identity on real data."""
+    from mopper_spark.ntriples import format_statements, parse_statements
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
+    lines = format_statements(kg.select("subj", "pred", "obj", "okind", "graph"))
+    return parse_statements(lines, col="statement")
+
+
+_SQL_KG_NQUADS_ROUNDTRIP = f"""
+WITH kg AS ({_SQL_KG_GRAPH})
+SELECT subj, pred, obj, okind, graph FROM kg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -2488,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_profile": _q_kg_predicate_profile,
         "kg_resolve_functional": _q_kg_resolve_functional,
         "kg_negative_samples": _q_kg_negative_samples,
+        "kg_nquads_roundtrip": _q_kg_nquads_roundtrip,
     }
 
 
@@ -2551,4 +2577,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_predicate_profile": _SQL_KG_PRED_PROFILE,
         "kg_resolve_functional": _SQL_KG_RESOLVE_FUNCTIONAL,
         "kg_negative_samples": _SQL_KG_NEGATIVE_SAMPLES,
+        "kg_nquads_roundtrip": _SQL_KG_NQUADS_ROUNDTRIP,
     }
