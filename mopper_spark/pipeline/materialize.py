@@ -56,3 +56,42 @@ def write_graph_table(
                 "parquet fallback"
             )
     df.write.mode("overwrite").partitionBy("graph_key").parquet(path_or_table)
+
+
+def write_graph_table_bucketed(
+    triples: DataFrame,
+    table: str,
+    num_buckets: int = 64,
+    path: str | None = None,
+) -> None:
+    """Materialize the graph table BUCKETED (and sorted) by ``subj``.
+
+    Bucketing is the co-location strategy for the workloads that dominate
+    a served KG: star BGP queries (k patterns sharing one subject
+    variable = k self-joins on ``subj``), per-subject conflict resolution,
+    and incremental merges — on a bucketed table all of these plan as
+    zero-Exchange sort-merge joins because every scan already satisfies
+    the hash-clustered distribution on ``subj``.  At 100 TB that deletes
+    the dominant cost: re-shuffling the whole triple set once per query.
+    ``tests/test_materialize.py`` pins the zero-Exchange star-query plan
+    (including through ``bgp.py``'s variable renames — Spark's
+    alias-aware output partitioning carries bucketing through Projects).
+
+    Sorting within buckets additionally removes the per-query Sort for
+    merge joins and gives subject-range row-group skipping in parquet.
+
+    ``path`` makes it an external table (omit for the session warehouse).
+    On Iceberg the equivalent layout is ``PARTITIONED BY
+    (bucket(N, subj))`` — same pruning/co-location semantics via storage
+    partition join.
+    """
+    w = (
+        with_graph_key(triples)
+        .write.bucketBy(num_buckets, "subj")
+        .sortBy("subj")
+        .format("parquet")
+        .mode("overwrite")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -102,3 +102,67 @@ def test_catalog_name_inference(spark, tmp_path):
     out = str(tmp_path / "inferred.dir")  # contains "." but starts with "/"
     write_graph_table(spark, _triples(spark, 30), out)
     assert os.path.isdir(out)
+
+
+class TestBucketedGraphTable:
+    """write_graph_table_bucketed: subject co-location deletes the shuffle
+    from every subject-keyed join — pinned on the executed physical plan."""
+
+    @pytest.fixture()
+    def bucketed(self, spark, tmp_path):
+        from mopper_spark.pipeline.materialize import write_graph_table_bucketed
+
+        rows = [
+            (f"http://ex/s{i % 50}", f"http://ex/p{i % 3}", f"o{i}", "lit",
+             "http://ex/g/a")
+            for i in range(600)
+        ]
+        df = spark.createDataFrame(
+            rows, "subj string, pred string, obj string, okind string, graph string"
+        )
+        spark.sql("DROP TABLE IF EXISTS graph_bucketed_test")
+        write_graph_table_bucketed(
+            df, "graph_bucketed_test", num_buckets=8,
+            path=str(tmp_path / "graph_bucketed"),
+        )
+        yield spark.table("graph_bucketed_test")
+        spark.sql("DROP TABLE IF EXISTS graph_bucketed_test")
+
+    def test_star_self_join_has_no_exchange(self, spark, bucketed):
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = bucketed.filter(F.col("pred") == "http://ex/p0").select(
+                "subj", F.col("obj").alias("o1")
+            )
+            b = bucketed.filter(F.col("pred") == "http://ex/p1").select(
+                "subj", F.col("obj").alias("o2")
+            )
+            j = a.join(b, "subj")
+            assert j.count() > 0
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_bgp_star_preserves_bucketing_through_renames(self, spark, bucketed):
+        from mopper_spark.pipeline.bgp import bgp_match
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            q = bgp_match(
+                bucketed.select("subj", "pred", "obj"),
+                [("?s", "http://ex/p0", "?o1"), ("?s", "http://ex/p1", "?o2")],
+                select=["s", "o1", "o2"],
+            )
+            assert q.count() > 0
+            plan = q._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_round_trips_rows(self, spark, bucketed):
+        assert bucketed.count() == 600
+        assert bucketed.filter(F.col("graph_key") == "a").count() == 600
