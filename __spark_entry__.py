@@ -2453,6 +2453,76 @@ SELECT subj, pred, obj, okind, graph FROM kg
 """
 
 
+def _q_kg_shacl_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """SHACL-lite validation (pipeline/validate.py): range-kind, domain-
+    prefix, max-cardinality, and required-pair constraints over the
+    extracted KG, returning the violation TABLE (here: every turn whose
+    role triple lacks a tool triple — assistant/user text turns)."""
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+    from mopper_spark.pipeline.validate import Shape, validate_shapes
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    # validation fans out into one branch per constraint; checkpoint the
+    # statement set so the extraction pipeline runs once, as it would when
+    # validating a materialized graph table
+    kg = (
+        extract_triples(tr)
+        .unionByName(mention_triples(extract_mentions(tr)))
+        .localCheckpoint(eager=False)
+    )
+    ont = "http://example.com/ontology/"
+    shapes = [
+        Shape(ont + "mentions", range_kind="iri",
+              domain_prefix="http://example.com/turn/"),
+        Shape(ont + "role", range_kind="lit", max_count=1,
+              requires=ont + "tool"),
+        Shape(ont + "inConversation", range_kind="iri", max_count=1),
+    ]
+    return validate_shapes(kg, shapes)
+
+
+_SQL_KG_SHACL = f"""
+WITH kg AS ({_SQL_KG_GRAPH})
+SELECT subj, 'http://example.com/ontology/mentions' AS pred,
+       'range_kind' AS code, okind AS detail
+FROM kg WHERE pred = 'http://example.com/ontology/mentions' AND okind <> 'iri'
+UNION ALL
+SELECT subj, 'http://example.com/ontology/mentions', 'domain_prefix', subj
+FROM kg WHERE pred = 'http://example.com/ontology/mentions'
+  AND NOT starts_with(subj, 'http://example.com/turn/')
+UNION ALL
+SELECT subj, 'http://example.com/ontology/role', 'range_kind', okind
+FROM kg WHERE pred = 'http://example.com/ontology/role' AND okind <> 'lit'
+UNION ALL
+SELECT subj, 'http://example.com/ontology/role', 'max_count',
+       CAST(n AS VARCHAR)
+FROM (SELECT subj, COUNT(DISTINCT obj) AS n FROM kg
+      WHERE pred = 'http://example.com/ontology/role' GROUP BY subj)
+WHERE n > 1
+UNION ALL
+SELECT DISTINCT subj, 'http://example.com/ontology/role', 'requires',
+       'http://example.com/ontology/tool'
+FROM kg WHERE pred = 'http://example.com/ontology/role'
+  AND subj NOT IN (SELECT subj FROM kg
+                   WHERE pred = 'http://example.com/ontology/tool')
+UNION ALL
+SELECT subj, 'http://example.com/ontology/inConversation', 'range_kind', okind
+FROM kg WHERE pred = 'http://example.com/ontology/inConversation'
+  AND okind <> 'iri'
+UNION ALL
+SELECT subj, 'http://example.com/ontology/inConversation', 'max_count',
+       CAST(n AS VARCHAR)
+FROM (SELECT subj, COUNT(DISTINCT obj) AS n FROM kg
+      WHERE pred = 'http://example.com/ontology/inConversation'
+      GROUP BY subj)
+WHERE n > 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -2514,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_resolve_functional": _q_kg_resolve_functional,
         "kg_negative_samples": _q_kg_negative_samples,
         "kg_nquads_roundtrip": _q_kg_nquads_roundtrip,
+        "kg_shacl_violations": _q_kg_shacl_violations,
     }
 
 
@@ -2578,4 +2649,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_resolve_functional": _SQL_KG_RESOLVE_FUNCTIONAL,
         "kg_negative_samples": _SQL_KG_NEGATIVE_SAMPLES,
         "kg_nquads_roundtrip": _SQL_KG_NQUADS_ROUNDTRIP,
+        "kg_shacl_violations": _SQL_KG_SHACL,
     }

@@ -1,0 +1,107 @@
+"""SHACL-lite shape validation over the materialized graph table.
+
+A construction pipeline needs a data-quality gate between extraction and
+publication; the W3C vocabulary for that is SHACL.  This implements the
+four constraint families that cover most production shape graphs
+(cf. SHACL core, https://www.w3.org/TR/shacl/), compiled to native
+DataFrame ops — each shape is a filter or one aggregation over the triple
+scan, so a full validation pass is O(|G|) with word-count-shaped
+shuffles, and on the subject-bucketed table (``materialize.py``)
+cardinality and pairing checks are zero-Exchange:
+
+- ``range_kind``    — sh:nodeKind / sh:datatype: the object kind of a
+                      predicate must equal the declared kind (row filter);
+- ``domain_prefix`` — sh:targetSubjectsOf + pattern: subjects of a
+                      predicate must match an IRI prefix (row filter);
+- ``max_count``     — sh:maxCount per (subj, pred) (one aggregation);
+- ``requires``      — sh:minCount 1 on pred B for subjects of pred A
+                      (distinct + anti-join).
+
+Violations come back as data, one row each — ``(subj, pred, code,
+detail)`` — not exceptions: at 100 TB the report is itself a table to
+write, triage, and diff between runs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Shape:
+    """Constraints for one predicate.  Any subset may be set."""
+
+    pred: str
+    range_kind: str | None = None  # exact okind: 'iri' | 'lit' | 'blank' | ...
+    domain_prefix: str | None = None  # subject IRI must start with this
+    max_count: int | None = None  # max objects per subject
+    requires: str | None = None  # subjects of `pred` must also have this pred
+
+
+def _v(subj, pred: str, code: str, detail) -> list:
+    return [
+        subj.alias("subj"),
+        F.lit(pred).alias("pred"),
+        F.lit(code).alias("code"),
+        detail.alias("detail"),
+    ]
+
+
+def validate_shapes(triples: DataFrame, shapes: list[Shape]) -> DataFrame:
+    """Validate the graph against ``shapes``; returns the violation table
+    ``(subj, pred, code, detail)`` (empty = conformant).
+
+    One scan per constraint, unioned; Catalyst collapses the scans into
+    shared exchanges where possible and every constraint's shuffle (if
+    any) is keyed on ``subj`` — co-located on a subject-bucketed table.
+    """
+    parts: list[DataFrame] = []
+    for s in shapes:
+        scoped = triples.filter(F.col("pred") == s.pred)
+        if s.range_kind is not None:
+            parts.append(
+                scoped.filter(F.col("okind") != s.range_kind).select(
+                    *_v(F.col("subj"), s.pred, "range_kind", F.col("okind"))
+                )
+            )
+        if s.domain_prefix is not None:
+            parts.append(
+                scoped.filter(~F.col("subj").startswith(s.domain_prefix)).select(
+                    *_v(F.col("subj"), s.pred, "domain_prefix", F.col("subj"))
+                )
+            )
+        if s.max_count is not None:
+            counts = scoped.groupBy("subj").agg(
+                F.countDistinct("obj").alias("n")
+            )
+            parts.append(
+                counts.filter(F.col("n") > s.max_count).select(
+                    *_v(
+                        F.col("subj"),
+                        s.pred,
+                        "max_count",
+                        F.col("n").cast("string"),
+                    )
+                )
+            )
+        if s.requires is not None:
+            have = scoped.select("subj").distinct()
+            have_req = (
+                triples.filter(F.col("pred") == s.requires)
+                .select("subj")
+                .distinct()
+            )
+            parts.append(
+                have.join(have_req, "subj", "left_anti").select(
+                    *_v(F.col("subj"), s.pred, "requires", F.lit(s.requires))
+                )
+            )
+    if not parts:
+        raise ValueError("validate_shapes: no constraints in any shape")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
