@@ -2523,6 +2523,46 @@ WHERE n > 1
 """
 
 
+def _q_kg_bgp_path_descendants(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL property path + FILTER through the BGP layer:
+
+        SELECT ?d WHERE { ?d <http://ex/parent>+ ?a .
+                          FILTER(?a = <http://ex/doc/5>) }
+
+    over the doc-id binary-tree hierarchy — every transitive descendant of
+    node 5.  The ``+`` path compiles to pipeline/graph.py's semi-naive
+    transitive closure; the FILTER is a declarative F.expr Catalyst pushes
+    into the closure's output."""
+    from mopper_spark.pipeline.bgp import bgp_match
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    tri = docs.filter(F.col("doc_id") >= 2).select(
+        F.concat(F.lit("http://ex/doc/"), F.col("doc_id")).alias("subj"),
+        F.lit("http://ex/parent").alias("pred"),
+        F.concat(F.lit("http://ex/doc/"), F.expr("doc_id div 2")).alias("obj"),
+        F.lit("iri").alias("okind"),
+        F.lit(None).cast("string").alias("graph"),
+    )
+    return bgp_match(
+        tri,
+        [("?d", ("http://ex/parent", "+"), "?a")],
+        select=["d"],
+        filters=["a = 'http://ex/doc/5'"],
+    )
+
+
+_SQL_KG_BGP_PATH = """
+WITH RECURSIVE e AS (
+  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents WHERE doc_id >= 2
+), tc AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src
+)
+SELECT 'http://ex/doc/' || src AS d FROM tc WHERE dst = 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -2585,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": _q_kg_negative_samples,
         "kg_nquads_roundtrip": _q_kg_nquads_roundtrip,
         "kg_shacl_violations": _q_kg_shacl_violations,
+        "kg_bgp_path_descendants": _q_kg_bgp_path_descendants,
     }
 
 
@@ -2650,4 +2691,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_negative_samples": _SQL_KG_NEGATIVE_SAMPLES,
         "kg_nquads_roundtrip": _SQL_KG_NQUADS_ROUNDTRIP,
         "kg_shacl_violations": _SQL_KG_SHACL,
+        "kg_bgp_path_descendants": _SQL_KG_BGP_PATH,
     }

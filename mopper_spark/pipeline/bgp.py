@@ -49,9 +49,38 @@ def _pattern_df(triples: DataFrame, pattern: tuple) -> DataFrame:
     3-tuples match (subj, pred, obj); 4-tuples additionally constrain or
     bind the named ``graph`` (the quad position our serializer/TargetOp
     emits) — the triples DataFrame must then carry a ``graph`` column.
+
+    A predicate written as the 2-tuple ``(iri, "+")`` is a SPARQL
+    property path ``<iri>+``: the pattern relation becomes the transitive
+    closure of that predicate's edges (``pipeline/graph.py``'s semi-naive
+    delta iteration), so ``("?x", (p, "+"), "?y")`` binds every pair
+    connected by 1..n hops of ``p``.  ``*`` (zero-or-more) is refused
+    loudly: its zero-length component would bind EVERY graph node to
+    itself, which on a 100 TB graph is a deliberate act, not a default.
     """
     if len(pattern) not in (3, 4):
         raise ValueError(f"pattern {pattern!r} must have 3 or 4 terms")
+    if isinstance(pattern[1], tuple):
+        from .graph import transitive_closure
+
+        pred_iri, op = pattern[1]
+        if op != "+":
+            raise NotImplementedError(
+                f"property-path operator {op!r} unsupported (only '+'; "
+                "'*' would bind every node to itself — materialize that "
+                "explicitly if you mean it)"
+            )
+        if len(pattern) == 4:
+            raise ValueError("property-path patterns cannot constrain graph")
+        edges = triples.filter(F.col("pred") == F.lit(pred_iri)).select(
+            "subj", F.col("obj").alias("dst_obj")
+        )
+        closed = transitive_closure(edges, src="subj", dst="dst_obj").select(
+            F.col("src").alias("subj"),
+            F.lit(pred_iri).alias("pred"),
+            F.col("dst").alias("obj"),
+        )
+        return _pattern_df(closed, (pattern[0], pred_iri, pattern[2]))
     df = triples
     seen: dict[str, str] = {}  # var name -> first source column
     cols = []
@@ -84,12 +113,20 @@ def bgp_match(
     distinct: bool = False,
     allow_cartesian: bool = False,
     optional: list[tuple] | None = None,
+    filters: list[str] | None = None,
 ) -> DataFrame:
     """Match a conjunctive BGP; returns one column per selected variable.
 
     ``patterns``: ``[("?t", "http://…/mentions", "?e"), …]`` — terms
     starting with ``?`` are variables, anything else is a constant; a
-    4th term matches the named graph.
+    4th term matches the named graph.  A predicate term may be a
+    ``(iri, "+")`` tuple — a one-or-more property path (see
+    ``_pattern_df``).
+    ``filters``: SPARQL FILTER expressions as SQL boolean strings over
+    bound variable names (e.g. ``"e1 < e2"``, ``"role RLIKE 'assist'"``)
+    — applied declaratively after the joins, where Catalyst pushes each
+    one down to the deepest plan node whose columns it references (a
+    single-variable filter reaches the pattern's scan).
     ``optional``: SPARQL OPTIONAL patterns, LEFT-joined (in order) after
     the required block — their new variables come back NULL where the
     pattern has no match.  Each must share ≥1 variable with what is
@@ -132,6 +169,8 @@ def bgp_match(
             )
         result = result.join(df, on=shared, how="left")
         bound |= set(df.columns)
+    for f in filters or []:
+        result = result.filter(F.expr(f))
     out = result.select(*(select if select is not None else sorted(bound)))
     return out.distinct() if distinct else out
 

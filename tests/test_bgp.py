@@ -205,3 +205,58 @@ def test_kg_query_cli(spark, tmp_path):
     )
     got = [tuple(r) for r in build_query(spark, args).collect()]
     assert got == [(EX + "c1", EX + "alice")]
+
+
+class TestPropertyPathAndFilter:
+    @pytest.fixture()
+    def tree(self, spark):
+        # 1 <- 2,3 ; 2 <- 4,5 ; 3 <- 6 ; plus an unrelated predicate
+        rows = [(f"n{c}", "http://ex/parent", f"n{p}") for c, p in
+                [(2, 1), (3, 1), (4, 2), (5, 2), (6, 3)]]
+        rows += [("n4", "http://ex/label", "leaf")]
+        return spark.createDataFrame(
+            [(s, p, o, "iri", None) for s, p, o in rows],
+            "subj string, pred string, obj string, okind string, graph string",
+        )
+
+    def test_plus_path_binds_all_ancestors(self, tree):
+        got = bgp_match(
+            tree, [("?d", ("http://ex/parent", "+"), "?a")], select=["d", "a"]
+        ).collect()
+        pairs = {(r.d, r.a) for r in got}
+        assert pairs == {
+            ("n2", "n1"), ("n3", "n1"), ("n4", "n2"), ("n5", "n2"),
+            ("n6", "n3"), ("n4", "n1"), ("n5", "n1"), ("n6", "n1"),
+        }
+
+    def test_plus_path_with_constant_object(self, tree):
+        got = bgp_match(
+            tree, [("?d", ("http://ex/parent", "+"), "n2")], select=["d"]
+        ).collect()
+        assert sorted(r.d for r in got) == ["n4", "n5"]
+
+    def test_star_refused(self, tree):
+        with pytest.raises(NotImplementedError, match="property-path"):
+            bgp_match(tree, [("?d", ("http://ex/parent", "*"), "?a")])
+
+    def test_filter_applies_and_pushes_down(self, tree):
+        q = bgp_match(
+            tree,
+            [("?s", "http://ex/parent", "?o")],
+            select=["s", "o"],
+            filters=["o = 'n1'"],
+        )
+        assert sorted(r.s for r in q.collect()) == ["n2", "n3"]
+        # the single-variable filter must reach the scan, not sit above a join
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        assert "n1" in plan and "Filter" in plan
+
+    def test_filter_across_variables(self, tree):
+        q = bgp_match(
+            tree,
+            [("?a", "http://ex/parent", "?x"), ("?b", "http://ex/parent", "?x")],
+            select=["a", "b", "x"],
+            filters=["a < b"],
+        )
+        got = {(r.a, r.b) for r in q.collect()}
+        assert got == {("n2", "n3"), ("n4", "n5")}
