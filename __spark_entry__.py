@@ -2563,6 +2563,30 @@ SELECT 'http://ex/doc/' || src AS d FROM tc WHERE dst = 5
 """
 
 
+def _q_entity_linking_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental entity linking (pipeline/incremental.py): the fixture's
+    mentions arrive in THREE hash-sliced increments; each step joins only
+    the fresh forms' blocking keys against the cumulative key table and
+    merges affected components at canonical level.  The oracle is the
+    BATCH pipeline's all-pairs recursive-CTE SQL — the gate passes iff the
+    incremental end state equals the batch fixpoint (order-insensitivity
+    is additionally pinned by tests/test_incremental.py)."""
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.incremental import (
+        empty_dictionary,
+        link_increment,
+        with_canonical_iri,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    mentions = extract_mentions(tr).localCheckpoint(eager=False)
+    d = empty_dictionary(spark)
+    for i in range(3):
+        batch = mentions.filter(F.abs(F.xxhash64("conv_id")) % 3 == i)
+        d = link_increment(d, batch).localCheckpoint(eager=True)
+    return with_canonical_iri(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -2626,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nquads_roundtrip": _q_kg_nquads_roundtrip,
         "kg_shacl_violations": _q_kg_shacl_violations,
         "kg_bgp_path_descendants": _q_kg_bgp_path_descendants,
+        "entity_linking_incremental": _q_entity_linking_incremental,
     }
 
 
@@ -2692,4 +2717,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_nquads_roundtrip": _SQL_KG_NQUADS_ROUNDTRIP,
         "kg_shacl_violations": _SQL_KG_SHACL,
         "kg_bgp_path_descendants": _SQL_KG_BGP_PATH,
+        "entity_linking_incremental": _SQL_ENTITY_LINKING,
     }
