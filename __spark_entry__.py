@@ -2587,6 +2587,56 @@ def _q_entity_linking_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return with_canonical_iri(d)
 
 
+def _q_kg_transe_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """TransE margin-ranking evaluation (pipeline/embedding.py) over the
+    extracted KG with hash-initialized integer embeddings and the
+    deterministic negative sampler — every md5 coordinate and every L1
+    distance recomputed hex-for-hex by the DuckDB oracle."""
+    from mopper_spark.pipeline.embedding import transe_margin_eval
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
+    return transe_margin_eval(kg.select("subj", "pred", "obj"))
+
+
+def _emb_sql(ns: str, label_expr: str, i: str = "i") -> str:
+    """One hash-embedding coordinate, DuckDB syntax (mirrors
+    pipeline/embedding.py::hash_embedding: md5_48 mod 2001 − 1000)."""
+    return (
+        f"((('0x' || substr(md5('{ns}' || {label_expr} || ':' || {i}), 1, 12))"
+        f"::BIGINT % 2001) - 1000)"
+    )
+
+
+_SQL_KG_TRANSE = f"""
+WITH neg AS ({_SQL_KG_NEGATIVE_SAMPLES}),
+dists AS (
+  SELECT pred,
+    CAST(list_sum(list_transform(range(0, 16), i ->
+      ABS({_emb_sql("emb-v1/e", "subj")} + {_emb_sql("emb-v1/r", "pred")}
+          - {_emb_sql("emb-v1/e", "obj")}))) AS BIGINT) AS d_pos,
+    CAST(list_sum(list_transform(range(0, 16), i ->
+      ABS({_emb_sql("emb-v1/e", "subj")} + {_emb_sql("emb-v1/r", "pred")}
+          - {_emb_sql("emb-v1/e", "neg_obj")}))) AS BIGINT) AS d_neg
+  FROM neg
+),
+hinges AS (
+  SELECT pred, GREATEST(0, 100 + d_pos - d_neg) AS hinge FROM dists
+)
+SELECT pred,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN hinge > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       CAST(SUM(hinge) AS BIGINT) AS total_hinge
+FROM hinges GROUP BY pred
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -2651,6 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_violations": _q_kg_shacl_violations,
         "kg_bgp_path_descendants": _q_kg_bgp_path_descendants,
         "entity_linking_incremental": _q_entity_linking_incremental,
+        "kg_transe_eval": _q_kg_transe_eval,
     }
 
 
@@ -2718,4 +2769,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_shacl_violations": _SQL_KG_SHACL,
         "kg_bgp_path_descendants": _SQL_KG_BGP_PATH,
         "entity_linking_incremental": _SQL_ENTITY_LINKING,
+        "kg_transe_eval": _SQL_KG_TRANSE,
     }

@@ -1,0 +1,133 @@
+"""Deterministic KG-embedding scoring/evaluation (TransE-style).
+
+After ``curate.negative_samples`` produces corrupted triples, the next
+pipeline stage is scoring positives against negatives — the evaluation
+half of the TransE training loop (Bordes et al., NeurIPS'13: a triple
+(s, p, o) is plausible when e_s + r_p ≈ e_o).  Real training updates
+embeddings with SGD; the DISTRIBUTED part — the part that must survive
+100 TB — is the scoring pass: embed every endpoint, compute distances,
+aggregate margin violations per predicate.  That pass is implemented here
+with three deliberate choices:
+
+- **Hash-initialized embeddings**: coordinate ``i`` of label ``L`` is a
+  pure md5 function of ``(seed, L, i)`` mapped to ``[-scale, scale]`` —
+  no trained parameter table to join (embedding lookup becomes
+  computation, the classic "hashing trick"), bit-identical on any engine
+  with md5 (the DuckDB oracle recomputes every coordinate hex-for-hex).
+  This is the standard random-init baseline a trained model must beat —
+  exactly what an eval harness needs first.
+- **Integer L1 geometry**: distances are sums of int64 absolute
+  differences — associative-safe, so scores are bit-identical under any
+  partitioning/reduction order (same argument as ``graph.pagerank_fixed``;
+  float L2 would drift in the last ulps across runs).
+- **All-native expressions**: embeddings are ``transform(sequence(...))``
+  arrays, distances ``aggregate(zip_with(...))`` — zero Python, one
+  narrow pass over the (positives ⋈ negatives) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_embedding(
+    label: Column, *, dim: int = 16, seed: str = "emb-v1", scale: int = 1000
+) -> Column:
+    """``array<long>`` embedding: coord i = md5_48(seed‖label‖':'‖i) mod
+    (2·scale+1) − scale ∈ [−scale, scale]."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(seed), label, F.lit(":"), i.cast("string")
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2 * scale + 1),
+            )
+            - F.lit(scale)
+        ).cast("long"),
+    )
+
+
+def _l1(a: Column, b: Column) -> Column:
+    """Σ |a_i − b_i| over two equal-length long arrays — exact int64."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def transe_distance(
+    subj: Column,
+    pred: Column,
+    obj: Column,
+    *,
+    dim: int = 16,
+    seed: str = "emb-v1",
+    scale: int = 1000,
+) -> Column:
+    """‖e_s + r_p − e_o‖₁ with hash embeddings (entity and relation spaces
+    use distinct seed namespaces)."""
+    es = hash_embedding(subj, dim=dim, seed=seed + "/e", scale=scale)
+    rp = hash_embedding(pred, dim=dim, seed=seed + "/r", scale=scale)
+    eo = hash_embedding(obj, dim=dim, seed=seed + "/e", scale=scale)
+    translated = F.zip_with(es, rp, lambda x, y: x + y)
+    return _l1(translated, eo)
+
+
+def transe_margin_eval(
+    triples: DataFrame,
+    *,
+    n_per: int = 2,
+    margin: int = 100,
+    dim: int = 16,
+    seed: str = "emb-v1",
+    scale: int = 1000,
+    neg_seed: str = "neg-v1",
+) -> DataFrame:
+    """Margin-ranking evaluation per predicate.
+
+    For every (positive, negative) pair from ``curate.negative_samples``:
+    hinge = max(0, margin + d_pos − d_neg) (a GOOD model gives positives
+    smaller distance).  Returns per-predicate ``(pred, n_pairs,
+    n_violations, total_hinge)`` — all exact int64, so the whole harness
+    is strictly SQL-oracle-able and regression-diffable between runs.
+
+    Plan shape: ``negative_samples`` (distinct + index + explode + two
+    joins) feeds ONE narrow projection computing both distances, then one
+    map-side-combining aggregation on ``pred`` — no extra shuffle beyond
+    the sampler's.
+    """
+    from mopper_spark.pipeline.curate import negative_samples
+
+    pairs = negative_samples(triples, n_per=n_per, seed=neg_seed)
+    kw = dict(dim=dim, seed=seed, scale=scale)
+    scored = pairs.select(
+        "pred",
+        transe_distance(F.col("subj"), F.col("pred"), F.col("obj"), **kw).alias(
+            "d_pos"
+        ),
+        transe_distance(F.col("subj"), F.col("pred"), F.col("neg_obj"), **kw).alias(
+            "d_neg"
+        ),
+    ).withColumn(
+        "hinge",
+        F.greatest(F.lit(0).cast("long"), F.lit(margin) + F.col("d_pos") - F.col("d_neg")),
+    )
+    return scored.groupBy("pred").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum((F.col("hinge") > 0).cast("long")).cast("long").alias("n_violations"),
+        F.sum("hinge").cast("long").alias("total_hinge"),
+    )
