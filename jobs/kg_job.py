@@ -40,6 +40,12 @@ def main() -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--write-buckets", type=int, default=32)
     p.add_argument(
+        "--validate-output",
+        help="also run the SHACL-lite shape gate (pipeline/validate.py, "
+        "default pipeline_shapes) over the written graph and store the "
+        "violation table at this path; the summary line reports the count",
+    )
+    p.add_argument(
         "--checkpoint-stages",
         help="comma-separated stage names to persist as resume points "
         "(default: all); e.g. 'edges,graph' fuses the narrow stages",
@@ -75,12 +81,22 @@ def main() -> None:
         checkpoint_stages=_parse_stages(args.checkpoint_stages),
     )
     write_graph_table(spark, res.graph, args.output, num_buckets=args.write_buckets)
-    print(json.dumps({
+    summary = {
         "turns": res.turns,
         "seconds": round(res.seconds, 2),
         "turns_per_sec": round(res.turns_per_sec, 1),
         "stages": res.metrics,
-    }))
+    }
+    if args.validate_output:
+        from mopper_spark.pipeline.validate import pipeline_shapes, validate_shapes
+
+        # validate the MATERIALIZED table (one cheap columnar re-scan per
+        # constraint), not the live extraction plan
+        graph = spark.read.parquet(args.output)
+        violations = validate_shapes(graph, pipeline_shapes())
+        violations.write.mode("overwrite").parquet(args.validate_output)
+        summary["violations"] = spark.read.parquet(args.validate_output).count()
+    print(json.dumps(summary))
     spark.stop()
 
 

@@ -105,3 +105,20 @@ def validate_shapes(triples: DataFrame, shapes: list[Shape]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def pipeline_shapes(ont: str = "http://example.com/ontology/") -> list[Shape]:
+    """Default shape graph for this pipeline's extraction ontology — the
+    invariants its statements are SUPPOSED to satisfy unconditionally, so
+    a non-empty violation table from the job gate means an extraction
+    regression (the tool-required pairing, which real transcripts
+    legitimately violate, is deliberately NOT here — add it per-deployment
+    when tool-use transcripts are the contract)."""
+    return [
+        Shape(ont + "mentions", range_kind="iri",
+              domain_prefix="http://example.com/turn/"),
+        Shape(ont + "role", range_kind="lit", max_count=1),
+        Shape(ont + "inConversation", range_kind="iri", max_count=1),
+        Shape(ont + "text", range_kind="lit", max_count=1),
+        Shape(ont + "tool", range_kind="lit", max_count=1),
+    ]
