@@ -2637,6 +2637,45 @@ FROM hinges GROUP BY pred
 """
 
 
+def _q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (textops/ivf.py::semantic_dedup):
+    IVF-cluster the embeddings (K=8 fixed-point seeds), compare pairs only
+    within clusters, drop ids with a ≥0.4-cosine smaller-id anchor.
+    Routing is integer and the anchor rule is a pure function of the data,
+    so the whole operator is re-derived in SQL (the 0.4 threshold is
+    fixture-tuned to produce a non-trivial drop set: 500 → 481)."""
+    from mopper_spark.textops.ivf import seed_centroids, semantic_dedup
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = seed_centroids(emb, k=8)
+    return semantic_dedup(emb, cents, threshold=0.4).select("vec_id")
+
+
+_SQL_DEDUP_SEMANTIC = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, vec AS cvec
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)
+), dists AS (
+  SELECT vec_id, cid, vec,
+         CAST(list_sum(list_transform(range(1, len(vec) + 1),
+              i -> CAST(round((vec[i] - cvec[i]) * (vec[i] - cvec[i]) * 1e12) AS BIGINT)))
+              AS BIGINT) AS dist_fp
+  FROM v CROSS JOIN seeds
+), assign AS (
+  SELECT vec_id, cid, vec FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_fp, cid) AS rn
+    FROM dists) WHERE rn = 1
+), drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.4
+)
+SELECT vec_id FROM v WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -2702,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_path_descendants": _q_kg_bgp_path_descendants,
         "entity_linking_incremental": _q_entity_linking_incremental,
         "kg_transe_eval": _q_kg_transe_eval,
+        "dedup_semantic": _q_dedup_semantic,
     }
 
 
@@ -2770,4 +2810,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_path_descendants": _SQL_KG_BGP_PATH,
         "entity_linking_incremental": _SQL_ENTITY_LINKING,
         "kg_transe_eval": _SQL_KG_TRANSE,
+        "dedup_semantic": _SQL_DEDUP_SEMANTIC,
     }

@@ -229,3 +229,61 @@ def ivf_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster with the coarse quantizer, compare pairs
+    ONLY within a cluster, drop near-duplicates.
+
+    The published method keeps one representative per similarity group
+    inside each cluster; the deterministic rule here is the ANCHOR rule:
+    drop ``j`` iff some ``i < j`` in the same cluster has
+    ``cosine(i, j) >= threshold``.  Like the rest of this repo's dedup
+    family the kept set is then a pure function of the data (engine- and
+    partitioning-independent), which is what makes the operator strictly
+    SQL-oracle-able.  (The anchor rule differs from connected-components
+    transitivity on chains a~b~c where a~c fails the threshold — both are
+    defensible reading of "keep one"; CC semantics are available by
+    feeding the pair table to ``pipeline/cc.py`` instead.)
+
+    Scale shape: one broadcast assignment pass (``assign_vectors``), then
+    the pairwise stage is confined to clusters — the SemDeDup trick that
+    replaces the corpus-quadratic comparison with K small quadratics.
+    Clusters larger than ``max_cluster`` are EXCLUDED from pair
+    generation (their members are all kept) — same documented
+    cap-over-silent-quadratic trade as the LSH dedup buckets; size K so
+    corpus/K stays under the cap.
+
+    Returns the KEPT rows of ``vectors`` (original schema).
+    """
+    assign = assign_vectors(vectors, centroids, id_col, vec_col)
+    sizes = assign.groupBy("cid").count().filter(F.col("count") <= max_cluster)
+    member = assign.join(sizes.select("cid"), "cid").select("cid", "vec_id", "vec")
+    a = member.select(
+        F.col("cid"),
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+    )
+    b = member.select(
+        F.col("cid"),
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+    )
+    from mopper_spark.textops.similarity import cosine_native
+
+    drops = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_native(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return vectors.join(drops, id_col, "left_anti")

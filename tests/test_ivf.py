@@ -1,4 +1,5 @@
 """IVF fixed-point k-means step."""
+import pytest
 from pyspark.sql import functions as F
 
 from mopper_spark.textops.ivf import S_CENT, kmeans_step, seed_centroids
@@ -71,3 +72,77 @@ def test_ivf_topk_measured_recall_pinned(spark):
     from collections import Counter
     per_q = Counter(q for q, _ in ivf)
     assert all(v == 5 for v in per_q.values())
+
+
+class TestSemanticDedup:
+    """semantic_dedup: anchor-rule python replica, cap exclusion,
+    partitioning invariance."""
+
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        # two tight groups + singletons; ids chosen so anchors are obvious
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0]),   # ~dup of 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.01, 0.999, 0.0]),   # ~dup of 2
+            (4, [0.0, 0.0, 1.0]),
+            (5, [0.7, 0.7, 0.0]),
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def _py_kept(self, rows, centroids, threshold):
+        import math
+
+        def dist_fp(v, c):
+            return sum(int(round((a - b) * (a - b) * 1e12)) for a, b in zip(v, c))
+
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a, b))
+            return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+        assign = {}
+        for i, v in rows:
+            assign[i] = min(
+                ((dist_fp(v, c), cid) for cid, c in centroids), key=lambda t: t
+            )[1]
+        vec = dict(rows)
+        dropped = set()
+        for i, _ in rows:
+            for j, _ in rows:
+                if i < j and assign[i] == assign[j] and cos(vec[i], vec[j]) >= threshold:
+                    dropped.add(j)
+        return sorted(i for i, _ in rows if i not in dropped)
+
+    def test_matches_python_replica(self, spark, vecs):
+        from mopper_spark.textops.ivf import seed_centroids, semantic_dedup
+
+        cents = seed_centroids(vecs, k=3)
+        cent_rows = [(r.cid, list(r.cvec)) for r in cents.collect()]
+        rows = [(r.vec_id, list(r.embedding)) for r in vecs.collect()]
+        got = sorted(
+            r.vec_id for r in semantic_dedup(vecs, cents, threshold=0.9).collect()
+        )
+        assert got == self._py_kept(rows, cent_rows, 0.9)
+        # id 1 survives: it IS seed/centroid 1, so it never co-clusters
+        # with 0; id 3 co-clusters with its near-dup 2 and is dropped
+        assert 3 not in got
+        assert {0, 1, 2, 4, 5} == set(got)
+
+    def test_oversized_clusters_excluded_from_pairs(self, spark, vecs):
+        from mopper_spark.textops.ivf import seed_centroids, semantic_dedup
+
+        cents = seed_centroids(vecs, k=1)  # everything in one cluster
+        kept = semantic_dedup(vecs, cents, threshold=0.9, max_cluster=2)
+        assert kept.count() == vecs.count()  # cap: all kept, none compared
+
+    def test_partitioning_invariance(self, spark, vecs):
+        from mopper_spark.textops.ivf import seed_centroids, semantic_dedup
+
+        cents = seed_centroids(vecs, k=3)
+        a = sorted(r.vec_id for r in semantic_dedup(vecs, cents, 0.9).collect())
+        b = sorted(
+            r.vec_id
+            for r in semantic_dedup(vecs.repartition(5), cents, 0.9).collect()
+        )
+        assert a == b
