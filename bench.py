@@ -68,6 +68,10 @@ HEADLINE = [
     "pack_sequences",
     "kg_predicate_profile",
     "kg_negative_samples",
+    "kg_nquads_roundtrip",
+    "kg_shacl_violations",
+    "kg_transe_eval",
+    "dedup_semantic",
     "cc_components",
 ]
 
