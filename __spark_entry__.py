@@ -2676,6 +2676,52 @@ SELECT vec_id FROM v WHERE vec_id NOT IN (SELECT vec_id FROM drops)
 """
 
 
+def _q_kg_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph CDC (pipeline/materialize.py::diff_graph_tables): the diff
+    between the KG built from ALL fixture conversations and the KG built
+    with one-third of conversations dropped — every removed conversation's
+    statements surface as 'del' rows, plus 'del' rows for mention triples
+    whose surface no longer occurs anywhere (and no 'add' rows)."""
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+    from mopper_spark.pipeline.materialize import diff_graph_tables
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    # engine-portable slice predicate (md5 prefix, not xxhash64 — the
+    # oracle must compute the identical partition)
+    tr_new = tr.filter(
+        F.expr(
+            "pmod(cast(conv(substr(md5(conv_id), 1, 4), 16, 10) as bigint), 3) != 0"
+        )
+    )
+
+    def kg(t):
+        return extract_triples(t).unionByName(mention_triples(extract_mentions(t)))
+
+    return diff_graph_tables(kg(tr), kg(tr_new))
+
+
+# the oracle re-derives BOTH snapshots: kg_new is the statement-set SQL
+# with the fixture scan swapped for the md5-sliced scan
+_KG_NEW_SQL = _SQL_KG_GRAPH.replace(
+    f"read_parquet('{_TRANSCRIPTS_FIXTURE}'))",
+    f"read_parquet('{_TRANSCRIPTS_FIXTURE}') "
+    "WHERE (('0x' || substr(md5(conv_id), 1, 4))::BIGINT % 3) <> 0)",
+)
+assert _KG_NEW_SQL != _SQL_KG_GRAPH, "snapshot-diff oracle: scan swap failed"
+
+_SQL_KG_SNAPSHOT_DIFF = f"""
+WITH o AS (SELECT DISTINCT subj, pred, obj, okind, graph FROM ({_SQL_KG_GRAPH})),
+n AS (SELECT DISTINCT subj, pred, obj, okind, graph FROM ({_KG_NEW_SQL}))
+SELECT 'add' AS op, * FROM (SELECT * FROM n EXCEPT SELECT * FROM o)
+UNION ALL
+SELECT 'del' AS op, * FROM (SELECT * FROM o EXCEPT SELECT * FROM n)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -2742,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_linking_incremental": _q_entity_linking_incremental,
         "kg_transe_eval": _q_kg_transe_eval,
         "dedup_semantic": _q_dedup_semantic,
+        "kg_snapshot_diff": _q_kg_snapshot_diff,
     }
 
 
@@ -2811,4 +2858,5 @@ def oracle_sql() -> dict[str, str]:
         "entity_linking_incremental": _SQL_ENTITY_LINKING,
         "kg_transe_eval": _SQL_KG_TRANSE,
         "dedup_semantic": _SQL_DEDUP_SEMANTIC,
+        "kg_snapshot_diff": _SQL_KG_SNAPSHOT_DIFF,
     }

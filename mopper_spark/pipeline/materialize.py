@@ -95,3 +95,24 @@ def write_graph_table_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def diff_graph_tables(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Change-data-capture between two graph snapshots: one row per
+    statement that was added or removed, ``(op, subj, pred, obj, okind,
+    graph)`` with ``op`` ∈ {'add', 'del'}.
+
+    Set semantics (the serializer's dedup contract), computed as two
+    left-anti joins on all five statement columns — each is one shuffle
+    keyed on the full statement, or ZERO shuffles when both snapshots are
+    subject-bucketed tables (``write_graph_table_bucketed``), since the
+    anti-join's equi-keys include ``subj``.  This is the table a KG
+    publisher ships downstream instead of full snapshots, and the
+    regression diff a pipeline change is judged by.
+    """
+    cols = ["subj", "pred", "obj", "okind", "graph"]
+    o = old.select(cols).distinct()
+    n = new.select(cols).distinct()
+    added = n.join(o, cols, "left_anti").select(F.lit("add").alias("op"), *cols)
+    removed = o.join(n, cols, "left_anti").select(F.lit("del").alias("op"), *cols)
+    return added.unionByName(removed)

@@ -166,3 +166,27 @@ class TestBucketedGraphTable:
     def test_round_trips_rows(self, spark, bucketed):
         assert bucketed.count() == 600
         assert bucketed.filter(F.col("graph_key") == "a").count() == 600
+
+
+class TestGraphDiff:
+    def test_add_del_and_set_semantics(self, spark):
+        from mopper_spark.pipeline.materialize import diff_graph_tables
+
+        schema = "subj string, pred string, obj string, okind string, graph string"
+        old = spark.createDataFrame(
+            [("s1", "p", "a", "lit", "g"), ("s2", "p", "b", "lit", "g"),
+             ("s2", "p", "b", "lit", "g")],  # duplicate row: set semantics
+            schema,
+        )
+        new = spark.createDataFrame(
+            [("s1", "p", "a", "lit", "g"), ("s3", "p", "c", "lit", "g")], schema
+        )
+        got = sorted((r.op, r.subj) for r in diff_graph_tables(old, new).collect())
+        assert got == [("add", "s3"), ("del", "s2")]
+
+    def test_identical_snapshots_empty_diff(self, spark):
+        from mopper_spark.pipeline.materialize import diff_graph_tables
+
+        schema = "subj string, pred string, obj string, okind string, graph string"
+        df = spark.createDataFrame([("s", "p", "o", "iri", "g")], schema)
+        assert diff_graph_tables(df, df).count() == 0
