@@ -17,15 +17,22 @@ import sys
 
 
 def parse_pattern(arg: str) -> tuple:
-    """'?s|p|?o' or '?s|p|?o|g' → pattern tuple (validated)."""
-    parts = arg.split("|")
+    """'?s|p|?o' or '?s|p|?o|g' → pattern tuple (validated).
+
+    A predicate written 'p+' is the one-or-more property path (compiled to
+    the transitive closure by bgp.py); a literal trailing '+' in a
+    predicate IRI is not valid N-Quads, so the sugar is unambiguous here.
+    """
+    parts: list = arg.split("|")
     if len(parts) not in (3, 4):
         raise SystemExit(
             f"--pattern {arg!r}: expected 3 or 4 '|'-separated terms, "
             f"got {len(parts)}"
         )
-    if not any(p.startswith("?") for p in parts):
+    if not any(isinstance(p, str) and p.startswith("?") for p in parts):
         raise SystemExit(f"--pattern {arg!r}: must bind at least one ?variable")
+    if parts[1].endswith("+") and not parts[1].startswith("?"):
+        parts[1] = (parts[1][:-1], "+")
     return tuple(parts)
 
 
@@ -39,6 +46,7 @@ def build_query(spark, args):
         select=args.select.split(",") if args.select else None,
         distinct=args.distinct,
         optional=[parse_pattern(p) for p in args.optional or []],
+        filters=args.filter or None,
     )
     if args.limit:
         out = out.limit(args.limit)
@@ -50,6 +58,12 @@ def main() -> None:
     p.add_argument("--graph", required=True, help="graph table path (parquet)")
     p.add_argument("-p", "--pattern", action="append", required=True)
     p.add_argument("--optional", action="append")
+    p.add_argument(
+        "--filter",
+        action="append",
+        help="SPARQL FILTER as a SQL boolean over bound variables, "
+        "e.g. \"e1 < e2\" (repeatable)",
+    )
     p.add_argument("--select")
     p.add_argument("--distinct", action="store_true")
     p.add_argument("--limit", type=int)

@@ -199,12 +199,33 @@ def test_kg_query_cli(spark, tmp_path):
         graph=gp,
         pattern=[f"?t|{EX}mentions|?e", f"?t|{EX}inConv|?c"],
         optional=None,
+        filter=None,
         select="c,e",
         distinct=True,
         limit=None,
     )
     got = [tuple(r) for r in build_query(spark, args).collect()]
     assert got == [(EX + "c1", EX + "alice")]
+
+    # 'p+' sugar → property-path tuple; FILTER flag is applied
+    assert parse_pattern(f"?d|{EX}parent+|?a") == ("?d", (EX + "parent", "+"), "?a")
+    gp2 = str(tmp_path / "graph2")
+    tree = [(f"n{c}", EX + "parent", f"n{p}", "iri", EX + "g")
+            for c, p in [(2, 1), (3, 1), (4, 2)]]
+    spark.createDataFrame(
+        tree, "subj string, pred string, obj string, okind string, graph string"
+    ).write.parquet(gp2)
+    args2 = argparse.Namespace(
+        graph=gp2,
+        pattern=[f"?d|{EX}parent+|?a"],
+        optional=None,
+        filter=["a = 'n1'"],
+        select="d",
+        distinct=False,
+        limit=None,
+    )
+    got2 = sorted(r.d for r in build_query(spark, args2).collect())
+    assert got2 == ["n2", "n3", "n4"]
 
 
 class TestPropertyPathAndFilter:
