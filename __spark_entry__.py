@@ -2722,6 +2722,43 @@ SELECT 'del' AS op, * FROM (SELECT * FROM o EXCEPT SELECT * FROM n)
 """
 
 
+def _q_docs_quality_model(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-style hashed linear quality scoring
+    (textops/quality_model.py): unigram+bigram features md5-hashed into
+    2^20 buckets, fixed-point integer weights, score summed INSIDE the
+    feature array (no explode, no shuffle) — every bucket and weight
+    recomputed hex-for-hex by the DuckDB oracle."""
+    from mopper_spark.textops.quality_model import quality_scores
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return quality_scores(docs)
+
+
+_SQL_DOCS_QUALITY_MODEL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         list_concat(tk,
+           CASE WHEN len(tk) >= 2
+                THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                ELSE [] END) AS fs
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(fs) AS BIGINT) AS n_features,
+       CAST(COALESCE(list_sum(list_transform(fs, f ->
+         ((('0x' || substr(md5('qm-v1w' ||
+              ((('0x' || substr(md5('qm-v1' || f), 1, 12))::BIGINT) % 1048576)
+            ), 1, 12))::BIGINT) % 2001) - 1000
+       )), 0) AS BIGINT) AS score_fp
+FROM feats
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -2789,6 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transe_eval": _q_kg_transe_eval,
         "dedup_semantic": _q_dedup_semantic,
         "kg_snapshot_diff": _q_kg_snapshot_diff,
+        "docs_quality_model": _q_docs_quality_model,
     }
 
 
@@ -2859,4 +2897,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_transe_eval": _SQL_KG_TRANSE,
         "dedup_semantic": _SQL_DEDUP_SEMANTIC,
         "kg_snapshot_diff": _SQL_KG_SNAPSHOT_DIFF,
+        "docs_quality_model": _SQL_DOCS_QUALITY_MODEL,
     }

@@ -583,3 +583,45 @@ class TestSampling:
             ).fetchall()
         }
         assert got == want
+
+
+class TestQualityModel:
+    """hashed linear quality scorer (textops/quality_model.py)."""
+
+    def _py_score(self, text, seed="qm-v1", n_buckets=1 << 20, scale=1000):
+        import hashlib
+
+        toks = [t for t in text.strip().lower().split() if t]
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+        def h48(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+        total = 0
+        for f in feats:
+            bucket = h48(seed + f) % n_buckets
+            total += h48(seed + "w" + str(bucket)) % (2 * scale + 1) - scale
+        return len(feats), total
+
+    def test_matches_python_replica(self, spark):
+        from mopper_spark.textops.quality_model import quality_scores
+
+        rows = [
+            (1, "the quick brown fox"),
+            (2, "single"),
+            (3, ""),
+            (4, "  padded   whitespace  tokens "),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_features, r.score_fp)
+               for r in quality_scores(docs).collect()}
+        for doc_id, text in rows:
+            assert got[doc_id] == self._py_score(text), doc_id
+        assert got[3] == (0, 0)
+
+    def test_no_shuffle_no_python(self, spark):
+        from mopper_spark.textops.quality_model import quality_scores
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = quality_scores(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan
