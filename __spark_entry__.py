@@ -2289,6 +2289,15 @@ RECALL_PINS: dict[str, dict[str, object]] = {
         "test_blocking_recall_total",
         "fixtures": ["fixtures/transcripts_2000.parquet"],
     },
+    # same strictness precondition as the batch query (edge discovery uses
+    # the same blocking keys); additionally requires no cumulative block
+    # over max_block_size (see pipeline/incremental.py cap semantics),
+    # which blocking-recall-1.0 on this fixture subsumes
+    "entity_linking_incremental": {
+        "test": "tests/test_pipeline.py::TestOracleFixturePins::"
+        "test_blocking_recall_total",
+        "fixtures": ["fixtures/transcripts_2000.parquet"],
+    },
 }
 
 
