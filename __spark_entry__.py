@@ -2768,6 +2768,140 @@ FROM feats
 """
 
 
+def _q_transcripts_render(spark: SparkSession, sf: str) -> DataFrame:
+    """Chat-template rendering (textops/prepare.py::render_conversations):
+    one training document per conversation, turns in stable (turn_idx)
+    order via array_sort-after-collect_list (partition-order-proof)."""
+    from mopper_spark.textops.prepare import render_conversations
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return render_conversations(tr)
+
+
+_SQL_TRANSCRIPTS_RENDER = f"""
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       string_agg('<|' || role || '|>' || text, chr(10)
+                  ORDER BY turn_idx, '<|' || role || '|>' || text) AS text
+FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+GROUP BY conv_id
+"""
+
+
+def _q_transcripts_dedup_paragraphs(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style paragraph dedup COMPOSED with chat rendering: render
+    conversations, then keep only the corpus-wide first occurrence of
+    each rendered turn line (boilerplate turns repeat across
+    conversations in the fixture), reassembling survivors in order."""
+    from mopper_spark.textops.prepare import dedup_paragraphs, render_conversations
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    docs = render_conversations(tr).select(
+        F.col("conv_id").alias("doc_id"), "text"
+    )
+    return dedup_paragraphs(docs).withColumnRenamed("doc_id", "conv_id")
+
+
+_SQL_TRANSCRIPTS_DEDUP_PARAS = f"""
+WITH paras AS (
+  SELECT conv_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY conv_id
+           ORDER BY turn_idx, '<|' || role || '|>' || text) - 1 AS BIGINT) AS pos,
+         '<|' || role || '|>' || text AS para
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+), first AS (
+  SELECT para, MIN(struct_pack(c := conv_id, p := pos)) AS f
+  FROM paras GROUP BY para
+), tagged AS (
+  SELECT p.conv_id, p.pos, p.para,
+         (p.conv_id = (f.f).c AND p.pos = (f.f).p) AS keep
+  FROM paras p JOIN first f USING (para)
+)
+SELECT conv_id,
+       string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos) AS text,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM tagged GROUP BY conv_id
+"""
+
+
+def _q_docs_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (textops/prepare.py::scrub_pii): the documents are
+    deterministically salted with synthetic email/IP/phone strings, then
+    the RE2-compatible regex chain removes them — the oracle builds the
+    same salted text and scrubs with the same patterns, so the gate
+    checks REGEX-DIALECT parity, not just plumbing."""
+    from mopper_spark.textops.prepare import scrub_pii
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com on 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" today"),
+    )
+    return docs.select("doc_id", scrub_pii(salted).alias("text"))
+
+
+_SQL_DOCS_PII_SCRUB = """
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com on 10.0.'
+              || (doc_id % 256) || '.7 or +1 (555) 010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' AS t
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '|||EMAIL|||', 'g'),
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '|||IP|||', 'g'),
+    '\\+?\\d[\\d\\s().-]{7,}\\d', '|||PHONE|||', 'g') AS text
+FROM salted
+"""
+
+
+def _q_docs_budget_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget mixture assembly (textops/prepare.py::budget_sample):
+    three sources with different budgets, admission in deterministic md5
+    order until each budget fills — cumulative sums replicated by a
+    window in the oracle."""
+    from mopper_spark.textops.prepare import budget_sample
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return budget_sample(
+        docs, {"src0": 300, "src1": 1500, "src2": 10**6}
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+_SQL_DOCS_BUDGET_MIX = """
+WITH base AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 1500
+                     WHEN 'src2' THEN 1000000 END AS budget,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5('mix-v1' || doc_id), 1, 12))::BIGINT AS draw
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2')
+), cum AS (
+  SELECT doc_id, source, budget, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY draw, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_tokens
+  FROM base
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM cum WHERE cum_tokens < budget
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -2836,6 +2970,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,
         "kg_snapshot_diff": _q_kg_snapshot_diff,
         "docs_quality_model": _q_docs_quality_model,
+        "transcripts_render": _q_transcripts_render,
+        "transcripts_dedup_paragraphs": _q_transcripts_dedup_paragraphs,
+        "docs_pii_scrub": _q_docs_pii_scrub,
+        "docs_budget_mix": _q_docs_budget_mix,
     }
 
 
@@ -2907,4 +3045,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _SQL_DEDUP_SEMANTIC,
         "kg_snapshot_diff": _SQL_KG_SNAPSHOT_DIFF,
         "docs_quality_model": _SQL_DOCS_QUALITY_MODEL,
+        "transcripts_render": _SQL_TRANSCRIPTS_RENDER,
+        "transcripts_dedup_paragraphs": _SQL_TRANSCRIPTS_DEDUP_PARAS,
+        "docs_pii_scrub": _SQL_DOCS_PII_SCRUB,
+        "docs_budget_mix": _SQL_DOCS_BUDGET_MIX,
     }

@@ -1,0 +1,197 @@
+"""Training-example preparation: chat rendering, PII scrubbing, paragraph
+dedup, token-budget mixing.
+
+These are the last-mile operators between a curated transcript corpus and
+a tokenizer: render conversations into model-ready text, scrub PII
+(Dolma's approach, Soldaini et al. 2024 §2: regex classes, not NER, at
+corpus scale), drop duplicated paragraphs (CCNet operates at paragraph
+granularity precisely because boilerplate repeats BELOW document level),
+and assemble a per-source token-budget mixture (the "data mixing" step
+every pretraining recipe documents).  All native expressions; the only
+shuffles are one per-conversation aggregation and word-count-shaped
+paragraph/group aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- chat
+
+
+def render_conversations(
+    transcripts: DataFrame,
+    *,
+    turn_sep: str = "\n",
+    role_open: str = "<|",
+    role_close: str = "|>",
+) -> DataFrame:
+    """Transcripts → one training document per conversation:
+    ``(conv_id, n_turns, text)`` with turns in stable ``turn_idx`` order,
+    each rendered ``<|role|>text``.
+
+    Ordering under distribution: per-conversation turn order is
+    reconstructed with ``array_sort`` over ``(turn_idx, rendered)``
+    structs AFTER a plain ``collect_list`` aggregation — collect_list's
+    arrival order is partition-dependent, the sort makes the result a
+    pure function of the data (the same per-row invariant the north rule
+    demands: per-turn text equality under stable (conv_id, turn_idx)
+    ordering).  One map-side-combining aggregation keyed on conv_id; a
+    single monster conversation skews one task but never a join.
+    """
+    rendered = F.concat(
+        F.lit(role_open), F.col("role"), F.lit(role_close), F.col("text")
+    )
+    return (
+        transcripts.select(
+            "conv_id", F.struct(F.col("turn_idx"), rendered.alias("r")).alias("t")
+        )
+        .groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list("t")).alias("ts"))
+        .select(
+            "conv_id",
+            F.size("ts").cast("long").alias("n_turns"),
+            F.array_join(F.transform("ts", lambda s: s["r"]), turn_sep).alias("text"),
+        )
+    )
+
+
+# ----------------------------------------------------------------- PII
+
+# RE2-compatible (works verbatim in Java regex AND DuckDB's RE2 — no
+# lookarounds, no backreferences) so the oracle replicates byte-for-byte
+PII_PATTERNS: list[tuple[str, str]] = [
+    # order matters: emails contain digit runs; scrub them first
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("PHONE", r"\+?\d[\d\s().-]{7,}\d"),
+]
+
+
+def scrub_pii(text: Column, patterns: list[tuple[str, str]] | None = None) -> Column:
+    """Replace each PII class with ``|||<CLASS>|||`` (the Dolma marker
+    style).  A fixed regexp_replace chain — whole-stage-codegen'd, zero
+    Python, trivially auditable; swap in stricter class patterns per
+    deployment."""
+    out = text
+    for name, pat in patterns or PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"|||{name}|||")
+    return out
+
+
+# ---------------------------------------------- paragraph-level dedup
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sep: str = "\n",
+    min_len: int = 1,
+) -> DataFrame:
+    """CCNet-style paragraph dedup: split each document on ``sep``, keep
+    only the corpus-wide FIRST occurrence of each paragraph (by smallest
+    (doc_id, position)), reassemble surviving paragraphs in original
+    order.  Returns ``(doc_id, text, n_kept, n_dropped)``.
+
+    First-occurrence is the associative ``min(struct(doc, pos))``
+    aggregate on the paragraph hash — no per-key window sort, so a
+    boilerplate line repeated 10^9 times costs one combine-tree, not one
+    task sorting 10^9 rows (same guard as ``dedup.keep_first_occurrence``,
+    one level down).  Reassembly is a per-document ``array_sort`` over
+    (pos, paragraph) structs — document-bounded, never corpus-wide.
+    """
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).filter(F.length(F.trim(F.col("para"))) >= min_len)
+    first = (
+        paras.groupBy("para")
+        .agg(F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("f"))
+        .select("para", F.col("f.doc_id").alias("f_doc"), F.col("f.pos").alias("f_pos"))
+    )
+    tagged = paras.join(first, "para").withColumn(
+        "keep", (F.col("doc_id") == F.col("f_doc")) & (F.col("pos") == F.col("f_pos"))
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("keep"), F.struct(F.col("pos"), F.col("para").alias("p")))
+                )
+            ).alias("kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.transform("kept", lambda s: s["p"]), sep).alias("text"),
+            F.size("kept").cast("long").alias("n_kept"),
+            F.col("n_dropped").cast("long"),
+        )
+    )
+
+
+# ------------------------------------------------- token-budget mixing
+
+
+def budget_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Assemble a data mixture: per group, admit documents in a
+    deterministic hash order until the group's TOKEN budget is reached
+    (the first document crossing the boundary is included, so every
+    non-empty budget admits ≥1 document).  Returns the admitted rows plus
+    ``(n_tokens, cum_tokens)``.
+
+    Hash order (md5 of seed‖id — the ``sampling.py`` portability idiom)
+    makes the mixture a pure function of (seed, corpus): stable under
+    growth for already-admitted docs ONLY if ids are stable, and
+    re-drawable with a new seed — the two properties mixture reruns need.
+    The cumulative sum is a window per GROUP (groups = sources, a handful
+    at corpus scale — each window partition is one source, spillable;
+    for a single giant source fall back to the bucketed prefix sum of
+    ``packing.py``).
+    """
+    whens = None
+    for g, b in budgets.items():
+        c = F.when(F.col(group_col) == g, F.lit(b))
+        whens = c if whens is None else whens.when(F.col(group_col) == g, F.lit(b))
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    base = (
+        docs.withColumn("budget", whens)
+        .filter(F.col("budget").isNotNull())
+        .withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn(
+            "draw",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("draw", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn(
+            "cum_tokens",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+        )
+        .filter(F.col("cum_tokens") < F.col("budget"))
+        .drop("draw", "budget")
+    )

@@ -1,0 +1,102 @@
+"""Tests for training-example preparation (textops/prepare.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mopper_spark.textops.prepare import (
+    budget_sample,
+    dedup_paragraphs,
+    render_conversations,
+    scrub_pii,
+)
+
+
+class TestRenderConversations:
+    def test_stable_order_and_format(self, spark):
+        rows = [
+            ("c1", 2, "assistant", "hi there"),
+            ("c1", 1, "user", "hello"),
+            ("c2", 1, "user", "solo"),
+        ]
+        tr = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+        got = {r.conv_id: (r.n_turns, r.text)
+               for r in render_conversations(tr).collect()}
+        assert got["c1"] == (2, "<|user|>hello\n<|assistant|>hi there")
+        assert got["c2"] == (1, "<|user|>solo")
+
+    def test_partitioning_invariance(self, spark):
+        rows = [("c", i, "user", f"t{i}") for i in range(50)]
+        tr = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+        a = render_conversations(tr).collect()[0].text
+        b = render_conversations(tr.repartition(13)).collect()[0].text
+        assert a == b == "\n".join(f"<|user|>t{i}" for i in range(50))
+
+
+class TestScrubPii:
+    def test_all_classes(self, spark):
+        df = spark.createDataFrame(
+            [("mail a.b+c@ex-a.co.uk ip 10.0.0.1 tel +1 (555) 010-9999 end",)],
+            "text string",
+        )
+        (row,) = df.select(scrub_pii(F.col("text")).alias("t")).collect()
+        assert row.t == "mail |||EMAIL||| ip |||IP||| tel |||PHONE||| end"
+
+    def test_clean_text_untouched(self, spark):
+        df = spark.createDataFrame([("nothing sensitive here 42",)], "text string")
+        (row,) = df.select(scrub_pii(F.col("text")).alias("t")).collect()
+        assert row.t == "nothing sensitive here 42"
+
+
+class TestDedupParagraphs:
+    def test_first_occurrence_kept_order_preserved(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "alpha\nboiler\nbeta"), (2, "boiler\ngamma"), (3, "boiler")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: (r.text, r.n_kept, r.n_dropped)
+               for r in dedup_paragraphs(docs).collect()}
+        assert got[1] == ("alpha\nboiler\nbeta", 3, 0)
+        assert got[2] == ("gamma", 1, 1)
+        assert got[3] == ("", 0, 1)
+
+    def test_within_doc_repeat_dropped(self, spark):
+        docs = spark.createDataFrame([(1, "x\ny\nx")], "doc_id long, text string")
+        (row,) = dedup_paragraphs(docs).collect()
+        assert (row.text, row.n_kept, row.n_dropped) == ("x\ny", 2, 1)
+
+
+class TestBudgetSample:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [(i, "tok " * (i % 7 + 1), f"s{i % 2}") for i in range(40)]
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_budget_respected_boundary_doc_included(self, docs):
+        out = budget_sample(docs, {"s0": 20, "s1": 10 ** 9}).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.source, []).append(r)
+        # every admitted doc STARTED under budget; totals may overshoot by
+        # at most the boundary doc
+        assert all(r.cum_tokens < 20 for r in by_src["s0"])
+        assert len(by_src["s1"]) == 20  # unlimited budget admits the group
+
+    def test_unlisted_sources_excluded(self, docs):
+        out = budget_sample(docs, {"s0": 5})
+        assert out.filter(F.col("source") != "s0").count() == 0
+
+    def test_deterministic_under_repartition_and_seed(self, docs):
+        a = sorted(r.doc_id for r in budget_sample(docs, {"s0": 30}).collect())
+        b = sorted(
+            r.doc_id
+            for r in budget_sample(docs.repartition(7), {"s0": 30}).collect()
+        )
+        assert a == b
+        c = sorted(
+            r.doc_id for r in budget_sample(docs, {"s0": 30}, seed="other").collect()
+        )
+        assert a != c  # a different seed draws a different mixture
