@@ -2740,6 +2740,11 @@ def _q_docs_quality_model(spark: SparkSession, sf: str) -> DataFrame:
     from mopper_spark.textops.quality_model import quality_scores
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
+    # the test corpus is ONE small parquet file -> one scan partition; the
+    # scorer is CPU-bound (2 md5 per feature), so spread it across cores.
+    # At real scale the many-file scan is already parallel and this
+    # repartition (a trivial shuffle of raw docs) would be dropped.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return quality_scores(docs)
 
 

@@ -72,6 +72,11 @@ HEADLINE = [
     "kg_shacl_violations",
     "kg_transe_eval",
     "dedup_semantic",
+    "docs_quality_model",
+    "docs_pii_scrub",
+    "transcripts_render",
+    "transcripts_dedup_paragraphs",
+    "docs_budget_mix",
     "cc_components",
 ]
 
