@@ -61,3 +61,77 @@ def test_spark_submit_pyfiles_job_and_resume(tmp_path):
     assert {s["stage"]: s["rows"] for s in d2["stages"]} == {
         k: v["rows"] for k, v in stages1.items()
     }
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit binary not available"
+)
+def test_spark_submit_streaming_kg_job(tmp_path):
+    """jobs/kg_stream_job.py end-to-end in a separate JVM: the streaming
+    incremental job's graph + dictionary must equal the batch pipeline's
+    (order-insensitive convergence), and a resumed run with no new data
+    must be a no-op."""
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_pyfiles.py")],
+        check=True,
+        capture_output=True,
+    )
+    zip_path = os.path.join(REPO, "dist", "mopper_spark.zip")
+
+    # slice the committed fixture into three landing files
+    fixture = os.path.join(REPO, "fixtures", "transcripts_2000.parquet")
+    prep = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            f"""
+import sys; sys.path.insert(0, {str(REPO)!r})
+from mopper_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(master="local[4]", shuffle_partitions=4)
+tr = spark.read.parquet({fixture!r})
+for i in range(3):
+    tr.filter(F.abs(F.xxhash64("conv_id")) % 3 == i).write.mode(
+        "overwrite").parquet({str(tmp_path)!r} + f"/in/part{{i}}")
+""",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert prep.returncode == 0, prep.stderr[-2000:]
+
+    cmd = [
+        SPARK_SUBMIT,
+        "--master",
+        "local[4]",
+        "--py-files",
+        zip_path,
+        os.path.join(REPO, "jobs", "kg_stream_job.py"),
+        "--input",
+        str(tmp_path / "in" / "part*"),
+        "--state",
+        str(tmp_path / "state"),
+        "--checkpoints",
+        str(tmp_path / "ck"),
+        "--graph",
+        str(tmp_path / "graph"),
+        "--max-files-per-trigger",
+        "1",
+        "--available-now",
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    d1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert d1["graph_statements"] == 6660  # batch extract_triples count
+    assert d1["dict_forms"] == 11  # batch entity-linking fixpoint size
+    assert d1["batches"] >= 3
+
+    # resume with no new data: no new batches, same state
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    d2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert d2["graph_statements"] == 6660
+    assert d2["dict_forms"] == 11
+    assert d2["batches"] == d1["batches"]
