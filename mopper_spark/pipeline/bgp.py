@@ -106,6 +106,31 @@ def _pattern_df(triples: DataFrame, pattern: tuple) -> DataFrame:
     return df.select(*cols)
 
 
+def _pattern_order_key(pattern: tuple, stats: dict[str, int] | None) -> tuple:
+    """Greedy start-pattern ranking (ascending = joined first).
+
+    Without stats: most constants first (the round-2 heuristic).  With
+    stats: estimated cardinality — the predicate's triple count when the
+    predicate is a constant found in stats (property-path predicates and
+    unknown/variable predicates fall back to the largest known count),
+    discounted 10× per additional constant term (subject/object/graph
+    constants are point lookups on that relation).  Deterministic
+    tie-break on the pattern's repr either way.
+    """
+    n_const = sum(
+        not _is_var(t) for t in pattern if isinstance(t, str)
+    )
+    if stats is None:
+        return (0, -n_const, str(pattern))
+    default = max(stats.values(), default=1)
+    pred = pattern[1]
+    est = stats.get(pred, default) if isinstance(pred, str) else default
+    extra_consts = max(
+        n_const - (1 if isinstance(pred, str) and not _is_var(pred) else 0), 0
+    )
+    return (est / (10 ** extra_consts), 0, str(pattern))
+
+
 def bgp_match(
     triples: DataFrame,
     patterns: list[tuple],
@@ -114,6 +139,7 @@ def bgp_match(
     allow_cartesian: bool = False,
     optional: list[tuple] | None = None,
     filters: list[str] | None = None,
+    stats: dict[str, int] | None = None,
 ) -> DataFrame:
     """Match a conjunctive BGP; returns one column per selected variable.
 
@@ -127,6 +153,13 @@ def bgp_match(
     — applied declaratively after the joins, where Catalyst pushes each
     one down to the deepest plan node whose columns it references (a
     single-variable filter reaches the pattern's scan).
+    ``stats``: predicate IRI → triple count (one ``curate.
+    predicate_profile`` pass, cached per graph version).  When given, the
+    greedy join order starts from the pattern with the smallest ESTIMATED
+    cardinality instead of the most-constants heuristic — the
+    characteristic-set trick of the SPARQL-on-relational literature, and
+    what makes a star query anchored on a rare predicate start from the
+    thin relation so AQE broadcasts it into every later join.
     ``optional``: SPARQL OPTIONAL patterns, LEFT-joined (in order) after
     the required block — their new variables come back NULL where the
     pattern has no match.  Each must share ≥1 variable with what is
@@ -137,10 +170,7 @@ def bgp_match(
     if not patterns:
         raise ValueError("empty BGP")
     rels = [(_pattern_df(triples, p), p) for p in patterns]
-    # greedy selectivity order: most constants first, then connectivity
-    remaining = sorted(
-        rels, key=lambda r: (-sum(not _is_var(t) for t in r[1]), str(r[1]))
-    )
+    remaining = sorted(rels, key=lambda r: _pattern_order_key(r[1], stats))
     result, _ = remaining.pop(0)
     bound = set(result.columns)
     while remaining:

@@ -281,3 +281,48 @@ class TestPropertyPathAndFilter:
         )
         got = {(r.a, r.b) for r in q.collect()}
         assert got == {("n2", "n3"), ("n4", "n5")}
+
+
+class TestStatsDrivenOrdering:
+    def test_order_key_prefers_rare_predicate(self):
+        from mopper_spark.pipeline.bgp import _pattern_order_key
+
+        stats = {"http://ex/common": 10**9, "http://ex/rare": 42}
+        pats = [
+            ("?t", "http://ex/common", "CONST"),   # 2 constants, huge pred
+            ("?t", "http://ex/rare", "?e"),        # 1 constant, tiny pred
+        ]
+        ordered = sorted(pats, key=lambda p: _pattern_order_key(p, stats))
+        assert ordered[0][1] == "http://ex/rare"
+        # without stats the constants heuristic wins instead
+        ordered0 = sorted(pats, key=lambda p: _pattern_order_key(p, None))
+        assert ordered0[0][1] == "http://ex/common"
+
+    def test_extra_constants_discount(self):
+        from mopper_spark.pipeline.bgp import _pattern_order_key
+
+        stats = {"p": 1000}
+        loose = ("?s", "p", "?o")
+        anchored = ("?s", "p", "obj-const")
+        assert _pattern_order_key(anchored, stats) < _pattern_order_key(loose, stats)
+
+    def test_results_invariant_under_stats(self, spark, triples):
+        from mopper_spark.pipeline.bgp import bgp_match
+
+        pats = [
+            ("?t", EX + "mentions", "?e"),
+            ("?t", EX + "inConv", "?c"),
+        ]
+        a = sorted(map(tuple, bgp_match(triples, pats, select=["c", "e"]).collect()))
+        b = sorted(
+            map(
+                tuple,
+                bgp_match(
+                    triples,
+                    pats,
+                    select=["c", "e"],
+                    stats={EX + "mentions": 5, EX + "inConv": 1000},
+                ).collect(),
+            )
+        )
+        assert a == b
