@@ -141,3 +141,38 @@ class TestTransitiveClosure:
         df = spark.createDataFrame([(i, i + 1) for i in range(10)], "src long, dst long")
         with pytest.raises(RuntimeError, match="converge"):
             transitive_closure(df, max_iters=3)
+
+
+class TestClosureDoubling:
+    def test_doubling_equals_seminaive_on_tree(self, spark):
+        edges = [(i, i // 2) for i in range(2, 64)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = {(r.src, r.dst) for r in transitive_closure(df).collect()}
+        b = {(r.src, r.dst)
+             for r in transitive_closure(df, method="doubling").collect()}
+        assert a == b == _py_closure(set(edges))
+
+    def test_doubling_converges_in_log_rounds_on_deep_chain(self, spark):
+        # chain of length 40: semi-naive needs ~40 rounds (max_iters=7
+        # fails), doubling needs ceil(log2(40)) = 6 growth rounds + 1
+        # empty round to detect the fixpoint
+        edges = [(i, i + 1) for i in range(40)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        with pytest.raises(RuntimeError, match="converge"):
+            transitive_closure(df, max_iters=7)
+        got = {(r.src, r.dst)
+               for r in transitive_closure(df, max_iters=7, method="doubling").collect()}
+        assert got == _py_closure(set(edges))
+
+    def test_doubling_cycle(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+        )
+        got = {(r.src, r.dst)
+               for r in transitive_closure(df, method="doubling").collect()}
+        assert got == _py_closure({(1, 2), (2, 3), (3, 1), (3, 4)})
+
+    def test_unknown_method_rejected(self, spark):
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError, match="method"):
+            transitive_closure(df, method="magic")
