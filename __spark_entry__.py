@@ -2907,6 +2907,43 @@ SELECT doc_id, source, n_tokens, cum_tokens FROM cum WHERE cum_tokens < budget
 """
 
 
+def _q_transcripts_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical-cohesion conversation segmentation
+    (textops/prepare.py::segment_conversations): a new training-window
+    segment opens when turn-to-turn token-Jaccard drops below 0.1 —
+    evaluated as the exact INTEGER inequality 10·|∩| < 1·|∪|, so the
+    oracle replicates it with no float anywhere."""
+    from mopper_spark.textops.prepare import segment_conversations
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return segment_conversations(tr)
+
+
+_SQL_TRANSCRIPTS_SEGMENT = f"""
+WITH toks AS (
+  SELECT conv_id, turn_idx,
+         list_distinct(list_filter(
+           string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS tk
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+), lagged AS (
+  SELECT conv_id, turn_idx, tk,
+         LAG(tk) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pk
+  FROM toks
+), flags AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN pk IS NULL THEN 0
+              WHEN 10 * len(list_intersect(tk, pk))
+                   < 1 * (len(tk) + len(pk) - len(list_intersect(tk, pk)))
+              THEN 1 ELSE 0 END AS b
+  FROM lagged
+)
+SELECT conv_id, turn_idx,
+       CAST(SUM(b) OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg_id
+FROM flags
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -2979,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_dedup_paragraphs": _q_transcripts_dedup_paragraphs,
         "docs_pii_scrub": _q_docs_pii_scrub,
         "docs_budget_mix": _q_docs_budget_mix,
+        "transcripts_segment": _q_transcripts_segment,
     }
 
 
@@ -3054,4 +3092,5 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_dedup_paragraphs": _SQL_TRANSCRIPTS_DEDUP_PARAS,
         "docs_pii_scrub": _SQL_DOCS_PII_SCRUB,
         "docs_budget_mix": _SQL_DOCS_BUDGET_MIX,
+        "transcripts_segment": _SQL_TRANSCRIPTS_SEGMENT,
     }

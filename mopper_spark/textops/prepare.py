@@ -195,3 +195,52 @@ def budget_sample(
         .filter(F.col("cum_tokens") < F.col("budget"))
         .drop("draw", "budget")
     )
+
+
+# ----------------------------------------------- conversation segmentation
+
+
+def segment_conversations(
+    transcripts: DataFrame,
+    *,
+    jaccard_threshold_tenths: int = 1,
+) -> DataFrame:
+    """Lexical-cohesion segmentation (TextTiling's core signal, Hearst
+    CL'97, reduced to its distributable essence): within each conversation
+    a new segment starts when the token-set Jaccard between a turn and its
+    predecessor drops below ``threshold_tenths/10``.  Long transcripts get
+    chunked at topic shifts instead of arbitrary token offsets — the
+    training-window boundary that preserves local coherence.
+
+    Exactness: the comparison ``|∩|/|∪| < t/10`` is evaluated as the
+    INTEGER inequality ``10·|∩| < t·|∪|`` — no float ever exists, so the
+    segmentation is bit-stable across engines and partitionings (strictly
+    SQL-oracle-able like the rest of this module).
+
+    Plan: one window pass partitioned by ``conv_id`` (lag + running sum of
+    boundary flags) — per-conversation state only, the same skew posture
+    as every other per-conversation operator here.  Returns
+    ``(conv_id, turn_idx, seg_id)`` with ``seg_id`` 0-based per
+    conversation; the first turn always opens segment 0.
+    """
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag(toks).over(w)
+    inter = F.size(F.array_intersect(toks, prev))
+    union = F.size(F.array_union(toks, prev))
+    boundary = F.when(prev.isNull(), F.lit(0)).otherwise(
+        (
+            F.lit(10) * inter
+            < F.lit(jaccard_threshold_tenths) * union
+        ).cast("int")
+    )
+    run = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.sum(boundary).over(run).cast("long").alias("seg_id"),
+    )

@@ -100,3 +100,43 @@ class TestBudgetSample:
             r.doc_id for r in budget_sample(docs, {"s0": 30}, seed="other").collect()
         )
         assert a != c  # a different seed draws a different mixture
+
+
+class TestSegmentConversations:
+    def test_boundaries_at_topic_shift(self, spark):
+        from mopper_spark.textops.prepare import segment_conversations
+
+        rows = [
+            ("c", 1, "u", "alpha beta gamma"),
+            ("c", 2, "a", "beta gamma delta"),      # high overlap: same seg
+            ("c", 3, "u", "totally different words"),  # shift: new seg
+            ("c", 4, "a", "different words again"),    # overlap: same seg
+        ]
+        tr = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+        got = {r.turn_idx: r.seg_id for r in segment_conversations(tr).collect()}
+        assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+
+    def test_first_turn_opens_segment_zero_per_conv(self, spark):
+        from mopper_spark.textops.prepare import segment_conversations
+
+        rows = [("c1", 1, "u", "x"), ("c2", 1, "u", "y"), ("c2", 2, "u", "z")]
+        tr = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+        got = {(r.conv_id, r.turn_idx): r.seg_id
+               for r in segment_conversations(tr).collect()}
+        assert got[("c1", 1)] == 0 and got[("c2", 1)] == 0
+        assert got[("c2", 2)] == 1  # zero overlap between x-less tokens
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.prepare import segment_conversations
+
+        rows = [("c", i, "u", f"tok{i} tok{i+1} shared") for i in range(30)]
+        tr = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+        a = sorted(map(tuple, segment_conversations(tr).collect()))
+        b = sorted(map(tuple, segment_conversations(tr.repartition(7)).collect()))
+        assert a == b
