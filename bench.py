@@ -191,6 +191,30 @@ def full_pipeline_stats(spark: SparkSession, n_turns: int, root: str) -> dict:
     }
 
 
+def compute_alerts(
+    queries: dict, throughput: dict, prev_doc: dict, tag: str
+) -> list[str]:
+    """Regression alerts vs the previous round's committed artifact.
+
+    Driver-committed ``BENCH_r*.json`` files are WRAPPERS: the query map
+    lives under ``parsed.queries`` (top level is ``{n, rc, cpus, sf, tail,
+    parsed}``).  Raw ``bench.py`` output has ``queries`` at the top level.
+    Accept both — reading only the top level made the >1.5x alert dead
+    code for two rounds (VERDICT r3 "What's wrong" #1).
+    """
+    alerts: list[str] = []
+    prev = prev_doc.get("queries") or prev_doc.get("parsed", {}).get("queries", {})
+    for name, secs in queries.items():
+        if name in prev and prev[name] > 0 and secs > 1.5 * prev[name]:
+            alerts.append(
+                f"{name}: {secs:.2f}s vs {prev[name]:.2f}s in {tag} (>1.5x)"
+            )
+    for key, val in throughput.items():
+        if key.startswith("scaling_efficiency") and val < 0.8:
+            alerts.append(f"{key}={val} below the 0.8 gate")
+    return alerts
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -301,7 +325,6 @@ def main() -> None:
     # regression alerts (VERDICT r2 #7): compare against the last round's
     # committed artifact; a headline query >1.5x its r2 time or a scaling
     # efficiency below the 0.8 gate is flagged in the artifact itself
-    alerts: list[str] = []
     import glob as _glob
 
     prior = sorted(
@@ -309,19 +332,14 @@ def main() -> None:
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
         )
     )
+    prev_doc: dict = {}
+    tag = ""
     if prior:
         prev_path = prior[-1]  # latest committed round artifact
         with open(prev_path) as fh:
-            prev = json.load(fh).get("queries", {})
+            prev_doc = json.load(fh)
         tag = os.path.basename(prev_path)
-        for name, secs in queries.items():
-            if name in prev and prev[name] > 0 and secs > 1.5 * prev[name]:
-                alerts.append(
-                    f"{name}: {secs:.2f}s vs {prev[name]:.2f}s in {tag} (>1.5x)"
-                )
-    for key, val in throughput.items():
-        if key.startswith("scaling_efficiency") and val < 0.8:
-            alerts.append(f"{key}={val} below the 0.8 gate")
+    alerts = compute_alerts(queries, throughput, prev_doc, tag)
     for a in alerts:
         print(f"# ALERT {a}", file=sys.stderr)
 

@@ -51,6 +51,7 @@ def main() -> None:
 
     from mopper_spark.pipeline.extract import extract_mentions, extract_triples
     from mopper_spark.pipeline.incremental import (
+        _read_latest,
         link_increment,
         read_dictionary,
     )
@@ -65,9 +66,20 @@ def main() -> None:
         stmts.write.mode("overwrite").parquet(
             os.path.join(args.graph, f"batch={batch_id}")
         )
-        current = read_dictionary(sp, args.state)
-        nxt = link_increment(current, extract_mentions(b))
         version = f"v{batch_id:06d}"
+        # Replay short-circuit (see pipeline/incremental.py): if a kill
+        # landed after the _LATEST pointer advanced but before the
+        # streaming checkpoint committed, the replay would read the
+        # dictionary from state/v{batch_id} and overwrite that same path
+        # — Spark refuses and the job crash-loops.  The pointer IS the
+        # dictionary commit, so the replay only needs the (idempotent)
+        # graph rewrite above.
+        if _read_latest(args.state) == version:
+            return
+        current = read_dictionary(sp, args.state)
+        nxt = link_increment(current, extract_mentions(b)).localCheckpoint(
+            eager=True
+        )  # sever lineage from the state files before overwriting them
         nxt.write.mode("overwrite").parquet(os.path.join(args.state, version))
         tmp = os.path.join(args.state, "_LATEST.tmp")
         with open(tmp, "w") as fh:

@@ -162,6 +162,10 @@ def negative_samples(
     when it fits; for web-scale vocabularies it is a plain hash join),
     one anti-join against the triple set.  No randomness, no driver loop.
     """
+    if n_per < 1:
+        # F.sequence(0, n_per - 1) with n_per == 0 would DESCEND ([0, -1])
+        # and emit two draws instead of zero — refuse instead.
+        raise ValueError(f"negative_samples: n_per must be >= 1, got {n_per}")
     vocab = indexed_objects(triples)
     n_objs = vocab.groupBy().agg(F.count("*").alias("n_objs"))
     sep = F.lit("\x1f")

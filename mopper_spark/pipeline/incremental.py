@@ -167,6 +167,14 @@ def _latest_path(state_dir: str) -> str:
     return os.path.join(state_dir, "_LATEST")
 
 
+def _read_latest(state_dir: str) -> str | None:
+    try:
+        with open(_latest_path(state_dir)) as fh:
+            return fh.read().strip()
+    except FileNotFoundError:
+        return None
+
+
 def read_dictionary(spark: SparkSession, state_dir: str) -> DataFrame:
     """Resolve the _LATEST pointer; empty dictionary if none yet."""
     try:
@@ -200,15 +208,7 @@ def incremental_link_stream(
     os.makedirs(state_dir, exist_ok=True)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        current = read_dictionary(spark, state_dir)
-        nxt = link_increment(current, batch_df, max_block_size=max_block_size)
-        version = f"v{batch_id:06d}"
-        nxt.write.mode("overwrite").parquet(os.path.join(state_dir, version))
-        tmp = _latest_path(state_dir) + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(version)
-        os.replace(tmp, _latest_path(state_dir))
+        process_increment(batch_df, batch_id, state_dir, max_block_size)
 
     return (
         mentions_stream.writeStream.foreachBatch(process)
@@ -216,3 +216,38 @@ def incremental_link_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def process_increment(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    max_block_size: int = 64,
+) -> None:
+    """One micro-batch of the incremental linker (the ``foreachBatch``
+    body, module-level so the replay window is unit-testable).
+
+    Replay short-circuit: a kill can land AFTER the ``_LATEST`` pointer
+    advanced to this version but BEFORE the streaming checkpoint
+    committed.  On replay, ``read_dictionary`` would then read from
+    ``state/v{batch_id}`` while we ``overwrite`` the same path — Spark
+    refuses ("Cannot overwrite a path that is also being read from") and
+    the query crash-loops.  The pointer advancing IS the commit of record
+    for the dictionary, so a replayed batch whose version is already live
+    is fully applied: skip it.  As defense for any other lineage overlap,
+    the next dictionary is eagerly materialized (``localCheckpoint``)
+    before the overwrite, severing it from the state files it read.
+    """
+    spark = batch_df.sparkSession
+    version = f"v{batch_id:06d}"
+    if _read_latest(state_dir) == version:
+        return
+    current = read_dictionary(spark, state_dir)
+    nxt = link_increment(
+        current, batch_df, max_block_size=max_block_size
+    ).localCheckpoint(eager=True)
+    nxt.write.mode("overwrite").parquet(os.path.join(state_dir, version))
+    tmp = _latest_path(state_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(version)
+    os.replace(tmp, _latest_path(state_dir))

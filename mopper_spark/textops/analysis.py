@@ -265,7 +265,12 @@ def vocab_oov(
         "doc_id", F.explode_outer("toks").alias("tok")
     )
     vocab = (
-        exploded.groupBy("tok")
+        # explode_outer keeps empty docs alive for the per-doc aggregate,
+        # but its NULL placeholder must not compete for a vocab slot
+        # (Spark's asc tie-break sorts NULL first; DuckDB's unnest never
+        # emits the row at all).
+        exploded.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("tok"))
         .limit(top_k)

@@ -51,7 +51,7 @@ def pack_sequences(
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("long").alias("n_tokens"),
-    ).withColumn("bucket", (F.col("doc_id") / bucket_size).cast("long"))
+    ).withColumn("bucket", F.expr(f"doc_id div {int(bucket_size)}"))
 
     bucket_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     bucket_offsets = (

@@ -160,6 +160,8 @@ def budget_sample(
     for a single giant source fall back to the bucketed prefix sum of
     ``packing.py``).
     """
+    if not budgets:
+        raise ValueError("budget_sample: empty budgets dict")
     whens = None
     for g, b in budgets.items():
         c = F.when(F.col(group_col) == g, F.lit(b))

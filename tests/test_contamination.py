@@ -190,3 +190,15 @@ def test_vocab_oov_tie_break_deterministic(spark):
     docs = _docs(spark, [(1, "a a b c")])
     out = vocab_oov(docs, top_k=2).collect()[0]
     assert out.n_oov == 1  # only c
+
+
+def test_vocab_oov_empty_docs_cannot_poison_vocab(spark):
+    from mopper_spark.textops.analysis import vocab_oov
+
+    # many empty docs: explode_outer's NULL placeholder must NOT occupy a
+    # vocabulary slot (ADVICE r3); with top_k=1 the single slot goes to
+    # the real token, so doc 1 has zero OOV.
+    docs = _docs(spark, [(i, "") for i in range(2, 30)] + [(1, "a a")])
+    out = {r.doc_id: r for r in vocab_oov(docs, top_k=1).collect()}
+    assert (out[1].n_tokens, out[1].n_oov) == (2, 0)
+    assert (out[5].n_tokens, out[5].n_oov) == (0, 0)

@@ -98,6 +98,12 @@ class TestNegativeSamples:
         b = set(map(tuple, negative_samples(triples, n_per=3, seed="y").collect()))
         assert a != b
 
+    def test_n_per_zero_refused(self, triples):
+        # sequence(0, -1) DESCENDS in Spark (two draws, one with draw=-1)
+        # — n_per < 1 must raise instead of silently emitting negatives
+        with pytest.raises(ValueError, match="n_per"):
+            negative_samples(triples, n_per=0)
+
 
 def _py_closure(edges):
     adj = {}

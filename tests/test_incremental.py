@@ -13,6 +13,7 @@ from mopper_spark.pipeline.incremental import (
     empty_dictionary,
     incremental_link_stream,
     link_increment,
+    process_increment,
     read_dictionary,
     with_canonical_iri,
 )
@@ -150,3 +151,43 @@ class TestStreamingWrapper:
         )
         q2.awaitTermination(300)
         assert sorted(map(tuple, read_dictionary(spark, state).collect())) == batch_expected
+
+
+class TestReplayWindow:
+    def test_replay_after_pointer_advance_is_noop(self, spark, tmp_path):
+        """ADVICE r3 (medium): kill AFTER _LATEST advanced to v{batch_id}
+        but BEFORE the streaming checkpoint commit.  The replayed batch
+        must not crash-loop on 'Cannot overwrite a path that is also
+        being read from' — it short-circuits, leaving state intact."""
+        state = str(tmp_path / "state")
+        os.makedirs(state)
+        b0 = spark.createDataFrame([("Ada Lovelace",), ("ada lovelace",)],
+                                   "surface string")
+        process_increment(b0, 0, state)
+        before = sorted(map(tuple, read_dictionary(spark, state).collect()))
+        assert before  # batch 0 committed and pointer advanced
+        # simulate the crash window: same batch_id replayed with the
+        # pointer already at v000000
+        process_increment(b0, 0, state)
+        after = sorted(map(tuple, read_dictionary(spark, state).collect()))
+        assert after == before
+
+    def test_replay_before_pointer_advance_recomputes(self, spark, tmp_path):
+        """Kill BETWEEN the parquet write and the pointer rename: the
+        pointer still names the prior version, so the replay recomputes
+        v{batch_id} (overwriting the orphan) and lands the same state."""
+        state = str(tmp_path / "state")
+        os.makedirs(state)
+        b0 = spark.createDataFrame([("Grace Hopper",)], "surface string")
+        process_increment(b0, 0, state)
+        b1 = spark.createDataFrame([("grace hopper",), ("G. Hopper",)],
+                                   "surface string")
+        process_increment(b1, 1, state)
+        expected = sorted(map(tuple, read_dictionary(spark, state).collect()))
+        # rewind the pointer to v000000 (as if the v000001 write finished
+        # but the rename never happened), then replay batch 1
+        with open(os.path.join(state, "_LATEST"), "w") as fh:
+            fh.write("v000000")
+        process_increment(b1, 1, state)
+        got = sorted(map(tuple, read_dictionary(spark, state).collect()))
+        assert got == expected

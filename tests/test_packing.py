@@ -32,3 +32,14 @@ def test_pack_sequences_partitioning_invariant(spark):
     total = sum(((i * 13) % 7 + 1) for i in range(200))
     last = max(a, key=lambda r: r[0])
     assert last[2] + last[1] == total
+
+
+def test_pack_sequences_bucket_integer_exact_past_2_53(spark):
+    # doc_id beyond 2^53: float division would collapse to the double grid
+    # (trunc(x/b) can land one bucket off); integer `div` must not.
+    big = 2 ** 53 + 1
+    docs = _docs(spark, [(big, "a b"), (big + 1, "c")])
+    out = {r.doc_id: r for r in pack_sequences(docs, seq_len=4, bucket_size=1).collect()}
+    # with bucket_size=1 each doc is its own bucket; float math would put
+    # both ids in bucket 2^53 and the window tie-break could misorder them
+    assert (out[big].start_tok, out[big + 1].start_tok) == (0, 2)

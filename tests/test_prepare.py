@@ -140,3 +140,11 @@ class TestSegmentConversations:
         a = sorted(map(tuple, segment_conversations(tr).collect()))
         b = sorted(map(tuple, segment_conversations(tr.repartition(7)).collect()))
         assert a == b
+
+
+def test_budget_sample_empty_budgets_raises(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "s0")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="empty budgets"):
+        budget_sample(docs, {})
