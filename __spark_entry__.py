@@ -2572,6 +2572,45 @@ SELECT 'http://ex/doc/' || src AS d FROM tc WHERE dst = 5
 """
 
 
+def _q_kg_bgp_path_inverse_seq(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL property-path ALGEBRA through the BGP layer (VERDICT r3 #3
+    — inverse ``^`` + sequence ``/``):
+
+        SELECT ?d ?s WHERE { ?d <http://ex/parent>/^<http://ex/parent> ?s .
+                             FILTER(?d < ?s) }
+
+    — proper sibling pairs of the doc-id binary-tree hierarchy (walk UP
+    one parent edge, then DOWN its inverse).  Each step is a pushed
+    ``pred =`` scan filter; the sequence is one equi-join on the shared
+    parent; the FILTER halves the symmetric pairs declaratively."""
+    from mopper_spark.pipeline.bgp import bgp_match
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    tri = docs.filter(F.col("doc_id") >= 2).select(
+        F.concat(F.lit("http://ex/doc/"), F.col("doc_id")).alias("subj"),
+        F.lit("http://ex/parent").alias("pred"),
+        F.concat(F.lit("http://ex/doc/"), F.expr("doc_id div 2")).alias("obj"),
+    )
+    return bgp_match(
+        tri,
+        [("?d", ("/", "http://ex/parent", ("^", "http://ex/parent")), "?s")],
+        select=["d", "s"],
+        filters=["d < s"],
+    )
+
+
+_SQL_KG_BGP_PATH_INV_SEQ = """
+WITH e AS (
+  SELECT 'http://ex/doc/' || doc_id AS c,
+         'http://ex/doc/' || (doc_id // 2) AS p
+  FROM documents WHERE doc_id >= 2
+)
+SELECT e1.c AS d, e2.c AS s
+FROM e e1 JOIN e e2 ON e1.p = e2.p
+WHERE e1.c < e2.c
+"""
+
+
 def _q_entity_linking_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental entity linking (pipeline/incremental.py): the fixture's
     mentions arrive in THREE hash-sliced increments; each step joins only
@@ -3007,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nquads_roundtrip": _q_kg_nquads_roundtrip,
         "kg_shacl_violations": _q_kg_shacl_violations,
         "kg_bgp_path_descendants": _q_kg_bgp_path_descendants,
+        "kg_bgp_path_inverse_seq": _q_kg_bgp_path_inverse_seq,
         "entity_linking_incremental": _q_entity_linking_incremental,
         "kg_transe_eval": _q_kg_transe_eval,
         "dedup_semantic": _q_dedup_semantic,
@@ -3083,6 +3123,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nquads_roundtrip": _SQL_KG_NQUADS_ROUNDTRIP,
         "kg_shacl_violations": _SQL_KG_SHACL,
         "kg_bgp_path_descendants": _SQL_KG_BGP_PATH,
+        "kg_bgp_path_inverse_seq": _SQL_KG_BGP_PATH_INV_SEQ,
         "entity_linking_incremental": _SQL_ENTITY_LINKING,
         "kg_transe_eval": _SQL_KG_TRANSE,
         "dedup_semantic": _SQL_DEDUP_SEMANTIC,

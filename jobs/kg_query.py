@@ -16,14 +16,38 @@ import json
 import sys
 
 
+def _split_terms(arg: str) -> list:
+    """Split a pattern on '|' at paren/angle depth 0 only, so SPARQL path
+    alternation inside the predicate term — '?s|(<p>|<q>)+|?o' — survives
+    the term separator."""
+    parts, buf, depth = [], [], 0
+    for ch in arg:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "|" and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
 def parse_pattern(arg: str) -> tuple:
     """'?s|p|?o' or '?s|p|?o|g' → pattern tuple (validated).
 
-    A predicate written 'p+' is the one-or-more property path (compiled to
-    the transitive closure by bgp.py); a literal trailing '+' in a
-    predicate IRI is not valid N-Quads, so the sugar is unambiguous here.
+    The predicate term accepts SPARQL 1.1 property-path syntax
+    (``bgp.parse_path``): ``^p`` inverse, ``<p>/<q>`` sequence,
+    ``(<p>|<q>)`` alternation, postfix ``+``; IRIs containing operator
+    characters must be ``<>``-wrapped.  The legacy bare sugar ``p+``
+    (one-or-more of a bare IRI, even one with slashes) is kept: a literal
+    trailing '+' is not valid in an N-Quads IRI, so it is unambiguous.
     """
-    parts: list = arg.split("|")
+    from mopper_spark.pipeline.bgp import parse_path
+
+    parts: list = _split_terms(arg)
     if len(parts) not in (3, 4):
         raise SystemExit(
             f"--pattern {arg!r}: expected 3 or 4 '|'-separated terms, "
@@ -31,8 +55,17 @@ def parse_pattern(arg: str) -> tuple:
         )
     if not any(isinstance(p, str) and p.startswith("?") for p in parts):
         raise SystemExit(f"--pattern {arg!r}: must bind at least one ?variable")
-    if parts[1].endswith("+") and not parts[1].startswith("?"):
-        parts[1] = (parts[1][:-1], "+")
+    pred = parts[1]
+    if not pred.startswith("?"):
+        if pred.endswith("+") and not any(c in pred[:-1] for c in "^|()<> "):
+            parts[1] = (pred[:-1], "+")  # legacy bare-IRI sugar, incl. '/'
+        elif any(c in pred for c in "^|()<>") or (
+            pred.endswith(("*", "+")) and "<" in pred
+        ):
+            try:
+                parts[1] = parse_path(pred)
+            except ValueError as exc:
+                raise SystemExit(f"--pattern {arg!r}: {exc}") from exc
     return tuple(parts)
 
 

@@ -50,37 +50,23 @@ def _pattern_df(triples: DataFrame, pattern: tuple) -> DataFrame:
     bind the named ``graph`` (the quad position our serializer/TargetOp
     emits) — the triples DataFrame must then carry a ``graph`` column.
 
-    A predicate written as the 2-tuple ``(iri, "+")`` is a SPARQL
-    property path ``<iri>+``: the pattern relation becomes the transitive
-    closure of that predicate's edges (``pipeline/graph.py``'s semi-naive
-    delta iteration), so ``("?x", (p, "+"), "?y")`` binds every pair
-    connected by 1..n hops of ``p``.  ``*`` (zero-or-more) is refused
-    loudly: its zero-length component would bind EVERY graph node to
-    itself, which on a 100 TB graph is a deliberate act, not a default.
+    A predicate written as a TUPLE is a SPARQL property path, evaluated
+    by ``path_edges`` (inverse ``^``, sequence ``/``, alternation ``|``,
+    one-or-more ``+`` — see that function's grammar).  ``*``
+    (zero-or-more) is refused loudly: its zero-length component binds
+    EVERY graph node to itself, which on a 100 TB graph is a deliberate
+    act — call ``materialize_star`` explicitly if you mean it.
     """
     if len(pattern) not in (3, 4):
         raise ValueError(f"pattern {pattern!r} must have 3 or 4 terms")
     if isinstance(pattern[1], tuple):
-        from .graph import transitive_closure
-
-        pred_iri, op = pattern[1]
-        if op != "+":
-            raise NotImplementedError(
-                f"property-path operator {op!r} unsupported (only '+'; "
-                "'*' would bind every node to itself — materialize that "
-                "explicitly if you mean it)"
-            )
         if len(pattern) == 4:
             raise ValueError("property-path patterns cannot constrain graph")
-        edges = triples.filter(F.col("pred") == F.lit(pred_iri)).select(
-            "subj", F.col("obj").alias("dst_obj")
+        marker = path_repr(pattern[1])
+        closed = path_edges(triples, pattern[1]).select(
+            "subj", F.lit(marker).alias("pred"), "obj"
         )
-        closed = transitive_closure(edges, src="subj", dst="dst_obj").select(
-            F.col("src").alias("subj"),
-            F.lit(pred_iri).alias("pred"),
-            F.col("dst").alias("obj"),
-        )
-        return _pattern_df(closed, (pattern[0], pred_iri, pattern[2]))
+        return _pattern_df(closed, (pattern[0], marker, pattern[2]))
     df = triples
     seen: dict[str, str] = {}  # var name -> first source column
     cols = []
@@ -104,6 +90,225 @@ def _pattern_df(triples: DataFrame, pattern: tuple) -> DataFrame:
             "at least one variable (use a filter on an existing one instead)"
         )
     return df.select(*cols)
+
+
+_PATH_OPS = ("^", "/", "|", "+", "*")
+
+
+def path_edges(triples: DataFrame, path) -> DataFrame:
+    """Evaluate a SPARQL property-path expression to a binary relation
+    ``(subj, obj)`` over the triples DataFrame.
+
+    Grammar (nested tuples; an operator IRI cannot collide with the
+    single-character operator tokens):
+
+    - ``"iri"`` — one hop of that predicate;
+    - ``("^", p)`` — inverse path (``^p``): swap the endpoint columns;
+    - ``("/", p1, p2, …)`` — sequence (``p1/p2``): relational composition,
+      an equi-join per step on the shared midpoint;
+    - ``("|", p1, p2, …)`` — alternation (``p1|p2``): bag union
+      (SPARQL's non-closure path operators have bag semantics — a pair
+      reachable via both branches appears twice, matching UNION ALL);
+    - ``("+", p)`` or the legacy sugar ``(p, "+")`` — one-or-more:
+      semi-naive transitive closure over the sub-path's edge relation
+      (set semantics, per the SPARQL 1.1 arbitrary-length-path algebra);
+    - ``("*", p)`` — REFUSED: the zero-length component binds every graph
+      node to itself; call :func:`materialize_star` if you mean it.
+
+    Scale shape: every leaf is a pushed ``pred =`` scan filter (one
+    vertical partition on a pred-keyed graph table); ``/`` is a chain of
+    equi-joins Catalyst/AQE plans like any other join (broadcast when one
+    hop's relation is small); ``+`` pays the closure's delta iteration
+    over the sub-path's edges only — never over the whole graph.
+    """
+    if isinstance(path, str):
+        if _is_var(path):
+            raise ValueError(
+                f"variable {path!r} inside a property path is not SPARQL"
+            )
+        return triples.filter(F.col("pred") == F.lit(path)).select("subj", "obj")
+    if not isinstance(path, tuple) or not path:
+        raise ValueError(f"malformed property path {path!r}")
+    if (
+        len(path) == 2
+        and isinstance(path[1], str)
+        and path[1] in ("+", "*")
+        and path[0] not in _PATH_OPS
+    ):
+        path = (path[1], path[0])  # postfix sugar: (p, "+") == ("+", p)
+    op, args = path[0], path[1:]
+    if op == "^":
+        if len(args) != 1:
+            raise ValueError(f"inverse path takes one argument: {path!r}")
+        return path_edges(triples, args[0]).select(
+            F.col("obj").alias("subj"), F.col("subj").alias("obj")
+        )
+    if op == "/":
+        if len(args) < 2:
+            raise ValueError(f"sequence path needs >=2 steps: {path!r}")
+        out = path_edges(triples, args[0])
+        for step in args[1:]:
+            nxt = path_edges(triples, step).select(
+                F.col("subj").alias("_mid"), F.col("obj").alias("_obj")
+            )
+            out = (
+                out.join(nxt, out["obj"] == nxt["_mid"])
+                .select("subj", F.col("_obj").alias("obj"))
+            )
+        return out
+    if op == "|":
+        if not args:
+            raise ValueError(f"empty alternation: {path!r}")
+        out = path_edges(triples, args[0])
+        for branch in args[1:]:
+            out = out.union(path_edges(triples, branch))
+        return out
+    if op == "+":
+        from .graph import transitive_closure
+
+        if len(args) != 1:
+            raise ValueError(f"'+' takes one argument: {path!r}")
+        edges = path_edges(triples, args[0]).select(
+            F.col("subj"), F.col("obj").alias("dst_obj")
+        )
+        return transitive_closure(edges, src="subj", dst="dst_obj").select(
+            F.col("src").alias("subj"), F.col("dst").alias("obj")
+        )
+    if op == "*":
+        raise NotImplementedError(
+            "property-path '*' (zero-or-more) binds every graph node to "
+            "itself — call materialize_star(triples, path) explicitly if "
+            "you mean it"
+        )
+    raise NotImplementedError(f"property-path operator {op!r} unsupported")
+
+
+def path_repr(path) -> str:
+    """Canonical display form of a path expression (used as the synthetic
+    ``pred`` constant of a path pattern's relation)."""
+    if isinstance(path, str):
+        return path
+    if (
+        len(path) == 2
+        and isinstance(path[1], str)
+        and path[1] in ("+", "*")
+        and path[0] not in _PATH_OPS
+    ):
+        path = (path[1], path[0])
+    op, args = path[0], path[1:]
+    if op == "^":
+        return f"^{path_repr(args[0])}"
+    if op in ("/", "|"):
+        return "(" + op.join(path_repr(a) for a in args) + ")"
+    return f"({path_repr(args[0])}){op}"
+
+
+def parse_path(text: str):
+    """Parse SPARQL 1.1 property-path SYNTAX into the tuple algebra of
+    :func:`path_edges`.
+
+    Grammar (precedence low→high, per the SPARQL spec):
+    ``path := seq ('|' seq)*``; ``seq := unary ('/' unary)*``;
+    ``unary := '^' unary | primary ('+'|'*')?``;
+    ``primary := '(' path ')' | '<' IRI '>' | bare-token``.
+
+    IRIs containing operator characters (every http IRI has ``/``) MUST be
+    ``<>``-wrapped; a bare token runs to the next operator character.  A
+    single bare/wrapped IRI parses to the plain string, so simple
+    predicates stay simple.
+    """
+    pos = 0
+    n = len(text)
+
+    def peek():
+        nonlocal pos
+        while pos < n and text[pos].isspace():
+            pos += 1
+        return text[pos] if pos < n else ""
+
+    def parse_alt():
+        nonlocal pos
+        branches = [parse_seq()]
+        while peek() == "|":
+            pos += 1
+            branches.append(parse_seq())
+        return branches[0] if len(branches) == 1 else ("|", *branches)
+
+    def parse_seq():
+        nonlocal pos
+        steps = [parse_unary()]
+        while peek() == "/":
+            pos += 1
+            steps.append(parse_unary())
+        return steps[0] if len(steps) == 1 else ("/", *steps)
+
+    def parse_unary():
+        nonlocal pos
+        c = peek()
+        if c == "^":
+            pos += 1
+            return ("^", parse_unary())
+        node = parse_primary()
+        c = peek()
+        if c in ("+", "*"):
+            pos += 1
+            return (c, node)
+        return node
+
+    def parse_primary():
+        nonlocal pos
+        c = peek()
+        if c == "(":
+            pos += 1
+            inner = parse_alt()
+            if peek() != ")":
+                raise ValueError(f"unbalanced '(' in path {text!r}")
+            pos += 1
+            return inner
+        if c == "<":
+            end = text.find(">", pos)
+            if end < 0:
+                raise ValueError(f"unterminated '<' in path {text!r}")
+            iri = text[pos + 1 : end]
+            pos = end + 1
+            return iri
+        start = pos
+        while pos < n and text[pos] not in "^/|+*()<> \t":
+            pos += 1
+        if pos == start:
+            raise ValueError(f"empty path term at offset {pos} in {text!r}")
+        return text[start:pos]
+
+    out = parse_alt()
+    if peek():
+        raise ValueError(f"trailing {text[pos:]!r} in path {text!r}")
+    return out
+
+
+def materialize_star(
+    triples: DataFrame, path, nodes: DataFrame | None = None
+) -> DataFrame:
+    """Deliberate ``p*`` (zero-or-more) materialization: the ``p+``
+    closure UNIONed with the identity relation over ``nodes``.
+
+    Per the SPARQL 1.1 ZeroOrMorePath algebra the zero-length component
+    matches every RDF term in the graph, so ``nodes`` defaults to the
+    distinct subjects ∪ objects of the WHOLE triples table — a full-graph
+    distinct.  That cost is why ``bgp_match`` refuses ``*`` implicitly:
+    pass the nodes you actually mean (e.g. the domain of the anchoring
+    pattern) to keep it proportional to the query, not the graph.
+    """
+    if nodes is None:
+        nodes = (
+            triples.select(F.col("subj").alias("n"))
+            .union(triples.select(F.col("obj").alias("n")))
+            .distinct()
+        )
+    else:
+        (node_col,) = nodes.columns
+        nodes = nodes.select(F.col(node_col).alias("n")).distinct()
+    identity = nodes.select(F.col("n").alias("subj"), F.col("n").alias("obj"))
+    return path_edges(triples, ("+", path)).union(identity).distinct()
 
 
 def _pattern_order_key(pattern: tuple, stats: dict[str, int] | None) -> tuple:
