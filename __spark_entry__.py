@@ -1015,6 +1015,35 @@ def _q_ivf_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ivf_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse-quantizer FULL training (VERDICT r3 #4): iterate the
+    fixed-point Lloyd step to the integer-inertia fixpoint with
+    deterministic empty-cluster re-seeding (furthest member of the
+    largest cluster), per-round lineage cuts
+    (mopper_spark/textops/ivf.py::kmeans_train).
+
+    No ``oracle_sql`` entry: the round count is data-dependent and each
+    round nests multi-stage aggregation, which recursive CTEs cannot
+    express — the gate records the weaker rows-only check.  Exactness is
+    pinned instead by tests/test_ivf.py::TestKmeansTrain, whose
+    single-threaded python replica must match every integer centroid,
+    inertia, and history entry bit-for-bit, under any partitioning."""
+    from mopper_spark.textops.ivf import kmeans_train
+
+    vecs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    _, cents, hist = kmeans_train(vecs, k=8, max_iters=12)
+    return cents.select(
+        "cid",
+        "n_members",
+        "inertia_fp",
+        F.concat_ws(
+            ",", F.transform("centroid_fp", lambda x: x.cast("string"))
+        ).alias("centroid_fp"),
+        F.lit(len(hist)).cast("long").alias("rounds"),
+        F.lit(int(hist[-1]["inertia_fp"])).alias("final_inertia_fp"),
+    )
+
+
 _SQL_IVF_KMEANS = """
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
@@ -2812,6 +2841,71 @@ FROM feats
 """
 
 
+def _q_docs_quality_model_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained-weights quality model (VERDICT r3 #5): the weight of each
+    hashed feature bucket comes from a (bucket, weight_fp) TABLE — here a
+    deterministic 4096-bucket model, sparsified by dropping buckets whose
+    weight is 0 mod 3 (absent bucket ⇒ weight 0, the pruned-model
+    contract) — shipped as a one-row broadcast map so the docs side stays
+    shuffle-free (plan-pinned in tests/test_textops.py).  The DuckDB
+    oracle recomputes the same weights functionally, CASE-ing the dropped
+    buckets to 0 (mopper_spark/textops/quality_model.py::
+    quality_scores_trained)."""
+    from mopper_spark.textops.quality_model import quality_scores_trained
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    weights = (
+        spark.range(4096)
+        .select(
+            F.col("id").alias("bucket"),
+            (
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit("tw:"), F.col("id").cast("string"))),
+                            1,
+                            12,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(2001),
+                )
+                - 1000
+            ).alias("weight_fp"),
+        )
+        .filter(F.col("weight_fp") % 3 != 0)
+    )
+    return quality_scores_trained(docs, weights, n_buckets=4096)
+
+
+_SQL_DOCS_QUALITY_MODEL_TRAINED = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         list_concat(tk,
+           CASE WHEN len(tk) >= 2
+                THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                ELSE [] END) AS fs
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(fs) AS BIGINT) AS n_features,
+       CAST(COALESCE(list_sum(list_transform(
+         list_transform(fs, f ->
+           ((('0x' || substr(md5('tw:' ||
+                ((('0x' || substr(md5('qm-v1' || f), 1, 12))::BIGINT) % 4096)
+              ), 1, 12))::BIGINT) % 2001) - 1000),
+         w -> CASE WHEN w % 3 <> 0 THEN w ELSE 0 END)), 0) AS BIGINT) AS score_fp
+FROM feats
+"""
+
+
 def _q_transcripts_render(spark: SparkSession, sf: str) -> DataFrame:
     """Chat-template rendering (textops/prepare.py::render_conversations):
     one training document per conversation, turns in stable (turn_idx)
@@ -3019,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_contamination": _q_stream_contamination,
         "transcript_turn_dedup": _q_transcript_turn_dedup,
         "ivf_kmeans_step": _q_ivf_kmeans_step,
+        "ivf_kmeans_train": _q_ivf_kmeans_train,
         "repeated_spans": _q_repeated_spans,
         "docs_length_profile": _q_docs_length_profile,
         "events_sessionize": _q_events_sessionize,
@@ -3052,6 +3147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,
         "kg_snapshot_diff": _q_kg_snapshot_diff,
         "docs_quality_model": _q_docs_quality_model,
+        "docs_quality_model_trained": _q_docs_quality_model_trained,
         "transcripts_render": _q_transcripts_render,
         "transcripts_dedup_paragraphs": _q_transcripts_dedup_paragraphs,
         "docs_pii_scrub": _q_docs_pii_scrub,
@@ -3129,6 +3225,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _SQL_DEDUP_SEMANTIC,
         "kg_snapshot_diff": _SQL_KG_SNAPSHOT_DIFF,
         "docs_quality_model": _SQL_DOCS_QUALITY_MODEL,
+        "docs_quality_model_trained": _SQL_DOCS_QUALITY_MODEL_TRAINED,
         "transcripts_render": _SQL_TRANSCRIPTS_RENDER,
         "transcripts_dedup_paragraphs": _SQL_TRANSCRIPTS_DEDUP_PARAS,
         "docs_pii_scrub": _SQL_DOCS_PII_SCRUB,

@@ -161,6 +161,124 @@ def kmeans_step(
     return assignments, new_centroids
 
 
+def kmeans_train(
+    vectors: DataFrame,
+    k: int,
+    *,
+    max_iters: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, list[dict]]:
+    """Full Lloyd training: iterate :func:`kmeans_step` to the integer
+    inertia fixpoint (VERDICT r3 #4).
+
+    Convergence is EXACT: total inertia is an int64 sum of fixed-point
+    distances, so "unchanged since last round" is integer equality — no
+    epsilon, no float drift, and (like every step) invariant under
+    partitioning.  Lloyd's monotonicity makes an equal inertia a true
+    fixpoint: the assignment that produced it is stable.
+
+    Empty clusters are re-seeded DETERMINISTICALLY: the m missing cids are
+    given the m furthest members (by ``(dist_fp DESC, vec_id ASC)``) of
+    the largest surviving cluster (ties to the smallest cid) — the
+    standard "split the biggest cluster" policy with a total order.  A
+    re-seeded round never tests convergence (its inertia is incomparable).
+
+    Scale shape per round: one :func:`kmeans_step` (broadcast centroids,
+    narrow assignment pass, K×dim-keyed reduce) + a K-row ``collect`` for
+    the convergence probe and re-seed decision (the centroid table is
+    driver-size by construction — it is the broadcast side).  The
+    centroid lineage is cut every round (``localCheckpoint``) so deep
+    trainings don't accumulate an unexecutable plan; corpus-sized data
+    never reaches the driver.
+
+    Returns ``(assignments, centroids_fp, history)``: the final
+    assignment table ``(vec_id, cid, dist_fp)``, the final INTEGER
+    centroid table ``(cid, n_members, inertia_fp, centroid_fp)`` from the
+    converged step, and one history dict per round
+    ``{round, inertia_fp, n_clusters, reseeded}``.
+    """
+    if k < 1:
+        raise ValueError(f"kmeans_train: k must be >= 1, got {k}")
+    if max_iters < 1:
+        raise ValueError(f"kmeans_train: max_iters must be >= 1, got {max_iters}")
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(vectors, k, id_col=id_col, vec_col=vec_col)
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("embedding"),
+    ).localCheckpoint(eager=False)
+    history: list[dict] = []
+    prev_inertia: int | None = None
+    assignments = None
+    new_c = None
+    for rnd in range(max_iters):
+        assignments, new_c = kmeans_step(v, cents)
+        new_c = new_c.localCheckpoint(eager=True)  # K rows; cuts the lineage
+        stats = new_c.select("cid", "n_members", "inertia_fp").collect()
+        inertia = sum(r.inertia_fp for r in stats)
+        missing = sorted(set(range(k)) - {r.cid for r in stats})
+        reseeded = False
+        # float centroids for the next round: per-element int/int division,
+        # association-free, so partitioning-proof like everything else
+        cents = new_c.select(
+            "cid",
+            F.transform(
+                "centroid_fp",
+                lambda s: s / (F.col("n_members") * F.lit(S_CENT)),
+            ).alias("cvec"),
+        )
+        if missing and stats:
+            largest = max(stats, key=lambda r: (r.n_members, -r.cid)).cid
+            # top-m furthest members: orderBy().limit(m) plans as
+            # TakeOrderedAndProject (per-partition top-m + an m-row driver
+            # merge) — NOT a global sort; a Window here would funnel the
+            # largest cluster through one reducer
+            far = (
+                assignments.filter(F.col("cid") == largest)
+                .select("vec_id", "dist_fp")
+                .orderBy(F.desc("dist_fp"), F.asc("vec_id"))
+                .limit(len(missing))
+                .collect()
+            )
+            if far:
+                cid_of = {
+                    r.vec_id: missing[i] for i, r in enumerate(far)
+                }  # collect() after orderBy().limit() preserves the order
+                mexpr = F.create_map(
+                    *[
+                        x
+                        for vid, cid in cid_of.items()
+                        for x in (F.lit(vid), F.lit(cid))
+                    ]
+                )
+                reseed = v.filter(
+                    F.col("vec_id").isin(list(cid_of))
+                ).select(
+                    mexpr[F.col("vec_id")].cast("int").alias("cid"),
+                    F.col("embedding").alias("cvec"),
+                )
+                cents = cents.unionByName(reseed)
+                reseeded = True
+        cents = cents.localCheckpoint(eager=True)
+        history.append(
+            {
+                "round": rnd,
+                "inertia_fp": int(inertia),
+                "n_clusters": len(stats),
+                "reseeded": reseeded,
+            }
+        )
+        if not reseeded and prev_inertia is not None and inertia == prev_inertia:
+            break
+        prev_inertia = None if reseeded else int(inertia)
+    return assignments, new_c, history
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -146,3 +146,115 @@ class TestSemanticDedup:
             for r in semantic_dedup(vecs.repartition(5), cents, 0.9).collect()
         )
         assert a == b
+
+
+class TestKmeansTrain:
+    """Full Lloyd loop: integer-inertia fixpoint + deterministic re-seed
+    (VERDICT r3 #4)."""
+
+    def _replica(self, rows, k, max_iters=20):
+        """Single-threaded python replica of the exact fixed-point loop."""
+        import numpy as np
+
+        S_DIST, S_CENTv = 10**12, 10**6
+        # the Spark fixture stores array<float>; cast-to-double of float32
+        # is what the engine actually computes on
+        vecs = {i: [float(np.float32(x)) for x in v] for i, v in rows}
+        seeds = sorted(vecs)[:k]
+        cents = {ci: vecs[vid][:] for ci, vid in enumerate(seeds)}
+        prev = None
+        hist = []
+        for rnd in range(max_iters):
+            assign, reseeded = {}, False
+            for vid, v in vecs.items():
+                best = min(
+                    (sum(int(round((a - b) * (a - b) * S_DIST)) for a, b in zip(v, c)), ci)
+                    for ci, c in cents.items()
+                )
+                assign[vid] = best
+            stats = {}
+            for vid, (d, ci) in assign.items():
+                s = stats.setdefault(ci, {"n": 0, "inertia": 0, "sum": [0] * len(vecs[vid])})
+                s["n"] += 1
+                s["inertia"] += d
+                for p, x in enumerate(vecs[vid]):
+                    s["sum"][p] += int(round(x * S_CENTv))
+            inertia = sum(s["inertia"] for s in stats.values())
+            cents = {
+                ci: [sv / (s["n"] * S_CENTv) for sv in s["sum"]]
+                for ci, s in stats.items()
+            }
+            missing = sorted(set(range(k)) - set(stats))
+            if missing and stats:
+                largest = max(stats, key=lambda ci: (stats[ci]["n"], -ci))
+                far = sorted(
+                    ((d, vid) for vid, (d, ci) in assign.items() if ci == largest),
+                    key=lambda t: (-t[0], t[1]),
+                )[: len(missing)]
+                for m, (_, vid) in zip(missing, far):
+                    cents[m] = vecs[vid][:]
+                    reseeded = True
+            hist.append({"round": rnd, "inertia_fp": inertia,
+                         "n_clusters": len(stats), "reseeded": reseeded})
+            if not reseeded and prev is not None and inertia == prev:
+                break
+            prev = None if reseeded else inertia
+        final = {
+            ci: (s["n"], s["inertia"], tuple(s["sum"]))
+            for ci, s in stats.items()
+        }
+        return final, hist
+
+    ROWS = [(i, [float((i * 7) % 5), float((i * 3) % 4), float(i % 3)])
+            for i in range(80)]
+
+    def test_matches_python_replica(self, spark):
+        from mopper_spark.textops.ivf import kmeans_train
+
+        df = _vecs(spark, self.ROWS)
+        _, cents, hist = kmeans_train(df, k=4, max_iters=15)
+        got = {
+            r.cid: (r.n_members, r.inertia_fp, tuple(r.centroid_fp))
+            for r in cents.collect()
+        }
+        want, want_hist = self._replica(self.ROWS, 4, 15)
+        assert got == want
+        assert hist == want_hist
+        assert hist[-1]["inertia_fp"] == hist[-2]["inertia_fp"]  # converged
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.ivf import kmeans_train
+
+        a1, c1, h1 = kmeans_train(_vecs(spark, self.ROWS).repartition(1), k=4)
+        a2, c2, h2 = kmeans_train(_vecs(spark, self.ROWS).repartition(13), k=4)
+        assert h1 == h2
+        assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+        assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+    def test_empty_cluster_reseeded_deterministically(self, spark):
+        from mopper_spark.textops.ivf import kmeans_train
+
+        # k=3 but seeds 0,1,2 are the three smallest ids; vectors 0 and 1
+        # coincide, so one seed's cluster empties after round 1
+        rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [10.0, 10.0]),
+                (3, [10.1, 10.0]), (4, [20.0, 0.0]), (5, [20.1, 0.1])]
+        df = _vecs(spark, rows)
+        _, cents, hist = kmeans_train(df, k=3, max_iters=10)
+        want, want_hist = self._replica(rows, 3, 10)
+        got = {
+            r.cid: (r.n_members, r.inertia_fp, tuple(r.centroid_fp))
+            for r in cents.collect()
+        }
+        assert got == want
+        assert hist == want_hist
+        assert any(h["reseeded"] for h in hist)  # the scenario actually fired
+        assert hist[-1]["n_clusters"] == 3       # and training recovered all k
+
+    def test_bad_args_refused(self, spark):
+        from mopper_spark.textops.ivf import kmeans_train
+
+        df = _vecs(spark, self.ROWS[:5])
+        with pytest.raises(ValueError, match="k must"):
+            kmeans_train(df, k=0)
+        with pytest.raises(ValueError, match="max_iters"):
+            kmeans_train(df, k=2, max_iters=0)
