@@ -989,6 +989,52 @@ WHERE c.n_docs >= 2
 """
 
 
+def _q_docs_duplicated_ranges(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT ExactSubstr range mining (VERDICT r3 #6): maximal per-doc
+    token ranges covered by duplicated 8-token windows (≥2 distinct
+    docs), overlap-merged, gap-split — exact boundaries, closing
+    ``repeated_spans``'s window-grain blur
+    (mopper_spark/textops/dedup.py::duplicated_ranges).  The oracle
+    replays the same gram counts + gaps-and-islands in SQL."""
+    from mopper_spark.textops.dedup import duplicated_ranges
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return duplicated_ranges(docs, min_len=8, min_docs=2)
+
+
+_SQL_DOCS_DUPLICATED_RANGES = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), wins AS (
+  SELECT doc_id,
+         unnest(range(1, len(tk) - 6)) AS pos,
+         unnest(list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))) AS g
+  FROM toks WHERE len(tk) >= 8
+), dup AS (
+  SELECT g FROM wins GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+), dw AS (
+  SELECT doc_id, pos FROM wins JOIN dup USING (g)
+), marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 7
+              THEN 1 ELSE 0 END AS ni
+  FROM dw WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM marked
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS start_tok,
+       CAST(MAX(pos) + 7 AS BIGINT) AS end_tok,
+       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
 def _q_ivf_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
     """IVF coarse-quantizer training: one distributed Lloyd step over the
     embeddings table (K=8 deterministic seeds), ENTIRELY in fixed-point
@@ -3115,6 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_step": _q_ivf_kmeans_step,
         "ivf_kmeans_train": _q_ivf_kmeans_train,
         "repeated_spans": _q_repeated_spans,
+        "docs_duplicated_ranges": _q_docs_duplicated_ranges,
         "docs_length_profile": _q_docs_length_profile,
         "events_sessionize": _q_events_sessionize,
         "cc_components": _q_cc_components,
@@ -3188,6 +3235,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_turn_dedup": _SQL_TURN_DEDUP,
         "ivf_kmeans_step": _SQL_IVF_KMEANS,
         "repeated_spans": _SQL_REPEATED_SPANS,
+        "docs_duplicated_ranges": _SQL_DOCS_DUPLICATED_RANGES,
         "docs_length_profile": _SQL_DOCS_LENGTH_PROFILE,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "cc_components": _SQL_CC_COMPONENTS,

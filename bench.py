@@ -97,12 +97,22 @@ def time_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """
     out: dict[str, float] = {}
     qs = entry_mod.queries()
-    for name in HEADLINE:
+    only = os.environ.get("BENCH_ONLY")
+    names = only.split(",") if only else HEADLINE
+    for name in names:
         best = float("inf")
-        for _ in range(2):
+        draws = 0
+        # min-of-N, N widened where the noise floor bites: sub-second
+        # queries on this VM swing up to 3.3x between identical-code runs
+        # (BENCH.md round-4 drift study) from time-varying hypervisor
+        # steal, while multi-second queries average over it — so keep
+        # drawing (cheaply, they're sub-second) until the best observation
+        # is >= 2 s or six draws are in.
+        while draws < 2 or (best < 2.0 and draws < 6):
             t0 = time.time()
             _force(qs[name](spark, sf_dir))
             best = min(best, time.time() - t0)
+            draws += 1
         out[name] = round(best, 3)
     return out
 
@@ -231,11 +241,13 @@ def main() -> None:
 
     # best-of-2 with fresh checkpoint roots (full cold run each time) —
     # same one-sided-noise rationale as time_queries
-    runs = []
-    for _ in range(2):
-        with tempfile.TemporaryDirectory() as tmp:
-            runs.append(full_pipeline_stats(spark, n_turns // 10, tmp))
-    pipeline = max(runs, key=lambda r: r["turns_per_sec"])
+    pipeline: dict = {}
+    if os.environ.get("BENCH_SKIP_PIPELINE") != "1":
+        runs = []
+        for _ in range(2):
+            with tempfile.TemporaryDirectory() as tmp:
+                runs.append(full_pipeline_stats(spark, n_turns // 10, tmp))
+        pipeline = max(runs, key=lambda r: r["turns_per_sec"])
 
     throughput: dict[str, float] = {}
     if not skip_scaling:

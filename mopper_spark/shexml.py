@@ -86,6 +86,10 @@ class Iterator_:
     fields: dict[str, str] = field(default_factory=dict)  # field name -> path
     formulation: str = "CSVRows"  # CSVRows | JSONPath | XPath
     query: str | None = None  # iterator expression for JSONPath/XPath
+    #: nested ITERATOR blocks (spec §Iterators): name → child iterator whose
+    #: query is RELATIVE to this iterator's element (JSON ``arr[*]``, XML
+    #: ``child/sub``); formulation is inherited.  Flat CSV rows cannot nest.
+    children: dict[str, "Iterator_"] = field(default_factory=dict)
 
     def column(self, fld: str) -> str:
         """Engine-visible column name for a FIELD.  JSON/XML sources run
@@ -119,9 +123,15 @@ class JoinSpec:
 
 @dataclass
 class Expression:
+    """A ShExML EXPRESSION: the top-level UNION of one or more branches,
+    each either a plain iterator ``("plain", (source, iterator))`` or an
+    iterator-level JOIN ``("join", JoinSpec)`` — UNION combined with JOIN
+    (``<a.b JOIN c.d ON k=k UNION e.f>``) unions the joined rows with the
+    plain branch's rows, every branch instantiating every shape that uses
+    the expression (union-into-one-sink semantics)."""
+
     name: str
-    branches: list[tuple[str, str]]  # (source name, iterator name)
-    join: JoinSpec | None = None
+    branches: list[tuple]  # ("plain", (src, it)) | ("join", JoinSpec)
 
 
 @dataclass
@@ -157,16 +167,16 @@ _FIELD_RE = re.compile(r"^FIELD\s+(\w+)\s+<([^>]*)>\s*$")
 _EXPR_RE = re.compile(r"^EXPRESSION\s+(\w+)\s+<(.+)>\s*$")
 _MATCHER_RE = re.compile(r"^MATCHER\s+(\w+)\s+<(.+)>\s*$")
 _SHAPE_RE = re.compile(
-    r"^:(\w+)\s+(\w*):\[(\w+)\.(\w+)(?:\s+MATCHING\s+(\w+))?\]\s*\{\s*$"
+    r"^:(\w+)\s+(\w*):\[(\w+)\.((?:\w+\.)*\w+)(?:\s+MATCHING\s+(\w+))?\]\s*\{\s*$"
 )
 _POM_RE = re.compile(
     r"^(\w*):(\w+)\s+(.+?)\s*;?\s*$"
 )
 _OBJ_FIELD_RE = re.compile(
-    r"^\[(\w+)\.(\w+)(?:\s+MATCHING\s+(\w+))?\](?:\s*@(\w+(?:-\w+)*))?$"
+    r"^\[(\w+)\.((?:\w+\.)*\w+)(?:\s+MATCHING\s+(\w+))?\](?:\s*@(\w+(?:-\w+)*))?$"
 )
 _OBJ_PREF_FIELD_RE = re.compile(
-    r"^(\w*):\[(\w+)\.(\w+)(?:\s+MATCHING\s+(\w+))?\]$"
+    r"^(\w*):\[(\w+)\.((?:\w+\.)*\w+)(?:\s+MATCHING\s+(\w+))?\]$"
 )
 _OBJ_LINK_RE = re.compile(r"^@:(\w+)$")
 _JOIN_RE = re.compile(
@@ -175,7 +185,7 @@ _JOIN_RE = re.compile(
 _OBJ_LIT_RE = re.compile(r'^"([^"]*)"(?:\s*(?:@\w+|\^\^\S+))?$')
 _OBJ_CONST_RE = re.compile(r"^(\w*):(\w[\w\-.]*)$")
 #: one term of a string operation: a [expr.field] slot or a "literal"
-_CONCAT_TERM_RE = re.compile(r'\[?(\w+)\.(\w+)\]?|"([^"]*)"')
+_CONCAT_TERM_RE = re.compile(r'\[?(\w+)\.((?:\w+\.)*\w+)\]?|"([^"]*)"')
 
 
 @dataclass
@@ -275,6 +285,119 @@ def _parse_join(jm: re.Match, iterators: dict[str, Iterator_]) -> JoinSpec:
     return JoinSpec(left=left, right=right, left_key=lk, right_key=rk)
 
 
+def _validate_field_path(formulation: str, raw: str) -> str:
+    """Validate/normalize one FIELD path for a formulation (shared by top
+    and nested iterators); returns the engine path."""
+    col = raw
+    if formulation == "JSONPath":
+        # dotted (possibly nested) keys of the iterated object;
+        # filters/wildcards/recursive descent are refusals
+        col = col.removeprefix("$.").removeprefix("$")
+        # empty segments also catch recursive descent ($..y)
+        if re.search(r"[\[\]/]", col) or not all(col.split(".")):
+            raise ShexmlTranslateError(
+                f"FIELD path {raw!r} not supported (dotted keys of the "
+                "iterated object only, e.g. a.b.c — no filters or wildcards)"
+            )
+    elif formulation == "XPath":
+        # @attr, child, child/sub, child/@attr paths relative to the
+        # iterated element; predicates and descendant axes are refusals
+        col = col.removeprefix("./")
+        # empty path segments also catch descendant axes (.//x)
+        if (
+            re.search(r"[\[\]]", col)
+            or not col.strip("/@")
+            or not all(col.split("/"))
+        ):
+            raise ShexmlTranslateError(
+                f"FIELD path {raw!r} not supported (@attr and "
+                "child[/sub][/@attr] element paths only — no predicates or "
+                "descendant axes)"
+            )
+    return col
+
+
+def _parse_iterator(
+    lines: list[str], i: int, m: re.Match, parent: Iterator_ | None
+) -> tuple[Iterator_, int]:
+    """Parse one ITERATOR block starting after its header line; recurses
+    into nested ITERATOR blocks (spec §Iterators).  A nested iterator's
+    query is RELATIVE to the parent element (JSON ``arr[*]`` /
+    ``a.b[*]``; XML ``child`` / ``child/sub``) and inherits the parent's
+    formulation; flat CSV rows cannot nest."""
+    it = Iterator_(name=m.group(1), kind=m.group(2).strip())
+    if parent is None:
+        if it.kind == "csvperrow":
+            it.formulation, it.query = "CSVRows", None
+        elif it.kind.startswith("jsonpath:"):
+            it.formulation = "JSONPath"
+            it.query = it.kind.split(":", 1)[1].strip()
+        elif it.kind.startswith("xpath:"):
+            it.formulation = "XPath"
+            it.query = it.kind.split(":", 1)[1].strip()
+        else:
+            raise ShexmlTranslateError(
+                f"Iterator kind {it.kind!r} not supported (csvperrow, "
+                "jsonpath: …, xpath: … — the formulations the engine's "
+                "source layer executes)"
+            )
+    else:
+        it.formulation = parent.formulation
+        it.query = it.kind.removeprefix("jsonpath:").removeprefix(
+            "xpath:"
+        ).strip()
+        if parent.formulation == "CSVRows":
+            raise ShexmlTranslateError(
+                f"Nested ITERATOR {it.name!r} under a csvperrow iterator "
+                "is not supported (CSV rows are flat)"
+            )
+        if parent.formulation == "JSONPath":
+            q = it.query.removeprefix("$.").removeprefix("$")
+            if not re.fullmatch(r"\w+(\.\w+)*\[\*\]", q):
+                raise ShexmlTranslateError(
+                    f"Nested JSON iterator {it.query!r} not supported "
+                    "(relative array path only, e.g. actors[*] or "
+                    "a.b[*])"
+                )
+            it.query = q
+        else:  # XPath
+            q = it.query.removeprefix("./")
+            if not re.fullmatch(r"\w+(/\w+)*", q):
+                raise ShexmlTranslateError(
+                    f"Nested XML iterator {it.query!r} not supported "
+                    "(relative element path only, e.g. cast/actor)"
+                )
+            it.query = q
+    while i < len(lines):
+        fl = lines[i]
+        i += 1
+        if fl == "}":
+            break
+        if not fl or fl.startswith("#"):
+            continue
+        if nm := _ITER_RE.match(fl):
+            child, i = _parse_iterator(lines, i, nm, parent=it)
+            if child.name in it.fields:
+                raise ShexmlTranslateError(
+                    f"Nested ITERATOR {child.name!r} collides with a FIELD "
+                    f"of iterator {it.name!r}"
+                )
+            it.children[child.name] = child
+            continue
+        fm = _FIELD_RE.match(fl)
+        if not fm:
+            raise ShexmlTranslateError(f"Bad FIELD line: {fl!r}")
+        if fm.group(1) in it.children:
+            raise ShexmlTranslateError(
+                f"FIELD {fm.group(1)!r} collides with a nested ITERATOR "
+                f"of iterator {it.name!r}"
+            )
+        it.fields[fm.group(1)] = _validate_field_path(
+            it.formulation, fm.group(2)
+        )
+    return it, i
+
+
 def parse_shexml(text: str) -> ShexmlDoc:
     prefixes: dict[str, str] = {}
     sources: dict[str, str] = {}
@@ -297,60 +420,7 @@ def parse_shexml(text: str) -> ShexmlDoc:
             sources[m.group(1)] = m.group(2)
             continue
         if m := _ITER_RE.match(ln):
-            it = Iterator_(name=m.group(1), kind=m.group(2).strip())
-            if it.kind == "csvperrow":
-                it.formulation, it.query = "CSVRows", None
-            elif it.kind.startswith("jsonpath:"):
-                it.formulation = "JSONPath"
-                it.query = it.kind.split(":", 1)[1].strip()
-            elif it.kind.startswith("xpath:"):
-                it.formulation = "XPath"
-                it.query = it.kind.split(":", 1)[1].strip()
-            else:
-                raise ShexmlTranslateError(
-                    f"Iterator kind {it.kind!r} not supported (csvperrow, "
-                    "jsonpath: …, xpath: … — the formulations the engine's "
-                    "source layer executes)"
-                )
-            while i < len(lines):
-                fl = lines[i]
-                i += 1
-                if fl == "}":
-                    break
-                if not fl or fl.startswith("#"):
-                    continue
-                fm = _FIELD_RE.match(fl)
-                if not fm:
-                    raise ShexmlTranslateError(f"Bad FIELD line: {fl!r}")
-                col = fm.group(2)
-                if it.formulation == "JSONPath":
-                    # dotted (possibly nested) keys of the iterated object;
-                    # filters/wildcards/recursive descent are refusals
-                    col = col.removeprefix("$.").removeprefix("$")
-                    # empty segments also catch recursive descent ($..y)
-                    if re.search(r"[\[\]/]", col) or not all(col.split(".")):
-                        raise ShexmlTranslateError(
-                            f"FIELD path {fm.group(2)!r} not supported "
-                            "(dotted keys of the iterated object only, "
-                            "e.g. a.b.c — no filters or wildcards)"
-                        )
-                elif it.formulation == "XPath":
-                    # @attr, child, child/sub, child/@attr paths relative
-                    # to the iterated element; predicates and descendant
-                    # axes are refusals
-                    col = col.removeprefix("./")
-                    # empty path segments also catch descendant axes (.//x)
-                    if (
-                        re.search(r"[\[\]]", col)
-                        or not col.strip("/@")
-                        or not all(col.split("/"))
-                    ):
-                        raise ShexmlTranslateError(
-                            f"FIELD path {fm.group(2)!r} not supported "
-                            "(@attr and child[/sub][/@attr] element paths "
-                            "only — no predicates or descendant axes)"
-                        )
-                it.fields[fm.group(1)] = col
+            it, i = _parse_iterator(lines, i, m, parent=None)
             iterators[it.name] = it
             continue
         if m := _MATCHER_RE.match(ln):
@@ -370,30 +440,25 @@ def parse_shexml(text: str) -> ShexmlDoc:
             continue
         if m := _EXPR_RE.match(ln):
             name, body = m.group(1), m.group(2)
-            if jm := _JOIN_RE.match(body):
-                expressions[name] = Expression(
-                    name,
-                    branches=[(jm.group(1), jm.group(2))],
-                    join=_parse_join(jm, iterators),
-                )
-                continue
-            if " JOIN " in f" {body} ":
-                raise ShexmlTranslateError(
-                    f"Expression {body!r} not supported (JOIN form is "
-                    "'src.it JOIN src2.it2 ON key=key'; UNION cannot be "
-                    "combined with JOIN in this subset)"
-                )
-            branches = []
+            branches: list[tuple] = []
             for part in re.split(r"\s+UNION\s+", body):
                 part = part.strip()
+                if jm := _JOIN_RE.match(part):
+                    branches.append(("join", _parse_join(jm, iterators)))
+                    continue
+                if " JOIN " in f" {part} ":
+                    raise ShexmlTranslateError(
+                        f"Expression branch {part!r} not supported (JOIN "
+                        "form is 'src.it JOIN src2.it2 ON key=key')"
+                    )
                 pm = re.match(r"^(\w+)\.(\w+)$", part)
                 if not pm:
                     raise ShexmlTranslateError(
                         f"Expression {part!r} not supported (plain "
                         "source.iterator, UNION, and iterator-level JOIN "
-                        "only)"
+                        "branches only)"
                     )
-                branches.append((pm.group(1), pm.group(2)))
+                branches.append(("plain", (pm.group(1), pm.group(2))))
             expressions[name] = Expression(name, branches)
             continue
         if m := _SHAPE_RE.match(ln):
@@ -429,7 +494,9 @@ def parse_shexml(text: str) -> ShexmlDoc:
     return ShexmlDoc(prefixes, sources, iterators, expressions, shapes, matchers)
 
 
-_CONCAT_FIELD_RE = re.compile(r"^\[?(\w+)\.(\w+)(?:\s+MATCHING\s+(\w+))?\]?$")
+_CONCAT_FIELD_RE = re.compile(
+    r"^\[?(\w+)\.((?:\w+\.)*\w+)(?:\s+MATCHING\s+(\w+))?\]?$"
+)
 _CONCAT_LIT_RE = re.compile(r'^"([^"]*)"$')
 
 
@@ -544,31 +611,90 @@ def _literal_fn(
     }
 
 
-class _UnionCtx:
-    """Row context for a plain/union branch: one iterator, one source chain."""
+def _resolve_field_path(
+    it: Iterator_, fld: str, where: str
+) -> tuple[tuple[str, ...], str]:
+    """Resolve a possibly-dotted shape field reference against an iterator
+    tree: ``name`` → ((), name); ``actors.name`` → (("actors",), "name").
+    Returns ``(level_path, leaf_field)``."""
+    parts = fld.split(".")
+    cur, level = it, []
+    for seg in parts[:-1]:
+        child = cur.children.get(seg)
+        if child is None:
+            raise ShexmlTranslateError(
+                f"Unknown FIELD {fld!r} in {where} (iterator {cur.name!r} "
+                f"has no nested iterator {seg!r})"
+            )
+        cur = child
+        level.append(seg)
+    leaf = parts[-1]
+    if leaf not in cur.fields:
+        raise ShexmlTranslateError(
+            f"Unknown FIELD {fld!r} in {where} (iterator {cur.name})"
+        )
+    return tuple(level), leaf
 
-    def __init__(self, doc: ShexmlDoc, src_name: str, it_name: str):
+
+def _field_column(it: Iterator_, level: tuple[str, ...], leaf: str) -> str:
+    """Engine column name of a field at a nesting level.  Top-level keeps
+    the iterator's naming (CSV: raw header); nested fields are
+    level-qualified (``actors__name``) so a child FIELD cannot shadow a
+    parent FIELD of the same name."""
+    if not level:
+        return it.column(leaf)
+    return "__".join(level + (leaf,))
+
+
+def _level_field_refs(obj: ShapeObject) -> list[str]:
+    """Field references an object contributes for LEVEL computation (link
+    targets are handled by the caller, which knows the shape table)."""
+    if obj.kind in ("iri", "literal"):
+        return [obj.fld]
+    if obj.kind == "concat":
+        return [part[2] for part in obj.parts if part[0] == "field"]
+    return []
+
+
+class _UnionCtx:
+    """Row context for a plain/union branch: one iterator (possibly at a
+    NESTED level), one source chain.  ``level`` names the nested-iterator
+    path the chain iterates at; fields of every ancestor level (parent
+    columns ride through the explode) and of the level itself resolve."""
+
+    def __init__(
+        self,
+        doc: ShexmlDoc,
+        src_name: str,
+        it_name: str,
+        level: tuple[str, ...] = (),
+    ):
         if src_name not in doc.sources:
             raise ShexmlTranslateError(f"Unknown SOURCE {src_name!r}")
         it = doc.iterators.get(it_name)
         if it is None:
             raise ShexmlTranslateError(f"Unknown ITERATOR {it_name!r}")
         self.doc, self.src_name, self.it = doc, src_name, it
+        self.level = level
         self.attrs: list[str] = []
 
     def col_of(self, fld: str, where: str) -> str:
-        if fld not in self.it.fields:
+        lvl, leaf = _resolve_field_path(self.it, fld, where)
+        if lvl != self.level[: len(lvl)]:
             raise ShexmlTranslateError(
-                f"Unknown FIELD {fld!r} in {where} (iterator {self.it.name})"
+                f"FIELD {fld!r} in {where} lives on nested iterator "
+                f"{'.'.join(lvl)!r}, not on this chain's level "
+                f"{'.'.join(self.level) or '(root)'!r} — a single "
+                "predicate-object cannot mix sibling nested iterators"
             )
-        col = self.it.column(fld)
+        col = _field_column(self.it, lvl, leaf)
         self.attrs.append(col)
         return col
 
     def build_chain(self, pb: _PlanBuilder, upstream_of_extend):
         src = pb.add(
             "SourceOp",
-            _source_config(self.doc, self.src_name, self.it),
+            _source_config(self.doc, self.src_name, self.it, self.level),
             "Source",
         )
         proj = pb.add(

@@ -569,3 +569,88 @@ def repeated_spans(
             F.col("f.p").cast("long").alias("first_pos"),
         )
     )
+
+
+def duplicated_ranges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """EXACT ExactSubstr range mining (VERDICT r3 #6): per document, the
+    MAXIMAL token ranges covered by duplicated ``min_len``-windows — the
+    removal semantics of Lee et al. 2022 (they emit byte ranges to cut,
+    merged from overlapping duplicated matches), with exact boundaries.
+
+    Definitions: a window (length ``min_len``, stride 1) is *duplicated*
+    when its exact content occurs in ≥ ``min_docs`` distinct documents; a
+    document's duplicated windows are merged transitively while they
+    OVERLAP (next start ≤ current end; a 1-token gap splits — adjacent
+    but disjoint duplicated regions stay separate).  Every duplicated
+    substring of length ≥ ``min_len`` contains a duplicated window, so
+    the ranges cover all such copies exactly (total recall at the
+    ≥min_len grain, exact start/end — this closes the ±window blur of
+    ``repeated_spans``, which reports the window grain only); strings
+    shorter than ``min_len`` are invisible, the standard ExactSubstr
+    threshold contract.
+
+    Returns ``(doc_id, start_tok, end_tok, span_len, n_windows)`` with
+    1-based inclusive token positions.
+
+    Scale shape: posexplode windows → one combine-able gram count (the
+    same shape as ``repeated_spans`` — no pair join, hot grams combine
+    map-side) → semi-join the duplicated grams back onto the window
+    stream (gram-keyed shuffle) → per-document gaps-and-islands merge.
+    The merge window partitions by doc_id and is spillable; per-partition
+    volume is bounded by document length, the same bound every per-doc
+    window in this package rides on.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"), _lower_tokens(text_col).alias("toks")
+    ).filter(F.size("toks") >= min_len)
+    wins = base.select(
+        "id", F.posexplode(word_ngram_array("toks", min_len)).alias("pos0", "g")
+    )
+    dup_g = (
+        wins.groupBy("g")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    dup_wins = wins.join(dup_g, "g").select("id", "pos0")
+    w_doc = Window.partitionBy("id").orderBy("pos0")
+    islands = (
+        dup_wins.withColumn("prev", F.lag("pos0").over(w_doc))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("pos0") - F.col("prev") > min_len - 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos0").alias("s0"),
+            F.max("pos0").alias("e0"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("s0") + 1).cast("long").alias("start_tok"),
+            (F.col("e0") + min_len).cast("long").alias("end_tok"),
+            (F.col("e0") - F.col("s0") + min_len).cast("long").alias("span_len"),
+            "n_windows",
+        )
+    )
