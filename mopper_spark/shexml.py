@@ -17,9 +17,21 @@ the common CSV-backed subset of the language
   the source config, so JSON/XML sources build exactly the declared
   columns in one pass (no key-discovery job — sources.py fast path);
   filters, wildcards, predicates and descendant axes stay named refusals
+- Nested ``ITERATOR`` blocks (spec §Iterators) for JSON/XML: a child
+  iterator's query is relative to the parent element (JSON ``actors[*]``,
+  XML ``cast/actor``); shapes reference nested fields with dotted paths
+  (``[films.actors.name]``).  Poms are grouped by the nesting LEVEL they
+  reference — parent-level poms emit once per parent element, child-level
+  poms (including shape links to child-subject shapes) once per child —
+  and each level compiles to its own single-scan source chain whose
+  explodes carry ancestor fields along.  A pom mixing sibling nested
+  iterators is refused (no single row set to iterate).
 - ``EXPRESSION name <source.iterator>`` and N-way
   ``<a.b UNION c.d [UNION …]>`` (each branch instantiates every shape
-  that uses the expression — union-into-one-sink semantics)
+  that uses the expression — union-into-one-sink semantics); UNION may
+  combine with JOIN (``<a.b JOIN c.d ON k=k UNION e.f>``): each
+  UNION-level branch is independently a plain iterator or a JOIN, and
+  every branch instantiates every shape
 - Iterator-level JOIN expressions
   ``EXPRESSION name <a.b JOIN c.d ON key1=key2>``: the expression's rows
   are the inner equi-join of iterator ``a.b`` (left) with ``c.d`` (right)
@@ -57,10 +69,12 @@ the common CSV-backed subset of the language
   unimplemented literal annotations (``src/function/literal.rs:36-37``
   TODO).
 
-Unsupported constructs (nested iterators, UNION combined with JOIN,
-shape links whose expressions read different rows) raise
-``ShexmlTranslateError`` with the construct named — same contract as the
-engine's explicit ``todo!()``-style refusals.
+Unsupported constructs (shape links whose expressions read different
+rows and whose subject field doesn't resolve, nested iterators under
+csvperrow, XML/JSON path filters/wildcards/predicates/descendant axes,
+nested fields inside JOIN expressions) raise ``ShexmlTranslateError``
+with the construct named — same contract as the engine's explicit
+``todo!()``-style refusals.
 
 The output plan shape is identical to ``rml.py``'s (Source → Project →
 Extend → Serialize → Sink chains), so everything downstream — rewriter,
@@ -788,14 +802,19 @@ class _JoinCtx:
         pb.connect(join, upstream_of_extend)
 
 
-def _source_config(doc: ShexmlDoc, src_name: str, it: Iterator_) -> dict:
+def _source_config(
+    doc: ShexmlDoc,
+    src_name: str,
+    it: Iterator_,
+    level: tuple[str, ...] = (),
+) -> dict:
     # JSON/XML iterators ship their FIELD declarations into the source
     # config: sources.py builds the columns straight from the declared
     # (possibly nested) paths — no key-discovery pass, fixed schema
     fields: list = []
     if it.formulation in ("JSONPath", "XPath"):
         fields = [{"name": n, "path": p} for n, p in it.fields.items()]
-    return {
+    config = {
         "path": doc.sources[src_name],
         "source_type": "File",
         "root_iterator": {
@@ -805,16 +824,175 @@ def _source_config(doc: ShexmlDoc, src_name: str, it: Iterator_) -> dict:
             "alias": None,
         },
     }
+    if level:
+        # nested-iterator chain: one explode per step, each level's FIELDs
+        # level-qualified (actors__name) and every ancestor level's fields
+        # riding along — sources.py executes the chain in one scan pass
+        nested = []
+        cur, prefix = it, []
+        for step in level:
+            cur = cur.children[step]
+            prefix.append(step)
+            nested.append(
+                {
+                    "reference": cur.query,
+                    "fields": [
+                        {"name": "__".join(prefix + [n]), "path": p}
+                        for n, p in cur.fields.items()
+                    ],
+                }
+            )
+        config["root_iterator"]["nested"] = nested
+    return config
 
 
 def _same_rows(a: Expression, b: Expression) -> bool:
     """Do two expressions read the same underlying rows (so a shape link
     between them is a same-row reference, not a cross-row join)?"""
-    if (a.join is None) != (b.join is None):
-        return False
-    if a.join is not None:
-        return a.join == b.join
-    return sorted(a.branches) == sorted(b.branches)
+
+    def norm(e: Expression) -> list:
+        out = []
+        for kind, spec in e.branches:
+            if kind == "join":
+                out.append(
+                    ("join", spec.left, spec.right, spec.left_key, spec.right_key)
+                )
+            else:
+                out.append(("plain",) + tuple(spec))
+        return sorted(out)
+
+    return norm(a) == norm(b)
+
+
+def _deeper_level(
+    a: tuple[str, ...], b: tuple[str, ...], shape_name: str, predicate: str
+) -> tuple[str, ...]:
+    """Combine two nesting levels used by one predicate-object: the deeper
+    one wins, but they must lie on one root-to-leaf path — a pom mixing
+    SIBLING nested iterators has no single row set to iterate."""
+    if a == b[: len(a)]:
+        return b
+    if b == a[: len(b)]:
+        return a
+    raise ShexmlTranslateError(
+        f"Predicate {predicate!r} of shape :{shape_name} mixes sibling "
+        f"nested iterators {'.'.join(a)!r} and {'.'.join(b)!r}"
+    )
+
+
+def _emit_chain(pb, doc, shapes_by_name, shape, expr, ctx, poms) -> None:
+    """Compile one (shape × branch × nesting-level) chain: Extend +
+    Serializer + Sink fed by the context's source chain."""
+    col_of = ctx.col_of
+
+    extend: dict[str, dict] = {}
+    subj_var = f"?sx_{shape.name}_sm"
+    subj_col = col_of(shape.subject_field, f":{shape.name}")
+    extend[subj_var] = _iri_fn(
+        doc, shape.subject_prefix, subj_col, shape.subject_matcher
+    )
+    lines: list[str] = []
+
+    for pi, (predicate, obj) in enumerate(poms):
+        p_var = f"?sx_{shape.name}_p{pi}"
+        extend[p_var] = _compile_term_map(
+            TermMap(constant=predicate, constant_is_iri=True, term_type="IRI"),
+            "",
+        )
+        o_var = f"?sx_{shape.name}_o{pi}"
+        if obj.kind == "link":
+            target = shapes_by_name.get(obj.link)
+            if target is None:
+                raise ShexmlTranslateError(
+                    f"Shape link @:{obj.link} has no target shape"
+                )
+            target_expr = doc.expressions.get(target.subject_expr)
+            if target_expr is None:
+                raise ShexmlTranslateError(
+                    f"Shape link @:{obj.link}: target shape references "
+                    f"unknown expression {target.subject_expr!r}"
+                )
+            # Same-row link (same branches / same JOIN): the RML
+            # same-source RefObjectMap analogue.  Cross-row link:
+            # template-reuse semantics — the target's subject
+            # template is applied to the CURRENT row, so the
+            # target's subject FIELD name must resolve here (the
+            # RML re-templating idiom; emits dangling IRIs when
+            # referential integrity doesn't hold, exactly like an
+            # RML template object map).  For join-filtered links,
+            # put both shapes on one JOIN expression.
+            try:
+                link_col = col_of(target.subject_field, f"@:{obj.link}")
+            except ShexmlTranslateError:
+                if _same_rows(target_expr, expr):
+                    raise
+                raise ShexmlTranslateError(
+                    f"Shape link @:{obj.link} crosses expressions over "
+                    f"different rows ({shape.subject_expr!r} → "
+                    f"{target.subject_expr!r}) and the target subject "
+                    f"FIELD {target.subject_field!r} does not resolve "
+                    "on the current rows; cross-row links are "
+                    "template-reuse (target subject template over the "
+                    "current row) — declare the field on this "
+                    "iterator, or join the rows with a JOIN expression"
+                ) from None
+            o_fn = _iri_fn(
+                doc, target.subject_prefix, link_col, target.subject_matcher
+            )
+        elif obj.kind == "iri":
+            o_fn = _iri_fn(
+                doc, obj.prefix_iri, col_of(obj.fld, predicate), obj.matcher
+            )
+        elif obj.kind == "literal":
+            o_fn = _literal_fn(
+                doc, col_of(obj.fld, predicate), obj.matcher, obj.lang
+            )
+        elif obj.kind == "concat":
+            inners = []
+            for part in obj.parts:
+                if part[0] == "lit":
+                    inners.append({"type": "Constant", "value": part[1]})
+                else:
+                    _, _pexpr, pfld, pmatcher = part
+                    pcol = col_of(pfld, predicate)
+                    inners.append(_ref_fn(doc, pcol, pmatcher))
+            o_fn = {
+                "type": "Literal",
+                "inner_function": {
+                    "type": "Concatenate",
+                    "inner_functions": inners,
+                    "separator": "",
+                },
+                "dtype_function": None,
+                "langtype_function": None,
+            }
+        elif obj.kind == "constant_iri":
+            o_fn = _compile_term_map(
+                TermMap(constant=obj.constant, constant_is_iri=True,
+                        term_type="IRI"),
+                "",
+            )
+        else:  # constant_lit
+            o_fn = _compile_term_map(
+                TermMap(constant=obj.constant, term_type="Literal"), ""
+            )
+        extend[o_var] = o_fn
+        lines.append(f"{subj_var} {p_var} {o_var} .")
+
+    if not lines:
+        return
+    ext = pb.add("ExtendOp", extend, "Extend")
+    ser = pb.add(
+        "SerializerOp",
+        {"template": "\n".join(lines), "format": "NQuads"},
+        "Serialize",
+    )
+    sink = pb.add(
+        "TargetOp", {"target_type": "StdOut", "data_format": "NQuads"}, "Sink"
+    )
+    ctx.build_chain(pb, ext)
+    pb.connect(ext, ser)
+    pb.connect(ser, sink)
 
 
 def shexml_to_plan(text: str) -> dict:
@@ -832,125 +1010,43 @@ def shexml_to_plan(text: str) -> dict:
                 f"{shape.subject_expr!r}"
             )
         # one chain per union branch (union-into-sink semantics); a JOIN
-        # expression is a single branch whose rows are the joined rows
-        if expr.join is not None:
-            contexts = [_JoinCtx(doc, expr.join, f"sxjoin_{join_n}")]
-            join_n += 1
-        else:
-            contexts = [
-                _UnionCtx(doc, src_name, it_name)
-                for src_name, it_name in expr.branches
-            ]
-        for ctx in contexts:
-            col_of = ctx.col_of
-
-            extend: dict[str, dict] = {}
-            subj_var = f"?sx_{shape.name}_sm"
-            subj_col = col_of(shape.subject_field, f":{shape.name}")
-            extend[subj_var] = _iri_fn(
-                doc, shape.subject_prefix, subj_col, shape.subject_matcher
+        # branch's rows are the joined rows.  Within a plain branch whose
+        # iterator nests, poms are grouped by the nesting LEVEL they
+        # reference and each level gets its own chain: parent-level poms
+        # emit once per parent element, child-level poms once per child
+        # element — the spec's per-iteration semantics, with no duplicate
+        # triples.
+        for kind, spec in expr.branches:
+            if kind == "join":
+                ctx = _JoinCtx(doc, spec, f"sxjoin_{join_n}")
+                join_n += 1
+                _emit_chain(pb, doc, shapes_by_name, shape, expr, ctx, shape.poms)
+                continue
+            src_name, it_name = spec
+            it = doc.iterators.get(it_name)
+            if it is None:
+                raise ShexmlTranslateError(f"Unknown ITERATOR {it_name!r}")
+            subj_lvl, _ = _resolve_field_path(
+                it, shape.subject_field, f":{shape.name}"
             )
-            lines: list[str] = []
-
-            for pi, (predicate, obj) in enumerate(shape.poms):
-                p_var = f"?sx_{shape.name}_p{pi}"
-                extend[p_var] = _compile_term_map(
-                    TermMap(constant=predicate, constant_is_iri=True, term_type="IRI"),
-                    "",
-                )
-                o_var = f"?sx_{shape.name}_o{pi}"
+            groups: dict[tuple[str, ...], list] = {}
+            for predicate, obj in shape.poms:
+                refs = _level_field_refs(obj)
                 if obj.kind == "link":
                     target = shapes_by_name.get(obj.link)
-                    if target is None:
-                        raise ShexmlTranslateError(
-                            f"Shape link @:{obj.link} has no target shape"
-                        )
-                    target_expr = doc.expressions.get(target.subject_expr)
-                    if target_expr is None:
-                        raise ShexmlTranslateError(
-                            f"Shape link @:{obj.link}: target shape references "
-                            f"unknown expression {target.subject_expr!r}"
-                        )
-                    # Same-row link (same branches / same JOIN): the RML
-                    # same-source RefObjectMap analogue.  Cross-row link:
-                    # template-reuse semantics — the target's subject
-                    # template is applied to the CURRENT row, so the
-                    # target's subject FIELD name must resolve here (the
-                    # RML re-templating idiom; emits dangling IRIs when
-                    # referential integrity doesn't hold, exactly like an
-                    # RML template object map).  For join-filtered links,
-                    # put both shapes on one JOIN expression.
+                    if target is not None:
+                        refs = [target.subject_field]
+                lvl = subj_lvl
+                for r in refs:
                     try:
-                        link_col = col_of(target.subject_field, f"@:{obj.link}")
+                        rl, _ = _resolve_field_path(it, r, predicate)
                     except ShexmlTranslateError:
-                        if _same_rows(target_expr, expr):
-                            raise
-                        raise ShexmlTranslateError(
-                            f"Shape link @:{obj.link} crosses expressions over "
-                            f"different rows ({shape.subject_expr!r} → "
-                            f"{target.subject_expr!r}) and the target subject "
-                            f"FIELD {target.subject_field!r} does not resolve "
-                            "on the current rows; cross-row links are "
-                            "template-reuse (target subject template over the "
-                            "current row) — declare the field on this "
-                            "iterator, or join the rows with a JOIN expression"
-                        ) from None
-                    o_fn = _iri_fn(
-                        doc, target.subject_prefix, link_col, target.subject_matcher
-                    )
-                elif obj.kind == "iri":
-                    o_fn = _iri_fn(
-                        doc, obj.prefix_iri, col_of(obj.fld, predicate), obj.matcher
-                    )
-                elif obj.kind == "literal":
-                    o_fn = _literal_fn(
-                        doc, col_of(obj.fld, predicate), obj.matcher, obj.lang
-                    )
-                elif obj.kind == "concat":
-                    inners = []
-                    for part in obj.parts:
-                        if part[0] == "lit":
-                            inners.append({"type": "Constant", "value": part[1]})
-                        else:
-                            _, _pexpr, pfld, pmatcher = part
-                            pcol = col_of(pfld, predicate)
-                            inners.append(_ref_fn(doc, pcol, pmatcher))
-                    o_fn = {
-                        "type": "Literal",
-                        "inner_function": {
-                            "type": "Concatenate",
-                            "inner_functions": inners,
-                            "separator": "",
-                        },
-                        "dtype_function": None,
-                        "langtype_function": None,
-                    }
-                elif obj.kind == "constant_iri":
-                    o_fn = _compile_term_map(
-                        TermMap(constant=obj.constant, constant_is_iri=True,
-                                term_type="IRI"),
-                        "",
-                    )
-                else:  # constant_lit
-                    o_fn = _compile_term_map(
-                        TermMap(constant=obj.constant, term_type="Literal"), ""
-                    )
-                extend[o_var] = o_fn
-                lines.append(f"{subj_var} {p_var} {o_var} .")
-
-            if not lines:
-                continue
-            ext = pb.add("ExtendOp", extend, "Extend")
-            ser = pb.add(
-                "SerializerOp",
-                {"template": "\n".join(lines), "format": "NQuads"},
-                "Serialize",
-            )
-            sink = pb.add(
-                "TargetOp", {"target_type": "StdOut", "data_format": "NQuads"}, "Sink"
-            )
-            ctx.build_chain(pb, ext)
-            pb.connect(ext, ser)
-            pb.connect(ser, sink)
-
+                        continue  # deferred: col_of raises the real error
+                    lvl = _deeper_level(lvl, rl, shape.name, predicate)
+                groups.setdefault(lvl, []).append((predicate, obj))
+            for lvl in sorted(groups):
+                ctx = _UnionCtx(doc, src_name, it_name, level=lvl)
+                _emit_chain(
+                    pb, doc, shapes_by_name, shape, expr, ctx, groups[lvl]
+                )
     return pb.plan()

@@ -87,6 +87,7 @@ def _json_iterate(
     path: str,
     iterator: str | None,
     fields: list[dict] | None = None,
+    nested: list[dict] | None = None,
 ) -> DataFrame:
     """Apply a JSONPath-subset iterator to a JSON document.
 
@@ -119,6 +120,52 @@ def _json_iterate(
         df = df.select("_it.*") if isinstance(
             df.schema["_it"].dataType, StructType
         ) else df.withColumnRenamed("_it", name)
+    if nested:
+        # nested-iterator chain (ShExML nested ITERATOR blocks): each level
+        # explodes a RELATIVE array path of the current element and
+        # evaluates that level's declared fields; ancestor fields are
+        # materialized BEFORE each explode and ride along, so one scan
+        # pass yields rows at the deepest level with full lineage.  A
+        # parent whose array is empty/missing contributes no rows
+        # (explode, per-iteration semantics).
+        if fields is None:
+            raise NotImplementedError(
+                "nested JSON iteration requires declared fields "
+                "(the ShExML FIELD fast path)"
+            )
+        kept = [
+            _nested_string_col(df.schema, f["path"], path).alias(f["name"])
+            for f in fields
+        ]
+        kept_names = [f["name"] for f in fields]
+        holder = None  # column holding the current level's element
+        for depth, spec in enumerate(nested, 1):
+            ref = (spec.get("reference") or "").strip()
+            m = re.fullmatch(r"(\w+(?:\.\w+)*)\[\*\]", ref)
+            if not m:
+                raise NotImplementedError(
+                    f"nested JSON iterator {ref!r} not supported "
+                    "(relative array path only, e.g. actors[*])"
+                )
+            arr = f"{holder}.{m.group(1)}" if holder else m.group(1)
+            holder = f"_lvl{depth}"
+            try:
+                df = df.select(*kept, F.explode(F.col(arr)).alias(holder))
+            except Exception as exc:  # path absent in the static schema
+                raise ValueError(
+                    f"nested iterator path {ref!r} not found in {path!r}"
+                ) from exc
+            kept = [F.col(n) for n in kept_names]
+            lvl_fields = spec.get("fields") or []
+            lvl_cols = [
+                _nested_string_col(
+                    df.schema, f"{holder}.{f['path']}", path
+                ).alias(f["name"])
+                for f in lvl_fields
+            ]
+            kept = kept + lvl_cols
+            kept_names = kept_names + [f["name"] for f in lvl_fields]
+        return df.select(*kept)
     if fields:
         return df.select(
             [
@@ -156,6 +203,7 @@ def _xml_iterate(
     path: str,
     iterator: str | None,
     fields: list[dict] | None = None,
+    nested: list[dict] | None = None,
 ) -> DataFrame:
     """Apply an XPath-subset iterator to XML files (beyond reference
     parity — its README lists XML as roadmap-only).
@@ -196,6 +244,57 @@ def _xml_iterate(
                 continue  # path's first step must be the document root
             yield from (root.iterfind(rel) if rel != "." else [root])
 
+    if nested:
+        # nested-iterator chain: per matched parent element, descend each
+        # level's RELATIVE element path (one row per deepest-level match;
+        # a parent with no matches contributes nothing), ancestor fields
+        # riding along — all inside the same single-pass Arrow batch parse
+        if fields is None:
+            raise NotImplementedError(
+                "nested XML iteration requires declared fields "
+                "(the ShExML FIELD fast path)"
+            )
+        for spec in nested:
+            ref = (spec.get("reference") or "").strip()
+            if not re.fullmatch(r"\w+(/\w+)*", ref):
+                raise NotImplementedError(
+                    f"nested XML iterator {ref!r} not supported "
+                    "(relative element path only, e.g. cast/actor)"
+                )
+        names = [f["name"] for f in fields] + [
+            f["name"] for spec in nested for f in spec.get("fields") or []
+        ]
+        levels = [
+            ("./" + spec["reference"], spec.get("fields") or [])
+            for spec in nested
+        ]
+        top_paths = [f["path"] for f in fields]
+
+        def parse_nested(batches):
+            import pandas as pd
+
+            def walk(el, depth, prefix):
+                if depth == len(levels):
+                    yield prefix
+                    return
+                rel, lvl_fields = levels[depth]
+                for sub in el.iterfind(rel):
+                    vals = tuple(
+                        _xml_field_value(sub, f["path"]) for f in lvl_fields
+                    )
+                    yield from walk(sub, depth + 1, prefix + vals)
+
+            for pdf in batches:
+                rows = []
+                for el in matched_elements(pdf):
+                    top = tuple(_xml_field_value(el, p) for p in top_paths)
+                    rows.extend(walk(el, 0, top))
+                yield pd.DataFrame(rows, columns=names).astype("string")
+
+        return docs.mapInPandas(
+            parse_nested,
+            schema=StructType([StructField(n, StringType()) for n in names]),
+        )
     if fields:
         names = [f["name"] for f in fields]
         paths = [f["path"] for f in fields]
@@ -282,9 +381,15 @@ def resolve_source(
                 # beyond reference parity (its README lists JSON as
                 # roadmap-only): iterate a JSON document with a simple
                 # JSONPath subset — `$`, dotted fields, trailing `[*]`
-                df = _json_iterate(spark, resolved, it.get("reference"), decl_fields)
+                df = _json_iterate(
+                    spark, resolved, it.get("reference"), decl_fields,
+                    nested=it.get("nested"),
+                )
             elif ref_form == "XPath":
-                df = _xml_iterate(spark, resolved, it.get("reference"), decl_fields)
+                df = _xml_iterate(
+                    spark, resolved, it.get("reference"), decl_fields,
+                    nested=it.get("nested"),
+                )
             else:
                 raise NotImplementedError(
                     f"Reference formulation {ref_form!r} not supported "
