@@ -362,6 +362,17 @@ def simhash_near_dup_pairs(
     near-empty docs all hashing to signature 0) can put millions of docs in
     one band value.  Buckets above the cap are dropped from pair
     generation — they are by definition non-discriminative band values.
+
+    Combinatorial banding (the multi-index-hashing slack trick, Norouzi
+    et al., CVPR'12): with B bands and hamming ≤ h, at least ``B - h``
+    bands are CLEAN on any qualifying pair, so when that slack is ≥ 2 the
+    bucket key is a SUBSET of bands (e.g. 8×8-bit bands at h ≤ 6 → all
+    C(8,2)=28 band-pair keys of 16 bits) instead of one band — recall
+    stays pigeonhole-total while expected candidates drop from
+    ``n²·B/2^bits`` to ``n²·C(B,c)/2^(c·bits)`` (~100× at 8-bit bands).
+    This is what keeps the wide-hamming config sub-quadratic at corpus
+    scale: the round-4 sf1 probe measured the single-band key scaling
+    16.6× at 10× data; composite keys restore ~linear growth.
     """
     if n_bands is None:
         n_bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_hamming)
@@ -370,14 +381,27 @@ def simhash_near_dup_pairs(
     mask = (1 << band_bits) - 1
     sig = make_simhash_udf()(F.col(text_col))
     t = df.select(F.col(id_col).alias("id"), sig.alias("sim"))
-    bands = F.array(
-        *[
+    band_exprs = [
+        F.shiftright("sim", i * band_bits).bitwiseAND(F.lit(mask))
+        for i in range(n_bands)
+    ]
+    combo = min(n_bands - max_hamming, 3)  # clean-band slack to exploit
+    if combo >= 2:
+        from itertools import combinations
+
+        keys = [
             F.concat_ws(
-                ":", F.lit(i), F.shiftright("sim", i * band_bits).bitwiseAND(F.lit(mask))
+                ":",
+                F.lit("-".join(map(str, idxs))),
+                *[band_exprs[i] for i in idxs],
             )
-            for i in range(n_bands)
+            for idxs in combinations(range(n_bands), combo)
         ]
-    )
+    else:
+        keys = [
+            F.concat_ws(":", F.lit(i), band_exprs[i]) for i in range(n_bands)
+        ]
+    bands = F.array(*keys)
     # materialize the small (id, sim, key) table once: it feeds the bucket
     # count AND both self-join sides, and without this the signature UDF
     # re-runs per consumer (plan audit: 12 ArrowEvalPython nodes → 4)
