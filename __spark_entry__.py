@@ -1773,6 +1773,60 @@ WHERE m1.pred = 'http://example.com/ontology/mentions'
 """
 
 
+def _q_kg_bgp_aggregate(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL aggregation over a BGP solution (pipeline/bgp.py::
+    bgp_aggregate):
+
+        SELECT ?conv (COUNT(DISTINCT ?e) AS ?n_entities)
+                     (COUNT(?e) AS ?n_mentions)
+        WHERE { ?t ont:mentions ?e . ?t ont:inConversation ?conv }
+        GROUP BY ?conv HAVING(COUNT(DISTINCT ?e) >= 2)
+
+    — per-conversation entity fan-out over the extracted KG.  The BGP
+    compiles to pushed-filter pattern relations joined on ``?t``; the
+    aggregation is one Catalyst groupBy with a map-side partial."""
+    from mopper_spark.pipeline.bgp import bgp_aggregate, bgp_match
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
+    ont = "http://example.com/ontology/"
+    sol = bgp_match(
+        kg.select("subj", "pred", "obj"),
+        [
+            ("?t", ont + "mentions", "?e"),
+            ("?t", ont + "inConversation", "?conv"),
+        ],
+        select=["conv", "e"],
+    )
+    return bgp_aggregate(
+        sol,
+        ["conv"],
+        {
+            "n_entities": "cast(count(distinct e) as long)",
+            "n_mentions": "cast(count(e) as long)",
+        },
+        having="n_entities >= 2",
+    )
+
+
+_SQL_BGP_AGGREGATE = f"""
+WITH kg AS ({_SQL_KG_GRAPH})
+SELECT c.obj AS conv,
+       CAST(COUNT(DISTINCT m.obj) AS BIGINT) AS n_entities,
+       CAST(COUNT(m.obj) AS BIGINT) AS n_mentions
+FROM kg m JOIN kg c ON m.subj = c.subj
+WHERE m.pred = 'http://example.com/ontology/mentions'
+  AND c.pred = 'http://example.com/ontology/inConversation'
+GROUP BY c.obj
+HAVING COUNT(DISTINCT m.obj) >= 2
+"""
+
+
 def _mention_edges(spark: SparkSession) -> DataFrame:
     """Undirected mention co-occurrence edges: normalized entity forms
     co-mentioned in one conversation of the transcripts fixture — the
@@ -3168,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_linking_transcripts": _q_entity_linking_transcripts,
         "kg_graph_transcripts": _q_kg_graph_transcripts,
         "kg_bgp_comention": _q_kg_bgp_comention,
+        "kg_bgp_aggregate": _q_kg_bgp_aggregate,
         "kg_bgp_optional": _q_kg_bgp_optional,
         "kg_stream_parity": _q_kg_stream_parity,
         "events_asof_attribution": _q_events_asof_attribution,
@@ -3242,6 +3297,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_linking_transcripts": _SQL_ENTITY_LINKING,
         "kg_graph_transcripts": _SQL_KG_GRAPH,
         "kg_bgp_comention": _SQL_BGP_COMENTION,
+        "kg_bgp_aggregate": _SQL_BGP_AGGREGATE,
         "kg_bgp_optional": _SQL_BGP_OPTIONAL,
         "kg_stream_parity": _SQL_KG_STREAM,
         "multimodal_wav_features": _SQL_MULTIMODAL_WAV,

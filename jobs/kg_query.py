@@ -70,17 +70,31 @@ def parse_pattern(arg: str) -> tuple:
 
 
 def build_query(spark, args):
-    from mopper_spark.pipeline.bgp import bgp_match
+    from mopper_spark.pipeline.bgp import bgp_aggregate, bgp_match
 
     graph = spark.read.parquet(args.graph)
+    aggs = dict(
+        a.split("=", 1) for a in (getattr(args, "agg", None) or [])
+    )
+    group_by = (
+        args.group_by.split(",")
+        if getattr(args, "group_by", None)
+        else []
+    )
     out = bgp_match(
         graph,
         [parse_pattern(p) for p in args.pattern],
-        select=args.select.split(",") if args.select else None,
-        distinct=args.distinct,
+        # aggregation reads raw solution variables; SELECT applies to the
+        # non-aggregated form only
+        select=(args.select.split(",") if args.select and not aggs else None),
+        distinct=args.distinct and not aggs,
         optional=[parse_pattern(p) for p in args.optional or []],
         filters=args.filter or None,
     )
+    if aggs:
+        out = bgp_aggregate(
+            out, group_by, aggs, having=getattr(args, "having", None)
+        )
     if args.limit:
         out = out.limit(args.limit)
     return out
@@ -98,6 +112,15 @@ def main() -> None:
         "e.g. \"e1 < e2\" (repeatable)",
     )
     p.add_argument("--select")
+    p.add_argument(
+        "--agg",
+        action="append",
+        help="SPARQL aggregate as var=SQL-expr over bound variables, e.g. "
+        "'n=count(distinct e)' (repeatable; triggers GROUP BY mode)",
+    )
+    p.add_argument("--group-by", dest="group_by",
+                   help="comma-separated grouping variables")
+    p.add_argument("--having", help="SQL boolean over group keys/agg aliases")
     p.add_argument("--distinct", action="store_true")
     p.add_argument("--limit", type=int)
     p.add_argument("--output", help="write parquet here instead of stdout JSONL")

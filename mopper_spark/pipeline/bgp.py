@@ -63,6 +63,43 @@ def _pattern_df(triples: DataFrame, pattern: tuple) -> DataFrame:
         if len(pattern) == 4:
             raise ValueError("property-path patterns cannot constrain graph")
         marker = path_repr(pattern[1])
+        norm = pattern[1]
+        if (
+            len(norm) == 2
+            and isinstance(norm[1], str)
+            and norm[1] == "+"
+            and norm[0] not in _PATH_OPS
+        ):
+            norm = ("+", norm[0])
+        if norm[0] == "+" and (
+            not _is_var(pattern[0]) or not _is_var(pattern[2])
+        ):
+            # constant-anchored closure: frontier BFS from the constant
+            # endpoint (its reachable cone) instead of the full-graph
+            # closure — <x> p+ ?y touches one subtree, not every pair
+            from .graph import closure_from
+
+            base = path_edges(triples, norm[1]).select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst")
+            )
+            spark = triples.sparkSession
+            if not _is_var(pattern[0]):
+                seeds = spark.createDataFrame([(pattern[0],)], "origin string")
+                pairs = closure_from(base, seeds)
+                closed = pairs.select(
+                    F.col("origin").alias("subj"),
+                    F.lit(marker).alias("pred"),
+                    F.col("node").alias("obj"),
+                )
+            else:
+                seeds = spark.createDataFrame([(pattern[2],)], "origin string")
+                pairs = closure_from(base, seeds, reverse=True)
+                closed = pairs.select(
+                    F.col("node").alias("subj"),
+                    F.lit(marker).alias("pred"),
+                    F.col("origin").alias("obj"),
+                )
+            return _pattern_df(closed, (pattern[0], marker, pattern[2]))
         closed = path_edges(triples, pattern[1]).select(
             "subj", F.lit(marker).alias("pred"), "obj"
         )
@@ -408,6 +445,36 @@ def bgp_match(
         result = result.filter(F.expr(f))
     out = result.select(*(select if select is not None else sorted(bound)))
     return out.distinct() if distinct else out
+
+
+def bgp_aggregate(
+    solution: DataFrame,
+    group_by: list[str],
+    aggregates: dict[str, str],
+    having: str | None = None,
+) -> DataFrame:
+    """SPARQL aggregation over a BGP solution sequence:
+    ``SELECT ?g (COUNT(?x) AS ?n) WHERE {…} GROUP BY ?g HAVING(…)``.
+
+    ``aggregates`` maps output variable → SQL aggregate expression over
+    the solution's variables (``{"n": "count(distinct e)"}``); ``having``
+    is a boolean SQL string over group keys and aggregate aliases.
+    Declarative all the way down: Catalyst plans a partial (map-side)
+    aggregate before the exchange, so the shuffle carries one row per
+    (partition, group) — the same plan a hand-written groupBy gets, which
+    is why this is a thin, honest wrapper and not a reimplementation.
+    An empty ``group_by`` is the single-group SPARQL form (one row).
+    """
+    if not aggregates:
+        raise ValueError("bgp_aggregate: no aggregate expressions")
+    exprs = [F.expr(sql).alias(var) for var, sql in sorted(aggregates.items())]
+    grouped = (
+        solution.groupBy(*group_by) if group_by else solution.groupBy()
+    )
+    out = grouped.agg(*exprs)
+    if having:
+        out = out.filter(F.expr(having))
+    return out
 
 
 def bgp_union(*branches: DataFrame) -> DataFrame:

@@ -35,17 +35,19 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 SRC = "/root/testdata/sf0.1"
+# cheapest-first so a budget kill on a pathological query loses nothing
+# already measured; the report file is rewritten after EVERY query.
 DEFAULT_QUERIES = [
-    "dedup_embedding",
-    "dedup_embedding_deep",
-    "dedup_semantic",
-    "cc_components",
-    "dedup_ngram_jaccard",
+    "events_sessionize",
     "docs_repetition",
-    "dedup_minhash",
     "dedup_simhash",
     "similarity_topk_ivf",
-    "events_sessionize",
+    "dedup_embedding_deep",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "cc_components",
+    "dedup_semantic",
+    "dedup_embedding",
 ]
 
 
@@ -142,9 +144,9 @@ def main() -> None:
     print(f"# synthesizing 10x corpus in {tmp}", file=sys.stderr)
     synthesize_10x(spark, tmp)
 
-    def run(name: str, sf_dir: str) -> float:
+    def run(name: str, sf_dir: str, draws: int = 2) -> float:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(draws):
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             best = min(best, time.time() - t0)
@@ -153,7 +155,10 @@ def main() -> None:
     report = {}
     for name in names:
         t01 = run(name, SRC)
-        t1 = run(name, tmp)
+        # one sf1 draw when the sf0.1 side is already multi-second: the
+        # 10x factor estimate doesn't need min-of-2 precision there, and
+        # a second pathological draw doubles the damage
+        t1 = run(name, tmp, draws=1 if t01 > 5 else 2)
         report[name] = {
             "sf0.1_s": t01,
             "sf1_s": t1,
@@ -161,8 +166,8 @@ def main() -> None:
         }
         print(f"# {name}: {t01}s -> {t1}s ({report[name]['scale_factor']}x)",
               file=sys.stderr)
-    with open(out_path, "w") as fh:
-        json.dump(report, fh, indent=1)
+        with open(out_path, "w") as fh:  # incremental: survive a kill
+            json.dump(report, fh, indent=1)
     print(json.dumps(report))
 
 
