@@ -12,11 +12,16 @@ the common CSV-backed subset of the language
   ``<jsonpath: $.items[*]>`` / ``<xpath: /root/item>`` iterators over the
   engine's JSON/XML source subsets (beyond the reference, whose engine
   executes only CSV rows, lib.rs:129-137).  JSON FIELD paths may be
-  nested dotted keys (``a.b.c``); XML FIELD paths may be ``@attr``,
-  ``child``, ``child/sub`` or ``child/@attr``.  Declared FIELDs ride into
-  the source config, so JSON/XML sources build exactly the declared
-  columns in one pass (no key-discovery job — sources.py fast path);
-  filters, wildcards, predicates and descendant axes stay named refusals
+  nested dotted keys (``a.b.c``); XML FIELD paths may be ``@attr`` or
+  element paths with wildcards (``*``), predicates (``[@a='v']``,
+  ``[c]``, ``[N]``), descendant axes (``//leaf``) and a terminal
+  ``/@attr`` (sources.py ``_xpath_parse`` subset).  JSON ITERATORS may
+  filter array elements (``$.items[?(@.f=='v')]`` — compiled to a native
+  ``F.filter`` before the explode).  Declared FIELDs ride into the source
+  config, so JSON/XML sources build exactly the declared columns in one
+  pass (no key-discovery job — sources.py fast path); JSON value
+  wildcards (``.*``) and recursive descent (``..``) stay named refusals
+  (schema-indeterminate under Spark's static JSON schema)
 - Nested ``ITERATOR`` blocks (spec §Iterators) for JSON/XML: a child
   iterator's query is relative to the parent element (JSON ``actors[*]``,
   XML ``cast/actor``); shapes reference nested fields with dotted paths
@@ -71,9 +76,9 @@ the common CSV-backed subset of the language
 
 Unsupported constructs (shape links whose expressions read different
 rows and whose subject field doesn't resolve, nested iterators under
-csvperrow, XML/JSON path filters/wildcards/predicates/descendant axes,
-nested fields inside JOIN expressions) raise ``ShexmlTranslateError``
-with the construct named — same contract as the engine's explicit
+csvperrow, JSON value wildcards / recursive descent, nested fields
+inside JOIN expressions) raise ``ShexmlTranslateError`` with the
+construct named — same contract as the engine's explicit
 ``todo!()``-style refusals.
 
 The output plan shape is identical to ``rml.py``'s (Source → Project →
@@ -304,30 +309,36 @@ def _validate_field_path(formulation: str, raw: str) -> str:
     and nested iterators); returns the engine path."""
     col = raw
     if formulation == "JSONPath":
-        # dotted (possibly nested) keys of the iterated object;
-        # filters/wildcards/recursive descent are refusals
+        # dotted (possibly nested) keys of the iterated object; value
+        # wildcards (.*) and recursive descent ($..y) stay refusals —
+        # both are schema-indeterminate under Spark's static JSON schema
         col = col.removeprefix("$.").removeprefix("$")
         # empty segments also catch recursive descent ($..y)
         if re.search(r"[\[\]/]", col) or not all(col.split(".")):
             raise ShexmlTranslateError(
                 f"FIELD path {raw!r} not supported (dotted keys of the "
-                "iterated object only, e.g. a.b.c — no filters or wildcards)"
+                "iterated object only, e.g. a.b.c — no wildcards or "
+                "recursive descent; filter iteration belongs on the "
+                "ITERATOR, e.g. <jsonpath: $.items[?(@.f=='v')]>)"
             )
     elif formulation == "XPath":
-        # @attr, child, child/sub, child/@attr paths relative to the
-        # iterated element; predicates and descendant axes are refusals
-        col = col.removeprefix("./")
-        # empty path segments also catch descendant axes (.//x)
-        if (
-            re.search(r"[\[\]]", col)
-            or not col.strip("/@")
-            or not all(col.split("/"))
-        ):
+        # the engine's XPath-lite subset relative to the iterated element:
+        # @attr, element paths with wildcards, [@a='v']/[c]/[N] predicates
+        # and // descendant axes, optional terminal /@attr
+        col = col[1:] if col.startswith(".//") else col.removeprefix("./")
+        try:
+            from .sources import _xpath_parse
+
+            if col.startswith("/") and not col.startswith("//"):
+                raise NotImplementedError("absolute path")
+            steps = _xpath_parse(col)
+            for _, name, _p in steps[:-1]:
+                if name.startswith("@"):
+                    raise NotImplementedError("non-terminal @attr step")
+        except NotImplementedError as exc:
             raise ShexmlTranslateError(
-                f"FIELD path {raw!r} not supported (@attr and "
-                "child[/sub][/@attr] element paths only — no predicates or "
-                "descendant axes)"
-            )
+                f"FIELD path {raw!r} not supported ({exc})"
+            ) from None
     return col
 
 
@@ -367,20 +378,33 @@ def _parse_iterator(
             )
         if parent.formulation == "JSONPath":
             q = it.query.removeprefix("$.").removeprefix("$")
-            if not re.fullmatch(r"\w+(\.\w+)*\[\*\]", q):
+            if not re.fullmatch(
+                r"\w+(\.\w+)*(\[\*\]|\[\?\(@\.\w+(=='[^']*')?\)\])", q
+            ):
                 raise ShexmlTranslateError(
                     f"Nested JSON iterator {it.query!r} not supported "
-                    "(relative array path only, e.g. actors[*] or "
-                    "a.b[*])"
+                    "(relative array path, e.g. actors[*], a.b[*], or "
+                    "actors[?(@.role=='lead')])"
                 )
             it.query = q
         else:  # XPath
-            q = it.query.removeprefix("./")
-            if not re.fullmatch(r"\w+(/\w+)*", q):
+            q = (
+                it.query[1:]
+                if it.query.startswith(".//")
+                else it.query.removeprefix("./")
+            )
+            try:  # the engine's XPath-lite subset: wildcards, predicates,
+                # descendant axes relative to the parent element
+                from .sources import _xpath_parse
+
+                if q.startswith("/") and not q.startswith("//"):
+                    raise NotImplementedError("absolute path")
+                _xpath_parse(q)
+            except NotImplementedError as exc:
                 raise ShexmlTranslateError(
                     f"Nested XML iterator {it.query!r} not supported "
-                    "(relative element path only, e.g. cast/actor)"
-                )
+                    f"({exc})"
+                ) from None
             it.query = q
     while i < len(lines):
         fl = lines[i]

@@ -94,7 +94,14 @@ def _json_iterate(
     Supported iterator shapes (the ones RML mappings use in practice):
     ``$.a.b[*]`` (descend fields, iterate the final array), ``$.a.b``
     (single object), ``$`` / empty (document root; a top-level JSON array
-    iterates naturally via Spark's reader).  Anything else raises.
+    iterates naturally via Spark's reader), and FILTERED array iteration
+    ``$.a.b[?(@.f=='v')]`` / ``[?(@.f)]`` — compiled to a NATIVE
+    ``F.filter`` over the array before the explode, so Catalyst sees one
+    higher-order function, no UDF.  Wildcard values (``.*``) and
+    recursive descent (``..``) stay named refusals: both are
+    schema-indeterminate under Spark's static JSON schema (the column set
+    would depend on the data), the same reason Spark's own reader fixes
+    the schema up front.  Anything else raises.
 
     Without declared ``fields``, the iterated objects' top-level keys
     become string-typed columns (nested structs stay JSON-encoded
@@ -105,17 +112,28 @@ def _json_iterate(
     """
     df = spark.read.option("multiLine", "true").json(path)
     steps = (iterator or "$").strip()
-    if not re.fullmatch(r"\$?(\.\w+(\[\*\])?)*", steps):
+    step_re = r"\.(\w+)(\[\*\]|\[\?\(@\.(\w+)(?:==('[^']*'))?\)\])?"
+    if not re.fullmatch(rf"\$?({step_re})*", steps):
         raise NotImplementedError(
             f"JSONPath iterator {iterator!r} not supported "
-            "(subset: $.field.field[*])"
+            "(subset: $.field.field[*] with optional [?(@.f=='v')] filters)"
         )
-    for step in [p for p in steps.lstrip("$").split(".") if p]:
-        explode_it = step.endswith("[*]")
-        name = step[:-3] if explode_it else step
+    for m in re.finditer(step_re, steps.lstrip("$")):
+        name, bracket, filt_key, filt_val = m.groups()
         if name not in df.columns:
             raise ValueError(f"JSON iterator step {name!r} not in {df.columns}")
-        col = F.explode(name) if explode_it else F.col(name)
+        if bracket and bracket != "[*]":
+            # filtered iteration: native array filter, then explode
+            pred = (
+                (lambda x: x[filt_key] == F.expr(filt_val))
+                if filt_val is not None
+                else (lambda x: x[filt_key].isNotNull())
+            )
+            col = F.explode(F.filter(F.col(name), pred))
+        elif bracket:
+            col = F.explode(name)
+        else:
+            col = F.col(name)
         df = df.select(col.alias("_it"))
         df = df.select("_it.*") if isinstance(
             df.schema["_it"].dataType, StructType
@@ -141,16 +159,29 @@ def _json_iterate(
         holder = None  # column holding the current level's element
         for depth, spec in enumerate(nested, 1):
             ref = (spec.get("reference") or "").strip()
-            m = re.fullmatch(r"(\w+(?:\.\w+)*)\[\*\]", ref)
+            m = re.fullmatch(
+                r"(\w+(?:\.\w+)*)(\[\*\]|\[\?\(@\.(\w+)(?:==('[^']*'))?\)\])",
+                ref,
+            )
             if not m:
                 raise NotImplementedError(
                     f"nested JSON iterator {ref!r} not supported "
-                    "(relative array path only, e.g. actors[*])"
+                    "(relative array path, e.g. actors[*] or "
+                    "actors[?(@.role=='lead')])"
                 )
             arr = f"{holder}.{m.group(1)}" if holder else m.group(1)
             holder = f"_lvl{depth}"
+            arr_col = F.col(arr)
+            if m.group(2) != "[*]":
+                fk, fv = m.group(3), m.group(4)
+                arr_col = F.filter(
+                    arr_col,
+                    (lambda x: x[fk] == F.expr(fv))
+                    if fv is not None
+                    else (lambda x: x[fk].isNotNull()),
+                )
             try:
-                df = df.select(*kept, F.explode(F.col(arr)).alias(holder))
+                df = df.select(*kept, F.explode(arr_col).alias(holder))
             except Exception as exc:  # path absent in the static schema
                 raise ValueError(
                     f"nested iterator path {ref!r} not found in {path!r}"
@@ -178,24 +209,162 @@ def _json_iterate(
     )
 
 
+# --------------------------------------------------------- XPath subset --
+# Grammar (closes the VERDICT r3 "ShExML long tail" XML items):
+#   path  := ('/' | '//')? step (('/' | '//') step)*  [ ('/')? '@' name ]
+#   step  := (name | '*') predicate*
+#   pred  := '[' N ']'                    positional (1-based, child axis)
+#          | '[@a]' | "[@a='v']"          attribute exists / equals
+#          | '[c]'  | "[c='v']"           child element exists / text equals
+#          | "[.='v']"                    own text equals
+# '//' before a step selects DESCENDANTS (any depth) instead of children.
+# Predicate values may not contain '/', '[' or ']' (refused at parse).
+_XPATH_STEP = re.compile(r"(@?[\w.]+|\*)((?:\[[^\]]*\])*)\Z")
+_XPATH_PRED = re.compile(r"\[([^\]]*)\]")
+
+
+def _xpath_parse(path: str) -> list[tuple[str, str, list[str]]]:
+    """Parse a subset-XPath into ``(axis, nametest, predicates)`` steps;
+    axis is ``child`` or ``desc``.  Raises NotImplementedError outside the
+    subset (the ShExML contract's named-refusal channel)."""
+    raw = path.strip()
+    steps: list[tuple[str, str, list[str]]] = []
+    axis = "child"
+    if raw.startswith("//"):
+        axis, raw = "desc", raw[2:]
+    elif raw.startswith("/"):
+        raw = raw[1:]
+    while raw:
+        nxt_child = raw.find("/")
+        # predicates cannot contain '/', so the first '/' ends the step
+        chunk, rest = (raw, "") if nxt_child < 0 else (
+            raw[:nxt_child],
+            raw[nxt_child:],
+        )
+        m = _XPATH_STEP.fullmatch(chunk)
+        if not m:
+            raise NotImplementedError(
+                f"XPath step {chunk!r} not supported (name, '*', '@attr', "
+                "with optional [N] / [@a] / [@a='v'] / [c] / [c='v'] / "
+                "[.='v'] predicates)"
+            )
+        name, preds_raw = m.group(1), m.group(2)
+        preds = _XPATH_PRED.findall(preds_raw)
+        for p in preds:  # refuse unknown predicate forms at parse time
+            if not re.fullmatch(
+                r"\s*(\d+|@\w+|\.|@?\w+)\s*(=\s*['\"][^'\"]*['\"])?\s*",
+                p,
+            ) or (p.strip() == "."):
+                raise NotImplementedError(
+                    f"XPath predicate [{p}] not supported ([N], [@a], "
+                    "[@a='v'], [c], [c='v'], [.='v'])"
+                )
+        if name.startswith("@") and (preds or rest):
+            raise NotImplementedError(
+                f"XPath attribute step {chunk!r} must be terminal and bare"
+            )
+        if axis == "desc" and any(p.strip().isdigit() for p in preds):
+            # refused at parse (driver-side): 'position among a flattened
+            # any-depth set' has no XPath meaning
+            raise NotImplementedError(
+                "positional predicate on a '//' step not supported"
+            )
+        steps.append((axis, name, preds))
+        if rest.startswith("//"):
+            axis, raw = "desc", rest[2:]
+        elif rest.startswith("/"):
+            axis, raw = "child", rest[1:]
+        else:
+            raw = ""
+    return steps
+
+
+def _xpath_pred_ok(el, pred: str) -> bool:
+    pred = pred.strip()
+    m = re.fullmatch(r"@(\w+)\s*=\s*['\"]([^'\"]*)['\"]", pred)
+    if m:
+        return el.attrib.get(m.group(1)) == m.group(2)
+    m = re.fullmatch(r"@(\w+)", pred)
+    if m:
+        return m.group(1) in el.attrib
+    m = re.fullmatch(r"\.\s*=\s*['\"]([^'\"]*)['\"]", pred)
+    if m:
+        return (el.text or "") == m.group(1)
+    m = re.fullmatch(r"(\w+)\s*=\s*['\"]([^'\"]*)['\"]", pred)
+    if m:
+        return any((c.text or "") == m.group(2) for c in el if c.tag == m.group(1))
+    m = re.fullmatch(r"(\w+)", pred)
+    if m:
+        return any(c.tag == m.group(1) for c in el)
+    raise NotImplementedError(f"XPath predicate [{pred}] not supported")
+
+
+def _xpath_apply_preds(cands: list, preds: list[str], axis: str) -> list:
+    """Apply predicates left-to-right over one parent's candidate list —
+    positional predicates index the list as filtered so far (XPath
+    semantics); they are refused on the descendant axis, where 'position
+    among a flattened any-depth set' has no XPath meaning."""
+    for pred in preds:
+        if pred.strip().isdigit():
+            if axis == "desc":
+                raise NotImplementedError(
+                    "positional predicate on a '//' step not supported"
+                )
+            idx = int(pred)
+            cands = [cands[idx - 1]] if 1 <= idx <= len(cands) else []
+        else:
+            cands = [c for c in cands if _xpath_pred_ok(c, pred)]
+    return cands
+
+
+def _xpath_eval(roots: list, steps: list) -> list:
+    """Evaluate parsed element steps (no terminal ``@attr``) against a
+    list of context elements; returns matched elements, document order
+    per context."""
+    cur = list(roots)
+    for axis, name, preds in steps:
+        nxt = []
+        for el in cur:
+            if axis == "child":
+                cands = [c for c in el if name == "*" or c.tag == name]
+            else:
+                cands = [
+                    c for c in el.iter() if c is not el and (name == "*" or c.tag == name)
+                ]
+            nxt.extend(_xpath_apply_preds(cands, preds, axis))
+        cur = nxt
+    return cur
+
+
 def _xml_field_value(el, path: str) -> str:
-    """Evaluate an XPath-subset field path against an element: ``@attr``,
-    ``child``, ``child/sub``, ``child/@attr`` (first match; missing → '').
-    A bare name prefers a child element's text over a same-named attribute
-    (mirroring discovery mode, where child tags override attributes)."""
+    """Evaluate an XPath-subset FIELD path against an element (first
+    match; missing → ''): ``@attr``, element paths with wildcards,
+    predicates and ``//`` (see ``_xpath_parse``), optionally ending in
+    ``/@attr``.  A single bare name prefers a child element's text over a
+    same-named attribute (mirroring discovery mode, where child tags
+    override attributes)."""
     if path.startswith("@"):
         return el.attrib.get(path[1:], "")
-    if "/" in path:
-        head, last = path.rsplit("/", 1)
-        if last.startswith("@"):
-            sub = el.find(head)
-            return "" if sub is None else sub.attrib.get(last[1:], "")
+    if path in (".", "./"):  # the iterated element's own text
+        return el.text or ""
+    if re.fullmatch(r"\w+", path):
         sub = el.find(path)
-        return "" if sub is None else (sub.text or "")
-    sub = el.find(path)
-    if sub is not None:
-        return sub.text or ""
-    return el.attrib.get(path, "")
+        if sub is not None:
+            return sub.text or ""
+        return el.attrib.get(path, "")
+    # './/x' is the relative-descendant spelling of '//x'
+    norm = path[1:] if path.startswith(".//") else path.removeprefix("./")
+    steps = _xpath_parse(norm)
+    attr = None
+    if steps and steps[-1][1].startswith("@"):
+        attr = steps[-1][1][1:]
+        steps = steps[:-1]
+    matched = _xpath_eval([el], steps)
+    if not matched:
+        return ""
+    if attr is not None:
+        return matched[0].attrib.get(attr, "")
+    return matched[0].text or ""
 
 
 def _xml_iterate(
@@ -208,11 +377,13 @@ def _xml_iterate(
     """Apply an XPath-subset iterator to XML files (beyond reference
     parity — its README lists XML as roadmap-only).
 
-    Subset: ``/root/child/item`` absolute element paths (ElementTree
-    ``./child/item`` relative to the document root).  Each matched element
-    becomes a row.  Files are read whole (one XML document per file) and
-    parsed in Arrow batches via ``mapInPandas`` — the documents move
-    straight from storage to executors, never through the driver.
+    Subset: absolute element paths with wildcards (``/root/*/item``),
+    predicates (``/root/item[@k='v']``, ``[c]``, ``[N]``) and descendant
+    axes (``//item``, ``/root//leaf``) — see ``_xpath_parse``.  Each
+    matched element becomes a row.  Files are read whole (one XML
+    document per file) and parsed in Arrow batches via ``mapInPandas`` —
+    the documents move straight from storage to executors, never through
+    the driver.
 
     Without declared ``fields``, each row's columns are discovered from
     the data: attributes and single-valued child-element texts, with a
@@ -222,16 +393,13 @@ def _xml_iterate(
     FIELD fast path) the output schema is fixed up front and the parse is
     a single pass — no discovery job, no persist.
     """
-    steps = (iterator or "/").strip()
-    if not re.fullmatch(r"/?(\w+(/\w+)*)?", steps):
+    raw_it = (iterator or "/").strip()
+    desc_root = raw_it.startswith("//")
+    steps = _xpath_parse(raw_it)  # NotImplementedError outside the subset
+    if any(name.startswith("@") for _, name, _ in steps):
         raise NotImplementedError(
-            f"XPath iterator {iterator!r} not supported (subset: /a/b/c)"
+            f"XPath iterator {iterator!r} must select elements, not attributes"
         )
-    parts = steps.strip("/").split("/") if steps.strip("/") else []
-    root_tag = parts[0] if parts else None
-    # '/items' selects the document ROOT (when its tag matches), not the
-    # root's children — iterfind('./') would wrongly return the children
-    rel = "./" + "/".join(parts[1:]) if len(parts) > 1 else "."
 
     docs = spark.read.text(path, wholetext=True)
 
@@ -240,9 +408,26 @@ def _xml_iterate(
 
         for doc in pdf["value"]:
             root = ET.fromstring(doc)
-            if root_tag is not None and root.tag != root_tag:
-                continue  # path's first step must be the document root
-            yield from (root.iterfind(rel) if rel != "." else [root])
+            if not steps:
+                yield root
+                continue
+            if desc_root:
+                # '//a' = descendant-or-self — the root element itself is
+                # a candidate for the first step
+                axis, name, preds = steps[0]
+                cands = [
+                    c for c in root.iter() if name == "*" or c.tag == name
+                ]
+                first = _xpath_apply_preds(cands, preds, "desc")
+                yield from _xpath_eval(first, steps[1:])
+                continue
+            # absolute '/a/...': first step must match the document root
+            axis, name, preds = steps[0]
+            if name != "*" and root.tag != name:
+                continue
+            if _xpath_apply_preds([root], preds, "child") != [root]:
+                continue
+            yield from _xpath_eval([root], steps[1:])
 
     if nested:
         # nested-iterator chain: per matched parent element, descend each
@@ -254,20 +439,20 @@ def _xml_iterate(
                 "nested XML iteration requires declared fields "
                 "(the ShExML FIELD fast path)"
             )
-        for spec in nested:
-            ref = (spec.get("reference") or "").strip()
-            if not re.fullmatch(r"\w+(/\w+)*", ref):
-                raise NotImplementedError(
-                    f"nested XML iterator {ref!r} not supported "
-                    "(relative element path only, e.g. cast/actor)"
-                )
         names = [f["name"] for f in fields] + [
             f["name"] for spec in nested for f in spec.get("fields") or []
         ]
-        levels = [
-            ("./" + spec["reference"], spec.get("fields") or [])
-            for spec in nested
-        ]
+        levels = []
+        for spec in nested:
+            ref = (spec.get("reference") or "").strip()
+            if ref.startswith("/") and not ref.startswith("//"):
+                raise NotImplementedError(
+                    f"nested XML iterator {ref!r} must be relative to the "
+                    "parent element (or '//desc'), not absolute"
+                )
+            # parses the same subset as the top-level iterator: wildcards,
+            # predicates, descendant axes (relative to the parent element)
+            levels.append((_xpath_parse(ref), spec.get("fields") or []))
         top_paths = [f["path"] for f in fields]
 
         def parse_nested(batches):
@@ -277,8 +462,8 @@ def _xml_iterate(
                 if depth == len(levels):
                     yield prefix
                     return
-                rel, lvl_fields = levels[depth]
-                for sub in el.iterfind(rel):
+                lvl_steps, lvl_fields = levels[depth]
+                for sub in _xpath_eval([el], lvl_steps):
                     vals = tuple(
                         _xml_field_value(sub, f["path"]) for f in lvl_fields
                     )
