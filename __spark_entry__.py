@@ -2740,6 +2740,175 @@ WHERE e1.c < e2.c
 """
 
 
+def _q_kg_sparql_modifiers(spark: SparkSession, sf: str) -> DataFrame:
+    """The SPARQL solution-sequence algebra end-to-end (pipeline/bgp.py):
+
+        SELECT ?conv ?e ?r (SUBSTR(?e, 27) AS ?ename) WHERE {
+          ?t ont:mentions ?e . ?t ont:role ?r . ?t ont:inConversation ?conv .
+          VALUES ?r { "user" "tool" }
+          MINUS { ?t2 ont:mentions ?e . ?t2 ont:role "assistant" .
+                  ?t2 ont:inConversation ?conv }
+        } ORDER BY ?conv ?e ?r LIMIT 100 OFFSET 5
+
+    — entities mentioned by user/tool turns of a conversation that NO
+    assistant turn of the same conversation mentions.  VALUES is a
+    broadcast inline join, MINUS a left_anti join on the shared
+    (conv, e), BIND a native expression, and ORDER+LIMIT plans
+    TakeOrderedAndProject (per-partition heaps, no global sort exchange —
+    pinned in tests/test_bgp.py)."""
+    from mopper_spark.pipeline.bgp import (
+        bgp_bind,
+        bgp_match,
+        bgp_minus,
+        bgp_slice,
+        bgp_values,
+    )
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = (
+        extract_triples(tr)
+        .unionByName(mention_triples(extract_mentions(tr)))
+        .select("subj", "pred", "obj")
+    )
+    ont = "http://example.com/ontology/"
+    sol = bgp_match(
+        kg,
+        [
+            ("?t", ont + "mentions", "?e"),
+            ("?t", ont + "role", "?r"),
+            ("?t", ont + "inConversation", "?conv"),
+        ],
+        select=["conv", "e", "r"],
+        distinct=True,
+    )
+    sol = bgp_values(sol, [{"r": "user"}, {"r": "tool"}])
+    neg = bgp_match(
+        kg,
+        [
+            ("?t2", ont + "mentions", "?e"),
+            ("?t2", ont + "role", "assistant"),
+            ("?t2", ont + "inConversation", "?conv"),
+        ],
+        select=["conv", "e"],
+    )
+    sol = bgp_minus(sol, neg)
+    sol = bgp_bind(sol, "ename", "substring(e, 27, 200)")
+    return bgp_slice(sol, ["conv", "e", "r"], limit=100, offset=5)
+
+
+_SQL_KG_SPARQL_MODIFIERS = f"""
+WITH kg AS ({_SQL_KG_GRAPH}),
+sol AS (
+  SELECT DISTINCT c.obj AS conv, m.obj AS e, r.obj AS r
+  FROM kg m
+  JOIN kg r ON m.subj = r.subj
+  JOIN kg c ON m.subj = c.subj
+  WHERE m.pred = 'http://example.com/ontology/mentions'
+    AND r.pred = 'http://example.com/ontology/role'
+    AND c.pred = 'http://example.com/ontology/inConversation'
+    AND r.obj IN ('user', 'tool')
+),
+neg AS (
+  SELECT DISTINCT c.obj AS conv, m.obj AS e
+  FROM kg m
+  JOIN kg r ON m.subj = r.subj
+  JOIN kg c ON m.subj = c.subj
+  WHERE m.pred = 'http://example.com/ontology/mentions'
+    AND r.pred = 'http://example.com/ontology/role'
+    AND r.obj = 'assistant'
+    AND c.pred = 'http://example.com/ontology/inConversation'
+)
+SELECT conv, e, r, substring(e, 27, 200) AS ename
+FROM sol
+WHERE NOT EXISTS (SELECT 1 FROM neg WHERE neg.conv = sol.conv AND neg.e = sol.e)
+ORDER BY conv, e, r
+LIMIT 100 OFFSET 5
+"""
+
+
+def _q_kg_sparql_construct(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL CONSTRUCT over the co-mention BGP (pipeline/bgp.py::
+    bgp_construct):
+
+        CONSTRUCT { ?conv ont:coMentions ?e1 . ?conv ont:coMentions ?e2 .
+                    ?e1 a ont:Entity .      ?e2 a ont:Entity }
+        WHERE { …4-pattern co-mention chain… FILTER(?e1 < ?e2) }
+
+    — derives a conversation→entity co-mention GRAPH from the solution
+    sequence: one narrow projection per template over the shared solution,
+    NULL-instantiated templates dropped per-template, one distinct (the
+    only exchange CONSTRUCT adds — the result is a set per SPARQL 1.1)."""
+    from mopper_spark.pipeline.bgp import bgp_construct, bgp_match
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = (
+        extract_triples(tr)
+        .unionByName(mention_triples(extract_mentions(tr)))
+        .select("subj", "pred", "obj")
+    )
+    ont = "http://example.com/ontology/"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    sol = bgp_match(
+        kg,
+        [
+            ("?t1", ont + "mentions", "?e1"),
+            ("?t1", ont + "inConversation", "?conv"),
+            ("?t2", ont + "mentions", "?e2"),
+            ("?t2", ont + "inConversation", "?conv"),
+        ],
+        select=["conv", "e1", "e2"],
+        filters=["e1 < e2"],
+    )
+    return bgp_construct(
+        sol,
+        [
+            ("?conv", ont + "coMentions", "?e1"),
+            ("?conv", ont + "coMentions", "?e2"),
+            ("?e1", rdf_type, ont + "Entity"),
+            ("?e2", rdf_type, ont + "Entity"),
+        ],
+    )
+
+
+_SQL_KG_SPARQL_CONSTRUCT = f"""
+WITH kg AS ({_SQL_KG_GRAPH}),
+pairs AS (
+  SELECT c1.obj AS conv, m1.obj AS e1, m2.obj AS e2
+  FROM kg m1
+  JOIN kg c1 ON m1.subj = c1.subj
+  JOIN kg c2 ON c1.obj = c2.obj
+  JOIN kg m2 ON c2.subj = m2.subj
+  WHERE m1.pred = 'http://example.com/ontology/mentions'
+    AND m2.pred = 'http://example.com/ontology/mentions'
+    AND c1.pred = 'http://example.com/ontology/inConversation'
+    AND c2.pred = 'http://example.com/ontology/inConversation'
+    AND m1.obj < m2.obj
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT conv AS subj, 'http://example.com/ontology/coMentions' AS pred,
+         e1 AS obj FROM pairs
+  UNION ALL
+  SELECT conv, 'http://example.com/ontology/coMentions', e2 FROM pairs
+  UNION ALL
+  SELECT e1, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'http://example.com/ontology/Entity' FROM pairs
+  UNION ALL
+  SELECT e2, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'http://example.com/ontology/Entity' FROM pairs
+)
+"""
+
+
 def _q_entity_linking_incremental(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental entity linking (pipeline/incremental.py): the fixture's
     mentions arrive in THREE hash-sliced increments; each step joins only
@@ -3244,6 +3413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_violations": _q_kg_shacl_violations,
         "kg_bgp_path_descendants": _q_kg_bgp_path_descendants,
         "kg_bgp_path_inverse_seq": _q_kg_bgp_path_inverse_seq,
+        "kg_sparql_modifiers": _q_kg_sparql_modifiers,
+        "kg_sparql_construct": _q_kg_sparql_construct,
         "entity_linking_incremental": _q_entity_linking_incremental,
         "kg_transe_eval": _q_kg_transe_eval,
         "dedup_semantic": _q_dedup_semantic,
@@ -3324,6 +3495,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_shacl_violations": _SQL_KG_SHACL,
         "kg_bgp_path_descendants": _SQL_KG_BGP_PATH,
         "kg_bgp_path_inverse_seq": _SQL_KG_BGP_PATH_INV_SEQ,
+        "kg_sparql_modifiers": _SQL_KG_SPARQL_MODIFIERS,
+        "kg_sparql_construct": _SQL_KG_SPARQL_CONSTRUCT,
         "entity_linking_incremental": _SQL_ENTITY_LINKING,
         "kg_transe_eval": _SQL_KG_TRANSE,
         "dedup_semantic": _SQL_DEDUP_SEMANTIC,

@@ -70,7 +70,15 @@ def parse_pattern(arg: str) -> tuple:
 
 
 def build_query(spark, args):
-    from mopper_spark.pipeline.bgp import bgp_aggregate, bgp_match
+    from mopper_spark.pipeline.bgp import (
+        bgp_aggregate,
+        bgp_bind,
+        bgp_construct,
+        bgp_match,
+        bgp_minus,
+        bgp_slice,
+        bgp_values,
+    )
 
     graph = spark.read.parquet(args.graph)
     aggs = dict(
@@ -91,11 +99,31 @@ def build_query(spark, args):
         optional=[parse_pattern(p) for p in args.optional or []],
         filters=args.filter or None,
     )
+    if getattr(args, "values", None):
+        out = bgp_values(out, [json.loads(v) for v in args.values])
+    if getattr(args, "minus", None):
+        out = bgp_minus(
+            out,
+            bgp_match(graph, [parse_pattern(p) for p in args.minus]),
+        )
+    for b in getattr(args, "bind", None) or []:
+        var, expr = b.split("=", 1)
+        out = bgp_bind(out, var, expr)
     if aggs:
         out = bgp_aggregate(
             out, group_by, aggs, having=getattr(args, "having", None)
         )
-    if args.limit:
+    if getattr(args, "construct", None):
+        out = bgp_construct(
+            out, [tuple(_split_terms(t)) for t in args.construct]
+        )
+    if getattr(args, "order_by", None):
+        keys = [
+            (k[1:], "desc") if k.startswith("-") else k
+            for k in args.order_by.split(",")
+        ]
+        out = bgp_slice(out, keys, limit=args.limit, offset=args.offset or 0)
+    elif args.limit:
         out = out.limit(args.limit)
     return out
 
@@ -121,6 +149,36 @@ def main() -> None:
     p.add_argument("--group-by", dest="group_by",
                    help="comma-separated grouping variables")
     p.add_argument("--having", help="SQL boolean over group keys/agg aliases")
+    p.add_argument(
+        "--values",
+        action="append",
+        help='SPARQL VALUES row as a JSON object, e.g. \'{"role": "user"}\''
+        " (repeatable; all rows must bind the same variables)",
+    )
+    p.add_argument(
+        "--minus",
+        action="append",
+        help="SPARQL MINUS pattern (same '|' syntax as -p; repeatable — "
+        "all MINUS patterns form ONE BGP whose solutions are anti-joined)",
+    )
+    p.add_argument(
+        "--bind",
+        action="append",
+        help="SPARQL BIND as var=SQL-expr over bound variables (repeatable)",
+    )
+    p.add_argument(
+        "--construct",
+        action="append",
+        help="CONSTRUCT template '?s|p|?o' (repeatable; replaces SELECT "
+        "output with the instantiated distinct graph)",
+    )
+    p.add_argument(
+        "--order-by",
+        dest="order_by",
+        help="comma-separated variables; prefix '-' for descending "
+        "(with --limit plans TakeOrderedAndProject, no global sort)",
+    )
+    p.add_argument("--offset", type=int)
     p.add_argument("--distinct", action="store_true")
     p.add_argument("--limit", type=int)
     p.add_argument("--output", help="write parquet here instead of stdout JSONL")

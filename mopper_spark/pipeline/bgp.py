@@ -489,6 +489,152 @@ def bgp_union(*branches: DataFrame) -> DataFrame:
     return out
 
 
+def bgp_minus(solution: DataFrame, other: DataFrame) -> DataFrame:
+    """SPARQL ``MINUS``: drop solutions compatible with some row of
+    ``other`` on their shared variables — a ``left_anti`` join, the
+    plan Catalyst already knows how to broadcast when ``other`` is small
+    (NOT-EXISTS is the classic anti-join, no row-at-a-time subquery).
+
+    Exact SPARQL semantics when shared variables are bound (non-NULL) on
+    both sides — the required-block case.  SPARQL's unbound-is-compatible
+    rule for OPTIONAL-produced NULLs is NOT modeled (a NULL shared var
+    here never matches, so such rows are KEPT); per the SPARQL 1.1 spec
+    MINUS with *no* shared variables removes nothing, and that case is
+    honored exactly (returns ``solution`` unchanged)."""
+    shared = sorted(set(solution.columns) & set(other.columns))
+    if not shared:
+        return solution
+    return solution.join(other.select(*shared), on=shared, how="left_anti")
+
+
+def bgp_exists(solution: DataFrame, other: DataFrame) -> DataFrame:
+    """SPARQL ``FILTER EXISTS``: keep solutions compatible with some row
+    of ``other`` on their shared variables — a ``left_semi`` join
+    (broadcastable, deduplicating by construction: no fan-out however
+    many witnesses exist).  Same bound-variables subset as ``bgp_minus``;
+    with no shared variables EXISTS is a constant — refused loudly
+    rather than silently keeping or dropping everything."""
+    shared = sorted(set(solution.columns) & set(other.columns))
+    if not shared:
+        raise ValueError(
+            "FILTER EXISTS pattern shares no variable with the solution"
+        )
+    return solution.join(other.select(*shared), on=shared, how="left_semi")
+
+
+def bgp_values(solution: DataFrame, rows: list[dict]) -> DataFrame:
+    """SPARQL ``VALUES``: constrain the solution to an inline binding
+    table — a broadcast inner join on the VALUES variables (the table is
+    inline in the query text, so it is small by construction).
+
+    ``rows``: ``[{"role": "user"}, {"role": "assistant"}]`` — every dict
+    must bind the same variables, all of which must exist in the
+    solution.  ``UNDEF`` (partial rows) is refused: a wildcard cell turns
+    the join into a union of per-subset joins, which you should write
+    explicitly."""
+    if not rows:
+        raise ValueError("empty VALUES block")
+    cols = sorted(rows[0])
+    if any(sorted(r) != cols for r in rows) or any(
+        v is None for r in rows for v in r.values()
+    ):
+        raise ValueError(
+            "VALUES rows must all bind the same variables with no UNDEF"
+        )
+    missing = [c for c in cols if c not in solution.columns]
+    if missing:
+        raise ValueError(f"VALUES variables {missing} not bound in solution")
+    inline = solution.sparkSession.createDataFrame(
+        [tuple(r[c] for c in cols) for r in rows], cols
+    )
+    return solution.join(F.broadcast(inline.distinct()), on=cols)
+
+
+def bgp_bind(solution: DataFrame, var: str, sql_expr: str) -> DataFrame:
+    """SPARQL ``BIND(expr AS ?var)``: one derived column, evaluated
+    natively (``F.expr`` — whole-stage codegen, no Python)."""
+    if var in solution.columns:
+        raise ValueError(f"BIND target ?{var} is already bound")
+    return solution.withColumn(var, F.expr(sql_expr))
+
+
+def bgp_slice(
+    solution: DataFrame,
+    order_by: list,
+    limit: int | None = None,
+    offset: int = 0,
+) -> DataFrame:
+    """SPARQL solution modifiers ``ORDER BY … LIMIT … OFFSET …``.
+
+    ``order_by``: variable names, or ``(name, "desc")`` tuples.  With a
+    LIMIT, Catalyst plans ``TakeOrderedAndProject`` — a per-partition
+    top-(offset+limit) heap merged on the driver, NO global sort-exchange
+    of the full solution (the reason this wrapper insists on an ORDER BY:
+    an unordered LIMIT over a distributed solution is nondeterministic).
+    Without a LIMIT it is an honest global sort.  For a deterministic
+    result SET under ties, order by a total key (include a tiebreaker
+    variable)."""
+    if not order_by:
+        raise ValueError("bgp_slice requires ORDER BY (unordered LIMIT is "
+                         "nondeterministic on a distributed solution)")
+    keys = []
+    for k in order_by:
+        if isinstance(k, tuple):
+            name, direction = k
+            keys.append(F.col(name).desc() if direction == "desc" else F.col(name).asc())
+        else:
+            keys.append(F.col(k).asc())
+    out = solution.orderBy(*keys)
+    if offset:
+        out = out.offset(offset)
+    return out.limit(limit) if limit is not None else out
+
+
+def bgp_construct(
+    solution: DataFrame, templates: list[tuple]
+) -> DataFrame:
+    """SPARQL ``CONSTRUCT``: instantiate triple templates over every
+    solution, returning a graph-shaped ``(subj, pred, obj)`` DataFrame.
+
+    Each template is a 3-tuple whose terms are either ``?var`` references
+    into the solution or constants.  Per the SPARQL 1.1 spec, a template
+    whose instantiation has an unbound term produces NO triple for that
+    solution (NULL rows are dropped per-template, not per-solution), and
+    the result is a GRAPH — a distinct set.
+
+    Plan shape: one narrow projection per template over the SAME solution
+    (the solution plan is shared, no recompute of the joins under
+    whole-stage reuse... and templates are usually few), unioned, then
+    one distinct — the only exchange this adds."""
+    if not templates:
+        raise ValueError("CONSTRUCT with no templates")
+    parts = []
+    for t in templates:
+        if len(t) != 3:
+            raise ValueError(f"CONSTRUCT template {t!r} must have 3 terms")
+        cols = []
+        for name, term in zip(("subj", "pred", "obj"), t):
+            if _is_var(term):
+                var = term[1:]
+                if var not in solution.columns:
+                    raise ValueError(
+                        f"CONSTRUCT template variable ?{var} not bound"
+                    )
+                cols.append(F.col(var).cast("string").alias(name))
+            else:
+                cols.append(F.lit(term).alias(name))
+        part = solution.select(*cols)
+        parts.append(part.filter(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull()
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.distinct()
+
+
 def describe_resource(triples: DataFrame, iri: str) -> DataFrame:
     """SPARQL DESCRIBE-lite: every triple where the resource is subject or
     object.  Two pushed-filter scans + a union — both filters reach the

@@ -1,0 +1,136 @@
+"""Companion to scale_probe.py: demonstrate that embedding near-dup's
+superlinear 10x factor is the FIXED-DEPTH configuration, not the operator.
+
+``embedding_near_dup_pairs`` candidate work at fixed (r, B) is
+``B * n^2 / 2^r`` — quadratic (the round-4 probe measured the threshold-0.4
+gate config at 117.9x wall for 10x rows, and the fixed deep config's
+candidate set grows exactly 100x).  The scale discipline — band DEPTH
+grows with log2(n) so bucket occupancy stays constant — is codified in
+``similarity.lsh_band_plan``; this probe runs the production-shape deep
+corpus (threshold 0.9, perturbed dupes) at sf0.1 and at the 10x synthesis
+under BOTH regimes and reports, per regime, the wall factor AND the
+candidate-pair-count factor (the clean signal, immune to fixed overheads):
+
+- fixed (8, 8):      candidates ~100x for 10x rows (quadratic);
+- planned by n:      candidates ~n^(1+rho), rho = ln(1/p)/ln2 ~= 0.22 at
+  cosine 0.9 -> ~16.6x ideal; ceil(log2) depth jitter can push the
+  realized factor above that (both endpoints round to integer planes),
+  but it stays an order of magnitude under the quadratic regime.
+
+Recall under planned params is total on this corpus — pinned by
+tests/test_textops.py::TestLshBandPlan::test_planned_recall_measured_total
+(the analytic >= 0.99-at-threshold bound sits below the injected dupes'
+actual cosines).
+
+Usage: python scripts/embedding_scaledr_probe.py [out.json] [regime,...]
+(regimes: fixed_8x8, planned; default both — the file is merged, not
+rewritten, so the two regimes can be measured in separate runs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from scale_probe import SRC, synthesize_10x  # noqa: E402
+
+
+def candidate_count(corpus, n_planes: int, n_bands: int) -> int:
+    """Distinct within-bucket candidate pairs BEFORE the cosine verify —
+    same keying as embedding_near_dup_pairs (one sign UDF pass, per-band
+    substring keys), counted instead of verified."""
+    from mopper_spark.textops.similarity import hyperplane_bucket_udf
+
+    t = corpus.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    bucket = hyperplane_bucket_udf(n_planes=n_planes * n_bands, seed=11)
+    keyed = (
+        t.withColumn("signs", bucket(F.col("v")))
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ":",
+                            F.lit(b),
+                            F.substring(F.col("signs"), b * n_planes + 1, n_planes),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("key"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col("a.id") < F.col("b.id")))
+        .select("a.id", "b.id")
+        .distinct()
+        .count()
+    )
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/embedding_scaledr.json"
+    import __spark_entry__ as entry_mod
+    from mopper_spark.session import get_spark
+    from mopper_spark.textops.dedup import embedding_near_dup_pairs
+    from mopper_spark.textops.similarity import lsh_band_plan
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("scaledr-probe", f"local[{cpus}]", shuffle_partitions=cpus)
+    tmp = tempfile.mkdtemp(prefix="sf1r_")
+    synthesize_10x(spark, tmp)
+
+    def run(sf_dir: str, planned: bool) -> dict:
+        corpus = entry_mod._dedup_deep_corpus(spark, sf_dir)
+        n = corpus.count()
+        r, b = lsh_band_plan(n, 0.9) if planned else (8, 8)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            embedding_near_dup_pairs(
+                corpus, threshold=0.9, n_planes=r, n_bands=b
+            ).count()
+            best = min(best, time.time() - t0)
+        return {
+            "n": n,
+            "planes": r,
+            "bands": b,
+            "wall_s": round(best, 3),
+            "candidates": candidate_count(corpus, r, b),
+        }
+
+    wanted = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    report = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            report = json.load(fh)
+    for regime, planned in (("fixed_8x8", False), ("planned", True)):
+        if wanted is not None and regime not in wanted:
+            continue
+        lo = run(SRC, planned)
+        hi = run(tmp, planned)
+        report[regime] = {
+            "sf0.1": lo,
+            "sf1": hi,
+            "wall_factor": round(hi["wall_s"] / lo["wall_s"], 2),
+            "candidate_factor": round(hi["candidates"] / max(1, lo["candidates"]), 2),
+        }
+        print(f"# {regime}: {json.dumps(report[regime])}", file=sys.stderr)
+        with open(out_path, "w") as fh:
+            json.dump(report, fh, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

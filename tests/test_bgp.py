@@ -580,3 +580,202 @@ def test_kg_query_cli_aggregation(spark, tmp_path):
     )
     got = [tuple(r) for r in build_query(spark, args).collect()]
     assert got == [("c1", 2)]
+
+
+class TestSolutionAlgebra:
+    """MINUS / EXISTS / VALUES / BIND / slice / CONSTRUCT — the SPARQL
+    solution-sequence algebra over bgp_match outputs."""
+
+    @pytest.fixture(scope="class")
+    def sol(self, spark, triples):
+        return bgp_match(
+            triples,
+            [("?t", EX + "mentions", "?e"), ("?t", EX + "inConv", "?c")],
+            select=["t", "e", "c"],
+        )
+
+    def test_minus_anti_join(self, spark, sol):
+        from mopper_spark.pipeline.bgp import bgp_minus
+
+        other = spark.createDataFrame([(EX + "alice",)], "e string")
+        got = sorted(r.e for r in bgp_minus(sol, other).collect())
+        assert got == [EX + "bob", EX + "bob", EX + "carol"]
+
+    def test_minus_no_shared_vars_removes_nothing(self, spark, sol):
+        from mopper_spark.pipeline.bgp import bgp_minus
+
+        other = spark.createDataFrame([("x",)], "unrelated string")
+        assert bgp_minus(sol, other).count() == sol.count()
+
+    def test_exists_semi_join_no_fanout(self, spark, sol):
+        from mopper_spark.pipeline.bgp import bgp_exists
+
+        # two witness rows for the same key must not duplicate solutions
+        other = spark.createDataFrame(
+            [(EX + "alice", 1), (EX + "alice", 2)], "e string, w int"
+        )
+        got = sorted(r.t for r in bgp_exists(sol, other).collect())
+        assert got == [EX + "t1", EX + "t2"]
+
+    def test_exists_disconnected_refused(self, spark, sol):
+        from mopper_spark.pipeline.bgp import bgp_exists
+
+        other = spark.createDataFrame([("x",)], "unrelated string")
+        with pytest.raises(ValueError, match="shares no variable"):
+            bgp_exists(sol, other)
+
+    def test_values_inline_join(self, sol):
+        from mopper_spark.pipeline.bgp import bgp_values
+
+        got = bgp_values(sol, [{"e": EX + "alice"}, {"e": EX + "carol"}])
+        assert sorted((r.t, r.e) for r in got.collect()) == [
+            (EX + "t1", EX + "alice"),
+            (EX + "t2", EX + "alice"),
+            (EX + "t3", EX + "carol"),
+        ]
+
+    def test_values_undef_and_unbound_refused(self, sol):
+        from mopper_spark.pipeline.bgp import bgp_values
+
+        with pytest.raises(ValueError, match="UNDEF"):
+            bgp_values(sol, [{"e": None}])
+        with pytest.raises(ValueError, match="not bound"):
+            bgp_values(sol, [{"nope": "x"}])
+        with pytest.raises(ValueError, match="empty"):
+            bgp_values(sol, [])
+
+    def test_bind_native_expr(self, sol):
+        from mopper_spark.pipeline.bgp import bgp_bind
+
+        out = bgp_bind(sol, "short", "substring(e, 11, 20)")
+        assert set(out.columns) == {"t", "e", "c", "short"}
+        assert {r.short for r in out.collect()} == {"alice", "bob", "carol"}
+        with pytest.raises(ValueError, match="already bound"):
+            bgp_bind(sol, "e", "1")
+
+    def test_slice_order_limit_offset(self, sol):
+        from mopper_spark.pipeline.bgp import bgp_slice
+
+        ordered = bgp_slice(sol, ["e", "t"], limit=2, offset=1)
+        got = [(r.e, r.t) for r in ordered.collect()]
+        assert got == [(EX + "alice", EX + "t2"), (EX + "bob", EX + "t1")]
+        desc = bgp_slice(sol, [("e", "desc"), "t"], limit=1)
+        assert [r.e for r in desc.collect()] == [EX + "carol"]
+        with pytest.raises(ValueError, match="ORDER BY"):
+            bgp_slice(sol, [], limit=1)
+
+    def test_slice_with_limit_plans_take_ordered(self, sol):
+        from mopper_spark.pipeline.bgp import bgp_slice
+
+        plan = bgp_slice(sol, ["e"], limit=2)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+    def test_construct_templates(self, spark, sol):
+        from mopper_spark.pipeline.bgp import bgp_construct
+
+        g = bgp_construct(
+            sol,
+            [
+                ("?c", EX + "hadMention", "?e"),
+                ("?e", EX + "type", EX + "Entity"),
+            ],
+        )
+        rows = {tuple(r) for r in g.collect()}
+        # distinct graph: alice mentioned twice collapses per (c,e)
+        assert (EX + "c1", EX + "hadMention", EX + "alice") in rows
+        assert (EX + "alice", EX + "type", EX + "Entity") in rows
+        assert len([r for r in rows if r[1] == EX + "type"]) == 3
+        assert g.columns == ["subj", "pred", "obj"]
+
+    def test_construct_unbound_dropped_per_template(self, spark, triples):
+        from mopper_spark.pipeline.bgp import bgp_construct, bgp_match
+
+        sol = bgp_match(
+            triples,
+            [("?t", EX + "inConv", "?c")],
+            optional=[("?t", EX + "tool", "?tl")],
+            select=["t", "tl"],
+        )
+        g = bgp_construct(sol, [("?t", EX + "usedTool", "?tl")])
+        assert g.count() == 0  # no tool triples in fixture -> all NULL
+
+    def test_construct_bad_templates_refused(self, sol):
+        from mopper_spark.pipeline.bgp import bgp_construct
+
+        with pytest.raises(ValueError, match="not bound"):
+            bgp_construct(sol, [("?c", EX + "p", "?nope")])
+        with pytest.raises(ValueError, match="3 terms"):
+            bgp_construct(sol, [("?c", EX + "p")])
+        with pytest.raises(ValueError, match="no templates"):
+            bgp_construct(sol, [])
+
+
+def test_kg_query_cli_solution_algebra(spark, tmp_path):
+    """jobs/kg_query.py: --values/--minus/--bind/--order-by/--construct."""
+    import argparse
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from jobs.kg_query import build_query
+
+    gp = str(tmp_path / "graph")
+    rows = [
+        (EX + "t1", EX + "mentions", EX + "alice", "iri", EX + "g"),
+        (EX + "t1", EX + "role", "user", "lit", EX + "g"),
+        (EX + "t2", EX + "mentions", EX + "bob", "iri", EX + "g"),
+        (EX + "t2", EX + "role", "user", "lit", EX + "g"),
+        (EX + "t3", EX + "mentions", EX + "alice", "iri", EX + "g"),
+        (EX + "t3", EX + "role", "assistant", "lit", EX + "g"),
+    ]
+    spark.createDataFrame(
+        rows, "subj string, pred string, obj string, okind string, graph string"
+    ).write.parquet(gp)
+
+    base = dict(
+        graph=gp,
+        pattern=[f"?t|{EX}mentions|?e", f"?t|{EX}role|?r"],
+        optional=None,
+        filter=None,
+        select="e,r,t",
+        distinct=False,
+        agg=None,
+        group_by=None,
+        having=None,
+        construct=None,
+        order_by=None,
+        offset=None,
+        limit=None,
+        values=None,
+        minus=None,
+        bind=None,
+    )
+
+    # VALUES restricts; MINUS removes entities also mentioned by assistants
+    args = argparse.Namespace(
+        **{
+            **base,
+            "values": ['{"r": "user"}'],
+            "minus": [f"?t2|{EX}mentions|?e", f"?t2|{EX}role|assistant"],
+        }
+    )
+    # minus BGP binds (t2, e) -- wait, 'assistant' is a constant object
+    got = sorted(r.e for r in build_query(spark, args).collect())
+    assert got == [EX + "bob"]
+
+    # BIND + ORDER BY desc + LIMIT
+    args2 = argparse.Namespace(
+        **{**base, "bind": ["eshort=substring(e, 11, 20)"],
+           "order_by": "-e,t", "limit": 1}
+    )
+    out2 = build_query(spark, args2).collect()
+    assert [(r.eshort, r.r) for r in out2] == [("bob", "user")]
+
+    # CONSTRUCT emits the distinct instantiated graph
+    args3 = argparse.Namespace(
+        **{**base, "construct": [f"?e|{EX}type|{EX}Entity"]}
+    )
+    got3 = sorted(tuple(r) for r in build_query(spark, args3).collect())
+    assert got3 == [
+        (EX + "alice", EX + "type", EX + "Entity"),
+        (EX + "bob", EX + "type", EX + "Entity"),
+    ]

@@ -311,6 +311,79 @@ FROM toks t LEFT JOIN usig s ON s.id = t.id
         assert len(full) == 40 * 39 // 2
 
 
+class TestLshBandPlan:
+    """lsh_band_plan — the depth-grows-with-log(n) scale discipline as code
+    (round-4 probe: fixed-depth gate config hit 117.9x wall at 10x rows)."""
+
+    def test_pinned_plans(self):
+        from mopper_spark.textops.similarity import lsh_band_plan
+
+        # threshold 0.9 (p = 1 - acos(.9)/pi ~= 0.8564): depth tracks
+        # ceil(log2(n/512)), width tracks the analytic 0.99-recall bound
+        assert lsh_band_plan(2500, 0.9) == (3, 5)
+        assert lsh_band_plan(25000, 0.9) == (6, 10)
+        assert lsh_band_plan(75000, 0.9) == (8, 14)
+        assert lsh_band_plan(600000, 0.9) == (11, 23)
+        # n below target_bucket: one plane, recall from width alone
+        assert lsh_band_plan(625, 0.9) == (1, 3)
+        # threshold 1.0: every band collides, one band suffices
+        assert lsh_band_plan(10_000, 1.0) == (5, 1)
+
+    def test_recall_bound_holds(self):
+        import math
+
+        from mopper_spark.textops.similarity import lsh_band_plan
+
+        for n, t in [(2500, 0.9), (25000, 0.9), (1_000_000, 0.95)]:
+            r, b = lsh_band_plan(n, t)
+            p = 1 - math.acos(t) / math.pi
+            assert 1 - (1 - p**r) ** b >= 0.99
+            # and B is minimal: one fewer band breaks the bound
+            if b > 1:
+                assert 1 - (1 - p**r) ** (b - 1) < 0.99
+
+    def test_infeasible_point_refused(self):
+        from mopper_spark.textops.similarity import lsh_band_plan
+
+        # the gate fixture's operating point (cosine 0.4, large n) needs
+        # 100+ bands — refused with the IVF alternative named
+        with pytest.raises(ValueError, match="IVF/SemDeDup"):
+            lsh_band_plan(60000, 0.4)
+        with pytest.raises(ValueError, match="threshold"):
+            lsh_band_plan(1000, 1.5)
+
+    def test_planned_recall_measured_total(self, spark):
+        """Measured recall 1.0 with PLANNED params on the deep-dupe corpus
+        (the analytic bound is at the threshold; injected dupes sit above
+        it, so every exact pair must survive banding)."""
+        import __spark_entry__ as entry_mod
+        from mopper_spark.textops.similarity import cosine_native, lsh_band_plan
+
+        corpus = entry_mod._dedup_deep_corpus(spark, "/root/testdata/sf0.001")
+        n = corpus.count()
+        r, b = lsh_band_plan(n, 0.9)
+        t = corpus.select("vec_id", F.col("embedding").alias("v"))
+        x, y = t.alias("a"), t.alias("b")
+        exact = {
+            (row.id_a, row.id_b)
+            for row in x.join(y, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                cosine_native(F.col("a.v"), F.col("b.v")).alias("c"),
+            )
+            .filter(F.col("c") >= 0.9)
+            .collect()
+        }
+        lsh = {
+            (row.id_a, row.id_b)
+            for row in embedding_near_dup_pairs(
+                corpus, threshold=0.9, n_planes=r, n_bands=b
+            ).collect()
+        }
+        assert exact == lsh and len(exact) == 125
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def emb(self, spark):
