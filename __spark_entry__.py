@@ -871,6 +871,114 @@ GROUP BY token
 """
 
 
+def _q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (textops/tokenizer.py): the
+    first 8 merges learned from the documents corpus, all-native (pair
+    counting is split/zip_with/explode + one combine-able groupBy per
+    round; applying a merge is one native ``replace`` over the
+    sentinel-wrapped segmentation — left-to-right non-overlapping, BPE's
+    exact within-word order).  The oracle replays every round in DuckDB
+    as an unrolled CTE chain (scalar-subquery argmax per step), so the
+    gate covers pair counting, the deterministic tie-break AND merge
+    application, hex for hex."""
+    from mopper_spark.textops.tokenizer import bpe_train, word_counts
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    merges, _ = bpe_train(word_counts(docs), 8)
+    return spark.createDataFrame(
+        [(i + 1, l, r, f) for i, (l, r, f) in enumerate(merges)],
+        "step int, lhs string, rhs string, freq long",
+    )
+
+
+def _sql_bpe_train(n_merges: int) -> str:
+    """Unrolled-CTE DuckDB replay of bpe_train: per step, pair counts over
+    the current segmentation, scalar-subquery argmax (freq DESC, pair
+    ASC — the sentinel-wrapped comparison IS the engine's tie-break), and
+    one replace() application.  Every CTE is MATERIALIZED: DuckDB inlines
+    CTEs by default, and the 8-level chain of scalar subqueries would
+    otherwise re-evaluate exponentially (measured: minutes vs 0.2 s).
+    (DuckDB replace is left-to-right non-overlapping, same as Java's)."""
+    ctes = ["""w0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT word, n,
+         array_to_string(list_transform(string_split(word, ''),
+                                        c -> chr(30) || c || chr(30)), ' ') AS sym
+  FROM w0
+)"""]
+    selects = []
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        ctes.append(f"""p{i} AS MATERIALIZED (
+  SELECT pair, SUM(n) AS freq FROM (
+    SELECT n, unnest(list_transform(range(greatest(len(a) - 1, 0)),
+                                    j -> a[j + 1] || ' ' || a[j + 2])) AS pair
+    FROM (SELECT n, string_split(sym, ' ') AS a FROM {prev})
+  ) GROUP BY pair
+),
+m{i} AS MATERIALIZED (SELECT pair, freq FROM p{i} ORDER BY freq DESC, pair ASC LIMIT 1),
+s{i} AS MATERIALIZED (
+  SELECT word, n,
+         replace(sym, (SELECT pair FROM m{i}),
+                 replace((SELECT pair FROM m{i}), chr(30) || ' ' || chr(30), '')) AS sym
+  FROM {prev}
+)""")
+        selects.append(
+            f"SELECT {i} AS step,\n"
+            f"  replace(string_split((SELECT pair FROM m{i}), ' ')[1], chr(30), '') AS lhs,\n"
+            f"  replace(string_split((SELECT pair FROM m{i}), ' ')[2], chr(30), '') AS rhs,\n"
+            f"  (SELECT freq FROM m{i}) AS freq"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+_SQL_BPE_TRAIN = _sql_bpe_train(8)
+
+
+def _q_bpe_encode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE ENCODING under the corpus-trained merges: per-document token
+    count and distinct-token count.  Encode is embarrassingly parallel —
+    chained native replaces per word (no UDF, plan pinned in
+    tests/test_tokenizer.py); the oracle re-derives the trained
+    segmentation dictionary in SQL (the same unrolled chain as
+    bpe_train_merges) and joins it back to the per-doc word stream."""
+    from mopper_spark.textops.tokenizer import bpe_encode, bpe_train, word_counts
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    merges, _ = bpe_train(word_counts(docs), 8)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.array_distinct("tokens")).alias("n_distinct"),
+    )
+
+
+_SQL_BPE_ENCODE = (
+    _sql_bpe_train(8).split("\nSELECT 1 AS step")[0]
+    + """,
+docwords AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+        FROM documents)
+  WHERE word <> ''
+),
+toks AS (
+  SELECT d.doc_id, unnest(string_split(s.sym, ' ')) AS wrapped
+  FROM docwords d JOIN s8 s USING (word)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT replace(wrapped, chr(30), '')) AS BIGINT) AS n_distinct
+FROM toks GROUP BY doc_id
+"""
+)
+
+
 def _q_fingerprint_md5(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
@@ -3374,6 +3482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "token_frequencies": _q_token_frequencies,
+        "bpe_train_merges": _q_bpe_train_merges,
+        "bpe_encode_tokens": _q_bpe_encode_tokens,
         "fingerprint_md5": _q_fingerprint_md5,
         "contamination_ngram": _q_contamination_ngram,
         "docs_repetition": _q_docs_repetition,
@@ -3452,6 +3562,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _SQL_TEXT_QUALITY,
         "lang_id": _SQL_LANG_ID,
         "token_frequencies": _SQL_TOKEN_FREQ,
+        "bpe_train_merges": _SQL_BPE_TRAIN,
+        "bpe_encode_tokens": _SQL_BPE_ENCODE,
         "fingerprint_md5": _SQL_FINGERPRINT,
         "contamination_ngram": _SQL_CONTAMINATION,
         "docs_repetition": _SQL_DOCS_REPETITION,

@@ -96,7 +96,9 @@ def main() -> None:
         n = corpus.count()
         r, b = lsh_band_plan(n, 0.9) if planned else (8, 8)
         best = float("inf")
-        for _ in range(2):
+        # one draw at the 10x size (scale_probe's policy: a multi-minute
+        # pathological draw should not run twice), min-of-2 at sf0.1
+        for _ in range(1 if sf_dir != SRC else 2):
             t0 = time.time()
             embedding_near_dup_pairs(
                 corpus, threshold=0.9, n_planes=r, n_bands=b
