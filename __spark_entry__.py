@@ -2699,6 +2699,50 @@ SELECT subj, pred, obj, okind, graph FROM kg
 """
 
 
+def _q_kg_turtle_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Turtle write/read round trip (ntriples.py::format_turtle + the
+    annotation-preserving turtle.py parser): the extracted triple set
+    (graph column dropped — Turtle has no named graphs; format_turtle
+    REFUSES non-null graphs in-plan) is serialized as prefix-compacted
+    subject blocks, assembled driver-side (8.7k statements at gate
+    scale; part files at corpus scale), parsed back, and returned — the
+    oracle is the DISTINCT statement set itself, so the gate passes iff
+    parse∘format is the identity.  DISTINCT because Turtle is a graph
+    serialization: duplicate statements collapse by construction."""
+    from mopper_spark.ntriples import turtle_document
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+    from mopper_spark.turtle import parse_turtle
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
+    doc = turtle_document(
+        kg.select("subj", "pred", "obj", "okind"),
+        {
+            "ont": "http://example.com/ontology/",
+            "turn": "http://example.com/turn/",
+            "conv": "http://example.com/conv/",
+            "ent": "http://example.com/entity/",
+        },
+    )
+    rows = [
+        (s[1], p, o[1], "blank" if o[0] == "bnode" else o[0])
+        for (s, p, o) in parse_turtle(doc).triples
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, okind string"
+    )
+
+
+_SQL_KG_TURTLE_ROUNDTRIP = f"""
+WITH kg AS ({_SQL_KG_GRAPH})
+SELECT DISTINCT subj, pred, obj, okind FROM kg
+"""
+
+
 def _q_kg_shacl_violations(spark: SparkSession, sf: str) -> DataFrame:
     """SHACL-lite validation (pipeline/validate.py): range-kind, domain-
     prefix, max-cardinality, and required-pair constraints over the
@@ -3303,6 +3347,32 @@ GROUP BY conv_id
 """
 
 
+def _q_transcripts_sft_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SFT pair extraction (textops/prepare.py::sft_pairs): every
+    assistant turn paired with the nearest preceding user turn of its
+    conversation (tool turns skipped, not blocking) — the
+    (prompt, response) layout SFT corpora use.  One per-conversation
+    window pass; oracle = the same running last_value(... IGNORE NULLS)
+    window in DuckDB."""
+    from mopper_spark.textops.prepare import sft_pairs
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return sft_pairs(tr)
+
+
+_SQL_TRANSCRIPTS_SFT_PAIRS = f"""
+SELECT conv_id, turn_idx, prompt, text AS response
+FROM (
+  SELECT conv_id, turn_idx, role, text,
+         last_value(CASE WHEN role = 'user' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prompt
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+)
+WHERE role = 'assistant' AND prompt IS NOT NULL
+"""
+
+
 def _q_transcripts_dedup_paragraphs(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style paragraph dedup COMPOSED with chat rendering: render
     conversations, then keep only the corpus-wide first occurrence of
@@ -3520,6 +3590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_resolve_functional": _q_kg_resolve_functional,
         "kg_negative_samples": _q_kg_negative_samples,
         "kg_nquads_roundtrip": _q_kg_nquads_roundtrip,
+        "kg_turtle_roundtrip": _q_kg_turtle_roundtrip,
         "kg_shacl_violations": _q_kg_shacl_violations,
         "kg_bgp_path_descendants": _q_kg_bgp_path_descendants,
         "kg_bgp_path_inverse_seq": _q_kg_bgp_path_inverse_seq,
@@ -3532,6 +3603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_model": _q_docs_quality_model,
         "docs_quality_model_trained": _q_docs_quality_model_trained,
         "transcripts_render": _q_transcripts_render,
+        "transcripts_sft_pairs": _q_transcripts_sft_pairs,
         "transcripts_dedup_paragraphs": _q_transcripts_dedup_paragraphs,
         "docs_pii_scrub": _q_docs_pii_scrub,
         "docs_budget_mix": _q_docs_budget_mix,
@@ -3604,6 +3676,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_resolve_functional": _SQL_KG_RESOLVE_FUNCTIONAL,
         "kg_negative_samples": _SQL_KG_NEGATIVE_SAMPLES,
         "kg_nquads_roundtrip": _SQL_KG_NQUADS_ROUNDTRIP,
+        "kg_turtle_roundtrip": _SQL_KG_TURTLE_ROUNDTRIP,
         "kg_shacl_violations": _SQL_KG_SHACL,
         "kg_bgp_path_descendants": _SQL_KG_BGP_PATH,
         "kg_bgp_path_inverse_seq": _SQL_KG_BGP_PATH_INV_SEQ,
@@ -3616,6 +3689,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_model": _SQL_DOCS_QUALITY_MODEL,
         "docs_quality_model_trained": _SQL_DOCS_QUALITY_MODEL_TRAINED,
         "transcripts_render": _SQL_TRANSCRIPTS_RENDER,
+        "transcripts_sft_pairs": _SQL_TRANSCRIPTS_SFT_PAIRS,
         "transcripts_dedup_paragraphs": _SQL_TRANSCRIPTS_DEDUP_PARAS,
         "docs_pii_scrub": _SQL_DOCS_PII_SCRUB,
         "docs_budget_mix": _SQL_DOCS_BUDGET_MIX,

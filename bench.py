@@ -78,6 +78,11 @@ HEADLINE = [
     "transcripts_dedup_paragraphs",
     "docs_budget_mix",
     "cc_components",
+    # round 4 additions
+    "kg_sparql_modifiers",
+    "kg_sparql_construct",
+    "bpe_train_merges",
+    "bpe_encode_tokens",
 ]
 
 

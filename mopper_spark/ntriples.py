@@ -211,3 +211,143 @@ def format_statements(statements: DataFrame) -> DataFrame:
 def read_nquads(spark: SparkSession, path: str, strict: bool = True) -> DataFrame:
     """Load ``.nt``/``.nq`` files into the engine's statement schema."""
     return parse_statements(spark.read.text(path), strict=strict)
+
+
+# --------------------------------------------------------- Turtle writer --
+
+# conservative PN_LOCAL subset for prefix compaction: word chars and
+# interior dots/hyphens (never leading/trailing dot) — anything outside
+# stays a full <iri>, which is always valid Turtle
+_PN_LOCAL = r"[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _turtle_iri(col: Column, prefixes: dict[str, str]) -> Column:
+    """IRI → prefixed name where a declared namespace matches and the
+    local part is PN_LOCAL-safe; full ``<iri>`` otherwise.  Longest
+    namespace wins (deterministic for nested namespaces)."""
+    out = F.concat(F.lit("<"), col, F.lit(">"))
+    for pfx, ns in sorted(prefixes.items(), key=lambda kv: len(kv[1])):
+        local = F.substring(col, len(ns) + 1, 2**30)
+        out = F.when(
+            col.startswith(ns) & F.regexp_like(local, F.lit(f"^{_PN_LOCAL}$")),
+            F.concat(F.lit(pfx + ":"), local),
+        ).otherwise(out)
+    return out
+
+
+def format_turtle(
+    statements: DataFrame, prefixes: dict[str, str] | None = None
+) -> DataFrame:
+    """Serialize ``(subj, pred, obj, okind)`` triples as Turtle — one row
+    per SUBJECT block, ``(subj, block)``, fully native and deterministic
+    (predicates and objects sorted within each block, so the document is
+    a pure function of the triple set under any partitioning).
+
+    Beyond-reference surface (the reference emits only N-Quads,
+    ``serializer.rs:25-166``): Turtle is the hand-off format for graph
+    consumers.  A ``graph`` column with any non-NULL value is REFUSED —
+    Turtle has no named graphs; use ``format_statements`` (N-Quads).
+
+    ``prefixes`` (e.g. ``{"ont": "http://…/ontology/"}``) compacts IRIs
+    whose local part is PN_LOCAL-safe; the matching ``@prefix`` header
+    lines are the caller's one-liner
+    (``"\\n".join(f"@prefix {p}: <{ns}> ." for …)``) since a distributed
+    writer has no "first row".  ``rdf:type`` predicates render as ``a``.
+
+    Plan shape: two map-side-combining aggregations (subj+pred, then
+    subj) — the same word-count posture as every grouping here; blocks
+    then stream to per-partition ``.ttl`` part files or collect for
+    driver-side assembly at test scale."""
+    prefixes = prefixes or {}
+    if "graph" in statements.columns:
+        # refuse loudly inside the plan (filter-pushdown-proof, same
+        # pattern as the strict N-Quads parser)
+        statements = statements.withColumn(
+            "_g_ok",
+            F.when(
+                F.col("graph").isNotNull() & (F.col("graph") != ""),
+                F.raise_error(
+                    F.concat(
+                        F.lit("format_turtle: named graph not expressible "
+                              "in Turtle (use format_statements): "),
+                        F.col("graph"),
+                    )
+                ),
+            ).otherwise(F.lit(True)),
+        ).filter(F.col("_g_ok")).drop("_g_ok", "graph")
+    subj_term = F.when(
+        F.col("subj").startswith("_:"), F.col("subj")
+    ).otherwise(_turtle_iri(F.col("subj"), prefixes))
+    pred_term = F.when(F.col("pred") == _RDF_TYPE, F.lit("a")).otherwise(
+        _turtle_iri(F.col("pred"), prefixes)
+    )
+    lit_body = F.concat(F.lit('"'), escape_literal(F.col("obj")), F.lit('"'))
+    obj_term = (
+        F.when(F.col("okind") == "iri", _turtle_iri(F.col("obj"), prefixes))
+        .when(F.col("okind") == "blank", F.concat(F.lit("_:"), F.col("obj")))
+        .when(
+            F.col("okind").startswith("lit@"),
+            F.concat(lit_body, F.lit("@"), F.substring(F.col("okind"), 5, 2**30)),
+        )
+        .when(
+            F.col("okind").startswith("lit^^"),
+            F.concat(
+                lit_body,
+                F.lit("^^"),
+                _turtle_iri(F.substring(F.col("okind"), 6, 2**30), prefixes),
+            ),
+        )
+        .otherwise(lit_body)
+    )
+    by_pred = (
+        statements.select(
+            F.col("subj"),
+            subj_term.alias("st"),
+            pred_term.alias("pt"),
+            obj_term.alias("ot"),
+        )
+        .groupBy("subj", "st", "pt")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("ot")), " , "
+            ).alias("objs")
+        )
+    )
+    return (
+        by_pred.groupBy("subj", "st")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.concat(F.col("pt"), F.lit(" "), F.col("objs")))
+                ),
+                " ;\n    ",
+            ).alias("body")
+        )
+        .select(
+            "subj",
+            F.concat(F.col("st"), F.lit(" "), F.col("body"), F.lit(" .")).alias(
+                "block"
+            ),
+        )
+    )
+
+
+def turtle_document(
+    statements: DataFrame, prefixes: dict[str, str] | None = None
+) -> str:
+    """Driver-side document assembly (TEST/CLI scale — at corpus scale
+    write ``format_turtle``'s blocks as part files): header + blocks
+    sorted by subject."""
+    prefixes = prefixes or {}
+    header = "".join(
+        f"@prefix {p}: <{ns}> .\n" for p, ns in sorted(prefixes.items())
+    )
+    blocks = [
+        r.block
+        for r in format_turtle(statements, prefixes)
+        .orderBy("subj")
+        .select("block")
+        .collect()
+    ]
+    return header + "\n".join(blocks) + ("\n" if blocks else "")

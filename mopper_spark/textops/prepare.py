@@ -246,3 +246,41 @@ def segment_conversations(
         "turn_idx",
         F.sum(boundary).over(run).cast("long").alias("seg_id"),
     )
+
+
+def sft_pairs(
+    transcripts: DataFrame,
+    *,
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Supervised-fine-tuning pair extraction: every ``response_role``
+    turn paired with the NEAREST PRECEDING ``prompt_role`` turn of its
+    conversation — ``(conv_id, turn_idx, prompt, response)``, ordered by
+    the same stable (conv_id, turn_idx) key as every transcript operator.
+
+    Intervening other-role turns (tool calls, system notes) are skipped,
+    not blocking: the pair is (last user utterance, assistant reply),
+    which is the layout SFT corpora like OpenAssistant/ShareGPT exports
+    use.  Assistant turns with NO preceding user turn in the conversation
+    (e.g. a tool-initiated opener) produce no pair.
+
+    Plan: ONE window pass partitioned by ``conv_id`` (running
+    ``last(…, ignorenulls=True)`` over the preceding rows), then a
+    filter — per-conversation state only; the skewed 10k-turn fixture
+    conversation costs one partition-local sort, the posture documented
+    for every per-conversation operator here.
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prompt = F.last(
+        F.when(F.col("role") == prompt_role, F.col("text")), ignorenulls=True
+    ).over(w)
+    return (
+        transcripts.withColumn("prompt", prompt)
+        .filter((F.col("role") == response_role) & F.col("prompt").isNotNull())
+        .select("conv_id", "turn_idx", "prompt", F.col("text").alias("response"))
+    )

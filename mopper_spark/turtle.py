@@ -10,7 +10,9 @@ property lists, predicate-object (``;``) and object (``,``) lists, and the
 implementation (no collections, no numeric bare literals); mapping documents
 don't need those, and anything unsupported raises a clear error.
 
-Terms are ``(kind, value)`` tuples with kind in ``{"iri", "lit", "bnode"}``.
+Terms are ``(kind, value)`` tuples with kind in ``{"iri", "lit", "bnode"}``
+plus annotated literal kinds ``lit@<tag>`` / ``lit^^<datatype-iri>`` (the
+engine's okind encoding, preserved for the Turtle writer round-trip).
 """
 
 from __future__ import annotations
@@ -32,8 +34,8 @@ _TOKEN_RE = re.compile(
   | (?P<base_decl>@base\b)
   | (?P<langtag>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)
   | (?P<dtype_sep>\^\^)
-  | (?P<pname>(?:[A-Za-z_](?:[\w.\-]*[\w\-])?)?:(?:[\w\-%](?:[\w.\-%]*[\w\-%])?)?)
   | (?P<bnode_label>_:[\w.\-]+)
+  | (?P<pname>(?:[A-Za-z_](?:[\w.\-]*[\w\-])?)?:(?:[\w\-%](?:[\w.\-%]*[\w\-%])?)?)
   | (?P<a_kw>\ba\b)
   | (?P<punct>[\[\];,.()])
     """,
@@ -245,16 +247,27 @@ class TurtleParser:
             return ("bnode", value[2:])
         if kind in ("string", "string3"):
             raw = value[3:-3] if kind == "string3" else value[1:-1]
-            # ignore (but consume) language tags / datatypes — mapping
-            # literals (rml:source, rr:template, …) never carry them, and
-            # the reference drops literal annotations anyway
-            # (src/function/literal.rs:36-37 TODO)
+            # language tags / datatypes are PRESERVED in the kind, using
+            # the engine's okind encoding ('lit@en', 'lit^^<dt-iri>'
+            # without the brackets) — mapping-document consumers only ever
+            # test kind == "iri", so they are unaffected, and the Turtle
+            # writer round-trip (ntriples.format_turtle) is lossless.
+            # The reference itself drops annotations
+            # (src/function/literal.rs:36-37 TODO).
             nxt = self.tokens.peek()
             if nxt is not None and nxt[0] == "langtag":
+                tag = self.tokens.next()[1]
+                return (f"lit@{tag[1:]}", _unescape(raw))
+            if nxt is not None and nxt[0] == "dtype_sep":
                 self.tokens.next()
-            elif nxt is not None and nxt[0] == "dtype_sep":
-                self.tokens.next()
-                self.tokens.next()  # the datatype IRI/pname
+                dk, dv = self.tokens.next()  # the datatype IRI/pname
+                if dk == "iriref":
+                    dt = self._resolve_iri(dv)
+                elif dk == "pname":
+                    dt = self._expand_pname(dv)
+                else:
+                    raise TurtleParseError(f"Bad datatype token {dv!r}")
+                return (f"lit^^{dt}", _unescape(raw))
             return ("lit", _unescape(raw))
         if kind == "punct" and value == "[":
             node = self._new_bnode()

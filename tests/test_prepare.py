@@ -148,3 +148,41 @@ def test_budget_sample_empty_budgets_raises(spark):
     )
     with pytest.raises(ValueError, match="empty budgets"):
         budget_sample(docs, {})
+
+
+class TestSftPairs:
+    def test_nearest_preceding_user_skips_tools(self, spark):
+        from mopper_spark.textops.prepare import sft_pairs
+
+        rows = [
+            ("c1", 0, "user", "q1", None),
+            ("c1", 1, "tool", "t", "search"),
+            ("c1", 2, "assistant", "a1", None),
+            ("c1", 3, "user", "q2", None),
+            ("c1", 4, "assistant", "a2", None),
+            ("c1", 5, "assistant", "a3", None),  # still paired with q2
+            ("c2", 0, "assistant", "orphan", None),  # no preceding user
+            ("c2", 1, "user", "q3", None),
+            ("c2", 2, "assistant", "a4", None),
+        ]
+        tr = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string, tool string"
+        )
+        got = sorted(
+            (r.conv_id, r.turn_idx, r.prompt, r.response)
+            for r in sft_pairs(tr).collect()
+        )
+        assert got == [
+            ("c1", 2, "q1", "a1"),
+            ("c1", 4, "q2", "a2"),
+            ("c1", 5, "q2", "a3"),
+            ("c2", 2, "q3", "a4"),
+        ]
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.prepare import sft_pairs
+
+        tr = spark.read.parquet("fixtures/transcripts_2000.parquet")
+        a = sorted(map(tuple, sft_pairs(tr).collect()))
+        b = sorted(map(tuple, sft_pairs(tr.repartition(17)).collect()))
+        assert a == b and len(a) > 100

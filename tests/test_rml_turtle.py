@@ -75,8 +75,14 @@ def test_turtle_comments_lang_and_datatype_consumed():
         """
     )
     s = ("iri", "http://ex.org/s")
-    assert doc.value(s, "http://ex.org/p") == ("lit", "tagged")
-    assert doc.value(s, "http://ex.org/q") == ("lit", "5")
+    # annotations are PRESERVED in the kind (engine okind encoding) since
+    # the Turtle-writer round-trip landed; mapping consumers only ever
+    # test kind == "iri", so RML semantics are unchanged
+    assert doc.value(s, "http://ex.org/p") == ("lit@en", "tagged")
+    assert doc.value(s, "http://ex.org/q") == (
+        "lit^^http://www.w3.org/2001/XMLSchema#integer",
+        "5",
+    )
 
 
 def test_turtle_errors_are_clear():
