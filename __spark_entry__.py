@@ -931,7 +931,9 @@ s{i} AS MATERIALIZED (
             f"SELECT {i} AS step,\n"
             f"  replace(string_split((SELECT pair FROM m{i}), ' ')[1], chr(30), '') AS lhs,\n"
             f"  replace(string_split((SELECT pair FROM m{i}), ' ')[2], chr(30), '') AS rhs,\n"
-            f"  (SELECT freq FROM m{i}) AS freq"
+            # CAST: SUM over BIGINT is HUGEINT, which renders differently
+            # on the pandas fetch path (the r2 events_sessionize lesson)
+            f"  (SELECT CAST(freq AS BIGINT) FROM m{i}) AS freq"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
@@ -1176,10 +1178,13 @@ def _q_ivf_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
     largest cluster), per-round lineage cuts
     (mopper_spark/textops/ivf.py::kmeans_train).
 
-    No ``oracle_sql`` entry: the round count is data-dependent and each
-    round nests multi-stage aggregation, which recursive CTEs cannot
-    express — the gate records the weaker rows-only check.  Exactness is
-    pinned instead by tests/test_ivf.py::TestKmeansTrain, whose
+    Strict-oracled by ``_sql_kmeans_train(8, 12)``: an unrolled 12-step
+    MATERIALIZED-CTE chain of the proven ivf_kmeans_step kernel (the
+    round count is data-dependent in general, but at THIS fixture the
+    training runs all 12 rounds with no re-seed and no early convergence
+    — pinned by the RECALL_PINS entry, so a gate failure here is
+    investigated as a fixture/round-shape change first).  Exactness is
+    additionally pinned by tests/test_ivf.py::TestKmeansTrain, whose
     single-threaded python replica must match every integer centroid,
     inertia, and history entry bit-for-bit, under any partitioning."""
     from mopper_spark.textops.ivf import kmeans_train
@@ -1196,6 +1201,79 @@ def _q_ivf_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(len(hist)).cast("long").alias("rounds"),
         F.lit(int(hist[-1]["inertia_fp"])).alias("final_inertia_fp"),
     )
+
+
+def _sql_kmeans_train(k: int, rounds: int) -> str:
+    """Unrolled-CTE DuckDB replay of kmeans_train: ``rounds`` Lloyd steps
+    chained (each = the proven ivf_kmeans_step kernel: fixed-point
+    distance, ROW_NUMBER argmin with the (dist_fp, cid) tie-break,
+    integer per-dimension sums; next-round float centroids are the same
+    int/int → double division the engine computes).  All CTEs
+    MATERIALIZED — DuckDB's default CTE inlining re-evaluates a 12-level
+    chain exponentially (the bpe_train_merges lesson).
+
+    Equality with the engine holds iff the training at this fixture runs
+    the full ``rounds`` with NO re-seed and NO early convergence — both
+    pinned by the RECALL_PINS entry for ivf_kmeans_train (at a fixpoint
+    extra Lloyd steps would be no-ops, but `rounds`/`final_inertia_fp`
+    would then diverge, and a re-seed is driver-side logic SQL does not
+    replay)."""
+    ctes = [
+        """v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, vec AS cvec
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT %d)
+)"""
+        % k
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""x{r} AS MATERIALIZED (
+  SELECT vec_id, cid, vec,
+         CAST(list_sum(list_transform(range(1, len(vec) + 1),
+              i -> CAST(round((vec[i] - cvec[i]) * (vec[i] - cvec[i]) * 1e12) AS BIGINT)))
+              AS BIGINT) AS dist_fp
+  FROM v CROSS JOIN c{r - 1}
+),
+b{r} AS MATERIALIZED (
+  SELECT vec_id, cid, dist_fp, vec FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_fp, cid) AS rn
+    FROM x{r}) WHERE rn = 1
+),
+nc{r} AS MATERIALIZED (
+  SELECT cid, n_members, inertia_fp, slist
+  FROM (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(dist_fp) AS BIGINT) AS inertia_fp
+        FROM b{r} GROUP BY cid) agg
+  JOIN (SELECT cid, list(s ORDER BY pos) AS slist
+        FROM (SELECT cid, pos, CAST(SUM(x_fp) AS BIGINT) AS s
+              FROM (SELECT cid, CAST(round(x * 1000000) AS BIGINT) AS x_fp, pos
+                    FROM (SELECT cid, unnest(vec) AS x,
+                                 unnest(range(1, len(vec) + 1)) AS pos FROM b{r}))
+              GROUP BY cid, pos)
+        GROUP BY cid) dims USING (cid)
+),
+c{r} AS MATERIALIZED (
+  SELECT cid, list_transform(slist, s -> s / (n_members * 1000000)) AS cvec
+  FROM nc{r}
+)""")
+    last = f"nc{rounds}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT cid, n_members, inertia_fp,
+       array_to_string(list_transform(slist, s -> CAST(s AS VARCHAR)), ',')
+         AS centroid_fp,
+       CAST({rounds} AS BIGINT) AS rounds,
+       (SELECT CAST(SUM(inertia_fp) AS BIGINT) FROM {last}) AS final_inertia_fp
+FROM {last}
+"""
+    )
+
+
+_SQL_IVF_KMEANS_TRAIN = _sql_kmeans_train(8, 12)
 
 
 _SQL_IVF_KMEANS = """
@@ -1823,7 +1901,32 @@ r0 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg,
 {",".join(pr_iters)}
 SELECT node, pr AS pr_scaled FROM {prev}
 """
-    return kg_sql, linking_sql, turns_sql, triangles_sql, pagerank_sql
+    # synchronous label propagation, 3 unrolled rounds: per round every
+    # node adopts the argmax over neighbor labels (count DESC, label ASC)
+    # from the previous round's snapshot — graph.py::label_propagation
+    lpa_rounds = []
+    prev_l = "l0"
+    for i in (1, 2, 3):
+        lpa_rounds.append(
+            f"""n{i} AS (SELECT s.dst AS node, l.label, COUNT(*) AS cnt
+      FROM sym s JOIN {prev_l} l ON s.src = l.node GROUP BY 1, 2),
+l{i} AS (SELECT node, label FROM (
+      SELECT node, label,
+             ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+      FROM n{i}) WHERE rn = 1)"""
+        )
+        prev_l = f"l{i}"
+    lpa_sql = f"""
+WITH {mentions_cte},
+cn AS (SELECT DISTINCT conv_id, {norm.format(v="surface")} AS norm FROM men),
+ed AS (SELECT DISTINCT a.norm AS u, b.norm AS v
+       FROM cn a JOIN cn b ON a.conv_id = b.conv_id AND a.norm < b.norm),
+sym AS (SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v AS src, u AS dst FROM ed),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+{",".join(lpa_rounds)}
+SELECT node, label FROM {prev_l}
+"""
+    return kg_sql, linking_sql, turns_sql, triangles_sql, pagerank_sql, lpa_sql
 
 
 (
@@ -1832,6 +1935,7 @@ SELECT node, pr AS pr_scaled FROM {prev}
     _SQL_KG_STREAM,
     _SQL_MENTION_TRIANGLES,
     _SQL_MENTION_PAGERANK,
+    _SQL_MENTION_COMMUNITIES,
 ) = _transcript_oracle_sqls()
 
 def _q_kg_bgp_optional(spark: SparkSession, sf: str) -> DataFrame:
@@ -1980,6 +2084,19 @@ def _q_mention_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     from mopper_spark.pipeline.graph import pagerank_fixed
 
     return pagerank_fixed(_mention_edges(spark), iters=3, scale=10**9)
+
+
+def _q_mention_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic SYNCHRONOUS label propagation (3 rounds, argmax
+    neighbor label with count-desc/label-asc tie-break — pipeline/
+    graph.py::label_propagation) over the mention co-occurrence graph:
+    community labels for every co-mentioned entity form.  Synchronous +
+    total-order tie-break is what makes LPA engine-reproducible (the
+    classic asynchronous variant is order-dependent by construction);
+    the oracle unrolls the same 3 rounds in SQL."""
+    from mopper_spark.pipeline.graph import label_propagation
+
+    return label_propagation(_mention_edges(spark), rounds=3)
 
 
 def _q_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -2534,6 +2651,15 @@ RECALL_PINS: dict[str, dict[str, object]] = {
         "test": "tests/test_pipeline.py::TestOracleFixturePins::"
         "test_blocking_recall_total",
         "fixtures": ["fixtures/transcripts_2000.parquet"],
+    },
+    # not a recall property: the unrolled 12-step SQL replay equals the
+    # engine iff training at this fixture runs all 12 rounds with no
+    # re-seed and no early convergence — the pinned test asserts exactly
+    # that history shape
+    "ivf_kmeans_train": {
+        "test": "tests/test_ivf.py::TestKmeansTrain::"
+        "test_gate_fixture_runs_full_rounds_no_reseed",
+        "fixtures": ["/root/testdata/sf0.01/embeddings.parquet"],
     },
 }
 
@@ -3580,6 +3706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_counts": _q_stream_dedup_counts,
         "mention_triangles": _q_mention_triangles,
         "mention_pagerank": _q_mention_pagerank,
+        "mention_communities": _q_mention_communities,
         "docs_bm25": _q_docs_bm25,
         "bigram_pmi": _q_bigram_pmi,
         "skew_salted_join": _q_skew_salted_join,
@@ -3644,6 +3771,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_contamination": _SQL_STREAM_CONTAMINATION,
         "transcript_turn_dedup": _SQL_TURN_DEDUP,
         "ivf_kmeans_step": _SQL_IVF_KMEANS,
+        "ivf_kmeans_train": _SQL_IVF_KMEANS_TRAIN,
         "repeated_spans": _SQL_REPEATED_SPANS,
         "docs_duplicated_ranges": _SQL_DOCS_DUPLICATED_RANGES,
         "docs_length_profile": _SQL_DOCS_LENGTH_PROFILE,
@@ -3666,6 +3794,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_counts": _SQL_STREAM_DEDUP_COUNTS,
         "mention_triangles": _SQL_MENTION_TRIANGLES,
         "mention_pagerank": _SQL_MENTION_PAGERANK,
+        "mention_communities": _SQL_MENTION_COMMUNITIES,
         "stream_interval_join": _SQL_STREAM_INTERVAL_JOIN,
         "doc_hash_split": _SQL_DOC_HASH_SPLIT,
         "docs_bm25": _SQL_DOCS_BM25,

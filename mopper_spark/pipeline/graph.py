@@ -339,3 +339,56 @@ def closure_from(
         )
     finally:
         spark.conf.set(conf_key, old)
+
+
+def label_propagation(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    *,
+    rounds: int = 3,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """SYNCHRONOUS label propagation (Raghavan et al. 2007) for community
+    detection, made deterministic: every node starts labeled with itself;
+    each round every node adopts the argmax over its neighbors' labels —
+    highest count, ties to the SMALLEST label — all nodes updating from
+    the same previous-round snapshot (the synchronous variant; the
+    asynchronous one is order-dependent by construction and therefore
+    not engine-reproducible).  Fixed ``rounds`` rather than convergence:
+    synchronous LPA can 2-cycle on bipartite structures, so a fixpoint
+    probe may never fire; bounded rounds with a deterministic rule is the
+    reproducible contract (and what lets a SQL engine replay it exactly).
+
+    Physical shape per round: one equi-join of the symmetrized edge list
+    with the label table + one map-side-combining count by
+    (node, label) + one associative ``min(struct(-count, label))`` argmax
+    per node — no per-node window sort, so a celebrity node costs a
+    skewed-but-combinable aggregation, not a single-reducer sort.
+    Isolated nodes (no edges) never appear; callers wanting them keep
+    their self-label by unioning the node table afterwards.
+
+    Returns ``(node, label)``.
+    """
+    sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for i in range(rounds):
+        neigh = sym.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).groupBy(F.col("dst").alias("node"), "label").agg(
+            F.count("*").alias("cnt")
+        )
+        labels = (
+            neigh.groupBy("node")
+            .agg(F.min(F.struct(-F.col("cnt"), F.col("label"))).alias("m"))
+            .select("node", F.col("m.label").alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -558,7 +558,26 @@ def resolve_source(
                 raise FileNotFoundError(
                     f"Source file {resolved!r} does not exist"
                 )
-            if resolved.endswith(".parquet") or os.path.isdir(resolved):
+            if resolved.endswith(".parquet"):
+                df = _all_string(spark.read.parquet(resolved))
+            elif resolved.endswith(".orc"):
+                # ORC ships in Spark core — same all-string scan contract
+                # as parquet (beyond reference parity: its engine reads
+                # CSV only, lib.rs:129-137)
+                df = _all_string(spark.read.orc(resolved))
+            elif resolved.endswith((".jsonl", ".ndjson")):
+                # JSON Lines: line-splittable (the 100 TB-friendly JSON
+                # shape); one object per line, top-level keys as columns,
+                # nested values JSON-encoded strings (same contract as
+                # discovery-mode _json_iterate)
+                raw = spark.read.json(resolved)
+                df = raw.select(
+                    [
+                        _stringify(F.col(f.name), f.dataType).alias(f.name)
+                        for f in raw.schema.fields
+                    ]
+                )
+            elif os.path.isdir(resolved):
                 df = _all_string(spark.read.parquet(resolved))
             elif ref_form == "CSVRows":
                 df = spark.read.option("header", "true").csv(resolved)

@@ -258,3 +258,22 @@ class TestKmeansTrain:
             kmeans_train(df, k=0)
         with pytest.raises(ValueError, match="max_iters"):
             kmeans_train(df, k=2, max_iters=0)
+
+    def test_gate_fixture_runs_full_rounds_no_reseed(self, spark):
+        """RECALL_PINS precondition for the ivf_kmeans_train STRICT oracle
+        (an unrolled 12-step SQL replay): at the sf0.01 gate fixture the
+        training must run ALL 12 rounds with no re-seed and no early
+        convergence -- otherwise the engine's rounds/final_inertia_fp
+        diverge from the oracle's constants and a gate failure means a
+        fixture/round-shape change, not an engine bug."""
+        from mopper_spark.textops.ivf import kmeans_train
+
+        vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        _, _, hist = kmeans_train(vecs, k=8, max_iters=12)
+        assert len(hist) == 12
+        assert not any(h["reseeded"] for h in hist)
+        inertias = [h["inertia_fp"] for h in hist]
+        # strictly decreasing => no two consecutive rounds were equal,
+        # so the fixpoint probe never fired before max_iters
+        assert all(a > b for a, b in zip(inertias, inertias[1:]))
+

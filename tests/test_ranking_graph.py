@@ -215,3 +215,61 @@ class TestSaltedJoin:
         fact, dim = self._skewed(spark)
         with pytest.raises(ValueError):
             salted_join(fact, dim, "k", salts=0)
+
+
+class TestLabelPropagation:
+    """Synchronous LPA (pipeline/graph.py::label_propagation) vs a
+    single-threaded python replica of the exact rule."""
+
+    def _replica(self, edges, rounds):
+        sym = edges + [(b, a) for a, b in edges]
+        labels = {n: n for n, _ in sym}
+        for _ in range(rounds):
+            counts: dict = {}
+            for s, d in sym:
+                key = (d, labels[s])
+                counts[key] = counts.get(key, 0) + 1
+            new = {}
+            for (node, label), cnt in counts.items():
+                cur = new.get(node)
+                if cur is None or (-cnt, label) < cur[0]:
+                    new[node] = ((-cnt, label), label)
+            labels = {n: v[1] for n, v in new.items()}
+        return labels
+
+    def test_two_cliques_bridge(self, spark):
+        from mopper_spark.pipeline.graph import label_propagation
+
+        clique1 = [("a1", "a2"), ("a1", "a3"), ("a2", "a3")]
+        clique2 = [("b1", "b2"), ("b1", "b3"), ("b2", "b3")]
+        edges = clique1 + clique2 + [("a3", "b1")]
+        df = spark.createDataFrame(edges, "a string, b string")
+        got = {r.node: r.label for r in label_propagation(df, rounds=3).collect()}
+        assert got == self._replica(edges, 3)
+        # the two cliques resolve to different communities
+        assert len({got["a1"], got["a2"]} | {got["b2"], got["b3"]}) >= 2
+
+    def test_bipartite_two_cycle_is_bounded(self, spark):
+        """Synchronous LPA 2-cycles on bipartite graphs — fixed rounds must
+        terminate and match the replica at every round count."""
+        from mopper_spark.pipeline.graph import label_propagation
+
+        edges = [("x1", "y1"), ("x1", "y2"), ("x2", "y1"), ("x2", "y2")]
+        df = spark.createDataFrame(edges, "a string, b string")
+        for rounds in (1, 2, 3):
+            got = {
+                r.node: r.label
+                for r in label_propagation(df, rounds=rounds).collect()
+            }
+            assert got == self._replica(edges, rounds), rounds
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.pipeline.graph import label_propagation
+
+        edges = [(f"n{i}", f"n{(i * 7) % 23}") for i in range(40) if i != (i * 7) % 23]
+        df = spark.createDataFrame(edges, "a string, b string")
+        a = sorted(map(tuple, label_propagation(df, rounds=3).collect()))
+        b = sorted(
+            map(tuple, label_propagation(df.repartition(11), rounds=3).collect())
+        )
+        assert a == b == sorted(self._replica(edges, 3).items())

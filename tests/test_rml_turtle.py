@@ -515,3 +515,29 @@ def test_rml_xml_source_end_to_end(spark, tmp_path):
         '<http://example.com/student/7> <http://example.com/name> "Ada L" .',
         '<http://example.com/student/8> <http://example.com/name> "Grace H" .',
     }
+
+
+def test_orc_and_jsonl_sources(spark, tmp_path):
+    """resolve_source format surface: .orc (Spark-core columnar) and
+    .jsonl / .ndjson (line-splittable JSON) next to parquet/CSV — all on
+    the engine's all-string scan contract; nested JSONL values arrive as
+    JSON-encoded strings (the discovery-mode contract)."""
+    from mopper_spark.engine import MopperOptions
+    from mopper_spark.sources import resolve_source
+
+    orc = str(tmp_path / "t.orc")
+    spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id int, v string"
+    ).write.orc(orc)
+    jl = str(tmp_path / "t.jsonl")
+    with open(jl, "w") as fh:
+        fh.write('{"id": 1, "nested": {"a": 2}}\n{"id": 3, "nested": {"a": 4}}\n')
+
+    opts = MopperOptions(working_dir_hint=str(tmp_path))
+    got_orc = resolve_source(spark, {"path": "t.orc"}, opts)
+    assert got_orc.schema.simpleString() == "struct<id:string,v:string>"
+    assert sorted(map(tuple, got_orc.collect())) == [("1", "x"), ("2", "y")]
+
+    got_jl = resolve_source(spark, {"path": "t.jsonl"}, opts)
+    rows = sorted(map(tuple, got_jl.collect()))
+    assert rows == [("1", '{"a":2}'), ("3", '{"a":4}')]
