@@ -981,6 +981,109 @@ FROM toks GROUP BY doc_id
 )
 
 
+def _q_docs_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG retrieval-corpus chunking (textops/analysis.py::
+    chunk_documents): 64-token sliding windows with 16-token overlap,
+    chunk count by exact integer arithmetic (engine-reproducible layout),
+    one narrow pass — split → posexplode(sequence) → slice."""
+    from mopper_spark.textops.analysis import chunk_documents
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+_SQL_DOCS_CHUNKING = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+base AS (SELECT id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+nc AS (
+  SELECT id, tk,
+         CASE WHEN n <= 64 THEN 1
+              ELSE CAST((n - 64 + 47) // 48 AS INTEGER) + 1 END AS c
+  FROM base
+),
+ch AS (SELECT id, tk, unnest(range(c)) AS i FROM nc)
+SELECT id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       CAST(len(tk[i * 48 + 1 : i * 48 + 64]) AS INTEGER) AS n_tokens,
+       array_to_string(tk[i * 48 + 1 : i * 48 + 64], ' ') AS chunk
+FROM ch
+"""
+
+
+def _q_events_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD type-2 interval collapse (textops/joins.py::scd2_intervals):
+    the per-user event stream collapsed into event_type validity runs
+    (valid_from / valid_to, NULL = current) — the dimension-table layout
+    the as-of join consumes.  Gaps-and-islands with a NULL-safe change
+    flag; ts ties ordered by the attribute tuple for determinism."""
+    from mopper_spark.textops.joins import scd2_intervals
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return scd2_intervals(ev, ["user_id"], "ts", ["event_type"])
+
+
+_SQL_EVENTS_SCD2 = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN (lag(event_type) OVER w IS NOT DISTINCT FROM event_type)
+                   AND lag(ts) OVER w IS NOT NULL
+              THEN 0 ELSE 1 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+),
+runs AS (
+  SELECT user_id, ts, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM ordered
+),
+iv AS (
+  SELECT user_id, run, event_type, MIN(ts) AS valid_from
+  FROM runs GROUP BY user_id, run, event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to
+FROM iv
+"""
+
+
+def _q_graph_bfs_distances(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-source shortest hop distances (pipeline/graph.py::
+    bfs_distances — k-hop neighborhoods over the KG): undirected BFS from
+    the doc-id binary tree's root; every node sits at its tree depth.
+    Frontier iteration costs the seed's cone, not the graph; oracle =
+    bounded recursive-CTE walk with MIN(dist)."""
+    from mopper_spark.pipeline.graph import bfs_distances
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    edges = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("src"),
+        F.expr("doc_id div 2").cast("long").alias("dst"),
+    )
+    seeds = spark.createDataFrame([(1,)], "origin long")
+    return bfs_distances(edges, seeds, directed=False)
+
+
+_SQL_GRAPH_BFS = """
+WITH RECURSIVE ed AS (
+  SELECT doc_id AS s, doc_id // 2 AS d FROM documents WHERE doc_id >= 2
+),
+sym AS (SELECT s, d FROM ed UNION ALL SELECT d AS s, s AS d FROM ed),
+walk(node, dist) AS (
+  SELECT CAST(1 AS BIGINT), 0
+  UNION
+  SELECT s2.d, w.dist + 1 FROM walk w JOIN sym s2 ON s2.s = w.node
+  WHERE w.dist < 30
+)
+SELECT CAST(1 AS BIGINT) AS origin, node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM walk WHERE node <> 1 GROUP BY node
+"""
+
+
 def _q_fingerprint_md5(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
@@ -3680,6 +3783,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_frequencies": _q_token_frequencies,
         "bpe_train_merges": _q_bpe_train_merges,
         "bpe_encode_tokens": _q_bpe_encode_tokens,
+        "docs_chunking": _q_docs_chunking,
+        "events_scd2": _q_events_scd2,
+        "graph_bfs_distances": _q_graph_bfs_distances,
         "fingerprint_md5": _q_fingerprint_md5,
         "contamination_ngram": _q_contamination_ngram,
         "docs_repetition": _q_docs_repetition,
@@ -3763,6 +3869,9 @@ def oracle_sql() -> dict[str, str]:
         "token_frequencies": _SQL_TOKEN_FREQ,
         "bpe_train_merges": _SQL_BPE_TRAIN,
         "bpe_encode_tokens": _SQL_BPE_ENCODE,
+        "docs_chunking": _SQL_DOCS_CHUNKING,
+        "events_scd2": _SQL_EVENTS_SCD2,
+        "graph_bfs_distances": _SQL_GRAPH_BFS,
         "fingerprint_md5": _SQL_FINGERPRINT,
         "contamination_ngram": _SQL_CONTAMINATION,
         "docs_repetition": _SQL_DOCS_REPETITION,

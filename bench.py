@@ -83,6 +83,12 @@ HEADLINE = [
     "kg_sparql_construct",
     "bpe_train_merges",
     "bpe_encode_tokens",
+    "transcripts_sft_pairs",
+    "kg_turtle_roundtrip",
+    "mention_communities",
+    "docs_chunking",
+    "events_scd2",
+    "graph_bfs_distances",
 ]
 
 

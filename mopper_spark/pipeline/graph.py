@@ -392,3 +392,73 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_hops: int = 30,
+    directed: bool = True,
+) -> DataFrame:
+    """Multi-source shortest HOP distances: ``(origin, node, dist)`` for
+    every node reachable from each ``origin`` ∈ seeds within ``max_hops``
+    (dist >= 1; the origin itself is not emitted, matching
+    ``closure_from``'s length >= 1 contract).
+
+    BFS levels ARE shortest distances: a node enters the accumulated set
+    the first round it is reachable, and the anti-join guarantees it never
+    re-enters with a larger dist — no min-aggregation needed, which is
+    what keeps each round one join + one anti-join (the semi-naive
+    frontier shape of ``closure_from``, carrying a constant dist column).
+    Bounded ``max_hops`` rather than emptiness-probe-only: distance
+    queries are usually k-hop by intent ("2-hop neighborhood"), and the
+    bound doubles as the non-convergence guard.
+
+    Scale: cost proportional to the seeds' cones, not the graph; per
+    round one shuffle on the frontier side (edges broadcast when small).
+    """
+    spark = edges.sparkSession
+    conf_key = "spark.sql.constraintPropagation.enabled"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        if not directed:
+            e = e.union(
+                edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+            )
+        e = e.distinct().localCheckpoint(eager=False)
+        (seed_col,) = seeds.columns
+        frontier = (
+            seeds.select(F.col(seed_col).alias("origin"))
+            .distinct()
+            .join(e, F.col("origin") == F.col("_s"))
+            .select("origin", F.col("_d").alias("node"))
+            .filter(F.col("node") != F.col("origin"))  # self-loop: dist 0
+            .distinct()
+            .withColumn("dist", F.lit(1).cast("long"))
+            .localCheckpoint(eager=False)
+        )
+        acc = frontier
+        for hop in range(2, max_hops + 1):
+            if frontier.isEmpty():
+                break
+            nxt = (
+                frontier.join(e, frontier["node"] == e["_s"])
+                .select("origin", F.col("_d").alias("node"))
+                # a cycle can walk back to the origin; self-distance is 0
+                # by definition, not the cycle length — don't emit it
+                .filter(F.col("node") != F.col("origin"))
+                .distinct()
+                .withColumn("dist", F.lit(hop).cast("long"))
+            )
+            frontier = nxt.join(
+                acc.select("origin", "node"), ["origin", "node"], "left_anti"
+            ).localCheckpoint(eager=False)
+            acc = acc.unionAll(frontier).localCheckpoint(eager=False)
+        return acc.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(conf_key, old)

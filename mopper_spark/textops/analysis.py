@@ -299,3 +299,63 @@ def vocab_oov(
             ),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style sliding-window chunking: whitespace tokens in windows of
+    ``chunk_tokens``, each window advancing by ``chunk_tokens - overlap``
+    — the retrieval-corpus preparation step every RAG pipeline runs.
+
+    Returns ``(id, chunk_idx, n_tokens, chunk)``; the final window may be
+    shorter (whatever tokens remain), zero-token documents produce no
+    chunks, and the chunk COUNT is pure integer arithmetic
+    (``ceil((n - chunk) / stride) + 1``) so the layout is engine- and
+    partitioning-reproducible.  One narrow pass: split → sequence →
+    posexplode → slice; the only wide operation is whatever the caller
+    does next.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_tk"),
+        F.size(toks).alias("_n"),
+    ).filter(F.col("_n") > 0)
+    # integer `div`, not floor(double /): exact for any size (packing.py)
+    base = base.withColumn(
+        "_nc",
+        F.when(F.col("_n") <= chunk_tokens, F.lit(1)).otherwise(
+            F.expr(
+                f"int((_n - {chunk_tokens} + {stride - 1}) div {stride}) + 1"
+            )
+        ),
+    )
+    return base.select(
+        "id",
+        F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias(
+            "chunk_idx", "_c"
+        ),
+        "_tk",
+    ).select(
+        "id",
+        "chunk_idx",
+        F.size(
+            F.slice(F.col("_tk"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+        ).alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("_tk"), F.col("chunk_idx") * stride + 1, chunk_tokens),
+            " ",
+        ).alias("chunk"),
+    )

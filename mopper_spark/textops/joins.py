@@ -24,6 +24,8 @@ of built-in operators so Catalyst keeps whole-stage codegen and AQE:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -179,3 +181,63 @@ def salted_join(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salts)).cast("long")
     )
     return salted_fact.join(salted_dim, [key, "__salt"], how).drop("__salt")
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Collapse a change-event stream into SCD type-2 validity intervals:
+    one row per (key, attribute-state run) with ``valid_from`` /
+    ``valid_to`` (NULL = current) — the dimension-table layout every
+    warehouse backfill and as-of join consumes.
+
+    Consecutive events with IDENTICAL attributes merge into one interval;
+    a change opens a new one.  Run detection is the classic
+    gaps-and-islands: flag rows whose attributes differ from their
+    predecessor (lag), running-sum the flags into a run id, aggregate
+    min/max per run.  NULL-safe comparison via eqNullSafe so NULL→value
+    and value→NULL transitions open intervals.
+
+    Plan: one window pass partitioned by the key (per-key state only, the
+    per-conversation posture) + one map-side-combining aggregation; ties
+    on ``ts`` are ordered by the attribute tuple for determinism — equal
+    timestamps with different states are real upstream ambiguity and at
+    least resolve reproducibly.
+    """
+    if not key_cols or not attr_cols:
+        raise ValueError("scd2_intervals needs key_cols and attr_cols")
+    order = [F.col(ts_col)] + [F.col(c) for c in attr_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = F.when(
+        reduce(
+            lambda a, c: a & c,
+            [
+                F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+                for c in attr_cols
+            ],
+        )
+        & F.lag(F.col(ts_col)).over(w).isNotNull(),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    runs = events.select(
+        *key_cols,
+        F.col(ts_col).alias("_ts"),
+        *[F.col(c) for c in attr_cols],
+        F.sum(changed)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("_run"),
+    )
+    iv = runs.groupBy(*key_cols, "_run", *attr_cols).agg(
+        F.min("_ts").alias("valid_from"), F.max("_ts").alias("_last_ts")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy("_run")
+    return iv.select(
+        *key_cols,
+        *attr_cols,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )

@@ -273,3 +273,54 @@ class TestLabelPropagation:
             map(tuple, label_propagation(df.repartition(11), rounds=3).collect())
         )
         assert a == b == sorted(self._replica(edges, 3).items())
+
+
+class TestBfsDistances:
+    def test_tree_depths_undirected(self, spark):
+        from mopper_spark.pipeline.graph import bfs_distances
+
+        # binary tree 1..15, edges child -> parent
+        edges = spark.createDataFrame(
+            [(i, i // 2) for i in range(2, 16)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(1,)], "origin long")
+        got = {
+            r.node: r.dist
+            for r in bfs_distances(edges, seeds, directed=False).collect()
+        }
+        import math
+
+        # origin 1 is never emitted (undirected bounce 1->2->1 is not a
+        # distance); every other node sits at its tree depth
+        assert got == {i: int(math.floor(math.log2(i))) for i in range(2, 16)}
+
+    def test_directed_respects_direction_and_k_hop(self, spark):
+        from mopper_spark.pipeline.graph import bfs_distances
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("x", "a")],
+            "src string, dst string",
+        )
+        seeds = spark.createDataFrame([("a",)], "origin string")
+        got = {
+            (r.origin, r.node): r.dist
+            for r in bfs_distances(edges, seeds, max_hops=2).collect()
+        }
+        # directed: 'x' unreachable; k-hop: 'd' (dist 3) cut off
+        assert got == {("a", "b"): 1, ("a", "c"): 2}
+
+    def test_shortest_wins_on_diamond_with_cycle(self, spark):
+        from mopper_spark.pipeline.graph import bfs_distances
+
+        edges = spark.createDataFrame(
+            [("s", "a"), ("s", "b"), ("a", "t"), ("b", "m"), ("m", "t"),
+             ("t", "s")],  # cycle back
+            "src string, dst string",
+        )
+        seeds = spark.createDataFrame([("s",)], "origin string")
+        got = {
+            r.node: r.dist for r in bfs_distances(edges, seeds).collect()
+        }
+        # the cycle walks back to the origin; self-distance is 0 by
+        # definition, so 's' is never emitted
+        assert got == {"a": 1, "b": 1, "t": 2, "m": 2}

@@ -778,3 +778,82 @@ class TestQualityModelTrained:
 
         with _pytest.raises(ValueError, match="strategy"):
             quality_scores_trained(docs, self._weights(spark), strategy="udf")
+
+
+class TestChunkDocuments:
+    def test_layout_and_overlap(self, spark):
+        from mopper_spark.textops.analysis import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(10))
+        docs = spark.createDataFrame([(1, text), (2, "a b"), (3, "  ")],
+                                     "doc_id long, text string")
+        out = chunk_documents(docs, chunk_tokens=4, overlap=2)
+        rows = sorted((r.id, r.chunk_idx, r.n_tokens, r.chunk) for r in out.collect())
+        # doc 1: 10 tokens, stride 2 -> ceil((10-4)/2)+1 = 4 chunks
+        assert [r for r in rows if r[0] == 1] == [
+            (1, 0, 4, "t0 t1 t2 t3"),
+            (1, 1, 4, "t2 t3 t4 t5"),
+            (1, 2, 4, "t4 t5 t6 t7"),
+            (1, 3, 4, "t6 t7 t8 t9"),
+        ]
+        # doc 2: shorter than one window -> one (short) chunk
+        assert [r for r in rows if r[0] == 2] == [(2, 0, 2, "a b")]
+        # doc 3: zero tokens -> no chunks
+        assert not [r for r in rows if r[0] == 3]
+
+    def test_full_coverage_no_gap(self, spark):
+        from mopper_spark.textops.analysis import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(101))  # awkward remainder
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            (r.chunk_idx, r.chunk) for r in chunk_documents(
+                docs, chunk_tokens=16, overlap=4
+            ).collect()
+        )
+        seen = set()
+        for _, chunk in rows:
+            seen.update(chunk.split(" "))
+        assert seen == {f"w{i}" for i in range(101)}
+        # consecutive chunks overlap by exactly `overlap` except the tail
+        firsts = [int(c.split(" ")[0][1:]) for _, c in rows]
+        assert firsts == [i * 12 for i in range(len(rows))]
+
+    def test_validation(self, spark):
+        from mopper_spark.textops.analysis import chunk_documents
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+class TestScd2Intervals:
+    def test_runs_collapse_and_intervals(self, spark):
+        from mopper_spark.textops.joins import scd2_intervals
+
+        rows = [
+            ("u1", 1, "A"), ("u1", 2, "A"), ("u1", 3, "B"),
+            ("u1", 4, "B"), ("u1", 5, "A"),
+            ("u2", 1, None), ("u2", 2, "X"), ("u2", 3, None),
+        ]
+        ev = spark.createDataFrame(rows, "k string, ts long, state string")
+        out = scd2_intervals(ev, ["k"], "ts", ["state"])
+        got = sorted(
+            ((r.k, r.state, r.valid_from, r.valid_to) for r in out.collect()),
+            key=lambda t: (t[0], t[2]),
+        )
+        assert got == sorted([
+            ("u1", "A", 1, 3), ("u1", "B", 3, 5), ("u1", "A", 5, None),
+            ("u2", None, 1, 2), ("u2", "X", 2, 3), ("u2", None, 3, None),
+        ], key=lambda t: (t[0], t[2]))
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.joins import scd2_intervals
+
+        rows = [(f"u{i % 5}", t, f"s{(i * t) % 3}") for i, t in
+                [(i, t) for i in range(5) for t in range(1, 9)]]
+        ev = spark.createDataFrame(rows, "k string, ts long, state string")
+        a = sorted(map(tuple, scd2_intervals(ev, ["k"], "ts", ["state"]).collect()))
+        b = sorted(map(tuple, scd2_intervals(
+            ev.repartition(7), ["k"], "ts", ["state"]).collect()))
+        assert a == b
