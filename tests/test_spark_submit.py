@@ -135,3 +135,58 @@ for i in range(3):
     assert d2["graph_statements"] == 6660
     assert d2["dict_forms"] == 11
     assert d2["batches"] == d1["batches"]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit binary not available"
+)
+def test_prep_job_resume_and_chained_invalidation(tmp_path):
+    """jobs/prep_job.py: render→scrub→dedup→quality→pack→split as ONE
+    resumable spark-submit job; fingerprints chain, so a --seq-len change
+    re-runs exactly the packed+split suffix."""
+    zip_path = os.path.join(REPO, "dist", "mopper_spark.zip")
+    base = [
+        SPARK_SUBMIT,
+        "--master",
+        "local[4]",
+        "--py-files",
+        zip_path,
+        os.path.join(REPO, "jobs", "prep_job.py"),
+        "--synth-turns",
+        "2000",
+        "--checkpoints",
+        str(tmp_path / "ck"),
+        "--output",
+        str(tmp_path / "prep"),
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r1 = subprocess.run(base, capture_output=True, text=True, env=env, timeout=600)
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    d1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    stages1 = {s["stage"]: s for s in d1["stages"]}
+    assert not any(s["skipped"] for s in stages1.values())
+    assert d1["out_rows"] > 0
+    assert set(d1["splits"]) <= {"train", "val"}
+    assert sum(d1["splits"].values()) == d1["out_rows"]
+    # every doc got a packing layout (schema: seq_first/seq_last present)
+    assert stages1["packed"]["rows"] == stages1["quality"]["rows"]
+
+    # identical re-run: all stages resume from manifests
+    r2 = subprocess.run(base, capture_output=True, text=True, env=env, timeout=600)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    d2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert all(s["skipped"] for s in d2["stages"])
+    assert d2["out_rows"] == d1["out_rows"]
+
+    # knob change invalidates exactly its downstream suffix
+    r3 = subprocess.run(
+        base + ["--seq-len", "512"],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    d3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    ran = sorted(s["stage"] for s in d3["stages"] if not s["skipped"])
+    assert ran == ["packed", "split"]
