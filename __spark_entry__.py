@@ -3449,6 +3449,107 @@ SELECT 'del' AS op, * FROM (SELECT * FROM o EXCEPT SELECT * FROM n)
 """
 
 
+# RDFS schema over the extraction ontology — shared verbatim by the Spark
+# query and the DuckDB oracle (SQL VALUES generated from this list).
+_ONT = "http://example.com/ontology/"
+_RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+_RDFS_SCHEMA_TRIPLES = [
+    (_ONT + "mentions", _RDFS + "subPropertyOf", _ONT + "references"),
+    (_ONT + "references", _RDFS + "subPropertyOf", _ONT + "relatedTo"),
+    (_ONT + "mentions", _RDFS + "domain", _ONT + "Turn"),
+    (_ONT + "mentions", _RDFS + "range", _ONT + "Entity"),
+    (_ONT + "inConversation", _RDFS + "domain", _ONT + "Turn"),
+    (_ONT + "inConversation", _RDFS + "range", _ONT + "Conversation"),
+    (_ONT + "Entity", _RDFS + "subClassOf", _ONT + "Resource"),
+    (_ONT + "Conversation", _RDFS + "subClassOf", _ONT + "Container"),
+    (_ONT + "Container", _RDFS + "subClassOf", _ONT + "Resource"),
+    (_ONT + "Turn", _RDFS + "subClassOf", _ONT + "Resource"),
+]
+
+
+def _q_kg_rdfs_entailment(spark: SparkSession, sf: str) -> DataFrame:
+    """RDFS entailment materialization (pipeline/reasoning.py): the full
+    forward-chained closure — rdfs{5,7,2,3,11,9} of RDF 1.1 Semantics —
+    over the extracted KG's resource-valued statements plus an inline
+    RDFS schema (property chain mentions⊑references⊑relatedTo,
+    domain/range typing, a three-class hierarchy).  Every rule is a
+    broadcast join of schema-sized relations against the instance graph;
+    the oracle replays the staged pass with recursive CTEs (the schema is
+    stratified, so one pass IS the fixpoint — the Spark side's
+    verification loop proves it by re-running to count-stability)."""
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+    from mopper_spark.pipeline.reasoning import rdfs_entailment
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
+    inst = kg.filter(
+        F.col("pred").isin(_ONT + "mentions", _ONT + "inConversation")
+    ).select("subj", "pred", "obj")
+    schema = spark.createDataFrame(
+        _RDFS_SCHEMA_TRIPLES, "subj string, pred string, obj string"
+    )
+    return rdfs_entailment(inst.unionByName(schema))
+
+
+_SQL_RDFS_SCHEMA_VALUES = ",\n  ".join(
+    "('{}', '{}', '{}')".format(*t) for t in _RDFS_SCHEMA_TRIPLES
+)
+
+_SQL_KG_RDFS_ENTAILMENT = f"""
+WITH kg AS ({_SQL_KG_GRAPH}),
+schema_t(subj, pred, obj) AS (VALUES
+  {_SQL_RDFS_SCHEMA_VALUES}
+),
+g0 AS (
+  SELECT DISTINCT subj, pred, obj FROM kg
+  WHERE pred IN ('{_ONT}mentions', '{_ONT}inConversation')
+  UNION
+  SELECT subj, pred, obj FROM schema_t
+),
+spc AS (
+  -- DuckDB scoping quirk: a top-level WITH RECURSIVE breaks the nested
+  -- WITH inside the kg CTE, so the recursion is nested here instead.
+  WITH RECURSIVE c(src, dst) AS (
+    SELECT subj, obj FROM g0 WHERE pred = '{_RDFS}subPropertyOf'
+    UNION
+    SELECT c.src, e.obj FROM c
+    JOIN g0 e ON e.pred = '{_RDFS}subPropertyOf' AND c.dst = e.subj
+  ) SELECT src, dst FROM c
+),
+g1 AS (
+  SELECT subj, pred, obj FROM g0
+  UNION SELECT src, '{_RDFS}subPropertyOf', dst FROM spc
+  UNION SELECT t.subj, c.dst, t.obj FROM g0 t JOIN spc c ON t.pred = c.src
+),
+doms AS (SELECT subj AS p, obj AS cls FROM g1 WHERE pred = '{_RDFS}domain'),
+rngs AS (SELECT subj AS p, obj AS cls FROM g1 WHERE pred = '{_RDFS}range'),
+g2 AS (
+  SELECT subj, pred, obj FROM g1
+  UNION SELECT t.subj, '{_RDF_TYPE_IRI}', d.cls FROM g1 t JOIN doms d ON t.pred = d.p
+  UNION SELECT t.obj, '{_RDF_TYPE_IRI}', r.cls FROM g1 t JOIN rngs r ON t.pred = r.p
+),
+scc AS (
+  WITH RECURSIVE c(src, dst) AS (
+    SELECT subj, obj FROM g2 WHERE pred = '{_RDFS}subClassOf'
+    UNION
+    SELECT c.src, e.obj FROM c
+    JOIN g2 e ON e.pred = '{_RDFS}subClassOf' AND c.dst = e.subj
+  ) SELECT src, dst FROM c
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT subj, pred, obj FROM g2
+  UNION SELECT src, '{_RDFS}subClassOf', dst FROM scc
+  UNION SELECT t.subj, '{_RDF_TYPE_IRI}', c.dst
+        FROM g2 t JOIN scc c ON t.pred = '{_RDF_TYPE_IRI}' AND t.obj = c.src
+)
+"""
+
+
 def _q_docs_quality_model(spark: SparkSession, sf: str) -> DataFrame:
     """fastText-style hashed linear quality scoring
     (textops/quality_model.py): unigram+bigram features md5-hashed into
@@ -3833,6 +3934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transe_eval": _q_kg_transe_eval,
         "dedup_semantic": _q_dedup_semantic,
         "kg_snapshot_diff": _q_kg_snapshot_diff,
+        "kg_rdfs_entailment": _q_kg_rdfs_entailment,
         "docs_quality_model": _q_docs_quality_model,
         "docs_quality_model_trained": _q_docs_quality_model_trained,
         "transcripts_render": _q_transcripts_render,
@@ -3924,6 +4026,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_transe_eval": _SQL_KG_TRANSE,
         "dedup_semantic": _SQL_DEDUP_SEMANTIC,
         "kg_snapshot_diff": _SQL_KG_SNAPSHOT_DIFF,
+        "kg_rdfs_entailment": _SQL_KG_RDFS_ENTAILMENT,
         "docs_quality_model": _SQL_DOCS_QUALITY_MODEL,
         "docs_quality_model_trained": _SQL_DOCS_QUALITY_MODEL_TRAINED,
         "transcripts_render": _SQL_TRANSCRIPTS_RENDER,
