@@ -3550,6 +3550,221 @@ SELECT DISTINCT subj, pred, obj FROM (
 """
 
 
+# OWL schema over the turn-order graph — shared verbatim by the Spark query
+# and the DuckDB oracle (SQL VALUES generated from this list).
+_OWL = "http://www.w3.org/2002/07/owl#"
+_OWL_SCHEMA_TRIPLES = [
+    (_ONT + "next", _RDF_TYPE_IRI, _OWL + "TransitiveProperty"),
+    (_ONT + "next", _OWL + "inverseOf", _ONT + "prev"),
+    (_ONT + "adjacentTo", _RDF_TYPE_IRI, _OWL + "SymmetricProperty"),
+    (_ONT + "inConversation", _OWL + "equivalentProperty", _ONT + "partOf"),
+]
+
+
+def _q_kg_owl_inference(spark: SparkSession, sf: str) -> DataFrame:
+    """OWL 2 RL property-rule inference (pipeline/reasoning.py::
+    owl_rl_lite) over the turn-order graph: successor edges ont:next /
+    ont:adjacentTo between consecutive turns of each conversation
+    (window lead by turn_idx) plus the extracted ont:inConversation
+    statements, under a schema declaring next transitive (prp-trp: the
+    happens-before closure, up to 239 hops deep on this fixture),
+    next inverseOf prev (prp-inv over asserted AND closure-derived
+    statements), adjacentTo symmetric (prp-symp), and inConversation
+    equivalent to partOf (eq-prop compiled to mutual subPropertyOf,
+    materialized via rdfs5/rdfs7).  The oracle replays the staged pass;
+    the Spark side's verification loop proves one pass IS the fixpoint
+    for this schema by re-running to count-stability."""
+    from pyspark.sql import Window
+
+    from mopper_spark.pipeline.extract import extract_triples
+    from mopper_spark.pipeline.reasoning import owl_rl_lite
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    turn_iri = F.concat(
+        F.lit(EX + "turn/"), F.col("conv_id"), F.lit("/"), F.col("turn_idx")
+    )
+    seq = (
+        tr.select(
+            turn_iri.alias("s"),
+            F.lead(turn_iri).over(w).alias("o"),
+        )
+        .filter(F.col("o").isNotNull())
+    )
+    nxt = seq.select(
+        F.col("s").alias("subj"),
+        F.lit(_ONT + "next").alias("pred"),
+        F.col("o").alias("obj"),
+    )
+    adj = seq.select(
+        F.col("s").alias("subj"),
+        F.lit(_ONT + "adjacentTo").alias("pred"),
+        F.col("o").alias("obj"),
+    )
+    inconv = (
+        extract_triples(tr)
+        .filter(F.col("pred") == _ONT + "inConversation")
+        .select("subj", "pred", "obj")
+    )
+    schema = spark.createDataFrame(
+        _OWL_SCHEMA_TRIPLES, "subj string, pred string, obj string"
+    )
+    return owl_rl_lite(
+        nxt.unionByName(adj).unionByName(inconv).unionByName(schema)
+    )
+
+
+_SQL_OWL_SCHEMA_VALUES = ",\n  ".join(
+    "('{}', '{}', '{}')".format(*t) for t in _OWL_SCHEMA_TRIPLES
+)
+
+_SQL_KG_OWL_INFERENCE = f"""
+WITH tr AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')),
+seq AS (
+  SELECT 'http://example.com/turn/' || conv_id || '/' || turn_idx AS s,
+         'http://example.com/turn/' || conv_id || '/'
+           || lead(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS o
+  FROM tr
+),
+pairs AS (SELECT s, o FROM seq WHERE o IS NOT NULL),
+schema_t(subj, pred, obj) AS (VALUES
+  {_SQL_OWL_SCHEMA_VALUES}
+),
+g0 AS (
+  SELECT s AS subj, '{_ONT}next' AS pred, o AS obj FROM pairs
+  UNION
+  SELECT s, '{_ONT}adjacentTo', o FROM pairs
+  UNION
+  SELECT 'http://example.com/turn/' || conv_id || '/' || turn_idx,
+         '{_ONT}inConversation',
+         'http://example.com/conv/' || conv_id
+  FROM tr
+  UNION
+  SELECT subj, pred, obj FROM schema_t
+),
+-- eq-prop compiled to mutual subPropertyOf statements
+g1 AS (
+  SELECT subj, pred, obj FROM g0
+  UNION SELECT subj, '{_RDFS}subPropertyOf', obj FROM g0
+        WHERE pred = '{_OWL}equivalentProperty'
+  UNION SELECT obj, '{_RDFS}subPropertyOf', subj FROM g0
+        WHERE pred = '{_OWL}equivalentProperty'
+),
+-- rdfs5 closure of subPropertyOf + rdfs7 statement copying
+spc AS (
+  WITH RECURSIVE c(src, dst) AS (
+    SELECT subj, obj FROM g1 WHERE pred = '{_RDFS}subPropertyOf'
+    UNION
+    SELECT c.src, e.obj FROM c
+    JOIN g1 e ON e.pred = '{_RDFS}subPropertyOf' AND c.dst = e.subj
+  ) SELECT src, dst FROM c
+),
+g2 AS (
+  SELECT subj, pred, obj FROM g1
+  UNION SELECT src, '{_RDFS}subPropertyOf', dst FROM spc
+  UNION SELECT t.subj, c.dst, t.obj FROM g1 t JOIN spc c ON t.pred = c.src
+),
+-- prp-trp: per-predicate closure over transitive-typed predicates
+trp AS (
+  WITH RECURSIVE c(pred, src, dst) AS (
+    SELECT t.pred, t.subj, t.obj FROM g2 t
+    JOIN g2 ty ON ty.pred = '{_RDF_TYPE_IRI}'
+              AND ty.obj = '{_OWL}TransitiveProperty'
+              AND ty.subj = t.pred
+    UNION
+    SELECT c.pred, c.src, e.obj FROM c
+    JOIN g2 e ON e.pred = c.pred AND e.subj = c.dst
+  ) SELECT pred, src, dst FROM c
+),
+g3 AS (
+  SELECT subj, pred, obj FROM g2
+  UNION SELECT src, pred, dst FROM trp
+),
+-- prp-inv1/2 (both orientations)
+ipairs AS (
+  SELECT subj AS p, obj AS q FROM g3 WHERE pred = '{_OWL}inverseOf'
+  UNION
+  SELECT obj, subj FROM g3 WHERE pred = '{_OWL}inverseOf'
+),
+g4 AS (
+  SELECT subj, pred, obj FROM g3
+  UNION SELECT t.obj, i.q, t.subj FROM g3 t JOIN ipairs i ON t.pred = i.p
+)
+-- prp-symp
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT subj, pred, obj FROM g4
+  UNION
+  SELECT t.obj, t.pred, t.subj FROM g4 t
+  JOIN g4 ty ON ty.pred = '{_RDF_TYPE_IRI}'
+            AND ty.obj = '{_OWL}SymmetricProperty'
+            AND ty.subj = t.pred
+)
+"""
+
+
+def _q_kg_sameas_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """owl:sameAs smushing (pipeline/reasoning.py::sameas_canonicalize):
+    sameAs assertions are DERIVED from the extracted mention graph itself
+    — entity IRIs equal up to ASCII case (the fixture mixes
+    'Grace Hopper' / 'grace hopper' surfaces) — then the graph is
+    rewritten so every subject/object names its component's
+    lexicographically-smallest representative and the sameAs statements
+    are dropped.  Components come from the large/small-star CC over
+    xxhash64 node ids; the oracle replays with an undirected recursive
+    reachability CTE and min-over-reachable."""
+    from mopper_spark.pipeline.extract import extract_mentions, mention_triples
+    from mopper_spark.pipeline.reasoning import OWL_SAMEAS, sameas_canonicalize
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    men = mention_triples(extract_mentions(tr))
+    ents = men.select("obj").distinct()
+    same = (
+        ents.alias("a")
+        .join(
+            ents.alias("b"),
+            (F.lower(F.col("a.obj")) == F.lower(F.col("b.obj")))
+            & (F.col("a.obj") < F.col("b.obj")),
+        )
+        .select(
+            F.col("a.obj").alias("subj"),
+            F.lit(OWL_SAMEAS).alias("pred"),
+            F.col("b.obj").alias("obj"),
+            F.lit("iri").alias("okind"),
+            F.lit(EX + "graph/sameas").alias("graph"),
+        )
+    )
+    return sameas_canonicalize(men.unionByName(same))
+
+
+_SQL_KG_SAMEAS_CANONICAL = f"""
+WITH kg AS ({_SQL_KG_GRAPH}),
+men AS (SELECT subj, pred, obj, okind, graph FROM kg
+        WHERE pred = '{_ONT}mentions'),
+ents AS (SELECT DISTINCT obj FROM men),
+e AS (SELECT a.obj AS u, b.obj AS v FROM ents a
+      JOIN ents b ON lower(a.obj) = lower(b.obj) AND a.obj < b.obj),
+sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+m AS (
+  -- DuckDB scoping quirk: a top-level WITH RECURSIVE breaks the nested
+  -- WITH inside the kg CTE, so the recursion is nested here instead.
+  WITH RECURSIVE reach(node, r) AS (
+    SELECT u, u FROM sym
+    UNION
+    SELECT rc.node, s.v FROM reach rc JOIN sym s ON s.u = rc.r
+  ) SELECT node, MIN(r) AS rep FROM reach GROUP BY node
+)
+SELECT DISTINCT
+  coalesce(ms.rep, t.subj) AS subj,
+  t.pred,
+  coalesce(mo.rep, t.obj) AS obj,
+  t.okind,
+  t.graph
+FROM men t
+LEFT JOIN m ms ON ms.node = t.subj
+LEFT JOIN m mo ON mo.node = t.obj
+"""
+
+
 def _q_docs_quality_model(spark: SparkSession, sf: str) -> DataFrame:
     """fastText-style hashed linear quality scoring
     (textops/quality_model.py): unigram+bigram features md5-hashed into
@@ -3935,6 +4150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,
         "kg_snapshot_diff": _q_kg_snapshot_diff,
         "kg_rdfs_entailment": _q_kg_rdfs_entailment,
+        "kg_owl_inference": _q_kg_owl_inference,
+        "kg_sameas_canonical": _q_kg_sameas_canonical,
         "docs_quality_model": _q_docs_quality_model,
         "docs_quality_model_trained": _q_docs_quality_model_trained,
         "transcripts_render": _q_transcripts_render,
@@ -4027,6 +4244,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _SQL_DEDUP_SEMANTIC,
         "kg_snapshot_diff": _SQL_KG_SNAPSHOT_DIFF,
         "kg_rdfs_entailment": _SQL_KG_RDFS_ENTAILMENT,
+        "kg_owl_inference": _SQL_KG_OWL_INFERENCE,
+        "kg_sameas_canonical": _SQL_KG_SAMEAS_CANONICAL,
         "docs_quality_model": _SQL_DOCS_QUALITY_MODEL,
         "docs_quality_model_trained": _SQL_DOCS_QUALITY_MODEL_TRAINED,
         "transcripts_render": _SQL_TRANSCRIPTS_RENDER,

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mopper_spark.pipeline.cc import connected_components
 from mopper_spark.pipeline.graph import transitive_closure
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -70,7 +71,10 @@ def _rdfs_pass(g: DataFrame) -> DataFrame:
         g.join(F.broadcast(spc), g["pred"] == spc["src"])
         .select("subj", F.col("dst").alias("pred"), "obj")
     )
-    g1 = g.unionByName(r5).unionByName(r7).distinct()
+    g1 = (
+        g.unionByName(r5).unionByName(r7).distinct()
+        .localCheckpoint(eager=False)
+    )
 
     dom = g1.filter(F.col("pred") == RDFS_DOMAIN).select(
         F.col("subj").alias("p"), F.col("obj").alias("cls")
@@ -90,7 +94,10 @@ def _rdfs_pass(g: DataFrame) -> DataFrame:
             F.col("cls").alias("obj"),
         )
     )
-    g2 = g1.unionByName(r2).unionByName(r3).distinct()
+    g2 = (
+        g1.unionByName(r2).unionByName(r3).distinct()
+        .localCheckpoint(eager=False)
+    )
 
     scc = _closure_pairs(g2, RDFS_SUBCLASS)
     r11 = scc.select(
@@ -112,6 +119,32 @@ def _rdfs_pass(g: DataFrame) -> DataFrame:
     return g2.unionByName(r11).unionByName(r9).distinct()
 
 
+def _fixpoint(triples: DataFrame, pass_fn, max_rounds: int, label: str) -> DataFrame:
+    """Run a monotone staged pass to count-stability with per-round eager
+    checkpoints, under the scoped Spark 4.1 constraint-propagation
+    workaround (see transitive_closure's engine note)."""
+    spark = triples.sparkSession
+    conf_key = "spark.sql.constraintPropagation.enabled"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        g = triples.select(*_SPO).distinct().localCheckpoint(eager=True)
+        n = g.count()
+        for _ in range(max_rounds):
+            g = pass_fn(g).localCheckpoint(eager=True)
+            n_new = g.count()
+            if n_new == n:
+                return g
+            n = n_new
+        raise RuntimeError(
+            f"{label} did not converge in {max_rounds} passes; "
+            "the schema feeds earlier strata (RDFS/OWL vocabulary "
+            "redefined) — raise max_rounds"
+        )
+    finally:
+        spark.conf.set(conf_key, old)
+
+
 def rdfs_entailment(triples: DataFrame, *, max_rounds: int = 4) -> DataFrame:
     """Materialize the RDFS closure of ``triples`` (columns subj, pred,
     obj; schema and instance statements mixed, RDF style).
@@ -126,23 +159,220 @@ def rdfs_entailment(triples: DataFrame, *, max_rounds: int = 4) -> DataFrame:
     fixpoint (one pass suffices unless the schema redefines the RDFS
     vocabulary itself).
     """
-    spark = triples.sparkSession
-    conf_key = "spark.sql.constraintPropagation.enabled"
-    old = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, "false")
-    try:
-        g = triples.select(*_SPO).distinct().localCheckpoint(eager=True)
-        n = g.count()
-        for _ in range(max_rounds):
-            g = _rdfs_pass(g).localCheckpoint(eager=True)
-            n_new = g.count()
-            if n_new == n:
-                return g
-            n = n_new
-        raise RuntimeError(
-            f"rdfs_entailment did not converge in {max_rounds} passes; "
-            "the schema feeds earlier strata (RDFS vocabulary redefined) — "
-            "raise max_rounds"
+    return _fixpoint(triples, _rdfs_pass, max_rounds, "rdfs_entailment")
+
+
+# --------------------------------------------------------------------------
+# OWL 2 RL (property-rule subset) + sameAs smushing
+# --------------------------------------------------------------------------
+
+OWL_NS = "http://www.w3.org/2002/07/owl#"
+OWL_INVERSE_OF = OWL_NS + "inverseOf"
+OWL_SYMMETRIC = OWL_NS + "SymmetricProperty"
+OWL_TRANSITIVE = OWL_NS + "TransitiveProperty"
+OWL_EQ_PROPERTY = OWL_NS + "equivalentProperty"
+OWL_EQ_CLASS = OWL_NS + "equivalentClass"
+OWL_SAMEAS = OWL_NS + "sameAs"
+
+
+def _keyed_closure(tedges: DataFrame, *, max_iters: int = 20) -> DataFrame:
+    """Per-predicate transitive closure over (pred, src, dst) edges by
+    recursive path doubling (reachable distance doubles each round, so
+    convergence in ceil(log2(diameter)) rounds — transcripts chain
+    hundreds of turns deep, where semi-naive's diameter-many rounds would
+    dominate wall clock).  Same per-round lineage-cut discipline as
+    transitive_closure(method="doubling"); the caller holds the
+    constraintPropagation scope."""
+    e = tedges.select("pred", "src", "dst").distinct().localCheckpoint(eager=False)
+    closure = e
+    for _ in range(max_iters):
+        hop = (
+            closure.alias("a")
+            .join(
+                closure.alias("b"),
+                (F.col("a.pred") == F.col("b.pred"))
+                & (F.col("a.dst") == F.col("b.src")),
+            )
+            .select(
+                F.col("a.pred").alias("pred"),
+                F.col("a.src").alias("src"),
+                F.col("b.dst").alias("dst"),
+            )
         )
-    finally:
-        spark.conf.set(conf_key, old)
+        new = (
+            hop.join(closure, ["pred", "src", "dst"], "left_anti")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        if new.isEmpty():
+            return closure.localCheckpoint(eager=True)
+        closure = closure.unionAll(new).localCheckpoint(eager=False)
+    raise RuntimeError(
+        f"_keyed_closure did not converge in {max_iters} doubling rounds "
+        f"(= diameter 2^{max_iters})"
+    )
+
+
+def _owl_pass(g: DataFrame) -> DataFrame:
+    """One staged application of the OWL 2 RL property rules (W3C OWL 2
+    Profiles §4.3, rule names kept) on top of the full RDFS stratum:
+
+        eq-rep   owl:equivalentProperty/Class compiled to MUTUAL
+                 rdfs:subPropertyOf / rdfs:subClassOf statements, so
+                 prp-eqp1/2 and cax-eqc1/2 fall out of rdfs7/rdfs9
+        rdfs     the complete _rdfs_pass stratum
+        prp-trp  (p type TransitiveProperty), (s p o), (o p o2) -> (s p o2)
+        prp-inv1/2  (p inverseOf q), (s p o) -> (o q s)  and symmetrically
+        prp-symp (p type SymmetricProperty), (s p o) -> (o p s)
+
+    Stages are CHAINED (each sees the previous stage's output), ordered
+    transitive -> inverse -> symmetric so inverses/symmetries of
+    closure-derived statements land in the same pass; the enclosing
+    fixpoint loop covers schemas where a later stage feeds an earlier one
+    (e.g. a symmetric property that is also transitive needs round 2's
+    closure over the reversed edges).  Schema relations (inverse pairs,
+    property-type sets) are broadcast; prp-trp's instance-level closure
+    is the only super-linear stage and runs keyed per predicate in
+    log(diameter) doubling rounds."""
+    eqp = g.filter(F.col("pred") == OWL_EQ_PROPERTY)
+    eqp_sub = eqp.select(
+        "subj", F.lit(RDFS_SUBPROP).alias("pred"), "obj"
+    ).unionByName(
+        eqp.select(
+            F.col("obj").alias("subj"),
+            F.lit(RDFS_SUBPROP).alias("pred"),
+            F.col("subj").alias("obj"),
+        )
+    )
+    eqc = g.filter(F.col("pred") == OWL_EQ_CLASS)
+    eqc_sub = eqc.select(
+        "subj", F.lit(RDFS_SUBCLASS).alias("pred"), "obj"
+    ).unionByName(
+        eqc.select(
+            F.col("obj").alias("subj"),
+            F.lit(RDFS_SUBCLASS).alias("pred"),
+            F.col("subj").alias("obj"),
+        )
+    )
+    g = _rdfs_pass(
+        g.unionByName(eqp_sub).unionByName(eqc_sub).distinct()
+        .localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)
+
+    tp = g.filter(
+        (F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_TRANSITIVE)
+    ).select(F.col("subj").alias("p"))
+    tedges = g.join(F.broadcast(tp), g["pred"] == tp["p"]).select(
+        "pred", F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    r_trp = _keyed_closure(tedges).select(
+        F.col("src").alias("subj"), "pred", F.col("dst").alias("obj")
+    )
+    g = g.unionByName(r_trp).distinct().localCheckpoint(eager=False)
+
+    inv0 = g.filter(F.col("pred") == OWL_INVERSE_OF).select(
+        F.col("subj").alias("p"), F.col("obj").alias("q")
+    )
+    inv = inv0.unionByName(
+        inv0.select(F.col("q").alias("p"), F.col("p").alias("q"))
+    ).distinct()
+    r_inv = g.join(F.broadcast(inv), g["pred"] == inv["p"]).select(
+        F.col("obj").alias("subj"),
+        F.col("q").alias("pred"),
+        F.col("subj").alias("obj"),
+    )
+    g = g.unionByName(r_inv).distinct().localCheckpoint(eager=False)
+
+    symp = g.filter(
+        (F.col("pred") == RDF_TYPE) & (F.col("obj") == OWL_SYMMETRIC)
+    ).select(F.col("subj").alias("p"))
+    r_sym = g.join(F.broadcast(symp), g["pred"] == symp["p"]).select(
+        F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
+    )
+    return g.unionByName(r_sym).distinct()
+
+
+def owl_rl_lite(triples: DataFrame, *, max_rounds: int = 6) -> DataFrame:
+    """Materialize the closure of ``triples`` under the OWL 2 RL property
+    rules (equivalentProperty/Class, inverseOf, SymmetricProperty,
+    TransitiveProperty) plus the full RDFS ruleset — the schema-driven
+    entailment layer a KG-construction pipeline owes consumers who query
+    the graph through an ontology (the reference emits asserted triples
+    only; see rdfs_entailment's module docstring for the lineage).
+
+    Same contract as ``rdfs_entailment``: statements mixed RDF-style,
+    returns asserted+inferred distinct, literal-valued predicates must
+    not carry inverse/symmetric/range declarations (the rules would mint
+    literal subjects), raises if ``max_rounds`` verification passes don't
+    reach the fixpoint (one pass suffices for stratified schemas; rule
+    interactions like symmetric+transitive properties converge in 2-3)."""
+    return _fixpoint(triples, _owl_pass, max_rounds, "owl_rl_lite")
+
+
+def sameas_canonicalize(
+    triples: DataFrame, sameas_pred: str = OWL_SAMEAS
+) -> DataFrame:
+    """owl:sameAs smushing — the production alternative to OWL RL's
+    eq-rep1/2/3 rules: instead of materializing every triple once per
+    equivalent name (quadratic in clique size), rewrite every subject and
+    object to ONE canonical representative per sameAs component (the
+    lexicographically smallest name — deterministic under any
+    partitioning) and drop the sameAs statements.  This is the
+    triple-level generalization of the mention-linking canonicalization
+    stage (pipeline/linking.py): there the equivalence comes from fuzzy
+    surface matching; here it is asserted in the graph itself.
+
+    Input needs columns (subj, pred, obj); extra columns (okind, graph)
+    pass through.  When an ``okind`` column is present, objects are only
+    rewritten where ``okind = 'iri'`` — a literal whose text collides
+    with an IRI name must not be smushed.
+
+    Scale shape: components via the large/small-star CC (pipeline/cc.py)
+    over xxhash64 node ids (same collision stance as linking); the
+    (name -> representative) map is joined back — no broadcast hint, the
+    map is corpus-sized in the worst case and AQE picks broadcast when it
+    is small.  Rewrite = two left equi-joins + one distinct.
+    """
+    pairs = (
+        triples.filter(F.col("pred") == sameas_pred)
+        .select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.xxhash64("a").alias("u"), F.xxhash64("b").alias("v")
+    )
+    comp = connected_components(edges)
+    names = (
+        pairs.select(F.col("a").alias("s"))
+        .unionByName(pairs.select(F.col("b").alias("s")))
+        .distinct()
+        .withColumn("id", F.xxhash64("s"))
+    )
+    members = names.join(comp, names["id"] == comp["node"]).select(
+        "s", "component"
+    )
+    reps = members.groupBy("component").agg(F.min("s").alias("rep"))
+    mapping = members.join(reps, "component").select(
+        F.col("s").alias("node_s"), "rep"
+    )
+
+    rest = triples.filter(F.col("pred") != F.lit(sameas_pred))
+    m_subj = mapping.select(
+        F.col("node_s").alias("subj"), F.col("rep").alias("_srep")
+    )
+    m_obj = mapping.select(
+        F.col("node_s").alias("obj"), F.col("rep").alias("_orep")
+    )
+    joined = rest.join(m_subj, "subj", "left").join(m_obj, "obj", "left")
+    obj_hit = F.col("_orep").isNotNull()
+    if "okind" in triples.columns:
+        obj_hit = obj_hit & (F.col("okind") == "iri")
+    out_cols = [
+        F.coalesce("_srep", "subj").alias("subj")
+        if c == "subj"
+        else F.when(obj_hit, F.col("_orep")).otherwise(F.col("obj")).alias("obj")
+        if c == "obj"
+        else F.col(c)
+        for c in triples.columns
+    ]
+    return joined.select(*out_cols).distinct()

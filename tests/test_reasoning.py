@@ -142,3 +142,211 @@ def test_rdfs_partitioning_invariance(spark):
     a = {tuple(r) for r in rdfs_entailment(df.repartition(1)).collect()}
     b = {tuple(r) for r in rdfs_entailment(df.repartition(16)).collect()}
     assert a == b == _python_rdfs_fixpoint(rows)
+
+
+# --------------------------------------------------------------------------
+# OWL 2 RL property rules + sameAs smushing
+# --------------------------------------------------------------------------
+
+from mopper_spark.pipeline.reasoning import (  # noqa: E402
+    OWL_EQ_CLASS,
+    OWL_EQ_PROPERTY,
+    OWL_INVERSE_OF,
+    OWL_SAMEAS,
+    OWL_SYMMETRIC,
+    OWL_TRANSITIVE,
+    owl_rl_lite,
+    sameas_canonicalize,
+)
+
+
+def _python_owl_fixpoint(triples):
+    """Naive forward chaining over the OWL-RL property rules + RDFS."""
+    g = set(triples)
+    while True:
+        new = set()
+        # equivalence compiled to mutual sub-hierarchy statements
+        for s, p, o in list(g):
+            if p == OWL_EQ_PROPERTY:
+                new.add((s, RDFS_SUBPROP, o))
+                new.add((o, RDFS_SUBPROP, s))
+            if p == OWL_EQ_CLASS:
+                new.add((s, RDFS_SUBCLASS, o))
+                new.add((o, RDFS_SUBCLASS, s))
+        new |= _python_rdfs_fixpoint(g | new) - g
+        gg = g | new
+        trans = {s for s, p, o in gg if p == RDF_TYPE and o == OWL_TRANSITIVE}
+        for s, p, o in list(gg):
+            if p in trans:
+                for s2, p2, o2 in list(gg):
+                    if p2 == p and s2 == o:
+                        new.add((s, p, o2))
+        inv = {(s, o) for s, p, o in gg if p == OWL_INVERSE_OF}
+        inv |= {(b, a) for a, b in inv}
+        sym = {s for s, p, o in gg if p == RDF_TYPE and o == OWL_SYMMETRIC}
+        for s, p, o in list(gg):
+            for a, b in inv:
+                if p == a:
+                    new.add((o, b, s))
+            if p in sym:
+                new.add((o, p, s))
+        if new <= g:
+            return g
+        g |= new
+
+
+def _run_owl(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in owl_rl_lite(df, **kw).collect()
+    }
+    assert got == _python_owl_fixpoint(rows)
+    return got
+
+
+def test_owl_rules_end_to_end(spark):
+    rows = [
+        # a 4-node chain under a transitive property
+        ("a", "ex:next", "b"),
+        ("b", "ex:next", "c"),
+        ("c", "ex:next", "d"),
+        ("ex:next", RDF_TYPE, OWL_TRANSITIVE),
+        # inverse minted over BOTH asserted and closure-derived statements
+        ("ex:next", OWL_INVERSE_OF, "ex:prev"),
+        # symmetric
+        ("x", "ex:adj", "y"),
+        ("ex:adj", RDF_TYPE, OWL_SYMMETRIC),
+        # equivalence feeding rdfs7
+        ("t", "ex:inConv", "c1"),
+        ("ex:inConv", OWL_EQ_PROPERTY, "ex:partOf"),
+    ]
+    got = _run_owl(spark, rows)
+    assert ("a", "ex:next", "d") in got  # prp-trp, 3 hops
+    assert ("d", "ex:prev", "a") in got  # prp-inv over the closure
+    assert ("y", "ex:adj", "x") in got  # prp-symp
+    assert ("t", "ex:partOf", "c1") in got  # eq-prop via rdfs7
+    assert ("ex:partOf", RDFS_SUBPROP, "ex:inConv") in got
+
+
+def test_owl_symmetric_transitive_interaction(spark):
+    """A property both symmetric AND transitive: round 1's closure misses
+    paths through reversed edges; the fixpoint loop must complete them
+    (the component becomes a clique plus self-loops)."""
+    rows = [
+        ("a", "ex:near", "b"),
+        ("c", "ex:near", "b"),  # needs b->c from symmetry to reach a->c
+        ("ex:near", RDF_TYPE, OWL_SYMMETRIC),
+        ("ex:near", RDF_TYPE, OWL_TRANSITIVE),
+    ]
+    got = _run_owl(spark, rows)
+    assert ("a", "ex:near", "c") in got
+    assert ("a", "ex:near", "a") in got  # via a->b->a
+
+
+def test_owl_inverse_of_subproperty_inferred_statements(spark):
+    """rdfs7-minted statements must feed prp-inv in the same fixpoint."""
+    rows = [
+        ("s", "ex:p", "o"),
+        ("ex:p", RDFS_SUBPROP, "ex:q"),
+        ("ex:q", OWL_INVERSE_OF, "ex:qinv"),
+    ]
+    got = _run_owl(spark, rows)
+    assert ("o", "ex:qinv", "s") in got
+
+
+def test_owl_partitioning_invariance(spark):
+    rows = (
+        [(f"t{i}", "ex:next", f"t{i+1}") for i in range(12)]
+        + [(f"t{i}", "ex:adj", f"t{i+1}") for i in range(12)]
+        + [
+            ("ex:next", RDF_TYPE, OWL_TRANSITIVE),
+            ("ex:next", OWL_INVERSE_OF, "ex:prev"),
+            ("ex:adj", RDF_TYPE, OWL_SYMMETRIC),
+        ]
+    )
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    a = {tuple(r) for r in owl_rl_lite(df.repartition(1)).collect()}
+    b = {tuple(r) for r in owl_rl_lite(df.repartition(16)).collect()}
+    assert a == b == _python_owl_fixpoint(rows)
+
+
+def _python_smush(triples, sameas=OWL_SAMEAS, okind_idx=None):
+    """Replica: components over sameAs names, min-string rep, rewrite."""
+    import itertools
+
+    pairs = [(t[0], t[2]) for t in triples if t[1] == sameas]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rep = {}
+    for start in adj:
+        if start in rep:
+            continue
+        seen, todo = {start}, [start]
+        while todo:
+            x = todo.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    todo.append(y)
+        r = min(seen)
+        for x in seen:
+            rep[x] = r
+    out = set()
+    for t in triples:
+        if t[1] == sameas:
+            continue
+        t = list(t)
+        t[0] = rep.get(t[0], t[0])
+        if okind_idx is None or t[okind_idx] == "iri":
+            t[2] = rep.get(t[2], t[2])
+        out.add(tuple(t))
+    return out
+
+
+def test_sameas_smush_chain(spark):
+    """Transitive chain e1~e2~e3 collapses to one representative; subjects
+    rewrite too; singleton sameAs self-loops are no-ops."""
+    rows = [
+        ("t1", "ex:mentions", "e2"),
+        ("t2", "ex:mentions", "e3"),
+        ("e3", "ex:knows", "e1"),
+        ("e1", OWL_SAMEAS, "e2"),
+        ("e2", OWL_SAMEAS, "e3"),
+        ("e9", OWL_SAMEAS, "e9"),
+        ("t3", "ex:mentions", "e9"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {tuple(r) for r in sameas_canonicalize(df).collect()}
+    assert got == _python_smush(rows)
+    assert ("t1", "ex:mentions", "e1") in got
+    assert ("e1", "ex:knows", "e1") in got  # subj rewritten e3 -> e1
+    assert ("t3", "ex:mentions", "e9") in got
+
+
+def test_sameas_smush_okind_guards_literals(spark):
+    """A literal whose text equals a smushed name must NOT be rewritten
+    when okind marks it as a literal."""
+    rows = [
+        ("t1", "ex:label", "e2", "lit"),
+        ("t1", "ex:mentions", "e2", "iri"),
+        ("e1", OWL_SAMEAS, "e2", "iri"),
+    ]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string, okind string")
+    got = {tuple(r) for r in sameas_canonicalize(df).collect()}
+    assert got == _python_smush(rows, okind_idx=3)
+    assert ("t1", "ex:label", "e2", "lit") in got
+    assert ("t1", "ex:mentions", "e1", "iri") in got
+
+
+def test_sameas_smush_partitioning_invariance(spark):
+    rows = (
+        [(f"t{i}", "ex:mentions", f"e{i % 6}") for i in range(30)]
+        + [(f"e{i}", OWL_SAMEAS, f"e{i+1}") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    a = {tuple(r) for r in sameas_canonicalize(df.repartition(1)).collect()}
+    b = {tuple(r) for r in sameas_canonicalize(df.repartition(16)).collect()}
+    assert a == b == _python_smush(rows)
