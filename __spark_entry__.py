@@ -3550,6 +3550,47 @@ SELECT DISTINCT subj, pred, obj FROM (
 """
 
 
+def _q_kg_rdfs_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental RDFS closure maintenance (pipeline/reasoning.py::
+    rdfs_entailment_delta): the instance statements are split into a
+    base (~3/4) and a late-arriving delta (~1/4) by an md5 prefix of the
+    full statement — engine-portable and partitioning-proof — the base
+    is closed with the full reasoner, and the delta is folded in
+    frontier-only: every rule pass joins the broadcast pre-closed schema
+    against the DELTA alone, never rescanning the closed base (the
+    10^12-turn contract: a new conversation batch costs O(|delta|), not
+    O(|graph|)).  The oracle is the one-shot closure of base ∪ delta —
+    the very SQL of kg_rdfs_entailment — so the gate hash proves
+    incremental maintenance ≡ full recompute."""
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+    from mopper_spark.pipeline.reasoning import (
+        rdfs_entailment,
+        rdfs_entailment_delta,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
+    inst = kg.filter(
+        F.col("pred").isin(_ONT + "mentions", _ONT + "inConversation")
+    ).select("subj", "pred", "obj")
+    is_delta = F.substring(
+        F.md5(F.concat_ws("\x1f", "subj", "pred", "obj")), 1, 1
+    ).isin("0", "1", "2", "3")
+    schema = spark.createDataFrame(
+        _RDFS_SCHEMA_TRIPLES, "subj string, pred string, obj string"
+    )
+    base_closed = rdfs_entailment(inst.filter(~is_delta).unionByName(schema))
+    return rdfs_entailment_delta(base_closed, inst.filter(is_delta))
+
+
+# The incremental result must EQUAL the one-shot closure — same oracle.
+_SQL_KG_RDFS_INCREMENTAL = _SQL_KG_RDFS_ENTAILMENT
+
+
 # OWL schema over the turn-order graph — shared verbatim by the Spark query
 # and the DuckDB oracle (SQL VALUES generated from this list).
 _OWL = "http://www.w3.org/2002/07/owl#"
@@ -4150,6 +4191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,
         "kg_snapshot_diff": _q_kg_snapshot_diff,
         "kg_rdfs_entailment": _q_kg_rdfs_entailment,
+        "kg_rdfs_incremental": _q_kg_rdfs_incremental,
         "kg_owl_inference": _q_kg_owl_inference,
         "kg_sameas_canonical": _q_kg_sameas_canonical,
         "docs_quality_model": _q_docs_quality_model,
@@ -4244,6 +4286,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _SQL_DEDUP_SEMANTIC,
         "kg_snapshot_diff": _SQL_KG_SNAPSHOT_DIFF,
         "kg_rdfs_entailment": _SQL_KG_RDFS_ENTAILMENT,
+        "kg_rdfs_incremental": _SQL_KG_RDFS_INCREMENTAL,
         "kg_owl_inference": _SQL_KG_OWL_INFERENCE,
         "kg_sameas_canonical": _SQL_KG_SAMEAS_CANONICAL,
         "docs_quality_model": _SQL_DOCS_QUALITY_MODEL,

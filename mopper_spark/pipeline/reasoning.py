@@ -162,6 +162,136 @@ def rdfs_entailment(triples: DataFrame, *, max_rounds: int = 4) -> DataFrame:
     return _fixpoint(triples, _rdfs_pass, max_rounds, "rdfs_entailment")
 
 
+_RDFS_VOCAB = (RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE)
+
+
+def rdfs_entailment_delta(
+    base_closed: DataFrame, delta: DataFrame, *, max_rounds: int = 4
+) -> DataFrame:
+    """Incremental RDFS closure maintenance: given a graph that is
+    ALREADY closed (``rdfs_entailment`` output) and a batch of new
+    INSTANCE statements, return the closure of base ∪ delta — equal to
+    ``rdfs_entailment(base ∪ delta)`` — touching only the delta.
+
+    This is the streaming-scale form of the reasoner: at 10^12-turn
+    scale the closed graph is petabyte-class and must never be
+    recomputed because one conversation batch arrived.  The key
+    property making frontier-only evaluation COMPLETE is that every
+    RDFS instance rule (rdfs7, rdfs2, rdfs3, rdfs9) pairs one instance
+    premise with one SCHEMA premise, and the closure rules (rdfs5,
+    rdfs11) pair two schema premises — so an instance-only delta can
+    never extend the schema relations, which are read pre-closed from
+    the base and broadcast.  No rule pairs two instance statements,
+    hence no (frontier × base-instance) join exists and each pass is
+    schema-broadcast joins against the frontier alone.
+
+    ``delta`` must therefore contain NO RDFS-vocabulary statements
+    (subClassOf / subPropertyOf / domain / range) — a schema change
+    invalidates previously-derived statements' premises and requires
+    ``rdfs_entailment`` over the asserted graph; the function raises a
+    ``ValueError`` naming the offending predicates.  ``rdf:type``
+    statements in the delta are fine (rdfs9 applies via the broadcast
+    class closure).
+
+    The pass is wrapped in the same verification loop as the full
+    reasoner: normally round 2's frontier derives nothing new and the
+    loop exits; a base schema that redefines RDF/RDFS vocabulary
+    (e.g. some p ⊑ rdf:type) makes round-1 inferences feed rdfs7
+    again, and the loop chases that to the exact fixpoint.
+    """
+    spark = base_closed.sparkSession
+    bad = (
+        delta.filter(F.col("pred").isin(*_RDFS_VOCAB))
+        .select("pred")
+        .distinct()
+        .limit(5)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            "rdfs_entailment_delta: delta contains RDFS schema statements "
+            f"({sorted(r.pred for r in bad)}); schema changes invalidate "
+            "incremental maintenance — recompute with rdfs_entailment"
+        )
+    conf_key = "spark.sql.constraintPropagation.enabled"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        # Schema relations read pre-closed from the base; final for the
+        # whole run (instance deltas cannot extend them — see above).
+        spc = base_closed.filter(F.col("pred") == RDFS_SUBPROP).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        scc = base_closed.filter(F.col("pred") == RDFS_SUBCLASS).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        dom = base_closed.filter(F.col("pred") == RDFS_DOMAIN).select(
+            F.col("subj").alias("p"), F.col("obj").alias("cls")
+        )
+        rng = base_closed.filter(F.col("pred") == RDFS_RANGE).select(
+            F.col("subj").alias("p"), F.col("obj").alias("cls")
+        )
+
+        g = base_closed.select(*_SPO).distinct().localCheckpoint(eager=True)
+        frontier = (
+            delta.select(*_SPO)
+            .distinct()
+            .join(g, list(_SPO), "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        # Frontier is merged into g BEFORE its pass runs, so each round's
+        # next frontier is exactly the statements whose consequences are
+        # still unverified — genuine inferences only, never re-derivation.
+        g = g.unionByName(frontier).localCheckpoint(eager=True)
+        for _ in range(max_rounds):
+            if frontier.isEmpty():
+                return g
+            r7 = frontier.join(
+                F.broadcast(spc), frontier["pred"] == spc["src"]
+            ).select("subj", F.col("dst").alias("pred"), "obj")
+            d1 = (
+                frontier.unionByName(r7).distinct()
+                .localCheckpoint(eager=False)
+            )
+            r2 = d1.join(F.broadcast(dom), d1["pred"] == dom["p"]).select(
+                "subj",
+                F.lit(RDF_TYPE).alias("pred"),
+                F.col("cls").alias("obj"),
+            )
+            r3 = d1.join(F.broadcast(rng), d1["pred"] == rng["p"]).select(
+                F.col("obj").alias("subj"),
+                F.lit(RDF_TYPE).alias("pred"),
+                F.col("cls").alias("obj"),
+            )
+            d2 = (
+                d1.unionByName(r2).unionByName(r3).distinct()
+                .localCheckpoint(eager=False)
+            )
+            types = d2.filter(F.col("pred") == RDF_TYPE).select(
+                F.col("subj").alias("s"), F.col("obj").alias("c")
+            )
+            r9 = types.join(F.broadcast(scc), types["c"] == scc["src"]).select(
+                F.col("s").alias("subj"),
+                F.lit(RDF_TYPE).alias("pred"),
+                F.col("dst").alias("obj"),
+            )
+            d3 = d2.unionByName(r9).distinct()
+            new = (
+                d3.join(g, list(_SPO), "left_anti")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            g = g.unionByName(new).localCheckpoint(eager=True)
+            frontier = new  # frontier ⊆ g already, so `new` excludes it
+        raise RuntimeError(
+            f"rdfs_entailment_delta did not converge in {max_rounds} "
+            "passes; the base schema feeds earlier strata (RDF/RDFS "
+            "vocabulary redefined) — raise max_rounds"
+        )
+    finally:
+        spark.conf.set(conf_key, old)
+
+
 # --------------------------------------------------------------------------
 # OWL 2 RL (property-rule subset) + sameAs smushing
 # --------------------------------------------------------------------------

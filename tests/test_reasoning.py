@@ -350,3 +350,103 @@ def test_sameas_smush_partitioning_invariance(spark):
     a = {tuple(r) for r in sameas_canonicalize(df.repartition(1)).collect()}
     b = {tuple(r) for r in sameas_canonicalize(df.repartition(16)).collect()}
     assert a == b == _python_smush(rows)
+
+
+# --------------------------------------------------------------------------
+# Incremental RDFS closure maintenance
+# --------------------------------------------------------------------------
+
+from mopper_spark.pipeline.reasoning import rdfs_entailment_delta  # noqa: E402
+
+
+def _spo_df(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+_INC_SCHEMA = [
+    ("ex:mentions", RDFS_SUBPROP, "ex:references"),
+    ("ex:references", RDFS_SUBPROP, "ex:relatedTo"),
+    ("ex:mentions", RDFS_DOMAIN, "ex:Turn"),
+    ("ex:mentions", RDFS_RANGE, "ex:Entity"),
+    ("ex:Entity", RDFS_SUBCLASS, "ex:Resource"),
+    ("ex:Turn", RDFS_SUBCLASS, "ex:Resource"),
+]
+
+
+def test_delta_equals_full_recompute(spark):
+    """Closing base then applying the delta incrementally must equal the
+    one-shot closure of base ∪ delta — the contract, on a fixture that
+    fires every instance rule (rdfs7 via closure, rdfs2/3, rdfs9 on an
+    asserted rdf:type in the delta)."""
+    base_inst = [("t1", "ex:mentions", "e1"), ("t2", "ex:mentions", "e2")]
+    delta = [
+        ("t3", "ex:mentions", "e3"),
+        ("t3", "ex:mentions", "e1"),  # object already known to the base
+        ("x9", RDF_TYPE, "ex:Entity"),  # asserted type -> rdfs9
+        ("t1", "ex:mentions", "e1"),  # exact duplicate of a base statement
+    ]
+    base_closed = rdfs_entailment(_spo_df(spark, _INC_SCHEMA + base_inst))
+    inc = {
+        tuple(r)
+        for r in rdfs_entailment_delta(
+            base_closed, _spo_df(spark, delta)
+        ).collect()
+    }
+    full = _python_rdfs_fixpoint(_INC_SCHEMA + base_inst + delta)
+    assert inc == full
+    assert ("t3", "ex:relatedTo", "e3") in inc  # rdfs7 via 2-level closure
+    assert ("e3", RDF_TYPE, "ex:Resource") in inc  # rdfs3 then rdfs9
+    assert ("x9", RDF_TYPE, "ex:Resource") in inc  # rdfs9 on delta type
+
+
+def test_delta_empty_is_identity(spark):
+    base_closed = rdfs_entailment(
+        _spo_df(spark, _INC_SCHEMA + [("t1", "ex:mentions", "e1")])
+    )
+    out = rdfs_entailment_delta(base_closed, _spo_df(spark, []).limit(0))
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in base_closed.collect()
+    }
+
+
+def test_delta_schema_statement_refused(spark):
+    base_closed = rdfs_entailment(_spo_df(spark, _INC_SCHEMA))
+    delta = _spo_df(spark, [("ex:New", RDFS_SUBCLASS, "ex:Resource")])
+    with pytest.raises(ValueError, match="schema statements"):
+        rdfs_entailment_delta(base_closed, delta)
+
+
+def test_delta_pathological_base_schema_iterates(spark):
+    """Base schema redefines RDF vocabulary (p ⊑ rdf:type): round-1
+    rdfs7 output is an rdf:type statement that rdfs9 must then chase in
+    round 2 — the verification loop, not the single pass, finds it."""
+    schema = [
+        ("ex:isa", RDFS_SUBPROP, RDF_TYPE),
+        ("ex:C", RDFS_SUBCLASS, "ex:D"),
+    ]
+    base_closed = rdfs_entailment(_spo_df(spark, schema))
+    inc = {
+        tuple(r)
+        for r in rdfs_entailment_delta(
+            base_closed, _spo_df(spark, [("s", "ex:isa", "ex:C")])
+        ).collect()
+    }
+    assert inc == _python_rdfs_fixpoint(schema + [("s", "ex:isa", "ex:C")])
+    assert ("s", RDF_TYPE, "ex:C") in inc  # rdfs7 via p ⊑ rdf:type
+    assert ("s", RDF_TYPE, "ex:D") in inc  # rdfs9 over the derived type
+
+
+def test_delta_partitioning_invariance(spark):
+    base_inst = [(f"t{i}", "ex:mentions", f"e{i % 4}") for i in range(12)]
+    delta_rows = [(f"d{i}", "ex:mentions", f"e{i % 5}") for i in range(9)]
+    base_closed = rdfs_entailment(_spo_df(spark, _INC_SCHEMA + base_inst))
+    d = _spo_df(spark, delta_rows)
+    a = {
+        tuple(r)
+        for r in rdfs_entailment_delta(base_closed, d.repartition(1)).collect()
+    }
+    b = {
+        tuple(r)
+        for r in rdfs_entailment_delta(base_closed, d.repartition(16)).collect()
+    }
+    assert a == b == _python_rdfs_fixpoint(_INC_SCHEMA + base_inst + delta_rows)
