@@ -3806,6 +3806,82 @@ LEFT JOIN m mo ON mo.node = t.obj
 """
 
 
+_PROV_ACTIVITY = EX + "activity/mention-extraction-v1"
+
+
+def _q_kg_provenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-triple provenance (pipeline/provenance.py): the mention
+    triples reified into RDF-reification skeletons plus PROV-O
+    wasDerivedFrom (the source turn IRI), generatedAtTime (the turn's
+    epoch-microsecond timestamp — TZ/fetch-path-proof literal), and
+    wasGeneratedBy (the extraction-rule activity IRI).  Statement ids
+    are deterministic md5 skolems of the (s,p,o) content, reproduced
+    hex-for-hex by the DuckDB oracle, so replayed batches converge on
+    the same statement nodes — the merge semantics idempotent
+    checkpoint replay needs.  One narrow pass: md5 once per triple
+    below an array explode; the only shuffle is the statement-id-keyed
+    distinct (uniform md5, skew-proof)."""
+    from mopper_spark.pipeline.extract import extract_mentions, mention_triples
+    from mopper_spark.pipeline.provenance import reify_with_provenance
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    turn_iri = F.concat(
+        F.lit(EX + "turn/"), F.col("conv_id"), F.lit("/"), F.col("turn_idx")
+    )
+    epoch_us = (
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    turn_ts = tr.select(
+        turn_iri.alias("subj"), F.expr(epoch_us).alias("at_us")
+    )
+    trip = mention_triples(extract_mentions(tr)).join(turn_ts, "subj")
+    return reify_with_provenance(
+        trip,
+        derived_from="subj",
+        generated_at="at_us",
+        activity_iri=_PROV_ACTIVITY,
+        stmt_prefix=EX + "stmt/",
+        graph_iri=EX + "graph/provenance",
+    )
+
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_PROV = "http://www.w3.org/ns/prov#"
+
+_SQL_KG_PROVENANCE = f"""
+WITH kg AS ({_SQL_KG_GRAPH}),
+tr AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')),
+men AS (SELECT subj, pred, obj, okind FROM kg
+        WHERE pred = '{_ONT}mentions'),
+wts AS (
+  SELECT m.subj AS s, m.pred AS p, m.obj AS o, m.okind AS k,
+         CAST(epoch_us(t.ts) AS VARCHAR) AS at
+  FROM men m
+  JOIN (SELECT 'http://example.com/turn/' || conv_id || '/' || turn_idx
+          AS turn, ts FROM tr) t ON t.turn = m.subj
+),
+sid AS (
+  SELECT 'http://example.com/stmt/'
+           || md5(s || chr(31) || p || chr(31) || o) AS stmt,
+         s, p, o, k, at
+  FROM wts
+)
+SELECT DISTINCT subj, pred, obj, okind,
+       'http://example.com/graph/provenance' AS graph
+FROM (
+  SELECT stmt AS subj, '{_RDF_NS}type' AS pred,
+         '{_RDF_NS}Statement' AS obj, 'iri' AS okind FROM sid
+  UNION ALL SELECT stmt, '{_RDF_NS}subject', s, 'iri' FROM sid
+  UNION ALL SELECT stmt, '{_RDF_NS}predicate', p, 'iri' FROM sid
+  UNION ALL SELECT stmt, '{_RDF_NS}object', o, k FROM sid
+  UNION ALL SELECT stmt, '{_PROV}wasDerivedFrom', s, 'iri' FROM sid
+  UNION ALL SELECT stmt, '{_PROV}generatedAtTime', at, 'lit' FROM sid
+  UNION ALL SELECT stmt, '{_PROV}wasGeneratedBy', '{_PROV_ACTIVITY}', 'iri'
+            FROM sid
+)
+"""
+
+
 def _q_docs_quality_model(spark: SparkSession, sf: str) -> DataFrame:
     """fastText-style hashed linear quality scoring
     (textops/quality_model.py): unigram+bigram features md5-hashed into
@@ -4194,6 +4270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_incremental": _q_kg_rdfs_incremental,
         "kg_owl_inference": _q_kg_owl_inference,
         "kg_sameas_canonical": _q_kg_sameas_canonical,
+        "kg_provenance": _q_kg_provenance,
         "docs_quality_model": _q_docs_quality_model,
         "docs_quality_model_trained": _q_docs_quality_model_trained,
         "transcripts_render": _q_transcripts_render,
@@ -4289,6 +4366,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_rdfs_incremental": _SQL_KG_RDFS_INCREMENTAL,
         "kg_owl_inference": _SQL_KG_OWL_INFERENCE,
         "kg_sameas_canonical": _SQL_KG_SAMEAS_CANONICAL,
+        "kg_provenance": _SQL_KG_PROVENANCE,
         "docs_quality_model": _SQL_DOCS_QUALITY_MODEL,
         "docs_quality_model_trained": _SQL_DOCS_QUALITY_MODEL_TRAINED,
         "transcripts_render": _SQL_TRANSCRIPTS_RENDER,
