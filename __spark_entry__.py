@@ -1802,6 +1802,43 @@ def _q_kg_graph_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     return extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
 
 
+def _q_kg_sparql_ask(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL ASK (pipeline/bgp.py::bgp_ask): three probes over the
+    extracted KG — a 2-pattern chain that matches, a constant-anchored
+    pattern that matches, and a pattern that cannot match.  Each ASK is
+    a limit(1) witness probe above the pattern plan (CollectLimit
+    short-circuits the scan on the first witness; only the NO answer
+    pays full evaluation), returned as (probe, found) rows so the three
+    booleans gate-compare against DuckDB EXISTS()."""
+    from mopper_spark.pipeline.bgp import bgp_ask, bgp_match
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = extract_triples(tr).unionByName(
+        mention_triples(extract_mentions(tr))
+    ).select("subj", "pred", "obj")
+    ont = "http://example.com/ontology/"
+    probes = {
+        "chain_match": [
+            ("?t", ont + "mentions", "?e"),
+            ("?t", ont + "inConversation", "?c"),
+        ],
+        "const_match": [("?t", ont + "role", "user")],
+        "no_match": [("?t", ont + "mentions", EX + "entity/NoSuchEntity")],
+    }
+    out = None
+    for name, pats in probes.items():
+        one = bgp_ask(bgp_match(kg, pats)).select(
+            F.lit(name).alias("probe"), "found"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
 def _q_kg_bgp_comention(spark: SparkSession, sf: str) -> DataFrame:
     """SPARQL-lite BGP over the extracted KG: the 4-pattern chain query
 
@@ -3449,6 +3486,62 @@ SELECT 'del' AS op, * FROM (SELECT * FROM o EXCEPT SELECT * FROM n)
 """
 
 
+def _q_kg_snapshot_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph time travel (pipeline/materialize.py::apply_changelog) —
+    the inverse of kg_snapshot_diff: a base snapshot (2/3 of the fixture
+    conversations) plus a three-version changelog (v1 adds the missing
+    third, v2 cuts down to one third, v3 restores everything), replayed
+    AS OF v2.  Exercises every mechanism at once: base statements
+    deleted at v2, statements added at v1 then deleted at v2 (last-op-
+    wins), and v3 rows excluded by the asof filter.  The oracle is
+    simply the v2 statement set rebuilt from scratch — one combine-able
+    max-struct aggregation over the log must reproduce it exactly."""
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+    from mopper_spark.pipeline.materialize import (
+        apply_changelog,
+        diff_graph_tables,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    slice_mod = "pmod(cast(conv(substr(md5(conv_id), 1, 4), 16, 10) as bigint), 3)"
+
+    def kg(t):
+        return extract_triples(t).unionByName(
+            mention_triples(extract_mentions(t))
+        )
+
+    v0 = kg(tr.filter(F.expr(f"{slice_mod} != 0")))  # two thirds
+    v1 = kg(tr)  # everything
+    v2 = kg(tr.filter(F.expr(f"{slice_mod} == 1")))  # one third
+    v3 = v1
+
+    def stamp(diff, v):
+        return diff.select(F.lit(v).cast("long").alias("version"), "*")
+
+    log = (
+        stamp(diff_graph_tables(v0, v1), 1)
+        .unionByName(stamp(diff_graph_tables(v1, v2), 2))
+        .unionByName(stamp(diff_graph_tables(v2, v3), 3))
+    )
+    return apply_changelog(v0, log, asof=2)
+
+
+# the oracle rebuilds the as-of-v2 state from scratch: the statement-set
+# SQL over the one-third conversation slice
+_SQL_KG_SNAPSHOT_ASOF = "SELECT DISTINCT subj, pred, obj, okind, graph FROM ({})".format(
+    _SQL_KG_GRAPH.replace(
+        f"read_parquet('{_TRANSCRIPTS_FIXTURE}'))",
+        f"read_parquet('{_TRANSCRIPTS_FIXTURE}') "
+        "WHERE (('0x' || substr(md5(conv_id), 1, 4))::BIGINT % 3) = 1)",
+    )
+)
+assert "% 3) = 1" in _SQL_KG_SNAPSHOT_ASOF, "asof oracle: scan swap failed"
+
+
 # RDFS schema over the extraction ontology — shared verbatim by the Spark
 # query and the DuckDB oracle (SQL VALUES generated from this list).
 _ONT = "http://example.com/ontology/"
@@ -3589,6 +3682,23 @@ def _q_kg_rdfs_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
 # The incremental result must EQUAL the one-shot closure — same oracle.
 _SQL_KG_RDFS_INCREMENTAL = _SQL_KG_RDFS_ENTAILMENT
+
+
+_SQL_KG_SPARQL_ASK = f"""
+WITH kg AS ({_SQL_KG_GRAPH})
+SELECT 'chain_match' AS probe,
+       EXISTS(SELECT 1 FROM kg a JOIN kg b ON a.subj = b.subj
+              WHERE a.pred = '{_ONT}mentions'
+                AND b.pred = '{_ONT}inConversation') AS found
+UNION ALL
+SELECT 'const_match',
+       EXISTS(SELECT 1 FROM kg WHERE pred = '{_ONT}role' AND obj = 'user')
+UNION ALL
+SELECT 'no_match',
+       EXISTS(SELECT 1 FROM kg WHERE pred = '{_ONT}mentions'
+              AND obj = 'http://example.com/entity/NoSuchEntity')
+"""
+
 
 
 # OWL schema over the turn-order graph — shared verbatim by the Spark query
@@ -4261,11 +4371,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_path_descendants": _q_kg_bgp_path_descendants,
         "kg_bgp_path_inverse_seq": _q_kg_bgp_path_inverse_seq,
         "kg_sparql_modifiers": _q_kg_sparql_modifiers,
+        "kg_sparql_ask": _q_kg_sparql_ask,
         "kg_sparql_construct": _q_kg_sparql_construct,
         "entity_linking_incremental": _q_entity_linking_incremental,
         "kg_transe_eval": _q_kg_transe_eval,
         "dedup_semantic": _q_dedup_semantic,
         "kg_snapshot_diff": _q_kg_snapshot_diff,
+        "kg_snapshot_asof": _q_kg_snapshot_asof,
         "kg_rdfs_entailment": _q_kg_rdfs_entailment,
         "kg_rdfs_incremental": _q_kg_rdfs_incremental,
         "kg_owl_inference": _q_kg_owl_inference,
@@ -4357,11 +4469,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_path_descendants": _SQL_KG_BGP_PATH,
         "kg_bgp_path_inverse_seq": _SQL_KG_BGP_PATH_INV_SEQ,
         "kg_sparql_modifiers": _SQL_KG_SPARQL_MODIFIERS,
+        "kg_sparql_ask": _SQL_KG_SPARQL_ASK,
         "kg_sparql_construct": _SQL_KG_SPARQL_CONSTRUCT,
         "entity_linking_incremental": _SQL_ENTITY_LINKING,
         "kg_transe_eval": _SQL_KG_TRANSE,
         "dedup_semantic": _SQL_DEDUP_SEMANTIC,
         "kg_snapshot_diff": _SQL_KG_SNAPSHOT_DIFF,
+        "kg_snapshot_asof": _SQL_KG_SNAPSHOT_ASOF,
         "kg_rdfs_entailment": _SQL_KG_RDFS_ENTAILMENT,
         "kg_rdfs_incremental": _SQL_KG_RDFS_INCREMENTAL,
         "kg_owl_inference": _SQL_KG_OWL_INFERENCE,

@@ -635,6 +635,25 @@ def bgp_construct(
     return out.distinct()
 
 
+def bgp_ask(solution: DataFrame) -> DataFrame:
+    """SPARQL ``ASK``: does the pattern have at least one solution?
+    Returns a ONE-row DataFrame ``(found boolean)`` — a DataFrame rather
+    than a driver-side bool so ASK composes into jobs/sinks like every
+    other operator.
+
+    Scale shape: ``limit(1)`` above the solution plan — Spark's
+    CollectLimit launches one partition first and short-circuits the
+    scan on the first witness, so an ASK over a 100 TB graph that
+    matches early reads almost nothing; only a NO answer pays for the
+    full pattern evaluation (unavoidable: proving absence is a full
+    scan in any engine)."""
+    return (
+        solution.select(F.lit(1).alias("_w"))
+        .limit(1)
+        .agg((F.count(F.lit(1)) > 0).alias("found"))
+    )
+
+
 def describe_resource(triples: DataFrame, iri: str) -> DataFrame:
     """SPARQL DESCRIBE-lite: every triple where the resource is subject or
     object.  Two pushed-filter scans + a union — both filters reach the

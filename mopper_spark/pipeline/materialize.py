@@ -116,3 +116,45 @@ def diff_graph_tables(old: DataFrame, new: DataFrame) -> DataFrame:
     added = n.join(o, cols, "left_anti").select(F.lit("add").alias("op"), *cols)
     removed = o.join(n, cols, "left_anti").select(F.lit("del").alias("op"), *cols)
     return added.unionByName(removed)
+
+
+def apply_changelog(
+    base: DataFrame, changelog: DataFrame, *, asof: int | None = None
+) -> DataFrame:
+    """Graph time travel — the inverse of ``diff_graph_tables``: rebuild
+    the statement set as of changelog version ``asof`` from a base
+    snapshot plus an append-only changelog ``(version, op, subj, pred,
+    obj, okind, graph)`` with ``op`` ∈ {'add', 'del'} (each version
+    being a ``diff_graph_tables`` output stamped with its number).
+    ``asof=None`` replays the whole log.  This is what a KG consumer
+    runs instead of storing every snapshot: one base + diffs reproduces
+    ANY historical state (parquet-fallback counterpart of Iceberg's
+    snapshot time travel, which stays a named refusal — no runtime jar
+    in this sandbox, see tests/test_materialize.py).
+
+    Last-op-wins per statement: a statement added at v1 and deleted at
+    v2 is absent as of v2, present as of v1.  At most one op per
+    (statement, version) is assumed — a same-version add+del is
+    malformed input (a diff never emits one) and resolves
+    deterministically to 'del' (struct max; 'del' > 'add').
+
+    Scale shape: NOT iterative — one combine-able max-struct aggregation
+    over the log keyed by the full statement (uniform key, skew-proof),
+    then one anti-join and one union against the base.  Both log
+    aggregation and base anti-join are subject-prefixed keys, so on
+    subject-bucketed tables (``write_graph_table_bucketed``) the base
+    side shuffles zero bytes; cost is O(|log| + |touched|), never
+    O(|graph| × versions).
+    """
+    cols = ["subj", "pred", "obj", "okind", "graph"]
+    log = changelog
+    if asof is not None:
+        log = log.filter(F.col("version") <= F.lit(asof))
+    last = log.groupBy(*cols).agg(
+        F.max(F.struct(F.col("version"), F.col("op"))).alias("m")
+    )
+    survivors = last.filter(F.col("m.op") == "add").select(*cols)
+    untouched = base.select(*cols).distinct().join(last, cols, "left_anti")
+    # disjoint by construction (survivors ⊆ touched), so a bare union
+    # preserves set semantics without another distinct
+    return untouched.unionByName(survivors)

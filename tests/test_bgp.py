@@ -779,3 +779,41 @@ def test_kg_query_cli_solution_algebra(spark, tmp_path):
         (EX + "alice", EX + "type", EX + "Entity"),
         (EX + "bob", EX + "type", EX + "Entity"),
     ]
+
+
+class TestAsk:
+    def _kg(self, spark):
+        return spark.createDataFrame(
+            [
+                ("t1", "ex:mentions", "alice"),
+                ("t1", "ex:inConv", "c1"),
+                ("t2", "ex:mentions", "bob"),
+            ],
+            "subj string, pred string, obj string",
+        )
+
+    def test_ask_true(self, spark):
+        from mopper_spark.pipeline.bgp import bgp_ask, bgp_match
+
+        sol = bgp_match(
+            self._kg(spark),
+            [("?t", "ex:mentions", "?e"), ("?t", "ex:inConv", "?c")],
+        )
+        rows = bgp_ask(sol).collect()
+        assert len(rows) == 1 and rows[0].found is True
+
+    def test_ask_false(self, spark):
+        from mopper_spark.pipeline.bgp import bgp_ask, bgp_match
+
+        sol = bgp_match(self._kg(spark), [("?t", "ex:missing", "?e")])
+        rows = bgp_ask(sol).collect()
+        assert len(rows) == 1 and rows[0].found is False
+
+    def test_ask_short_circuits_with_limit(self, spark):
+        """The plan must carry a CollectLimit/GlobalLimit below the
+        aggregate — the witness short-circuit, not a full count."""
+        from mopper_spark.pipeline.bgp import bgp_ask
+
+        df = spark.range(10_000_000).select(F.lit("s").alias("subj"))
+        plan = bgp_ask(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Limit" in plan

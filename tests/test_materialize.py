@@ -193,3 +193,77 @@ class TestGraphDiff:
         schema = "subj string, pred string, obj string, okind string, graph string"
         df = spark.createDataFrame([("s", "p", "o", "iri", "g")], schema)
         assert diff_graph_tables(df, df).count() == 0
+
+
+class TestChangelogTimeTravel:
+    SCHEMA = "subj string, pred string, obj string, okind string, graph string"
+
+    def _stamp(self, diff, v):
+        return diff.select(F.lit(v).cast("long").alias("version"), "*")
+
+    def test_roundtrip_single_version(self, spark):
+        from mopper_spark.pipeline.materialize import (
+            apply_changelog,
+            diff_graph_tables,
+        )
+
+        old = spark.createDataFrame(
+            [("s1", "p", "a", "lit", "g"), ("s2", "p", "b", "lit", "g")],
+            self.SCHEMA,
+        )
+        new = spark.createDataFrame(
+            [("s1", "p", "a", "lit", "g"), ("s3", "p", "c", "lit", "g")],
+            self.SCHEMA,
+        )
+        log = self._stamp(diff_graph_tables(old, new), 1)
+        got = {tuple(r) for r in apply_changelog(old, log).collect()}
+        assert got == {tuple(r) for r in new.collect()}
+
+    def test_asof_picks_intermediate_state_last_op_wins(self, spark):
+        from mopper_spark.pipeline.materialize import (
+            apply_changelog,
+            diff_graph_tables,
+        )
+
+        v0 = spark.createDataFrame([("s1", "p", "a", "lit", "g")], self.SCHEMA)
+        v1 = spark.createDataFrame(
+            [("s1", "p", "a", "lit", "g"), ("s2", "p", "b", "lit", "g")],
+            self.SCHEMA,
+        )
+        v2 = spark.createDataFrame([("s2", "p", "b", "lit", "g")], self.SCHEMA)
+        v3 = v1  # s1 re-added at v3: history of s1 is del@2 then add@3
+        log = (
+            self._stamp(diff_graph_tables(v0, v1), 1)
+            .unionByName(self._stamp(diff_graph_tables(v1, v2), 2))
+            .unionByName(self._stamp(diff_graph_tables(v2, v3), 3))
+        )
+        for asof, want in ((1, v1), (2, v2), (3, v3), (None, v3)):
+            got = {
+                tuple(r) for r in apply_changelog(v0, log, asof=asof).collect()
+            }
+            assert got == {tuple(r) for r in want.collect()}, f"asof={asof}"
+
+    def test_empty_log_is_identity_and_base_set_semantics(self, spark):
+        from mopper_spark.pipeline.materialize import apply_changelog
+
+        base = spark.createDataFrame(
+            [("s", "p", "o", "iri", "g"), ("s", "p", "o", "iri", "g")],
+            self.SCHEMA,
+        )
+        log = spark.createDataFrame(
+            [], "version long, op string, " + self.SCHEMA
+        )
+        assert apply_changelog(base, log).count() == 1
+
+    def test_same_version_add_del_resolves_to_del(self, spark):
+        from mopper_spark.pipeline.materialize import apply_changelog
+
+        base = spark.createDataFrame([], self.SCHEMA)
+        log = spark.createDataFrame(
+            [
+                (1, "add", "s", "p", "o", "iri", "g"),
+                (1, "del", "s", "p", "o", "iri", "g"),
+            ],
+            "version long, op string, " + self.SCHEMA,
+        )
+        assert apply_changelog(base, log).count() == 0
