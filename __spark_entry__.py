@@ -2834,6 +2834,35 @@ SELECT src, dst FROM tc
 """
 
 
+def _q_graph_closure_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental closure maintenance (pipeline/graph.py::
+    transitive_closure_delta): the doc-id binary-tree parent edges are
+    split 6:1 by ``src % 7`` — the base (a forest: every 7th edge
+    missing disconnects subtrees) is closed with the full operator, then
+    the held-out edges arrive as a delta batch and are folded in via the
+    Δ-proportional bridge algebra (Cε∘(Δ∘Cε)⁺, path-doubled).  The
+    oracle is the one-shot closure over ALL edges, so the gate hash
+    proves incremental maintenance ≡ recompute on a topology where
+    delta edges reconnect deep ancestor chains."""
+    from mopper_spark.pipeline.graph import (
+        transitive_closure,
+        transitive_closure_delta,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    edges = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("src"),
+        F.expr("doc_id div 2").cast("long").alias("dst"),
+    )
+    is_delta = F.col("src") % 7 == 0
+    base_closed = transitive_closure(edges.filter(~is_delta))
+    return transitive_closure_delta(base_closed, edges.filter(is_delta))
+
+
+# incremental result must EQUAL the one-shot closure — same oracle
+_SQL_GRAPH_CLOSURE_INCREMENTAL = _SQL_GRAPH_CLOSURE
+
+
 def _q_kg_predicate_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Per-predicate cardinality/functionality profile
     (pipeline/curate.py::predicate_profile) over the extracted KG."""
@@ -4362,6 +4391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": _q_stream_interval_join,
         "doc_hash_split": _q_doc_hash_split,
         "graph_closure": _q_graph_closure,
+        "graph_closure_incremental": _q_graph_closure_incremental,
         "kg_predicate_profile": _q_kg_predicate_profile,
         "kg_resolve_functional": _q_kg_resolve_functional,
         "kg_negative_samples": _q_kg_negative_samples,
@@ -4460,6 +4490,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_pmi": _SQL_BIGRAM_PMI,
         "skew_salted_join": _SQL_SKEW_SALTED_JOIN,
         "graph_closure": _SQL_GRAPH_CLOSURE,
+        "graph_closure_incremental": _SQL_GRAPH_CLOSURE_INCREMENTAL,
         "kg_predicate_profile": _SQL_KG_PRED_PROFILE,
         "kg_resolve_functional": _SQL_KG_RESOLVE_FUNCTIONAL,
         "kg_negative_samples": _SQL_KG_NEGATIVE_SAMPLES,

@@ -276,6 +276,96 @@ def transitive_closure(
         spark.conf.set(conf_key, old)
 
 
+def transitive_closure_delta(
+    closure: DataFrame,
+    delta: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Incremental closure maintenance: given ``closure = closure(E)``
+    (already materialized) and a batch of NEW edges ``delta``, return
+    ``closure(E ∪ delta)`` without re-joining the closed graph with
+    itself — the streaming counterpart of ``transitive_closure``, and
+    the hot path for a happens-before relation over transcripts where
+    every micro-batch appends turn-successor edges to conversations
+    whose existing chains are already closed.
+
+    Algebra (every genuinely new pair uses ≥1 delta edge): with
+    ``Cε = C ∪ identity``, new pairs are ``Cε ∘ (Δ∘Cε)⁺``.  The bridge
+    relation ``R = Δ∘Cε`` (each delta edge, optionally extended through
+    the old closure) has its src-domain inside Δ's sources, so R and its
+    closure stay Δ-PROPORTIONAL however large C is; ``R⁺`` is computed
+    by path doubling (log₂ of the max number of delta edges on any new
+    path — appending one batch's chain of k turns costs ceil(log2 k)
+    rounds, not k); the single pass over the big closure is the final
+    ``C ∘ R⁺`` prefix join, with R⁺ explicitly broadcast so C is never
+    shuffled.  Total: O(|Δ|·reach) join work + ONE broadcast-probe scan
+    of C, versus the full recompute's diameter-many scans.
+
+    Same scoped constraintPropagation workaround and per-round lineage
+    cuts as ``transitive_closure``; equality with the full recompute is
+    pinned in tests.
+    """
+    spark = closure.sparkSession
+    conf_key = "spark.sql.constraintPropagation.enabled"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        c = (
+            closure.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        d = (
+            delta.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # R = Δ ∘ Cε — broadcast the delta side; C stays unshuffled
+        r = (
+            d.unionByName(
+                F.broadcast(d.alias("d"))
+                .join(c.alias("c"), F.col("d.dst") == F.col("c.src"))
+                .select(
+                    F.col("d.src").alias("src"), F.col("c.dst").alias("dst")
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        s = r
+        for _ in range(max_iters):
+            hop = (
+                s.alias("a")
+                .join(s.alias("b"), F.col("a.dst") == F.col("b.src"))
+                .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            )
+            new = (
+                hop.join(s, ["src", "dst"], "left_anti")
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            if new.isEmpty():
+                break
+            s = s.unionAll(new).localCheckpoint(eager=False)
+        else:
+            raise RuntimeError(
+                f"transitive_closure_delta did not converge in {max_iters} "
+                f"doubling rounds (= 2^{max_iters} delta edges on one path)"
+            )
+        n = s.unionByName(
+            c.alias("c")
+            .join(F.broadcast(s.alias("s")), F.col("c.dst") == F.col("s.src"))
+            .select(F.col("c.src").alias("src"), F.col("s.dst").alias("dst"))
+        ).distinct()
+        add = n.join(c, ["src", "dst"], "left_anti")
+        return c.unionAll(add).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(conf_key, old)
+
+
 def closure_from(
     edges: DataFrame,
     seeds: DataFrame,

@@ -182,3 +182,71 @@ class TestClosureDoubling:
         df = spark.createDataFrame([(1, 2)], "src long, dst long")
         with pytest.raises(ValueError, match="method"):
             transitive_closure(df, method="magic")
+
+
+class TestTransitiveClosureDelta:
+    """Incremental closure maintenance (graph.py::transitive_closure_delta)
+    must equal the full recompute over E ∪ Δ in every topology."""
+
+    def _check(self, spark, base_edges, delta_edges, **kw):
+        from mopper_spark.pipeline.graph import transitive_closure_delta
+
+        schema = "src long, dst long"
+        c = transitive_closure(spark.createDataFrame(base_edges, schema))
+        got = {
+            (r.src, r.dst)
+            for r in transitive_closure_delta(
+                c, spark.createDataFrame(delta_edges, schema), **kw
+            ).collect()
+        }
+        assert got == _py_closure(base_edges + delta_edges)
+        return got
+
+    def test_bridge_reconnects_two_chains(self, spark):
+        # 1->2->3   and   10->11->12, delta bridges 3->10
+        base = [(1, 2), (2, 3), (10, 11), (11, 12)]
+        got = self._check(spark, base, [(3, 10)])
+        assert (1, 12) in got  # prefix through C, Δ edge, suffix through C
+
+    def test_delta_chain_converges_in_log_rounds(self, spark):
+        # appending a 40-edge chain: 2^6 > 40 delta edges per path
+        base = [(0, 1)]
+        delta = [(i, i + 1) for i in range(1, 41)]
+        self._check(spark, base, delta, max_iters=7)
+
+    def test_delta_creates_cycle_with_self_pairs(self, spark):
+        base = [(1, 2), (2, 3)]
+        got = self._check(spark, base, [(3, 1)])
+        assert {(1, 1), (2, 2), (3, 3)} <= got
+
+    def test_redundant_delta_is_noop(self, spark):
+        base = [(1, 2), (2, 3)]
+        got = self._check(spark, base, [(1, 3)])  # already entailed
+        assert got == _py_closure(base)
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.pipeline.graph import transitive_closure_delta
+
+        schema = "src long, dst long"
+        base = [(i, i + 1) for i in range(0, 20, 2)]
+        delta = [(i, i + 1) for i in range(1, 20, 2)]
+        c = transitive_closure(spark.createDataFrame(base, schema))
+        d = spark.createDataFrame(delta, schema)
+        a = {
+            (r.src, r.dst)
+            for r in transitive_closure_delta(c, d.repartition(1)).collect()
+        }
+        b = {
+            (r.src, r.dst)
+            for r in transitive_closure_delta(c, d.repartition(16)).collect()
+        }
+        assert a == b == _py_closure(base + delta)
+
+    def test_nonconvergence_raises(self, spark):
+        from mopper_spark.pipeline.graph import transitive_closure_delta
+
+        schema = "src long, dst long"
+        c = transitive_closure(spark.createDataFrame([(0, 1)], schema))
+        delta = spark.createDataFrame([(i, i + 1) for i in range(1, 40)], schema)
+        with pytest.raises(RuntimeError, match="did not converge"):
+            transitive_closure_delta(c, delta, max_iters=3)
