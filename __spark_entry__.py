@@ -2108,6 +2108,77 @@ WHERE r.pred = 'http://example.com/ontology/role'
 """
 
 
+def _q_kg_entity_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal KG scoping (pipeline/temporal.py::entity_activity_intervals):
+    per-turn point mentions collapsed into maximal validity intervals per
+    (conversation, entity), split when the entity goes unmentioned for
+    more than 60 s (fixture turns are 7 s apart, so ≤8-turn silences
+    chain and longer ones split — the fixture yields both).  The
+    reference engine emits point-in-time triples only (serializer.rs has
+    no temporal qualifier support); interval semantics are part of the
+    beyond-reference query layer.  Bounds are epoch MICROSECONDS
+    (int64) — the TZ/fetch-path-proof convention shared with the as-of
+    join oracles."""
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.temporal import entity_activity_intervals
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    mentions_ts = extract_mentions(tr).join(
+        tr.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
+    )
+    return entity_activity_intervals(mentions_ts, max_gap_s=60)
+
+
+def _temporal_oracle_sql() -> str:
+    """Gaps-and-islands replica in DuckDB over the same mentions CTE the
+    other transcript oracles build from the shared public constants.
+    Island ids depend only on the at_us sequence, so tie order inside a
+    window never changes the grouped result; no SUM reaches the output,
+    so no HUGEINT fetch-path hazard."""
+    from mopper_spark.pipeline.extract import MENTION_REGEX
+    from mopper_spark.pipeline.transcripts import ENTITY_FORMS
+
+    forms = ", ".join(f"'{f}'" for f, _ in ENTITY_FORMS)
+    return f"""
+WITH tr AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')),
+men AS (
+  SELECT conv_id, turn_idx, surface FROM (
+    SELECT conv_id, turn_idx,
+           unnest(list_distinct(list_concat(
+             regexp_extract_all(text, '{MENTION_REGEX}'),
+             list_filter([{forms}], f -> contains(text, f))
+           ))) AS surface
+    FROM tr
+  ) WHERE length(surface) >= 3
+),
+mts AS (
+  SELECT m.conv_id, m.surface AS entity, epoch_us(t.ts) AS at_us
+  FROM men m JOIN tr t ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+),
+lagged AS (
+  SELECT conv_id, entity, at_us,
+         lag(at_us) OVER (PARTITION BY conv_id, entity ORDER BY at_us) AS prev_us
+  FROM mts
+),
+isl AS (
+  SELECT conv_id, entity, at_us,
+         SUM(CASE WHEN prev_us IS NULL OR at_us - prev_us > 60 * 1000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id, entity ORDER BY at_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM lagged
+)
+SELECT conv_id, entity,
+       MIN(at_us) AS valid_from_us,
+       MAX(at_us) AS valid_to_us,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions
+FROM isl GROUP BY conv_id, entity, island
+"""
+
+
+_SQL_ENTITY_INTERVALS = _temporal_oracle_sql()
+
+
 # BGP star query oracle: the same three-pattern self-join expressed directly
 # over the string-built triple set (kg = the kg_graph_transcripts oracle).
 _SQL_BGP_COMENTION = f"""
@@ -4374,6 +4445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": _q_cc_components,
         "entity_linking_transcripts": _q_entity_linking_transcripts,
         "kg_graph_transcripts": _q_kg_graph_transcripts,
+        "kg_entity_intervals": _q_kg_entity_intervals,
         "kg_bgp_comention": _q_kg_bgp_comention,
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
         "kg_bgp_optional": _q_kg_bgp_optional,
@@ -4468,6 +4540,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_components": _SQL_CC_COMPONENTS,
         "entity_linking_transcripts": _SQL_ENTITY_LINKING,
         "kg_graph_transcripts": _SQL_KG_GRAPH,
+        "kg_entity_intervals": _SQL_ENTITY_INTERVALS,
         "kg_bgp_comention": _SQL_BGP_COMENTION,
         "kg_bgp_aggregate": _SQL_BGP_AGGREGATE,
         "kg_bgp_optional": _SQL_BGP_OPTIONAL,
