@@ -2179,6 +2179,45 @@ FROM isl GROUP BY conv_id, entity, island
 _SQL_ENTITY_INTERVALS = _temporal_oracle_sql()
 
 
+def _q_kg_interval_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal co-occurrence (pipeline/temporal.py::interval_cooccurrence):
+    entity pairs whose activity intervals OVERLAP within a conversation —
+    stricter than the co-mention BGP (kg_bgp_comention), which only needs
+    both entities somewhere in the same conversation.  The Spark side is
+    the bucketed interval join (equi-join on (conv_id, time-bucket), pair
+    counted once at the bucket of the later start); the oracle is the
+    quadratic self-join DuckDB can afford at fixture scale, so the gate
+    also proves the bucket-dedup trick exact."""
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.temporal import (
+        entity_activity_intervals,
+        interval_cooccurrence,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    mentions_ts = extract_mentions(tr).join(
+        tr.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
+    )
+    ints = entity_activity_intervals(mentions_ts, max_gap_s=60)
+    return interval_cooccurrence(ints)
+
+
+_SQL_INTERVAL_COOC = f"""
+WITH ints AS ({_SQL_ENTITY_INTERVALS})
+SELECT a.conv_id, a.entity AS e1, b.entity AS e2,
+       CAST(SUM(least(a.valid_to_us, b.valid_to_us)
+                - greatest(a.valid_from_us, b.valid_from_us)) AS BIGINT)
+         AS total_overlap_us,
+       CAST(COUNT(*) AS BIGINT) AS n_overlaps
+FROM ints a
+JOIN ints b
+  ON a.conv_id = b.conv_id AND a.entity < b.entity
+ AND least(a.valid_to_us, b.valid_to_us)
+     >= greatest(a.valid_from_us, b.valid_from_us)
+GROUP BY 1, 2, 3
+"""
+
+
 # BGP star query oracle: the same three-pattern self-join expressed directly
 # over the string-built triple set (kg = the kg_graph_transcripts oracle).
 _SQL_BGP_COMENTION = f"""
@@ -4446,6 +4485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_linking_transcripts": _q_entity_linking_transcripts,
         "kg_graph_transcripts": _q_kg_graph_transcripts,
         "kg_entity_intervals": _q_kg_entity_intervals,
+        "kg_interval_cooccurrence": _q_kg_interval_cooccurrence,
         "kg_bgp_comention": _q_kg_bgp_comention,
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
         "kg_bgp_optional": _q_kg_bgp_optional,
@@ -4541,6 +4581,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_linking_transcripts": _SQL_ENTITY_LINKING,
         "kg_graph_transcripts": _SQL_KG_GRAPH,
         "kg_entity_intervals": _SQL_ENTITY_INTERVALS,
+        "kg_interval_cooccurrence": _SQL_INTERVAL_COOC,
         "kg_bgp_comention": _SQL_BGP_COMENTION,
         "kg_bgp_aggregate": _SQL_BGP_AGGREGATE,
         "kg_bgp_optional": _SQL_BGP_OPTIONAL,

@@ -82,3 +82,81 @@ def entity_activity_intervals(
         F.max("at_us").alias("valid_to_us"),
         F.count(F.lit(1)).cast("long").alias("n_mentions"),
     ).drop("island")
+
+
+def entities_active_at(intervals: DataFrame, at_us: int) -> DataFrame:
+    """Snapshot the temporal KG: entities whose activity interval covers
+    the instant ``at_us`` (inclusive bounds on both ends, matching the
+    interval semantics of :func:`entity_activity_intervals`).
+
+    A pure pushed filter over the intervals table — at scale this is a
+    partition-prunable scan when the intervals are materialized
+    partitioned by a coarse time bucket of ``valid_from_us``.
+    """
+    return intervals.filter(
+        (F.col("valid_from_us") <= F.lit(int(at_us)))
+        & (F.col("valid_to_us") >= F.lit(int(at_us)))
+    )
+
+
+def interval_cooccurrence(
+    intervals: DataFrame,
+    *,
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Temporal co-occurrence: entity pairs whose activity intervals
+    OVERLAP within the same conversation — a stricter signal than
+    "mentioned anywhere in the same conversation" (the co-mention BGP),
+    because both entities must be live simultaneously.
+
+    Input is :func:`entity_activity_intervals` output.  Every pair of
+    interval rows (same ``conv_id``, ``entity`` strictly ordered) with
+    ``least(to) >= greatest(from)`` co-occurs; a shared single instant
+    counts with overlap 0 (inclusive bounds).  Output is one row per
+    ``(conv_id, e1, e2)`` with ``total_overlap_us`` (sum over interval
+    pairs) and ``n_overlaps``.
+
+    Scale shape: NOT a per-conversation cross join.  Both sides explode
+    into fixed-width time buckets (``bucket_us``, default 1 h) and the
+    join is a plain equi-join on ``(conv_id, bucket)`` — the same
+    bucketed-interval-join idiom as
+    ``textops/joins.py::range_join_buckets`` — so a hot conversation is
+    split across its timeline instead of materializing all interval
+    pairs.  A pair overlapping in several buckets is counted exactly
+    once, at the bucket containing ``greatest(from1, from2)`` (the
+    standard dedup-free interval-join trick: that bucket is unique and
+    both sides are present in it whenever the intervals overlap).
+    """
+    if bucket_us <= 0:
+        raise ValueError("bucket_us must be > 0")
+    b = int(bucket_us)
+
+    def side(tag: str) -> DataFrame:
+        return intervals.select(
+            F.col("conv_id"),
+            F.col("entity").alias(f"e{tag}"),
+            F.col("valid_from_us").alias(f"lo{tag}"),
+            F.col("valid_to_us").alias(f"hi{tag}"),
+        ).withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"lo{tag} div {b}"), F.expr(f"hi{tag} div {b}")
+                )
+            ),
+        )
+
+    pairs = (
+        side("1")
+        .join(side("2"), ["conv_id", "bucket"])
+        .filter(F.col("e1") < F.col("e2"))
+        .withColumn("anchor", F.greatest("lo1", "lo2"))
+        .filter(F.least("hi1", "hi2") >= F.col("anchor"))
+        # count each overlapping pair exactly once: only in the bucket
+        # that contains the later interval start
+        .filter(F.expr(f"anchor div {b}") == F.col("bucket"))
+    )
+    return pairs.groupBy("conv_id", "e1", "e2").agg(
+        F.sum(F.least("hi1", "hi2") - F.col("anchor")).alias("total_overlap_us"),
+        F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+    )

@@ -97,6 +97,96 @@ def test_partitioning_invariance(spark):
     assert a == b == _replica(rows, 50)
 
 
+def _cooc_replica(intervals):
+    """Quadratic python replica: intervals = (conv, entity, lo, hi) rows."""
+    out = {}
+    for i, (c1, e1, lo1, hi1) in enumerate(intervals):
+        for c2, e2, lo2, hi2 in intervals[i + 1 :]:
+            if c1 != c2:
+                continue
+            a, b = ((e1, lo1, hi1), (e2, lo2, hi2))
+            if a[0] == b[0]:
+                continue
+            if a[0] > b[0]:
+                a, b = b, a
+            ov = min(a[2], b[2]) - max(a[1], b[1])
+            if ov < 0:
+                continue
+            k = (c1, a[0], b[0])
+            tot, n = out.get(k, (0, 0))
+            out[k] = (tot + ov, n + 1)
+    return {(k[0], k[1], k[2], v[0], v[1]) for k, v in out.items()}
+
+
+_COOC_INTERVALS = [
+    # c1: alice [0,100], bob [50,150] -> overlap 50; carol [200,210] disjoint
+    ("c1", "alice", 0, 100_000_000),
+    ("c1", "bob", 50_000_000, 150_000_000),
+    ("c1", "carol", 200_000_000, 210_000_000),
+    # c1: alice second interval touches bob at exactly 150 -> overlap 0
+    ("c1", "alice", 150_000_000, 180_000_000),
+    # c2: long pair spanning many 10s buckets -> must count once
+    ("c2", "alice", 0, 95_000_000),
+    ("c2", "bob", 5_000_000, 90_000_000),
+]
+
+
+def test_interval_cooccurrence_matches_replica(spark):
+    from mopper_spark.pipeline.temporal import interval_cooccurrence
+
+    df = spark.createDataFrame(
+        [(c, e, lo, hi, 1) for c, e, lo, hi in _COOC_INTERVALS],
+        "conv_id string, entity string, valid_from_us long, "
+        "valid_to_us long, n_mentions long",
+    )
+    got = {
+        (r.conv_id, r.e1, r.e2, r.total_overlap_us, r.n_overlaps)
+        for r in interval_cooccurrence(df, bucket_us=10_000_000).collect()
+    }
+    want = _cooc_replica(_COOC_INTERVALS)
+    assert got == want
+    assert ("c1", "alice", "bob", 50_000_000 + 0, 2) in got
+    assert not any(r[1] == "carol" or r[2] == "carol" for r in got)
+
+
+def test_cooccurrence_bucket_width_invariance(spark):
+    """The once-per-pair anchor trick must make the result independent of
+    bucket_us — pairs spanning many buckets still count exactly once."""
+    from mopper_spark.pipeline.temporal import interval_cooccurrence
+
+    rows = [
+        (f"c{i % 2}", f"e{i % 7}", i * 13_000_000, i * 13_000_000 + 40_000_000)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(c, e, lo, hi, 1) for c, e, lo, hi in rows],
+        "conv_id string, entity string, valid_from_us long, "
+        "valid_to_us long, n_mentions long",
+    )
+    outs = []
+    for b in (1_000_000, 7_000_000, 3_600_000_000):
+        outs.append(
+            {
+                tuple(r)
+                for r in interval_cooccurrence(df, bucket_us=b).collect()
+            }
+        )
+    assert outs[0] == outs[1] == outs[2] == _cooc_replica(rows)
+
+
+def test_entities_active_at(spark):
+    from mopper_spark.pipeline.temporal import entities_active_at
+
+    df = spark.createDataFrame(
+        [(c, e, lo, hi, 1) for c, e, lo, hi in _COOC_INTERVALS],
+        "conv_id string, entity string, valid_from_us long, "
+        "valid_to_us long, n_mentions long",
+    )
+    at = 150_000_000  # inclusive on both ends: bob's hi and alice2's lo
+    got = {(r.conv_id, r.entity) for r in entities_active_at(df, at).collect()}
+    assert got == {("c1", "bob"), ("c1", "alice")}
+
+
 def test_negative_gap_refused(spark):
     df = spark.createDataFrame(
         [("c", "e", _ts(0))], "conv_id string, surface string, ts timestamp"
