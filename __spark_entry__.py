@@ -3285,6 +3285,48 @@ def _q_kg_bgp_path_inverse_seq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_kg_bgp_path_bounded(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL bounded path repetition (pipeline/bgp.py::path_edges
+    ``{m,n}``):
+
+        SELECT ?d ?a WHERE { ?d <http://ex/parent>{2,3} ?a }
+
+    — ancestors at depth exactly 2 or 3 in the doc-id binary-tree
+    hierarchy.  Compiles to lo-1 midpoint equi-joins then a union of the
+    further powers with per-power DISTINCT (reachability semantics, same
+    set semantics as the ``+`` closure); every leaf is the same pushed
+    ``pred =`` scan as any other path step."""
+    from mopper_spark.pipeline.bgp import bgp_match
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    tri = docs.filter(F.col("doc_id") >= 2).select(
+        F.concat(F.lit("http://ex/doc/"), F.col("doc_id")).alias("subj"),
+        F.lit("http://ex/parent").alias("pred"),
+        F.concat(F.lit("http://ex/doc/"), F.expr("doc_id div 2")).alias("obj"),
+    )
+    return bgp_match(
+        tri,
+        [("?d", ("{2,3}", "http://ex/parent"), "?a")],
+        select=["d", "a"],
+    )
+
+
+# binary tree: depth-k ancestor of doc n is n // 2^k (unique per depth, so
+# DISTINCT across the 2- and 3-hop unions matches the set semantics)
+_SQL_KG_BGP_PATH_BOUNDED = """
+WITH e AS (
+  SELECT doc_id AS c, doc_id // 2 AS p FROM documents WHERE doc_id >= 2
+)
+SELECT DISTINCT 'http://ex/doc/' || d AS d, 'http://ex/doc/' || a AS a
+FROM (
+  SELECT e1.c AS d, e2.p AS a FROM e e1 JOIN e e2 ON e1.p = e2.c
+  UNION
+  SELECT e1.c AS d, e3.p AS a
+  FROM e e1 JOIN e e2 ON e1.p = e2.c JOIN e e3 ON e2.p = e3.c
+)
+"""
+
+
 _SQL_KG_BGP_PATH_INV_SEQ = """
 WITH e AS (
   SELECT 'http://ex/doc/' || doc_id AS c,
@@ -4512,6 +4554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_violations": _q_kg_shacl_violations,
         "kg_bgp_path_descendants": _q_kg_bgp_path_descendants,
         "kg_bgp_path_inverse_seq": _q_kg_bgp_path_inverse_seq,
+        "kg_bgp_path_bounded": _q_kg_bgp_path_bounded,
         "kg_sparql_modifiers": _q_kg_sparql_modifiers,
         "kg_sparql_ask": _q_kg_sparql_ask,
         "kg_sparql_construct": _q_kg_sparql_construct,
@@ -4613,6 +4656,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_shacl_violations": _SQL_KG_SHACL,
         "kg_bgp_path_descendants": _SQL_KG_BGP_PATH,
         "kg_bgp_path_inverse_seq": _SQL_KG_BGP_PATH_INV_SEQ,
+        "kg_bgp_path_bounded": _SQL_KG_BGP_PATH_BOUNDED,
         "kg_sparql_modifiers": _SQL_KG_SPARQL_MODIFIERS,
         "kg_sparql_ask": _SQL_KG_SPARQL_ASK,
         "kg_sparql_construct": _SQL_KG_SPARQL_CONSTRUCT,

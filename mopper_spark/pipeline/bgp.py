@@ -33,6 +33,8 @@ argument for this layout.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -52,7 +54,8 @@ def _pattern_df(triples: DataFrame, pattern: tuple) -> DataFrame:
 
     A predicate written as a TUPLE is a SPARQL property path, evaluated
     by ``path_edges`` (inverse ``^``, sequence ``/``, alternation ``|``,
-    one-or-more ``+`` — see that function's grammar).  ``*``
+    one-or-more ``+``, bounded repetition ``{m,n}`` — see that
+    function's grammar).  ``*``
     (zero-or-more) is refused loudly: its zero-length component binds
     EVERY graph node to itself, which on a 100 TB graph is a deliberate
     act — call ``materialize_star`` explicitly if you mean it.
@@ -149,6 +152,11 @@ def path_edges(triples: DataFrame, path) -> DataFrame:
     - ``("+", p)`` or the legacy sugar ``(p, "+")`` — one-or-more:
       semi-naive transitive closure over the sub-path's edge relation
       (set semantics, per the SPARQL 1.1 arbitrary-length-path algebra);
+    - ``("{m,n}", p)`` (or ``("{n}", p)`` for exactly n) — bounded
+      repetition, m >= 1: the union of the m..n-step compositions of
+      ``p``, DISTINCT pairs (reachability-at-bounded-depth, matching the
+      ``+`` closure's set semantics); ``m = 0`` is refused for the same
+      zero-length-component reason as ``*``;
     - ``("*", p)`` — REFUSED: the zero-length component binds every graph
       node to itself; call :func:`materialize_star` if you mean it.
 
@@ -211,6 +219,46 @@ def path_edges(triples: DataFrame, path) -> DataFrame:
         return transitive_closure(edges, src="subj", dst="dst_obj").select(
             F.col("src").alias("subj"), F.col("dst").alias("obj")
         )
+    if isinstance(op, str) and op.startswith("{"):
+        m = re.fullmatch(r"\{(\d+)(?:,(\d+))?\}", op)
+        if not m or len(args) != 1:
+            raise ValueError(f"malformed bounded repetition: {path!r}")
+        lo, hi = int(m.group(1)), int(m.group(2) or m.group(1))
+        if lo < 1:
+            raise NotImplementedError(
+                "bounded repetition with a zero-length component (m=0) "
+                "binds every graph node to itself — use materialize_star"
+            )
+        if hi < lo:
+            raise ValueError(f"bounded repetition needs m <= n: {path!r}")
+        edges = path_edges(triples, args[0])
+        hop = edges.select(
+            F.col("subj").alias("_mid"), F.col("obj").alias("_obj")
+        )
+        # R^lo by composition, then union each further power up to hi.
+        # Set semantics (distinct pairs), matching the '+' closure: the
+        # draft-SPARQL {m,n} form counts reachability, not walks, so a
+        # pair reachable at two lengths in range appears once.  Each
+        # power is one equi-join on the shared midpoint; hi-lo is small
+        # by construction (a user writing {2,4} wants <=3 joins), and
+        # the per-power distinct keeps the relation from inflating
+        # multiplicatively on dense graphs.
+        cur = edges
+        for _ in range(lo - 1):
+            cur = (
+                cur.join(hop, cur["obj"] == hop["_mid"])
+                .select("subj", F.col("_obj").alias("obj"))
+                .distinct()
+            )
+        out = cur
+        for _ in range(hi - lo):
+            cur = (
+                cur.join(hop, cur["obj"] == hop["_mid"])
+                .select("subj", F.col("_obj").alias("obj"))
+                .distinct()
+            )
+            out = out.union(cur)
+        return out.distinct()
     if op == "*":
         raise NotImplementedError(
             "property-path '*' (zero-or-more) binds every graph node to "
@@ -246,7 +294,7 @@ def parse_path(text: str):
 
     Grammar (precedence low→high, per the SPARQL spec):
     ``path := seq ('|' seq)*``; ``seq := unary ('/' unary)*``;
-    ``unary := '^' unary | primary ('+'|'*')?``;
+    ``unary := '^' unary | primary ('+'|'*'|'{m,n}'|'{n}')?``;
     ``primary := '(' path ')' | '<' IRI '>' | bare-token``.
 
     IRIs containing operator characters (every http IRI has ``/``) MUST be
@@ -290,6 +338,15 @@ def parse_path(text: str):
         if c in ("+", "*"):
             pos += 1
             return (c, node)
+        if c == "{":
+            end = text.find("}", pos)
+            if end < 0:
+                raise ValueError(f"unterminated '{{' in path {text!r}")
+            tok = text[pos : end + 1]
+            if not re.fullmatch(r"\{\d+(,\d+)?\}", tok):
+                raise ValueError(f"malformed repetition {tok!r} in {text!r}")
+            pos = end + 1
+            return (tok, node)
         return node
 
     def parse_primary():
@@ -310,7 +367,7 @@ def parse_path(text: str):
             pos = end + 1
             return iri
         start = pos
-        while pos < n and text[pos] not in "^/|+*()<> \t":
+        while pos < n and text[pos] not in "^/|+*(){}<> \t":
             pos += 1
         if pos == start:
             raise ValueError(f"empty path term at offset {pos} in {text!r}")

@@ -406,6 +406,49 @@ class TestPathAlgebra:
         }
         assert pairs == {("a", "a"), ("z", "z"), ("a", "b"), ("b", "c"), ("a", "c")}
 
+    def test_bounded_repetition(self, spark):
+        from mopper_spark.pipeline.bgp import path_edges
+
+        P = "http://ex/p"
+        # chain a->b->c->d->e plus a shortcut a->c (pair reachable at two
+        # lengths must appear once: set semantics)
+        rows = [("a", P, "b"), ("b", P, "c"), ("c", P, "d"),
+                ("d", P, "e"), ("a", P, "c")]
+        g = spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+        def pairs(path):
+            return {(r.subj, r.obj) for r in path_edges(g, path).collect()}
+
+        assert pairs(("{2,3}", P)) == {
+            ("a", "c"), ("b", "d"), ("c", "e"),      # 2-hop
+            ("a", "d"), ("b", "e"),                   # 3-hop
+            ("a", "e"),                               # a->c->d->e (3 via shortcut)
+        }
+        # exact count {2}: 2-hops only (a->e unreachable in exactly 2? a->c->d yes)
+        assert pairs(("{2}", P)) == {("a", "c"), ("b", "d"), ("c", "e"),
+                                     ("a", "d")}
+        # {1,1} degenerates to one hop
+        assert pairs(("{1,1}", P)) == pairs(P)
+        # rows counted once even when reachable at multiple lengths
+        got = path_edges(g, ("{1,3}", P)).collect()
+        assert len(got) == len({(r.subj, r.obj) for r in got})
+
+    def test_bounded_repetition_validation(self, graph):
+        from mopper_spark.pipeline.bgp import path_edges
+
+        with pytest.raises(NotImplementedError, match="materialize_star"):
+            path_edges(graph, ("{0,2}", "http://ex/p"))
+        with pytest.raises(ValueError, match="m <= n"):
+            path_edges(graph, ("{3,2}", "http://ex/p"))
+        with pytest.raises(ValueError, match="malformed"):
+            path_edges(graph, ("{x}", "http://ex/p"))
+
+    def test_bounded_repetition_in_bgp_pattern(self, graph):
+        got = bgp_match(
+            graph, [("?s", ("{2}", "http://ex/p"), "?o")], select=["s", "o"]
+        ).collect()
+        assert {(r.s, r.o) for r in got} == {("a", "c")}
+
     def test_path_repr_round_trip(self):
         from mopper_spark.pipeline.bgp import path_repr
 
@@ -468,6 +511,15 @@ def test_parse_path_precedence():
     assert parse_path("^(<a>/<b>)") == ("^", ("/", "a", "b"))
     assert parse_path("<a>") == "a"
     assert parse_path("bare") == "bare"
+    # bounded repetition binds like the other postfix operators
+    assert parse_path("<a>{2,4}") == ("{2,4}", "a")
+    assert parse_path("<a>/<b>{2}") == ("/", "a", ("{2}", "b"))
+    assert parse_path("(<a>|<b>){1,2}") == ("{1,2}", ("|", "a", "b"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="malformed repetition"):
+        parse_path("<a>{,3}")
+    with _pytest.raises(ValueError, match="unterminated"):
+        parse_path("<a>{2,3")
 
 
 def test_bgp_aggregate(spark, tmp_path):
