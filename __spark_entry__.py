@@ -3285,6 +3285,37 @@ def _q_kg_bgp_path_inverse_seq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_kg_bgp_path_nps(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL negated property set (pipeline/bgp.py::path_edges ``!``):
+
+        SELECT ?t ?v WHERE { ?t !(ont:text|ont:tool) ?v }
+
+    — every property edge of the extracted turn KG EXCEPT the free-text
+    and tool annotations (the shape a KG consumer uses to strip bulky
+    literals).  Compiles to ONE NOT-IN scan filter — no join, no
+    closure; the filter pushes to the parquet scan like any pred
+    constant."""
+    from mopper_spark.pipeline.bgp import bgp_match
+    from mopper_spark.pipeline.extract import extract_triples
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = extract_triples(tr).select("subj", "pred", "obj")
+    ont = "http://example.com/ontology/"
+    return bgp_match(
+        kg,
+        [("?t", ("!", ont + "text", ont + "tool"), "?v")],
+        select=["t", "v"],
+    )
+
+
+_SQL_KG_BGP_PATH_NPS = f"""
+WITH kg AS ({_SQL_KG_STREAM})
+SELECT subj AS t, obj AS v FROM kg
+WHERE pred NOT IN ('http://example.com/ontology/text',
+                   'http://example.com/ontology/tool')
+"""
+
+
 def _q_kg_bgp_path_bounded(spark: SparkSession, sf: str) -> DataFrame:
     """SPARQL bounded path repetition (pipeline/bgp.py::path_edges
     ``{m,n}``):
@@ -4555,6 +4586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_path_descendants": _q_kg_bgp_path_descendants,
         "kg_bgp_path_inverse_seq": _q_kg_bgp_path_inverse_seq,
         "kg_bgp_path_bounded": _q_kg_bgp_path_bounded,
+        "kg_bgp_path_nps": _q_kg_bgp_path_nps,
         "kg_sparql_modifiers": _q_kg_sparql_modifiers,
         "kg_sparql_ask": _q_kg_sparql_ask,
         "kg_sparql_construct": _q_kg_sparql_construct,
@@ -4657,6 +4689,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_path_descendants": _SQL_KG_BGP_PATH,
         "kg_bgp_path_inverse_seq": _SQL_KG_BGP_PATH_INV_SEQ,
         "kg_bgp_path_bounded": _SQL_KG_BGP_PATH_BOUNDED,
+        "kg_bgp_path_nps": _SQL_KG_BGP_PATH_NPS,
         "kg_sparql_modifiers": _SQL_KG_SPARQL_MODIFIERS,
         "kg_sparql_ask": _SQL_KG_SPARQL_ASK,
         "kg_sparql_construct": _SQL_KG_SPARQL_CONSTRUCT,

@@ -157,6 +157,10 @@ def path_edges(triples: DataFrame, path) -> DataFrame:
       ``p``, DISTINCT pairs (reachability-at-bounded-depth, matching the
       ``+`` closure's set semantics); ``m = 0`` is refused for the same
       zero-length-component reason as ``*``;
+    - ``("!", m1, m2, …)`` — negated property set (``!(p|^q)``): members
+      are IRIs or ``("^", iri)``; forward members become one NOT-IN scan
+      filter, inverse members the same over swapped endpoints, unioned
+      per the spec's NPS(F) UNION ^NPS(I) translation;
     - ``("*", p)`` — REFUSED: the zero-length component binds every graph
       node to itself; call :func:`materialize_star` if you mean it.
 
@@ -219,6 +223,47 @@ def path_edges(triples: DataFrame, path) -> DataFrame:
         return transitive_closure(edges, src="subj", dst="dst_obj").select(
             F.col("src").alias("subj"), F.col("dst").alias("obj")
         )
+    if op == "!":
+        # negated property set (SPARQL 1.1 PathNegatedPropertySet):
+        # members must be plain IRIs or ("^", iri).  Per the spec's
+        # translation, forward members F and inverse members I split:
+        # !(F|^I) = NPS(F) UNION ^NPS(I) — each component only present
+        # when it has members.  NPS(F) is a single NOT-IN scan filter
+        # (pushed to the source like any pred filter); no join at all.
+        if not args:
+            raise ValueError(f"empty negated property set: {path!r}")
+        fwd, inv = [], []
+        for a in args:
+            if isinstance(a, str) and not _is_var(a):
+                fwd.append(a)
+            elif (
+                isinstance(a, tuple)
+                and len(a) == 2
+                and a[0] == "^"
+                and isinstance(a[1], str)
+                and not _is_var(a[1])
+            ):
+                inv.append(a[1])
+            else:
+                raise ValueError(
+                    f"negated-property-set members must be IRIs or "
+                    f"^IRI, got {a!r} in {path!r}"
+                )
+        parts = []
+        if fwd:
+            parts.append(
+                triples.filter(~F.col("pred").isin(fwd)).select("subj", "obj")
+            )
+        if inv:
+            parts.append(
+                triples.filter(~F.col("pred").isin(inv)).select(
+                    F.col("obj").alias("subj"), F.col("subj").alias("obj")
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
     if isinstance(op, str) and op.startswith("{"):
         m = re.fullmatch(r"\{(\d+)(?:,(\d+))?\}", op)
         if not m or len(args) != 1:
@@ -283,6 +328,8 @@ def path_repr(path) -> str:
     op, args = path[0], path[1:]
     if op == "^":
         return f"^{path_repr(args[0])}"
+    if op == "!":
+        return "!(" + "|".join(path_repr(a) for a in args) + ")"
     if op in ("/", "|"):
         return "(" + op.join(path_repr(a) for a in args) + ")"
     return f"({path_repr(args[0])}){op}"
@@ -295,7 +342,9 @@ def parse_path(text: str):
     Grammar (precedence low→high, per the SPARQL spec):
     ``path := seq ('|' seq)*``; ``seq := unary ('/' unary)*``;
     ``unary := '^' unary | primary ('+'|'*'|'{m,n}'|'{n}')?``;
-    ``primary := '(' path ')' | '<' IRI '>' | bare-token``.
+    ``primary := '!' nps | '(' path ')' | '<' IRI '>' | bare-token``;
+    ``nps := member | '(' member ('|' member)* ')'``;
+    ``member := '^'? IRI``.
 
     IRIs containing operator characters (every http IRI has ``/``) MUST be
     ``<>``-wrapped; a bare token runs to the next operator character.  A
@@ -349,16 +398,16 @@ def parse_path(text: str):
             return (tok, node)
         return node
 
-    def parse_primary():
+    def parse_member():
+        nonlocal pos
+        if peek() == "^":
+            pos += 1
+            return ("^", parse_iri())
+        return parse_iri()
+
+    def parse_iri():
         nonlocal pos
         c = peek()
-        if c == "(":
-            pos += 1
-            inner = parse_alt()
-            if peek() != ")":
-                raise ValueError(f"unbalanced '(' in path {text!r}")
-            pos += 1
-            return inner
         if c == "<":
             end = text.find(">", pos)
             if end < 0:
@@ -367,11 +416,38 @@ def parse_path(text: str):
             pos = end + 1
             return iri
         start = pos
-        while pos < n and text[pos] not in "^/|+*(){}<> \t":
+        while pos < n and text[pos] not in "!^/|+*(){}<> \t":
             pos += 1
         if pos == start:
             raise ValueError(f"empty path term at offset {pos} in {text!r}")
         return text[start:pos]
+
+    def parse_primary():
+        nonlocal pos
+        c = peek()
+        if c == "!":
+            pos += 1
+            members = []
+            if peek() == "(":
+                pos += 1
+                members.append(parse_member())
+                while peek() == "|":
+                    pos += 1
+                    members.append(parse_member())
+                if peek() != ")":
+                    raise ValueError(f"unbalanced '(' in NPS in {text!r}")
+                pos += 1
+            else:
+                members.append(parse_member())
+            return ("!", *members)
+        if c == "(":
+            pos += 1
+            inner = parse_alt()
+            if peek() != ")":
+                raise ValueError(f"unbalanced '(' in path {text!r}")
+            pos += 1
+            return inner
+        return parse_iri()
 
     out = parse_alt()
     if peek():

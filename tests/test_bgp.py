@@ -449,6 +449,34 @@ class TestPathAlgebra:
         ).collect()
         assert {(r.s, r.o) for r in got} == {("a", "c")}
 
+    def test_negated_property_set(self, graph):
+        from mopper_spark.pipeline.bgp import path_edges
+
+        P, Q = "http://ex/p", "http://ex/q"
+
+        def pairs(path):
+            return {(r.subj, r.obj) for r in path_edges(graph, path).collect()}
+
+        # forward-only: every edge whose pred is NOT in the set
+        assert pairs(("!", P)) == {("b", "d"), ("c", "e"), ("x", "b")}
+        # inverse-only member: reversed edges whose pred is NOT in the set
+        assert pairs(("!", ("^", Q))) == {("b", "a"), ("c", "b")}
+        # mixed: NPS(F) UNION ^NPS(I)
+        assert pairs(("!", P, ("^", P))) == {
+            ("b", "d"), ("c", "e"), ("x", "b"),   # forward non-P (= Q)
+            ("d", "b"), ("e", "c"), ("b", "x"),   # reversed non-P
+        }
+
+    def test_negated_property_set_validation(self, graph):
+        from mopper_spark.pipeline.bgp import path_edges
+
+        with pytest.raises(ValueError, match="members must be IRIs"):
+            path_edges(graph, ("!", ("/", "p", "q")))
+        with pytest.raises(ValueError, match="members must be IRIs"):
+            path_edges(graph, ("!", "?v"))
+        with pytest.raises(ValueError, match="empty negated"):
+            path_edges(graph, ("!",))
+
     def test_path_repr_round_trip(self):
         from mopper_spark.pipeline.bgp import path_repr
 
@@ -520,6 +548,13 @@ def test_parse_path_precedence():
         parse_path("<a>{,3}")
     with _pytest.raises(ValueError, match="unterminated"):
         parse_path("<a>{2,3")
+    # negated property sets; postfix mods apply to the NPS (PathPrimary)
+    assert parse_path("!<a>") == ("!", "a")
+    assert parse_path("!(<a>|^<b>)") == ("!", "a", ("^", "b"))
+    assert parse_path("!(<a>)+") == ("+", ("!", "a"))
+    assert parse_path("<a>/!^<b>") == ("/", "a", ("!", ("^", "b")))
+    from mopper_spark.pipeline.bgp import path_repr
+    assert path_repr(("!", "p", ("^", "q"))) == "!(p|^q)"
 
 
 def test_bgp_aggregate(spark, tmp_path):
