@@ -1787,6 +1787,82 @@ def _q_entity_linking_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     return canonical_map(forms, edges).orderBy("norm")
 
 
+def _q_linking_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise entity-resolution quality (pipeline/linking.py::
+    clustering_pair_counts) of the full blocking→scoring→CC pipeline
+    against the fixture's GOLD clusters (transcripts.py::ENTITY_FORMS
+    carries a cluster id per gazetteer form): one integer row
+    ``(n_items, tp, fp, fn)`` over the labeled norms.  Precision =
+    tp/(tp+fp), recall = tp/(tp+fn) — the P/R statistic the north rule
+    gates at >= 0.95; the fixture pins BOTH at 1.0 (fp = fn = 0), and
+    this query keeps that pinned through the driver gate.  Pairs are
+    never materialized (three C(n,2)-identity aggregations)."""
+    from mopper_spark.pipeline.canonicalize import canonical_map
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.linking import (
+        clustering_pair_counts,
+        link_mentions,
+        normalize_surface,
+    )
+    from mopper_spark.pipeline.transcripts import ENTITY_FORMS
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    mentions = extract_mentions(tr)
+    edges = link_mentions(mentions)
+    forms = mentions.select(
+        normalize_surface(F.col("surface")).alias("norm")
+    ).distinct()
+    canon = canonical_map(forms, edges)
+
+    truth = (
+        spark.createDataFrame(ENTITY_FORMS, "form string, cluster int")
+        .select(
+            normalize_surface(F.col("form")).alias("norm"), "cluster"
+        )
+        .groupBy("norm")
+        .agg(F.min("cluster").alias("truth"))
+    )
+    labels = canon.join(F.broadcast(truth), "norm").select(
+        "canonical_norm", "truth"
+    )
+    return clustering_pair_counts(labels, "canonical_norm", "truth")
+
+
+def _linking_quality_oracle_sql() -> str:
+    """Same pairwise counts in DuckDB: the recursive-CTE canonical map
+    (the entity_linking oracle, nested as a subquery CTE) joined to a
+    VALUES gold table normalized with the same accent-fold expression."""
+    from mopper_spark.pipeline.linking import _ACCENTS, _FOLDED
+    from mopper_spark.pipeline.transcripts import ENTITY_FORMS
+
+    norm = (
+        "trim(regexp_replace(regexp_replace(translate(lower({v}), "
+        f"'{_ACCENTS}', '{_FOLDED}'), '\\.', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    vals = ", ".join(f"('{f}', {c})" for f, c in ENTITY_FORMS)
+    return f"""
+WITH canon AS ({_SQL_ENTITY_LINKING}),
+gold(form, cluster) AS (VALUES {vals}),
+truth AS (
+  SELECT {norm.format(v="form")} AS norm, MIN(cluster) AS truth
+  FROM gold GROUP BY 1
+),
+labels AS (
+  SELECT c.canonical_norm, t.truth FROM canon c JOIN truth t USING (norm)
+),
+tp AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS tp FROM
+       (SELECT COUNT(*) AS n FROM labels GROUP BY canonical_norm, truth)),
+pp AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pp FROM
+       (SELECT COUNT(*) AS n FROM labels GROUP BY canonical_norm)),
+gp AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS gp FROM
+       (SELECT COUNT(*) AS n FROM labels GROUP BY truth)),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM labels)
+SELECT n_items, tp, CAST(pp - tp AS BIGINT) AS fp,
+       CAST(gp - tp AS BIGINT) AS fn
+FROM nn, tp, pp, gp
+"""
+
+
 def _q_kg_graph_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     """Full KG extraction over the transcript fixture: the COMPLETE
     (subj, pred, obj, okind, graph) statement set — per-POM turn triples
@@ -2077,6 +2153,8 @@ SELECT node, label FROM {prev_l}
     _SQL_MENTION_PAGERANK,
     _SQL_MENTION_COMMUNITIES,
 ) = _transcript_oracle_sqls()
+
+_SQL_LINKING_QUALITY = _linking_quality_oracle_sql()
 
 def _q_kg_bgp_optional(spark: SparkSession, sf: str) -> DataFrame:
     """BGP with a QUAD pattern and SPARQL OPTIONAL: every turn's role
@@ -4556,6 +4634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "cc_components": _q_cc_components,
         "entity_linking_transcripts": _q_entity_linking_transcripts,
+        "linking_quality": _q_linking_quality,
         "kg_graph_transcripts": _q_kg_graph_transcripts,
         "kg_entity_intervals": _q_kg_entity_intervals,
         "kg_interval_cooccurrence": _q_kg_interval_cooccurrence,
@@ -4654,6 +4733,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "cc_components": _SQL_CC_COMPONENTS,
         "entity_linking_transcripts": _SQL_ENTITY_LINKING,
+        "linking_quality": _SQL_LINKING_QUALITY,
         "kg_graph_transcripts": _SQL_KG_GRAPH,
         "kg_entity_intervals": _SQL_ENTITY_INTERVALS,
         "kg_interval_cooccurrence": _SQL_INTERVAL_COOC,

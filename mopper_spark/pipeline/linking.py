@@ -216,3 +216,45 @@ def link_mentions(mentions: DataFrame, max_block_size: int = 64) -> DataFrame:
     ).distinct()
     pairs = candidate_pairs(forms, max_block_size)
     return pairs.filter(_score_pair(F.col("norm_a"), F.col("norm_b")))
+
+
+def clustering_pair_counts(
+    labels: DataFrame, pred_col: str, truth_col: str
+) -> DataFrame:
+    """Pairwise clustering-quality counts of a predicted labeling against
+    a gold labeling: one row ``(n_items, tp, fp, fn)``.
+
+    A pair of items is a true positive when predicted AND gold co-cluster
+    it, a false positive when only the prediction does, a false negative
+    when only gold does.  Pairwise precision = tp/(tp+fp), recall =
+    tp/(tp+fn) — the standard entity-resolution quality measure; counts
+    are returned instead of ratios so the row stays integer-exact under
+    any fetch path.
+
+    Scale shape: pairs are NEVER materialized.  tp = Σ over
+    (pred, truth) cells of C(n,2), predicted pairs = Σ over pred groups,
+    gold pairs = Σ over truth groups — three combine-able aggregations
+    over the labels table, each a word-count-shaped shuffle; fp and fn
+    follow by subtraction.  Exact for any cluster sizes (integer ``div``,
+    no doubles).
+    """
+    def pair_sum(df: DataFrame, *group: str):
+        return (
+            df.groupBy(*group)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.expr("n * (n - 1) div 2")).alias("pairs"))
+        )
+
+    tp = pair_sum(labels, pred_col, truth_col).withColumnRenamed("pairs", "tp")
+    pred = pair_sum(labels, pred_col).withColumnRenamed("pairs", "pp")
+    gold = pair_sum(labels, truth_col).withColumnRenamed("pairs", "gp")
+    n = labels.agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    return (
+        n.crossJoin(tp).crossJoin(pred).crossJoin(gold)
+        .select(
+            "n_items",
+            F.col("tp").cast("long").alias("tp"),
+            (F.col("pp") - F.col("tp")).cast("long").alias("fp"),
+            (F.col("gp") - F.col("tp")).cast("long").alias("fn"),
+        )
+    )

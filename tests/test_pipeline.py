@@ -223,3 +223,45 @@ class TestOracleFixturePins:
             (r.norm_a, r.norm_b) for r in link_mentions(mentions).collect()
         }
         assert exhaustive == blocked
+
+
+class TestClusteringPairCounts:
+    """pipeline/linking.py::clustering_pair_counts — pairwise P/R counts
+    via the C(n,2) identity, checked against a brute-force pair replica."""
+
+    def _replica(self, labels):
+        tp = fp = fn = 0
+        for i, (p1, t1) in enumerate(labels):
+            for p2, t2 in labels[i + 1 :]:
+                same_p, same_t = p1 == p2, t1 == t2
+                tp += same_p and same_t
+                fp += same_p and not same_t
+                fn += same_t and not same_p
+        return len(labels), tp, fp, fn
+
+    def _run(self, spark, labels):
+        from mopper_spark.pipeline.linking import clustering_pair_counts
+
+        df = spark.createDataFrame(labels, "pred string, truth int")
+        r = clustering_pair_counts(df, "pred", "truth").collect()[0]
+        assert (r.n_items, r.tp, r.fp, r.fn) == self._replica(labels)
+        return r
+
+    def test_imperfect_clustering(self, spark):
+        # pred merges truth-0 with truth-1 (fp) and splits truth-2 (fn)
+        labels = [
+            ("A", 0), ("A", 0), ("A", 1),
+            ("B", 2), ("C", 2),
+            ("D", 3),
+        ]
+        r = self._run(spark, labels)
+        assert r.tp == 1 and r.fp == 2 and r.fn == 1
+
+    def test_perfect_clustering(self, spark):
+        labels = [("A", 0), ("A", 0), ("B", 1), ("C", 2), ("C", 2), ("C", 2)]
+        r = self._run(spark, labels)
+        assert r.fp == 0 and r.fn == 0 and r.tp == 1 + 3
+
+    def test_singletons_only(self, spark):
+        r = self._run(spark, [("A", 0), ("B", 1), ("C", 2)])
+        assert (r.tp, r.fp, r.fn) == (0, 0, 0)
