@@ -2257,6 +2257,63 @@ FROM isl GROUP BY conv_id, entity, island
 _SQL_ENTITY_INTERVALS = _temporal_oracle_sql()
 
 
+def _q_kg_temporal_quads(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal-KG materialization (pipeline/temporal.py::interval_quads):
+    activity intervals published as interval-qualified RDF quads (six
+    statements per interval about an ex:interval/... resource in the
+    ex:graph/temporal named graph).  Lossless N-Quads round-trip is
+    pinned in tests/test_temporal.py; here the full statement set is
+    strict-oracled by string-building SQL over the same islands CTE."""
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.temporal import (
+        entity_activity_intervals,
+        interval_quads,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    mentions_ts = extract_mentions(tr).join(
+        tr.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
+    )
+    return interval_quads(entity_activity_intervals(mentions_ts, max_gap_s=60))
+
+
+_ENC_SQL = (
+    "replace(replace(replace({v}, ' ', '%20'), 'é', '%C3%A9'), 'ü', '%C3%BC')"
+)
+_SQL_TEMPORAL_QUADS = f"""
+WITH ints AS ({{ints}}),
+base AS (
+  SELECT 'http://example.com/interval/' || conv_id || '/'
+           || {_ENC_SQL.format(v="entity")} || '/' || valid_from_us AS subj,
+         'http://example.com/entity/' || {_ENC_SQL.format(v="entity")} AS ent,
+         'http://example.com/conv/' || conv_id AS conv_iri,
+         valid_from_us, valid_to_us, n_mentions
+  FROM ints
+)
+SELECT subj, pred, obj, okind,
+       'http://example.com/graph/temporal' AS graph
+FROM (
+  SELECT subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         'http://example.com/ontology/ActivityInterval' AS obj, 'iri' AS okind
+  FROM base
+  UNION ALL
+  SELECT subj, 'http://example.com/ontology/entity', ent, 'iri' FROM base
+  UNION ALL
+  SELECT subj, 'http://example.com/ontology/inConversation', conv_iri, 'iri'
+  FROM base
+  UNION ALL
+  SELECT subj, 'http://example.com/ontology/validFrom',
+         CAST(valid_from_us AS VARCHAR), 'lit' FROM base
+  UNION ALL
+  SELECT subj, 'http://example.com/ontology/validTo',
+         CAST(valid_to_us AS VARCHAR), 'lit' FROM base
+  UNION ALL
+  SELECT subj, 'http://example.com/ontology/mentionCount',
+         CAST(n_mentions AS VARCHAR), 'lit' FROM base
+)
+"""
+
+
 def _q_kg_interval_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     """Temporal co-occurrence (pipeline/temporal.py::interval_cooccurrence):
     entity pairs whose activity intervals OVERLAP within a conversation —
@@ -4638,6 +4695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_transcripts": _q_kg_graph_transcripts,
         "kg_entity_intervals": _q_kg_entity_intervals,
         "kg_interval_cooccurrence": _q_kg_interval_cooccurrence,
+        "kg_temporal_quads": _q_kg_temporal_quads,
         "kg_bgp_comention": _q_kg_bgp_comention,
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
         "kg_bgp_optional": _q_kg_bgp_optional,
@@ -4737,6 +4795,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_transcripts": _SQL_KG_GRAPH,
         "kg_entity_intervals": _SQL_ENTITY_INTERVALS,
         "kg_interval_cooccurrence": _SQL_INTERVAL_COOC,
+        "kg_temporal_quads": _SQL_TEMPORAL_QUADS.format(
+            ints=_SQL_ENTITY_INTERVALS
+        ),
         "kg_bgp_comention": _SQL_BGP_COMENTION,
         "kg_bgp_aggregate": _SQL_BGP_AGGREGATE,
         "kg_bgp_optional": _SQL_BGP_OPTIONAL,

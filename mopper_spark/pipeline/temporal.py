@@ -160,3 +160,72 @@ def interval_cooccurrence(
         F.sum(F.least("hi1", "hi2") - F.col("anchor")).alias("total_overlap_us"),
         F.count(F.lit(1)).cast("long").alias("n_overlaps"),
     )
+
+
+def interval_quads(intervals: DataFrame) -> DataFrame:
+    """Materialize activity intervals as interval-qualified RDF quads —
+    the temporal-KG publication shape (Wikidata-style qualifiers flattened
+    onto an interval resource, since the reference's serializer emits
+    plain quads only: ``serializer.rs`` has no RDF-star/qualifier form).
+
+    One interval row → six statements about a fresh interval IRI
+    ``ex:interval/{conv}/{entity}/{from}`` in the dedicated named graph
+    ``ex:graph/temporal``:
+
+        rdf:type ex:ontology/ActivityInterval, ont:entity <entity IRI>,
+        ont:inConversation <conv IRI>, ont:validFrom / ont:validTo /
+        ont:mentionCount (integer literals, epoch µs).
+
+    Output schema is the engine's statement shape
+    ``(subj, pred, obj, okind, graph)`` — directly serializable by
+    ``ntriples.format_statements`` and losslessly re-readable by
+    ``read_nquads`` (round-trip pinned in tests).  The entity IRI slot
+    uses the same pct-encoding compiler as the mention triples, so the
+    two layers agree on entity identity.  Plan shape: one narrow
+    projection + a 6-element explode — no shuffle at all.
+    """
+    from mopper_spark.compiler import FunctionCompiler
+    from mopper_spark.pipeline.extract import EX, _uri_template
+
+    ONT = EX + "ontology/"
+    fc = FunctionCompiler(["conv_id", "entity", "valid_from_us"])
+    ival = fc.compile(
+        _uri_template(
+            EX + "interval/{conv_id}/{entity}/{valid_from_us}",
+            ["conv_id", "entity", "valid_from_us"],
+        )
+    )
+    ent = fc.compile(_uri_template(EX + "entity/{entity}", ["entity"]))
+
+    def stmt(pred: str, obj, okind: str):
+        return F.struct(
+            F.lit(pred).alias("pred"),
+            obj.cast("string").alias("obj"),
+            F.lit(okind).alias("okind"),
+        )
+
+    fan = F.explode(
+        F.array(
+            stmt(
+                "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                F.lit(ONT + "ActivityInterval"),
+                "iri",
+            ),
+            stmt(ONT + "entity", ent.col, "iri"),
+            stmt(
+                ONT + "inConversation",
+                F.concat(F.lit(EX + "conv/"), F.col("conv_id")),
+                "iri",
+            ),
+            stmt(ONT + "validFrom", F.col("valid_from_us"), "lit"),
+            stmt(ONT + "validTo", F.col("valid_to_us"), "lit"),
+            stmt(ONT + "mentionCount", F.col("n_mentions"), "lit"),
+        )
+    ).alias("s")
+    return intervals.select(ival.col.alias("subj"), fan).select(
+        "subj",
+        F.col("s.pred").alias("pred"),
+        F.col("s.obj").alias("obj"),
+        F.col("s.okind").alias("okind"),
+        F.lit(EX + "graph/temporal").alias("graph"),
+    )

@@ -193,3 +193,47 @@ def test_negative_gap_refused(spark):
     )
     with pytest.raises(ValueError, match="max_gap_s"):
         entity_activity_intervals(df, max_gap_s=-1)
+
+
+def test_interval_quads_round_trip(spark):
+    """intervals → quads → N-Quads lines → parse → reconstruct == input."""
+    from mopper_spark.ntriples import format_statements, parse_statements
+    from mopper_spark.pipeline.temporal import interval_quads
+
+    ivals = [
+        ("c1", "Venus Williams", 0, 50_000_000, 2),
+        ("c1", "René Müller", 200_000_000, 200_000_000, 1),
+        ("c2", "A. Lovelace", 5_000_000, 90_000_000, 3),
+    ]
+    df = spark.createDataFrame(
+        ivals,
+        "conv_id string, entity string, valid_from_us long, "
+        "valid_to_us long, n_mentions long",
+    )
+    quads = interval_quads(df)
+    rows = quads.collect()
+    assert len(rows) == 6 * len(ivals)
+    assert {r.graph for r in rows} == {"http://example.com/graph/temporal"}
+
+    back = parse_statements(format_statements(quads), col="statement")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, rows))
+
+    # reconstruct the interval table from the parsed quads
+    ont = "http://example.com/ontology/"
+    by_subj = {}
+    for r in back.collect():
+        by_subj.setdefault(r.subj, {})[r.pred] = r.obj
+    rebuilt = {
+        (
+            p[ont + "inConversation"].rsplit("/", 1)[1],
+            p[ont + "entity"],
+            int(p[ont + "validFrom"]),
+            int(p[ont + "validTo"]),
+            int(p[ont + "mentionCount"]),
+        )
+        for p in by_subj.values()
+    }
+    enc = lambda s: "http://example.com/entity/" + s.replace(" ", "%20").replace(
+        "é", "%C3%A9"
+    ).replace("ü", "%C3%BC")
+    assert rebuilt == {(c, enc(e), lo, hi, n) for c, e, lo, hi, n in ivals}
