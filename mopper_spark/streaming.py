@@ -344,3 +344,37 @@ def contamination_hits_stream(
         F.explode(F.array_distinct(word_ngram_array("toks", n))).alias("g"),
     )
     return grams.join(bset, "g").select("doc_id", "g")
+
+
+def entity_intervals_stream(
+    mentions_ts: DataFrame,
+    gap: str = "60 seconds",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Streaming analogue of
+    ``pipeline/temporal.py::entity_activity_intervals``: entity activity
+    intervals over a continuously-arriving mention stream, via
+    ``session_window`` keyed by (conv_id, entity).
+
+    ``session_window`` merges events whose spacing is <= gap (inclusive
+    boundary, pinned by TestSessionizeStream), which is exactly the batch
+    operator's "a gap of exactly max_gap still chains" rule — so a
+    finalized streaming interval equals the batch interval row for the
+    same data (parity pinned in tests).  Bounds are min/max EVENT time in
+    epoch microseconds (the batch convention), not the session_window
+    start/end (which pad by the gap).
+
+    State/scale: per-key state is bounded by OPEN intervals only — the
+    watermark finalizes and evicts an interval once it passes
+    ``last mention + gap``; append mode emits each interval exactly once.
+    """
+    return (
+        mentions_ts.withWatermark("ts", watermark)
+        .groupBy("conv_id", "entity", F.session_window("ts", gap))
+        .agg(
+            F.unix_micros(F.min("ts")).alias("valid_from_us"),
+            F.unix_micros(F.max("ts")).alias("valid_to_us"),
+            F.count(F.lit(1)).cast("long").alias("n_mentions"),
+        )
+        .select("conv_id", "entity", "valid_from_us", "valid_to_us", "n_mentions")
+    )

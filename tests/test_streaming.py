@@ -332,3 +332,66 @@ class TestIntervalJoinStream:
         _drain(q)
         got = {(r.pid, r.vid) for r in spark.read.parquet(out).collect()}
         assert got == {(3, 1)}
+
+
+class TestEntityIntervalsStream:
+    def test_finalized_intervals_match_batch(self, spark, tmp_path):
+        """Streaming entity_intervals_stream (session_window, inclusive
+        gap boundary) must emit exactly the batch
+        entity_activity_intervals rows for intervals finalized by the
+        final watermark.  Boundaries sit well clear of the cutoff so the
+        assertion is insensitive to < vs <= at the watermark itself."""
+        from mopper_spark.pipeline.temporal import entity_activity_intervals
+        from mopper_spark.streaming import entity_intervals_stream
+
+        # gap 10 s, watermark 60 s; max ts = 1000 s -> cutoff ~ 940 s.
+        # (c1, alice): two intervals (0-20 incl. an exactly-10s chain,
+        # 200-200); (c1, bob): one; (c2, alice): ends 995 -> held back.
+        rows = [
+            ("c1", "alice", 0.0), ("c1", "alice", 10.0), ("c1", "alice", 20.0),
+            ("c1", "alice", 200.0),
+            ("c1", "bob", 150.0), ("c1", "bob", 155.0),
+            ("c2", "alice", 990.0), ("c2", "alice", 995.0),
+            ("c2", "bob", 1000.0),  # max-ts driver; own interval open
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, surface string, sec double"
+        ).select(
+            "conv_id",
+            F.col("surface").alias("entity"),
+            F.timestamp_micros((F.col("sec") * 1_000_000).cast("long")).alias("ts"),
+        )
+        src = str(tmp_path / "mentions_src")
+        df.repartition(2).write.parquet(src)
+
+        out, ck = str(tmp_path / "iout"), str(tmp_path / "ick")
+        stream = (
+            spark.readStream.schema("conv_id string, entity string, ts timestamp")
+            .parquet(src)
+        )
+        q = write_stream(
+            entity_intervals_stream(stream, gap="10 seconds", watermark="60 seconds"),
+            out,
+            ck,
+        )
+        _drain(q)
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("conv_id", "entity", "valid_from_us", "valid_to_us", "n_mentions")
+            .collect()
+        }
+
+        batch = {
+            tuple(r)
+            for r in entity_activity_intervals(
+                df, max_gap_s=10, entity_col="entity"
+            ).collect()
+        }
+        cutoff_us = (1000 - 60) * 1_000_000
+        finalized = {
+            r for r in batch if r[3] + 10 * 1_000_000 < cutoff_us
+        }
+        assert got == finalized
+        # the exactly-10s chain stayed one interval on both sides
+        assert ("c1", "alice", 0, 20_000_000, 3) in got
