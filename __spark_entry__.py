@@ -1863,6 +1863,81 @@ FROM nn, tp, pp, gp
 """
 
 
+def _q_kg_resolve_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-weighted truth discovery (pipeline/curate.py::
+    resolve_weighted): the dominant entity per conversation, where each
+    mention votes with its turn's ROLE weight (user=3, assistant=2,
+    tool=1 fixed-point) — the weighted generalization of the functional-
+    conflict resolver, winner exact via the associative
+    min(struct(-support, obj)) aggregate.  Oracle replays the weighted
+    count + (support DESC, obj ASC) argmax in SQL."""
+    from mopper_spark.pipeline.curate import resolve_weighted
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.linking import normalize_surface
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    m = extract_mentions(tr).join(
+        tr.select("conv_id", "turn_idx", "role"), ["conv_id", "turn_idx"]
+    )
+    triples = m.select(
+        F.concat(F.lit("http://example.com/conv/"), F.col("conv_id")).alias(
+            "subj"
+        ),
+        F.lit("http://example.com/ontology/dominantEntity").alias("pred"),
+        normalize_surface(F.col("surface")).alias("obj"),
+        F.col("role").alias("source"),
+    )
+    weights = spark.createDataFrame(
+        [("user", 3), ("assistant", 2), ("tool", 1)],
+        "source string, weight_fp long",
+    )
+    return resolve_weighted(triples, weights, default_weight_fp=1)
+
+
+def _resolve_weighted_oracle_sql() -> str:
+    from mopper_spark.pipeline.extract import MENTION_REGEX
+    from mopper_spark.pipeline.linking import _ACCENTS, _FOLDED
+    from mopper_spark.pipeline.transcripts import ENTITY_FORMS
+
+    forms = ", ".join(f"'{f}'" for f, _ in ENTITY_FORMS)
+    norm = (
+        "trim(regexp_replace(regexp_replace(translate(lower({v}), "
+        f"'{_ACCENTS}', '{_FOLDED}'), '\\.', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+WITH tr AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')),
+men AS (
+  SELECT conv_id, turn_idx, surface FROM (
+    SELECT conv_id, turn_idx,
+           unnest(list_distinct(list_concat(
+             regexp_extract_all(text, '{MENTION_REGEX}'),
+             list_filter([{forms}], f -> contains(text, f))
+           ))) AS surface
+    FROM tr
+  ) WHERE length(surface) >= 3
+),
+votes AS (
+  SELECT 'http://example.com/conv/' || m.conv_id AS subj,
+         'http://example.com/ontology/dominantEntity' AS pred,
+         {norm.format(v="m.surface")} AS obj,
+         CASE t.role WHEN 'user' THEN 3 WHEN 'assistant' THEN 2
+                     WHEN 'tool' THEN 1 ELSE 1 END AS w
+  FROM men m JOIN tr t
+    ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+),
+support AS (
+  SELECT subj, pred, obj, CAST(SUM(w) AS BIGINT) AS support_fp
+  FROM votes GROUP BY 1, 2, 3
+)
+SELECT subj, pred, obj, support_fp,
+       CAST(COUNT(*) OVER (PARTITION BY subj, pred) AS BIGINT)
+         AS n_alternatives
+FROM support
+QUALIFY ROW_NUMBER() OVER (PARTITION BY subj, pred
+                           ORDER BY support_fp DESC, obj ASC) = 1
+"""
+
+
 def _q_kg_graph_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     """Full KG extraction over the transcript fixture: the COMPLETE
     (subj, pred, obj, okind, graph) statement set — per-POM turn triples
@@ -4692,6 +4767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": _q_cc_components,
         "entity_linking_transcripts": _q_entity_linking_transcripts,
         "linking_quality": _q_linking_quality,
+        "kg_resolve_weighted": _q_kg_resolve_weighted,
         "kg_graph_transcripts": _q_kg_graph_transcripts,
         "kg_entity_intervals": _q_kg_entity_intervals,
         "kg_interval_cooccurrence": _q_kg_interval_cooccurrence,
@@ -4792,6 +4868,7 @@ def oracle_sql() -> dict[str, str]:
         "cc_components": _SQL_CC_COMPONENTS,
         "entity_linking_transcripts": _SQL_ENTITY_LINKING,
         "linking_quality": _SQL_LINKING_QUALITY,
+        "kg_resolve_weighted": _resolve_weighted_oracle_sql(),
         "kg_graph_transcripts": _SQL_KG_GRAPH,
         "kg_entity_intervals": _SQL_ENTITY_INTERVALS,
         "kg_interval_cooccurrence": _SQL_INTERVAL_COOC,

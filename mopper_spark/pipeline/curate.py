@@ -215,3 +215,61 @@ def negative_samples(
         & (drawn["neg_obj"] == true_triples["t_obj"]),
         "left_anti",
     )
+
+
+def resolve_weighted(
+    triples: DataFrame,
+    weights: DataFrame,
+    source_col: str = "source",
+    default_weight_fp: int = 0,
+) -> DataFrame:
+    """Source-weighted truth discovery: one canonical object per
+    (subj, pred), where each asserting row votes with its SOURCE's
+    weight instead of 1 — the weighted generalization of
+    :func:`resolve_functional` (majority voting is the special case of
+    all-equal weights, the baseline in the truth-discovery literature,
+    e.g. Yin et al., TruthFinder, KDD'07).
+
+    ``triples`` must carry ``source_col``; ``weights`` is a small
+    ``(source, weight_fp)`` table of INTEGER fixed-point weights (scale
+    chosen by the caller, e.g. 1000 = 1.0) — integer support keeps the
+    winner exact under any partitioning and any fetch path.  Sources
+    absent from the table contribute ``default_weight_fp``.
+
+    Winner = max total weighted support, ties broken by smallest object
+    — the same associative ``min(struct(-support, obj))`` shape as
+    ``resolve_functional``: no per-group window sort, hot subjects
+    combine map-side.  ``weights`` broadcasts (a source catalog is tiny
+    by construction).
+    """
+    w = F.broadcast(
+        weights.select(
+            F.col("source").alias("__src"),
+            F.col("weight_fp").cast("long").alias("__w"),
+        )
+    )
+    voted = (
+        triples.join(w, F.col(source_col) == F.col("__src"), "left")
+        .withColumn("__w", F.coalesce("__w", F.lit(int(default_weight_fp))))
+    )
+    support = voted.groupBy("subj", "pred", "obj").agg(
+        F.sum("__w").cast("long").alias("support_fp")
+    )
+    return (
+        support.groupBy("subj", "pred")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("support_fp")).alias("neg"), F.col("obj").alias("obj")
+                )
+            ).alias("w"),
+            F.count(F.lit(1)).cast("long").alias("n_alternatives"),
+        )
+        .select(
+            "subj",
+            "pred",
+            F.col("w.obj").alias("obj"),
+            (-F.col("w.neg")).cast("long").alias("support_fp"),
+            "n_alternatives",
+        )
+    )

@@ -250,3 +250,90 @@ class TestTransitiveClosureDelta:
         delta = spark.createDataFrame([(i, i + 1) for i in range(1, 40)], schema)
         with pytest.raises(RuntimeError, match="did not converge"):
             transitive_closure_delta(c, delta, max_iters=3)
+
+
+class TestResolveWeighted:
+    """curate.resolve_weighted — source-weighted truth discovery."""
+
+    def _triples(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string, source string"
+        )
+
+    def _weights(self, spark):
+        return spark.createDataFrame(
+            [("gold", 10), ("silver", 3)], "source string, weight_fp long"
+        )
+
+    def test_weight_beats_count(self, spark):
+        # two silver votes (6) lose to one gold vote (10)
+        t = self._triples(spark, [
+            ("s", "p", "wrong", "silver"),
+            ("s", "p", "wrong", "silver"),
+            ("s", "p", "right", "gold"),
+        ])
+        from mopper_spark.pipeline.curate import resolve_weighted
+
+        r = resolve_weighted(t, self._weights(spark)).collect()
+        assert [(x.subj, x.obj, x.support_fp, x.n_alternatives) for x in r] == [
+            ("s", "right", 10, 2)
+        ]
+
+    def test_default_weight_and_tie_break(self, spark):
+        # unknown sources take default_weight_fp; equal support -> min obj
+        t = self._triples(spark, [
+            ("s", "p", "b", "unknown"),
+            ("s", "p", "a", "unknown"),
+        ])
+        from mopper_spark.pipeline.curate import resolve_weighted
+
+        r = resolve_weighted(
+            t, self._weights(spark), default_weight_fp=7
+        ).collect()
+        assert [(x.obj, x.support_fp) for x in r] == [("a", 7)]
+
+    def test_equal_weights_match_resolve_functional(self, spark):
+        from mopper_spark.pipeline.curate import (
+            resolve_functional,
+            resolve_weighted,
+        )
+
+        rows = [
+            (f"s{i % 5}", "p", f"o{(i * 7) % 3}", "any") for i in range(60)
+        ]
+        t = self._triples(spark, rows)
+        ones = spark.createDataFrame(
+            [("any", 1)], "source string, weight_fp long"
+        )
+        w = {
+            (r.subj, r.pred, r.obj, r.support_fp, r.n_alternatives)
+            for r in resolve_weighted(t, ones).collect()
+        }
+        f = {
+            (r.subj, r.pred, r.obj, r.support, r.n_alternatives)
+            for r in resolve_functional(t.drop("source")).collect()
+        }
+        assert w == f
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.pipeline.curate import resolve_weighted
+
+        rows = [
+            (f"s{i % 7}", "p", f"o{(i * 11) % 4}",
+             ["gold", "silver", "x"][i % 3])
+            for i in range(90)
+        ]
+        t = self._triples(spark, rows)
+        a = {
+            tuple(r)
+            for r in resolve_weighted(
+                t.repartition(1), self._weights(spark), default_weight_fp=1
+            ).collect()
+        }
+        b = {
+            tuple(r)
+            for r in resolve_weighted(
+                t.repartition(16), self._weights(spark), default_weight_fp=1
+            ).collect()
+        }
+        assert a == b
