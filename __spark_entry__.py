@@ -1938,6 +1938,99 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY subj, pred
 """
 
 
+def _q_kg_verbalize_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """KG-to-text training documents (pipeline/verbalize.py): each
+    conversation's weighted dominant entity (kg_resolve_weighted's
+    output) plus its distinct mentioned entities, verbalized through
+    per-predicate sentence templates and assembled into one document per
+    conversation (sentences sorted — order-proof under partitioning).
+    Untemplated predicates are dropped (default=None curation stance)."""
+    from mopper_spark.pipeline.curate import resolve_weighted
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.linking import normalize_surface
+    from mopper_spark.pipeline.verbalize import verbalize_subject_docs
+
+    ont = "http://example.com/ontology/"
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    # one extraction pass feeds both fact families (localCheckpoint cuts
+    # the double-regex re-evaluation the naive compose would pay)
+    m = (
+        extract_mentions(tr)
+        .join(tr.select("conv_id", "turn_idx", "role"), ["conv_id", "turn_idx"])
+        .select(
+            F.concat(
+                F.lit("http://example.com/conv/"), F.col("conv_id")
+            ).alias("subj"),
+            normalize_surface(F.col("surface")).alias("obj"),
+            "role",
+        )
+        .localCheckpoint(eager=False)
+    )
+    votes = m.select(
+        "subj",
+        F.lit(ont + "dominantEntity").alias("pred"),
+        "obj",
+        F.col("role").alias("source"),
+    )
+    weights = spark.createDataFrame(
+        [("user", 3), ("assistant", 2), ("tool", 1)],
+        "source string, weight_fp long",
+    )
+    dom = resolve_weighted(votes, weights, default_weight_fp=1).select(
+        "subj", "pred", "obj"
+    )
+    ment = m.select(
+        "subj", F.lit(ont + "mentionsEntity").alias("pred"), "obj"
+    ).distinct()
+    templates = {
+        ont + "dominantEntity": "This conversation is mainly about {o}.",
+        ont + "mentionsEntity": "It mentions {o}.",
+    }
+    return verbalize_subject_docs(
+        dom.unionByName(ment), templates, default=None
+    )
+
+
+def _verbalize_oracle_sql() -> str:
+    """Sentence building + ordered string_agg over the weighted-dominant
+    CTE (nested as a subquery) and the distinct mention facts."""
+    from mopper_spark.pipeline.extract import MENTION_REGEX
+    from mopper_spark.pipeline.linking import _ACCENTS, _FOLDED
+    from mopper_spark.pipeline.transcripts import ENTITY_FORMS
+
+    forms = ", ".join(f"'{f}'" for f, _ in ENTITY_FORMS)
+    norm = (
+        "trim(regexp_replace(regexp_replace(translate(lower({v}), "
+        f"'{_ACCENTS}', '{_FOLDED}'), '\\.', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+WITH dom AS ({_resolve_weighted_oracle_sql()}),
+tr AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')),
+men AS (
+  SELECT conv_id, turn_idx, surface FROM (
+    SELECT conv_id, turn_idx,
+           unnest(list_distinct(list_concat(
+             regexp_extract_all(text, '{MENTION_REGEX}'),
+             list_filter([{forms}], f -> contains(text, f))
+           ))) AS surface
+    FROM tr
+  ) WHERE length(surface) >= 3
+),
+sentences AS (
+  SELECT subj, 'This conversation is mainly about ' || obj || '.' AS sentence
+  FROM dom
+  UNION ALL
+  SELECT DISTINCT 'http://example.com/conv/' || conv_id AS subj,
+         'It mentions ' || {norm.format(v="surface")} || '.' AS sentence
+  FROM men
+)
+SELECT subj,
+       string_agg(sentence, ' ' ORDER BY sentence) AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_facts
+FROM sentences GROUP BY subj
+"""
+
+
 def _q_kg_graph_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     """Full KG extraction over the transcript fixture: the COMPLETE
     (subj, pred, obj, okind, graph) statement set — per-POM turn triples
@@ -4768,6 +4861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_linking_transcripts": _q_entity_linking_transcripts,
         "linking_quality": _q_linking_quality,
         "kg_resolve_weighted": _q_kg_resolve_weighted,
+        "kg_verbalize_docs": _q_kg_verbalize_docs,
         "kg_graph_transcripts": _q_kg_graph_transcripts,
         "kg_entity_intervals": _q_kg_entity_intervals,
         "kg_interval_cooccurrence": _q_kg_interval_cooccurrence,
@@ -4869,6 +4963,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_linking_transcripts": _SQL_ENTITY_LINKING,
         "linking_quality": _SQL_LINKING_QUALITY,
         "kg_resolve_weighted": _resolve_weighted_oracle_sql(),
+        "kg_verbalize_docs": _verbalize_oracle_sql(),
         "kg_graph_transcripts": _SQL_KG_GRAPH,
         "kg_entity_intervals": _SQL_ENTITY_INTERVALS,
         "kg_interval_cooccurrence": _SQL_INTERVAL_COOC,
