@@ -2482,6 +2482,34 @@ FROM (
 """
 
 
+def _q_kg_intervals_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental interval maintenance (pipeline/temporal.py::
+    intervals_increment): the fixture's mention stream folded in TWO
+    micro-batches (turn_idx < 25, then the rest) into an intervals table
+    — only batch-touched (conv, entity) groups are rebuilt, everything
+    else anti-join passes through.  The oracle is the FULL-batch islands
+    SQL, so the gate proves the monoid fold exact (same guarantee shape
+    as graph_closure_incremental)."""
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.temporal import intervals_increment
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    mentions_ts = extract_mentions(tr).join(
+        tr.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
+    )
+    empty = spark.createDataFrame(
+        [],
+        "conv_id string, entity string, valid_from_us long, "
+        "valid_to_us long, n_mentions long",
+    )
+    state = intervals_increment(
+        empty, mentions_ts.filter(F.col("turn_idx") < 25), max_gap_s=60
+    ).localCheckpoint(eager=True)
+    return intervals_increment(
+        state, mentions_ts.filter(F.col("turn_idx") >= 25), max_gap_s=60
+    )
+
+
 def _q_kg_interval_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     """Temporal co-occurrence (pipeline/temporal.py::interval_cooccurrence):
     entity pairs whose activity intervals OVERLAP within a conversation —
@@ -4866,6 +4894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_intervals": _q_kg_entity_intervals,
         "kg_interval_cooccurrence": _q_kg_interval_cooccurrence,
         "kg_temporal_quads": _q_kg_temporal_quads,
+        "kg_intervals_incremental": _q_kg_intervals_incremental,
         "kg_bgp_comention": _q_kg_bgp_comention,
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
         "kg_bgp_optional": _q_kg_bgp_optional,
@@ -4970,6 +4999,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_temporal_quads": _SQL_TEMPORAL_QUADS.format(
             ints=_SQL_ENTITY_INTERVALS
         ),
+        "kg_intervals_incremental": _SQL_ENTITY_INTERVALS,
         "kg_bgp_comention": _SQL_BGP_COMENTION,
         "kg_bgp_aggregate": _SQL_BGP_AGGREGATE,
         "kg_bgp_optional": _SQL_BGP_OPTIONAL,

@@ -229,3 +229,89 @@ def interval_quads(intervals: DataFrame) -> DataFrame:
         F.col("s.okind").alias("okind"),
         F.lit(EX + "graph/temporal").alias("graph"),
     )
+
+
+def intervals_increment(
+    intervals: DataFrame,
+    new_mentions_ts: DataFrame,
+    *,
+    max_gap_s: int = 3600,
+    conv_col: str = "conv_id",
+    entity_col: str = "surface",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Fold a new batch of mention observations into an EXISTING activity-
+    intervals table without recomputing it — only the (conv, entity)
+    groups the batch touches are rebuilt; every other interval row passes
+    through untouched (one anti-join).
+
+    Correctness: an interval is a gap-chained segment ``(lo, hi, n)``;
+    per-key interval sets are a mergeable monoid under the gap rule, so
+    gluing the existing segments with the batch's point segments
+    ``(t, t, 1)`` reproduces exactly the batch operator over the union of
+    all observations (two segments chain iff their closest points are
+    <= max_gap apart, which for lo-sorted segments is ``lo - running
+    max(hi) <= gap``; mention counts add because the segments partition
+    the observation multiset).  Folding therefore commutes and
+    associates — any micro-batch split of the same observations ends in
+    the same table (pinned in tests against the batch operator).  The
+    caller must not replay a batch (same versioned-state discipline as
+    ``pipeline/incremental.py``).
+
+    Scale shape per increment: one distinct on the batch keys, one
+    anti-join + one semi-join against the state (key-partitioned), then
+    the islands window over AFFECTED keys only — per-partition volume
+    bounded by one (conversation, entity) history, never the full state.
+    """
+    if max_gap_s < 0:
+        raise ValueError("max_gap_s must be >= 0")
+    gap_us = int(max_gap_s) * 1_000_000
+    pts = new_mentions_ts.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(entity_col).alias("entity"),
+        F.expr(_EPOCH_US.format(ts_col)).alias("valid_from_us"),
+    ).select(
+        "conv_id",
+        "entity",
+        "valid_from_us",
+        F.col("valid_from_us").alias("valid_to_us"),
+        F.lit(1).cast("long").alias("n_mentions"),
+    )
+    keys = pts.select("conv_id", "entity").distinct()
+    untouched = intervals.join(keys, ["conv_id", "entity"], "left_anti")
+    touched = intervals.join(keys, ["conv_id", "entity"], "left_semi")
+
+    segs = touched.unionByName(pts)
+    w = Window.partitionBy("conv_id", "entity").orderBy(
+        "valid_from_us", "valid_to_us"
+    )
+    merged = (
+        segs.withColumn(
+            "prev_hi",
+            F.max("valid_to_us").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_hi").isNull()
+                | (F.col("valid_from_us") - F.col("prev_hi") > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("conv_id", "entity", "island")
+        .agg(
+            F.min("valid_from_us").alias("valid_from_us"),
+            F.max("valid_to_us").alias("valid_to_us"),
+            F.sum("n_mentions").cast("long").alias("n_mentions"),
+        )
+        .drop("island")
+    )
+    return untouched.unionByName(merged)

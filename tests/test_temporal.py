@@ -237,3 +237,73 @@ def test_interval_quads_round_trip(spark):
         "é", "%C3%A9"
     ).replace("ü", "%C3%BC")
     assert rebuilt == {(c, enc(e), lo, hi, n) for c, e, lo, hi, n in ivals}
+
+
+class TestIntervalsIncrement:
+    """intervals_increment folds must equal the batch operator on the
+    union of observations, for ANY micro-batch split and order."""
+
+    def _fold(self, spark, batches, gap_s):
+        from mopper_spark.pipeline.temporal import (
+            entity_activity_intervals,
+            intervals_increment,
+        )
+
+        state = spark.createDataFrame(
+            [],
+            "conv_id string, entity string, valid_from_us long, "
+            "valid_to_us long, n_mentions long",
+        )
+        for batch in batches:
+            df = spark.createDataFrame(
+                [(c, e, _ts(s)) for c, e, s in batch],
+                "conv_id string, surface string, ts timestamp",
+            )
+            state = intervals_increment(
+                state, df, max_gap_s=gap_s
+            ).localCheckpoint(eager=True)
+        return {tuple(r) for r in state.collect()}
+
+    def test_any_split_matches_batch(self, spark):
+        rows = [
+            (f"c{i % 2}", f"e{i % 3}", (i * 37) % 500) for i in range(48)
+        ]
+        want = _replica(rows, 50)
+        # one batch, two uneven batches, many tiny batches, reversed order
+        splits = [
+            [rows],
+            [rows[:10], rows[10:]],
+            [rows[i : i + 7] for i in range(0, 48, 7)],
+            [rows[30:], rows[:30]],
+        ]
+        for batches in splits:
+            assert self._fold(spark, batches, 50) == want
+
+    def test_bridge_merges_two_existing_intervals(self, spark):
+        # two islands 0-10 and 100-110 (gap 90 > 50); a point at 55 is
+        # within 50 of both (45 each side) and glues them into one island
+        base = [("c", "e", 0), ("c", "e", 10), ("c", "e", 100), ("c", "e", 110)]
+        assert self._fold(spark, [base], 50) == {
+            ("c", "e", 0, 10_000_000, 2),
+            ("c", "e", 100_000_000, 110_000_000, 2),
+        }
+        got = self._fold(spark, [base, [("c", "e", 55)]], 50)
+        assert got == {("c", "e", 0, 110_000_000, 5)}
+
+    def test_untouched_groups_pass_through(self, spark):
+        from mopper_spark.pipeline.temporal import intervals_increment
+
+        state = spark.createDataFrame(
+            [("c", "quiet", 0, 5_000_000, 2)],
+            "conv_id string, entity string, valid_from_us long, "
+            "valid_to_us long, n_mentions long",
+        )
+        batch = spark.createDataFrame(
+            [("c", "other", _ts(100))],
+            "conv_id string, surface string, ts timestamp",
+        )
+        got = {
+            tuple(r) for r in intervals_increment(state, batch, max_gap_s=10).collect()
+        }
+        assert ("c", "quiet", 0, 5_000_000, 2) in got
+        assert ("c", "other", 100_000_000, 100_000_000, 1) in got
