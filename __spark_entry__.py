@@ -1019,11 +1019,24 @@ def _q_events_scd2(spark: SparkSession, sf: str) -> DataFrame:
     the per-user event stream collapsed into event_type validity runs
     (valid_from / valid_to, NULL = current) — the dimension-table layout
     the as-of join consumes.  Gaps-and-islands with a NULL-safe change
-    flag; ts ties ordered by the attribute tuple for determinism."""
+    flag; ts ties ordered by the attribute tuple for determinism.
+    Bounds are emitted as epoch µs with -1 for the open interval — the
+    same non-nullable-BIGINT sentinel as the as-of oracle (a nullable
+    BIGINT turns float64 on the pandas fetch path and hash-diverges;
+    pinned by test_oracle_fetch_path_parity)."""
     from mopper_spark.textops.joins import scd2_intervals
 
     ev = spark.read.parquet(f"{sf}/events.parquet")
-    return scd2_intervals(ev, ["user_id"], "ts", ["event_type"])
+    iv = scd2_intervals(ev, ["user_id"], "ts", ["event_type"])
+    epoch = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {})"
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.expr(epoch.format("valid_from")).alias("valid_from_us"),
+        F.coalesce(
+            F.expr(epoch.format("valid_to")), F.lit(-1).cast("long")
+        ).alias("valid_to_us"),
+    )
 
 
 _SQL_EVENTS_SCD2 = """
@@ -1045,8 +1058,10 @@ iv AS (
   SELECT user_id, run, event_type, MIN(ts) AS valid_from
   FROM runs GROUP BY user_id, run, event_type
 )
-SELECT user_id, event_type, valid_from,
-       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to
+SELECT user_id, event_type, epoch_us(valid_from) AS valid_from_us,
+       COALESCE(epoch_us(lead(valid_from)
+                         OVER (PARTITION BY user_id ORDER BY run)), -1)
+         AS valid_to_us
 FROM iv
 """
 
