@@ -89,6 +89,16 @@ HEADLINE = [
     "docs_chunking",
     "events_scd2",
     "graph_bfs_distances",
+    # round 4, temporal/path/quality additions
+    "kg_entity_intervals",
+    "kg_interval_cooccurrence",
+    "kg_temporal_quads",
+    "kg_intervals_incremental",
+    "kg_bgp_path_bounded",
+    "kg_bgp_path_nps",
+    "linking_quality",
+    "kg_resolve_weighted",
+    "kg_verbalize_docs",
 ]
 
 

@@ -46,6 +46,19 @@ def main() -> None:
         "violation table at this path; the summary line reports the count",
     )
     p.add_argument(
+        "--intervals-out",
+        help="also materialize temporal entity-activity intervals "
+        "(pipeline/temporal.py) from the pipeline's mention stream to "
+        "this path; the summary line reports the interval count",
+    )
+    p.add_argument(
+        "--intervals-gap-s",
+        type=int,
+        default=3600,
+        help="max mention silence (seconds) before an activity interval "
+        "splits (default 3600)",
+    )
+    p.add_argument(
         "--checkpoint-stages",
         help="comma-separated stage names to persist as resume points "
         "(default: all); e.g. 'edges,graph' fuses the narrow stages",
@@ -87,6 +100,19 @@ def main() -> None:
         "turns_per_sec": round(res.turns_per_sec, 1),
         "stages": res.metrics,
     }
+    if args.intervals_out:
+        from pyspark.sql import functions as F
+
+        from mopper_spark.pipeline.temporal import entity_activity_intervals
+
+        mentions_ts = res.mentions.join(
+            res.transcripts.select("conv_id", "turn_idx", "ts"),
+            ["conv_id", "turn_idx"],
+        )
+        entity_activity_intervals(
+            mentions_ts, max_gap_s=args.intervals_gap_s
+        ).write.mode("overwrite").parquet(args.intervals_out)
+        summary["intervals"] = spark.read.parquet(args.intervals_out).count()
     if args.validate_output:
         from mopper_spark.pipeline.validate import pipeline_shapes, validate_shapes
 

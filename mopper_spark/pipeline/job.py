@@ -36,6 +36,10 @@ class PipelineResult:
     metrics: list[dict] = field(default_factory=list)
     turns: int = 0
     seconds: float = 0.0
+    # intermediate relations downstream stages may reuse (e.g. the job's
+    # optional temporal-intervals output) without re-running extraction
+    transcripts: DataFrame | None = None
+    mentions: DataFrame | None = None
 
     @property
     def turns_per_sec(self) -> float:
@@ -131,4 +135,6 @@ def run_pipeline(
         metrics=ckpt.metrics,
         turns=n_turns_actual,
         seconds=time.time() - t0,
+        transcripts=tr,
+        mentions=mentions,
     )

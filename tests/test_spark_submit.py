@@ -40,12 +40,18 @@ def test_spark_submit_pyfiles_job_and_resume(tmp_path):
         str(tmp_path / "ck"),
         "--output",
         str(tmp_path / "graph"),
+        "--intervals-out",
+        str(tmp_path / "intervals"),
+        "--intervals-gap-s",
+        "60",
     ]
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     r1 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
     assert r1.returncode == 0, r1.stderr[-3000:]
     d1 = json.loads(r1.stdout.strip().splitlines()[-1])
     assert d1["turns"] == 400
+    assert d1["intervals"] > 0
+    assert os.path.exists(tmp_path / "intervals" / "_SUCCESS")
     stages1 = {s["stage"]: s for s in d1["stages"]}
     assert not any(s["skipped"] for s in stages1.values())
     assert stages1["graph"]["rows"] > 0
@@ -61,6 +67,8 @@ def test_spark_submit_pyfiles_job_and_resume(tmp_path):
     assert {s["stage"]: s["rows"] for s in d2["stages"]} == {
         k: v["rows"] for k, v in stages1.items()
     }
+    # intervals rebuild deterministically on the resumed (skipped) stages
+    assert d2["intervals"] == d1["intervals"]
 
 
 @pytest.mark.skipif(
