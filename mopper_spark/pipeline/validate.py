@@ -15,7 +15,15 @@ cardinality and pairing checks are zero-Exchange:
                       predicate must match an IRI prefix (row filter);
 - ``max_count``     — sh:maxCount per (subj, pred) (one aggregation);
 - ``requires``      — sh:minCount 1 on pred B for subjects of pred A
-                      (distinct + anti-join).
+                      (distinct + anti-join);
+- ``value_in``      — sh:in: literal objects must come from a closed
+                      value set (NOT-IN row filter — the set is a plan
+                      constant, never a join);
+- ``obj_pattern``   — sh:pattern: object must match an anchored regex
+                      (RE2-portable subset, row filter);
+- ``class_of``      — sh:class: every OBJECT of the predicate must be
+                      rdf:type the given class (distinct + anti-join on
+                      the object column).
 
 Violations come back as data, one row each — ``(subj, pred, code,
 detail)`` — not exceptions: at 100 TB the report is itself a table to
@@ -39,6 +47,12 @@ class Shape:
     domain_prefix: str | None = None  # subject IRI must start with this
     max_count: int | None = None  # max objects per subject
     requires: str | None = None  # subjects of `pred` must also have this pred
+    value_in: tuple[str, ...] | None = None  # closed set of allowed objects
+    obj_pattern: str | None = None  # regex the object must fully match
+    class_of: str | None = None  # objects must be rdf:type this class
+
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
 def _v(subj, pred: str, code: str, detail) -> list:
@@ -99,6 +113,37 @@ def validate_shapes(triples: DataFrame, shapes: list[Shape]) -> DataFrame:
                     *_v(F.col("subj"), s.pred, "requires", F.lit(s.requires))
                 )
             )
+        if s.value_in is not None:
+            allowed = list(s.value_in)
+            if not allowed:
+                raise ValueError(f"value_in for {s.pred!r} must be non-empty")
+            parts.append(
+                scoped.filter(~F.col("obj").isin(allowed)).select(
+                    *_v(F.col("subj"), s.pred, "value_in", F.col("obj"))
+                )
+            )
+        if s.obj_pattern is not None:
+            parts.append(
+                scoped.filter(
+                    ~F.regexp_like(F.col("obj"), F.lit(s.obj_pattern))
+                ).select(
+                    *_v(F.col("subj"), s.pred, "obj_pattern", F.col("obj"))
+                )
+            )
+        if s.class_of is not None:
+            typed = (
+                triples.filter(
+                    (F.col("pred") == _RDF_TYPE) & (F.col("obj") == s.class_of)
+                )
+                .select(F.col("subj").alias("obj"))
+                .distinct()
+            )
+            objs = scoped.select("subj", "obj")
+            parts.append(
+                objs.join(typed, "obj", "left_anti").select(
+                    *_v(F.col("subj"), s.pred, "class_of", F.col("obj"))
+                )
+            )
     if not parts:
         raise ValueError("validate_shapes: no constraints in any shape")
     out = parts[0]
@@ -117,7 +162,8 @@ def pipeline_shapes(ont: str = "http://example.com/ontology/") -> list[Shape]:
     return [
         Shape(ont + "mentions", range_kind="iri",
               domain_prefix="http://example.com/turn/"),
-        Shape(ont + "role", range_kind="lit", max_count=1),
+        Shape(ont + "role", range_kind="lit", max_count=1,
+              value_in=("user", "assistant", "tool")),
         Shape(ont + "inConversation", range_kind="iri", max_count=1),
         Shape(ont + "text", range_kind="lit", max_count=1),
         Shape(ont + "tool", range_kind="lit", max_count=1),

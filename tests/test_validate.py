@@ -80,3 +80,64 @@ class TestValidateShapes:
     def test_no_constraints_raises(self, kg):
         with pytest.raises(ValueError, match="no constraints"):
             validate_shapes(kg, [Shape("http://ex/role")])
+
+
+class TestNewConstraints:
+    """sh:in / sh:pattern / sh:class additions (round 4)."""
+
+    @pytest.fixture(scope="class")
+    def kg2(self, spark):
+        RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        rows = [
+            ("http://ex/t1", "http://ex/role", "user", "lit", "g"),
+            ("http://ex/t2", "http://ex/role", "robot", "lit", "g"),  # not in set
+            ("http://ex/t1", "http://ex/score", "0.75", "lit", "g"),
+            ("http://ex/t2", "http://ex/score", "high", "lit", "g"),  # not numeric
+            ("http://ex/t3", "http://ex/mentions", "http://ex/e1", "iri", "g"),
+            ("http://ex/t4", "http://ex/mentions", "http://ex/e2", "iri", "g"),
+            ("http://ex/e1", RT, "http://ex/Entity", "iri", "g"),
+            # e2 has no rdf:type Entity -> class_of violation on t4
+        ]
+        return spark.createDataFrame(rows, SCHEMA)
+
+    def test_value_in(self, kg2):
+        out = validate_shapes(
+            kg2,
+            [Shape("http://ex/role", value_in=("user", "assistant", "tool"))],
+        )
+        assert _codes(out) == [("http://ex/t2", "value_in")]
+
+    def test_value_in_empty_refused(self, kg2):
+        with pytest.raises(ValueError, match="non-empty"):
+            validate_shapes(kg2, [Shape("http://ex/role", value_in=())]).collect()
+
+    def test_obj_pattern(self, kg2):
+        out = validate_shapes(
+            kg2,
+            [Shape("http://ex/score", obj_pattern=r"^[0-9]+\.[0-9]+$")],
+        )
+        assert _codes(out) == [("http://ex/t2", "obj_pattern")]
+
+    def test_class_of(self, kg2):
+        out = validate_shapes(
+            kg2, [Shape("http://ex/mentions", class_of="http://ex/Entity")]
+        )
+        assert _codes(out) == [("http://ex/t4", "class_of")]
+        assert [r.detail for r in out.collect()] == ["http://ex/e2"]
+
+    def test_compose_with_existing(self, kg2):
+        out = validate_shapes(
+            kg2,
+            [
+                Shape(
+                    "http://ex/role",
+                    range_kind="lit",
+                    value_in=("user", "assistant", "tool"),
+                ),
+                Shape("http://ex/mentions", class_of="http://ex/Entity"),
+            ],
+        )
+        assert _codes(out) == [
+            ("http://ex/t2", "value_in"),
+            ("http://ex/t4", "class_of"),
+        ]
