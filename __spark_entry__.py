@@ -2525,6 +2525,72 @@ def _q_kg_intervals_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_kg_entity_profiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-entity corpus profile — the KG consumer's summary table: for
+    every normalized entity, total mentions, distinct conversations,
+    first/last observation (epoch µs), and distinct surface-form count.
+    One groupBy over the mention stream (count_distinct keeps the
+    shuffle word-count-shaped; no window, no join beyond the ts
+    attach)."""
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.linking import normalize_surface
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    m = extract_mentions(tr).join(
+        tr.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
+    )
+    epoch = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    return (
+        m.select(
+            normalize_surface(F.col("surface")).alias("entity"),
+            F.col("surface"),
+            F.col("conv_id"),
+            F.expr(epoch).alias("at_us"),
+        )
+        .groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_mentions"),
+            F.count_distinct("conv_id").cast("long").alias("n_convs"),
+            F.count_distinct("surface").cast("long").alias("n_surface_forms"),
+            F.min("at_us").alias("first_seen_us"),
+            F.max("at_us").alias("last_seen_us"),
+        )
+    )
+
+
+def _entity_profiles_oracle_sql() -> str:
+    from mopper_spark.pipeline.extract import MENTION_REGEX
+    from mopper_spark.pipeline.linking import _ACCENTS, _FOLDED
+    from mopper_spark.pipeline.transcripts import ENTITY_FORMS
+
+    forms = ", ".join(f"'{f}'" for f, _ in ENTITY_FORMS)
+    norm = (
+        "trim(regexp_replace(regexp_replace(translate(lower({v}), "
+        f"'{_ACCENTS}', '{_FOLDED}'), '\\.', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+WITH tr AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')),
+men AS (
+  SELECT conv_id, turn_idx, surface FROM (
+    SELECT conv_id, turn_idx,
+           unnest(list_distinct(list_concat(
+             regexp_extract_all(text, '{MENTION_REGEX}'),
+             list_filter([{forms}], f -> contains(text, f))
+           ))) AS surface
+    FROM tr
+  ) WHERE length(surface) >= 3
+)
+SELECT {norm.format(v="m.surface")} AS entity,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT m.conv_id) AS BIGINT) AS n_convs,
+       CAST(COUNT(DISTINCT m.surface) AS BIGINT) AS n_surface_forms,
+       MIN(epoch_us(t.ts)) AS first_seen_us,
+       MAX(epoch_us(t.ts)) AS last_seen_us
+FROM men m JOIN tr t ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+GROUP BY 1
+"""
+
+
 def _q_kg_interval_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     """Temporal co-occurrence (pipeline/temporal.py::interval_cooccurrence):
     entity pairs whose activity intervals OVERLAP within a conversation —
@@ -4910,6 +4976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_interval_cooccurrence": _q_kg_interval_cooccurrence,
         "kg_temporal_quads": _q_kg_temporal_quads,
         "kg_intervals_incremental": _q_kg_intervals_incremental,
+        "kg_entity_profiles": _q_kg_entity_profiles,
         "kg_bgp_comention": _q_kg_bgp_comention,
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
         "kg_bgp_optional": _q_kg_bgp_optional,
@@ -5015,6 +5082,7 @@ def oracle_sql() -> dict[str, str]:
             ints=_SQL_ENTITY_INTERVALS
         ),
         "kg_intervals_incremental": _SQL_ENTITY_INTERVALS,
+        "kg_entity_profiles": _entity_profiles_oracle_sql(),
         "kg_bgp_comention": _SQL_BGP_COMENTION,
         "kg_bgp_aggregate": _SQL_BGP_AGGREGATE,
         "kg_bgp_optional": _SQL_BGP_OPTIONAL,

@@ -99,6 +99,7 @@ HEADLINE = [
     "linking_quality",
     "kg_resolve_weighted",
     "kg_verbalize_docs",
+    "kg_entity_profiles",
 ]
 
 
