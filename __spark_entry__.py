@@ -2525,6 +2525,71 @@ def _q_kg_intervals_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_kg_pagerank_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted PageRank (pipeline/graph.py::pagerank_weighted) over the
+    GLOBAL temporal co-occurrence graph: edge weight = summed interval
+    overlap (µs) + overlap count across conversations (always positive).
+    Exact integer fixed-point with per-source share quantization — the
+    oracle replays three unrolled iterations of the identical formula,
+    so the gate proves bit-equality, not approximation."""
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.graph import pagerank_weighted
+    from mopper_spark.pipeline.temporal import (
+        entity_activity_intervals,
+        interval_cooccurrence,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    mentions_ts = extract_mentions(tr).join(
+        tr.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
+    )
+    cooc = interval_cooccurrence(
+        entity_activity_intervals(mentions_ts, max_gap_s=60)
+    )
+    edges = cooc.groupBy("e1", "e2").agg(
+        F.sum(F.col("total_overlap_us") + F.col("n_overlaps")).alias("w")
+    )
+    return pagerank_weighted(edges, "e1", "e2", "w", iters=3)
+
+
+def _pagerank_weighted_oracle_sql() -> str:
+    iters, scale, prec = 3, 10**9, 10**6
+    base = (15 * scale) // 100
+    steps = []
+    prev = "p0"
+    for i in (1, 2, 3)[:iters]:
+        steps.append(
+            f"""s{i} AS (
+  SELECT sh.dst AS node, SUM((p.pr * sh.share) // {prec}) AS s
+  FROM shares sh JOIN {prev} p ON sh.src = p.node GROUP BY 1),
+p{i} AS (
+  SELECT p.node,
+         CAST({base} + (85 * COALESCE(s{i}.s, 0)) // 100 AS BIGINT) AS pr
+  FROM {prev} p LEFT JOIN s{i} ON p.node = s{i}.node)"""
+        )
+        prev = f"p{i}"
+    return f"""
+WITH cooc AS ({_SQL_INTERVAL_COOC}),
+e AS (
+  SELECT least(e1, e2) AS u, greatest(e1, e2) AS v,
+         SUM(total_overlap_us + n_overlaps) AS wt
+  FROM cooc GROUP BY 1, 2
+),
+directed AS (
+  SELECT u AS src, v AS dst, wt FROM e
+  UNION ALL SELECT v, u, wt FROM e
+),
+outw AS (SELECT src, SUM(wt) AS out_w FROM directed GROUP BY src),
+shares AS (
+  SELECT d.src, d.dst, (d.wt * {prec}) // o.out_w AS share
+  FROM directed d JOIN outw o USING (src)
+),
+p0 AS (SELECT src AS node, CAST({scale} AS BIGINT) AS pr FROM outw),
+{",".join(steps)}
+SELECT node, pr AS pr_scaled FROM {prev}
+"""
+
+
 def _q_kg_entity_profiles(spark: SparkSession, sf: str) -> DataFrame:
     """Per-entity corpus profile — the KG consumer's summary table: for
     every normalized entity, total mentions, distinct conversations,
@@ -4977,6 +5042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_temporal_quads": _q_kg_temporal_quads,
         "kg_intervals_incremental": _q_kg_intervals_incremental,
         "kg_entity_profiles": _q_kg_entity_profiles,
+        "kg_pagerank_weighted": _q_kg_pagerank_weighted,
         "kg_bgp_comention": _q_kg_bgp_comention,
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
         "kg_bgp_optional": _q_kg_bgp_optional,
@@ -5083,6 +5149,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_intervals_incremental": _SQL_ENTITY_INTERVALS,
         "kg_entity_profiles": _entity_profiles_oracle_sql(),
+        "kg_pagerank_weighted": _pagerank_weighted_oracle_sql(),
         "kg_bgp_comention": _SQL_BGP_COMENTION,
         "kg_bgp_aggregate": _SQL_BGP_AGGREGATE,
         "kg_bgp_optional": _SQL_BGP_OPTIONAL,

@@ -100,6 +100,7 @@ HEADLINE = [
     "kg_resolve_weighted",
     "kg_verbalize_docs",
     "kg_entity_profiles",
+    "kg_pagerank_weighted",
 ]
 
 

@@ -552,3 +552,84 @@ def bfs_distances(
         return acc.localCheckpoint(eager=True)
     finally:
         spark.conf.set(conf_key, old)
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    w: str = "w",
+    *,
+    iters: int = 3,
+    scale: int = 10**9,
+    prec: int = 10**6,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Weighted PageRank over an undirected weighted graph, in the same
+    EXACT integer fixed-point arithmetic as :func:`pagerank_fixed` — each
+    node distributes rank proportionally to edge WEIGHT instead of
+    uniformly (the standard weighted-PR formulation; weights must be
+    positive integers, e.g. the temporal co-occurrence overlap).
+
+    Exactness without 128-bit arithmetic: per-edge shares are quantized
+    ONCE as ``share = (w * prec) div W_out`` (per-source normalization,
+    parts-per-``prec``), then every iteration sends
+    ``(pr * share) div prec``.  Both products bound cleanly —
+    ``w * prec`` needs ``w < 2**63/prec`` and ``pr * share`` needs
+    ``pr < 2**63/prec`` (with prec 1e6: weights < 9.2e12, per-node rank
+    mass < 9200x scale) — and integer ops are association-proof, so the
+    result is bit-identical under any partitioning and replayable by a
+    single-threaded SQL oracle.  Quantization error is bounded by
+    ``iters * deg_max * scale / prec`` rank units, a fixed-point design
+    choice, not nondeterminism.
+
+    Multi-edges between the same pair combine by weight SUM before the
+    run.  Physical shape per iteration: one join + one map-side-combining
+    sum, identical to the unweighted operator; the share table is
+    computed once and lineage-cut.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+            F.col(w).cast("long").alias("wt"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("wt").alias("wt"))
+    )
+    directed = e.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "wt"
+    ).unionAll(e.select(F.col("v").alias("src"), F.col("u").alias("dst"), "wt"))
+    out_w = directed.groupBy("src").agg(F.sum("wt").alias("out_w"))
+    shares = (
+        directed.join(out_w, "src")
+        .select(
+            "src",
+            "dst",
+            F.expr(f"(wt * {int(prec)}) div out_w").alias("share"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    base = (15 * scale) // 100
+    state = out_w.select(
+        F.col("src").alias("node"), F.lit(scale).cast("long").alias("pr")
+    )
+    for i in range(iters):
+        contrib = shares.join(state, shares["src"] == state["node"]).select(
+            F.col("dst").alias("node"),
+            F.expr(f"(pr * share) div {int(prec)}").alias("c"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        state = (
+            state.select("node")
+            .join(sums, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.expr("(85 * coalesce(s, 0L)) div 100"))
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+        state = state.localCheckpoint(eager=(i + 1) % checkpoint_every == 0)
+    return state.select("node", F.col("pr").alias("pr_scaled"))

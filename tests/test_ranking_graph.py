@@ -324,3 +324,68 @@ class TestBfsDistances:
         # the cycle walks back to the origin; self-distance is 0 by
         # definition, so 's' is never emitted
         assert got == {"a": 1, "b": 1, "t": 2, "m": 2}
+
+
+class TestPagerankWeighted:
+    """graph.pagerank_weighted vs an exact python replica of the same
+    fixed-point share-quantized formula."""
+
+    EDGES = [
+        ("a", "b", 10), ("a", "c", 1), ("b", "c", 5),
+        ("c", "d", 3), ("a", "b", 2),   # multi-edge combines to 12
+    ]
+
+    def _replica(self, edges, iters=3, scale=10**9, prec=10**6):
+        from collections import defaultdict
+
+        comb = defaultdict(int)
+        for u, v, w in edges:
+            if u == v:
+                continue
+            comb[(min(u, v), max(u, v))] += w
+        directed = defaultdict(dict)
+        for (u, v), w in comb.items():
+            directed[u][v] = w
+            directed[v][u] = w
+        share = {
+            (s, d): (w * prec) // sum(directed[s].values())
+            for s, nbrs in directed.items()
+            for d, w in nbrs.items()
+        }
+        pr = {n: scale for n in directed}
+        base = (15 * scale) // 100
+        for _ in range(iters):
+            sums = defaultdict(int)
+            for (s, d), sh in share.items():
+                sums[d] += (pr[s] * sh) // prec
+            pr = {n: base + (85 * sums[n]) // 100 for n in directed}
+        return pr
+
+    def _run(self, spark, edges, **kw):
+        from mopper_spark.pipeline.graph import pagerank_weighted
+
+        df = spark.createDataFrame(edges, "a string, b string, w long")
+        return {
+            r.node: r.pr_scaled
+            for r in pagerank_weighted(df, **kw).collect()
+        }
+
+    def test_matches_replica_exactly(self, spark):
+        assert self._run(spark, self.EDGES) == self._replica(self.EDGES)
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.pipeline.graph import pagerank_weighted
+
+        df = spark.createDataFrame(
+            [(f"n{i % 9}", f"n{(i * 5 + 1) % 9}", (i % 7) + 1) for i in range(40)],
+            "a string, b string, w long",
+        )
+        a = {r.node: r.pr_scaled for r in pagerank_weighted(df.repartition(1)).collect()}
+        b = {r.node: r.pr_scaled for r in pagerank_weighted(df.repartition(16)).collect()}
+        assert a == b
+
+    def test_weight_dominance(self, spark):
+        # star: center x; y attached with weight 100, z with weight 1 —
+        # y must outrank z (it receives a far larger share of x's rank)
+        got = self._run(spark, [("x", "y", 100), ("x", "z", 1)])
+        assert got["y"] > got["z"]
