@@ -1782,6 +1782,18 @@ FROM reach GROUP BY node
 #: needs reproducing in SQL.  tests/test_pipeline.py pins fixture == generator.
 
 
+def _mentions_ts(spark: SparkSession):
+    """The transcript fixture's mention stream joined back to its turn
+    timestamps — the shared input of every temporal-layer driver query
+    (one definition, so a fixture schema change edits one place)."""
+    from mopper_spark.pipeline.extract import extract_mentions
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return extract_mentions(tr).join(
+        tr.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
+    )
+
+
 def _q_entity_linking_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     """Blocking-key EL + CC canonicalization over the transcript fixture.
 
@@ -2380,14 +2392,9 @@ def _q_kg_entity_intervals(spark: SparkSession, sf: str) -> DataFrame:
     beyond-reference query layer.  Bounds are epoch MICROSECONDS
     (int64) — the TZ/fetch-path-proof convention shared with the as-of
     join oracles."""
-    from mopper_spark.pipeline.extract import extract_mentions
     from mopper_spark.pipeline.temporal import entity_activity_intervals
 
-    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
-    mentions_ts = extract_mentions(tr).join(
-        tr.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
-    )
-    return entity_activity_intervals(mentions_ts, max_gap_s=60)
+    return entity_activity_intervals(_mentions_ts(spark), max_gap_s=60)
 
 
 def _temporal_oracle_sql() -> str:
@@ -2447,17 +2454,14 @@ def _q_kg_temporal_quads(spark: SparkSession, sf: str) -> DataFrame:
     ex:graph/temporal named graph).  Lossless N-Quads round-trip is
     pinned in tests/test_temporal.py; here the full statement set is
     strict-oracled by string-building SQL over the same islands CTE."""
-    from mopper_spark.pipeline.extract import extract_mentions
     from mopper_spark.pipeline.temporal import (
         entity_activity_intervals,
         interval_quads,
     )
 
-    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
-    mentions_ts = extract_mentions(tr).join(
-        tr.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
+    return interval_quads(
+        entity_activity_intervals(_mentions_ts(spark), max_gap_s=60)
     )
-    return interval_quads(entity_activity_intervals(mentions_ts, max_gap_s=60))
 
 
 _ENC_SQL = (
@@ -2505,13 +2509,9 @@ def _q_kg_intervals_incremental(spark: SparkSession, sf: str) -> DataFrame:
     else anti-join passes through.  The oracle is the FULL-batch islands
     SQL, so the gate proves the monoid fold exact (same guarantee shape
     as graph_closure_incremental)."""
-    from mopper_spark.pipeline.extract import extract_mentions
     from mopper_spark.pipeline.temporal import intervals_increment
 
-    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
-    mentions_ts = extract_mentions(tr).join(
-        tr.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
-    )
+    mentions_ts = _mentions_ts(spark)
     empty = spark.createDataFrame(
         [],
         "conv_id string, entity string, valid_from_us long, "
@@ -2532,19 +2532,14 @@ def _q_kg_pagerank_weighted(spark: SparkSession, sf: str) -> DataFrame:
     Exact integer fixed-point with per-source share quantization — the
     oracle replays three unrolled iterations of the identical formula,
     so the gate proves bit-equality, not approximation."""
-    from mopper_spark.pipeline.extract import extract_mentions
     from mopper_spark.pipeline.graph import pagerank_weighted
     from mopper_spark.pipeline.temporal import (
         entity_activity_intervals,
         interval_cooccurrence,
     )
 
-    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
-    mentions_ts = extract_mentions(tr).join(
-        tr.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
-    )
     cooc = interval_cooccurrence(
-        entity_activity_intervals(mentions_ts, max_gap_s=60)
+        entity_activity_intervals(_mentions_ts(spark), max_gap_s=60)
     )
     edges = cooc.groupBy("e1", "e2").agg(
         F.sum(F.col("total_overlap_us") + F.col("n_overlaps")).alias("w")
@@ -2597,13 +2592,9 @@ def _q_kg_entity_profiles(spark: SparkSession, sf: str) -> DataFrame:
     One groupBy over the mention stream (count_distinct keeps the
     shuffle word-count-shaped; no window, no join beyond the ts
     attach)."""
-    from mopper_spark.pipeline.extract import extract_mentions
     from mopper_spark.pipeline.linking import normalize_surface
 
-    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
-    m = extract_mentions(tr).join(
-        tr.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
-    )
+    m = _mentions_ts(spark)
     epoch = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     return (
         m.select(
@@ -2665,17 +2656,12 @@ def _q_kg_interval_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     counted once at the bucket of the later start); the oracle is the
     quadratic self-join DuckDB can afford at fixture scale, so the gate
     also proves the bucket-dedup trick exact."""
-    from mopper_spark.pipeline.extract import extract_mentions
     from mopper_spark.pipeline.temporal import (
         entity_activity_intervals,
         interval_cooccurrence,
     )
 
-    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
-    mentions_ts = extract_mentions(tr).join(
-        tr.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
-    )
-    ints = entity_activity_intervals(mentions_ts, max_gap_s=60)
+    ints = entity_activity_intervals(_mentions_ts(spark), max_gap_s=60)
     return interval_cooccurrence(ints)
 
 

@@ -69,6 +69,11 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("mopper-spark-kg").getOrCreate()
     for k, v in {
+        # epoch-µs conversions across the pipeline (temporal intervals,
+        # as-of joins, SCD2 bounds) assume a UTC session — pin it here the
+        # same way mopper_spark.session.get_spark does, so a cluster whose
+        # driver defaults to a local zone cannot shift the emitted bounds
+        "spark.sql.session.timeZone": "UTC",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -101,8 +106,6 @@ def main() -> None:
         "stages": res.metrics,
     }
     if args.intervals_out:
-        from pyspark.sql import functions as F
-
         from mopper_spark.pipeline.temporal import entity_activity_intervals
 
         mentions_ts = res.mentions.join(

@@ -46,6 +46,8 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("mopper-spark-kg-stream").getOrCreate()
+    # epoch-µs conversions assume a UTC session (same pin as get_spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 

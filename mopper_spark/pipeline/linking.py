@@ -242,7 +242,13 @@ def clustering_pair_counts(
         return (
             df.groupBy(*group)
             .agg(F.count(F.lit(1)).alias("n"))
-            .agg(F.sum(F.expr("n * (n - 1) div 2")).alias("pairs"))
+            # coalesce: SUM over zero groups is NULL, but an empty labels
+            # table means zero pairs, not unknown
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("n * (n - 1) div 2")), F.lit(0)
+                ).alias("pairs")
+            )
         )
 
     tp = pair_sum(labels, pred_col, truth_col).withColumnRenamed("pairs", "tp")

@@ -28,6 +28,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Epoch-µs conversion; for TIMESTAMP (LTZ) inputs this is UTC-correct
+# only under a UTC session timezone — the repo-wide convention
+# (mopper_spark.session.get_spark pins spark.sql.session.timeZone=UTC and
+# both jobs/ entrypoints pin it the same way).  The NTZ-diff form is kept
+# (rather than unix_micros) so TIMESTAMP_NTZ inputs work identically.
 _EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {})"
 
 
@@ -51,22 +56,55 @@ def entity_activity_intervals(
     ``max_gap_s`` seconds (a gap of exactly ``max_gap_s`` still chains —
     the standard sessionization boundary, pinned in tests).
     """
+    pts = _mention_points(mentions_ts, conv_col, entity_col, ts_col)
+    return _merge_segments(pts, max_gap_s)
+
+
+def _mention_points(
+    mentions_ts: DataFrame, conv_col: str, entity_col: str, ts_col: str
+) -> DataFrame:
+    """Mention observations as degenerate segments ``(t, t, 1)``."""
+    return mentions_ts.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(entity_col).alias("entity"),
+        F.expr(_EPOCH_US.format(ts_col)).alias("valid_from_us"),
+    ).select(
+        "conv_id",
+        "entity",
+        "valid_from_us",
+        F.col("valid_from_us").alias("valid_to_us"),
+        F.lit(1).cast("long").alias("n_mentions"),
+    )
+
+
+def _merge_segments(segs: DataFrame, max_gap_s: int) -> DataFrame:
+    """THE island-merge core: glue gap-chained segments per (conv, entity).
+
+    Both the batch operator (point segments) and the incremental fold
+    (existing intervals ∪ new points) run exactly this — one shared
+    definition of the gap rule, so the two can never drift.  lo-sorted
+    segments chain while ``lo - running max(hi) <= gap`` (the running max
+    handles segments nested inside earlier ones); counts add because the
+    segments partition the observation multiset.
+    """
     if max_gap_s < 0:
         raise ValueError("max_gap_s must be >= 0")
     gap_us = int(max_gap_s) * 1_000_000
-    base = mentions_ts.select(
-        F.col(conv_col).alias("conv_id"),
-        F.col(entity_col).alias("entity"),
-        F.expr(_EPOCH_US.format(ts_col)).alias("at_us"),
+    w = Window.partitionBy("conv_id", "entity").orderBy(
+        "valid_from_us", "valid_to_us"
     )
-    w = Window.partitionBy("conv_id", "entity").orderBy("at_us")
-    islands = (
-        base.withColumn("prev_us", F.lag("at_us").over(w))
+    return (
+        segs.withColumn(
+            "prev_hi",
+            F.max("valid_to_us").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
         .withColumn(
             "new_island",
             F.when(
-                F.col("prev_us").isNull()
-                | (F.col("at_us") - F.col("prev_us") > gap_us),
+                F.col("prev_hi").isNull()
+                | (F.col("valid_from_us") - F.col("prev_hi") > gap_us),
                 1,
             ).otherwise(0),
         )
@@ -76,12 +114,14 @@ def entity_activity_intervals(
                 w.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
+        .groupBy("conv_id", "entity", "island")
+        .agg(
+            F.min("valid_from_us").alias("valid_from_us"),
+            F.max("valid_to_us").alias("valid_to_us"),
+            F.sum("n_mentions").cast("long").alias("n_mentions"),
+        )
+        .drop("island")
     )
-    return islands.groupBy("conv_id", "entity", "island").agg(
-        F.min("at_us").alias("valid_from_us"),
-        F.max("at_us").alias("valid_to_us"),
-        F.count(F.lit(1)).cast("long").alias("n_mentions"),
-    ).drop("island")
 
 
 def entities_active_at(intervals: DataFrame, at_us: int) -> DataFrame:
@@ -196,6 +236,7 @@ def interval_quads(intervals: DataFrame) -> DataFrame:
         )
     )
     ent = fc.compile(_uri_template(EX + "entity/{entity}", ["entity"]))
+    conv = fc.compile(_uri_template(EX + "conv/{conv_id}", ["conv_id"]))
 
     def stmt(pred: str, obj, okind: str):
         return F.struct(
@@ -212,11 +253,10 @@ def interval_quads(intervals: DataFrame) -> DataFrame:
                 "iri",
             ),
             stmt(ONT + "entity", ent.col, "iri"),
-            stmt(
-                ONT + "inConversation",
-                F.concat(F.lit(EX + "conv/"), F.col("conv_id")),
-                "iri",
-            ),
+            # pct-encoded like every conv IRI the extraction layer emits —
+            # a raw concat would produce an invalid IRI (and a join miss)
+            # for conv ids containing reserved characters
+            stmt(ONT + "inConversation", conv.col, "iri"),
             stmt(ONT + "validFrom", F.col("valid_from_us"), "lit"),
             stmt(ONT + "validTo", F.col("valid_to_us"), "lit"),
             stmt(ONT + "mentionCount", F.col("n_mentions"), "lit"),
@@ -263,55 +303,9 @@ def intervals_increment(
     the islands window over AFFECTED keys only — per-partition volume
     bounded by one (conversation, entity) history, never the full state.
     """
-    if max_gap_s < 0:
-        raise ValueError("max_gap_s must be >= 0")
-    gap_us = int(max_gap_s) * 1_000_000
-    pts = new_mentions_ts.select(
-        F.col(conv_col).alias("conv_id"),
-        F.col(entity_col).alias("entity"),
-        F.expr(_EPOCH_US.format(ts_col)).alias("valid_from_us"),
-    ).select(
-        "conv_id",
-        "entity",
-        "valid_from_us",
-        F.col("valid_from_us").alias("valid_to_us"),
-        F.lit(1).cast("long").alias("n_mentions"),
-    )
+    pts = _mention_points(new_mentions_ts, conv_col, entity_col, ts_col)
     keys = pts.select("conv_id", "entity").distinct()
     untouched = intervals.join(keys, ["conv_id", "entity"], "left_anti")
     touched = intervals.join(keys, ["conv_id", "entity"], "left_semi")
-
-    segs = touched.unionByName(pts)
-    w = Window.partitionBy("conv_id", "entity").orderBy(
-        "valid_from_us", "valid_to_us"
-    )
-    merged = (
-        segs.withColumn(
-            "prev_hi",
-            F.max("valid_to_us").over(
-                w.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-        )
-        .withColumn(
-            "new_island",
-            F.when(
-                F.col("prev_hi").isNull()
-                | (F.col("valid_from_us") - F.col("prev_hi") > gap_us),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn(
-            "island",
-            F.sum("new_island").over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-        .groupBy("conv_id", "entity", "island")
-        .agg(
-            F.min("valid_from_us").alias("valid_from_us"),
-            F.max("valid_to_us").alias("valid_to_us"),
-            F.sum("n_mentions").cast("long").alias("n_mentions"),
-        )
-        .drop("island")
-    )
+    merged = _merge_segments(touched.unionByName(pts), max_gap_s)
     return untouched.unionByName(merged)

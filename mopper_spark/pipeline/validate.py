@@ -19,8 +19,9 @@ cardinality and pairing checks are zero-Exchange:
 - ``value_in``      — sh:in: literal objects must come from a closed
                       value set (NOT-IN row filter — the set is a plan
                       constant, never a join);
-- ``obj_pattern``   — sh:pattern: object must match an anchored regex
-                      (RE2-portable subset, row filter);
+- ``obj_pattern``   — sh:pattern: object must FULLY match the regex
+                      (anchored internally; RE2-portable subset, row
+                      filter);
 - ``class_of``      — sh:class: every OBJECT of the predicate must be
                       rdf:type the given class (distinct + anti-join on
                       the object column).
@@ -123,9 +124,13 @@ def validate_shapes(triples: DataFrame, shapes: list[Shape]) -> DataFrame:
                 )
             )
         if s.obj_pattern is not None:
+            # regexp_like is a SUBSTRING search; the documented contract is
+            # full-match, so anchor the pattern (idempotent for patterns
+            # the author already anchored)
+            anchored = f"^(?:{s.obj_pattern})$"
             parts.append(
                 scoped.filter(
-                    ~F.regexp_like(F.col("obj"), F.lit(s.obj_pattern))
+                    ~F.regexp_like(F.col("obj"), F.lit(anchored))
                 ).select(
                     *_v(F.col("subj"), s.pred, "obj_pattern", F.col("obj"))
                 )

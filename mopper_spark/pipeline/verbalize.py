@@ -71,12 +71,20 @@ def verbalize_triples(
     respective term.  Predicates without a template use ``default``;
     pass ``default=None`` to DROP untemplated predicates instead (the
     curation stance: only verbalize what you trust to read well).
+
+    When the statement table carries the engine's ``okind`` column, only
+    ``iri`` objects are label-extracted — literal objects pass through
+    VERBATIM (a literal like ``"24/7 support"`` must not be truncated at
+    its last slash).  Without ``okind`` the '/'-heuristic of
+    :func:`iri_label` applies to the object too.
     """
-    s, p, o = (
-        iri_label(F.col("subj")),
-        iri_label(F.col("pred")),
-        iri_label(F.col("obj")),
-    )
+    s, p = iri_label(F.col("subj")), iri_label(F.col("pred"))
+    if "okind" in triples.columns:
+        o = F.when(
+            F.col("okind") == "iri", iri_label(F.col("obj"))
+        ).otherwise(F.col("obj"))
+    else:
+        o = iri_label(F.col("obj"))
     expr = (
         _fill(default, s, p, o)
         if default is not None

@@ -265,3 +265,12 @@ class TestClusteringPairCounts:
     def test_singletons_only(self, spark):
         r = self._run(spark, [("A", 0), ("B", 1), ("C", 2)])
         assert (r.tp, r.fp, r.fn) == (0, 0, 0)
+
+
+def test_pair_counts_empty_labels_are_zero(spark):
+    """Empty labels table -> (0, 0, 0, 0), not NULLs (review fix)."""
+    from mopper_spark.pipeline.linking import clustering_pair_counts
+
+    empty = spark.createDataFrame([], "pred string, truth int")
+    r = clustering_pair_counts(empty, "pred", "truth").collect()[0]
+    assert (r.n_items, r.tp, r.fp, r.fn) == (0, 0, 0, 0)

@@ -307,3 +307,18 @@ class TestIntervalsIncrement:
         }
         assert ("c", "quiet", 0, 5_000_000, 2) in got
         assert ("c", "other", 100_000_000, 100_000_000, 1) in got
+
+
+def test_interval_quads_encodes_conv_iri(spark):
+    """conv IRIs are pct-encoded like the extraction layer's (review fix:
+    a raw concat emitted invalid IRIs for conv ids with spaces)."""
+    from mopper_spark.pipeline.temporal import interval_quads
+
+    df = spark.createDataFrame(
+        [("my conv", "alice", 0, 1, 1)],
+        "conv_id string, entity string, valid_from_us long, "
+        "valid_to_us long, n_mentions long",
+    )
+    ont = "http://example.com/ontology/"
+    rows = {r.pred: r.obj for r in interval_quads(df).collect()}
+    assert rows[ont + "inConversation"] == "http://example.com/conv/my%20conv"

@@ -141,3 +141,17 @@ class TestNewConstraints:
             ("http://ex/t2", "value_in"),
             ("http://ex/t4", "class_of"),
         ]
+
+
+def test_obj_pattern_is_full_match(spark):
+    """sh:pattern anchors internally: a partial match must still violate
+    (review fix — regexp_like alone is a substring search)."""
+    df = spark.createDataFrame(
+        [("http://ex/t1", "http://ex/score", "price 3.5 USD", "lit", "g"),
+         ("http://ex/t2", "http://ex/score", "3.5", "lit", "g")],
+        SCHEMA,
+    )
+    out = validate_shapes(
+        df, [Shape("http://ex/score", obj_pattern=r"[0-9]+\.[0-9]+")]
+    )
+    assert _codes(out) == [("http://ex/t1", "obj_pattern")]

@@ -77,3 +77,22 @@ def test_subject_docs_sorted_and_partition_invariant(spark, kg):
 def test_empty_template_refused(spark, kg):
     with pytest.raises(ValueError, match="empty verbalization"):
         verbalize_triples(kg, {"http://ex/ont/about": ""}).collect()
+
+
+def test_literal_object_with_slash_not_truncated(spark):
+    """okind-aware labels: a literal like '24/7 support' passes through
+    verbatim; only iri objects are label-extracted (review fix)."""
+    rows = [
+        ("http://ex/t1", "http://ex/ont/note", "24/7 support", "lit"),
+        ("http://ex/t1", "http://ex/ont/note", "http://ex/entity/Bob", "iri"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, okind string"
+    )
+    got = {
+        r.sentence
+        for r in verbalize_triples(
+            df, {"http://ex/ont/note": "Note: {o}"}
+        ).collect()
+    }
+    assert got == {"Note: 24/7 support", "Note: Bob"}
