@@ -2647,6 +2647,46 @@ GROUP BY 1
 """
 
 
+def _q_kg_active_between(spark: SparkSession, sf: str) -> DataFrame:
+    """The temporal-KG retrieval question the interval table exists for:
+    which entities were being discussed during [t1, t2]?  An interval
+    qualifies when it OVERLAPS the window (lo <= t2 AND hi >= t1,
+    inclusive) — two pushed range filters over the intervals table (at
+    scale: partition-prunable on a coarse valid_from_us bucket), then
+    one per-(conv, entity) aggregate collapsing multiple qualifying
+    intervals.  Window = minutes 5-15 of the fixture's hot conversation
+    (conv_00000, the skew conv — the only one with hours of activity;
+    conversations are a day apart, so any one window hits one conv)."""
+    from mopper_spark.pipeline.temporal import entity_activity_intervals
+
+    t1 = (1704067200 + 300) * 1_000_000
+    t2 = (1704067200 + 900) * 1_000_000
+    ints = entity_activity_intervals(_mentions_ts(spark), max_gap_s=60)
+    return (
+        ints.filter(
+            (F.col("valid_from_us") <= F.lit(t2))
+            & (F.col("valid_to_us") >= F.lit(t1))
+        )
+        .groupBy("conv_id", "entity")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("n_mentions").cast("long").alias("n_mentions"),
+        )
+    )
+
+
+_SQL_ACTIVE_BETWEEN = f"""
+WITH ints AS ({{ints}})
+SELECT conv_id, entity,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(n_mentions) AS BIGINT) AS n_mentions
+FROM ints
+WHERE valid_from_us <= {(1704067200 + 900) * 1_000_000}
+  AND valid_to_us >= {(1704067200 + 300) * 1_000_000}
+GROUP BY 1, 2
+"""
+
+
 def _q_kg_interval_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
     """Temporal co-occurrence (pipeline/temporal.py::interval_cooccurrence):
     entity pairs whose activity intervals OVERLAP within a conversation —
@@ -5029,6 +5069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_intervals_incremental": _q_kg_intervals_incremental,
         "kg_entity_profiles": _q_kg_entity_profiles,
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,
+        "kg_active_between": _q_kg_active_between,
         "kg_bgp_comention": _q_kg_bgp_comention,
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
         "kg_bgp_optional": _q_kg_bgp_optional,
@@ -5136,6 +5177,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_intervals_incremental": _SQL_ENTITY_INTERVALS,
         "kg_entity_profiles": _entity_profiles_oracle_sql(),
         "kg_pagerank_weighted": _pagerank_weighted_oracle_sql(),
+        "kg_active_between": _SQL_ACTIVE_BETWEEN.format(
+            ints=_SQL_ENTITY_INTERVALS
+        ),
         "kg_bgp_comention": _SQL_BGP_COMENTION,
         "kg_bgp_aggregate": _SQL_BGP_AGGREGATE,
         "kg_bgp_optional": _SQL_BGP_OPTIONAL,

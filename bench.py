@@ -101,6 +101,7 @@ HEADLINE = [
     "kg_verbalize_docs",
     "kg_entity_profiles",
     "kg_pagerank_weighted",
+    "kg_active_between",
 ]
 
 
