@@ -2647,6 +2647,37 @@ GROUP BY 1
 """
 
 
+def _q_docs_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic bottom-k-of-hash per-group sampling
+    (textops/sampling.py::sample_per_group): at most 20 documents per
+    (source, lang) cell, selected by md5 order of doc_id — reproducible
+    across runs/engines/partitionings and stable under corpus growth
+    (the curation property rand() sampling lacks).  The oracle replays
+    the identical md5-ordered QUALIFY."""
+    from mopper_spark.textops.sampling import sample_per_group
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return sample_per_group(
+        docs.select("doc_id", "source", "lang"),
+        ["source", "lang"],
+        F.col("doc_id"),
+        k=20,
+    )
+
+
+_SQL_SAMPLE_PER_GROUP = """
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY source, lang
+           ORDER BY md5('grp-v1' || CAST(doc_id AS VARCHAR)),
+                    CAST(doc_id AS VARCHAR)
+         ) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+
 def _q_kg_active_between(spark: SparkSession, sf: str) -> DataFrame:
     """The temporal-KG retrieval question the interval table exists for:
     which entities were being discussed during [t1, t2]?  An interval
@@ -5070,6 +5101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_profiles": _q_kg_entity_profiles,
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,
         "kg_active_between": _q_kg_active_between,
+        "docs_sample_per_group": _q_docs_sample_per_group,
         "kg_bgp_comention": _q_kg_bgp_comention,
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
         "kg_bgp_optional": _q_kg_bgp_optional,
@@ -5180,6 +5212,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_active_between": _SQL_ACTIVE_BETWEEN.format(
             ints=_SQL_ENTITY_INTERVALS
         ),
+        "docs_sample_per_group": _SQL_SAMPLE_PER_GROUP,
         "kg_bgp_comention": _SQL_BGP_COMENTION,
         "kg_bgp_aggregate": _SQL_BGP_AGGREGATE,
         "kg_bgp_optional": _SQL_BGP_OPTIONAL,

@@ -102,6 +102,7 @@ HEADLINE = [
     "kg_entity_profiles",
     "kg_pagerank_weighted",
     "kg_active_between",
+    "docs_sample_per_group",
 ]
 
 

@@ -87,3 +87,39 @@ def deterministic_sample(
     the same seed — the property that lets a pipeline debug on 0.1% and
     scale the same cohort up."""
     return df.filter(hash_bucket(F.col(key), seed) < int(round(rate * BUCKETS)))
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key: Column,
+    k: int,
+    seed: str = "grp-v1",
+) -> DataFrame:
+    """Deterministic "reservoir": at most ``k`` rows per group, chosen by
+    md5-hash order of ``key`` — the hash plays the role of the reservoir's
+    random draw, with every property training curation actually needs:
+    the same (seed, key) always wins or loses regardless of run, engine,
+    partitioning, or what OTHER rows exist in the group (adding corpus
+    never evicts a kept row unless it hash-sorts above it — the standard
+    bottom-k-of-hash sketch, which is also how MinHash sampling works).
+
+    Selection = the k smallest ``(md5(seed||key), key)`` per group; the
+    full key breaks hash ties deterministically.  One window per group
+    partition — per-partition volume bounded by the group's size, and for
+    heavy groups the rank window is spillable; no ``rand()``, no global
+    sort.  k <= 0 is refused.
+    """
+    if k <= 0:
+        raise ValueError("sample_per_group: k must be >= 1")
+    from pyspark.sql import Window
+
+    tag = F.md5(F.concat(F.lit(seed), key.cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(
+        tag.asc(), key.cast("string").asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
