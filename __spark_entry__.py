@@ -2647,6 +2647,36 @@ GROUP BY 1
 """
 
 
+def _q_docs_heavy_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact ε-heavy-hitter tokens (textops/sketches.py::heavy_hitters,
+    ε = 1/301): two-pass Misra-Gries — per-partition k-entry summaries
+    built by Arrow-batched mergeable reductions (no shuffle), then exact
+    counts of the bounded candidate set only.  The final set (every
+    token with count > n/301, exact counts) is deterministic even though
+    the sketch is partitioning-dependent; the oracle affords the full
+    GROUP BY at fixture scale."""
+    from mopper_spark.textops.sketches import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return heavy_hitters(toks, "tok", k=300)
+
+
+_SQL_HEAVY_TOKENS = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\s+')) AS value
+  FROM documents
+),
+t AS (SELECT value FROM toks WHERE value <> ''),
+n AS (SELECT COUNT(*) AS n FROM t)
+SELECT value, CAST(COUNT(*) AS BIGINT) AS freq
+FROM t, n GROUP BY value, n.n
+HAVING COUNT(*) * 301 > n.n
+"""
+
+
 def _q_docs_sample_per_group(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic bottom-k-of-hash per-group sampling
     (textops/sampling.py::sample_per_group): at most 20 documents per
@@ -5102,6 +5132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,
         "kg_active_between": _q_kg_active_between,
         "docs_sample_per_group": _q_docs_sample_per_group,
+        "docs_heavy_tokens": _q_docs_heavy_tokens,
         "kg_bgp_comention": _q_kg_bgp_comention,
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
         "kg_bgp_optional": _q_kg_bgp_optional,
@@ -5213,6 +5244,7 @@ def oracle_sql() -> dict[str, str]:
             ints=_SQL_ENTITY_INTERVALS
         ),
         "docs_sample_per_group": _SQL_SAMPLE_PER_GROUP,
+        "docs_heavy_tokens": _SQL_HEAVY_TOKENS,
         "kg_bgp_comention": _SQL_BGP_COMENTION,
         "kg_bgp_aggregate": _SQL_BGP_AGGREGATE,
         "kg_bgp_optional": _SQL_BGP_OPTIONAL,

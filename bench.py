@@ -103,6 +103,7 @@ HEADLINE = [
     "kg_pagerank_weighted",
     "kg_active_between",
     "docs_sample_per_group",
+    "docs_heavy_tokens",
 ]
 
 

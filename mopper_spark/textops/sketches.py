@@ -1,0 +1,92 @@
+"""Mergeable-summary sketches with exact verification passes.
+
+The 100 TB shape for "what are the frequent values?" is NOT a groupBy
+over every distinct value (the shuffle carries the full distinct domain
+— for web-scale token streams that is billions of keys).  The classic
+answer is a two-pass design (Misra-Gries '82; mergeability per Agarwal
+et al., PODS'12):
+
+1. each partition builds a bounded Misra-Gries summary (k counters) as
+   the stream flows through — no shuffle, O(k) memory;
+2. the UNION of per-partition candidates provably contains every value
+   with global frequency > n/(k+1) (if f > n/(k+1) globally, then by
+   pigeonhole f_p > n_p/(k+1) in at least one partition, where MG
+   guarantees survival);
+3. a second pass counts ONLY the candidates exactly (broadcast semi-join
+   + word-count-shaped groupBy over a domain of at most k × partitions
+   keys) and keeps those strictly above the threshold.
+
+The final answer — every value with exact count > n/(k+1), with its
+exact count — is deterministic and engine-replayable (the DuckDB oracle
+computes it with a full GROUP BY, affordable at fixture scale), even
+though the intermediate sketch is partitioning-dependent.  The Python
+stage is one Arrow-batched ``mapInPandas`` whose per-partition state is
+a k-entry dict.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_partition(k: int):
+    """Per-partition Misra-Gries via SUMMARY MERGES, not per-row updates:
+    each Arrow batch is reduced vectorized (``value_counts``), then merged
+    into the running k-entry summary with the Agarwal et al. MERGE rule —
+    add counts, and if more than k counters remain, subtract the
+    (k+1)-largest count from all and drop the non-positive.  The merge
+    preserves the MG error bound (≤ n_p/(k+1) undercount), so survival of
+    every locally-heavy value is still guaranteed; per-batch work is one
+    pandas reduction plus an O(k log k) trim — no per-row Python."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf["value"].dropna().value_counts()
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    key: c - cut for key, c in counters.items() if c > cut
+                }
+        yield pd.DataFrame({"value": list(counters.keys())})
+
+    return summarize
+
+
+def heavy_hitters(
+    values: DataFrame, col: str, k: int = 500
+) -> DataFrame:
+    """Exact ε-heavy hitters of ``values[col]`` for ε = 1/(k+1): every
+    value whose count strictly exceeds ``n/(k+1)``, with its EXACT count
+    — ``(value, freq)``.
+
+    ``k`` trades candidate-set size (≤ k per partition) against the
+    frequency threshold; NULLs are ignored.  See the module docstring
+    for the two-pass argument; the sketch pass never shuffles and the
+    exact pass shuffles only candidate keys.
+    """
+    if k < 1:
+        raise ValueError("heavy_hitters: k must be >= 1")
+    vals = values.select(F.col(col).cast("string").alias("value"))
+    candidates = (
+        vals.mapInPandas(_mg_partition(k), "value string").distinct()
+    )
+    n = vals.filter(F.col("value").isNotNull()).count()
+    exact = (
+        vals.join(F.broadcast(candidates), "value")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return exact.filter(F.col("freq") * (k + 1) > F.lit(n))
+
+
+def tokens_of(df: DataFrame, text_col: str = "text") -> Column:
+    """Lower-cased whitespace tokens — the shared tokenization of the
+    analysis layer, exposed for sketch inputs."""
+    return F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
