@@ -40,8 +40,9 @@ def parse_pattern(arg: str) -> tuple:
 
     The predicate term accepts SPARQL 1.1 property-path syntax
     (``bgp.parse_path``): ``^p`` inverse, ``<p>/<q>`` sequence,
-    ``(<p>|<q>)`` alternation, postfix ``+``; IRIs containing operator
-    characters must be ``<>``-wrapped.  The legacy bare sugar ``p+``
+    ``(<p>|<q>)`` alternation, postfix ``+`` / ``{m,n}``, negated
+    property sets ``!(<p>|^<q>)``; IRIs containing operator characters
+    must be ``<>``-wrapped.  The legacy bare sugar ``p+``
     (one-or-more of a bare IRI, even one with slashes) is kept: a literal
     trailing '+' is not valid in an N-Quads IRI, so it is unambiguous.
     """
@@ -59,7 +60,7 @@ def parse_pattern(arg: str) -> tuple:
     if not pred.startswith("?"):
         if pred.endswith("+") and not any(c in pred[:-1] for c in "^|()<> "):
             parts[1] = (pred[:-1], "+")  # legacy bare-IRI sugar, incl. '/'
-        elif any(c in pred for c in "^|()<>") or (
+        elif any(c in pred for c in "^|()<>!{") or (
             pred.endswith(("*", "+")) and "<" in pred
         ):
             try:

@@ -508,6 +508,13 @@ def test_kg_query_cli_path_syntax(spark, tmp_path):
     )
     # plain IRIs (slashes, no operators) still pass through untouched
     assert parse_pattern(f"?s|{EX}p|?o") == ("?s", EX + "p", "?o")
+    # round-4 syntax reaches the algebra through the CLI too
+    assert parse_pattern(f"?s|<{EX}p>{{2,3}}|?o") == (
+        "?s", ("{2,3}", EX + "p"), "?o",
+    )
+    assert parse_pattern(f"?s|!(<{EX}p>|^<{EX}q>)|?o") == (
+        "?s", ("!", EX + "p", ("^", EX + "q")), "?o",
+    )
     import pytest as _pytest
 
     with _pytest.raises(SystemExit):
