@@ -29,6 +29,12 @@ import json
 import os
 
 
+def _intervals_count(spark, args) -> int:
+    from mopper_spark.pipeline.temporal import read_intervals
+
+    return read_intervals(spark, args.intervals_state).count()
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="streaming parquet dir")
@@ -36,6 +42,14 @@ def main() -> None:
     p.add_argument("--checkpoints", required=True)
     p.add_argument("--graph", required=True, help="graph table root")
     p.add_argument("--max-files-per-trigger", type=int, default=4)
+    p.add_argument(
+        "--intervals-state",
+        help="also maintain temporal entity-activity intervals "
+        "(pipeline/temporal.py::intervals_increment) as a second "
+        "versioned state dir; the segment-monoid fold makes the end "
+        "state equal the batch operator for any micro-batch split",
+    )
+    p.add_argument("--intervals-gap-s", type=int, default=3600)
     p.add_argument(
         "--available-now",
         action="store_true",
@@ -60,6 +74,8 @@ def main() -> None:
     from mopper_spark.streaming import stream_transcripts
 
     os.makedirs(args.state, exist_ok=True)
+    if args.intervals_state:
+        os.makedirs(args.intervals_state, exist_ok=True)
 
     def process(batch_df, batch_id: int) -> None:
         b = batch_df.localCheckpoint(eager=True)  # one pass over the input
@@ -69,24 +85,47 @@ def main() -> None:
             os.path.join(args.graph, f"batch={batch_id}")
         )
         version = f"v{batch_id:06d}"
-        # Replay short-circuit (see pipeline/incremental.py): if a kill
-        # landed after the _LATEST pointer advanced but before the
-        # streaming checkpoint committed, the replay would read the
-        # dictionary from state/v{batch_id} and overwrite that same path
-        # — Spark refuses and the job crash-loops.  The pointer IS the
-        # dictionary commit, so the replay only needs the (idempotent)
-        # graph rewrite above.
-        if _read_latest(args.state) == version:
-            return
-        current = read_dictionary(sp, args.state)
-        nxt = link_increment(current, extract_mentions(b)).localCheckpoint(
-            eager=True
-        )  # sever lineage from the state files before overwriting them
-        nxt.write.mode("overwrite").parquet(os.path.join(args.state, version))
-        tmp = os.path.join(args.state, "_LATEST.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(version)
-        os.replace(tmp, os.path.join(args.state, "_LATEST"))
+
+        def advance(state_dir: str, nxt_df) -> None:
+            """Versioned-state commit: write state/v{batch}, then the
+            _LATEST pointer last (atomic rename) — the pointer IS the
+            commit."""
+            nxt_df.localCheckpoint(eager=True).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(state_dir, version))
+            tmp = os.path.join(state_dir, "_LATEST.tmp")
+            with open(tmp, "w") as fh:
+                fh.write(version)
+            os.replace(tmp, os.path.join(state_dir, "_LATEST"))
+
+        # Replay short-circuit PER STATE (see pipeline/incremental.py): a
+        # kill can land after one state's _LATEST advanced but before the
+        # streaming checkpoint committed — the replayed batch must skip
+        # every already-committed state (reading state/v{batch} and
+        # overwriting the same path crash-loops) while still folding the
+        # states that had not committed yet.  An early return on the
+        # first state would strand the second.
+        if _read_latest(args.state) != version:
+            current = read_dictionary(sp, args.state)
+            advance(args.state, link_increment(current, extract_mentions(b)))
+        if args.intervals_state and _read_latest(args.intervals_state) != version:
+            from mopper_spark.pipeline.temporal import (
+                intervals_increment,
+                read_intervals,
+            )
+
+            mentions_ts = extract_mentions(b).join(
+                b.select("conv_id", "turn_idx", "ts"),
+                ["conv_id", "turn_idx"],
+            )
+            advance(
+                args.intervals_state,
+                intervals_increment(
+                    read_intervals(sp, args.intervals_state),
+                    mentions_ts,
+                    max_gap_s=args.intervals_gap_s,
+                ),
+            )
 
     stream = stream_transcripts(
         spark, args.input, max_files_per_trigger=args.max_files_per_trigger
@@ -106,6 +145,11 @@ def main() -> None:
                     "dict_forms": d.count(),
                     "batches": len(
                         [x for x in os.listdir(args.graph) if x.startswith("batch=")]
+                    ),
+                    **(
+                        {"intervals": _intervals_count(spark, args)}
+                        if args.intervals_state
+                        else {}
                     ),
                 }
             )

@@ -309,3 +309,28 @@ def intervals_increment(
     touched = intervals.join(keys, ["conv_id", "entity"], "left_semi")
     merged = _merge_segments(touched.unionByName(pts), max_gap_s)
     return untouched.unionByName(merged)
+
+
+_INTERVALS_SCHEMA = (
+    "conv_id string, entity string, valid_from_us long, "
+    "valid_to_us long, n_mentions long"
+)
+
+
+def empty_intervals(spark) -> DataFrame:
+    return spark.createDataFrame([], _INTERVALS_SCHEMA)
+
+
+def read_intervals(spark, state_dir: str) -> DataFrame:
+    """Resolve the latest versioned intervals table (``state/v{n}`` + a
+    ``_LATEST`` pointer written last — the same crash-safe discipline as
+    the linking dictionary, see ``pipeline/incremental.py``); empty
+    table if no version committed yet."""
+    import os
+
+    from mopper_spark.pipeline.incremental import _read_latest
+
+    version = _read_latest(state_dir)
+    if version is None:
+        return empty_intervals(spark)
+    return spark.read.parquet(os.path.join(state_dir, version))

@@ -126,6 +126,10 @@ for i in range(3):
         str(tmp_path / "graph"),
         "--max-files-per-trigger",
         "1",
+        "--intervals-state",
+        str(tmp_path / "istate"),
+        "--intervals-gap-s",
+        "60",
         "--available-now",
     ]
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
@@ -135,6 +139,11 @@ for i in range(3):
     assert d1["graph_statements"] == 6660  # batch extract_triples count
     assert d1["dict_forms"] == 11  # batch entity-linking fixpoint size
     assert d1["batches"] >= 3
+    # the streamed interval fold must end at the BATCH operator's table
+    # over the same fixture (1273 rows at gap 60 — the kg_entity_intervals
+    # oracle count; the fold is a monoid so the micro-batch split is
+    # irrelevant)
+    assert d1["intervals"] == 1273
 
     # resume with no new data: no new batches, same state
     r2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
@@ -143,6 +152,7 @@ for i in range(3):
     assert d2["graph_statements"] == 6660
     assert d2["dict_forms"] == 11
     assert d2["batches"] == d1["batches"]
+    assert d2["intervals"] == 1273
 
 
 @pytest.mark.skipif(
