@@ -2708,6 +2708,88 @@ SELECT doc_id, source, lang FROM (
 """
 
 
+def _q_kg_intervals_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """The WHOLE pipeline composed: extract → block/score/link →
+    CC-canonicalize → temporal islands.  Activity intervals keyed by the
+    CANONICAL entity, so surface variants ("Venus Williams",
+    "V. Williams", "venus  williams") merge into ONE timeline per
+    conversation — intervals that were separate under surface keying
+    chain when the variants interleave.  The canonical dictionary
+    broadcast-joins onto the mention stream (it is tiny by construction);
+    everything downstream is the shared islands core."""
+    from mopper_spark.pipeline.canonicalize import canonical_map
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.linking import link_mentions, normalize_surface
+    from mopper_spark.pipeline.temporal import entity_activity_intervals
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    mentions = extract_mentions(tr)
+    forms = mentions.select(
+        normalize_surface(F.col("surface")).alias("norm")
+    ).distinct()
+    canon = canonical_map(forms, link_mentions(mentions))
+    m = (
+        mentions.withColumn("norm", normalize_surface(F.col("surface")))
+        .join(F.broadcast(canon.select("norm", "canonical_norm")), "norm")
+        .join(tr.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"])
+    )
+    return entity_activity_intervals(m, max_gap_s=60, entity_col="canonical_norm")
+
+
+def _canonical_intervals_oracle_sql() -> str:
+    """The temporal islands SQL with the recursive-CTE canonical map
+    applied to the mention stream first — the oracle-side composition of
+    linking and temporal (built from the same shared public constants as
+    every transcript oracle)."""
+    from mopper_spark.pipeline.extract import MENTION_REGEX
+    from mopper_spark.pipeline.linking import _ACCENTS, _FOLDED
+    from mopper_spark.pipeline.transcripts import ENTITY_FORMS
+
+    forms = ", ".join(f"'{f}'" for f, _ in ENTITY_FORMS)
+    norm = (
+        "trim(regexp_replace(regexp_replace(translate(lower({v}), "
+        f"'{_ACCENTS}', '{_FOLDED}'), '\\.', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+WITH canon AS ({_SQL_ENTITY_LINKING}),
+tr AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')),
+men AS (
+  SELECT conv_id, turn_idx, surface FROM (
+    SELECT conv_id, turn_idx,
+           unnest(list_distinct(list_concat(
+             regexp_extract_all(text, '{MENTION_REGEX}'),
+             list_filter([{forms}], f -> contains(text, f))
+           ))) AS surface
+    FROM tr
+  ) WHERE length(surface) >= 3
+),
+mts AS (
+  SELECT m.conv_id, c.canonical_norm AS entity, epoch_us(t.ts) AS at_us
+  FROM men m
+  JOIN tr t ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+  JOIN canon c ON {norm.format(v="m.surface")} = c.norm
+),
+lagged AS (
+  SELECT conv_id, entity, at_us,
+         lag(at_us) OVER (PARTITION BY conv_id, entity ORDER BY at_us) AS prev_us
+  FROM mts
+),
+isl AS (
+  SELECT conv_id, entity, at_us,
+         SUM(CASE WHEN prev_us IS NULL OR at_us - prev_us > 60 * 1000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id, entity ORDER BY at_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM lagged
+)
+SELECT conv_id, entity,
+       MIN(at_us) AS valid_from_us,
+       MAX(at_us) AS valid_to_us,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions
+FROM isl GROUP BY conv_id, entity, island
+"""
+
+
 def _q_kg_active_between(spark: SparkSession, sf: str) -> DataFrame:
     """The temporal-KG retrieval question the interval table exists for:
     which entities were being discussed during [t1, t2]?  An interval
@@ -5133,6 +5215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_active_between": _q_kg_active_between,
         "docs_sample_per_group": _q_docs_sample_per_group,
         "docs_heavy_tokens": _q_docs_heavy_tokens,
+        "kg_intervals_canonical": _q_kg_intervals_canonical,
         "kg_bgp_comention": _q_kg_bgp_comention,
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
         "kg_bgp_optional": _q_kg_bgp_optional,
@@ -5245,6 +5328,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_sample_per_group": _SQL_SAMPLE_PER_GROUP,
         "docs_heavy_tokens": _SQL_HEAVY_TOKENS,
+        "kg_intervals_canonical": _canonical_intervals_oracle_sql(),
         "kg_bgp_comention": _SQL_BGP_COMENTION,
         "kg_bgp_aggregate": _SQL_BGP_AGGREGATE,
         "kg_bgp_optional": _SQL_BGP_OPTIONAL,

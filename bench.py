@@ -104,6 +104,7 @@ HEADLINE = [
     "kg_active_between",
     "docs_sample_per_group",
     "docs_heavy_tokens",
+    "kg_intervals_canonical",
 ]
 
 
