@@ -2790,6 +2790,70 @@ FROM isl GROUP BY conv_id, entity, island
 """
 
 
+def _q_kg_mentions_by_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """Topic-scoped entity mentions: the lexical-cohesion segmentation
+    (textops/prepare.py::segment_conversations) joined onto the mention
+    stream, aggregated per (conversation, segment, entity) — which
+    entities each SECTION of a conversation is about, with its turn
+    span.  Both inputs are per-conversation window passes; the join is a
+    co-partitioned (conv_id, turn_idx) equi-join, and the aggregate is
+    word-count-shaped."""
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.linking import normalize_surface
+    from mopper_spark.textops.prepare import segment_conversations
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    segs = segment_conversations(tr)
+    m = extract_mentions(tr).join(segs, ["conv_id", "turn_idx"])
+    return (
+        m.select(
+            "conv_id",
+            "seg_id",
+            normalize_surface(F.col("surface")).alias("entity"),
+            "turn_idx",
+        )
+        .groupBy("conv_id", "seg_id", "entity")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_mentions"),
+            F.min("turn_idx").cast("long").alias("first_turn"),
+            F.max("turn_idx").cast("long").alias("last_turn"),
+        )
+    )
+
+
+def _mentions_by_segment_oracle_sql() -> str:
+    from mopper_spark.pipeline.extract import MENTION_REGEX
+    from mopper_spark.pipeline.linking import _ACCENTS, _FOLDED
+    from mopper_spark.pipeline.transcripts import ENTITY_FORMS
+
+    forms = ", ".join(f"'{f}'" for f, _ in ENTITY_FORMS)
+    norm = (
+        "trim(regexp_replace(regexp_replace(translate(lower({v}), "
+        f"'{_ACCENTS}', '{_FOLDED}'), '\\.', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+WITH seg AS ({_SQL_TRANSCRIPTS_SEGMENT}),
+tr AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')),
+men AS (
+  SELECT conv_id, turn_idx, surface FROM (
+    SELECT conv_id, turn_idx,
+           unnest(list_distinct(list_concat(
+             regexp_extract_all(text, '{MENTION_REGEX}'),
+             list_filter([{forms}], f -> contains(text, f))
+           ))) AS surface
+    FROM tr
+  ) WHERE length(surface) >= 3
+)
+SELECT m.conv_id, s.seg_id, {norm.format(v="m.surface")} AS entity,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(MIN(m.turn_idx) AS BIGINT) AS first_turn,
+       CAST(MAX(m.turn_idx) AS BIGINT) AS last_turn
+FROM men m JOIN seg s
+  ON m.conv_id = s.conv_id AND m.turn_idx = s.turn_idx
+GROUP BY 1, 2, 3
+"""
+
+
 def _q_kg_active_between(spark: SparkSession, sf: str) -> DataFrame:
     """The temporal-KG retrieval question the interval table exists for:
     which entities were being discussed during [t1, t2]?  An interval
@@ -5216,6 +5280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_per_group": _q_docs_sample_per_group,
         "docs_heavy_tokens": _q_docs_heavy_tokens,
         "kg_intervals_canonical": _q_kg_intervals_canonical,
+        "kg_mentions_by_segment": _q_kg_mentions_by_segment,
         "kg_bgp_comention": _q_kg_bgp_comention,
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
         "kg_bgp_optional": _q_kg_bgp_optional,
@@ -5329,6 +5394,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample_per_group": _SQL_SAMPLE_PER_GROUP,
         "docs_heavy_tokens": _SQL_HEAVY_TOKENS,
         "kg_intervals_canonical": _canonical_intervals_oracle_sql(),
+        "kg_mentions_by_segment": _mentions_by_segment_oracle_sql(),
         "kg_bgp_comention": _SQL_BGP_COMENTION,
         "kg_bgp_aggregate": _SQL_BGP_AGGREGATE,
         "kg_bgp_optional": _SQL_BGP_OPTIONAL,

@@ -105,6 +105,7 @@ HEADLINE = [
     "docs_sample_per_group",
     "docs_heavy_tokens",
     "kg_intervals_canonical",
+    "kg_mentions_by_segment",
 ]
 
 
