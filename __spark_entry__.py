@@ -2790,6 +2790,53 @@ FROM isl GROUP BY conv_id, entity, island
 """
 
 
+def _q_transcripts_dedup_convs(spark: SparkSession, sf: str) -> DataFrame:
+    """CONVERSATION-granularity near-dup: the chat-rendered documents
+    (render_conversations) pushed through the exact n-gram Jaccard
+    inverted index (dedup.ngram_jaccard_pairs) — whole-conversation
+    duplicates a turn-level dedup cannot see.  Same inverted-index scale
+    shape (shingle-keyed shuffle, never all-pairs); threshold 0.3 sits
+    inside the fixture's observed 0.17–0.35 pair range so the answer is
+    a non-trivial strict subset."""
+    from mopper_spark.textops.dedup import ngram_jaccard_pairs
+    from mopper_spark.textops.prepare import render_conversations
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    docs = render_conversations(tr).select("conv_id", "text")
+    return ngram_jaccard_pairs(
+        docs, id_col="conv_id", n=3, threshold=0.3
+    ).select("id_a", "id_b", F.round("jaccard", 5).alias("jaccard"))
+
+
+_SQL_DEDUP_CONVS = f"""
+WITH r AS (
+  SELECT conv_id AS id,
+         string_agg('<|' || role || '|>' || text, chr(10)
+                    ORDER BY turn_idx, '<|' || role || '|>' || text) AS text
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}') GROUP BY conv_id
+), toks AS (
+  SELECT id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+  FROM r
+), shingled AS (
+  SELECT id,
+         list_distinct(CASE WHEN len(tk) >= 3
+           THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+           ELSE [array_to_string(tk, ' ')] END) AS sh
+  FROM toks
+), inv AS (SELECT id, unnest(sh) AS g FROM shingled),
+sizes AS (SELECT id, len(sh) AS n_sh FROM shingled),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, ROUND(i * 1.0 / (sa.n_sh + sb.n_sh - i), 5) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.3
+"""
+
+
 def _q_kg_mentions_by_segment(spark: SparkSession, sf: str) -> DataFrame:
     """Topic-scoped entity mentions: the lexical-cohesion segmentation
     (textops/prepare.py::segment_conversations) joined onto the mention
@@ -5281,6 +5328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_heavy_tokens": _q_docs_heavy_tokens,
         "kg_intervals_canonical": _q_kg_intervals_canonical,
         "kg_mentions_by_segment": _q_kg_mentions_by_segment,
+        "transcripts_dedup_convs": _q_transcripts_dedup_convs,
         "kg_bgp_comention": _q_kg_bgp_comention,
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
         "kg_bgp_optional": _q_kg_bgp_optional,
@@ -5395,6 +5443,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_heavy_tokens": _SQL_HEAVY_TOKENS,
         "kg_intervals_canonical": _canonical_intervals_oracle_sql(),
         "kg_mentions_by_segment": _mentions_by_segment_oracle_sql(),
+        "transcripts_dedup_convs": _SQL_DEDUP_CONVS,
         "kg_bgp_comention": _SQL_BGP_COMENTION,
         "kg_bgp_aggregate": _SQL_BGP_AGGREGATE,
         "kg_bgp_optional": _SQL_BGP_OPTIONAL,

@@ -106,6 +106,7 @@ HEADLINE = [
     "docs_heavy_tokens",
     "kg_intervals_canonical",
     "kg_mentions_by_segment",
+    "transcripts_dedup_convs",
 ]
 
 
