@@ -2790,6 +2790,37 @@ FROM isl GROUP BY conv_id, entity, island
 """
 
 
+def _q_transcripts_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Agent-ops latency metrics (textops/prepare.py::response_latency):
+    per conversation, integer epoch-µs statistics of how quickly
+    assistant turns follow their immediately preceding user turn.  One
+    lag window per conversation + one combine-able aggregate; oracle =
+    the same adjacent-pair window in DuckDB."""
+    from mopper_spark.textops.prepare import response_latency
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return response_latency(tr)
+
+
+_SQL_TRANSCRIPTS_LATENCY = f"""
+WITH lagged AS (
+  SELECT conv_id, role, epoch_us(ts) AS at_us,
+         LAG(role) OVER w AS prev_role,
+         LAG(epoch_us(ts)) OVER w AS prev_us
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_responses,
+       CAST(SUM(at_us - prev_us) AS BIGINT) AS total_latency_us,
+       MIN(at_us - prev_us) AS min_latency_us,
+       MAX(at_us - prev_us) AS max_latency_us
+FROM lagged
+WHERE role = 'assistant' AND prev_role = 'user'
+GROUP BY conv_id
+"""
+
+
 def _q_transcripts_dedup_convs(spark: SparkSession, sf: str) -> DataFrame:
     """CONVERSATION-granularity near-dup: the chat-rendered documents
     (render_conversations) pushed through the exact n-gram Jaccard
@@ -5329,6 +5360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_intervals_canonical": _q_kg_intervals_canonical,
         "kg_mentions_by_segment": _q_kg_mentions_by_segment,
         "transcripts_dedup_convs": _q_transcripts_dedup_convs,
+        "transcripts_latency": _q_transcripts_latency,
         "kg_bgp_comention": _q_kg_bgp_comention,
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
         "kg_bgp_optional": _q_kg_bgp_optional,
@@ -5444,6 +5476,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_intervals_canonical": _canonical_intervals_oracle_sql(),
         "kg_mentions_by_segment": _mentions_by_segment_oracle_sql(),
         "transcripts_dedup_convs": _SQL_DEDUP_CONVS,
+        "transcripts_latency": _SQL_TRANSCRIPTS_LATENCY,
         "kg_bgp_comention": _SQL_BGP_COMENTION,
         "kg_bgp_aggregate": _SQL_BGP_AGGREGATE,
         "kg_bgp_optional": _SQL_BGP_OPTIONAL,

@@ -107,6 +107,7 @@ HEADLINE = [
     "kg_intervals_canonical",
     "kg_mentions_by_segment",
     "transcripts_dedup_convs",
+    "transcripts_latency",
 ]
 
 

@@ -284,3 +284,43 @@ def sft_pairs(
         .filter((F.col("role") == response_role) & F.col("prompt").isNotNull())
         .select("conv_id", "turn_idx", "prompt", F.col("text").alias("response"))
     )
+
+
+def response_latency(
+    transcripts: DataFrame,
+    *,
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Agent-ops metrics over the transcript stream: per conversation,
+    how quickly ``response_role`` turns follow their IMMEDIATELY
+    preceding ``prompt_role`` turn — ``(conv_id, n_responses,
+    total_latency_us, min_latency_us, max_latency_us)``.  Only adjacent
+    prompt→response turn pairs count (an intervening tool/system turn
+    means the response latency measures something else — excluded, like
+    sft_pairs' skip semantics but stricter by design; the INTEGER epoch-µs
+    sums keep the row fetch-path-exact).
+
+    One per-conversation window pass (lag over turn_idx) + one
+    combine-able aggregation — the standard per-conversation skew bound.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    epoch = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    lagged = (
+        transcripts.select(
+            "conv_id", "turn_idx", "role", F.expr(epoch).alias("at_us")
+        )
+        .withColumn("prev_role", F.lag("role").over(w))
+        .withColumn("prev_us", F.lag("at_us").over(w))
+    )
+    pairs = lagged.filter(
+        (F.col("role") == response_role) & (F.col("prev_role") == prompt_role)
+    ).select("conv_id", (F.col("at_us") - F.col("prev_us")).alias("lat_us"))
+    return pairs.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_responses"),
+        F.sum("lat_us").cast("long").alias("total_latency_us"),
+        F.min("lat_us").alias("min_latency_us"),
+        F.max("lat_us").alias("max_latency_us"),
+    )

@@ -186,3 +186,30 @@ class TestSftPairs:
         a = sorted(map(tuple, sft_pairs(tr).collect()))
         b = sorted(map(tuple, sft_pairs(tr.repartition(17)).collect()))
         assert a == b and len(a) > 100
+
+
+def test_response_latency_adjacent_pairs_only(spark):
+    """Only assistant turns IMMEDIATELY after a user turn count; an
+    intervening tool turn excludes the pair."""
+    from datetime import datetime, timezone
+
+    from mopper_spark.textops.prepare import response_latency
+
+    def ts(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc)
+
+    rows = [
+        ("c", 0, "user", ts(0)),
+        ("c", 1, "assistant", ts(4)),     # counted: 4s
+        ("c", 2, "user", ts(10)),
+        ("c", 3, "tool", ts(12)),
+        ("c", 4, "assistant", ts(20)),    # NOT counted (tool intervenes)
+        ("c", 5, "user", ts(30)),
+        ("c", 6, "assistant", ts(31)),    # counted: 1s
+        ("d", 0, "assistant", ts(0)),     # no preceding user at all
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    got = {tuple(r) for r in response_latency(df).collect()}
+    assert got == {("c", 2, 5_000_000, 1_000_000, 4_000_000)}
