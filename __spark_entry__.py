@@ -2868,6 +2868,60 @@ WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.3
 """
 
 
+def _q_kg_temporal_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity communities by SIMULTANEOUS discussion: min-label connected
+    components (the large/small-star operator, via canonical_map's
+    string-node wrapper) over the temporal co-occurrence graph
+    thresholded at 175 s of summed overlap — entities that repeatedly
+    share airtime cluster together, a stronger signal than bag-of-
+    conversation co-mention communities (mention_communities).  Returns
+    (entity, community = lexicographic min member)."""
+    from mopper_spark.pipeline.canonicalize import canonical_map
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.temporal import (
+        entity_activity_intervals,
+        interval_cooccurrence,
+    )
+
+    cooc = interval_cooccurrence(
+        entity_activity_intervals(_mentions_ts(spark), max_gap_s=60)
+    )
+    edges = (
+        cooc.groupBy("e1", "e2")
+        .agg(F.sum("total_overlap_us").alias("w"))
+        .filter(F.col("w") >= 175 * 1_000_000)
+        .select(F.col("e1").alias("norm_a"), F.col("e2").alias("norm_b"))
+    )
+    forms = (
+        edges.select(F.col("norm_a").alias("norm"))
+        .union(edges.select("norm_b"))
+        .distinct()
+    )
+    return canonical_map(forms, edges).select(
+        F.col("norm").alias("entity"),
+        F.col("canonical_norm").alias("community"),
+    )
+
+
+_SQL_TEMPORAL_COMMUNITIES = """
+WITH RECURSIVE cooc AS ({cooc}),
+pairs AS (
+  SELECT least(e1, e2) AS a, greatest(e1, e2) AS b
+  FROM cooc GROUP BY 1, 2
+  HAVING SUM(total_overlap_us) >= 175 * 1000000
+),
+edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+),
+reach(node, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS entity, MIN(comp) AS community FROM reach GROUP BY node
+"""
+
+
 def _q_kg_mentions_by_segment(spark: SparkSession, sf: str) -> DataFrame:
     """Topic-scoped entity mentions: the lexical-cohesion segmentation
     (textops/prepare.py::segment_conversations) joined onto the mention
@@ -5361,6 +5415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_by_segment": _q_kg_mentions_by_segment,
         "transcripts_dedup_convs": _q_transcripts_dedup_convs,
         "transcripts_latency": _q_transcripts_latency,
+        "kg_temporal_communities": _q_kg_temporal_communities,
         "kg_bgp_comention": _q_kg_bgp_comention,
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
         "kg_bgp_optional": _q_kg_bgp_optional,
@@ -5477,6 +5532,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions_by_segment": _mentions_by_segment_oracle_sql(),
         "transcripts_dedup_convs": _SQL_DEDUP_CONVS,
         "transcripts_latency": _SQL_TRANSCRIPTS_LATENCY,
+        "kg_temporal_communities": _SQL_TEMPORAL_COMMUNITIES.format(
+            cooc=_SQL_INTERVAL_COOC
+        ),
         "kg_bgp_comention": _SQL_BGP_COMENTION,
         "kg_bgp_aggregate": _SQL_BGP_AGGREGATE,
         "kg_bgp_optional": _SQL_BGP_OPTIONAL,

@@ -108,6 +108,7 @@ HEADLINE = [
     "kg_mentions_by_segment",
     "transcripts_dedup_convs",
     "transcripts_latency",
+    "kg_temporal_communities",
 ]
 
 
