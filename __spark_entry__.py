@@ -2821,6 +2821,37 @@ GROUP BY conv_id
 """
 
 
+def _q_transcripts_tool_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Agent-ops tool-usage Markov profile: ``prev_tool -> next_tool``
+    transition counts and ML probabilities along each conversation's
+    tool-invocation sequence, first call transitioning from ``_START_``
+    (mopper_spark/textops/prepare.py::tool_transitions).  One
+    per-conversation lag window + a transition-matrix-sized aggregate;
+    ``p`` is the one double division over exact integers."""
+    from mopper_spark.textops.prepare import tool_transitions
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return tool_transitions(tr)
+
+
+_SQL_TOOL_TRANSITIONS = f"""
+WITH seq AS (
+  SELECT COALESCE(LAG(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                  '_START_') AS prev_tool,
+         tool AS next_tool
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+  WHERE tool IS NOT NULL
+), c AS (
+  SELECT prev_tool, next_tool, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM seq GROUP BY prev_tool, next_tool
+)
+SELECT prev_tool, next_tool, n_trans,
+       CAST(SUM(n_trans) OVER (PARTITION BY prev_tool) AS BIGINT) AS n_from,
+       n_trans / CAST(SUM(n_trans) OVER (PARTITION BY prev_tool) AS DOUBLE) AS p
+FROM c
+"""
+
+
 def _q_transcripts_dedup_convs(spark: SparkSession, sf: str) -> DataFrame:
     """CONVERSATION-granularity near-dup: the chat-rendered documents
     (render_conversations) pushed through the exact n-gram Jaccard
@@ -5415,6 +5446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions_by_segment": _q_kg_mentions_by_segment,
         "transcripts_dedup_convs": _q_transcripts_dedup_convs,
         "transcripts_latency": _q_transcripts_latency,
+        "transcripts_tool_transitions": _q_transcripts_tool_transitions,
         "kg_temporal_communities": _q_kg_temporal_communities,
         "kg_bgp_comention": _q_kg_bgp_comention,
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
@@ -5532,6 +5564,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions_by_segment": _mentions_by_segment_oracle_sql(),
         "transcripts_dedup_convs": _SQL_DEDUP_CONVS,
         "transcripts_latency": _SQL_TRANSCRIPTS_LATENCY,
+        "transcripts_tool_transitions": _SQL_TOOL_TRANSITIONS,
         "kg_temporal_communities": _SQL_TEMPORAL_COMMUNITIES.format(
             cooc=_SQL_INTERVAL_COOC
         ),

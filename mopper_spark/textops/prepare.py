@@ -324,3 +324,48 @@ def response_latency(
         F.min("lat_us").alias("min_latency_us"),
         F.max("lat_us").alias("max_latency_us"),
     )
+
+
+def tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """Agent-ops tool-usage Markov profile: corpus-wide counts and
+    maximum-likelihood probabilities of ``prev_tool -> next_tool``
+    transitions along each conversation's tool-invocation sequence
+    (non-tool turns are skipped; the first tool call of a conversation
+    transitions from the synthetic state ``_START_``).  Mirrors the
+    reference's row-stream view of a logical source (mopper iterates rows
+    in source order, ``src/source/csv_file.rs:27-115``) lifted to
+    per-conversation order.
+
+    Output: ``(prev_tool, next_tool, n_trans, n_from, p)`` where ``p`` is
+    the ONE double division ``n_trans / n_from`` over exact integers (the
+    cross-engine-deterministic shape used throughout this repo).
+
+    Scale shape: the window is partitioned by ``conv_id`` — per-key state
+    is one row (the previous tool turn), and the hot-conversation skew
+    bound is the same one every per-conversation window in this repo
+    documents; the transition matrix itself is at most
+    ``(n_tools + 1)^2`` rows, so the final aggregate is a map-side-combine
+    count shuffle followed by a broadcast-size join for the denominator.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tool_turns = transcripts.filter(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "tool"
+    )
+    seq = tool_turns.withColumn(
+        "prev_tool", F.coalesce(F.lag("tool").over(w), F.lit("_START_"))
+    )
+    counts = seq.groupBy("prev_tool", F.col("tool").alias("next_tool")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans")
+    )
+    from_totals = counts.groupBy("prev_tool").agg(
+        F.sum("n_trans").alias("n_from")
+    )
+    return counts.join(F.broadcast(from_totals), "prev_tool").select(
+        "prev_tool",
+        "next_tool",
+        "n_trans",
+        F.col("n_from").cast("long").alias("n_from"),
+        (F.col("n_trans") / F.col("n_from")).alias("p"),
+    )

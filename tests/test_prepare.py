@@ -213,3 +213,43 @@ def test_response_latency_adjacent_pairs_only(spark):
     )
     got = {tuple(r) for r in response_latency(df).collect()}
     assert got == {("c", 2, 5_000_000, 1_000_000, 4_000_000)}
+
+
+def test_tool_transitions_markov_counts(spark):
+    """Transitions follow per-conversation tool order (non-tool turns
+    skipped), first call comes from _START_, and p = n_trans/n_from."""
+    from mopper_spark.textops.prepare import tool_transitions
+
+    rows = [
+        # conv c: search -> python -> python
+        ("c", 0, "user", None),
+        ("c", 1, "tool", "search"),
+        ("c", 2, "assistant", None),
+        ("c", 3, "tool", "python"),
+        ("c", 4, "tool", "python"),
+        # conv d: search -> browser
+        ("d", 0, "tool", "search"),
+        ("d", 1, "tool", "browser"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string"
+    )
+    got = {
+        (r.prev_tool, r.next_tool): (r.n_trans, r.n_from, r.p)
+        for r in tool_transitions(df).collect()
+    }
+    assert got == {
+        ("_START_", "search"): (2, 2, 1.0),
+        ("search", "python"): (1, 2, 0.5),
+        ("search", "browser"): (1, 2, 0.5),
+        ("python", "python"): (1, 1, 1.0),
+    }
+
+
+def test_tool_transitions_partitioning_invariant(spark):
+    from mopper_spark.textops.prepare import tool_transitions
+
+    tr = spark.read.parquet("fixtures/transcripts_2000.parquet")
+    a = sorted(map(tuple, tool_transitions(tr).collect()))
+    b = sorted(map(tuple, tool_transitions(tr.repartition(13)).collect()))
+    assert a == b and len(a) >= 4
