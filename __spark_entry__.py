@@ -1576,6 +1576,43 @@ FROM toks t LEFT JOIN per p USING (doc_id)
 """
 
 
+def _q_docs_unigram_xent(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style quality ranking: per-document cross-entropy under the
+    corpus's own unigram LM (mopper_spark/textops/analysis.py::
+    unigram_xent).  Fixed-point ``floor(ln(c)*1e6)`` per DISTINCT token
+    count keeps every multi-row sum in exact integers; the final xent is
+    one double expression over those integers, so both engines agree
+    bit-for-bit.  Two word-count-shaped shuffles, vocabulary broadcast."""
+    from mopper_spark.textops.analysis import unigram_xent
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return unigram_xent(docs)
+
+
+_SQL_UNIGRAM_XENT = """
+WITH ex AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS cnt,
+         CAST(floor(ln(COUNT(*)) * 1000000.0) AS BIGINT) AS lnc_fp
+  FROM ex GROUP BY tok
+), total AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab
+), per AS (
+  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(v.lnc_fp) AS BIGINT) AS sum_lnc_fp
+  FROM ex e JOIN vocab v USING (tok)
+  GROUP BY e.doc_id
+)
+SELECT doc_id, n_tokens, sum_lnc_fp,
+       ln(CAST(n_total AS DOUBLE)) - sum_lnc_fp / (1000000.0 * n_tokens) AS xent
+FROM per, total
+"""
+
+
 def _q_stream_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming ingest screen: candidate docs arrive as a 4-micro-batch
     file stream; each batch's distinct 4-grams probe the STATIC broadcast
@@ -5418,6 +5455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_ngram": _q_contamination_ngram,
         "docs_repetition": _q_docs_repetition,
         "vocab_oov_rate": _q_vocab_oov_rate,
+        "docs_unigram_xent": _q_docs_unigram_xent,
         "pack_sequences": _q_pack_sequences,
         "stream_contamination": _q_stream_contamination,
         "transcript_turn_dedup": _q_transcript_turn_dedup,
@@ -5532,6 +5570,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_ngram": _SQL_CONTAMINATION,
         "docs_repetition": _SQL_DOCS_REPETITION,
         "vocab_oov_rate": _SQL_VOCAB_OOV,
+        "docs_unigram_xent": _SQL_UNIGRAM_XENT,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "stream_contamination": _SQL_STREAM_CONTAMINATION,
         "transcript_turn_dedup": _SQL_TURN_DEDUP,

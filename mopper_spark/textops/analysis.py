@@ -359,3 +359,60 @@ def chunk_documents(
             " ",
         ).alias("chunk"),
     )
+
+
+def unigram_xent(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style quality signal: per-document cross-entropy under the
+    corpus's own unigram language model — the filter that ranks "does this
+    document look like the corpus" (CCNet, Wenzek et al. LREC 2020, uses a
+    KenLM 5-gram; the unigram variant is the same signal computable with
+    two word-count-shaped shuffles and no model artifact).
+
+    xent(d) = -(1/n_d) * SUM_t ln(c_t / N)  =  ln(N) - SUM_t ln(c_t) / n_d
+
+    Engine-portable determinism: doubles never flow through a multi-row
+    SUM (float addition is partition-order-dependent).  Each DISTINCT
+    token count gets ONE fixed-point log ``lnc_fp = floor(ln(c)*1e6)``
+    (BIGINT); per-document sums are exact integer arithmetic; the final
+    ``xent`` is one double expression over exact integers, so Spark and
+    any ANSI oracle agree bit-for-bit under %.9g.
+
+    Scale shape: exactly two corpus-wide shuffles (token counts + the
+    per-doc aggregate), the same bound as ``vocab_oov``; the vocabulary
+    join is a broadcast at fixture scale and a word-shaped shuffle at
+    corpus scale.  Output: ``(doc_id, n_tokens, sum_lnc_fp, xent)`` for
+    documents with at least one token.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    exploded = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    vocab = (
+        exploded.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("lnc_fp", F.floor(F.log("cnt") * F.lit(1000000.0)).cast("long"))
+    )
+    total = vocab.groupBy().agg(F.sum("cnt").cast("long").alias("n_total"))
+    per_doc = (
+        exploded.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lnc_fp").cast("long").alias("sum_lnc_fp"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_lnc_fp",
+        (
+            F.log(F.col("n_total").cast("double"))
+            - F.col("sum_lnc_fp") / (F.lit(1000000.0) * F.col("n_tokens"))
+        ).alias("xent"),
+    )

@@ -857,3 +857,53 @@ class TestScd2Intervals:
         b = sorted(map(tuple, scd2_intervals(
             ev.repartition(7), ["k"], "ts", ["state"]).collect()))
         assert a == b
+
+
+class TestUnigramXent:
+    def test_matches_python_replica(self, spark):
+        """Fixed-point formula replicated exactly in pure python."""
+        import math
+
+        from mopper_spark.textops.analysis import unigram_xent
+
+        rows = [
+            (1, "the cat sat on the mat"),
+            (2, "the dog"),
+            (3, "cat cat cat"),
+            (4, "   "),  # no tokens -> excluded
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_tokens, r.sum_lnc_fp, r.xent)
+               for r in unigram_xent(df).collect()}
+
+        toks = {1: "the cat sat on the mat".split(),
+                2: "the dog".split(),
+                3: "cat cat cat".split()}
+        from collections import Counter
+        cnt = Counter(t for ts in toks.values() for t in ts)
+        n_total = sum(cnt.values())
+        lnc = {t: math.floor(math.log(c) * 1e6) for t, c in cnt.items()}
+        for d, ts in toks.items():
+            s = sum(lnc[t] for t in ts)
+            xent = math.log(float(n_total)) - s / (1e6 * len(ts))
+            assert got[d] == (len(ts), s, xent), (d, got[d])
+        assert 4 not in got
+
+    def test_rarer_docs_score_higher(self, spark):
+        """A doc of corpus-frequent tokens has lower xent than a doc of
+        hapaxes — the CCNet ranking direction."""
+        from mopper_spark.textops.analysis import unigram_xent
+
+        rows = [(i, "common common common") for i in range(10)]
+        rows.append((100, "zyxwv qwert plonk"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        x = {r.doc_id: r.xent for r in unigram_xent(df).collect()}
+        assert x[100] > x[0]
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.analysis import unigram_xent
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, unigram_xent(docs).collect()))
+        b = sorted(map(tuple, unigram_xent(docs.repartition(17)).collect()))
+        assert a == b and len(a) > 10
