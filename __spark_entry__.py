@@ -1613,6 +1613,71 @@ FROM per, total
 """
 
 
+def _q_docs_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-count of the corpus's 4-gram shingle domain
+    (mopper_spark/textops/sketches.py::hll_distinct) — the "how big is
+    the shingle universe" sizing question that precedes dedup-index
+    planning.  4096 exact-integer registers from md5 bits (map-side
+    combine, shuffle carries ≤ m rows/partition vs countDistinct's full
+    domain); the harmonic denominator sums exact BIGINTs (2^(50-rho)) so
+    the one-row result is engine-exact, including the double estimate.
+    ``n_exact`` is the fixture-scale verification leg."""
+    from mopper_spark.textops.dedup import _lower_tokens, word_ngram_array
+    from mopper_spark.textops.sketches import hll_distinct
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    grams = docs.select(_lower_tokens("text").alias("toks")).select(
+        F.explode(word_ngram_array("toks", 4)).alias("g")
+    )
+    return hll_distinct(grams, "g")
+
+
+_SQL_HLL_DISTINCT = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT unnest(CASE WHEN len(tk) >= 4
+     THEN list_transform(range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], ' '))
+     ELSE [array_to_string(tk, ' ')] END) AS g
+  FROM toks
+), r AS (
+  SELECT ('0x' || substr(md5(g), 1, 3))::BIGINT AS bucket,
+         ('0x' || substr(md5(g), 4, 12))::BIGINT AS w
+  FROM grams WHERE g IS NOT NULL
+), regs AS (
+  SELECT bucket,
+         MAX(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS mj
+  FROM r GROUP BY bucket
+), summary AS (
+  SELECT COUNT(*) AS n_present,
+         CAST(SUM((1::BIGINT) << (50 - mj)) AS BIGINT) AS s_present
+  FROM regs
+), ex AS (
+  SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS n_exact FROM grams
+), base AS (
+  SELECT CAST(4096 AS BIGINT) AS m,
+         CAST(4096 - n_present AS BIGINT) AS v_zero,
+         CAST(s_present + (4096 - n_present) * 1125899906842624 AS BIGINT) AS s_fp,
+         n_exact
+  FROM summary, ex
+), est AS (
+  SELECT *,
+         CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                   * 1125899906842624.0 / s_fp <= 2.5 * 4096.0
+               AND v_zero > 0
+              THEN 4096.0 * ln(4096.0 / CAST(v_zero AS DOUBLE))
+              ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                   * 1125899906842624.0 / s_fp
+         END AS estimate
+  FROM base
+)
+SELECT m, v_zero, s_fp, n_exact, estimate,
+       (estimate - n_exact) / CAST(n_exact AS DOUBLE) AS rel_err
+FROM est
+"""
+
+
 def _q_stream_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming ingest screen: candidate docs arrive as a 4-micro-batch
     file stream; each batch's distinct 4-grams probe the STATIC broadcast
@@ -5456,6 +5521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": _q_docs_repetition,
         "vocab_oov_rate": _q_vocab_oov_rate,
         "docs_unigram_xent": _q_docs_unigram_xent,
+        "docs_hll_distinct": _q_docs_hll_distinct,
         "pack_sequences": _q_pack_sequences,
         "stream_contamination": _q_stream_contamination,
         "transcript_turn_dedup": _q_transcript_turn_dedup,
@@ -5571,6 +5637,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_repetition": _SQL_DOCS_REPETITION,
         "vocab_oov_rate": _SQL_VOCAB_OOV,
         "docs_unigram_xent": _SQL_UNIGRAM_XENT,
+        "docs_hll_distinct": _SQL_HLL_DISTINCT,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "stream_contamination": _SQL_STREAM_CONTAMINATION,
         "transcript_turn_dedup": _SQL_TURN_DEDUP,

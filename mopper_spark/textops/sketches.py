@@ -90,3 +90,84 @@ def tokens_of(df: DataFrame, text_col: str = "text") -> Column:
     """Lower-cased whitespace tokens — the shared tokenization of the
     analysis layer, exposed for sketch inputs."""
     return F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+
+
+def hll_distinct(values: DataFrame, col: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) with
+    every multi-row reduction in EXACT integer arithmetic, plus an exact
+    verification leg — one row: ``(m, v_zero, s_fp, n_exact, estimate,
+    rel_err)``.
+
+    The 100 TB shape for "how many distinct values?" is a 4096-register
+    max-aggregate (map-side combine, the shuffle carries ≤ m rows per
+    partition), not a countDistinct whose shuffle carries the full
+    distinct domain.  The ``n_exact`` column is the verification leg for
+    the fixture-scale oracle; production drops it and keeps the sketch.
+
+    Determinism across engines: the register word comes from md5 (both
+    engines bit-identical) — bucket = first 12 hash bits, rho = leading
+    zeros of the next 48 bits + 1.  The harmonic-mean denominator
+    ``sum(2^-M_j)`` is NOT summed in floating point (partition-order-
+    dependent once exponents spread past 53 bits): each register
+    contributes the exact BIGINT ``2^(50-M_j)`` (rho ≤ 49 so the term is
+    ≥ 2; 4096 registers at rho 1 sum to 2^61 < 2^63), absent registers
+    contribute ``2^50``, and the estimate is one double expression over
+    that exact integer.  The small-range branch is Flajolet's linear
+    counting ``m * ln(m / V)`` — one ln over an exact integer ratio.
+    """
+    m = 4096  # 12-bit bucket index = exactly 3 hex chars of the md5
+    h = F.md5(F.col(col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
+    w = F.conv(F.substring(h, 4, 12), 16, 10).cast("long")
+    # rho = leading zeros of the 48-bit word + 1; bin() renders without
+    # leading zeros in BOTH engines, so rho = 49 - length(bin(w)).
+    rho = F.when(w == 0, F.lit(49)).otherwise(
+        F.lit(49) - F.length(F.bin(w))
+    )
+    regs = (
+        values.filter(F.col(col).isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    n_exact = values.select(F.countDistinct(F.col(col)).alias("n_exact"))
+    summary = regs.groupBy().agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - mj)"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    alpha_num = 0.7213 / (1.0 + 1.079 / 4096.0)
+    est_raw = (
+        F.lit(alpha_num)
+        * F.lit(4096.0)
+        * F.lit(4096.0)
+        * F.lit(1125899906842624.0)  # 2^50
+        / F.col("s_fp")
+    )
+    return (
+        summary.crossJoin(F.broadcast(n_exact))
+        .select(
+            F.lit(m).cast("long").alias("m"),
+            (F.lit(m) - F.col("n_present")).cast("long").alias("v_zero"),
+            (
+                F.col("s_present")
+                + (F.lit(m) - F.col("n_present"))
+                * F.lit(1125899906842624).cast("long")
+            ).alias("s_fp"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+        )
+        .withColumn(
+            "estimate",
+            F.when(
+                (est_raw <= F.lit(2.5 * 4096.0)) & (F.col("v_zero") > 0),
+                F.lit(4096.0)
+                * F.log(F.lit(4096.0) / F.col("v_zero").cast("double")),
+            ).otherwise(est_raw),
+        )
+        .withColumn(
+            "rel_err",
+            (F.col("estimate") - F.col("n_exact"))
+            / F.col("n_exact").cast("double"),
+        )
+    )
