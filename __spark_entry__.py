@@ -1678,6 +1678,66 @@ FROM est
 """
 
 
+def _q_docs_importance_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR data selection (Xie et al. NeurIPS 2023): Gumbel-top-50
+    resample of the raw pool (source != 'src0') toward the 'src0' target
+    domain over 1024 hashed-unigram buckets
+    (mopper_spark/textops/dsir.py::importance_resample).  Fixed-point
+    per-bucket log-ratios and md5-rational Gumbel keys keep the output
+    all-BIGINT; two word-count shuffles + broadcast log-ratio table +
+    TakeOrdered — never a global sort."""
+    from mopper_spark.textops.dsir import importance_resample
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return importance_resample(docs, target_source="src0", k=50)
+
+
+_SQL_IMPORTANCE_RESAMPLE = """
+WITH ex AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), b AS (
+  SELECT doc_id, source,
+         (('0x' || substr(md5(tok), 1, 3))::BIGINT) % 1024 AS bucket
+  FROM ex
+), counts AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT) AS c_r
+  FROM b GROUP BY bucket
+), totals AS (
+  SELECT CAST(SUM(c_t) AS BIGINT) AS n_t, CAST(SUM(c_r) AS BIGINT) AS n_r
+  FROM counts
+), lw AS (
+  SELECT bucket,
+         CAST(floor((ln(c_t + 1) - ln(c_r + 1)) * 1000000.0) AS BIGINT) AS lw_fp
+  FROM counts
+), cst AS (
+  SELECT CAST(floor((ln(CAST(n_r + 1024 AS DOUBLE))
+                     - ln(CAST(n_t + 1024 AS DOUBLE))) * 1000000.0) AS BIGINT)
+         AS const_fp
+  FROM totals
+), per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(lw_fp) AS BIGINT) AS s_fp
+  FROM b JOIN lw USING (bucket)
+  WHERE source <> 'src0'
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       s_fp + n_tokens * const_fp AS w_fp,
+       s_fp + n_tokens * const_fp
+         + CAST(floor(-ln(-ln(
+             (('0x' || substr(md5('dsir-v1' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1)
+             / 281474976710656.0)) * 1000000.0) AS BIGINT) AS key_fp
+FROM per, cst
+ORDER BY key_fp DESC, doc_id
+LIMIT 50
+"""
+
+
 def _q_stream_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming ingest screen: candidate docs arrive as a 4-micro-batch
     file stream; each batch's distinct 4-grams probe the STATIC broadcast
@@ -5522,6 +5582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_oov_rate": _q_vocab_oov_rate,
         "docs_unigram_xent": _q_docs_unigram_xent,
         "docs_hll_distinct": _q_docs_hll_distinct,
+        "docs_importance_resample": _q_docs_importance_resample,
         "pack_sequences": _q_pack_sequences,
         "stream_contamination": _q_stream_contamination,
         "transcript_turn_dedup": _q_transcript_turn_dedup,
@@ -5638,6 +5699,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_oov_rate": _SQL_VOCAB_OOV,
         "docs_unigram_xent": _SQL_UNIGRAM_XENT,
         "docs_hll_distinct": _SQL_HLL_DISTINCT,
+        "docs_importance_resample": _SQL_IMPORTANCE_RESAMPLE,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "stream_contamination": _SQL_STREAM_CONTAMINATION,
         "transcript_turn_dedup": _SQL_TURN_DEDUP,

@@ -907,3 +907,85 @@ class TestUnigramXent:
         a = sorted(map(tuple, unigram_xent(docs).collect()))
         b = sorted(map(tuple, unigram_xent(docs.repartition(17)).collect()))
         assert a == b and len(a) > 10
+
+
+class TestImportanceResample:
+    def test_matches_python_replica(self, spark):
+        import hashlib
+        import math
+
+        from mopper_spark.textops.dsir import importance_resample
+
+        rows = [
+            (1, "alpha beta gamma", "tgt"),
+            (2, "alpha alpha beta", "tgt"),
+            (3, "alpha beta delta", "raw"),
+            (4, "epsilon zeta eta theta", "raw"),
+            (5, "alpha beta", "raw"),
+            (6, "   ", "raw"),  # tokenless -> excluded
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = [tuple(r) for r in importance_resample(
+            df, target_source="tgt", k=10, n_buckets=64, seed="s").collect()]
+
+        B = 64
+
+        def bucket(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:3], 16) % B
+
+        toks = {d: t.split() for d, t, _ in rows if t.split()}
+        srcs = {d: s for d, _, s in rows}
+        c_t, c_r = {}, {}
+        for d, ts in toks.items():
+            for t in ts:
+                (c_t if srcs[d] == "tgt" else c_r).setdefault(bucket(t), 0)
+                (c_t if srcs[d] == "tgt" else c_r)[bucket(t)] += 1
+        n_t, n_r = sum(c_t.values()), sum(c_r.values())
+        const_fp = math.floor(
+            (math.log(n_r + B) - math.log(n_t + B)) * 1e6)
+        exp = []
+        for d, ts in toks.items():
+            if srcs[d] == "tgt":
+                continue
+            s_fp = sum(math.floor(
+                (math.log(c_t.get(bucket(t), 0) + 1)
+                 - math.log(c_r.get(bucket(t), 0) + 1)) * 1e6) for t in ts)
+            w_fp = s_fp + len(ts) * const_fp
+            h = int(hashlib.md5(f"s{d}".encode()).hexdigest()[:12], 16)
+            g_fp = math.floor(-math.log(-math.log((h + 1) / 2**48)) * 1e6)
+            exp.append((d, len(ts), w_fp, w_fp + g_fp))
+        exp.sort(key=lambda r: (-r[3], r[0]))
+        assert got == exp
+
+    def test_selects_target_like_docs(self, spark):
+        """Raw docs written in the target's vocabulary out-weigh raw docs
+        in a disjoint vocabulary — the DSIR selection direction."""
+        from mopper_spark.textops.dsir import importance_resample
+
+        rows = [(i, "wiki facts science history", "tgt") for i in range(20)]
+        rows += [(100 + i, "wiki science history notes", "raw") for i in range(5)]
+        rows += [(200 + i, "lol spam click buy now", "raw") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = importance_resample(df, target_source="tgt", k=5).collect()
+        assert {r.doc_id for r in out} == {100, 101, 102, 103, 104}
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.dsir import importance_resample
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = [tuple(r) for r in importance_resample(docs, "src0", k=20).collect()]
+        b = [tuple(r) for r in importance_resample(
+            docs.repartition(17), "src0", k=20).collect()]
+        assert a == b and len(a) == 20
+
+    def test_validation(self, spark):
+        import pytest
+
+        from mopper_spark.textops.dsir import importance_resample
+
+        df = spark.createDataFrame(
+            [(1, "x", "a")], "doc_id long, text string, source string")
+        with pytest.raises(ValueError):
+            importance_resample(df, "a", k=0)
+        with pytest.raises(ValueError):
+            importance_resample(df, "a", n_buckets=1)
