@@ -4008,6 +4008,81 @@ def _q_graph_closure_incremental(spark: SparkSession, sf: str) -> DataFrame:
 _SQL_GRAPH_CLOSURE_INCREMENTAL = _SQL_GRAPH_CLOSURE
 
 
+def _q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core decomposition by synchronous peeling (pipeline/graph.py::
+    k_core, k=5) — the dense-subgraph extraction that separates a planted
+    community from sparse scaffolding.  Fixture graph: the doc-id
+    binary-tree + div-3 chords (sparse, every node degree ≤ 7) plus a
+    planted 30-node partial clique (ids < 30, edge iff (a+b)%3 == 0);
+    peeling cascades the scaffold away over several rounds and the unique
+    fixpoint is exactly the planted core with within-core degrees.  The
+    Spark side iterates to convergence (count probe per round); the
+    oracle unrolls 24 peel rounds — past the fixpoint peeling is a no-op,
+    the ``kmeans_train`` bounded-unroll contract."""
+    from mopper_spark.pipeline.graph import k_core
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    e1 = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 2").cast("long").alias("b"),
+    )
+    e2 = docs.filter(F.col("doc_id") >= 3).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 3").cast("long").alias("b"),
+    )
+    ids = docs.filter(F.col("doc_id") < 30)
+    e3 = (
+        ids.select(F.col("doc_id").alias("a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("b")))
+        .filter("a < b AND (a + b) % 3 = 0")
+        .select(F.col("a").cast("long"), F.col("b").cast("long"))
+    )
+    return k_core(e1.union(e2).union(e3), k=5)
+
+
+def _sql_kcore(k: int, rounds: int) -> str:
+    """Unrolled-CTE DuckDB replay of k_core over the same fixture graph:
+    each round keeps nodes of degree >= k and edges whose both endpoints
+    survive.  All CTEs MATERIALIZED (the kmeans_train lesson — DuckDB's
+    CTE inlining re-evaluates deep chains exponentially)."""
+    parts = [
+        """WITH e_raw AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id // 2 AS BIGINT) AS b
+  FROM documents WHERE doc_id >= 2
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 3 AS BIGINT)
+  FROM documents WHERE doc_id >= 3
+  UNION ALL
+  SELECT CAST(d1.doc_id AS BIGINT), CAST(d2.doc_id AS BIGINT)
+  FROM documents d1 JOIN documents d2
+    ON d1.doc_id < d2.doc_id AND (d1.doc_id + d2.doc_id) % 3 = 0
+  WHERE d1.doc_id < 30 AND d2.doc_id < 30
+), s0 AS MATERIALIZED (
+  SELECT DISTINCT a AS src, b AS dst FROM
+    (SELECT a, b FROM e_raw UNION ALL SELECT b, a FROM e_raw)
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", n{r} AS MATERIALIZED (
+  SELECT src FROM s{r - 1} GROUP BY src HAVING COUNT(*) >= {k}
+), s{r} AS MATERIALIZED (
+  SELECT s.src, s.dst FROM s{r - 1} s
+  JOIN n{r} x ON s.src = x.src
+  JOIN n{r} y ON s.dst = y.src
+)"""
+        )
+    parts.append(
+        f"""
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM s{rounds} GROUP BY src"""
+    )
+    return "".join(parts)
+
+
+_SQL_GRAPH_KCORE = _sql_kcore(5, 24)
+
+
 def _q_kg_predicate_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Per-predicate cardinality/functionality profile
     (pipeline/curate.py::predicate_profile) over the extracted KG."""
@@ -5631,6 +5706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash_split": _q_doc_hash_split,
         "graph_closure": _q_graph_closure,
         "graph_closure_incremental": _q_graph_closure_incremental,
+        "graph_kcore": _q_graph_kcore,
         "kg_predicate_profile": _q_kg_predicate_profile,
         "kg_resolve_functional": _q_kg_resolve_functional,
         "kg_negative_samples": _q_kg_negative_samples,
@@ -5759,6 +5835,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_join": _SQL_SKEW_SALTED_JOIN,
         "graph_closure": _SQL_GRAPH_CLOSURE,
         "graph_closure_incremental": _SQL_GRAPH_CLOSURE_INCREMENTAL,
+        "graph_kcore": _SQL_GRAPH_KCORE,
         "kg_predicate_profile": _SQL_KG_PRED_PROFILE,
         "kg_resolve_functional": _SQL_KG_RESOLVE_FUNCTIONAL,
         "kg_negative_samples": _SQL_KG_NEGATIVE_SAMPLES,

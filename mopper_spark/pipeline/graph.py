@@ -633,3 +633,58 @@ def pagerank_weighted(
         )
         state = state.localCheckpoint(eager=(i + 1) % checkpoint_every == 0)
     return state.select("node", F.col("pr").alias("pr_scaled"))
+
+
+def k_core(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    *,
+    k: int = 2,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling (Seidman 1983; the
+    distributed formulation of Montresor et al.): repeatedly delete ALL
+    nodes of degree < k and their incident edges until none remain.  The
+    k-core is the unique maximal subgraph with minimum degree ≥ k, so the
+    fixpoint is peel-order-independent — which is what makes the result
+    engine-reproducible and lets a SQL oracle replay a bounded unroll
+    (extra rounds at the fixpoint are no-ops, the ``kmeans_train``
+    contract).
+
+    Returns ``(node, degree)`` — members of the k-core with their
+    WITHIN-CORE degree (distinct neighbors, input treated undirected).
+
+    Physical shape per round: one degree aggregation (map-side combine)
+    + two broadcast-or-shuffled semi-joins to drop dead endpoints, with a
+    per-round ``localCheckpoint`` lineage cut (the iterative-algorithm
+    discipline of ``transitive_closure``).  Rounds are bounded by the
+    peeling depth (the graph's degeneracy ladder), typically a handful;
+    each round's convergence probe is one count of the survivor set.
+    """
+    if k < 1:
+        raise ValueError("k_core: k must be >= 1")
+    sym = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = sym.select("src").distinct().count()
+    for _ in range(max_rounds):
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("src")
+        sym = (
+            sym.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_now = sym.select("src").distinct().count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .select(F.col("src").alias("node"), "degree")
+    )

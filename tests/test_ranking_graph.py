@@ -389,3 +389,59 @@ class TestPagerankWeighted:
         # y must outrank z (it receives a far larger share of x's rank)
         got = self._run(spark, [("x", "y", 100), ("x", "z", 1)])
         assert got["y"] > got["z"]
+
+
+class TestKCore:
+    def test_planted_core_and_cascade(self, spark):
+        """A path dangling off a triangle peels away over MULTIPLE rounds
+        (the cascade), leaving exactly the triangle as the 2-core."""
+        from mopper_spark.pipeline.graph import k_core
+
+        edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {(r.node, r.degree) for r in k_core(df, k=2).collect()}
+        assert got == {(1, 2), (2, 2), (3, 2)}
+
+    def test_empty_core(self, spark):
+        """A tree has no 2-core."""
+        from mopper_spark.pipeline.graph import k_core
+
+        df = spark.createDataFrame(
+            [(i, i // 2) for i in range(2, 40)], "a long, b long"
+        )
+        assert k_core(df, k=2).count() == 0
+
+    def test_matches_networkx_style_replica(self, spark):
+        """Python peeling replica on a mixed graph."""
+        from mopper_spark.pipeline.graph import k_core
+
+        edges = [(i, (i * 7 + 3) % 23) for i in range(60)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {(r.node, r.degree) for r in k_core(df, k=3).collect()}
+
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        alive = set(adj)
+        while True:
+            dead = {n for n in alive if sum(1 for m in adj[n] if m in alive) < 3}
+            if not dead:
+                break
+            alive -= dead
+        exp = {(n, sum(1 for m in adj[n] if m in alive)) for n in alive}
+        assert got == exp
+
+    def test_partitioning_invariance_and_validation(self, spark):
+        import pytest
+
+        from mopper_spark.pipeline.graph import k_core
+
+        edges = [(i, (i * 5 + 1) % 17) for i in range(40) if i != (i * 5 + 1) % 17]
+        df = spark.createDataFrame(edges, "a long, b long")
+        a = sorted(map(tuple, k_core(df, k=2).collect()))
+        b = sorted(map(tuple, k_core(df.repartition(7), k=2).collect()))
+        assert a == b
+        with pytest.raises(ValueError):
+            k_core(df, k=0)
