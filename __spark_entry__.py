@@ -1738,6 +1738,83 @@ LIMIT 50
 """
 
 
+def _q_docs_filter_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed Gopher/C4 quality filter with per-rule audit flags
+    (mopper_spark/textops/analysis.py::filter_pipeline): length band,
+    mean-word-length band, distinct-token ratio, symbol ratio, stopword
+    presence, and their conjunction — every threshold cross-multiplied in
+    exact integers, one narrow no-shuffle pass."""
+    from mopper_spark.textops.analysis import filter_pipeline
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return filter_pipeline(docs)
+
+
+_SQL_FILTER_PIPELINE = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tok,
+         CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS n_chars_words,
+         CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+         CAST(length(text) AS BIGINT) AS n_all,
+         CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT) AS n_sym,
+         CAST(len(list_filter(tk, x -> list_contains(
+           ['the','and','of','to','a','in','is','that','it','for',
+            'this','with','as','on','be','are'], x))) AS BIGINT) AS sw_hits
+  FROM t
+)
+SELECT doc_id, n_tok AS n_tokens,
+       (n_tok >= 5 AND n_tok <= 10000) AS r_len,
+       (n_tok > 0 AND 2 * n_tok <= n_chars_words
+        AND n_chars_words <= 12 * n_tok) AS r_mean_word,
+       (n_distinct * 10 >= n_tok * 3) AS r_distinct,
+       (n_sym * 5 <= n_all) AS r_symbol,
+       (sw_hits >= 1) AS r_stopword,
+       ((n_tok >= 5 AND n_tok <= 10000)
+        AND (n_tok > 0 AND 2 * n_tok <= n_chars_words
+             AND n_chars_words <= 12 * n_tok)
+        AND (n_distinct * 10 >= n_tok * 3)
+        AND (n_sym * 5 <= n_all)
+        AND (sw_hits >= 1)) AS keep
+FROM m
+"""
+
+
+def _q_docs_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled source mixture (p_s ∝ n_s^0.7, Lample & Conneau
+    2019) over per-source token counts
+    (mopper_spark/textops/prepare.py::mixture_weights).  Fixed-point
+    floor(n^alpha * 1e6) per source, exact-integer normalizer, one double
+    division — one count aggregate + a one-row broadcast."""
+    from mopper_spark.textops.prepare import mixture_weights
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return mixture_weights(docs, alpha=0.7)
+
+
+_SQL_MIXTURE_WEIGHTS = r"""
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT *, CAST(floor(exp(0.7 * ln(CAST(n_tokens AS DOUBLE))) * 1000000.0)
+                 AS BIGINT) AS w_fp
+  FROM per
+), z AS (SELECT CAST(SUM(w_fp) AS BIGINT) AS z_fp FROM w)
+SELECT source, n_docs, n_tokens, w_fp,
+       w_fp / CAST(z_fp AS DOUBLE) AS p
+FROM w, z
+"""
+
+
 def _q_stream_contamination(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming ingest screen: candidate docs arrive as a 4-micro-batch
     file stream; each batch's distinct 4-grams probe the STATIC broadcast
@@ -5658,6 +5735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_xent": _q_docs_unigram_xent,
         "docs_hll_distinct": _q_docs_hll_distinct,
         "docs_importance_resample": _q_docs_importance_resample,
+        "docs_filter_pipeline": _q_docs_filter_pipeline,
+        "docs_mixture_weights": _q_docs_mixture_weights,
         "pack_sequences": _q_pack_sequences,
         "stream_contamination": _q_stream_contamination,
         "transcript_turn_dedup": _q_transcript_turn_dedup,
@@ -5776,6 +5855,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_unigram_xent": _SQL_UNIGRAM_XENT,
         "docs_hll_distinct": _SQL_HLL_DISTINCT,
         "docs_importance_resample": _SQL_IMPORTANCE_RESAMPLE,
+        "docs_filter_pipeline": _SQL_FILTER_PIPELINE,
+        "docs_mixture_weights": _SQL_MIXTURE_WEIGHTS,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "stream_contamination": _SQL_STREAM_CONTAMINATION,
         "transcript_turn_dedup": _SQL_TURN_DEDUP,

@@ -416,3 +416,62 @@ def unigram_xent(
             - F.col("sum_lnc_fp") / (F.lit(1000000.0) * F.col("n_tokens"))
         ).alias("xent"),
     )
+
+
+def filter_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 5,
+    max_tokens: int = 10000,
+) -> DataFrame:
+    """Composed Gopher/C4-style quality filter (Rae et al. 2021 §A1.1;
+    Raffel et al. 2020 §2.2): every rule as its own boolean column plus
+    the conjunction ``keep`` — the per-rule flags are what a corpus audit
+    needs (which rule fired how often), not just the surviving rows.
+
+    Every threshold is evaluated in EXACT integer arithmetic
+    (cross-multiplied ratios, never a float division), so the row is
+    engine-exact by construction.  Rules:
+
+    - ``r_len``: token count in ``[min_tokens, max_tokens]``
+    - ``r_mean_word``: mean word length in [2, 12] chars
+      (``2*n <= chars <= 12*n``, the Gopher band)
+    - ``r_distinct``: ≥ 30% of tokens distinct (mass-duplication guard)
+    - ``r_symbol``: non-word chars ≤ 20% of characters
+    - ``r_stopword``: at least one English stopword hit (Gopher's
+      "2 of a stop list" softened for the synthetic corpus)
+
+    One narrow pass, pure native expressions — no shuffle at all.
+    """
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.lower(F.trim(t)), r"\s+"), lambda x: x != "")
+    n_tok = F.size(toks).cast("long")
+    n_chars_words = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_all = F.length(t).cast("long")
+    n_sym = (n_all - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("long")
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS_EN])
+    sw_hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("long")
+
+    r_len = (n_tok >= min_tokens) & (n_tok <= max_tokens)
+    r_mean_word = (n_tok > 0) & (2 * n_tok <= n_chars_words) & (
+        n_chars_words <= 12 * n_tok
+    )
+    r_distinct = n_distinct * 10 >= n_tok * 3
+    r_symbol = n_sym * 5 <= n_all
+    r_stopword = sw_hits >= 1
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        r_len.alias("r_len"),
+        r_mean_word.alias("r_mean_word"),
+        r_distinct.alias("r_distinct"),
+        r_symbol.alias("r_symbol"),
+        r_stopword.alias("r_stopword"),
+        (r_len & r_mean_word & r_distinct & r_symbol & r_stopword).alias("keep"),
+    )

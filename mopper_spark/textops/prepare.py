@@ -369,3 +369,51 @@ def tool_transitions(transcripts: DataFrame) -> DataFrame:
         F.col("n_from").cast("long").alias("n_from"),
         (F.col("n_trans") / F.col("n_from")).alias("p"),
     )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    *,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled source mixture weights — the multilingual /
+    multi-domain sampling-rate formula ``p_s ∝ n_s^alpha`` (Lample &
+    Conneau 2019 §3.1; the pre-step DoReMi-style reweighting starts
+    from), over per-source TOKEN counts.
+
+    Engine-portable determinism: ``n^alpha = exp(alpha * ln(n))`` is
+    quantized to the fixed-point BIGINT ``w_fp = floor(n^alpha * 1e6)``
+    per source, the normalizer is an exact integer sum, and ``p`` is one
+    double division — so the table hash-matches any ANSI oracle.
+
+    One count aggregate over the corpus + a one-row broadcast normalizer:
+    the output has one row per source.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    per_source = (
+        docs.select(F.col(source_col).alias("source"), F.size(toks).alias("n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "w_fp",
+            F.floor(
+                F.exp(F.lit(alpha) * F.log(F.col("n_tokens").cast("double")))
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+    )
+    total = per_source.groupBy().agg(F.sum("w_fp").cast("long").alias("z_fp"))
+    return per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "w_fp",
+        (F.col("w_fp") / F.col("z_fp").cast("double")).alias("p"),
+    )

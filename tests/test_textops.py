@@ -989,3 +989,66 @@ class TestImportanceResample:
             importance_resample(df, "a", k=0)
         with pytest.raises(ValueError):
             importance_resample(df, "a", n_buckets=1)
+
+
+class TestFilterPipeline:
+    def test_rules_fire_individually(self, spark):
+        from mopper_spark.textops.analysis import filter_pipeline
+
+        rows = [
+            (1, "the cat sat on the mat for a while today"),   # all pass
+            (2, "the cat"),                                    # too short
+            (3, "the " + "a " * 20),                           # distinct ratio fails
+            (4, "!!! ??? ;;; ::: the cat sat on mat crash"),   # symbols fail
+            (5, "zz yy xx ww vv uu tt ss"),                    # no stopword
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in filter_pipeline(df).collect()}
+        assert got[1].keep
+        assert not got[2].r_len and not got[2].keep
+        assert not got[3].r_distinct and not got[3].keep
+        assert not got[4].r_symbol and not got[4].keep
+        assert not got[5].r_stopword and not got[5].keep
+
+    def test_no_shuffle_plan(self, spark):
+        from mopper_spark.textops.analysis import filter_pipeline
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = filter_pipeline(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+class TestMixtureWeights:
+    def test_matches_python_replica_and_sums_to_one(self, spark):
+        import math
+
+        from mopper_spark.textops.prepare import mixture_weights
+
+        rows = [(i, "w " * (10 + i % 3), f"s{i % 3}") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {r.source: (r.n_docs, r.n_tokens, r.w_fp, r.p)
+               for r in mixture_weights(df, alpha=0.7).collect()}
+
+        from collections import Counter
+        nd, nt = Counter(), Counter()
+        for i in range(30):
+            nd[f"s{i % 3}"] += 1
+            nt[f"s{i % 3}"] += 10 + i % 3
+        w = {s: math.floor(math.exp(0.7 * math.log(n)) * 1e6) for s, n in nt.items()}
+        z = sum(w.values())
+        for s in nd:
+            assert got[s] == (nd[s], nt[s], w[s], w[s] / z)
+        assert abs(sum(p for _, _, _, p in got.values()) - 1.0) < 1e-12
+
+    def test_temperature_flattens(self, spark):
+        """alpha < 1 gives the small source a larger share than its raw
+        proportion — the point of temperature sampling."""
+        from mopper_spark.textops.prepare import mixture_weights
+
+        rows = [(i, "tok " * 50, "big") for i in range(50)]
+        rows += [(100 + i, "tok " * 50, "small") for i in range(2)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {r.source: (r.n_tokens, r.p) for r in
+               mixture_weights(df, alpha=0.5).collect()}
+        raw_small = got["small"][0] / (got["small"][0] + got["big"][0])
+        assert got["small"][1] > raw_small
