@@ -1785,6 +1785,48 @@ FROM m
 """
 
 
+def _q_docs_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source KL(p_source || p_corpus) over unigram distributions —
+    the mixture-drift audit (mopper_spark/textops/analysis.py::
+    source_divergence).  One ln per (source, token) over a ratio of
+    exact integer products, fixed-point-quantized; per-source sums exact
+    integers; word-shaped shuffles only."""
+    from mopper_spark.textops.analysis import source_divergence
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return source_divergence(docs)
+
+
+_SQL_SOURCE_DIVERGENCE = r"""
+WITH ex AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), st AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+  FROM ex GROUP BY source, tok
+), marg AS (
+  SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok
+), ns AS (
+  SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY source
+), n AS (
+  SELECT CAST(SUM(c_t) AS BIGINT) AS n_total FROM marg
+), terms AS (
+  SELECT st.source, st.c_st, ns.n_s,
+         CAST(floor(ln(CAST(st.c_st * n.n_total AS DOUBLE)
+                       / CAST(ns.n_s * marg.c_t AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS t_fp
+  FROM st JOIN marg USING (tok) JOIN ns USING (source), n
+)
+SELECT source,
+       MAX(n_s) AS n_tokens,
+       CAST(SUM(c_st * t_fp) AS BIGINT) AS kl_fp,
+       CAST(SUM(c_st * t_fp) AS BIGINT) / (1000000.0 * MAX(n_s)) AS kl
+FROM terms GROUP BY source
+"""
+
+
 def _q_docs_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-scaled source mixture (p_s ∝ n_s^0.7, Lample & Conneau
     2019) over per-source token counts
@@ -2589,6 +2631,49 @@ SELECT node, label FROM {prev_l}
 ) = _transcript_oracle_sqls()
 
 _SQL_LINKING_QUALITY = _linking_quality_oracle_sql()
+
+def _q_kg_describe(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL DESCRIBE-lite (pipeline/bgp.py::describe_resource): the
+    full neighborhood of two resources — a TURN IRI (appears only as
+    subject: role/text/inConversation/mentions triples) and an ENTITY
+    IRI (appears only as object: every mention of it), each labeled with
+    its probe so both directions of the subject-or-object union are
+    gate-checked.  Both filters push to the scan."""
+    from mopper_spark.pipeline.bgp import describe_resource
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = extract_triples(tr).unionByName(
+        mention_triples(extract_mentions(tr))
+    ).select("subj", "pred", "obj")
+    probes = {
+        "turn": EX + "turn/conv_00000/0",
+        "entity": EX + "entity/Ada%20Lovelace",
+    }
+    out = None
+    for name, iri in probes.items():
+        one = describe_resource(kg, iri).select(
+            F.lit(name).alias("probe"), "subj", "pred", "obj"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+_SQL_KG_DESCRIBE = f"""
+WITH kg AS ({_SQL_KG_GRAPH})
+SELECT 'turn' AS probe, subj, pred, obj FROM kg
+WHERE subj = 'http://example.com/turn/conv_00000/0'
+   OR obj  = 'http://example.com/turn/conv_00000/0'
+UNION ALL
+SELECT 'entity', subj, pred, obj FROM kg
+WHERE subj = 'http://example.com/entity/Ada%20Lovelace'
+   OR obj  = 'http://example.com/entity/Ada%20Lovelace'
+"""
+
 
 def _q_kg_bgp_optional(spark: SparkSession, sf: str) -> DataFrame:
     """BGP with a QUAD pattern and SPARQL OPTIONAL: every turn's role
@@ -5737,6 +5822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_importance_resample": _q_docs_importance_resample,
         "docs_filter_pipeline": _q_docs_filter_pipeline,
         "docs_mixture_weights": _q_docs_mixture_weights,
+        "docs_source_divergence": _q_docs_source_divergence,
         "pack_sequences": _q_pack_sequences,
         "stream_contamination": _q_stream_contamination,
         "transcript_turn_dedup": _q_transcript_turn_dedup,
@@ -5798,6 +5884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_path_nps": _q_kg_bgp_path_nps,
         "kg_sparql_modifiers": _q_kg_sparql_modifiers,
         "kg_sparql_ask": _q_kg_sparql_ask,
+        "kg_describe": _q_kg_describe,
         "kg_sparql_construct": _q_kg_sparql_construct,
         "entity_linking_incremental": _q_entity_linking_incremental,
         "kg_transe_eval": _q_kg_transe_eval,
@@ -5857,6 +5944,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_importance_resample": _SQL_IMPORTANCE_RESAMPLE,
         "docs_filter_pipeline": _SQL_FILTER_PIPELINE,
         "docs_mixture_weights": _SQL_MIXTURE_WEIGHTS,
+        "docs_source_divergence": _SQL_SOURCE_DIVERGENCE,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "stream_contamination": _SQL_STREAM_CONTAMINATION,
         "transcript_turn_dedup": _SQL_TURN_DEDUP,
@@ -5929,6 +6017,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bgp_path_nps": _SQL_KG_BGP_PATH_NPS,
         "kg_sparql_modifiers": _SQL_KG_SPARQL_MODIFIERS,
         "kg_sparql_ask": _SQL_KG_SPARQL_ASK,
+        "kg_describe": _SQL_KG_DESCRIBE,
         "kg_sparql_construct": _SQL_KG_SPARQL_CONSTRUCT,
         "entity_linking_incremental": _SQL_ENTITY_LINKING,
         "kg_transe_eval": _SQL_KG_TRANSE,

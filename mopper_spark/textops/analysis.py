@@ -475,3 +475,71 @@ def filter_pipeline(
         r_stopword.alias("r_stopword"),
         (r_len & r_mean_word & r_distinct & r_symbol & r_stopword).alias("keep"),
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source distribution drift: KL(p_source || p_corpus) over
+    unigram distributions — the mixture-audit statistic that flags a
+    source whose text stops looking like the blend (data-mixing QA;
+    same family as DoReMi's per-domain excess loss).
+
+    ``KL(p_s||p) = (1/N_s) * SUM_t c_st * ln((c_st * N) / (N_s * c_t))``
+
+    Determinism: each (source, token) term's log-ratio is ONE ln over a
+    ratio of exact integer products, quantized to the fixed-point BIGINT
+    ``floor(ln(.)*1e6)``; per-source sums are exact integers and the
+    final ``kl`` is one double division.  The integer products assume
+    ``c_st * N < 2^63`` — true far past fixture scale; at 10^12-token
+    corpora compute the ratio as ``(c_st/N_s)/(c_t/N)`` instead and keep
+    the same quantization.
+
+    Scale shape: one (source, token)-keyed count (word-shaped shuffle),
+    the token-marginal joined back (broadcast at fixture scale, a
+    word-shaped shuffle at corpus scale), and a per-source aggregate of
+    at most |sources| rows.  Zero terms never occur (c_st > 0 by
+    construction and c_t >= c_st).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    ex = df.select(F.col(source_col).alias("source"), toks.alias("toks")).select(
+        "source", F.explode("toks").alias("tok")
+    )
+    st = ex.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c_st")
+    )
+    marg = st.groupBy("tok").agg(F.sum("c_st").cast("long").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
+    n = marg.groupBy().agg(F.sum("c_t").cast("long").alias("n_total"))
+    terms = (
+        st.join(F.broadcast(marg), "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "t_fp",
+            F.floor(
+                F.log(
+                    (F.col("c_st") * F.col("n_total")).cast("double")
+                    / (F.col("n_s") * F.col("c_t")).cast("double")
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.sum(F.col("c_st") * F.col("t_fp")).cast("long").alias("kl_fp"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "kl_fp",
+            (F.col("kl_fp") / (F.lit(1000000.0) * F.col("n_tokens"))).alias("kl"),
+        )
+    )

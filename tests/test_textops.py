@@ -1052,3 +1052,56 @@ class TestMixtureWeights:
                mixture_weights(df, alpha=0.5).collect()}
         raw_small = got["small"][0] / (got["small"][0] + got["big"][0])
         assert got["small"][1] > raw_small
+
+
+class TestSourceDivergence:
+    def test_matches_python_replica_and_nonnegative(self, spark):
+        import math
+        from collections import Counter
+
+        from mopper_spark.textops.analysis import source_divergence
+
+        rows = [
+            (1, "a a b c", "s1"),
+            (2, "a b b d", "s1"),
+            (3, "x y z x", "s2"),
+            (4, "a b x y", "s2"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {r.source: (r.n_tokens, r.kl_fp, r.kl)
+               for r in source_divergence(df).collect()}
+
+        st: Counter = Counter()
+        for _, t, s in rows:
+            for tok in t.split():
+                st[(s, tok)] += 1
+        ct: Counter = Counter()
+        ns: Counter = Counter()
+        for (s, tok), c in st.items():
+            ct[tok] += c
+            ns[s] += c
+        n = sum(ct.values())
+        for s in ns:
+            kl_fp = sum(
+                c * math.floor(math.log((c * n) / (ns[s] * ct[tok])) * 1e6)
+                for (s2, tok), c in st.items() if s2 == s
+            )
+            assert got[s] == (ns[s], kl_fp, kl_fp / (1e6 * ns[s]))
+            # fp quantization floor-biases each term by < 1e-6 nats
+            assert got[s][2] > -1e-5
+
+    def test_identical_sources_have_zero_kl(self, spark):
+        from mopper_spark.textops.analysis import source_divergence
+
+        rows = [(i, "same text tokens here", f"s{i % 3}") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        for r in source_divergence(df).collect():
+            assert abs(r.kl) < 1e-5
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.analysis import source_divergence
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, source_divergence(docs).collect()))
+        b = sorted(map(tuple, source_divergence(docs.repartition(11)).collect()))
+        assert a == b and len(a) >= 2
