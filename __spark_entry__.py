@@ -3546,6 +3546,99 @@ def _q_mention_communities(spark: SparkSession, sf: str) -> DataFrame:
     return label_propagation(_mention_edges(spark), rounds=3)
 
 
+def _q_kg_entity_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity-level PMI collocation over conversations as contexts
+    (pipeline/curate.py::entity_cooccurrence_pmi): which canonical-form
+    entities co-occur more than their marginals predict — the candidate-
+    relation proposer over the extracted mention stream.  One ln per
+    output pair over an exact integer ratio; within-group pair generator
+    capped at 1000 distinct entities per conversation (skew guard)."""
+    from mopper_spark.pipeline.curate import entity_cooccurrence_pmi
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.linking import normalize_surface
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    cn = extract_mentions(tr).select(
+        "conv_id", normalize_surface(F.col("surface")).alias("norm")
+    )
+    return entity_cooccurrence_pmi(cn, min_co=2)
+
+
+def _entity_pmi_oracle_sql() -> str:
+    """Same counts in DuckDB over the shared mentions CTE + accent-fold
+    normalization (the fragments of _transcript_oracle_sqls)."""
+    from mopper_spark.pipeline.extract import MENTION_REGEX
+    from mopper_spark.pipeline.linking import _ACCENTS, _FOLDED
+    from mopper_spark.pipeline.transcripts import ENTITY_FORMS
+
+    forms = ", ".join(f"'{f}'" for f, _ in ENTITY_FORMS)
+    norm = (
+        "trim(regexp_replace(regexp_replace(translate(lower({v}), "
+        f"'{_ACCENTS}', '{_FOLDED}'), '\\.', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+WITH tr AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')),
+men AS (
+  SELECT conv_id, turn_idx, surface FROM (
+    SELECT conv_id, turn_idx,
+           unnest(list_distinct(list_concat(
+             regexp_extract_all(text, '{MENTION_REGEX}'),
+             list_filter([{forms}], f -> contains(text, f))
+           ))) AS surface
+    FROM tr
+  ) WHERE length(surface) >= 3
+),
+cn AS (SELECT DISTINCT conv_id AS g, {norm.format(v="surface")} AS e FROM men),
+keepg AS (SELECT g FROM cn GROUP BY g HAVING COUNT(*) <= 1000),
+cnk AS (SELECT cn.g, cn.e FROM cn JOIN keepg USING (g)),
+c AS (SELECT COUNT(DISTINCT g) AS c FROM cn),
+ent AS (SELECT e, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_e FROM cnk GROUP BY e),
+pairs AS (
+  SELECT a.e AS e1, b.e AS e2, CAST(COUNT(*) AS BIGINT) AS n12
+  FROM cnk a JOIN cnk b ON a.g = b.g AND a.e < b.e
+  GROUP BY a.e, b.e HAVING COUNT(*) >= 2
+)
+SELECT e1, e2, n12, x.n_e AS n1, y.n_e AS n2,
+       ln(CAST(n12 * c.c AS DOUBLE) / CAST(x.n_e * y.n_e AS DOUBLE)) AS pmi
+FROM pairs JOIN ent x ON pairs.e1 = x.e JOIN ent y ON pairs.e2 = y.e, c
+"""
+
+
+_SQL_KG_ENTITY_PMI = _entity_pmi_oracle_sql()
+
+
+def _q_docs_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise source vocabulary overlap (textops/analysis.py::
+    source_vocab_overlap): exact distinct-token set sizes, intersections
+    and Jaccard for every source pair — the redundancy screen before
+    mixture weighting.  Token-keyed self-join fan-out bounded by
+    |sources|^2 per token."""
+    from mopper_spark.textops.analysis import source_vocab_overlap
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return source_vocab_overlap(docs)
+
+
+_SQL_SOURCE_OVERLAP = r"""
+WITH st AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM st GROUP BY source
+), inter AS (
+  SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s1, s2, x.v AS v1, y.v AS v2, n_common,
+       n_common / CAST(x.v + y.v - n_common AS DOUBLE) AS jaccard
+FROM inter JOIN sizes x ON inter.s1 = x.source
+           JOIN sizes y ON inter.s2 = y.source
+"""
+
+
 def _q_stream_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-stream inner join with a time-range condition: purchases
     matched to same-user views at most 1 h older, both sides arriving as
@@ -5864,6 +5957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_triangles": _q_mention_triangles,
         "mention_pagerank": _q_mention_pagerank,
         "mention_communities": _q_mention_communities,
+        "kg_entity_pmi": _q_kg_entity_pmi,
+        "docs_source_overlap": _q_docs_source_overlap,
         "docs_bm25": _q_docs_bm25,
         "bigram_pmi": _q_bigram_pmi,
         "skew_salted_join": _q_skew_salted_join,
@@ -5997,6 +6092,8 @@ def oracle_sql() -> dict[str, str]:
         "mention_triangles": _SQL_MENTION_TRIANGLES,
         "mention_pagerank": _SQL_MENTION_PAGERANK,
         "mention_communities": _SQL_MENTION_COMMUNITIES,
+        "kg_entity_pmi": _SQL_KG_ENTITY_PMI,
+        "docs_source_overlap": _SQL_SOURCE_OVERLAP,
         "stream_interval_join": _SQL_STREAM_INTERVAL_JOIN,
         "doc_hash_split": _SQL_DOC_HASH_SPLIT,
         "docs_bm25": _SQL_DOCS_BM25,

@@ -273,3 +273,67 @@ def resolve_weighted(
             "n_alternatives",
         )
     )
+
+
+def entity_cooccurrence_pmi(
+    mentions: DataFrame,
+    group_col: str = "conv_id",
+    entity_col: str = "norm",
+    *,
+    min_co: int = 2,
+    max_entities_per_group: int = 1000,
+) -> DataFrame:
+    """Entity-level PMI collocation: which entities co-occur in the same
+    conversation MORE than their individual frequencies predict — the
+    KG-curation signal for proposing candidate relations between
+    canonical entities (the entity-granularity analogue of the token
+    bigram PMI in ``textops/ranking.py``).
+
+    Over groups (conversations) as contexts: ``pmi(e1, e2) =
+    ln((n12 * C) / (n1 * n2))`` with n12 = co-mentioning groups, n_i =
+    mentioning groups, C = total groups — ONE ln over an exact integer
+    ratio (engine-identical doubles), exact counts everywhere else.
+
+    Skew guard: the within-group pair generator is quadratic in a
+    group's DISTINCT entity count, so groups above
+    ``max_entities_per_group`` are dropped (counted against C all the
+    same) — the documented cap discipline of the dedup/linking family; a
+    conversation mentioning 10^4 entities is ingestion garbage, not
+    signal.  Output: ``(e1, e2, n12, n1, n2, pmi)`` for pairs with
+    ``n12 >= min_co``, e1 < e2.
+    """
+    cn = (
+        mentions.select(
+            F.col(group_col).alias("g"), F.col(entity_col).alias("e")
+        )
+        .distinct()
+    )
+    sizes = cn.groupBy("g").agg(F.count(F.lit(1)).alias("n_ents"))
+    small = sizes.filter(F.col("n_ents") <= max_entities_per_group).select("g")
+    cn_k = cn.join(F.broadcast(small), "g", "left_semi")
+
+    c_total = cn.select(F.countDistinct("g").alias("c"))
+    ent = cn_k.groupBy("e").agg(F.countDistinct("g").cast("long").alias("n_e"))
+    a, b = cn_k.alias("a"), cn_k.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.e") < F.col("b.e")))
+        .groupBy(F.col("a.e").alias("e1"), F.col("b.e").alias("e2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n12"))
+        .filter(F.col("n12") >= min_co)
+    )
+    return (
+        pairs.join(F.broadcast(ent.withColumnRenamed("e", "e1").withColumnRenamed("n_e", "n1")), "e1")
+        .join(F.broadcast(ent.withColumnRenamed("e", "e2").withColumnRenamed("n_e", "n2")), "e2")
+        .crossJoin(F.broadcast(c_total))
+        .select(
+            "e1",
+            "e2",
+            "n12",
+            "n1",
+            "n2",
+            F.log(
+                (F.col("n12") * F.col("c")).cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+            ).alias("pmi"),
+        )
+    )

@@ -543,3 +543,54 @@ def source_divergence(
             (F.col("kl_fp") / (F.lit(1000000.0) * F.col("n_tokens"))).alias("kl"),
         )
     )
+
+
+def source_vocab_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between sources: ``(s1, s2, v1, v2,
+    n_common, jaccard)`` for s1 < s2 with NONZERO overlap (a missing pair
+    means disjoint vocabularies) — the corpus-audit matrix that says
+    which mixture components share a lexicon (dedup-risk / redundancy
+    screening between sources before mixing).
+
+    All set sizes are exact integers (distinct-token sets); ``jaccard``
+    is one double division over ``n_common / (v1 + v2 - n_common)``.
+
+    Scale shape: one distinct (source, token) projection, then a
+    token-keyed self-join whose per-token fan-out is bounded by
+    |sources|^2 (sources are a handful, never a skew source), and a
+    |sources|^2-row aggregate.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    st = (
+        df.select(F.col(source_col).alias("source"), toks.alias("toks"))
+        .select("source", F.explode("toks").alias("tok"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("source", "s1").withColumnRenamed("v", "v1")), "s1")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "s2").withColumnRenamed("v", "v2")), "s2")
+        .select(
+            "s1",
+            "s2",
+            "v1",
+            "v2",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("v1") + F.col("v2") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

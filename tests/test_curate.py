@@ -337,3 +337,57 @@ class TestResolveWeighted:
             ).collect()
         }
         assert a == b
+
+
+class TestEntityCooccurrencePmi:
+    def test_matches_python_replica(self, spark):
+        import math
+
+        from mopper_spark.pipeline.curate import entity_cooccurrence_pmi
+
+        rows = [
+            ("c1", "a"), ("c1", "b"), ("c1", "a"),
+            ("c2", "a"), ("c2", "b"),
+            ("c3", "a"), ("c3", "c"),
+            ("c4", "b"), ("c4", "c"),
+            ("c5", "a"),
+        ]
+        df = spark.createDataFrame(rows, "conv_id string, norm string")
+        got = {(r.e1, r.e2): (r.n12, r.n1, r.n2, r.pmi)
+               for r in entity_cooccurrence_pmi(df, min_co=1).collect()}
+        C = 5
+        n = {"a": 4, "b": 3, "c": 2}
+        exp_pairs = {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+        for (e1, e2), n12 in exp_pairs.items():
+            pmi = math.log((n12 * C) / (n[e1] * n[e2]))
+            assert got[(e1, e2)] == (n12, n[e1], n[e2], pmi)
+
+    def test_group_cap_drops_hot_group_but_counts_context(self, spark):
+        from mopper_spark.pipeline.curate import entity_cooccurrence_pmi
+
+        rows = [("hot", f"e{i}") for i in range(10)]
+        rows += [("c1", "x"), ("c1", "y"), ("c2", "x"), ("c2", "y")]
+        df = spark.createDataFrame(rows, "conv_id string, norm string")
+        got = {(r.e1, r.e2): r for r in entity_cooccurrence_pmi(
+            df, min_co=1, max_entities_per_group=5).collect()}
+        # hot group contributed no pairs, but C still counts it
+        assert set(got) == {("x", "y")}
+        import math
+        assert got[("x", "y")].pmi == math.log((2 * 3) / (2 * 2))
+
+
+class TestSourceVocabOverlap:
+    def test_exact_set_arithmetic(self, spark):
+        from mopper_spark.textops.analysis import source_vocab_overlap
+
+        rows = [
+            (1, "a b c", "s1"),
+            (2, "b c d", "s2"),
+            (3, "x y", "s3"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {(r.s1, r.s2): (r.v1, r.v2, r.n_common, r.jaccard)
+               for r in source_vocab_overlap(df).collect()}
+        assert got[("s1", "s2")] == (3, 3, 2, 0.5)
+        assert ("s1", "s3") not in got  # zero intersection -> no row
+        assert ("s2", "s3") not in got
