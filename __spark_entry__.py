@@ -1678,6 +1678,47 @@ FROM est
 """
 
 
+def _q_docs_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing/MOSS fingerprints (Schleimer et al. SIGMOD'03;
+    mopper_spark/textops/dedup.py::winnowing_fingerprints, k=3 w=4):
+    rightmost-min-per-window 48-bit gram hashes — position-aware overlap
+    location at ~2/(w+1) the gram density.  One higher-order expression
+    per document, no shuffle before the output projection."""
+    from mopper_spark.textops.dedup import winnowing_fingerprints
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return winnowing_fingerprints(docs, k=3, window=4)
+
+
+_SQL_DOCS_WINNOWING = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, CASE WHEN len(tk) >= 3
+     THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+     ELSE [array_to_string(tk, ' ')] END AS gs
+  FROM toks
+), hashes AS (
+  SELECT doc_id,
+         list_transform(gs, g -> ('0x' || substr(md5(g), 1, 12))::BIGINT) AS hs
+  FROM grams
+), fps AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, greatest(len(hs) - 4, 0) + 1),
+           i -> struct_pack(
+             pos := i + len(hs[i+1:i+4]) -
+                    list_position(list_reverse(hs[i+1:i+4]), list_min(hs[i+1:i+4])),
+             h48 := list_min(hs[i+1:i+4])))) AS f
+  FROM hashes WHERE len(hs) > 0
+)
+SELECT DISTINCT doc_id, CAST(f.pos AS BIGINT) AS pos, f.h48 AS h48
+FROM fps
+"""
+
+
 def _q_docs_importance_resample(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR data selection (Xie et al. NeurIPS 2023): Gumbel-top-50
     resample of the raw pool (source != 'src0') toward the 'src0' target
@@ -3605,6 +3646,40 @@ FROM pairs JOIN ent x ON pairs.e1 = x.e JOIN ent y ON pairs.e2 = y.e, c
 
 
 _SQL_KG_ENTITY_PMI = _entity_pmi_oracle_sql()
+
+
+def _q_kg_schema_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Emergent-schema discovery (pipeline/curate.py::schema_cooccurrence):
+    predicate pairs sharing subjects over the extracted KG, with exact
+    subject-set sizes and Jaccard — star-planning statistics + mapping-
+    rule QA.  Subject-keyed self-join bounded by schema width squared."""
+    from mopper_spark.pipeline.curate import schema_cooccurrence
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = extract_triples(tr).unionByName(
+        mention_triples(extract_mentions(tr))
+    ).select("subj", "pred", "obj")
+    return schema_cooccurrence(kg)
+
+
+_SQL_KG_SCHEMA_GRAPH = f"""
+WITH kg AS ({_SQL_KG_GRAPH}),
+sp AS (SELECT DISTINCT subj, pred FROM kg),
+sizes AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n FROM sp GROUP BY pred),
+pairs AS (
+  SELECT a.pred AS p1, b.pred AS p2, CAST(COUNT(*) AS BIGINT) AS n_subjects
+  FROM sp a JOIN sp b ON a.subj = b.subj AND a.pred < b.pred
+  GROUP BY a.pred, b.pred
+)
+SELECT p1, p2, n_subjects, x.n AS n_p1, y.n AS n_p2,
+       n_subjects / CAST(x.n + y.n - n_subjects AS DOUBLE) AS jaccard
+FROM pairs JOIN sizes x ON pairs.p1 = x.pred JOIN sizes y ON pairs.p2 = y.pred
+"""
 
 
 def _q_docs_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
@@ -5913,6 +5988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_xent": _q_docs_unigram_xent,
         "docs_hll_distinct": _q_docs_hll_distinct,
         "docs_importance_resample": _q_docs_importance_resample,
+        "docs_winnowing": _q_docs_winnowing,
         "docs_filter_pipeline": _q_docs_filter_pipeline,
         "docs_mixture_weights": _q_docs_mixture_weights,
         "docs_source_divergence": _q_docs_source_divergence,
@@ -5958,6 +6034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_pagerank": _q_mention_pagerank,
         "mention_communities": _q_mention_communities,
         "kg_entity_pmi": _q_kg_entity_pmi,
+        "kg_schema_graph": _q_kg_schema_graph,
         "docs_source_overlap": _q_docs_source_overlap,
         "docs_bm25": _q_docs_bm25,
         "bigram_pmi": _q_bigram_pmi,
@@ -6037,6 +6114,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_unigram_xent": _SQL_UNIGRAM_XENT,
         "docs_hll_distinct": _SQL_HLL_DISTINCT,
         "docs_importance_resample": _SQL_IMPORTANCE_RESAMPLE,
+        "docs_winnowing": _SQL_DOCS_WINNOWING,
         "docs_filter_pipeline": _SQL_FILTER_PIPELINE,
         "docs_mixture_weights": _SQL_MIXTURE_WEIGHTS,
         "docs_source_divergence": _SQL_SOURCE_DIVERGENCE,
@@ -6093,6 +6171,7 @@ def oracle_sql() -> dict[str, str]:
         "mention_pagerank": _SQL_MENTION_PAGERANK,
         "mention_communities": _SQL_MENTION_COMMUNITIES,
         "kg_entity_pmi": _SQL_KG_ENTITY_PMI,
+        "kg_schema_graph": _SQL_KG_SCHEMA_GRAPH,
         "docs_source_overlap": _SQL_SOURCE_OVERLAP,
         "stream_interval_join": _SQL_STREAM_INTERVAL_JOIN,
         "doc_hash_split": _SQL_DOC_HASH_SPLIT,

@@ -109,6 +109,18 @@ HEADLINE = [
     "transcripts_dedup_convs",
     "transcripts_latency",
     "kg_temporal_communities",
+    # round 4, continuation-session additions
+    "transcripts_tool_transitions",
+    "docs_unigram_xent",
+    "docs_hll_distinct",
+    "docs_importance_resample",
+    "graph_kcore",
+    "docs_filter_pipeline",
+    "docs_mixture_weights",
+    "kg_describe",
+    "docs_source_divergence",
+    "kg_entity_pmi",
+    "docs_source_overlap",
 ]
 
 

@@ -337,3 +337,44 @@ def entity_cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def schema_cooccurrence(triples: DataFrame) -> DataFrame:
+    """Schema discovery over an extracted KG: which predicate PAIRS share
+    subjects, and how often — the emergent-schema statistic (Pham et al.
+    WWW'15 "characteristic sets" pairwise marginal) that drives both
+    star-query planning and mapping-rule QA (a predicate pair that should
+    always co-occur but doesn't marks extraction gaps).
+
+    Output: ``(p1, p2, n_subjects, n_p1, n_p2, jaccard)`` for p1 < p2
+    with nonzero co-occurrence; ``jaccard`` is the one double division
+    over exact subject-set sizes.
+
+    Scale shape: one distinct (subj, pred) projection; the subject-keyed
+    self-join fan-out is bounded by the schema width squared per subject
+    (predicates-per-subject is a schema property, single digits in
+    practice), then a |P|^2-row aggregate.
+    """
+    sp = triples.select("subj", "pred").distinct()
+    sizes = sp.groupBy("pred").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = sp.alias("a"), sp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.subj") == F.col("b.subj")) & (F.col("a.pred") < F.col("b.pred")))
+        .groupBy(F.col("a.pred").alias("p1"), F.col("b.pred").alias("p2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_subjects"))
+    )
+    return (
+        pairs.join(F.broadcast(sizes.withColumnRenamed("pred", "p1").withColumnRenamed("n", "n_p1")), "p1")
+        .join(F.broadcast(sizes.withColumnRenamed("pred", "p2").withColumnRenamed("n", "n_p2")), "p2")
+        .select(
+            "p1",
+            "p2",
+            "n_subjects",
+            "n_p1",
+            "n_p2",
+            (
+                F.col("n_subjects")
+                / (F.col("n_p1") + F.col("n_p2") - F.col("n_subjects")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

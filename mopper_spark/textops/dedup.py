@@ -678,3 +678,66 @@ def duplicated_ranges(
             "n_windows",
         )
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word ``k``-gram, then in
+    each sliding window of ``window`` consecutive hashes keep the
+    minimum (RIGHTMOST position on ties — "robust winnowing"), and emit
+    the distinct (position, hash) fingerprints.
+
+    Guarantee (the paper's correctness shape): any shared run of at
+    least ``window + k - 1`` words produces at least one shared
+    fingerprint, while only ~``2/(window+1)`` of all gram hashes are
+    kept — a local, position-aware alternative to MinHash for when you
+    need to LOCATE an overlap, not just detect it.
+
+    Hashes are 48-bit md5 prefixes (engine-portable exact integers); the
+    whole selection runs inside one higher-order-function expression per
+    document — no shuffle before the output projection.  Documents
+    shorter than ``k`` words contribute their whole-text gram.
+
+    Output: ``(doc_id, pos, h48)`` — ``pos`` is the 0-based k-gram index
+    of the selected hash.
+    """
+    if k < 1 or window < 1:
+        raise ValueError("winnowing_fingerprints: k and window must be >= 1")
+    toks = _lower_tokens(text_col)
+    grams = word_ngram_array("toks", k)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).select(
+        "doc_id",
+        F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long"),
+        ).alias("hs"),
+    )
+    # per window start i (0-based): sl = hs[i .. i+window-1] (short only at
+    # a sub-window-length document); keep min(sl) at its RIGHTMOST offset:
+    # pos = i + size(sl) - position_from_right(min)
+    sl = f"slice(hs, i + 1, {window})"
+    sel = (
+        f"transform(sequence(0, greatest(size(hs) - {window}, 0)), i -> "
+        f"named_struct("
+        f"'pos', i + size({sl}) - array_position(reverse({sl}), array_min({sl})), "
+        f"'h48', array_min({sl})))"
+    )
+    return (
+        base.filter(F.size("hs") > 0)
+        .select("doc_id", F.explode(F.array_distinct(F.expr(sel))).alias("f"))
+        .select(
+            "doc_id",
+            F.col("f.pos").cast("long").alias("pos"),
+            F.col("f.h48").alias("h48"),
+        )
+        .distinct()
+    )

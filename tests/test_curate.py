@@ -391,3 +391,22 @@ class TestSourceVocabOverlap:
         assert got[("s1", "s2")] == (3, 3, 2, 0.5)
         assert ("s1", "s3") not in got  # zero intersection -> no row
         assert ("s2", "s3") not in got
+
+
+class TestSchemaCooccurrence:
+    def test_exact_pair_counts(self, spark):
+        from mopper_spark.pipeline.curate import schema_cooccurrence
+
+        rows = [
+            ("s1", "p_role", "x"), ("s1", "p_tool", "x"), ("s1", "p_conv", "x"),
+            ("s2", "p_role", "x"), ("s2", "p_conv", "x"),
+            ("s3", "p_role", "x"),
+            # duplicate (subj, pred) must not double-count
+            ("s1", "p_role", "y"),
+        ]
+        df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+        got = {(r.p1, r.p2): (r.n_subjects, r.n_p1, r.n_p2, r.jaccard)
+               for r in schema_cooccurrence(df).collect()}
+        assert got[("p_conv", "p_role")] == (2, 2, 3, 2 / 3)
+        assert got[("p_conv", "p_tool")] == (1, 2, 1, 0.5)
+        assert got[("p_role", "p_tool")] == (1, 3, 1, 1 / 3)

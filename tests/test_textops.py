@@ -1105,3 +1105,63 @@ class TestSourceDivergence:
         a = sorted(map(tuple, source_divergence(docs).collect()))
         b = sorted(map(tuple, source_divergence(docs.repartition(11)).collect()))
         assert a == b and len(a) >= 2
+
+
+class TestWinnowing:
+    def test_matches_python_replica(self, spark):
+        """Robust-winnowing selection (rightmost min per window) replicated
+        in pure python over the same md5 gram hashes."""
+        import hashlib
+
+        from mopper_spark.textops.dedup import winnowing_fingerprints
+
+        texts = {1: "a b c d e f g h", 2: "p q r s t", 3: "a b"}
+        df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        got = {tuple(r) for r in winnowing_fingerprints(df, k=3, window=4).collect()}
+
+        def grams(words, k=3):
+            if len(words) < k:
+                return [" ".join(words)]
+            return [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+
+        exp = set()
+        for d, t in texts.items():
+            hs = [int(hashlib.md5(g.encode()).hexdigest()[:12], 16)
+                  for g in grams(t.lower().split())]
+            for i in range(max(len(hs) - 4, 0) + 1):
+                sl = hs[i:i + 4]
+                m = min(sl)
+                pos = i + len(sl) - 1 - sl[::-1].index(m)
+                exp.add((d, pos, m))
+        assert got == exp
+
+    def test_shared_run_guarantee(self, spark):
+        """Any shared run of >= window + k - 1 words shares a fingerprint
+        (the winnowing guarantee)."""
+        from mopper_spark.textops.dedup import winnowing_fingerprints
+
+        shared = "one two three four five six"  # 6 = 4 + 3 - 1
+        df = spark.createDataFrame(
+            [(1, "aa bb " + shared + " cc"), (2, shared + " zz yy xx ww")],
+            "doc_id long, text string",
+        )
+        rows = winnowing_fingerprints(df, k=3, window=4).collect()
+        h1 = {r.h48 for r in rows if r.doc_id == 1}
+        h2 = {r.h48 for r in rows if r.doc_id == 2}
+        assert h1 & h2
+
+    def test_density_and_invariance(self, spark):
+        from mopper_spark.textops.dedup import winnowing_fingerprints
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        fp = winnowing_fingerprints(docs, k=3, window=4)
+        a = sorted(map(tuple, fp.collect()))
+        b = sorted(map(tuple,
+                       winnowing_fingerprints(docs.repartition(9), k=3,
+                                              window=4).collect()))
+        assert a == b
+        # density: far fewer fingerprints than grams
+        n_grams = docs.selectExpr(
+            "greatest(size(split(lower(trim(text)), '\\\\s+')) - 2, 1) AS n"
+        ).groupBy().sum("n").collect()[0][0]
+        assert len(a) < 0.75 * n_grams
