@@ -1719,6 +1719,74 @@ FROM fps
 """
 
 
+def _q_stream_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming distinct-count sketch: the corpus 4-gram stream arrives
+    as a 4-micro-batch file stream; each batch's HLL registers fold into
+    versioned parquet state by per-bucket max
+    (mopper_spark/streaming.py::hll_distinct_stream).  Register merge is
+    associative+commutative, so the drained stream's summary is
+    byte-identical to the batch sketch — the oracle IS the batch HLL SQL
+    (minus the exact-verification leg)."""
+    from mopper_spark.streaming import hll_distinct_stream, read_hll_registers
+    from mopper_spark.textops.dedup import _lower_tokens, word_ngram_array
+    from mopper_spark.textops.sketches import hll_summary
+
+    root = _scratch_root("stream_hll")
+    src, state, ck = (os.path.join(root, d) for d in ("src", "state", "ck"))
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs.select(_lower_tokens("text").alias("toks")).select(
+        F.explode(word_ngram_array("toks", 4)).alias("g")
+    ).repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("g string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = hll_distinct_stream(stream, state, ck)
+    q.awaitTermination(300)
+    return hll_summary(read_hll_registers(spark, state))
+
+
+_SQL_STREAM_HLL = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT unnest(CASE WHEN len(tk) >= 4
+     THEN list_transform(range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], ' '))
+     ELSE [array_to_string(tk, ' ')] END) AS g
+  FROM toks
+), r AS (
+  SELECT ('0x' || substr(md5(g), 1, 3))::BIGINT AS bucket,
+         ('0x' || substr(md5(g), 4, 12))::BIGINT AS w
+  FROM grams WHERE g IS NOT NULL
+), regs AS (
+  SELECT bucket,
+         MAX(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS mj
+  FROM r GROUP BY bucket
+), summary AS (
+  SELECT COUNT(*) AS n_present,
+         CAST(SUM((1::BIGINT) << (50 - mj)) AS BIGINT) AS s_present
+  FROM regs
+), base AS (
+  SELECT CAST(4096 AS BIGINT) AS m,
+         CAST(4096 - n_present AS BIGINT) AS v_zero,
+         CAST(s_present + (4096 - n_present) * 1125899906842624 AS BIGINT) AS s_fp
+  FROM summary
+)
+SELECT m, v_zero, s_fp,
+       CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                 * 1125899906842624.0 / s_fp <= 2.5 * 4096.0
+             AND v_zero > 0
+            THEN 4096.0 * ln(4096.0 / CAST(v_zero AS DOUBLE))
+            ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                 * 1125899906842624.0 / s_fp
+       END AS estimate
+FROM base
+"""
+
+
 def _q_docs_importance_resample(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR data selection (Xie et al. NeurIPS 2023): Gumbel-top-50
     resample of the raw pool (source != 'src0') toward the 'src0' target
@@ -5989,6 +6057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hll_distinct": _q_docs_hll_distinct,
         "docs_importance_resample": _q_docs_importance_resample,
         "docs_winnowing": _q_docs_winnowing,
+        "stream_hll_distinct": _q_stream_hll_distinct,
         "docs_filter_pipeline": _q_docs_filter_pipeline,
         "docs_mixture_weights": _q_docs_mixture_weights,
         "docs_source_divergence": _q_docs_source_divergence,
@@ -6115,6 +6184,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_hll_distinct": _SQL_HLL_DISTINCT,
         "docs_importance_resample": _SQL_IMPORTANCE_RESAMPLE,
         "docs_winnowing": _SQL_DOCS_WINNOWING,
+        "stream_hll_distinct": _SQL_STREAM_HLL,
         "docs_filter_pipeline": _SQL_FILTER_PIPELINE,
         "docs_mixture_weights": _SQL_MIXTURE_WEIGHTS,
         "docs_source_divergence": _SQL_SOURCE_DIVERGENCE,

@@ -378,3 +378,88 @@ def entity_intervals_stream(
         )
         .select("conv_id", "entity", "valid_from_us", "valid_to_us", "n_mentions")
     )
+
+
+def process_hll_batch(batch_df: DataFrame, batch_id: int, state_dir: str) -> None:
+    """One micro-batch of the streaming distinct-count sketch: fold the
+    batch's HLL registers into the versioned register state by per-bucket
+    MAX — the mergeability property that makes HLL THE streaming distinct
+    counter (registers of a union = max of register tables).
+
+    Same versioned-parquet + ``_LATEST``-pointer-last idempotence
+    discipline as ``pipeline/incremental.py::process_increment``,
+    including the replay short-circuit for the pointer-advanced-but-
+    checkpoint-uncommitted crash window and the eager ``localCheckpoint``
+    severing the overwrite from the state files it read.
+    """
+    import os
+
+    from mopper_spark.textops.sketches import hll_registers
+
+    spark = batch_df.sparkSession
+    version = f"v{batch_id:06d}"
+    latest_path = os.path.join(state_dir, "_LATEST")
+
+    def read_latest() -> DataFrame:
+        try:
+            with open(latest_path) as fh:
+                v = fh.read().strip()
+        except FileNotFoundError:
+            return spark.createDataFrame([], "bucket long, mj int")
+        return spark.read.parquet(os.path.join(state_dir, v))
+
+    try:
+        with open(latest_path) as fh:
+            if fh.read().strip() == version:
+                return  # replayed batch already fully applied
+    except FileNotFoundError:
+        pass
+    batch_regs = hll_registers(batch_df, batch_df.columns[-1])
+    merged = (
+        read_latest()
+        .unionByName(batch_regs)
+        .groupBy("bucket")
+        .agg(F.max("mj").cast("int").alias("mj"))
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("overwrite").parquet(os.path.join(state_dir, version))
+    tmp = latest_path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(version)
+    os.replace(tmp, latest_path)
+
+
+def hll_distinct_stream(
+    value_stream: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Streaming distinct-count: merge each micro-batch's HLL registers
+    into versioned state via ``foreachBatch`` (cross-bucket max is a
+    cross-key operation, so per-key state tools don't apply — the
+    ``incremental_link_stream`` reasoning).  The LAST column of
+    ``value_stream`` is the sketched value.  After the stream drains,
+    ``sketches.hll_summary`` over the latest register table yields the
+    estimate — byte-identical to the batch ``hll_distinct`` over the same
+    (unordered) value multiset, because register merge is associative and
+    commutative."""
+    import os
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def process(bdf: DataFrame, bid: int) -> None:
+        process_hll_batch(bdf, bid, state_dir)
+
+    return (
+        value_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll_registers(spark, state_dir: str) -> DataFrame:
+    """Resolve the _LATEST pointer to the current register table."""
+    import os
+
+    with open(os.path.join(state_dir, "_LATEST")) as fh:
+        v = fh.read().strip()
+    return spark.read.parquet(os.path.join(state_dir, v))

@@ -92,6 +92,62 @@ def tokens_of(df: DataFrame, text_col: str = "text") -> Column:
     return F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
 
 
+def hll_registers(values: DataFrame, col: str) -> DataFrame:
+    """The 4096 HLL registers of ``values[col]`` — ``(bucket, mj)`` with
+    ``mj = max rho`` per 12-bit md5 bucket.  Registers are the MERGEABLE
+    form of the sketch: registers of a union = per-bucket max of the
+    parts, which is what the streaming merge (``streaming.py``) folds."""
+    h = F.md5(F.col(col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
+    w = F.conv(F.substring(h, 4, 12), 16, 10).cast("long")
+    # rho = leading zeros of the 48-bit word + 1; bin() renders without
+    # leading zeros in BOTH engines, so rho = 49 - length(bin(w)).
+    rho = F.when(w == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(w)))
+    return (
+        values.filter(F.col(col).isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("mj"))
+    )
+
+
+def hll_summary(regs: DataFrame) -> DataFrame:
+    """One-row ``(m, v_zero, s_fp, estimate)`` from a register table —
+    the exact-integer harmonic denominator and the one-double estimate of
+    ``hll_distinct``, without the fixture-only exact-verification leg
+    (what a production/streaming consumer reads)."""
+    m = 4096
+    summary = regs.groupBy().agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - mj)"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    alpha_num = 0.7213 / (1.0 + 1.079 / 4096.0)
+    est_raw = (
+        F.lit(alpha_num)
+        * F.lit(4096.0)
+        * F.lit(4096.0)
+        * F.lit(1125899906842624.0)  # 2^50
+        / F.col("s_fp")
+    )
+    return summary.select(
+        F.lit(m).cast("long").alias("m"),
+        (F.lit(m) - F.col("n_present")).cast("long").alias("v_zero"),
+        (
+            F.coalesce(F.col("s_present"), F.lit(0))
+            + (F.lit(m) - F.col("n_present"))
+            * F.lit(1125899906842624).cast("long")
+        ).alias("s_fp"),
+    ).withColumn(
+        "estimate",
+        F.when(
+            (est_raw <= F.lit(2.5 * 4096.0)) & (F.col("v_zero") > 0),
+            F.lit(4096.0) * F.log(F.lit(4096.0) / F.col("v_zero").cast("double")),
+        ).otherwise(est_raw),
+    )
+
+
 def hll_distinct(values: DataFrame, col: str) -> DataFrame:
     """HyperLogLog distinct-count sketch (Flajolet et al. 2007) with
     every multi-row reduction in EXACT integer arithmetic, plus an exact
@@ -115,59 +171,20 @@ def hll_distinct(values: DataFrame, col: str) -> DataFrame:
     that exact integer.  The small-range branch is Flajolet's linear
     counting ``m * ln(m / V)`` — one ln over an exact integer ratio.
     """
-    m = 4096  # 12-bit bucket index = exactly 3 hex chars of the md5
-    h = F.md5(F.col(col).cast("string"))
-    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
-    w = F.conv(F.substring(h, 4, 12), 16, 10).cast("long")
-    # rho = leading zeros of the 48-bit word + 1; bin() renders without
-    # leading zeros in BOTH engines, so rho = 49 - length(bin(w)).
-    rho = F.when(w == 0, F.lit(49)).otherwise(
-        F.lit(49) - F.length(F.bin(w))
-    )
-    regs = (
-        values.filter(F.col(col).isNotNull())
-        .select(bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("mj"))
-    )
+    regs = hll_registers(values, col)
     n_exact = values.select(F.countDistinct(F.col(col)).alias("n_exact"))
-    summary = regs.groupBy().agg(
-        F.count(F.lit(1)).alias("n_present"),
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - mj)"))
-        .cast("long")
-        .alias("s_present"),
-    )
-    alpha_num = 0.7213 / (1.0 + 1.079 / 4096.0)
-    est_raw = (
-        F.lit(alpha_num)
-        * F.lit(4096.0)
-        * F.lit(4096.0)
-        * F.lit(1125899906842624.0)  # 2^50
-        / F.col("s_fp")
-    )
     return (
-        summary.crossJoin(F.broadcast(n_exact))
+        hll_summary(regs)
+        .crossJoin(F.broadcast(n_exact))
         .select(
-            F.lit(m).cast("long").alias("m"),
-            (F.lit(m) - F.col("n_present")).cast("long").alias("v_zero"),
-            (
-                F.col("s_present")
-                + (F.lit(m) - F.col("n_present"))
-                * F.lit(1125899906842624).cast("long")
-            ).alias("s_fp"),
+            "m",
+            "v_zero",
+            "s_fp",
             F.col("n_exact").cast("long").alias("n_exact"),
-        )
-        .withColumn(
             "estimate",
-            F.when(
-                (est_raw <= F.lit(2.5 * 4096.0)) & (F.col("v_zero") > 0),
-                F.lit(4096.0)
-                * F.log(F.lit(4096.0) / F.col("v_zero").cast("double")),
-            ).otherwise(est_raw),
-        )
-        .withColumn(
-            "rel_err",
-            (F.col("estimate") - F.col("n_exact"))
-            / F.col("n_exact").cast("double"),
+            (
+                (F.col("estimate") - F.col("n_exact"))
+                / F.col("n_exact").cast("double")
+            ).alias("rel_err"),
         )
     )

@@ -395,3 +395,54 @@ class TestEntityIntervalsStream:
         assert got == finalized
         # the exactly-10s chain stayed one interval on both sides
         assert ("c1", "alice", 0, 20_000_000, 3) in got
+
+
+class TestHllStream:
+    def test_stream_equals_batch_and_replay_idempotent(self, spark, tmp_path):
+        """Register merge is associative+commutative: stream summary ==
+        batch summary; a replayed micro-batch (same batch_id) is a no-op
+        (the pointer short-circuit)."""
+        from pyspark.sql import functions as F
+
+        from mopper_spark.streaming import process_hll_batch, read_hll_registers
+        from mopper_spark.textops.sketches import hll_distinct, hll_summary
+
+        vals = spark.range(3000).selectExpr("concat('v', id % 1100) AS g")
+        state = str(tmp_path / "state")
+        import os
+        os.makedirs(state)
+        # feed in three arbitrary slices
+        for bid, pred in enumerate(["id % 3 = 0", "id % 3 = 1", "id % 3 = 2"]):
+            b = spark.range(3000).filter(pred).selectExpr("concat('v', id % 1100) AS g")
+            process_hll_batch(b, bid, state)
+        # replay the last batch — must be skipped, state unchanged
+        before = sorted(map(tuple, read_hll_registers(spark, state).collect()))
+        process_hll_batch(
+            spark.range(3000).filter("id % 3 = 2").selectExpr("concat('v', id % 1100) AS g"),
+            2, state)
+        after = sorted(map(tuple, read_hll_registers(spark, state).collect()))
+        assert before == after
+
+        stream_row = tuple(hll_summary(read_hll_registers(spark, state)).collect()[0])
+        batch_row = tuple(
+            hll_distinct(vals, "g").select("m", "v_zero", "s_fp", "estimate").collect()[0]
+        )
+        assert stream_row == batch_row
+
+    def test_batch_order_insensitive(self, spark, tmp_path):
+        """Two feeds of the same slices in different orders end with the
+        same register state (merge commutes)."""
+        import os
+
+        from mopper_spark.streaming import process_hll_batch, read_hll_registers
+
+        slices = ["id % 3 = 0", "id % 3 = 1", "id % 3 = 2"]
+        states = []
+        for order in (slices, slices[::-1]):
+            st = str(tmp_path / f"s{len(states)}")
+            os.makedirs(st)
+            for bid, pred in enumerate(order):
+                b = spark.range(2000).filter(pred).selectExpr("concat('x', id % 700) AS g")
+                process_hll_batch(b, bid, st)
+            states.append(sorted(map(tuple, read_hll_registers(spark, st).collect())))
+        assert states[0] == states[1]
