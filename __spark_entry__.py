@@ -1787,6 +1787,49 @@ FROM base
 """
 
 
+def _q_docs_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking (LBFS/FastCDC boundary rule at word
+    granularity; mopper_spark/textops/dedup.py::cdc_chunks, divisor=8):
+    boundaries are a local-content hash condition, so shared passages
+    chunk identically regardless of surrounding edits — the
+    shift-resistant dedup unit fixed-size chunking can't give.  Output
+    includes the corpus-wide identical-chunk count."""
+    from mopper_spark.textops.dedup import cdc_chunks
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return cdc_chunks(docs, divisor=8)
+
+
+_SQL_CDC_CHUNKS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), flat AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) + 1), i -> struct_pack(
+           pos := i - 1,
+           tok := tk[i],
+           b := CASE WHEN i = 1 THEN 0
+                WHEN ('0x' || substr(md5(tk[i-1] || ' ' || tk[i]), 1, 12))::BIGINT % 8 = 0
+                THEN 1 ELSE 0 END))) AS u
+  FROM toks WHERE len(tk) > 0
+), pos AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok,
+         SUM(u.b) OVER (PARTITION BY doc_id ORDER BY u.pos) AS chunk_idx
+  FROM flat
+), chunks AS (
+  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+  FROM pos GROUP BY doc_id, chunk_idx
+)
+SELECT doc_id, chunk_idx, n_tokens, chunk_hash,
+       CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_copies
+FROM chunks
+"""
+
+
 def _q_docs_importance_resample(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR data selection (Xie et al. NeurIPS 2023): Gumbel-top-50
     resample of the raw pool (source != 'src0') toward the 'src0' target
@@ -6058,6 +6101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_importance_resample": _q_docs_importance_resample,
         "docs_winnowing": _q_docs_winnowing,
         "stream_hll_distinct": _q_stream_hll_distinct,
+        "docs_cdc_chunks": _q_docs_cdc_chunks,
         "docs_filter_pipeline": _q_docs_filter_pipeline,
         "docs_mixture_weights": _q_docs_mixture_weights,
         "docs_source_divergence": _q_docs_source_divergence,
@@ -6185,6 +6229,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_importance_resample": _SQL_IMPORTANCE_RESAMPLE,
         "docs_winnowing": _SQL_DOCS_WINNOWING,
         "stream_hll_distinct": _SQL_STREAM_HLL,
+        "docs_cdc_chunks": _SQL_CDC_CHUNKS,
         "docs_filter_pipeline": _SQL_FILTER_PIPELINE,
         "docs_mixture_weights": _SQL_MIXTURE_WEIGHTS,
         "docs_source_divergence": _SQL_SOURCE_DIVERGENCE,

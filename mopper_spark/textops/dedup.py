@@ -741,3 +741,86 @@ def winnowing_fingerprints(
         )
         .distinct()
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC boundary idea at word
+    granularity): a chunk boundary falls BEFORE token ``i`` whenever the
+    hash of the bigram ``(tok[i-1], tok[i])`` is ``0 mod divisor`` —
+    boundaries depend only on LOCAL content, so an insertion early in a
+    document shifts chunk CONTENTS only near the edit, and identical
+    passages chunk identically in every document that contains them
+    (the property fixed-size chunking lacks; the basis of dedup in
+    LBFS/restic/Venti-style systems, Muthitacharoen et al. SOSP'01).
+
+    Expected chunk length ≈ ``divisor`` tokens.  Output: ``(doc_id,
+    chunk_idx, n_tokens, chunk_hash, n_copies)`` — ``chunk_hash`` is the
+    md5 of the space-joined chunk, ``n_copies`` the corpus-wide count of
+    identical chunks (>1 ⇒ shared passage).
+
+    Scale shape: boundary flags are a per-document native array pass;
+    chunk indices come from one per-document running-sum window (the
+    per-conversation skew bound); chunk assembly is the array_sort-after-
+    collect_list order-proof idiom; the copy count is one word-shaped
+    hash aggregate joined back broadcast-style.
+    """
+    if divisor < 2:
+        raise ValueError("cdc_chunks: divisor must be >= 2")
+    from pyspark.sql import Window
+
+    toks = _lower_tokens(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    # b[i] = 1 if a boundary falls before token i (i >= 1, 0-based)
+    bounds = F.expr(
+        "transform(sequence(0, size(toks) - 1), i -> CASE WHEN i = 0 THEN 0 "
+        f"WHEN pmod(conv(substring(md5(concat(toks[i - 1], ' ', toks[i])), 1, 12), 16, 10), {divisor}) = 0 "
+        "THEN 1 ELSE 0 END)"
+    )
+    flat = (
+        base.withColumn("b", bounds)
+        .select(
+            "doc_id",
+            F.posexplode(F.arrays_zip(F.col("toks"), F.col("b"))).alias(
+                "pos", "tb"
+            ),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.col("tb.toks").alias("tok"),
+            F.col("tb.b").cast("long").alias("b"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    chunked = flat.withColumn("chunk_idx", F.sum("b").over(w))
+    chunks = (
+        chunked.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+    copies = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies")
+    )
+    return chunks.join(copies, "chunk_hash").select(
+        "doc_id", "chunk_idx", "n_tokens", "chunk_hash", "n_copies"
+    )

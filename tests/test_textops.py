@@ -1165,3 +1165,55 @@ class TestWinnowing:
             "greatest(size(split(lower(trim(text)), '\\\\s+')) - 2, 1) AS n"
         ).groupBy().sum("n").collect()[0][0]
         assert len(a) < 0.75 * n_grams
+
+
+class TestCdcChunks:
+    def test_shared_passage_chunks_identically(self, spark):
+        """Shift resistance: the same passage behind different prefixes
+        yields at least one identical interior chunk (n_copies 2)."""
+        from mopper_spark.textops.dedup import cdc_chunks
+
+        shared = "the quick brown fox jumps over the lazy dog again and again here"
+        df = spark.createDataFrame(
+            [(1, "prefix words " + shared + " suffix one"),
+             (2, "totally different opening " + shared + " other tail")],
+            "doc_id long, text string",
+        )
+        rows = cdc_chunks(df).collect()
+        dup = [r for r in rows if r.n_copies == 2]
+        assert dup and {r.doc_id for r in dup} == {1, 2}
+
+    def test_matches_python_replica(self, spark):
+        import hashlib
+
+        from mopper_spark.textops.dedup import cdc_chunks
+
+        texts = {1: "aa bb cc dd ee ff gg hh ii jj kk ll", 2: "solo"}
+        df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        got = {(r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_hash)
+               for r in cdc_chunks(df, divisor=4).collect()}
+
+        exp = {}
+        all_chunks = []
+        for d, t in texts.items():
+            tk = t.lower().split()
+            cur, idx = [tk[0]], 0
+            chunks = []
+            for i in range(1, len(tk)):
+                h = int(hashlib.md5(f"{tk[i-1]} {tk[i]}".encode()).hexdigest()[:12], 16)
+                if h % 4 == 0:
+                    chunks.append(cur)
+                    cur = []
+                cur.append(tk[i])
+            chunks.append(cur)
+            for idx, c in enumerate(chunks):
+                exp[(d, idx)] = (len(c), hashlib.md5(" ".join(c).encode()).hexdigest())
+        assert {k: v for k, v in got.items()} == exp
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.dedup import cdc_chunks
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, cdc_chunks(docs).collect()))
+        b = sorted(map(tuple, cdc_chunks(docs.repartition(9)).collect()))
+        assert a == b and len(a) > 100
