@@ -4524,6 +4524,65 @@ FROM s{rounds} GROUP BY src"""
 _SQL_GRAPH_KCORE = _sql_kcore(5, 24)
 
 
+def _q_graph_ppr(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank from seed node 1 (pipeline/graph.py::
+    personalized_pagerank, 3 iterations, scale 1e9) over the doc-id
+    binary-tree + div-3 chord graph — "nodes related to the seed" with
+    restart mass landing only on the seed.  All-integer arithmetic; the
+    oracle unrolls the same 3 rounds."""
+    from mopper_spark.pipeline.graph import personalized_pagerank
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    e1 = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 2").cast("long").alias("b"),
+    )
+    e2 = docs.filter(F.col("doc_id") >= 3).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 3").cast("long").alias("b"),
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    return personalized_pagerank(e1.union(e2), seeds, iters=3)
+
+
+def _sql_graph_ppr(iters: int) -> str:
+    scale, base = 10**9, (15 * 10**9) // 100
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""s{i} AS MATERIALIZED (SELECT d.dst AS node, SUM(r.pr // r.out_deg) AS s
+      FROM dirx d JOIN {prev} r ON d.src = r.node GROUP BY d.dst),
+r{i} AS MATERIALIZED (SELECT r.node, r.out_deg, r.is_seed,
+               CAST(r.is_seed * {base} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+        FROM {prev} r LEFT JOIN s{i} s ON s.node = r.node)"""
+        )
+        prev = f"r{i}"
+    return f"""
+WITH e_raw AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id // 2 AS BIGINT) AS b
+  FROM documents WHERE doc_id >= 2
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 3 AS BIGINT)
+  FROM documents WHERE doc_id >= 3
+), ed AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM e_raw WHERE a <> b
+), dirx AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v AS src, u AS dst FROM ed
+), r0 AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg,
+         CASE WHEN src = 1 THEN 1 ELSE 0 END AS is_seed,
+         CAST(CASE WHEN src = 1 THEN {scale} ELSE 0 END AS BIGINT) AS pr
+  FROM dirx GROUP BY src
+),
+{",".join(rounds)}
+SELECT node, pr AS pr_scaled FROM {prev}
+"""
+
+
+_SQL_GRAPH_PPR = _sql_graph_ppr(3)
+
+
 def _q_kg_predicate_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Per-predicate cardinality/functionality profile
     (pipeline/curate.py::predicate_profile) over the extracted KG."""
@@ -6157,6 +6216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_closure": _q_graph_closure,
         "graph_closure_incremental": _q_graph_closure_incremental,
         "graph_kcore": _q_graph_kcore,
+        "graph_ppr": _q_graph_ppr,
         "kg_predicate_profile": _q_kg_predicate_profile,
         "kg_resolve_functional": _q_kg_resolve_functional,
         "kg_negative_samples": _q_kg_negative_samples,
@@ -6296,6 +6356,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_closure": _SQL_GRAPH_CLOSURE,
         "graph_closure_incremental": _SQL_GRAPH_CLOSURE_INCREMENTAL,
         "graph_kcore": _SQL_GRAPH_KCORE,
+        "graph_ppr": _SQL_GRAPH_PPR,
         "kg_predicate_profile": _SQL_KG_PRED_PROFILE,
         "kg_resolve_functional": _SQL_KG_RESOLVE_FUNCTIONAL,
         "kg_negative_samples": _SQL_KG_NEGATIVE_SAMPLES,

@@ -445,3 +445,51 @@ class TestKCore:
         assert a == b
         with pytest.raises(ValueError):
             k_core(df, k=0)
+
+
+class TestPersonalizedPagerank:
+    def test_matches_python_replica(self, spark):
+        from mopper_spark.pipeline.graph import personalized_pagerank
+
+        edges = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        seeds = spark.createDataFrame([(1,)], "node long")
+        got = {r.node: r.pr_scaled
+               for r in personalized_pagerank(df, seeds, iters=3).collect()}
+
+        sym = edges + [(b, a) for a, b in edges]
+        from collections import defaultdict
+        out_deg = defaultdict(int)
+        for s, _ in sym:
+            out_deg[s] += 1
+        scale, base = 10**9, (15 * 10**9) // 100
+        pr = {n: (scale if n == 1 else 0) for n in out_deg}
+        for _ in range(3):
+            sums = defaultdict(int)
+            for s, d in sym:
+                sums[d] += pr[s] // out_deg[s]
+            pr = {n: (base if n == 1 else 0) + (85 * sums[n]) // 100
+                  for n in out_deg}
+        assert got == pr
+
+    def test_mass_concentrates_near_seed(self, spark):
+        """The seed's neighbor outranks a node 3 hops away."""
+        from mopper_spark.pipeline.graph import personalized_pagerank
+
+        chain = [(i, i + 1) for i in range(1, 8)]
+        df = spark.createDataFrame(chain, "a long, b long")
+        seeds = spark.createDataFrame([(1,)], "node long")
+        got = {r.node: r.pr_scaled
+               for r in personalized_pagerank(df, seeds, iters=3).collect()}
+        assert got[2] > got[4] > got[6]
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.pipeline.graph import personalized_pagerank
+
+        edges = [(i, (i * 5 + 1) % 31) for i in range(60) if i != (i * 5 + 1) % 31]
+        df = spark.createDataFrame(edges, "a long, b long")
+        seeds = spark.createDataFrame([(0,)], "node long")
+        a = sorted(map(tuple, personalized_pagerank(df, seeds).collect()))
+        b = sorted(map(tuple,
+                       personalized_pagerank(df.repartition(7), seeds).collect()))
+        assert a == b
