@@ -1787,6 +1787,57 @@ FROM base
 """
 
 
+def _q_docs_textrank(spark: SparkSession, sf: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau EMNLP'04;
+    mopper_spark/textops/ranking.py::textrank_keywords): exact-integer
+    PageRank over the corpus token-adjacency graph, top-20 by
+    (pr_scaled DESC, token ASC) via TakeOrdered.  The oracle unrolls the
+    same 3 integer rounds over the same edge set."""
+    from mopper_spark.textops.ranking import textrank_keywords
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return textrank_keywords(docs, iters=3, top_k=20)
+
+
+def _sql_docs_textrank(iters: int, top_k: int) -> str:
+    scale, base = 10**9, (15 * 10**9) // 100
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""s{i} AS MATERIALIZED (SELECT d.dst AS node, SUM(r.pr // r.out_deg) AS s
+      FROM dirx d JOIN {prev} r ON d.src = r.node GROUP BY d.dst),
+r{i} AS MATERIALIZED (SELECT r.node, r.out_deg,
+               CAST({base} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+        FROM {prev} r LEFT JOIN s{i} s ON s.node = r.node)"""
+        )
+        prev = f"r{i}"
+    return rf"""
+WITH toks AS MATERIALIZED (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), ed AS MATERIALIZED (
+  SELECT DISTINCT least(p.a, p.b) AS u, greatest(p.a, p.b) AS v
+  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+            i -> struct_pack(a := tk[i], b := tk[i+1]))) AS p
+        FROM toks WHERE len(tk) >= 2)
+  WHERE p.a <> p.b
+), dirx AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v AS src, u AS dst FROM ed
+), r0 AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg,
+         CAST({scale} AS BIGINT) AS pr
+  FROM dirx GROUP BY src
+),
+{",".join(rounds)}
+SELECT node, pr AS pr_scaled FROM {prev}
+ORDER BY pr_scaled DESC, node ASC LIMIT {top_k}
+"""
+
+
+_SQL_DOCS_TEXTRANK = _sql_docs_textrank(3, 20)
+
+
 def _q_docs_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Content-defined chunking (LBFS/FastCDC boundary rule at word
     granularity; mopper_spark/textops/dedup.py::cdc_chunks, divisor=8):
@@ -6161,6 +6212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_winnowing": _q_docs_winnowing,
         "stream_hll_distinct": _q_stream_hll_distinct,
         "docs_cdc_chunks": _q_docs_cdc_chunks,
+        "docs_textrank": _q_docs_textrank,
         "docs_filter_pipeline": _q_docs_filter_pipeline,
         "docs_mixture_weights": _q_docs_mixture_weights,
         "docs_source_divergence": _q_docs_source_divergence,
@@ -6290,6 +6342,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_winnowing": _SQL_DOCS_WINNOWING,
         "stream_hll_distinct": _SQL_STREAM_HLL,
         "docs_cdc_chunks": _SQL_CDC_CHUNKS,
+        "docs_textrank": _SQL_DOCS_TEXTRANK,
         "docs_filter_pipeline": _SQL_FILTER_PIPELINE,
         "docs_mixture_weights": _SQL_MIXTURE_WEIGHTS,
         "docs_source_divergence": _SQL_SOURCE_DIVERGENCE,

@@ -170,3 +170,46 @@ def bigram_pmi(
     return joined.select(
         "w1", "w2", F.col("n_pair").cast("long").alias("n_pair"), F.log(num / den).alias("pmi")
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    iters: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) over
+    the corpus-level token adjacency graph: tokens are nodes, an
+    undirected edge connects each ADJACENT token pair (window 2, the
+    paper's default), and keyword salience is PageRank on that graph —
+    computed with ``pipeline/graph.py::pagerank_fixed``'s exact-integer
+    iteration, so the ranking is bit-reproducible and SQL-oracle-able.
+
+    Returns the ``top_k`` tokens as ``(node, pr_scaled)``, ordered by
+    ``(pr_scaled DESC, node ASC)`` — a TakeOrdered, never a global sort.
+
+    Scale shape: the edge list is one narrow array pass + a distinct
+    (vocabulary-pair-sized, NOT corpus-sized); each PR round is one join
+    + one map-side-combining sum over that graph.
+    """
+    from mopper_spark.pipeline.graph import pagerank_fixed
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    pairs = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 0)), i -> "
+        "named_struct('u', least(toks[i - 1], toks[i]), "
+        "'v', greatest(toks[i - 1], toks[i])))"
+    )
+    edges = (
+        docs.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.u").alias("a"), F.col("p.v").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    pr = pagerank_fixed(edges, iters=iters)
+    return pr.orderBy(F.desc("pr_scaled"), F.asc("node")).limit(top_k)

@@ -493,3 +493,46 @@ class TestPersonalizedPagerank:
         b = sorted(map(tuple,
                        personalized_pagerank(df.repartition(7), seeds).collect()))
         assert a == b
+
+
+class TestTextrankKeywords:
+    def test_hub_token_wins(self, spark):
+        """A token adjacent to many distinct tokens outranks peripherals."""
+        from mopper_spark.textops.ranking import textrank_keywords
+
+        rows = [(i, f"hub w{i}") for i in range(10)]  # hub adjacent to 10 tokens
+        rows += [(100, "w0 w1"), (101, "w2 w3")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        top = textrank_keywords(df, top_k=3).collect()
+        assert top[0].node == "hub"
+
+    def test_matches_python_replica(self, spark):
+        from collections import defaultdict
+
+        from mopper_spark.textops.ranking import textrank_keywords
+
+        texts = ["a b c a", "b c d", "d e"]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        got = [(r.node, r.pr_scaled) for r in textrank_keywords(df, top_k=10).collect()]
+
+        edges = set()
+        for t in texts:
+            tk = t.split()
+            for i in range(len(tk) - 1):
+                u, v = sorted((tk[i], tk[i + 1]))
+                if u != v:
+                    edges.add((u, v))
+        sym = list(edges) + [(v, u) for u, v in edges]
+        out_deg = defaultdict(int)
+        for s, _ in sym:
+            out_deg[s] += 1
+        scale, base = 10**9, (15 * 10**9) // 100
+        pr = {n: scale for n in out_deg}
+        for _ in range(3):
+            sums = defaultdict(int)
+            for s, d in sym:
+                sums[d] += pr[s] // out_deg[s]
+            pr = {n: base + (85 * sums[n]) // 100 for n in out_deg}
+        exp = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert got == exp
