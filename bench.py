@@ -121,6 +121,11 @@ HEADLINE = [
     "docs_source_divergence",
     "kg_entity_pmi",
     "docs_source_overlap",
+    "kg_schema_graph",
+    "docs_winnowing",
+    "docs_cdc_chunks",
+    "graph_ppr",
+    "docs_textrank",
 ]
 
 
