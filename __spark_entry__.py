@@ -2030,6 +2030,36 @@ FROM terms GROUP BY source
 """
 
 
+def _q_docs_top_tokens_per_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped top-k (textops/analysis.py::top_tokens_per_group): each
+    source's 5 most frequent tokens, exact counts, deterministic
+    (count DESC, token ASC) ties.  The per-group window sorts the
+    aggregated (group, token) count table — vocabulary-bounded, never
+    corpus-bounded."""
+    from mopper_spark.textops.analysis import top_tokens_per_group
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return top_tokens_per_group(docs, k=5)
+
+
+_SQL_TOP_TOKENS_PER_SOURCE = r"""
+WITH ex AS (
+  SELECT source AS grp,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT grp, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM ex GROUP BY grp, tok
+)
+SELECT grp, rank, tok, cnt FROM (
+  SELECT grp, tok, cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cnt DESC, tok ASC)
+              AS BIGINT) AS rank
+  FROM counts)
+WHERE rank <= 5
+"""
+
+
 def _q_docs_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature-scaled source mixture (p_s ∝ n_s^0.7, Lample & Conneau
     2019) over per-source token counts
@@ -6215,6 +6245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_textrank": _q_docs_textrank,
         "docs_filter_pipeline": _q_docs_filter_pipeline,
         "docs_mixture_weights": _q_docs_mixture_weights,
+        "docs_top_tokens_per_source": _q_docs_top_tokens_per_source,
         "docs_source_divergence": _q_docs_source_divergence,
         "pack_sequences": _q_pack_sequences,
         "stream_contamination": _q_stream_contamination,
@@ -6345,6 +6376,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_textrank": _SQL_DOCS_TEXTRANK,
         "docs_filter_pipeline": _SQL_FILTER_PIPELINE,
         "docs_mixture_weights": _SQL_MIXTURE_WEIGHTS,
+        "docs_top_tokens_per_source": _SQL_TOP_TOKENS_PER_SOURCE,
         "docs_source_divergence": _SQL_SOURCE_DIVERGENCE,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "stream_contamination": _SQL_STREAM_CONTAMINATION,

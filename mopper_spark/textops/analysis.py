@@ -594,3 +594,41 @@ def source_vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def top_tokens_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Grouped top-k: each group's ``k`` most frequent tokens with exact
+    counts and the deterministic (count DESC, token ASC) tie-break —
+    ``(group, rank, tok, cnt)``.
+
+    The 100 TB shape: token counts are one map-side-combining aggregate;
+    the top-k cut is a per-group window over the (group, token) COUNT
+    table — the window input is the aggregated count table (vocabulary ×
+    groups rows), never the corpus, so the sort per group is bounded by
+    vocabulary size.  For a group count small enough to broadcast, the
+    same cut could be a TakeOrdered per group; the window form is the one
+    that survives many groups.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    counts = (
+        df.select(F.col(group_col).alias("grp"), toks.alias("toks"))
+        .select("grp", F.explode("toks").alias("tok"))
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("grp", "rank", "tok", "cnt")
+    )

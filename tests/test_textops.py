@@ -1217,3 +1217,30 @@ class TestCdcChunks:
         a = sorted(map(tuple, cdc_chunks(docs).collect()))
         b = sorted(map(tuple, cdc_chunks(docs.repartition(9)).collect()))
         assert a == b and len(a) > 100
+
+
+class TestTopTokensPerGroup:
+    def test_deterministic_tiebreak_and_counts(self, spark):
+        from mopper_spark.textops.analysis import top_tokens_per_group
+
+        rows = [
+            (1, "a a b b c", "g1"),
+            (2, "b c c", "g1"),
+            (3, "z z y", "g2"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {(r.grp, r.rank): (r.tok, r.cnt)
+               for r in top_tokens_per_group(df, k=2).collect()}
+        # g1: b=3, c=3 tie -> b before c (token asc); a=2 cut at k=2
+        assert got[("g1", 1)] == ("b", 3)
+        assert got[("g1", 2)] == ("c", 3)
+        assert got[("g2", 1)] == ("z", 2)
+        assert got[("g2", 2)] == ("y", 1)
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.analysis import top_tokens_per_group
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, top_tokens_per_group(docs, k=3).collect()))
+        b = sorted(map(tuple, top_tokens_per_group(docs.repartition(7), k=3).collect()))
+        assert a == b and len(a) >= 6
