@@ -4664,6 +4664,77 @@ SELECT node, pr AS pr_scaled FROM {prev}
 _SQL_GRAPH_PPR = _sql_graph_ppr(3)
 
 
+def _q_graph_shortest_path(spark: SparkSession, sf: str) -> DataFrame:
+    """Shortest-path WITNESS (pipeline/graph.py::shortest_path_witness):
+    the lexicographically-least-parents shortest path from node 1 to the
+    max doc_id over the tree+chord graph, as (step, node) rows.  Min-
+    parent BFS levels are engine-deterministic; the oracle unrolls the
+    same sweep and backward walk."""
+    from mopper_spark.pipeline.graph import shortest_path_witness
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    e1 = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 2").cast("long").alias("b"),
+    )
+    e2 = docs.filter(F.col("doc_id") >= 3).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 3").cast("long").alias("b"),
+    )
+    target = docs.agg(F.max("doc_id")).collect()[0][0]
+    return shortest_path_witness(e1.union(e2), 1, int(target))
+
+
+def _sql_graph_shortest_path(levels: int) -> str:
+    bfs = []
+    for i in range(1, levels + 1):
+        bfs.append(
+            f"""n{i} AS MATERIALIZED (
+  SELECT d.dst AS node, CAST({i} AS BIGINT) AS dist, MIN(d.src) AS parent
+  FROM dirx d JOIN f{i - 1} f ON d.src = f.node
+  WHERE d.dst NOT IN (SELECT node FROM acc{i - 1})
+  GROUP BY d.dst
+), acc{i} AS MATERIALIZED (SELECT * FROM acc{i - 1} UNION ALL SELECT * FROM n{i}),
+f{i} AS MATERIALIZED (SELECT node FROM n{i})"""
+        )
+    back = []
+    for j in range(1, levels + 1):
+        back.append(
+            f"""p{j} AS MATERIALIZED (
+  SELECT a.dist, a.node, a.parent
+  FROM acc{levels} a JOIN p{j - 1} q ON a.node = q.parent)"""
+        )
+    union_path = " UNION ALL ".join(
+        f"SELECT dist, node FROM p{j}" for j in range(0, levels + 1)
+    )
+    return f"""
+WITH e_raw AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id // 2 AS BIGINT) AS b
+  FROM documents WHERE doc_id >= 2
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 3 AS BIGINT)
+  FROM documents WHERE doc_id >= 3
+), dirx AS MATERIALIZED (
+  SELECT DISTINCT a AS src, b AS dst FROM
+    (SELECT a, b FROM e_raw WHERE a <> b
+     UNION ALL SELECT b, a FROM e_raw WHERE a <> b)
+), acc0 AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist,
+         CAST(NULL AS BIGINT) AS parent
+), f0 AS MATERIALIZED (SELECT node FROM acc0),
+{",".join(bfs)},
+tgt AS (SELECT CAST(MAX(doc_id) AS BIGINT) AS t FROM documents),
+p0 AS MATERIALIZED (
+  SELECT a.dist, a.node, a.parent
+  FROM acc{levels} a JOIN tgt ON a.node = tgt.t)
+,{",".join(back)}
+SELECT dist AS step, node FROM ({union_path})
+"""
+
+
+_SQL_GRAPH_SHORTEST_PATH = _sql_graph_shortest_path(14)
+
+
 def _q_kg_predicate_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Per-predicate cardinality/functionality profile
     (pipeline/curate.py::predicate_profile) over the extracted KG."""
@@ -6300,6 +6371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_closure_incremental": _q_graph_closure_incremental,
         "graph_kcore": _q_graph_kcore,
         "graph_ppr": _q_graph_ppr,
+        "graph_shortest_path": _q_graph_shortest_path,
         "kg_predicate_profile": _q_kg_predicate_profile,
         "kg_resolve_functional": _q_kg_resolve_functional,
         "kg_negative_samples": _q_kg_negative_samples,
@@ -6442,6 +6514,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_closure_incremental": _SQL_GRAPH_CLOSURE_INCREMENTAL,
         "graph_kcore": _SQL_GRAPH_KCORE,
         "graph_ppr": _SQL_GRAPH_PPR,
+        "graph_shortest_path": _SQL_GRAPH_SHORTEST_PATH,
         "kg_predicate_profile": _SQL_KG_PRED_PROFILE,
         "kg_resolve_functional": _SQL_KG_RESOLVE_FUNCTIONAL,
         "kg_negative_samples": _SQL_KG_NEGATIVE_SAMPLES,

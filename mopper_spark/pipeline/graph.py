@@ -766,3 +766,80 @@ def personalized_pagerank(
         )
         state = state.localCheckpoint(eager=(i + 1) % checkpoint_every == 0)
     return state.select("node", F.col("pr").alias("pr_scaled"))
+
+
+def shortest_path_witness(
+    edges: DataFrame,
+    source,
+    target,
+    a: str = "a",
+    b: str = "b",
+    *,
+    max_hops: int = 30,
+) -> DataFrame:
+    """ONE shortest path from ``source`` to ``target`` (undirected),
+    returned as ``(step, node)`` rows with ``step`` = hop distance from
+    the source — the WITNESS that `bfs_distances` only measures.
+
+    Determinism: each BFS level records ``parent(v) = MIN(u)`` over the
+    frontier neighbors that discovered ``v``, so of all shortest paths
+    the lexicographically-least-parents one is chosen — reproducible
+    across engines and partitionings (min is associative), which is what
+    lets an unrolled SQL oracle name the same path.
+
+    Physical shape: the forward sweep is the `bfs_distances` frontier
+    iteration (+ one min-aggregate per level for parents), cost bounded
+    by the source's cone, stopping the round AFTER the target is
+    reached.  Reconstruction then touches ``dist(target)`` single-row
+    parent lookups on the localCheckpointed parent table — the output IS
+    a ≤ max_hops-row path, so the driver loop is the result assembly,
+    not a hot path.  Empty result ⇔ target unreachable within
+    ``max_hops``.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(a).alias("_s"), F.col(b).alias("_d"))
+        .union(edges.select(F.col(b).alias("_s"), F.col(a).alias("_d")))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed = spark.createDataFrame([(source,)], "node long").select(
+        F.col("node").cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(None).cast("long").alias("parent"),
+    )
+    acc = seed.localCheckpoint(eager=True)
+    frontier = acc.select("node", "dist")
+    found = source == target
+    for hop in range(1, max_hops + 1):
+        if found or frontier.isEmpty():
+            break
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.min(F.col("_s")).cast("long").alias("parent"))
+            .join(acc.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("long").alias("dist"), "parent")
+            .localCheckpoint(eager=True)
+        )
+        acc = acc.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node", "dist")
+        found = bool(nxt.filter(F.col("node") == target).take(1))
+    if not (found or source == target):
+        return spark.createDataFrame([], "step long, node long")
+    # backward walk: dist(target) single-row lookups on the checkpointed
+    # parent table — never a cone-sized collect
+    chain: list[tuple[int, int]] = []
+    cur = target
+    for _ in range(max_hops + 1):
+        row = acc.filter(F.col("node") == cur).first()
+        if row is None:
+            return spark.createDataFrame([], "step long, node long")
+        chain.append((row.dist, row.node))
+        if row.parent is None:
+            break
+        cur = row.parent
+    if chain[-1][0] != 0:
+        return spark.createDataFrame([], "step long, node long")
+    return spark.createDataFrame(chain, "step long, node long")

@@ -536,3 +536,29 @@ class TestTextrankKeywords:
             pr = {n: base + (85 * sums[n]) // 100 for n in out_deg}
         exp = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
         assert got == exp
+
+
+class TestShortestPathWitness:
+    def test_picks_shorter_and_lexeographic_path(self, spark):
+        from mopper_spark.pipeline.graph import shortest_path_witness
+
+        edges = [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4), (4, 6)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = sorted(map(tuple, shortest_path_witness(df, 1, 6).collect()))
+        assert got == [(0, 1), (1, 5), (2, 4), (3, 6)]
+
+    def test_tie_break_min_parent(self, spark):
+        """Two equal-length paths: parents resolve to the MIN neighbor."""
+        from mopper_spark.pipeline.graph import shortest_path_witness
+
+        edges = [(1, 2), (1, 3), (2, 4), (3, 4)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = sorted(map(tuple, shortest_path_witness(df, 1, 4).collect()))
+        assert got == [(0, 1), (1, 2), (2, 4)]  # via 2, not 3
+
+    def test_unreachable_and_self(self, spark):
+        from mopper_spark.pipeline.graph import shortest_path_witness
+
+        df = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
+        assert shortest_path_witness(df, 1, 4).count() == 0
+        assert [tuple(r) for r in shortest_path_witness(df, 1, 1).collect()] == [(0, 1)]
