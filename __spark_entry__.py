@@ -2030,6 +2030,39 @@ FROM terms GROUP BY source
 """
 
 
+def _q_embeddings_label_cosines(spark: SparkSession, sf: str) -> DataFrame:
+    """Class-separation audit (textops/similarity.py::
+    label_centroid_cosines): cosine between per-label embedding SUM
+    vectors, every multi-row reduction in 2^20 fixed-point integers —
+    posexplode to 64·|labels| reduce keys, |labels|² output."""
+    from mopper_spark.textops.similarity import label_centroid_cosines
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return label_centroid_cosines(emb)
+
+
+_SQL_EMB_LABEL_COSINES = """
+WITH per_dim AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(round(CAST(c AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT) AS s
+  FROM (SELECT label, unnest(embedding) AS c,
+               generate_subscripts(embedding, 1) - 1 AS dim
+        FROM embeddings)
+  GROUP BY label, dim
+), dots AS (
+  SELECT a.label AS l1, b.label AS l2, CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+  FROM per_dim a JOIN per_dim b ON a.dim = b.dim AND a.label <= b.label
+  GROUP BY a.label, b.label
+), norms AS (
+  SELECT l1 AS label, dot AS nrm FROM dots WHERE l1 = l2
+)
+SELECT d.l1, d.l2, d.dot AS dot_fp, x.nrm AS norm1_fp, y.nrm AS norm2_fp,
+       d.dot / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))) AS cos
+FROM dots d JOIN norms x ON d.l1 = x.label JOIN norms y ON d.l2 = y.label
+WHERE d.l1 < d.l2
+"""
+
+
 def _q_docs_top_tokens_per_source(spark: SparkSession, sf: str) -> DataFrame:
     """Grouped top-k (textops/analysis.py::top_tokens_per_group): each
     source's 5 most frequent tokens, exact counts, deterministic
@@ -4025,6 +4058,38 @@ def _scratch_root(tag: str) -> str:
         shutil.rmtree(root, ignore_errors=True)
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     return root
+
+
+def _q_events_rate_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type event-rate anomaly (textops/joins.py::rate_anomaly):
+    z-score of each hour bucket's event COUNT against the type's own
+    bucket distribution — exact integer S1/S2 statistics, one double
+    z expression, integer zero-variance guard.  One count aggregate +
+    a per-type stats broadcast."""
+    from mopper_spark.textops.joins import rate_anomaly
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return rate_anomaly(ev)
+
+
+_SQL_EVENTS_RATE_ANOMALY = """
+WITH counts AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - epoch_us(ts) % 3600000000 AS BIGINT) AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n * n) AS BIGINT) AS s2
+  FROM counts GROUP BY event_type
+)
+SELECT c.event_type, c.bucket_us, c.n,
+       CASE WHEN s.k * s.s2 - s.s1 * s.s1 > 0
+            THEN (c.n * s.k - s.s1)
+                 / sqrt(CAST(s.k * s.s2 - s.s1 * s.s1 AS DOUBLE))
+            ELSE 0.0 END AS z
+FROM counts c JOIN stats s USING (event_type)
+"""
 
 
 def _q_events_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
@@ -6302,6 +6367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_tokens": _q_bpe_encode_tokens,
         "docs_chunking": _q_docs_chunking,
         "events_scd2": _q_events_scd2,
+        "events_rate_anomaly": _q_events_rate_anomaly,
         "graph_bfs_distances": _q_graph_bfs_distances,
         "fingerprint_md5": _q_fingerprint_md5,
         "contamination_ngram": _q_contamination_ngram,
@@ -6317,6 +6383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_filter_pipeline": _q_docs_filter_pipeline,
         "docs_mixture_weights": _q_docs_mixture_weights,
         "docs_top_tokens_per_source": _q_docs_top_tokens_per_source,
+        "embeddings_label_cosines": _q_embeddings_label_cosines,
         "docs_source_divergence": _q_docs_source_divergence,
         "pack_sequences": _q_pack_sequences,
         "stream_contamination": _q_stream_contamination,
@@ -6434,6 +6501,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_tokens": _SQL_BPE_ENCODE,
         "docs_chunking": _SQL_DOCS_CHUNKING,
         "events_scd2": _SQL_EVENTS_SCD2,
+        "events_rate_anomaly": _SQL_EVENTS_RATE_ANOMALY,
         "graph_bfs_distances": _SQL_GRAPH_BFS,
         "fingerprint_md5": _SQL_FINGERPRINT,
         "contamination_ngram": _SQL_CONTAMINATION,
@@ -6449,6 +6517,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_filter_pipeline": _SQL_FILTER_PIPELINE,
         "docs_mixture_weights": _SQL_MIXTURE_WEIGHTS,
         "docs_top_tokens_per_source": _SQL_TOP_TOKENS_PER_SOURCE,
+        "embeddings_label_cosines": _SQL_EMB_LABEL_COSINES,
         "docs_source_divergence": _SQL_SOURCE_DIVERGENCE,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "stream_contamination": _SQL_STREAM_CONTAMINATION,

@@ -241,3 +241,61 @@ def scd2_intervals(
         "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"),
     )
+
+
+def rate_anomaly(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    *,
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Per-type event-rate anomaly: z-score of each time bucket's event
+    COUNT against that type's own bucket-count distribution — the
+    ops-monitoring primitive ("this hour is 3σ above normal for
+    `purchase`").
+
+    Counts are integers, so the population mean/variance inputs are the
+    EXACT integer sums ``S1 = Σn`` and ``S2 = Σn²`` over the K present
+    buckets; the z-score ``(n·K - S1) / sqrt(K·(K·S2 - S1²))`` is one
+    double expression over exact integers (the numerator and the
+    discriminant are integer-exact, so even the zero-variance guard is
+    an integer comparison).  Statistics are over PRESENT buckets —
+    all-empty buckets are unobserved rows by construction; callers
+    needing gap-aware baselines densify first.
+
+    Scale shape: one (type, bucket) count aggregate (map-side combine),
+    one per-type statistics row broadcast back.  Output: ``(event_type,
+    bucket_us, n, z)`` with z = 0.0 where the type's variance is zero.
+    """
+    ep = (
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {ts_col})"
+    )
+    counts = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            (F.expr(ep) - F.pmod(F.expr(ep), F.lit(bucket_us)))
+            .cast("long")
+            .alias("bucket_us"),
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    stats = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    j = counts.join(F.broadcast(stats), "event_type")
+    disc = F.col("k") * F.col("s2") - F.col("s1") * F.col("s1")
+    return j.select(
+        "event_type",
+        "bucket_us",
+        "n",
+        F.when(disc > 0,
+               (F.col("n") * F.col("k") - F.col("s1"))
+               / F.sqrt(disc.cast("double")))
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )

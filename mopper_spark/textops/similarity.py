@@ -242,3 +242,68 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def label_centroid_cosines(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    *,
+    fp_scale: int = 1 << 20,
+) -> DataFrame:
+    """Class-separation audit: cosine similarity between per-label SUM
+    vectors (≡ centroid cosines, since the 1/n factors cancel) — the
+    embedding-quality check before trusting label-conditioned ANN or
+    SemDeDup cluster assignments.
+
+    Determinism: each component is quantized once to the fixed-point
+    BIGINT ``round(x * 2^20)``; per-label per-dimension sums, dots and
+    squared norms are exact integer arithmetic (bounds: |x|≈1 → 2^20 per
+    component, 2^26 per summed dim at 10^2 rows/label, 2^58 per dot at
+    64 dims — int64-safe to ~10^4 rows/label; rescale fp_scale down for
+    more).  ``cos`` is the one double expression
+    ``dot / (sqrt(n1) * sqrt(n2))`` over exact integers.
+
+    Scale shape: one posexplode to (label, dim) keyed integer sums
+    (64·|labels| reduce keys, map-side combining), then an
+    all-label-pairs join — |labels|² is a statistics table, never data-
+    sized.  Output: ``(l1, l2, dot_fp, norm1_fp, norm2_fp, cos)``, l1<l2.
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(fp_scale))).cast("long"),
+    )
+    per_dim = (
+        embeddings.select(F.col(label_col).alias("label"), q.alias("qv"))
+        .select("label", F.posexplode("qv").alias("dim", "c"))
+        .groupBy("label", "dim")
+        .agg(F.sum("c").cast("long").alias("s"))
+    )
+    a, b = per_dim.alias("a"), per_dim.alias("b")
+    dots = (
+        a.join(b, (F.col("a.dim") == F.col("b.dim")) & (F.col("a.label") <= F.col("b.label")))
+        .groupBy(F.col("a.label").alias("l1"), F.col("b.label").alias("l2"))
+        .agg(F.sum(F.col("a.s") * F.col("b.s")).cast("long").alias("dot"))
+    )
+    norms = dots.filter(F.col("l1") == F.col("l2")).select(
+        F.col("l1").alias("label"), F.col("dot").alias("nrm")
+    )
+    return (
+        dots.filter(F.col("l1") < F.col("l2"))
+        .join(F.broadcast(norms.withColumnRenamed("label", "l1").withColumnRenamed("nrm", "norm1_fp")), "l1")
+        .join(F.broadcast(norms.withColumnRenamed("label", "l2").withColumnRenamed("nrm", "norm2_fp")), "l2")
+        .select(
+            "l1",
+            "l2",
+            F.col("dot").alias("dot_fp"),
+            "norm1_fp",
+            "norm2_fp",
+            (
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("norm1_fp").cast("double"))
+                    * F.sqrt(F.col("norm2_fp").cast("double"))
+                )
+            ).alias("cos"),
+        )
+    )

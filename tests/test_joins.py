@@ -199,3 +199,35 @@ class TestTriangleCounts:
             (r.node, r.n_triangles) for r in triangle_counts(edges).collect()
         }
         assert got == {("hub", 1), ("s0", 1), ("s1", 1)}
+
+
+class TestRateAnomaly:
+    def test_z_matches_python_and_flags_burst(self, spark):
+        import math
+        from datetime import datetime
+
+        from mopper_spark.textops.joins import rate_anomaly
+
+        rows = []
+        for h, n in [(0, 2), (1, 2), (2, 2), (3, 10)]:
+            rows += [(datetime(2024, 1, 1, h, i), "A") for i in range(n)]
+        rows += [(datetime(2024, 1, 1, 0, i), "B") for i in range(3)]  # one bucket
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+        got = {(r.event_type, r.bucket_us): (r.n, r.z)
+               for r in rate_anomaly(df).collect()}
+        K, S1, S2 = 4, 16, 112
+        for (t, _), (n, z) in got.items():
+            if t == "A":
+                assert z == (n * K - S1) / math.sqrt(K * S2 - S1 * S1)
+        # burst bucket is the only positive-z A bucket
+        assert sum(1 for (t, _), (n, z) in got.items() if t == "A" and z > 0) == 1
+        # single-bucket type: zero variance -> z = 0 guard
+        assert [z for (t, _), (_, z) in got.items() if t == "B"] == [0.0]
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.joins import rate_anomaly
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        a = sorted(map(tuple, rate_anomaly(ev).collect()))
+        b = sorted(map(tuple, rate_anomaly(ev.repartition(13)).collect()))
+        assert a == b and len(a) > 10

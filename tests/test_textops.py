@@ -1244,3 +1244,33 @@ class TestTopTokensPerGroup:
         a = sorted(map(tuple, top_tokens_per_group(docs, k=3).collect()))
         b = sorted(map(tuple, top_tokens_per_group(docs.repartition(7), k=3).collect()))
         assert a == b and len(a) >= 6
+
+
+class TestLabelCentroidCosines:
+    def test_matches_python_replica(self, spark):
+        import math
+
+        from mopper_spark.textops.similarity import label_centroid_cosines
+
+        rows = [
+            (1, [1.0, 0.0], 0), (2, [1.0, 0.25], 0),
+            (3, [0.0, 1.0], 1), (4, [0.5, 1.0], 1),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        got = [tuple(r) for r in label_centroid_cosines(df).collect()]
+        fp = 1 << 20
+        s0 = [round(1.0 * fp) + round(1.0 * fp), round(0.0) + round(0.25 * fp)]
+        s1 = [round(0.0) + round(0.5 * fp), round(1.0 * fp) + round(1.0 * fp)]
+        dot = s0[0] * s1[0] + s0[1] * s1[1]
+        n0 = s0[0] ** 2 + s0[1] ** 2
+        n1 = s1[0] ** 2 + s1[1] ** 2
+        cos = dot / (math.sqrt(float(n0)) * math.sqrt(float(n1)))
+        assert got == [(0, 1, dot, n0, n1, cos)]
+
+    def test_identical_labels_cos_one(self, spark):
+        from mopper_spark.textops.similarity import label_centroid_cosines
+
+        rows = [(i, [1.0, 2.0, 3.0], i % 2) for i in range(10)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        (r,) = label_centroid_cosines(df).collect()
+        assert abs(r.cos - 1.0) < 1e-12
