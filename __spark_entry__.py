@@ -1838,6 +1838,81 @@ ORDER BY pr_scaled DESC, node ASC LIMIT {top_k}
 _SQL_DOCS_TEXTRANK = _sql_docs_textrank(3, 20)
 
 
+def _q_docs_bigram_xent(spark: SparkSession, sf: str) -> DataFrame:
+    """Held-out bigram-LM cross-entropy with Stupid Backoff (Brants et
+    al. EMNLP'07; textops/ranking.py::bigram_backoff_xent): docs with
+    doc_id % 5 == 0 scored under the LM of the other 80% — unseen
+    bigrams take the smoothed backoff leg, so BOTH branches are
+    gate-exercised.  One fp ln per distinct train bigram / scored token,
+    integer sums, one final division."""
+    from mopper_spark.textops.ranking import bigram_backoff_xent
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return bigram_backoff_xent(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )
+
+
+_SQL_BIGRAM_XENT = r"""
+WITH tr AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM documents WHERE doc_id % 5 <> 0
+), trb AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+           i -> struct_pack(u := tk[i], v := tk[i+1]))) AS p
+  FROM tr WHERE len(tk) >= 2
+), big AS (
+  SELECT p.u AS u, p.v AS v, CAST(COUNT(*) AS BIGINT) AS c_uv
+  FROM trb GROUP BY p.u, p.v
+), pre AS (
+  SELECT u, CAST(SUM(c_uv) AS BIGINT) AS c_u FROM big GROUP BY u
+), uni AS (
+  SELECT tok AS v, CAST(COUNT(*) AS BIGINT) AS c_v
+  FROM (SELECT unnest(tk) AS tok FROM tr) GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(c_v) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS n_vocab
+  FROM uni
+), lp_big AS (
+  SELECT b.u, b.v,
+         CAST(floor(ln(CAST(b.c_uv AS DOUBLE) / CAST(p.c_u AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS lp_fp
+  FROM big b JOIN pre p USING (u)
+), lp_back AS (
+  SELECT v, CAST(floor(ln(0.4 * CAST(c_v + 1 AS DOUBLE)
+                          / CAST(n_total + n_vocab AS DOUBLE))
+                       * 1000000.0) AS BIGINT) AS lb_fp
+  FROM uni, tot
+), lb_oov AS (
+  SELECT CAST(floor(ln(0.4 / CAST(n_total + n_vocab AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS lb_oov_fp
+  FROM tot
+), sc AS (
+  SELECT doc_id, p.u AS u, p.v AS v FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tk)),
+             i -> struct_pack(u := tk[i], v := tk[i+1]))) AS p
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS tk
+          FROM documents WHERE doc_id % 5 = 0)
+    WHERE len(tk) >= 2)
+), joined AS (
+  SELECT sc.doc_id,
+         COALESCE(lp_big.lp_fp, lp_back.lb_fp, lb_oov.lb_oov_fp) AS fp
+  FROM sc
+  LEFT JOIN lp_big ON sc.u = lp_big.u AND sc.v = lp_big.v
+  LEFT JOIN lp_back ON sc.v = lp_back.v
+  , lb_oov
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(fp) AS BIGINT) AS sum_lp_fp,
+       -CAST(SUM(fp) AS BIGINT) / (1000000.0 * COUNT(*)) AS xent
+FROM joined GROUP BY doc_id
+"""
+
+
 def _q_docs_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Content-defined chunking (LBFS/FastCDC boundary rule at word
     granularity; mopper_spark/textops/dedup.py::cdc_chunks, divisor=8):
@@ -6380,6 +6455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll_distinct": _q_stream_hll_distinct,
         "docs_cdc_chunks": _q_docs_cdc_chunks,
         "docs_textrank": _q_docs_textrank,
+        "docs_bigram_xent": _q_docs_bigram_xent,
         "docs_filter_pipeline": _q_docs_filter_pipeline,
         "docs_mixture_weights": _q_docs_mixture_weights,
         "docs_top_tokens_per_source": _q_docs_top_tokens_per_source,
@@ -6514,6 +6590,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_hll_distinct": _SQL_STREAM_HLL,
         "docs_cdc_chunks": _SQL_CDC_CHUNKS,
         "docs_textrank": _SQL_DOCS_TEXTRANK,
+        "docs_bigram_xent": _SQL_BIGRAM_XENT,
         "docs_filter_pipeline": _SQL_FILTER_PIPELINE,
         "docs_mixture_weights": _SQL_MIXTURE_WEIGHTS,
         "docs_top_tokens_per_source": _SQL_TOP_TOKENS_PER_SOURCE,

@@ -126,6 +126,10 @@ HEADLINE = [
     "docs_cdc_chunks",
     "graph_ppr",
     "docs_textrank",
+    "docs_top_tokens_per_source",
+    "graph_shortest_path",
+    "embeddings_label_cosines",
+    "events_rate_anomaly",
 ]
 
 

@@ -213,3 +213,122 @@ def textrank_keywords(
     )
     pr = pagerank_fixed(edges, iters=iters)
     return pr.orderBy(F.desc("pr_scaled"), F.asc("node")).limit(top_k)
+
+
+def bigram_backoff_xent(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Held-out cross-entropy under a bigram LM with Stupid Backoff
+    (Brants et al., EMNLP 2007 — the web-scale LM scoring rule: no
+    normalization, a fixed backoff factor): documents in ``score`` are
+    ranked by how well the ``train`` corpus's bigram statistics predict
+    them — the CCNet perplexity filter one order up from
+    ``analysis.unigram_xent``.
+
+        lp(u,v) = ln(c(u,v) / c(u·))              if c(u,v) > 0
+                = ln(0.4 * (c(v)+1) / (N+V))      otherwise (smoothed)
+
+    Fixed-point discipline: one ``floor(ln(ratio)*1e6)`` per DISTINCT
+    train bigram and per distinct scored token (ratios of exact
+    integers), integer per-document sums, one double division at the
+    end.  Output: ``(doc_id, n_bigrams, sum_lp_fp, xent)`` for scored
+    docs with ≥ 1 bigram; ``xent = -sum/(1e6*n_bigrams)`` in nats.
+
+    Scale shape: train-side counts are word/bigram-shaped aggregates;
+    scoring is two hash joins against the (broadcastable at fixture
+    scale, word-shaped at corpus scale) fp log tables; nothing
+    quadratic.
+    """
+    FP = 1_000_000.0
+
+    def bigrams(df: DataFrame, with_id: bool) -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+        )
+        pairs = F.expr(
+            "transform(sequence(1, greatest(size(toks) - 1, 0)), i -> "
+            "named_struct('u', toks[i - 1], 'v', toks[i]))"
+        )
+        cols = [F.col(id_col).alias("doc_id")] if with_id else []
+        return (
+            df.select(*cols, toks.alias("toks"))
+            .filter(F.size("toks") >= 2)
+            .select(*(["doc_id"] if with_id else []), F.explode(pairs).alias("p"))
+            .select(
+                *(["doc_id"] if with_id else []),
+                F.col("p.u").alias("u"),
+                F.col("p.v").alias("v"),
+            )
+        )
+
+    tb = bigrams(train, with_id=False)
+    big = tb.groupBy("u", "v").agg(F.count(F.lit(1)).cast("long").alias("c_uv"))
+    pre = big.groupBy("u").agg(F.sum("c_uv").cast("long").alias("c_u"))
+    toks_tr = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    uni = (
+        train.select(toks_tr.alias("toks"))
+        .select(F.explode("toks").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_v"))
+    )
+    totals = uni.groupBy().agg(
+        F.sum("c_v").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+    )
+    lp_big = big.join(F.broadcast(pre), "u").select(
+        "u",
+        "v",
+        F.floor(
+            F.log(F.col("c_uv").cast("double") / F.col("c_u").cast("double"))
+            * F.lit(FP)
+        ).cast("long").alias("lp_fp"),
+    )
+    lp_back = uni.crossJoin(F.broadcast(totals)).select(
+        "v",
+        F.floor(
+            F.log(
+                F.lit(backoff)
+                * (F.col("c_v") + 1).cast("double")
+                / (F.col("n_total") + F.col("n_vocab")).cast("double")
+            )
+            * F.lit(FP)
+        ).cast("long").alias("lb_fp"),
+    )
+    # OOV scored tokens (not in the train vocab): smoothed c_v = 0
+    lb_oov = totals.select(
+        F.floor(
+            F.log(
+                F.lit(backoff)
+                / (F.col("n_total") + F.col("n_vocab")).cast("double")
+            )
+            * F.lit(FP)
+        ).cast("long").alias("lb_oov_fp")
+    )
+    scored = (
+        bigrams(score, with_id=True)
+        .join(F.broadcast(lp_big), ["u", "v"], "left")
+        .join(F.broadcast(lp_back), "v", "left")
+        .crossJoin(F.broadcast(lb_oov))
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("lp_fp"), F.col("lb_fp"), F.col("lb_oov_fp")
+            ).alias("fp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("fp").cast("long").alias("sum_lp_fp"),
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "sum_lp_fp",
+        (-F.col("sum_lp_fp") / (F.lit(FP) * F.col("n_bigrams"))).alias("xent"),
+    )

@@ -1274,3 +1274,54 @@ class TestLabelCentroidCosines:
         df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
         (r,) = label_centroid_cosines(df).collect()
         assert abs(r.cos - 1.0) < 1e-12
+
+
+class TestBigramBackoffXent:
+    def test_matches_python_replica_all_branches(self, spark):
+        import math
+        from collections import Counter
+
+        from mopper_spark.textops.ranking import bigram_backoff_xent
+
+        train_rows = [(1, "a b c a b"), (2, "b c d")]
+        score_rows = [(10, "a b c"),      # all bigrams seen
+                      (11, "c a d b"),    # mixed seen/backoff
+                      (12, "zz a qq d")]  # OOV tokens -> oov leg
+        train = spark.createDataFrame(train_rows, "doc_id long, text string")
+        score = spark.createDataFrame(score_rows, "doc_id long, text string")
+        got = {r.doc_id: (r.n_bigrams, r.sum_lp_fp, r.xent)
+               for r in bigram_backoff_xent(train, score).collect()}
+
+        big, uni = Counter(), Counter()
+        for _, t in train_rows:
+            tk = t.split()
+            uni.update(tk)
+            big.update(zip(tk, tk[1:]))
+        pre = Counter()
+        for (u, _), c in big.items():
+            pre[u] += c
+        n, v = sum(uni.values()), len(uni)
+
+        def lp(u, w):
+            if big[(u, w)] > 0:
+                return math.floor(math.log(big[(u, w)] / pre[u]) * 1e6)
+            return math.floor(math.log(0.4 * (uni[w] + 1) / (n + v)) * 1e6)
+
+        for d, t in score_rows:
+            tk = t.split()
+            fps = [lp(u, w) for u, w in zip(tk, tk[1:])]
+            s = sum(fps)
+            assert got[d] == (len(fps), s, -s / (1e6 * len(fps)))
+        # held-out doc full of unseen pairs scores WORSE (higher xent)
+        assert got[12][2] > got[10][2]
+
+    def test_partitioning_invariance(self, spark):
+        from pyspark.sql import functions as F
+
+        from mopper_spark.textops.ranking import bigram_backoff_xent
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        tr, sc = docs.filter(F.col("doc_id") % 5 != 0), docs.filter(F.col("doc_id") % 5 == 0)
+        a = sorted(map(tuple, bigram_backoff_xent(tr, sc).collect()))
+        b = sorted(map(tuple, bigram_backoff_xent(tr.repartition(9), sc.repartition(7)).collect()))
+        assert a == b and len(a) > 10
