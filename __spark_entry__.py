@@ -4804,6 +4804,59 @@ SELECT node, pr AS pr_scaled FROM {prev}
 _SQL_GRAPH_PPR = _sql_graph_ppr(3)
 
 
+def _q_graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity (Newman 2002; pipeline/graph.py::
+    degree_assortativity) of the tree+chord graph: Pearson over endpoint
+    degrees with every input an exact integer sum, r one double
+    expression.  The tree shape should read disassortative (r < 0)."""
+    from mopper_spark.pipeline.graph import degree_assortativity
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    e1 = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 2").cast("long").alias("b"),
+    )
+    e2 = docs.filter(F.col("doc_id") >= 3).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 3").cast("long").alias("b"),
+    )
+    return degree_assortativity(e1.union(e2))
+
+
+_SQL_GRAPH_ASSORTATIVITY = """
+WITH e_raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id // 2 AS BIGINT) AS b
+  FROM documents WHERE doc_id >= 2
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 3 AS BIGINT)
+  FROM documents WHERE doc_id >= 3
+), e AS (
+  SELECT DISTINCT a AS u, b AS v FROM e_raw WHERE a <> b
+), sym AS (
+  SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+), deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+), pairs AS (
+  SELECT dx.d AS dx, dy.d AS dy
+  FROM sym JOIN deg dx ON sym.u = dx.u JOIN deg dy ON sym.v = dy.u
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy
+  FROM pairs
+)
+SELECT k, sx, sy, sxy, sxx, syy,
+       CASE WHEN k * sxx - sx * sx > 0 AND k * syy - sy * sy > 0
+            THEN (k * sxy - sx * sy)
+                 / (sqrt(CAST(k * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(k * syy - sy * sy AS DOUBLE)))
+            ELSE 0.0 END AS r
+FROM s
+"""
+
+
 def _q_graph_shortest_path(spark: SparkSession, sf: str) -> DataFrame:
     """Shortest-path WITNESS (pipeline/graph.py::shortest_path_witness):
     the lexicographically-least-parents shortest path from node 1 to the
@@ -6515,6 +6568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": _q_graph_kcore,
         "graph_ppr": _q_graph_ppr,
         "graph_shortest_path": _q_graph_shortest_path,
+        "graph_assortativity": _q_graph_assortativity,
         "kg_predicate_profile": _q_kg_predicate_profile,
         "kg_resolve_functional": _q_kg_resolve_functional,
         "kg_negative_samples": _q_kg_negative_samples,
@@ -6661,6 +6715,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _SQL_GRAPH_KCORE,
         "graph_ppr": _SQL_GRAPH_PPR,
         "graph_shortest_path": _SQL_GRAPH_SHORTEST_PATH,
+        "graph_assortativity": _SQL_GRAPH_ASSORTATIVITY,
         "kg_predicate_profile": _SQL_KG_PRED_PROFILE,
         "kg_resolve_functional": _SQL_KG_RESOLVE_FUNCTIONAL,
         "kg_negative_samples": _SQL_KG_NEGATIVE_SAMPLES,

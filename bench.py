@@ -130,6 +130,7 @@ HEADLINE = [
     "graph_shortest_path",
     "embeddings_label_cosines",
     "events_rate_anomaly",
+    "docs_bigram_xent",
 ]
 
 

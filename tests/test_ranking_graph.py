@@ -562,3 +562,43 @@ class TestShortestPathWitness:
         df = spark.createDataFrame([(1, 2), (3, 4)], "a long, b long")
         assert shortest_path_witness(df, 1, 4).count() == 0
         assert [tuple(r) for r in shortest_path_witness(df, 1, 1).collect()] == [(0, 1)]
+
+
+class TestDegreeAssortativity:
+    def test_star_is_disassortative_clique_is_flat(self, spark):
+        from mopper_spark.pipeline.graph import degree_assortativity
+
+        star = spark.createDataFrame([(0, i) for i in range(1, 8)], "a long, b long")
+        (rs,) = degree_assortativity(star).collect()
+        assert rs.r < -0.99  # perfect star: r = -1
+        clique = spark.createDataFrame(
+            [(i, j) for i in range(5) for j in range(i + 1, 5)], "a long, b long")
+        (rc,) = degree_assortativity(clique).collect()
+        assert rc.r == 0.0  # all degrees equal: zero variance guard
+
+    def test_matches_python_replica(self, spark):
+        import math
+        from collections import defaultdict
+
+        from mopper_spark.pipeline.graph import degree_assortativity
+
+        edges = [(i, (i * 7 + 1) % 19) for i in range(40)]
+        edges = [(x, y) for x, y in edges if x != y]
+        df = spark.createDataFrame(edges, "a long, b long")
+        (row,) = degree_assortativity(df).collect()
+
+        e = {(min(x, y), max(x, y)) for x, y in edges}
+        sym = list(e) + [(v, u) for u, v in e]
+        deg = defaultdict(int)
+        for u, _ in sym:
+            deg[u] += 1
+        xs = [deg[u] for u, _ in sym]
+        ys = [deg[v] for _, v in sym]
+        k = len(sym)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+        r = (k * sxy - sx * sy) / (
+            math.sqrt(float(k * sxx - sx * sx)) * math.sqrt(float(k * syy - sy * sy)))
+        assert (row.k, row.sx, row.sy, row.sxy, row.sxx, row.syy) == (k, sx, sy, sxy, sxx, syy)
+        assert row.r == r
