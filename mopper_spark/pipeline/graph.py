@@ -670,7 +670,11 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_prev = sym.select("src").distinct().count()
+    # convergence probe on the EDGE count: peeling removes a node iff it
+    # removes that node's incident edges, so edge-count-unchanged ⟺
+    # node-set-unchanged — and counting the just-checkpointed edge list
+    # is free, where a distinct node count would be one more shuffle.
+    n_prev = sym.count()
     for _ in range(max_rounds):
         deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("src")
@@ -679,7 +683,7 @@ def k_core(
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
-        n_now = sym.select("src").distinct().count()
+        n_now = sym.count()
         if n_now == n_prev:
             break
         n_prev = n_now
