@@ -2138,6 +2138,41 @@ WHERE d.l1 < d.l2
 """
 
 
+def _q_docs_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement, A-ES scheme (Efraimidis &
+    Spirakis 2006; textops/sampling.py::weighted_sample): 40 docs drawn
+    ∝ token count via md5-rational uniforms and the monotone fixed-point
+    key floor(1e6·ln(u)/w) — one narrow pass + TakeOrdered, output
+    all-BIGINT."""
+    from mopper_spark.textops.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    weighted = docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    return weighted_sample(weighted, "n_tokens", k=40)
+
+
+_SQL_WEIGHTED_SAMPLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), keyed AS (
+  SELECT doc_id AS id, n_tokens AS w,
+         CAST(floor(1000000.0 * ln(
+           (('0x' || substr(md5('wrs-v1' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1)
+           / 281474976710656.0) / n_tokens) AS BIGINT) AS key_fp
+  FROM w WHERE n_tokens > 0
+)
+SELECT id, w, key_fp FROM keyed
+ORDER BY key_fp DESC, id
+LIMIT 40
+"""
+
+
 def _q_docs_top_tokens_per_source(spark: SparkSession, sf: str) -> DataFrame:
     """Grouped top-k (textops/analysis.py::top_tokens_per_group): each
     source's 5 most frequent tokens, exact counts, deterministic
@@ -6537,6 +6572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,
         "kg_active_between": _q_kg_active_between,
         "docs_sample_per_group": _q_docs_sample_per_group,
+        "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_heavy_tokens": _q_docs_heavy_tokens,
         "kg_intervals_canonical": _q_kg_intervals_canonical,
         "kg_mentions_by_segment": _q_kg_mentions_by_segment,
@@ -6677,6 +6713,7 @@ def oracle_sql() -> dict[str, str]:
             ints=_SQL_ENTITY_INTERVALS
         ),
         "docs_sample_per_group": _SQL_SAMPLE_PER_GROUP,
+        "docs_weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "docs_heavy_tokens": _SQL_HEAVY_TOKENS,
         "kg_intervals_canonical": _canonical_intervals_oracle_sql(),
         "kg_mentions_by_segment": _mentions_by_segment_oracle_sql(),

@@ -123,3 +123,50 @@ def sample_per_group(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "wrs-v1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, the A-ES one-pass scheme): each row draws a uniform
+    ``u`` and keeps key ``u^(1/w)``; the top-``k`` keys are EXACTLY a
+    weighted sample without replacement.  The classic distributed
+    sampler — one narrow pass + a TakeOrdered, no global sort, no
+    sequential state.
+
+    Engine portability: ``u`` is the exact rational
+    ``(md5_48(seed‖id)+1)/2^48`` and the key is compared in fixed point
+    ``key_fp = floor(1e6 * ln(u) / w)`` (BIGINT; ln(u) < 0 so LARGER is
+    better, ties broken by id) — monotone in ``u^(1/w)``, so the
+    selection is identical and the output is integer-typed.
+
+    Weights must be positive integers (counts, token lengths); rows with
+    ``w <= 0`` are excluded.  Output: ``(id, w, key_fp)`` ordered by
+    ``(key_fp DESC, id)``.
+    """
+    if k < 1:
+        raise ValueError("weighted_sample: k must be >= 1")
+    h48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h48 + 1).cast("double") / F.lit(281474976710656.0)  # 2^48
+    key_fp = F.floor(F.lit(1000000.0) * F.log(u) / F.col(weight_col)).cast("long")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(weight_col).cast("long").alias("w"),
+            key_fp.alias("key_fp"),
+        )
+        .orderBy(F.desc("key_fp"), F.asc("id"))
+        .limit(k)
+    )

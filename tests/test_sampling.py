@@ -66,3 +66,49 @@ class TestSamplePerGroup:
 
         with pytest.raises(ValueError, match="k must be"):
             sample_per_group(self._docs(spark), ["source"], F.col("doc_id"), k=0)
+
+
+class TestWeightedSample:
+    def test_matches_python_replica(self, spark):
+        import hashlib
+        import math
+
+        from mopper_spark.textops.sampling import weighted_sample
+
+        rows = [(i, (i % 7) + 1) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = [tuple(r) for r in weighted_sample(df, "w", k=10, seed="s").collect()]
+
+        keyed = []
+        for i, w in rows:
+            h = int(hashlib.md5(f"s{i}".encode()).hexdigest()[:12], 16)
+            u = (h + 1) / 2**48
+            keyed.append((i, w, math.floor(1e6 * math.log(u) / w)))
+        keyed.sort(key=lambda r: (-r[2], r[0]))
+        assert got == keyed[:10]
+
+    def test_heavier_rows_oversampled(self, spark):
+        """Across many disjoint seeds, weight-1000 rows appear far more
+        often than weight-1 rows — the A-ES inclusion-probability
+        direction (deterministic per seed, so this is exact replay, not
+        a flaky statistical test)."""
+        from mopper_spark.textops.sampling import weighted_sample
+
+        rows = [(i, 1000 if i < 10 else 1) for i in range(110)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        heavy = 0
+        for s in range(8):
+            out = weighted_sample(df, "w", k=10, seed=f"seed{s}").collect()
+            heavy += sum(1 for r in out if r.w == 1000)
+        assert heavy >= 8 * 10 * 0.6  # heavy rows dominate the samples
+
+    def test_nonpositive_weights_excluded_and_validation(self, spark):
+        import pytest
+
+        from mopper_spark.textops.sampling import weighted_sample
+
+        df = spark.createDataFrame([(1, 0), (2, -3), (3, 5)], "doc_id long, w long")
+        out = weighted_sample(df, "w", k=10).collect()
+        assert [r.id for r in out] == [3]
+        with pytest.raises(ValueError):
+            weighted_sample(df, "w", k=0)
