@@ -4839,6 +4839,59 @@ SELECT node, pr AS pr_scaled FROM {prev}
 _SQL_GRAPH_PPR = _sql_graph_ppr(3)
 
 
+def _q_graph_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """Local clustering coefficients (Watts & Strogatz 1998;
+    pipeline/graph.py::clustering_coefficients) over the tree+chord
+    graph: exact integer triangles (degree-ordered node-iterator) and
+    degrees, one double division per node."""
+    from mopper_spark.pipeline.graph import clustering_coefficients
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    e1 = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 2").cast("long").alias("b"),
+    )
+    e2 = docs.filter(F.col("doc_id") >= 3).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 3").cast("long").alias("b"),
+    )
+    return clustering_coefficients(e1.union(e2))
+
+
+_SQL_GRAPH_CLUSTERING = """
+WITH e_raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id // 2 AS BIGINT) AS b
+  FROM documents WHERE doc_id >= 2
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 3 AS BIGINT)
+  FROM documents WHERE doc_id >= 3
+), ed AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM e_raw WHERE a <> b
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+    (SELECT u AS node FROM ed UNION ALL SELECT v FROM ed)
+  GROUP BY node
+), tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM ed e1
+  JOIN ed e2 ON e2.u = e1.u AND e1.v < e2.v
+  JOIN ed e3 ON e3.u = e1.v AND e3.v = e2.v
+), tcnt AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+  GROUP BY node
+)
+SELECT d.node, d.degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN 2.0 * COALESCE(t.n_triangles, 0)
+                 / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+            ELSE 0.0 END AS cc
+FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+"""
+
+
 def _q_graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     """Degree assortativity (Newman 2002; pipeline/graph.py::
     degree_assortativity) of the tree+chord graph: Pearson over endpoint
@@ -6605,6 +6658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": _q_graph_ppr,
         "graph_shortest_path": _q_graph_shortest_path,
         "graph_assortativity": _q_graph_assortativity,
+        "graph_clustering": _q_graph_clustering,
         "kg_predicate_profile": _q_kg_predicate_profile,
         "kg_resolve_functional": _q_kg_resolve_functional,
         "kg_negative_samples": _q_kg_negative_samples,
@@ -6753,6 +6807,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_ppr": _SQL_GRAPH_PPR,
         "graph_shortest_path": _SQL_GRAPH_SHORTEST_PATH,
         "graph_assortativity": _SQL_GRAPH_ASSORTATIVITY,
+        "graph_clustering": _SQL_GRAPH_CLUSTERING,
         "kg_predicate_profile": _SQL_KG_PRED_PROFILE,
         "kg_resolve_functional": _SQL_KG_RESOLVE_FUNCTIONAL,
         "kg_negative_samples": _SQL_KG_NEGATIVE_SAMPLES,

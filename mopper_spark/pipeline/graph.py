@@ -898,3 +898,49 @@ def degree_assortativity(edges: DataFrame, a: str = "a", b: str = "b") -> DataFr
             num / (F.sqrt(dx2.cast("double")) * F.sqrt(dy2.cast("double"))),
         ).otherwise(F.lit(0.0)).alias("r"),
     )
+
+
+def clustering_coefficients(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Local clustering coefficient per node: ``cc = 2T / (d(d-1))`` —
+    how close each node's neighborhood is to a clique (Watts & Strogatz
+    1998), composed from ``triangle_counts`` (degree-ordered, wedge work
+    capped at O(√E) per node) and one degree aggregate.  T and d are
+    exact integers; ``cc`` is one double division (0.0 for degree < 2).
+
+    Output: ``(node, degree, n_triangles, cc)`` for every node with at
+    least one edge.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_counts(e, a="u", b="v")
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cc"),
+        )
+    )

@@ -602,3 +602,38 @@ class TestDegreeAssortativity:
             math.sqrt(float(k * sxx - sx * sx)) * math.sqrt(float(k * syy - sy * sy)))
         assert (row.k, row.sx, row.sy, row.sxy, row.sxx, row.syy) == (k, sx, sy, sxy, sxx, syy)
         assert row.r == r
+
+
+class TestClusteringCoefficients:
+    def test_triangle_pendant_values(self, spark):
+        from mopper_spark.pipeline.graph import clustering_coefficients
+
+        df = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (3, 4)], "a long, b long")
+        got = {r.node: (r.degree, r.n_triangles, r.cc)
+               for r in clustering_coefficients(df).collect()}
+        assert got[1] == (2, 1, 1.0)
+        assert got[2] == (2, 1, 1.0)
+        assert got[3] == (3, 1, 2 / 6)
+        assert got[4] == (1, 0, 0.0)
+
+    def test_matches_networkx_style_replica(self, spark):
+        from collections import defaultdict
+        from itertools import combinations
+
+        from mopper_spark.pipeline.graph import clustering_coefficients
+
+        edges = {(min(a, b), max(a, b))
+                 for a, b in ((i, (i * 7 + 3) % 23) for i in range(60)) if a != b}
+        df = spark.createDataFrame(sorted(edges), "a long, b long")
+        got = {r.node: (r.degree, r.n_triangles, r.cc)
+               for r in clustering_coefficients(df).collect()}
+
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        for n, nbrs in adj.items():
+            t = sum(1 for x, y in combinations(sorted(nbrs), 2) if y in adj[x])
+            d = len(nbrs)
+            cc = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+            assert got[n] == (d, t, cc), n
