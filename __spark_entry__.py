@@ -4017,6 +4017,74 @@ FROM pairs JOIN sizes x ON pairs.p1 = x.pred JOIN sizes y ON pairs.p2 = y.pred
 """
 
 
+def _q_kg_entity_trending(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity trending/burst detection: the rate-anomaly kernel
+    (textops/joins.py::rate_anomaly) applied to the normalized mention
+    stream with DAY buckets — "which entities are mentioned unusually
+    often today" over exact integer S1/S2 statistics.  Pure composition:
+    extract → normalize → turn-ts join → z-scores."""
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.linking import normalize_surface
+    from mopper_spark.textops.joins import rate_anomaly
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    men = extract_mentions(tr).select(
+        "conv_id", "turn_idx", normalize_surface(F.col("surface")).alias("norm")
+    )
+    with_ts = men.join(
+        tr.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"]
+    ).select(F.col("norm").alias("event_type"), "ts")
+    return rate_anomaly(with_ts, bucket_us=86_400_000_000)
+
+
+def _entity_trending_oracle_sql() -> str:
+    from mopper_spark.pipeline.extract import MENTION_REGEX
+    from mopper_spark.pipeline.linking import _ACCENTS, _FOLDED
+    from mopper_spark.pipeline.transcripts import ENTITY_FORMS
+
+    forms = ", ".join(f"'{f}'" for f, _ in ENTITY_FORMS)
+    norm = (
+        "trim(regexp_replace(regexp_replace(translate(lower({v}), "
+        f"'{_ACCENTS}', '{_FOLDED}'), '\\.', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+WITH tr AS (SELECT * FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')),
+men AS (
+  SELECT conv_id, turn_idx, surface FROM (
+    SELECT conv_id, turn_idx,
+           unnest(list_distinct(list_concat(
+             regexp_extract_all(text, '{MENTION_REGEX}'),
+             list_filter([{forms}], f -> contains(text, f))
+           ))) AS surface
+    FROM tr
+  ) WHERE length(surface) >= 3
+),
+ev AS (
+  SELECT {norm.format(v="m.surface")} AS event_type, t.ts AS ts
+  FROM men m JOIN tr t USING (conv_id, turn_idx)
+),
+counts AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - epoch_us(ts) % 86400000000 AS BIGINT) AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n * n) AS BIGINT) AS s2
+  FROM counts GROUP BY event_type
+)
+SELECT c.event_type, c.bucket_us, c.n,
+       CASE WHEN s.k * s.s2 - s.s1 * s.s1 > 0
+            THEN (c.n * s.k - s.s1)
+                 / sqrt(CAST(s.k * s.s2 - s.s1 * s.s1 AS DOUBLE))
+            ELSE 0.0 END AS z
+FROM counts c JOIN stats s USING (event_type)
+"""
+
+
+_SQL_KG_ENTITY_TRENDING = _entity_trending_oracle_sql()
+
+
 def _q_docs_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Pairwise source vocabulary overlap (textops/analysis.py::
     source_vocab_overlap): exact distinct-token set sizes, intersections
@@ -6646,6 +6714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_communities": _q_mention_communities,
         "kg_entity_pmi": _q_kg_entity_pmi,
         "kg_schema_graph": _q_kg_schema_graph,
+        "kg_entity_trending": _q_kg_entity_trending,
         "docs_source_overlap": _q_docs_source_overlap,
         "docs_bm25": _q_docs_bm25,
         "bigram_pmi": _q_bigram_pmi,
@@ -6795,6 +6864,7 @@ def oracle_sql() -> dict[str, str]:
         "mention_communities": _SQL_MENTION_COMMUNITIES,
         "kg_entity_pmi": _SQL_KG_ENTITY_PMI,
         "kg_schema_graph": _SQL_KG_SCHEMA_GRAPH,
+        "kg_entity_trending": _SQL_KG_ENTITY_TRENDING,
         "docs_source_overlap": _SQL_SOURCE_OVERLAP,
         "stream_interval_join": _SQL_STREAM_INTERVAL_JOIN,
         "doc_hash_split": _SQL_DOC_HASH_SPLIT,

@@ -274,3 +274,37 @@ def test_pair_counts_empty_labels_are_zero(spark):
     empty = spark.createDataFrame([], "pred string, truth int")
     r = clustering_pair_counts(empty, "pred", "truth").collect()[0]
     assert (r.n_items, r.tp, r.fp, r.fn) == (0, 0, 0, 0)
+
+
+def test_entity_trending_burst_direction(spark):
+    """A day where an entity is mentioned in many turns scores a higher
+    z than its quiet days (composition: extract -> normalize -> ts join
+    -> rate_anomaly with day buckets)."""
+    from datetime import datetime
+
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.linking import normalize_surface
+    from mopper_spark.textops.joins import rate_anomaly
+    from pyspark.sql import functions as F
+
+    rows = []
+    # days 1-3: one mention/day; day 4: five mentions
+    for d in (1, 2, 3):
+        rows.append((f"c{d}", 0, "user", "we saw Ada Lovelace today", None,
+                     datetime(2024, 1, d)))
+    for i in range(5):
+        rows.append(("c4", i, "user", "Ada Lovelace again", None,
+                     datetime(2024, 1, 4, i)))
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+    men = extract_mentions(tr).select(
+        "conv_id", "turn_idx", normalize_surface(F.col("surface")).alias("norm"))
+    ev = men.join(tr.select("conv_id", "turn_idx", "ts"),
+                  ["conv_id", "turn_idx"]).select(
+        F.col("norm").alias("event_type"), "ts")
+    out = {r.bucket_us: r for r in
+           rate_anomaly(ev, bucket_us=86_400_000_000)
+           .filter(F.col("event_type") == "ada lovelace").collect()}
+    zs = sorted((r.n, r.z) for r in out.values())
+    assert zs[-1][0] == 5 and zs[-1][1] > 0 and all(z < 0 for _, z in zs[:-1])
