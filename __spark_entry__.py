@@ -2138,6 +2138,78 @@ WHERE d.l1 < d.l2
 """
 
 
+def _q_docs_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID eval: confusion matrix of the stopword-profile
+    classifier (textops/analysis.py::lang_id) against the corpus's gold
+    ``lang`` column, with per-cell recall share — the classifier-audit
+    table every lang-filter pipeline needs before trusting the filter.
+    One narrow pass + a |langs|² aggregate; recall is one double
+    division over exact counts."""
+    from mopper_spark.textops.analysis import lang_id
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    cm = (
+        docs.select(F.col("lang").alias("gold"), lang_id(F.col("text")).alias("pred"))
+        .groupBy("gold", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = cm.groupBy("gold").agg(F.sum("n").cast("long").alias("n_gold"))
+    return cm.join(F.broadcast(totals), "gold").select(
+        "gold", "pred", "n", "n_gold",
+        (F.col("n") / F.col("n_gold").cast("double")).alias("share"),
+    )
+
+
+_SQL_LANGID_CONFUSION = None  # assigned below (needs the lang profile SQL)
+
+
+def _langid_confusion_oracle_sql() -> str:
+    """DuckDB replay of lang_id: per-language stopword hit counts over
+    whitespace tokens, argmax with the array_max struct tie-break
+    (score DESC then lang DESC — Spark's array_max on (score, lang)
+    structs takes the lexicographically LARGEST, so ties go to the
+    later language name), 'und' when nothing matches."""
+    from mopper_spark.textops.analysis import _LANG_PROFILES
+
+    score_cols = []
+    for lang, words in _LANG_PROFILES.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter(tk, t -> list_contains([{lst}], t))) AS s_{lang}"
+        )
+    langs = list(_LANG_PROFILES)
+    struct_list = ", ".join(
+        f"struct_pack(score := s_{lang}, lang := '{lang}')" for lang in langs
+    )
+    return f"""
+WITH t AS (
+  SELECT lang AS gold,
+         list_transform(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    x -> x <> ''), x -> lower(x)) AS tk
+  FROM documents
+), scored AS (
+  SELECT gold, {", ".join(score_cols)} FROM t
+), best AS (
+  SELECT gold,
+         list_aggregate([{struct_list}], 'max') AS b
+  FROM scored
+), pred AS (
+  SELECT gold, CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS pred
+  FROM best
+), cm AS (
+  SELECT gold, pred, CAST(COUNT(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2
+), tot AS (
+  SELECT gold, CAST(SUM(n) AS BIGINT) AS n_gold FROM cm GROUP BY gold
+)
+SELECT cm.gold, cm.pred, cm.n, tot.n_gold,
+       cm.n / CAST(tot.n_gold AS DOUBLE) AS share
+FROM cm JOIN tot USING (gold)
+"""
+
+
+_SQL_LANGID_CONFUSION = _langid_confusion_oracle_sql()
+
+
 def _q_docs_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted sampling without replacement, A-ES scheme (Efraimidis &
     Spirakis 2006; textops/sampling.py::weighted_sample): 40 docs drawn
@@ -4267,6 +4339,38 @@ SELECT c.event_type, c.bucket_us, c.n,
                  / sqrt(CAST(s.k * s.s2 - s.s1 * s.s1 AS DOUBLE))
             ELSE 0.0 END AS z
 FROM counts c JOIN stats s USING (event_type)
+"""
+
+
+def _q_events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention triangle (textops/joins.py::cohort_retention):
+    users grouped by first-activity day; per (cohort, day) the exact
+    distinct-active count and its cohort share.  One min-aggregate, one
+    distinct projection joined back, a buckets²-row matrix."""
+    from mopper_spark.textops.joins import cohort_retention
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return cohort_retention(ev)
+
+
+_SQL_COHORT_RETENTION = """
+WITH acts AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) - epoch_us(ts) % 86400000000 AS BIGINT) AS bucket_us
+  FROM events
+), cohorts AS (
+  SELECT user_id, MIN(bucket_us) AS cohort_us FROM acts GROUP BY user_id
+), sizes AS (
+  SELECT cohort_us, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM cohorts GROUP BY cohort_us
+), cells AS (
+  SELECT c.cohort_us, a.bucket_us, CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM acts a JOIN cohorts c USING (user_id)
+  GROUP BY c.cohort_us, a.bucket_us
+)
+SELECT cells.cohort_us, cells.bucket_us, cells.n_active, sizes.cohort_size,
+       cells.n_active / CAST(sizes.cohort_size AS DOUBLE) AS share
+FROM cells JOIN sizes USING (cohort_us)
 """
 
 
@@ -6646,12 +6750,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_features": _q_multimodal_png_features,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
+        "docs_langid_confusion": _q_docs_langid_confusion,
         "token_frequencies": _q_token_frequencies,
         "bpe_train_merges": _q_bpe_train_merges,
         "bpe_encode_tokens": _q_bpe_encode_tokens,
         "docs_chunking": _q_docs_chunking,
         "events_scd2": _q_events_scd2,
         "events_rate_anomaly": _q_events_rate_anomaly,
+        "events_cohort_retention": _q_events_cohort_retention,
         "graph_bfs_distances": _q_graph_bfs_distances,
         "fingerprint_md5": _q_fingerprint_md5,
         "contamination_ngram": _q_contamination_ngram,
@@ -6785,12 +6891,14 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": _SQL_SIMILARITY_TOPK,
         "text_quality": _SQL_TEXT_QUALITY,
         "lang_id": _SQL_LANG_ID,
+        "docs_langid_confusion": _SQL_LANGID_CONFUSION,
         "token_frequencies": _SQL_TOKEN_FREQ,
         "bpe_train_merges": _SQL_BPE_TRAIN,
         "bpe_encode_tokens": _SQL_BPE_ENCODE,
         "docs_chunking": _SQL_DOCS_CHUNKING,
         "events_scd2": _SQL_EVENTS_SCD2,
         "events_rate_anomaly": _SQL_EVENTS_RATE_ANOMALY,
+        "events_cohort_retention": _SQL_COHORT_RETENTION,
         "graph_bfs_distances": _SQL_GRAPH_BFS,
         "fingerprint_md5": _SQL_FINGERPRINT,
         "contamination_ngram": _SQL_CONTAMINATION,

@@ -299,3 +299,56 @@ def rate_anomaly(
         .otherwise(F.lit(0.0))
         .alias("z"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by their FIRST-activity
+    bucket (the cohort), then for each (cohort, activity-bucket ≥
+    cohort) the count of cohort users active in that bucket and its
+    share of the cohort — the standard product-analytics table
+    (``retention[c][d]`` = share of day-c signups active on day d).
+
+    Exact integers throughout (distinct-user counts, cohort sizes);
+    ``share`` is one double division.  Scale shape: one min-aggregate
+    per user (map-side combining), one distinct (user, bucket)
+    projection joined back on the user (broadcast at fixture scale,
+    hash at corpus scale), one (cohort, bucket) count — the cohort
+    matrix is buckets² rows, a statistics table.
+    """
+    ep = (
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {ts_col})"
+    )
+    acts = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            (F.expr(ep) - F.pmod(F.expr(ep), F.lit(bucket_us)))
+            .cast("long")
+            .alias("bucket_us"),
+        )
+        .distinct()
+    )
+    cohorts = acts.groupBy("user_id").agg(
+        F.min("bucket_us").alias("cohort_us")
+    )
+    sizes = cohorts.groupBy("cohort_us").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cells = (
+        acts.join(cohorts, "user_id")
+        .groupBy("cohort_us", "bucket_us")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_us").select(
+        "cohort_us",
+        "bucket_us",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active") / F.col("cohort_size").cast("double")).alias("share"),
+    )

@@ -231,3 +231,40 @@ class TestRateAnomaly:
         a = sorted(map(tuple, rate_anomaly(ev).collect()))
         b = sorted(map(tuple, rate_anomaly(ev.repartition(13)).collect()))
         assert a == b and len(a) > 10
+
+
+class TestCohortRetention:
+    def test_triangle_exact(self, spark):
+        from datetime import datetime
+
+        from mopper_spark.textops.joins import cohort_retention
+
+        def d(day, h=0):
+            return datetime(2024, 1, day, h)
+
+        rows = [
+            (1, d(1)), (2, d(1)),            # cohort day1: users 1,2
+            (1, d(2)),                        # day2: only user 1 returns
+            (3, d(2)),                        # cohort day2: user 3
+            (1, d(3)), (2, d(3)), (3, d(3)),  # day3: everyone
+            (1, d(1, 5)),                     # same-day dup: no double count
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {(r.cohort_us, r.bucket_us): (r.n_active, r.cohort_size, r.share)
+               for r in cohort_retention(df).collect()}
+        D = 86_400_000_000
+        day1 = 1704067200000000
+        assert got[(day1, day1)] == (2, 2, 1.0)
+        assert got[(day1, day1 + D)] == (1, 2, 0.5)
+        assert got[(day1, day1 + 2 * D)] == (2, 2, 1.0)
+        assert got[(day1 + D, day1 + D)] == (1, 1, 1.0)
+        assert got[(day1 + D, day1 + 2 * D)] == (1, 1, 1.0)
+        assert len(got) == 5
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.joins import cohort_retention
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        a = sorted(map(tuple, cohort_retention(ev).collect()))
+        b = sorted(map(tuple, cohort_retention(ev.repartition(11)).collect()))
+        assert a == b and len(a) >= 3
