@@ -1913,6 +1913,50 @@ FROM joined GROUP BY doc_id
 """
 
 
+def _q_docs_tfidf_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF cosine near-dup pairs (textops/ranking.py::
+    tfidf_cosine_pairs, threshold 0.8): Salton VSM over the
+    max_df-restricted vocabulary — frequency-sensitive where Jaccard
+    is set-based.  Fixed-point idf, exact integer dots/norms, bounded
+    inverted-index join."""
+    from mopper_spark.textops.ranking import tfidf_cosine_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return tfidf_cosine_pairs(docs, threshold=0.8)
+
+
+_SQL_TFIDF_PAIRS = r"""
+WITH tf AS (
+  SELECT doc_id AS id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+), nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+dfreq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+), w AS (
+  SELECT id, tok,
+         tf * CAST(floor(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) * 1000.0)
+                   AS BIGINT) AS w
+  FROM tf JOIN dfreq USING (tok), nd
+  WHERE df <= 4096
+), wp AS (SELECT * FROM w WHERE w > 0),
+norms AS (
+  SELECT id, CAST(SUM(w * w) AS BIGINT) AS nrm FROM wp GROUP BY id
+), dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(SUM(a.w * b.w) AS BIGINT) AS dot_fp
+  FROM wp a JOIN wp b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, dot_fp, x.nrm AS norm_a_fp, y.nrm AS norm_b_fp,
+       dot_fp / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))) AS cos
+FROM dots JOIN norms x ON dots.id_a = x.id JOIN norms y ON dots.id_b = y.id
+WHERE dot_fp / (sqrt(CAST(x.nrm AS DOUBLE)) * sqrt(CAST(y.nrm AS DOUBLE))) >= 0.8
+"""
+
+
 def _q_docs_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Content-defined chunking (LBFS/FastCDC boundary rule at word
     granularity; mopper_spark/textops/dedup.py::cdc_chunks, divisor=8):
@@ -6771,6 +6815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cdc_chunks": _q_docs_cdc_chunks,
         "docs_textrank": _q_docs_textrank,
         "docs_bigram_xent": _q_docs_bigram_xent,
+        "docs_tfidf_pairs": _q_docs_tfidf_pairs,
         "docs_filter_pipeline": _q_docs_filter_pipeline,
         "docs_mixture_weights": _q_docs_mixture_weights,
         "docs_top_tokens_per_source": _q_docs_top_tokens_per_source,
@@ -6912,6 +6957,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_cdc_chunks": _SQL_CDC_CHUNKS,
         "docs_textrank": _SQL_DOCS_TEXTRANK,
         "docs_bigram_xent": _SQL_BIGRAM_XENT,
+        "docs_tfidf_pairs": _SQL_TFIDF_PAIRS,
         "docs_filter_pipeline": _SQL_FILTER_PIPELINE,
         "docs_mixture_weights": _SQL_MIXTURE_WEIGHTS,
         "docs_top_tokens_per_source": _SQL_TOP_TOKENS_PER_SOURCE,

@@ -1325,3 +1325,49 @@ class TestBigramBackoffXent:
         a = sorted(map(tuple, bigram_backoff_xent(tr, sc).collect()))
         b = sorted(map(tuple, bigram_backoff_xent(tr.repartition(9), sc.repartition(7)).collect()))
         assert a == b and len(a) > 10
+
+
+class TestTfidfCosinePairs:
+    def test_matches_python_replica(self, spark):
+        import math
+        from collections import Counter
+
+        from mopper_spark.textops.ranking import tfidf_cosine_pairs
+
+        texts = {1: "apple banana apple", 2: "apple banana cherry",
+                 3: "dog cat", 4: "dog cat dog"}
+        df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        got = {(r.id_a, r.id_b): (r.dot_fp, r.norm_a_fp, r.norm_b_fp, r.cos)
+               for r in tfidf_cosine_pairs(df, threshold=0.1).collect()}
+
+        tf = {d: Counter(t.split()) for d, t in texts.items()}
+        dfreq = Counter(tok for c in tf.values() for tok in c)
+        n = len(texts)
+        w = {d: {t: c * math.floor(math.log(n / dfreq[t]) * 1e3)
+                 for t, c in cnt.items()
+                 if math.floor(math.log(n / dfreq[t]) * 1e3) > 0}
+             for d, cnt in tf.items()}
+        nrm = {d: sum(x * x for x in v.values()) for d, v in w.items()}
+        exp = {}
+        for a in texts:
+            for b in texts:
+                if a >= b:
+                    continue
+                dot = sum(w[a][t] * w[b][t] for t in w[a] if t in w[b])
+                if dot == 0:
+                    continue
+                cos = dot / (math.sqrt(float(nrm[a])) * math.sqrt(float(nrm[b])))
+                if cos >= 0.1:
+                    exp[(a, b)] = (dot, nrm[a], nrm[b], cos)
+        assert got == exp
+        assert (1, 2) in got and (3, 4) in got and (1, 3) not in got
+
+    def test_max_df_excludes_stop_tokens(self, spark):
+        """A token in EVERY doc is dimensionless (idf 0) and a token over
+        max_df is out of the space — neither generates pairs."""
+        from mopper_spark.textops.ranking import tfidf_cosine_pairs
+
+        rows = [(i, "common uniq%d" % i) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert tfidf_cosine_pairs(df, threshold=0.01).count() == 0
+        assert tfidf_cosine_pairs(df, threshold=0.01, max_df=5).count() == 0
