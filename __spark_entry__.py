@@ -4418,6 +4418,80 @@ FROM cells JOIN sizes USING (cohort_us)
 """
 
 
+def _q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion funnel (textops/joins.py::funnel_steps): users who
+    signup, then view strictly later, then purchase strictly later still
+    — earliest-chain rule.  k-1 user-keyed equi-joins against pushed
+    single-type scans; min-aggregates only, no windows, no event lists."""
+    from mopper_spark.textops.joins import funnel_steps
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return funnel_steps(ev, ["signup", "view", "purchase"])
+
+
+_SQL_EVENTS_FUNNEL = """
+WITH s0 AS (
+  SELECT user_id, MIN(CAST(epoch_us(ts) AS BIGINT)) AS t
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, MIN(CAST(epoch_us(e.ts) AS BIGINT)) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+   AND CAST(epoch_us(e.ts) AS BIGINT) > s0.t
+  WHERE e.event_type = 'view' GROUP BY e.user_id
+), s2 AS (
+  SELECT e.user_id, MIN(CAST(epoch_us(e.ts) AS BIGINT)) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+   AND CAST(epoch_us(e.ts) AS BIGINT) > s1.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), base AS (
+  SELECT GREATEST(COUNT(*), 1) AS b FROM s0
+), counts AS (
+  SELECT 0 AS step_idx, 'signup' AS step,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s0) AS n_users
+  UNION ALL
+  SELECT 1, 'view', (SELECT CAST(COUNT(*) AS BIGINT) FROM s1)
+  UNION ALL
+  SELECT 2, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+)
+SELECT CAST(step_idx AS INT) AS step_idx, step, n_users,
+       n_users / CAST((SELECT b FROM base) AS DOUBLE) AS share
+FROM counts
+"""
+
+
+def _q_docs_stratified_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact stratified train/val/test split (textops/sampling.py::
+    stratified_split): within each source the split sizes are exactly
+    floor(n * cum_weight) — the per-stratum-count guarantee hash_split
+    trades away.  One rank window per stratum, ppm-quantized integer
+    boundaries so Spark and the oracle cut identically."""
+    from mopper_spark.textops.sampling import stratified_split
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return stratified_split(docs, "source", "doc_id")
+
+
+_SQL_STRATIFIED_SPLIT = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(concat('strat-v1', CAST(doc_id AS VARCHAR))) ASC,
+                    CAST(doc_id AS VARCHAR) ASC
+         ) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN rk <= (n * 800000) // 1000000 THEN 'train'
+            WHEN rk <= (n * 900000) // 1000000 THEN 'val'
+            ELSE 'test' END AS split
+FROM ranked
+"""
+
+
 def _q_events_asof_attribution(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (purchase → most recent prior view per user): union +
     single hash partition + running `last ignorenulls` window — ONE
@@ -6802,6 +6876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2": _q_events_scd2,
         "events_rate_anomaly": _q_events_rate_anomaly,
         "events_cohort_retention": _q_events_cohort_retention,
+        "events_funnel": _q_events_funnel,
+        "docs_stratified_split": _q_docs_stratified_split,
         "graph_bfs_distances": _q_graph_bfs_distances,
         "fingerprint_md5": _q_fingerprint_md5,
         "contamination_ngram": _q_contamination_ngram,
@@ -6944,6 +7020,8 @@ def oracle_sql() -> dict[str, str]:
         "events_scd2": _SQL_EVENTS_SCD2,
         "events_rate_anomaly": _SQL_EVENTS_RATE_ANOMALY,
         "events_cohort_retention": _SQL_COHORT_RETENTION,
+        "events_funnel": _SQL_EVENTS_FUNNEL,
+        "docs_stratified_split": _SQL_STRATIFIED_SPLIT,
         "graph_bfs_distances": _SQL_GRAPH_BFS,
         "fingerprint_md5": _SQL_FINGERPRINT,
         "contamination_ngram": _SQL_CONTAMINATION,

@@ -131,6 +131,15 @@ HEADLINE = [
     "embeddings_label_cosines",
     "events_rate_anomaly",
     "docs_bigram_xent",
+    "graph_assortativity",
+    "graph_clustering",
+    "docs_weighted_sample",
+    "kg_entity_trending",
+    "docs_langid_confusion",
+    "events_cohort_retention",
+    "docs_tfidf_pairs",
+    "events_funnel",
+    "docs_stratified_split",
 ]
 
 

@@ -352,3 +352,82 @@ def cohort_retention(
         "cohort_size",
         (F.col("n_active") / F.col("cohort_size").cast("double")).alias("share"),
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users perform ``steps[0]``, then
+    ``steps[1]`` strictly later, then ``steps[2]`` strictly later still —
+    the standard product-analytics conversion funnel, computed by the
+    earliest-chain rule: each step matches at its EARLIEST timestamp
+    strictly after the previous step\'s match.  Greedy-earliest is
+    optimal (taking the earliest completion of a prefix can only enlarge
+    the set of completable suffixes), so a user reaches step k iff ANY
+    strictly-increasing chain of the k event types exists.
+
+    Output: one row per step — ``(step_idx, step, n_users, share)`` with
+    ``share`` = n_users / step-0 users (the conversion column; 1.0 on the
+    first row of a non-empty funnel).
+
+    Scale shape: k-1 equi-joins keyed on the user, each against a
+    single-type scan whose type constant is PUSHED into the source scan;
+    the reached-users relation only shrinks down the funnel, so AQE
+    broadcasts the later probes.  No windows and no per-user event lists
+    — a hot user with millions of events costs min-aggregates, never a
+    sort.  Each stage is localCheckpoint\'d so the union of per-stage
+    counts computes every stage once.  Timestamps compare as epoch
+    microseconds (TZ- and fetch-path-proof).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_steps: need at least 2 steps")
+    ep = (
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ \'1970-01-01 00:00:00\',"
+        f" {ts_col})"
+    )
+    typed = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("etype"),
+        F.expr(ep).cast("long").alias("ts_us"),
+    )
+    stage = (
+        typed.filter(F.col("etype") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_prev"))
+        .localCheckpoint(eager=False)
+    )
+    stages = [stage]
+    for step in steps[1:]:
+        stage = (
+            typed.filter(F.col("etype") == step)
+            .join(stage, "user_id")
+            .filter(F.col("ts_us") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts_us").alias("t_prev"))
+            .localCheckpoint(eager=False)
+        )
+        stages.append(stage)
+    per_step = [
+        st.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i).cast("int").alias("step_idx"),
+            F.lit(s).alias("step"),
+            "n_users",
+        )
+        for i, (s, st) in enumerate(zip(steps, stages))
+    ]
+    counts = per_step[0]
+    for nxt in per_step[1:]:
+        counts = counts.unionByName(nxt)
+    base = stages[0].agg(
+        F.greatest(F.count(F.lit(1)), F.lit(1)).cast("long").alias("__base")
+    )
+    return counts.crossJoin(F.broadcast(base)).select(
+        "step_idx",
+        "step",
+        "n_users",
+        (F.col("n_users") / F.col("__base").cast("double")).alias("share"),
+    )

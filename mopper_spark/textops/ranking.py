@@ -360,10 +360,24 @@ def tfidf_cosine_pairs(
     ``(tf·idf)² ≤ ~10^14`` and corpus dots within int64), all dots and
     norms exact integer sums, cosine one double expression.
 
-    Scale shape: the inverted-index join shuffles on the token with
-    per-token fan-out ≤ max_df²; dots aggregate per candidate pair;
-    norms broadcast back.  Output: ``(id_a, id_b, dot_fp, norm_a_fp,
-    norm_b_fp, cos)`` for pairs with ``cos >= threshold``, id_a < id_b.
+    Scale shape — PREFIX FILTERING (Bayardo/Ma/Srikant "All-Pairs",
+    WWW'07; Chaudhuri et al. ICDE'06): a naive inverted-index self-join
+    explodes on mid-frequency tokens (measured 111 s at sf0.1 — every
+    token under ``max_df`` fans out df² pair rows).  Instead, within each
+    doc order terms rarest-first (df asc, tok asc) and call a term
+    PREFIX iff the suffix starting at it could still reach the threshold
+    alone: ``suffix_norm² ≥ t²·norm²``.  If a pair's shared terms all sit
+    outside either doc's prefix then ``cos(A,B) ≤ ‖suffix_A‖/‖A‖ < t``,
+    so every qualifying pair shares ≥1 token lying in BOTH prefixes —
+    candidate generation joins only the (small) prefix postings, then an
+    exact integer dot product over the full postings verifies each
+    candidate.  Exactness-preserving by construction: the prefix test is
+    inclusion-conservative (double compare with a 1e-9 slack toward
+    inclusion; both operands are exact int64 window sums, so the test is
+    partitioning-stable).  At threshold 0.8 the prefix keeps ~⌈(1-t²)·m⌉
+    of each doc's mass, collapsing the candidate space to near-linear.
+    Output: ``(id_a, id_b, dot_fp, norm_a_fp, norm_b_fp, cos)`` for pairs
+    with ``cos >= threshold``, id_a < id_b.
     """
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
@@ -382,6 +396,7 @@ def tfidf_cosine_pairs(
         .select(
             "id",
             "tok",
+            "df",
             (
                 F.col("tf")
                 * F.floor(
@@ -391,15 +406,51 @@ def tfidf_cosine_pairs(
             ).alias("w"),
         )
         .filter(F.col("w") > 0)  # df == N gives idf 0: dimensionless
+        .localCheckpoint(eager=False)  # postings feed prefix AND verify
     )
     norms = w.groupBy("id").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("nrm")
     )
-    a, b = w.alias("a"), w.alias("b")
+    # prefix postings: rarest-first suffix norms per doc (exact int64
+    # window sum over the doc's own terms — per-partition volume is one
+    # doc's vocabulary, spillable), then the inclusion-conservative test.
+    from pyspark.sql import Window
+
+    sufw = (
+        Window.partitionBy("id")
+        .orderBy(F.col("df").asc(), F.col("tok").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t2_ppm = int(round(threshold * threshold * 1_000_000))
+    prefix = (
+        w.withColumn("suf2", F.sum(F.col("w") * F.col("w")).over(sufw))
+        .withColumn("nrm2", F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("id")))
+        .filter(
+            F.col("suf2").cast("double") * F.lit(1_000_000.0)
+            >= F.col("nrm2").cast("double") * F.lit(float(t2_ppm)) * F.lit(1.0 - 1e-9)
+        )
+        .select("id", "tok")
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.tok") == F.col("pb.tok")) & (F.col("pa.id") < F.col("pb.id")),
+        )
+        .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify: integer dot product over the FULL postings of each
+    # candidate pair only (two shuffles keyed on the ids, never a df²
+    # token fan-out)
     dots = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("long").alias("dot_fp"))
+        cand.join(w.select(F.col("id").alias("id_a"), "tok", F.col("w").alias("wa")), "id_a")
+        .join(
+            w.select(F.col("id").alias("id_b"), "tok", F.col("w").alias("wb")),
+            ["id_b", "tok"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot_fp"))
     )
     return (
         dots.join(F.broadcast(norms.withColumnRenamed("id", "id_a").withColumnRenamed("nrm", "norm_a_fp")), "id_a")

@@ -125,6 +125,65 @@ def sample_per_group(
     )
 
 
+def stratified_split(
+    df: DataFrame,
+    stratum_col: str,
+    key: str,
+    splits: dict[str, float] | None = None,
+    seed: str = "strat-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """EXACT stratified splitting: within every stratum the split sizes
+    are exactly ``floor(n_stratum * cumulative_weight)`` boundaries — the
+    guarantee ``hash_split`` deliberately trades away (hash thresholds
+    give each ROW the right marginal probability, but a small stratum can
+    land all-train by chance; eval sets built per-source/per-language need
+    exact counts per stratum).
+
+    Mechanics: rows rank within their stratum by ``(md5(seed||key), key)``
+    — the same engine-portable hash order as ``sample_per_group``, so
+    membership is a pure function of (seed, key, stratum composition) —
+    and the rank is cut at ``floor(n * cum_weight)`` per label.  Adding
+    corpus to a stratum can re-balance that stratum's assignment (exact
+    counts and growth-stability are mutually exclusive; pick
+    ``hash_split`` when stability matters more).
+
+    Scale shape: ONE row_number window partitioned by stratum plus a
+    broadcast of per-stratum counts.  Strata are bounded (sources,
+    languages), so per-partition volume is corpus/n_strata and the rank
+    window spills; for a corpus with a single giant stratum use the
+    bucketed prefix-sum idiom of textops/packing.py instead of a window.
+    """
+    if splits is None:
+        splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not splits:
+        raise ValueError("stratified_split: empty splits dict")
+    total = sum(splits.values())
+    from pyspark.sql import Window
+
+    tag = F.md5(F.concat(F.lit(seed), F.col(key).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(
+        tag.asc(), F.col(key).cast("string").asc()
+    )
+    n = Window.partitionBy(stratum_col)
+    ranked = df.withColumn("__rk", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(n)
+    )
+    labels = list(splits)
+    expr = None
+    acc = 0.0
+    for label in labels[:-1]:
+        acc += splits[label] / total
+        # floor(n * cum) in exact integer arithmetic: cum is quantized to
+        # parts-per-million so Spark and the SQL oracle compute the SAME
+        # boundary (no float-rounding divergence at n*cum boundaries).
+        ppm = int(round(acc * 1_000_000))
+        cond = F.col("__rk") <= F.expr(f"(__n * {ppm}) div 1000000")
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    expr = F.lit(labels[-1]) if expr is None else expr.otherwise(labels[-1])
+    return ranked.withColumn(out_col, expr).drop("__rk", "__n")
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

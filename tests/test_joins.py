@@ -268,3 +268,67 @@ class TestCohortRetention:
         a = sorted(map(tuple, cohort_retention(ev).collect()))
         b = sorted(map(tuple, cohort_retention(ev.repartition(11)).collect()))
         assert a == b and len(a) >= 3
+
+
+class TestFunnelSteps:
+    """joins.funnel_steps — earliest-chain conversion funnel."""
+
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp"
+        )
+
+    def test_hand_computed_funnel(self, spark):
+        from datetime import datetime as dt
+
+        from mopper_spark.textops.joins import funnel_steps
+
+        t = lambda s: dt(2024, 1, 1, 0, 0, s)
+        rows = [
+            # u1 completes signup -> view -> purchase
+            (1, "signup", t(1)), (1, "view", t(2)), (1, "purchase", t(3)),
+            # u2: view BEFORE signup; purchase after -> stops at signup
+            (2, "view", t(1)), (2, "signup", t(2)), (2, "purchase", t(3)),
+            # u3: signup + later view, no purchase -> two steps
+            (3, "signup", t(1)), (3, "view", t(5)),
+            # u4: never signs up -> counted nowhere
+            (4, "view", t(1)), (4, "purchase", t(2)),
+            # u5: view at the SAME instant as signup -> strictly-after fails
+            (5, "signup", t(7)), (5, "view", t(7)),
+        ]
+        out = funnel_steps(
+            self._ev(spark, rows), ["signup", "view", "purchase"]
+        ).collect()
+        got = {r.step_idx: (r.step, r.n_users, r.share) for r in out}
+        assert got[0] == ("signup", 4, 1.0)
+        assert got[1] == ("view", 2, 0.5)
+        assert got[2] == ("purchase", 1, 0.25)
+
+    def test_greedy_earliest_is_optimal(self, spark):
+        """A later 'a' would block the chain; the earliest one admits it."""
+        from datetime import datetime as dt
+
+        from mopper_spark.textops.joins import funnel_steps
+
+        t = lambda s: dt(2024, 1, 1, 0, 0, s)
+        rows = [(1, "a", t(3)), (1, "b", t(2)), (1, "a", t(1))]
+        out = {r.step_idx: r.n_users for r in funnel_steps(
+            self._ev(spark, rows), ["a", "b"]).collect()}
+        assert out == {0: 1, 1: 1}
+
+    def test_validation_and_partitioning_invariance(self, spark):
+        import pytest
+
+        from mopper_spark.textops.joins import funnel_steps
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        with pytest.raises(ValueError):
+            funnel_steps(ev, ["signup"])
+        steps = ["signup", "view", "click", "purchase"]
+        a = sorted(map(tuple, funnel_steps(ev, steps).collect()))
+        b = sorted(
+            map(tuple, funnel_steps(ev.repartition(13), steps).collect())
+        )
+        assert a == b and len(a) == 4
+        counts = [r[2] for r in a]  # monotone non-increasing down the funnel
+        assert all(x >= y for x, y in zip(counts, counts[1:]))

@@ -112,3 +112,57 @@ class TestWeightedSample:
         assert [r.id for r in out] == [3]
         with pytest.raises(ValueError):
             weighted_sample(df, "w", k=0)
+
+
+class TestStratifiedSplit:
+    """sampling.stratified_split — exact floor-boundary stratification."""
+
+    def _docs(self, spark, per=20, strata=3):
+        return spark.createDataFrame(
+            [(f"s{i % strata}", i) for i in range(per * strata)],
+            "source string, doc_id long",
+        )
+
+    def test_exact_counts_per_stratum(self, spark):
+        from collections import Counter
+
+        from mopper_spark.textops.sampling import stratified_split
+
+        out = stratified_split(self._docs(spark), "source", "doc_id").collect()
+        per = Counter((r.source, r.split) for r in out)
+        for s in ("s0", "s1", "s2"):  # n=20 -> floor(16)/floor(2)/rest
+            assert per[(s, "train")] == 16
+            assert per[(s, "val")] == 2
+            assert per[(s, "test")] == 2
+
+    def test_tiny_stratum_still_exact(self, spark):
+        """n=3 stratum: floor(3*.8)=2 train, floor(3*.9)-2=0 val, 1 test —
+        hash_split could give 3/0/0; the exact split cannot."""
+        from collections import Counter
+
+        from mopper_spark.textops.sampling import stratified_split
+
+        df = spark.createDataFrame(
+            [("only", i) for i in range(3)], "source string, doc_id long"
+        )
+        per = Counter(
+            r.split for r in stratified_split(df, "source", "doc_id").collect()
+        )
+        assert per == {"train": 2, "test": 1}
+
+    def test_deterministic_and_partitioning_invariant(self, spark):
+        import pytest
+
+        from mopper_spark.textops.sampling import stratified_split
+
+        df = self._docs(spark)
+        a = sorted(map(tuple, stratified_split(df, "source", "doc_id").collect()))
+        b = sorted(
+            map(
+                tuple,
+                stratified_split(df.repartition(17), "source", "doc_id").collect(),
+            )
+        )
+        assert a == b
+        with pytest.raises(ValueError):
+            stratified_split(df, "source", "doc_id", splits={})
