@@ -3110,7 +3110,22 @@ l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
 {",".join(lpa_rounds)}
 SELECT node, label FROM {prev_l}
 """
-    return kg_sql, linking_sql, turns_sql, triangles_sql, pagerank_sql, lpa_sql
+    # shared mention-edges CTE prefix (everything through `ed`), exported
+    # so new graph oracles reuse the SAME derivation instead of a copy
+    # that could drift from the Spark-side _mention_edges
+    edges_cte = f"""{mentions_cte},
+cn AS (SELECT DISTINCT conv_id, {norm.format(v="surface")} AS norm FROM men),
+ed AS (SELECT DISTINCT a.norm AS u, b.norm AS v
+       FROM cn a JOIN cn b ON a.conv_id = b.conv_id AND a.norm < b.norm)"""
+    return (
+        kg_sql,
+        linking_sql,
+        turns_sql,
+        triangles_sql,
+        pagerank_sql,
+        lpa_sql,
+        edges_cte,
+    )
 
 
 (
@@ -3120,7 +3135,33 @@ SELECT node, label FROM {prev_l}
     _SQL_MENTION_TRIANGLES,
     _SQL_MENTION_PAGERANK,
     _SQL_MENTION_COMMUNITIES,
+    _MENTION_EDGES_CTE,
 ) = _transcript_oracle_sqls()
+
+_SQL_GRAPH_LINK_PREDICTION = """
+WITH e_raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id // 2 AS BIGINT) AS b
+  FROM documents WHERE doc_id >= 2
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 3 AS BIGINT)
+  FROM documents WHERE doc_id >= 3
+), ed AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM e_raw WHERE a <> b
+),
+sym AS (SELECT u AS apex, v AS n FROM ed UNION ALL SELECT v AS apex, u AS n FROM ed),
+wdeg AS (SELECT apex,
+                CAST(FLOOR(1000000000.0 / ln(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+         FROM sym GROUP BY apex HAVING COUNT(*) >= 2),
+nb AS (SELECT s.apex, s.n, w.w FROM sym s JOIN wdeg w USING (apex)),
+pairs AS (SELECT x.n AS u, y.n AS v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+                 CAST(SUM(x.w) AS BIGINT) AS aa_fp
+          FROM nb x JOIN nb y ON x.apex = y.apex AND x.n < y.n
+          GROUP BY x.n, y.n)
+SELECT p.u, p.v, p.common_neighbors, p.aa_fp,
+       CAST(p.aa_fp AS DOUBLE) / 1000000000.0 AS aa
+FROM pairs p ANTI JOIN ed e ON p.u = e.u AND p.v = e.v
+"""
 
 _SQL_LINKING_QUALITY = _linking_quality_oracle_sql()
 
@@ -4003,6 +4044,30 @@ def _mention_edges(spark: SparkSession) -> DataFrame:
     )
 
 
+def _q_graph_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Adamic-Adar / common-neighbor link prediction (pipeline/graph.py::
+    link_prediction) over the sf-driven tree+chord graph: which
+    non-adjacent node pairs share the most (inverse-log-weighted)
+    neighbors — the classic candidate-edge proposer (Liben-Nowell &
+    Kleinberg CIKM'03).  Integer wedge weights floor(1e9/ln d) make the
+    pair sums exact, so a single-threaded SQL engine is a strict oracle.
+    The conversation-level mention graph is a near-clique (every pair
+    adjacent → empty output), so the prediction target is the sparse
+    synthetic graph shared with graph_clustering/graph_kcore."""
+    from mopper_spark.pipeline.graph import link_prediction
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    e1 = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 2").cast("long").alias("b"),
+    )
+    e2 = docs.filter(F.col("doc_id") >= 3).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 3").cast("long").alias("b"),
+    )
+    return link_prediction(e1.union(e2))
+
+
 def _q_mention_triangles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact per-node triangle counts over the mention co-occurrence graph
     (normalized entity forms co-mentioned in one conversation), via the
@@ -4456,6 +4521,69 @@ WITH s0 AS (
 SELECT CAST(step_idx AS INT) AS step_idx, step, n_users,
        n_users / CAST((SELECT b FROM base) AS DOUBLE) AS share
 FROM counts
+"""
+
+
+def _q_events_survival(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup→purchase conversion time
+    (textops/joins.py::survival_km): per duration day the at-risk count,
+    events, censored, and the product-limit survival estimate — computed
+    as an INTEGER fixed-point fold (exact long division per step), so a
+    single-threaded SQL engine replays the identical recurrence.  The
+    day axis is bounded by the corpus time span, never its row count."""
+    from mopper_spark.textops.joins import survival_km
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return survival_km(ev, "signup", "purchase")
+
+
+_SQL_EVENTS_SURVIVAL = """
+WITH RECURSIVE typed AS (
+  SELECT user_id, event_type AS etype, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events
+), starts AS (
+  SELECT user_id, MIN(ts_us) AS t0 FROM typed WHERE etype = 'signup'
+  GROUP BY user_id
+), fe AS (
+  SELECT t.user_id, MIN(t.ts_us) AS t1
+  FROM typed t JOIN starts s ON t.user_id = s.user_id AND t.ts_us > s.t0
+  WHERE t.etype = 'purchase' GROUP BY t.user_id
+), durs AS (
+  SELECT CASE WHEN fe.t1 IS NOT NULL
+              THEN (fe.t1 - s.t0) // 86400000000
+              ELSE ((SELECT MAX(ts_us) FROM typed) - s.t0) // 86400000000
+         END AS t_days,
+         fe.t1 IS NOT NULL AS observed
+  FROM starts s LEFT JOIN fe ON s.user_id = fe.user_id
+), per_day AS (
+  SELECT t_days,
+         CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT) AS c
+  FROM durs GROUP BY t_days
+), ord AS (
+  SELECT t_days, d, c,
+         ROW_NUMBER() OVER (ORDER BY t_days) AS rn,
+         CAST((SELECT SUM(d + c) FROM per_day)
+              - COALESCE(SUM(d + c) OVER (ORDER BY t_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk
+  FROM per_day
+), km AS (
+  SELECT rn, t_days, n_risk, d, c,
+         CAST((1000000000000000 // n_risk) * (n_risk - d)
+              + ((1000000000000000 % n_risk) * (n_risk - d)) // n_risk
+           AS BIGINT) AS s
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.t_days, o.n_risk, o.d, o.c,
+         CAST((k.s // o.n_risk) * (o.n_risk - o.d)
+              + ((k.s % o.n_risk) * (o.n_risk - o.d)) // o.n_risk
+           AS BIGINT) AS s
+  FROM km k JOIN ord o ON o.rn = k.rn + 1
+)
+SELECT t_days, n_risk, d AS n_events, c AS n_censored, s AS s_fp,
+       CAST(s AS DOUBLE) / 1000000000000000.0 AS survival
+FROM km
 """
 
 
@@ -6877,6 +7005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_anomaly": _q_events_rate_anomaly,
         "events_cohort_retention": _q_events_cohort_retention,
         "events_funnel": _q_events_funnel,
+        "events_survival": _q_events_survival,
         "docs_stratified_split": _q_docs_stratified_split,
         "graph_bfs_distances": _q_graph_bfs_distances,
         "fingerprint_md5": _q_fingerprint_md5,
@@ -6936,6 +7065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_bands": _q_events_value_bands,
         "events_sessions_stream": _q_events_sessions_stream,
         "stream_dedup_counts": _q_stream_dedup_counts,
+        "graph_link_prediction": _q_graph_link_prediction,
         "mention_triangles": _q_mention_triangles,
         "mention_pagerank": _q_mention_pagerank,
         "mention_communities": _q_mention_communities,
@@ -7021,6 +7151,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rate_anomaly": _SQL_EVENTS_RATE_ANOMALY,
         "events_cohort_retention": _SQL_COHORT_RETENTION,
         "events_funnel": _SQL_EVENTS_FUNNEL,
+        "events_survival": _SQL_EVENTS_SURVIVAL,
         "docs_stratified_split": _SQL_STRATIFIED_SPLIT,
         "graph_bfs_distances": _SQL_GRAPH_BFS,
         "fingerprint_md5": _SQL_FINGERPRINT,
@@ -7091,6 +7222,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_bands": _SQL_EVENTS_RANGE,
         "events_sessions_stream": _SQL_EVENTS_SESSIONS_STREAM,
         "stream_dedup_counts": _SQL_STREAM_DEDUP_COUNTS,
+        "graph_link_prediction": _SQL_GRAPH_LINK_PREDICTION,
         "mention_triangles": _SQL_MENTION_TRIANGLES,
         "mention_pagerank": _SQL_MENTION_PAGERANK,
         "mention_communities": _SQL_MENTION_COMMUNITIES,

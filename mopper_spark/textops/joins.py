@@ -431,3 +431,128 @@ def funnel_steps(
         "n_users",
         (F.col("n_users") / F.col("__base").cast("double")).alias("share"),
     )
+
+
+def survival_km(
+    events: DataFrame,
+    start_type: str,
+    end_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    scale: int = 10**15,
+) -> DataFrame:
+    """Kaplan-Meier survival curve (Kaplan & Meier 1958) for the
+    time-to-event from a user's first ``start_type`` to their first
+    strictly-later ``end_type``; users who never convert are RIGHT-
+    CENSORED at the corpus's max timestamp.  Durations bucket to whole
+    days.  ``S(t) = Π_{t_i ≤ t} (1 - d_i / n_i)`` with d_i = events and
+    n_i = at-risk count at t_i.
+
+    Exactness discipline: the running product is INTEGER fixed point —
+    ``S_fp ← (S_fp * (n_i - d_i)) div n_i`` from ``scale`` — so the curve
+    is bit-reproducible in any engine (a float cumprod would hash-diverge
+    across ulp-different libm builds); ``survival`` is one double
+    division at the end.  ``n - d ≤ n ≤ corpus users``, so the product
+    step stays within int64 for scale ≤ 1e15 and n ≤ ~9e3 … guarded: the
+    step is reassociated as (S_fp div n_i)·(n_i−d_i) + ((S_fp mod n_i)·
+    (n_i−d_i)) div n_i — exact long division of (S_fp·(n_i−d_i)) by n_i
+    without forming the 128-bit product, valid for ANY n_i.
+
+    Scale shape: duration extraction is two min-aggregates keyed on the
+    user (no windows, hot users cost a min); the curve itself lives on
+    DAY-granularity buckets — bounded by the corpus time span, NOT its
+    row count — so the sequential fold runs on one collected array of
+    ≤ a few thousand (day, d, c) structs.  At-risk counts are integer
+    prefix sums computed inside the same fold.
+
+    Output: one row per distinct duration day —
+    ``(t_days, n_risk, n_events, n_censored, s_fp, survival)``.
+    """
+    ep = (
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {ts_col})"
+    )
+    typed = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("etype"),
+        F.expr(ep).cast("long").alias("ts_us"),
+    )
+    starts = (
+        typed.filter(F.col("etype") == start_type)
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t0"))
+    )
+    ends = typed.filter(F.col("etype") == end_type).select("user_id", "ts_us")
+    first_end = (
+        ends.join(starts, "user_id")
+        .filter(F.col("ts_us") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    horizon = typed.agg(F.max("ts_us").alias("t_max"))
+    DAY = 86_400_000_000
+    durs = (
+        starts.join(first_end, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("t1").isNotNull(),
+                F.expr(f"(t1 - t0) div {DAY}"),
+            )
+            .otherwise(F.expr(f"(t_max - t0) div {DAY}"))
+            .cast("long")
+            .alias("t_days"),
+            F.col("t1").isNotNull().alias("observed"),
+        )
+    )
+    per_day = durs.groupBy("t_days").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(F.when(F.col("observed"), 0).otherwise(1)).cast("long").alias("c"),
+    )
+    # sequential integer fold over the (bounded) day axis: one collected
+    # array, sorted, folded with exact long division — no float cumprod
+    folded = per_day.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t_days", "d", "c"))
+        ).alias("steps")
+    ).select(
+        F.expr(
+            f"""
+            aggregate(
+              steps,
+              struct(
+                CAST({scale} AS BIGINT) AS s,
+                CAST(aggregate(steps, 0L, (a, x) -> a + x.d + x.c) AS BIGINT) AS n,
+                CAST(array() AS ARRAY<STRUCT<t_days: BIGINT, n_risk: BIGINT,
+                     n_events: BIGINT, n_censored: BIGINT, s_fp: BIGINT>>) AS rows
+              ),
+              (acc, x) -> struct(
+                CAST(
+                  (acc.s div acc.n) * (acc.n - x.d)
+                  + ((acc.s % acc.n) * (acc.n - x.d)) div acc.n
+                AS BIGINT) AS s,
+                CAST(acc.n - x.d - x.c AS BIGINT) AS n,
+                array_append(acc.rows, struct(
+                  x.t_days AS t_days,
+                  acc.n AS n_risk,
+                  x.d AS n_events,
+                  x.c AS n_censored,
+                  CAST(
+                    (acc.s div acc.n) * (acc.n - x.d)
+                    + ((acc.s % acc.n) * (acc.n - x.d)) div acc.n
+                  AS BIGINT) AS s_fp
+                )) AS rows
+              )
+            ).rows
+            """
+        ).alias("rows")
+    )
+    return folded.select(F.explode("rows").alias("r")).select(
+        "r.t_days",
+        "r.n_risk",
+        "r.n_events",
+        "r.n_censored",
+        "r.s_fp",
+        (F.col("r.s_fp").cast("double") / F.lit(float(scale))).alias("survival"),
+    )

@@ -332,3 +332,60 @@ class TestFunnelSteps:
         assert a == b and len(a) == 4
         counts = [r[2] for r in a]  # monotone non-increasing down the funnel
         assert all(x >= y for x, y in zip(counts, counts[1:]))
+
+
+class TestSurvivalKM:
+    """joins.survival_km — integer fixed-point Kaplan-Meier."""
+
+    def test_hand_computed_curve(self, spark):
+        from datetime import datetime as dt, timedelta as td
+
+        from mopper_spark.textops.joins import survival_km
+
+        day = lambda k: dt(2024, 1, 1) + td(days=k)
+        rows = [
+            (1, "signup", day(0)), (1, "purchase", day(2)),
+            (2, "signup", day(0)), (2, "purchase", day(2)),
+            (3, "signup", day(0)),                      # censored at day 4
+            (4, "signup", day(0)), (4, "purchase", day(4)),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+        got = {r.t_days: r for r in survival_km(df, "signup", "purchase").collect()}
+        assert set(got) == {2, 4}
+        r2, r4 = got[2], got[4]
+        assert (r2.n_risk, r2.n_events, r2.n_censored) == (4, 2, 0)
+        assert (r4.n_risk, r4.n_events, r4.n_censored) == (2, 1, 1)
+        assert r2.s_fp == 500_000_000_000_000 and r2.survival == 0.5
+        assert r4.s_fp == 250_000_000_000_000 and r4.survival == 0.25
+
+    def test_long_division_exactness(self, spark):
+        """The reassociated step equals floor(S*(n-d)/n) even when the
+        naive product S*(n-d) would overflow int64."""
+        from datetime import datetime as dt, timedelta as td
+
+        from mopper_spark.textops.joins import survival_km
+
+        day = lambda k: dt(2024, 1, 1) + td(days=k)
+        rows = []
+        for u in range(7):   # 7 at risk; 1 event on day 1, 2 on day 3
+            rows.append((u, "signup", day(0)))
+        rows += [(0, "purchase", day(1)), (1, "purchase", day(3)),
+                 (2, "purchase", day(3))]
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+        got = {r.t_days: r.s_fp for r in survival_km(df, "signup", "purchase").collect()}
+        s1 = 10**15 * 6 // 7
+        assert got[1] == s1
+        assert got[3] == (s1 // 6) * 4 + ((s1 % 6) * 4) // 6
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.joins import survival_km
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        a = sorted(map(tuple, survival_km(ev, "signup", "purchase").collect()))
+        b = sorted(
+            map(tuple, survival_km(ev.repartition(13), "signup", "purchase").collect())
+        )
+        assert a == b and len(a) >= 2
+        # survival is non-increasing down the day axis
+        surv = [r[5] for r in a]
+        assert all(x >= y for x, y in zip(surv, surv[1:]))

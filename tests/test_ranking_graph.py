@@ -637,3 +637,45 @@ class TestClusteringCoefficients:
             d = len(nbrs)
             cc = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
             assert got[n] == (d, t, cc), n
+
+
+class TestLinkPrediction:
+    """graph.link_prediction — common-neighbors + Adamic-Adar."""
+
+    def test_hand_computed(self, spark):
+        import math
+
+        from mopper_spark.pipeline.graph import link_prediction
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 4)], "a long, b long"
+        )
+        got = {(r.u, r.v): r for r in link_prediction(edges).collect()}
+        # only apex 3 (deg 3) closes non-adjacent wedges: (1,4) and (2,4)
+        assert set(got) == {(1, 4), (2, 4)}
+        w3 = math.floor(1e9 / math.log(3.0))
+        for k in got:
+            assert got[k].common_neighbors == 1
+            assert got[k].aa_fp == w3
+            assert abs(got[k].aa - 1.0 / math.log(3.0)) < 1e-6
+
+    def test_adjacent_pairs_excluded_and_cap(self, spark):
+        from mopper_spark.pipeline.graph import link_prediction
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 4)], "a long, b long"
+        )
+        full = link_prediction(edges).collect()
+        assert all((r.u, r.v) not in {(1, 2), (1, 3), (2, 3), (3, 4)} for r in full)
+        # cap 2 excludes the only productive apex (deg 3) -> empty
+        assert link_prediction(edges, max_apex_degree=2).count() == 0
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.pipeline.graph import link_prediction
+
+        e = spark.createDataFrame(
+            [(i % 23, (i * 7 + 3) % 23) for i in range(120)], "a long, b long"
+        )
+        x = sorted(map(tuple, link_prediction(e).collect()))
+        y = sorted(map(tuple, link_prediction(e.repartition(17)).collect()))
+        assert x == y and len(x) > 5
