@@ -4587,6 +4587,80 @@ FROM km
 """
 
 
+def _q_events_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """OLAP ROLLUP lattice (textops/olap.py::rollup_metrics) over
+    event_type × day: detail rows, per-type subtotals, and the grand
+    total in ONE Expand+aggregate job (single Exchange — pinned in
+    tests/test_olap.py), each row tagged with the grouping-ID bitmask.
+    Measures are COUNT and an integer cents sum, so DuckDB's ROLLUP with
+    the identical GROUPING bitmask is a strict oracle."""
+    from mopper_spark.textops.olap import rollup_metrics
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ep = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    base = ev.select(
+        "event_type",
+        F.expr(f"{ep} - {ep} % 86400000000").cast("long").alias("day_us"),
+        "value",
+    )
+    return rollup_metrics(base, ["event_type", "day_us"], "value")
+
+
+_SQL_EVENTS_ROLLUP = """
+WITH base AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - epoch_us(ts) % 86400000000 AS BIGINT) AS day_us,
+         value
+  FROM events
+)
+SELECT event_type, day_us,
+       CAST(GROUPING(event_type, day_us) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS value_fp
+FROM base GROUP BY ROLLUP(event_type, day_us)
+"""
+
+
+def _q_events_bloom_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom runtime-filtered semi-join (textops/bloom.py): all events of
+    a deterministic ~10% md5-bucket cohort of purchasing users (the
+    engine-portable hash-split idiom — selectivity is sf-STABLE, unlike
+    any per-user count threshold, which saturates as events/user grow
+    with sf).  The cohort's key set is collapsed to a 64 Kbit broadcast
+    bitmap that prunes the probe side BEFORE the confirming semi-join's
+    Exchange; output is exact for any FP rate, so the oracle is a plain
+    SEMI JOIN."""
+    from mopper_spark.textops.bloom import bloom_semi_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    cohort = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .filter(
+            F.md5(F.concat(F.lit("bloomq"), F.col("user_id").cast("string")))
+            < "1a"
+        )
+    )
+    return bloom_semi_join(
+        ev.select("event_id", "user_id", "event_type"),
+        cohort,
+        "user_id",
+        m_bits=1 << 16,
+    )
+
+
+_SQL_EVENTS_BLOOM_SEMI = """
+SELECT event_id, user_id, event_type
+FROM events
+WHERE user_id IN (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase'
+    AND md5(concat('bloomq', CAST(user_id AS VARCHAR))) < '1a'
+)
+"""
+
+
 def _q_docs_stratified_split(spark: SparkSession, sf: str) -> DataFrame:
     """Exact stratified train/val/test split (textops/sampling.py::
     stratified_split): within each source the split sizes are exactly
@@ -7006,6 +7080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": _q_events_cohort_retention,
         "events_funnel": _q_events_funnel,
         "events_survival": _q_events_survival,
+        "events_rollup": _q_events_rollup,
+        "events_bloom_semi": _q_events_bloom_semi,
         "docs_stratified_split": _q_docs_stratified_split,
         "graph_bfs_distances": _q_graph_bfs_distances,
         "fingerprint_md5": _q_fingerprint_md5,
@@ -7152,6 +7228,8 @@ def oracle_sql() -> dict[str, str]:
         "events_cohort_retention": _SQL_COHORT_RETENTION,
         "events_funnel": _SQL_EVENTS_FUNNEL,
         "events_survival": _SQL_EVENTS_SURVIVAL,
+        "events_rollup": _SQL_EVENTS_ROLLUP,
+        "events_bloom_semi": _SQL_EVENTS_BLOOM_SEMI,
         "docs_stratified_split": _SQL_STRATIFIED_SPLIT,
         "graph_bfs_distances": _SQL_GRAPH_BFS,
         "fingerprint_md5": _SQL_FINGERPRINT,

@@ -140,6 +140,10 @@ HEADLINE = [
     "docs_tfidf_pairs",
     "events_funnel",
     "docs_stratified_split",
+    "graph_link_prediction",
+    "events_survival",
+    "events_rollup",
+    "events_bloom_semi",
 ]
 
 

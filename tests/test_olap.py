@@ -1,0 +1,61 @@
+"""ROLLUP/CUBE subtotal lattices (textops/olap.py)."""
+
+import pytest
+
+
+class TestRollupCube:
+    def _df(self, spark):
+        rows = [("a", "x", 1.25), ("a", "y", 2.5), ("a", "y", 0.75), ("b", "x", 4.0)]
+        return spark.createDataFrame(rows, "t string, g string, value double")
+
+    def test_rollup_lattice_and_gid(self, spark):
+        from mopper_spark.textops.olap import rollup_metrics
+
+        out = {
+            (r.t, r.g, r.gid): (r.n, r.value_fp)
+            for r in rollup_metrics(self._df(spark), ["t", "g"], "value").collect()
+        }
+        assert out[("a", "x", 0)] == (1, 125)
+        assert out[("a", "y", 0)] == (2, 325)
+        assert out[("b", "x", 0)] == (1, 400)
+        assert out[("a", None, 1)] == (3, 450)   # per-t subtotal
+        assert out[("b", None, 1)] == (1, 400)
+        assert out[(None, None, 3)] == (4, 850)  # grand total
+        assert len(out) == 6
+
+    def test_cube_adds_per_g_slices(self, spark):
+        from mopper_spark.textops.olap import cube_metrics
+
+        out = {
+            (r.t, r.g, r.gid): r.n
+            for r in cube_metrics(self._df(spark), ["t", "g"]).collect()
+        }
+        # cube = rollup + the (None, g) slices with gid 2
+        assert out[(None, "x", 2)] == 2
+        assert out[(None, "y", 2)] == 2
+        assert len(out) == 8
+
+    def test_single_shuffle_expand_plan(self, spark):
+        """The whole lattice is ONE Expand + aggregate, not one job per
+        level — the reason rollup beats a union of group-bys at scale."""
+        from mopper_spark.textops.olap import rollup_metrics
+
+        plan = rollup_metrics(self._df(spark), ["t", "g"], "value")._jdf \
+            .queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        import re
+
+        assert plan.count("Expand") >= 1
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+    def test_validation_and_partitioning_invariance(self, spark):
+        from mopper_spark.textops.olap import rollup_metrics
+
+        df = self._df(spark)
+        with pytest.raises(ValueError):
+            rollup_metrics(df, [])
+        a = sorted(map(tuple, rollup_metrics(df, ["t", "g"], "value").collect()),
+                   key=str)
+        b = sorted(map(tuple, rollup_metrics(df.repartition(7), ["t", "g"],
+                                             "value").collect()), key=str)
+        assert a == b
