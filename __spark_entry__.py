@@ -871,6 +871,89 @@ GROUP BY token
 """
 
 
+def _q_docs_cms_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch frequencies (textops/sketches.py::cms_registers/
+    cms_lookup): a 4×2048-cell integer sketch of the token stream —
+    bounded by the SKETCH size, not the vocabulary — probed back with
+    every distinct token and joined to the exact counts, so the gate
+    pins both the estimates and the one-sided guarantee row-by-row."""
+    from mopper_spark.textops.analysis import tokens
+    from mopper_spark.textops.sketches import cms_lookup, cms_registers
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    regs = cms_registers(toks, "tok", width=2048, depth=4)
+    est = cms_lookup(regs, toks, "tok", width=2048, depth=4)
+    exact = toks.groupBy(F.col("tok").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    return est.join(exact, "key").select("key", "cms_count", "exact_count")
+
+
+_SQL_DOCS_CMS_TOKENS = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+), js AS (
+  SELECT unnest([0, 1, 2, 3]) AS j
+), cells AS (
+  SELECT j,
+         ('0x' || substr(md5('cms-v1:' || CAST(j AS VARCHAR) || ':' || tok), 1, 12))::BIGINT % 2048 AS bucket
+  FROM toks CROSS JOIN js
+), regs AS (
+  SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM cells GROUP BY j, bucket
+), keys AS (
+  SELECT DISTINCT tok AS key FROM toks
+), probe AS (
+  SELECT key, j,
+         ('0x' || substr(md5('cms-v1:' || CAST(j AS VARCHAR) || ':' || key), 1, 12))::BIGINT % 2048 AS bucket
+  FROM keys CROSS JOIN js
+), est AS (
+  SELECT key, CAST(MIN(COALESCE(r.c, 0)) AS BIGINT) AS cms_count
+  FROM probe p LEFT JOIN regs r ON p.j = r.j AND p.bucket = r.bucket
+  GROUP BY key
+), exact AS (
+  SELECT tok AS key, CAST(COUNT(*) AS BIGINT) AS exact_count FROM toks GROUP BY tok
+)
+SELECT e.key, e.cms_count, x.exact_count FROM est e JOIN exact x USING (key)
+"""
+
+
+def _q_docs_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Generic per-column data-quality profile (textops/profile.py::
+    table_profile) of the documents table: null counts, exact distincts,
+    portable min/max, string lengths — the whole profile in ONE
+    aggregate job (multi-distinct planned as a single Expand; ≤1 scan
+    pinned in tests/test_profile.py).  No doubles are ever rendered."""
+    from mopper_spark.textops.profile import table_profile
+
+    return table_profile(spark.read.parquet(f"{sf}/documents.parquet"))
+
+
+def _profile_oracle_sql() -> str:
+    num = """
+SELECT '{c}' AS "column", 'n_null' AS metric,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS VARCHAR) AS value_str FROM documents
+UNION ALL SELECT '{c}', 'n_distinct', CAST(COUNT(DISTINCT {c}) AS VARCHAR) FROM documents
+UNION ALL SELECT '{c}', 'min', CAST(MIN({c}) AS VARCHAR) FROM documents
+UNION ALL SELECT '{c}', 'max', CAST(MAX({c}) AS VARCHAR) FROM documents"""
+    txt = num + """
+UNION ALL SELECT '{c}', 'len_min', CAST(MIN(length({c})) AS VARCHAR) FROM documents
+UNION ALL SELECT '{c}', 'len_max', CAST(MAX(length({c})) AS VARCHAR) FROM documents
+UNION ALL SELECT '{c}', 'len_sum', CAST(SUM(length({c})) AS VARCHAR) FROM documents"""
+    parts = [
+        num.format(c="doc_id"),
+        txt.format(c="text"),
+        txt.format(c="lang"),
+        txt.format(c="source"),
+        num.format(c="n_chars"),
+    ]
+    return "\nUNION ALL".join(parts)
+
+
+_SQL_DOCS_TABLE_PROFILE = _profile_oracle_sql()
+
+
 def _q_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed BPE tokenizer TRAINING (textops/tokenizer.py): the
     first 8 merges learned from the documents corpus, all-native (pair
@@ -7072,6 +7155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "docs_langid_confusion": _q_docs_langid_confusion,
         "token_frequencies": _q_token_frequencies,
+        "docs_cms_tokens": _q_docs_cms_tokens,
+        "docs_table_profile": _q_docs_table_profile,
         "bpe_train_merges": _q_bpe_train_merges,
         "bpe_encode_tokens": _q_bpe_encode_tokens,
         "docs_chunking": _q_docs_chunking,
@@ -7220,6 +7305,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _SQL_LANG_ID,
         "docs_langid_confusion": _SQL_LANGID_CONFUSION,
         "token_frequencies": _SQL_TOKEN_FREQ,
+        "docs_cms_tokens": _SQL_DOCS_CMS_TOKENS,
+        "docs_table_profile": _SQL_DOCS_TABLE_PROFILE,
         "bpe_train_merges": _SQL_BPE_TRAIN,
         "bpe_encode_tokens": _SQL_BPE_ENCODE,
         "docs_chunking": _SQL_DOCS_CHUNKING,

@@ -144,6 +144,8 @@ HEADLINE = [
     "events_survival",
     "events_rollup",
     "events_bloom_semi",
+    "docs_cms_tokens",
+    "docs_table_profile",
 ]
 
 

@@ -188,3 +188,124 @@ def hll_distinct(values: DataFrame, col: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+def cms_registers(
+    values: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 4,
+    weight_col: str | None = None,
+    seed: str = "cms-v1",
+) -> DataFrame:
+    """Count-Min sketch registers (Cormode & Muthukrishnan 2005) of
+    ``values[col]``: ``(j, bucket, c)`` with ``c = Σ weight`` per row j
+    and md5 bucket — the MERGEABLE form (registers of a union = per-cell
+    SUM of the parts), the same discipline as ``hll_registers``.
+
+    Size is depth × width CELLS regardless of corpus cardinality — the
+    whole point at 100 TB: a frequency table over 10^10 keys that a
+    single executor can hold, ε = e/width overestimate bound with
+    probability 1 − e^−depth.  All-integer registers, so sketches are
+    bit-identical in any engine/partitioning.
+
+    Hash: ``conv(substr(md5(seed:j:key), 1, 12), 16, 10) % width`` —
+    48 md5 bits per row, engine-portable (DuckDB: ('0x'||hex)::BIGINT).
+    """
+    if width < 2 or depth < 1:
+        raise ValueError("cms_registers: need width >= 2 and depth >= 1")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    rows = values.filter(F.col(col).isNotNull()).select(
+        F.col(col).cast("string").alias("k"), w.alias("w")
+    )
+    cells = rows.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("j"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            ":", F.lit(seed), F.lit(str(j)), F.col("k")
+                                        )
+                                    ),
+                                    1,
+                                    12,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("cell"),
+        "w",
+    )
+    return (
+        cells.select("cell.j", "cell.bucket", "w")
+        .groupBy("j", "bucket")
+        .agg(F.sum("w").cast("long").alias("c"))
+    )
+
+
+def cms_lookup(
+    regs: DataFrame,
+    probes: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 4,
+    seed: str = "cms-v1",
+) -> DataFrame:
+    """Point-query the sketch: for each probe key the CMS estimate
+    ``min_j regs[j][h_j(key)]`` (0 if some row's cell was never touched).
+    NEVER an underestimate — the one-sided guarantee tests and oracles
+    pin.  The register table is depth × width rows, so the probe join is
+    a broadcast; estimates are exact integer mins.
+
+    Output: ``(key, cms_count)``.
+    """
+    ks = probes.select(F.col(col).cast("string").alias("key")).distinct()
+    cells = ks.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("j"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            ":", F.lit(seed), F.lit(str(j)), F.col("key")
+                                        )
+                                    ),
+                                    1,
+                                    12,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select("key", "cell.j", "cell.bucket")
+    return (
+        cells.join(F.broadcast(regs), ["j", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_count"))
+    )

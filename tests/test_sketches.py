@@ -96,3 +96,58 @@ class TestHllDistinct:
         )
         row = hll_distinct(df, "v").collect()[0]
         assert row.n_exact == 50
+
+
+class TestCountMin:
+    """sketches.cms_registers / cms_lookup — Count-Min sketch."""
+
+    def _vals(self, spark, n=400, keys=40):
+        return spark.createDataFrame(
+            [(f"k{i % keys}",) for i in range(n)], "tok string"
+        )
+
+    def test_one_sided_guarantee_and_near_exactness(self, spark):
+        from mopper_spark.textops.sketches import cms_lookup, cms_registers
+
+        df = self._vals(spark)
+        true = {r.tok: r.c for r in df.groupBy("tok").count()
+                .withColumnRenamed("count", "c").collect()}
+        # tight sketch: collisions in ALL 4 rows are ~impossible at 2^16
+        regs = cms_registers(df, "tok", width=1 << 16, depth=4)
+        est = {r.key: r.cms_count for r in
+               cms_lookup(regs, df, "tok", width=1 << 16, depth=4).collect()}
+        assert est == true
+        # brutally small sketch: estimates may inflate but NEVER deflate
+        regs2 = cms_registers(df, "tok", width=8, depth=2)
+        est2 = {r.key: r.cms_count for r in
+                cms_lookup(regs2, df, "tok", width=8, depth=2).collect()}
+        assert all(est2[k] >= true[k] for k in true)
+
+    def test_mergeable_registers(self, spark):
+        from mopper_spark.textops.sketches import cms_registers
+
+        a, b = self._vals(spark, 200), self._vals(spark, 300)
+        whole = {(r.j, r.bucket): r.c for r in
+                 cms_registers(a.union(b), "tok", width=64, depth=3).collect()}
+        pa = {(r.j, r.bucket): r.c for r in
+              cms_registers(a, "tok", width=64, depth=3).collect()}
+        pb = {(r.j, r.bucket): r.c for r in
+              cms_registers(b, "tok", width=64, depth=3).collect()}
+        merged = {k: pa.get(k, 0) + pb.get(k, 0) for k in set(pa) | set(pb)}
+        assert whole == merged
+
+    def test_weighted_and_absent_key(self, spark):
+        import pytest
+
+        from mopper_spark.textops.sketches import cms_lookup, cms_registers
+
+        df = spark.createDataFrame(
+            [("a", 5), ("a", 7), ("b", 1)], "tok string, w long"
+        )
+        regs = cms_registers(df, "tok", width=1 << 12, depth=4, weight_col="w")
+        probes = spark.createDataFrame([("a",), ("b",), ("zz",)], "tok string")
+        est = {r.key: r.cms_count for r in
+               cms_lookup(regs, probes, "tok", width=1 << 12, depth=4).collect()}
+        assert est["a"] == 12 and est["b"] == 1 and est["zz"] == 0
+        with pytest.raises(ValueError):
+            cms_registers(df, "tok", width=1)
