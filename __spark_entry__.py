@@ -4744,6 +4744,96 @@ WHERE user_id IN (
 """
 
 
+def _q_events_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential pattern mining (textops/joins.py::session_paths):
+    corpus-wide counts of every consecutive event-type trigram within a
+    (user, day) session, ordered by (ts, event_id) — deterministic under
+    ties.  Per-session local sorts only (collect→array_sort→slide, the
+    prepare.py idiom); output bounded by |event types|³.  The oracle
+    derives the same trigrams by ROW_NUMBER self-joins."""
+    from mopper_spark.textops.joins import session_paths
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return session_paths(ev, n=3)
+
+
+_SQL_EVENTS_SESSION_PATHS = """
+WITH t AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         event_type AS etype,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, CAST(epoch_us(ts) AS BIGINT) // 86400000000
+           ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS rn
+  FROM events
+)
+SELECT a.etype AS t1, b.etype AS t2, c.etype AS t3,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM t a
+JOIN t b ON b.user_id = a.user_id AND b.day = a.day AND b.rn = a.rn + 1
+JOIN t c ON c.user_id = a.user_id AND c.day = a.day AND c.rn = a.rn + 2
+GROUP BY 1, 2, 3
+"""
+
+
+def _q_events_rfm(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer scoring (textops/joins.py::rfm_scores): recency /
+    frequency / monetary per purchasing user, each quintile-scored by
+    EXACT nearest-rank value boundaries (ties deterministic — the
+    property ntile cannot give), recency inverted so 5 = most recent."""
+    from mopper_spark.textops.joins import rfm_scores
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return rfm_scores(ev)
+
+
+_SQL_EVENTS_RFM = """
+WITH typed AS (
+  SELECT user_id, event_type AS etype, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         value AS v
+  FROM events
+), per_user AS (
+  SELECT user_id,
+         CAST(((SELECT MAX(ts_us) FROM typed) - MAX(ts_us)) // 86400000000
+           AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(FLOOR(v * 100.0) AS BIGINT)) AS BIGINT) AS monetary_fp
+  FROM typed WHERE etype = 'purchase' GROUP BY user_id
+), m AS (
+  SELECT user_id, 'recency' AS metric, recency_days AS v FROM per_user
+  UNION ALL SELECT user_id, 'frequency', frequency FROM per_user
+  UNION ALL SELECT user_id, 'monetary', monetary_fp FROM per_user
+), r AS (
+  SELECT metric, v, ROW_NUMBER() OVER (PARTITION BY metric ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY metric) AS n
+  FROM m
+), b AS (
+  SELECT metric,
+         MAX(CASE WHEN rn = CAST(CEIL(n * 0.2) AS BIGINT) THEN v END) AS p20,
+         MAX(CASE WHEN rn = CAST(CEIL(n * 0.4) AS BIGINT) THEN v END) AS p40,
+         MAX(CASE WHEN rn = CAST(CEIL(n * 0.6) AS BIGINT) THEN v END) AS p60,
+         MAX(CASE WHEN rn = CAST(CEIL(n * 0.8) AS BIGINT) THEN v END) AS p80
+  FROM r GROUP BY metric
+), s AS (
+  SELECT user_id, metric,
+         1 + CAST(v > p20 AS INT) + CAST(v > p40 AS INT)
+           + CAST(v > p60 AS INT) + CAST(v > p80 AS INT) AS score
+  FROM m JOIN b USING (metric)
+), wide AS (
+  SELECT user_id,
+         CAST(6 - MAX(CASE WHEN metric = 'recency' THEN score END) AS INT) AS r_score,
+         CAST(MAX(CASE WHEN metric = 'frequency' THEN score END) AS INT) AS f_score,
+         CAST(MAX(CASE WHEN metric = 'monetary' THEN score END) AS INT) AS m_score
+  FROM s GROUP BY user_id
+)
+SELECT p.user_id, p.recency_days, p.frequency, p.monetary_fp,
+       w.r_score, w.f_score, w.m_score,
+       CAST(w.r_score AS VARCHAR) || CAST(w.f_score AS VARCHAR)
+         || CAST(w.m_score AS VARCHAR) AS rfm
+FROM per_user p JOIN wide w USING (user_id)
+"""
+
+
 def _q_docs_stratified_split(spark: SparkSession, sf: str) -> DataFrame:
     """Exact stratified train/val/test split (textops/sampling.py::
     stratified_split): within each source the split sizes are exactly
@@ -7167,6 +7257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival": _q_events_survival,
         "events_rollup": _q_events_rollup,
         "events_bloom_semi": _q_events_bloom_semi,
+        "events_session_paths": _q_events_session_paths,
+        "events_rfm": _q_events_rfm,
         "docs_stratified_split": _q_docs_stratified_split,
         "graph_bfs_distances": _q_graph_bfs_distances,
         "fingerprint_md5": _q_fingerprint_md5,
@@ -7317,6 +7409,8 @@ def oracle_sql() -> dict[str, str]:
         "events_survival": _SQL_EVENTS_SURVIVAL,
         "events_rollup": _SQL_EVENTS_ROLLUP,
         "events_bloom_semi": _SQL_EVENTS_BLOOM_SEMI,
+        "events_session_paths": _SQL_EVENTS_SESSION_PATHS,
+        "events_rfm": _SQL_EVENTS_RFM,
         "docs_stratified_split": _SQL_STRATIFIED_SPLIT,
         "graph_bfs_distances": _SQL_GRAPH_BFS,
         "fingerprint_md5": _SQL_FINGERPRINT,

@@ -146,6 +146,8 @@ HEADLINE = [
     "events_bloom_semi",
     "docs_cms_tokens",
     "docs_table_profile",
+    "events_session_paths",
+    "events_rfm",
 ]
 
 

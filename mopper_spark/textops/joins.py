@@ -556,3 +556,171 @@ def survival_km(
         "r.s_fp",
         (F.col("r.s_fp").cast("double") / F.lit(float(scale))).alias("survival"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    n: int = 3,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Sequential pattern mining lite: corpus-wide counts of every
+    length-``n`` consecutive event-type sequence within a (user, day)
+    session — "view→click→purchase happened 412 times" — the input to
+    next-action models and funnel discovery.
+
+    Ordering is made deterministic by the (ts, event_id) tie-break
+    (event ids are unique), with the collect→array_sort→slide idiom of
+    textops/prepare.py: per-session arrays are bounded by a user's
+    events in ONE day, never by the corpus, so the sort is local and
+    spillable and there is no corpus-wide window.  The n-gram alphabet
+    bounds the output at |types|^n rows regardless of input size.
+
+    Output: ``(t1 … tn, n_paths)``.
+    """
+    if n < 2:
+        raise ValueError("session_paths: need n >= 2")
+    ep = (
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {ts_col})"
+    )
+    DAY = 86_400_000_000
+    sess = events.select(
+        F.col(user_col).alias("user_id"),
+        F.expr(f"({ep}) div {DAY}").cast("long").alias("day"),
+        F.expr(ep).cast("long").alias("ts_us"),
+        F.col(id_col).cast("long").alias("eid"),
+        F.col(type_col).alias("etype"),
+    )
+    seqs = (
+        sess.groupBy("user_id", "day")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts_us", "eid", "etype"))
+            ).alias("evs")
+        )
+        .select(F.expr("transform(evs, e -> e.etype)").alias("seq"))
+    )
+    gram_fields = ", ".join(f"seq[i + {j}] AS t{j + 1}" for j in range(n))
+    grams = seqs.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(seq) >= {n} THEN "
+                f"transform(sequence(0, size(seq) - {n}),"
+                f" i -> struct({gram_fields})) "
+                f"ELSE array() END"
+            )
+        ).alias("g")
+    ).select("g.*")
+    return grams.groupBy(*[f"t{j + 1}" for j in range(n)]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths")
+    )
+
+
+def rfm_scores(
+    events: DataFrame,
+    purchase_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM customer scoring: per purchasing user the Recency (days since
+    last purchase, vs the corpus max timestamp), Frequency (purchase
+    count), Monetary (integer cents sum) — each scored 1–5 by EXACT
+    nearest-rank quintile boundaries of its corpus distribution
+    (``score = 1 + #{boundaries < value}``; for recency inverted so 5 =
+    most recent).  Value-based boundary comparison makes ties
+    deterministic (equal metric ⇒ equal score), unlike ntile whose tie
+    assignment is order-dependent — the property that lets a SQL engine
+    be a strict oracle.
+
+    Scale shape: metrics are user-keyed aggregates; the 12 boundary
+    values come from ``analysis.group_quantiles`` over the LONG-format
+    (metric, value) table — the quantile window partitions by metric
+    (3 groups), acceptable to corpus scale per that function's
+    documented contract, then broadcasts 3 rows back.
+
+    Output: ``(user_id, recency_days, frequency, monetary_fp, r_score,
+    f_score, m_score, rfm)`` with ``rfm`` the "543"-style tag.
+    """
+    from mopper_spark.textops.analysis import group_quantiles
+
+    ep = (
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {ts_col})"
+    )
+    DAY = 86_400_000_000
+    typed = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("etype"),
+        F.expr(ep).cast("long").alias("ts_us"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    horizon = typed.agg(F.max("ts_us").alias("t_max"))
+    per_user = (
+        typed.filter(F.col("etype") == purchase_type)
+        .groupBy("user_id")
+        .agg(
+            F.max("ts_us").alias("last_us"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.floor(F.col("v") * 100.0).cast("long"))
+            .cast("long")
+            .alias("monetary_fp"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.expr(f"(t_max - last_us) div {DAY}").cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_fp",
+        )
+        .localCheckpoint(eager=False)
+    )
+    m = per_user.selectExpr(
+        "user_id",
+        "stack(3, 'recency', recency_days, 'frequency', frequency,"
+        " 'monetary', monetary_fp) AS (metric, v)",
+    )
+    bounds = group_quantiles(m, ["metric"], "v", qs=(0.2, 0.4, 0.6, 0.8))
+    scored = m.join(F.broadcast(bounds), "metric").select(
+        "user_id",
+        "metric",
+        (
+            F.lit(1)
+            + (F.col("v") > F.col("p20")).cast("int")
+            + (F.col("v") > F.col("p40")).cast("int")
+            + (F.col("v") > F.col("p60")).cast("int")
+            + (F.col("v") > F.col("p80")).cast("int")
+        ).alias("score"),
+    )
+    wide = scored.groupBy("user_id").agg(
+        (
+            F.lit(6)
+            - F.max(F.when(F.col("metric") == "recency", F.col("score")))
+        ).cast("int").alias("r_score"),
+        F.max(F.when(F.col("metric") == "frequency", F.col("score")))
+        .cast("int")
+        .alias("f_score"),
+        F.max(F.when(F.col("metric") == "monetary", F.col("score")))
+        .cast("int")
+        .alias("m_score"),
+    )
+    return per_user.join(wide, "user_id").select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_fp",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm"),
+    )

@@ -389,3 +389,93 @@ class TestSurvivalKM:
         # survival is non-increasing down the day axis
         surv = [r[5] for r in a]
         assert all(x >= y for x, y in zip(surv, surv[1:]))
+
+
+class TestSessionPaths:
+    """joins.session_paths — event-type n-gram mining per user-day."""
+
+    def test_hand_computed_trigrams(self, spark):
+        from datetime import datetime as dt, timedelta as td
+
+        from mopper_spark.textops.joins import session_paths
+
+        t0 = dt(2024, 1, 1, 10, 0, 0)
+        rows = [
+            # u1 day1: a b c d -> abc, bcd
+            (1, 1, "a", t0), (2, 1, "b", t0 + td(minutes=1)),
+            (3, 1, "c", t0 + td(minutes=2)), (4, 1, "d", t0 + td(minutes=3)),
+            # u1 day2: a b c -> abc (second)
+            (5, 1, "a", t0 + td(days=1)), (6, 1, "b", t0 + td(days=1, minutes=1)),
+            (7, 1, "c", t0 + td(days=1, minutes=2)),
+            # u2 day1: only 2 events -> no trigram
+            (8, 2, "a", t0), (9, 2, "b", t0 + td(minutes=1)),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        got = {(r.t1, r.t2, r.t3): r.n_paths
+               for r in session_paths(df).collect()}
+        assert got == {("a", "b", "c"): 2, ("b", "c", "d"): 1}
+
+    def test_tie_break_by_event_id(self, spark):
+        """Same-timestamp events order by event_id — deterministic."""
+        from datetime import datetime as dt
+
+        from mopper_spark.textops.joins import session_paths
+
+        t0 = dt(2024, 1, 1)
+        rows = [(3, 1, "c", t0), (1, 1, "a", t0), (2, 1, "b", t0)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        got = [(r.t1, r.t2, r.t3) for r in session_paths(df).collect()]
+        assert got == [("a", "b", "c")]
+
+    def test_validation_and_partitioning_invariance(self, spark):
+        import pytest
+
+        from mopper_spark.textops.joins import session_paths
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        with pytest.raises(ValueError):
+            session_paths(ev, n=1)
+        a = sorted(map(tuple, session_paths(ev).collect()))
+        b = sorted(map(tuple, session_paths(ev.repartition(13)).collect()))
+        assert a == b and len(a) >= 5
+
+
+class TestRFMScores:
+    """joins.rfm_scores — value-boundary quintile scoring."""
+
+    def test_scores_deterministic_and_bounded(self, spark):
+        from mopper_spark.textops.joins import rfm_scores
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        rows = rfm_scores(ev).collect()
+        assert len(rows) >= 10
+        for r in rows:
+            assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+            assert r.rfm == f"{r.r_score}{r.f_score}{r.m_score}"
+        again = sorted(map(tuple, rfm_scores(ev.repartition(11)).collect()))
+        assert again == sorted(map(tuple, rows))
+
+    def test_equal_metrics_equal_scores(self, spark):
+        """Tied metric values always land in the same quintile — the
+        property ntile cannot give."""
+        from datetime import datetime as dt, timedelta as td
+
+        from mopper_spark.textops.joins import rfm_scores
+
+        t0 = dt(2024, 1, 1)
+        rows = []
+        eid = 0
+        for u in range(10):
+            for k in range(3):  # identical histories for all users
+                eid += 1
+                rows.append((eid, u, "purchase", t0 + td(days=k), 10.0))
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+        )
+        out = rfm_scores(df).collect()
+        assert len(out) == 10
+        assert len({(r.r_score, r.f_score, r.m_score) for r in out}) == 1
