@@ -4834,6 +4834,65 @@ FROM per_user p JOIN wide w USING (user_id)
 """
 
 
+def _q_events_global_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT corpus-wide order statistics without a global sort
+    (textops/analysis.py::global_order_statistics): iterative histogram
+    narrowing over the integer cents column — per round one pushed-range
+    scan and one ≤4096-row metadata collect; 2-3 rounds pin every
+    nearest-rank target exactly.  The single-group scale path that
+    group_quantiles' contract defers to."""
+    from mopper_spark.textops.analysis import global_order_statistics
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    cents = ev.select(
+        F.floor(F.col("value") * 100.0).cast("long").alias("cents")
+    )
+    return global_order_statistics(cents, "cents", qs=(0.5, 0.9, 0.99))
+
+
+_SQL_EVENTS_GLOBAL_QUANTILES = """
+WITH v AS (
+  SELECT CAST(FLOOR(value * 100.0) AS BIGINT) AS v FROM events
+  WHERE value IS NOT NULL
+), r AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n FROM v
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n,
+       (SELECT MIN(v) FROM v) AS min_v,
+       (SELECT MAX(v) FROM v) AS max_v,
+       MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN v END) AS p50,
+       MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT) THEN v END) AS p90,
+       MAX(CASE WHEN rn = CAST(CEIL(n * 0.99) AS BIGINT) THEN v END) AS p99
+FROM r
+"""
+
+
+def _q_events_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key audit (textops/analysis.py::skew_profile): the 20
+    heaviest user_ids with exact counts and ppm shares — the
+    pre-shuffle diagnostic that decides salting/AQE-skew handling.
+    Deterministic (count DESC, key ASC) rank."""
+    from mopper_spark.textops.analysis import skew_profile
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return skew_profile(ev, ["user_id"], top_k=20)
+
+
+_SQL_EVENTS_SKEW_PROFILE = """
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+), ranked AS (
+  SELECT user_id, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, user_id ASC) AS rank
+  FROM counts
+)
+SELECT user_id, n,
+       CAST((n * 1000000) // (SELECT SUM(n) FROM counts) AS BIGINT) AS share_ppm,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 20
+"""
+
+
 def _q_docs_stratified_split(spark: SparkSession, sf: str) -> DataFrame:
     """Exact stratified train/val/test split (textops/sampling.py::
     stratified_split): within each source the split sizes are exactly
@@ -7259,6 +7318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bloom_semi": _q_events_bloom_semi,
         "events_session_paths": _q_events_session_paths,
         "events_rfm": _q_events_rfm,
+        "events_global_quantiles": _q_events_global_quantiles,
+        "events_skew_profile": _q_events_skew_profile,
         "docs_stratified_split": _q_docs_stratified_split,
         "graph_bfs_distances": _q_graph_bfs_distances,
         "fingerprint_md5": _q_fingerprint_md5,
@@ -7411,6 +7472,8 @@ def oracle_sql() -> dict[str, str]:
         "events_bloom_semi": _SQL_EVENTS_BLOOM_SEMI,
         "events_session_paths": _SQL_EVENTS_SESSION_PATHS,
         "events_rfm": _SQL_EVENTS_RFM,
+        "events_global_quantiles": _SQL_EVENTS_GLOBAL_QUANTILES,
+        "events_skew_profile": _SQL_EVENTS_SKEW_PROFILE,
         "docs_stratified_split": _SQL_STRATIFIED_SPLIT,
         "graph_bfs_distances": _SQL_GRAPH_BFS,
         "fingerprint_md5": _SQL_FINGERPRINT,

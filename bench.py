@@ -148,6 +148,8 @@ HEADLINE = [
     "docs_table_profile",
     "events_session_paths",
     "events_rfm",
+    "events_global_quantiles",
+    "events_skew_profile",
 ]
 
 

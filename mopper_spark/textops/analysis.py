@@ -632,3 +632,150 @@ def top_tokens_per_group(
         .filter(F.col("rank") <= k)
         .select("grp", "rank", "tok", "cnt")
     )
+
+
+def global_order_statistics(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    branching: int = 4096,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """EXACT corpus-wide nearest-rank quantiles of an INTEGER column
+    WITHOUT a global sort — the scale path ``group_quantiles`` documents
+    for single-group corpora: iterative histogram narrowing (distributed
+    selection).  Each round scans only the still-candidate value range,
+    buckets it ``branching`` ways, and keeps for each target rank the
+    one bucket containing it; integer values force convergence in
+    ``ceil(log_branching(range))`` rounds (e.g. 3 rounds cover a 2^36
+    range at 4096), after which every target is pinned to a single
+    value.
+
+    Only METADATA crosses the driver (per-round histograms of ≤
+    ``branching`` rows — the checkpoint-manifest-counts precedent);
+    corpus rows never do.  Every scan's range predicate is pushed down,
+    so successive rounds read a shrinking fraction of the column.
+
+    Output: one row — ``(n, min_v, max_v, p50, p90, …)`` (column names
+    from ``qs``); NULL quantiles for an empty corpus.
+    """
+    if not qs or any(not (0 < q <= 1) for q in qs):
+        raise ValueError("global_order_statistics: qs must be in (0, 1]")
+    vals = df.select(F.col(value_col).cast("long").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    base = vals.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    ).collect()[0]
+    n, lo_all, hi_all = base.n, base.min_v, base.max_v
+    spark = df.sparkSession
+    names = [f"p{str(q * 100).rstrip('0').rstrip('.').replace('.', '_')}" for q in qs]
+    if n == 0:
+        row = [(0, None, None) + (None,) * len(qs)]
+        return spark.createDataFrame(
+            row,
+            "n long, min_v long, max_v long, "
+            + ", ".join(f"{c} long" for c in names),
+        )
+    # nearest-rank targets: rank_i = ceil(q * n), 1-based in sorted order
+    import math
+
+    targets = {name: math.ceil(q * n) for name, q in zip(names, qs)}
+    # state per target: candidate [lo, hi] and the rank within it.
+    # Each round buckets every still-open target by ITS OWN range and
+    # width (boundaries aligned per target — a shared global histogram
+    # would let one bucket straddle another target's boundary and
+    # corrupt its rank accounting), all inside ONE job: the scan is
+    # filtered to the union range, and each row explodes into the
+    # (target, bucket) cells of the ranges that contain it.
+    state = {name: (lo_all, hi_all, rank) for name, rank in targets.items()}
+    for _ in range(max_rounds):
+        open_ts = {nm: s for nm, s in state.items() if s[0] < s[1]}
+        if not open_ts:
+            break
+        glo = min(s[0] for s in open_ts.values())
+        ghi = max(s[1] for s in open_ts.values())
+        widths = {
+            nm: max(1, (hi - lo) // branching + 1)
+            for nm, (lo, hi, _) in open_ts.items()
+        }
+        cells = [
+            F.when(
+                (F.col("v") >= lo) & (F.col("v") <= hi),
+                F.struct(
+                    F.lit(nm).alias("t"),
+                    F.expr(f"(v - {lo}) div {widths[nm]}").alias("b"),
+                ),
+            )
+            for nm, (lo, hi, _) in open_ts.items()
+        ]
+        hist: dict[tuple[str, int], int] = {
+            (r.cell.t, r.cell.b): r.c
+            for r in (
+                vals.filter((F.col("v") >= glo) & (F.col("v") <= ghi))
+                .select(F.explode(F.array(*cells)).alias("cell"))
+                .filter(F.col("cell").isNotNull())
+                .groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+        }
+        for nm, (lo, hi, rank) in open_ts.items():
+            seen = 0
+            w = widths[nm]
+            for b in sorted(bb for (t, bb) in hist if t == nm):
+                c = hist[(nm, b)]
+                if seen + c >= rank:
+                    state[nm] = (
+                        lo + b * w,
+                        min(hi, lo + (b + 1) * w - 1),
+                        rank - seen,
+                    )
+                    break
+                seen += c
+    out = {nm: s[0] for nm, s in state.items()}  # lo == hi after convergence
+    row = [(n, lo_all, hi_all) + tuple(out[nm] for nm in names)]
+    return spark.createDataFrame(
+        row,
+        "n long, min_v long, max_v long, "
+        + ", ".join(f"{c} long" for c in names),
+    )
+
+
+def skew_profile(
+    df: DataFrame, key_cols: list[str], top_k: int = 20
+) -> DataFrame:
+    """Hot-key audit before a join/groupBy: the ``top_k`` heaviest keys
+    with exact counts and parts-per-million share — the number that says
+    whether a shuffle on these keys needs salting (textops/joins.py::
+    salted_join) or AQE skew handling.  Deterministic rank by
+    (count DESC, key ASC).
+
+    Scale shape: one combine-able count aggregate + a top-k (rank window
+    over the aggregated KEY table, not the corpus; for vocabulary-sized
+    key spaces see the two-pass Misra-Gries ``heavy_hitters`` instead).
+
+    Output: ``(key…, n, share_ppm, rank)``.
+    """
+    if not key_cols:
+        raise ValueError("skew_profile: need at least one key column")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = counts.agg(F.sum("n").cast("long").alias("total"))
+    w = Window.orderBy(
+        F.col("n").desc(), *[F.col(c).asc() for c in key_cols]
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n",
+            F.expr("(n * 1000000) div total").cast("long").alias("share_ppm"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

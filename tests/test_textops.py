@@ -1371,3 +1371,74 @@ class TestTfidfCosinePairs:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         assert tfidf_cosine_pairs(df, threshold=0.01).count() == 0
         assert tfidf_cosine_pairs(df, threshold=0.01, max_df=5).count() == 0
+
+
+class TestGlobalOrderStatistics:
+    """analysis.global_order_statistics — sort-free exact selection."""
+
+    def _check(self, spark, values, qs):
+        import math
+
+        from mopper_spark.textops.analysis import global_order_statistics
+
+        df = spark.createDataFrame([(v,) for v in values], "v long")
+        row = global_order_statistics(df.repartition(9), "v", qs=qs).collect()[0]
+        srt = sorted(values)
+        assert row.n == len(values)
+        assert row.min_v == srt[0] and row.max_v == srt[-1]
+        got = list(row)[3:]
+        want = [srt[math.ceil(q * len(values)) - 1] for q in qs]
+        assert got == want, (got, want)
+
+    def test_matches_nearest_rank_definition(self, spark):
+        vals = [((i * 7919) % 100003) - 50000 for i in range(2000)]
+        self._check(spark, vals, (0.5, 0.9, 0.99))
+
+    def test_skewed_duplicates_and_extremes(self, spark):
+        vals = [5] * 900 + [1000000007] * 90 + [-3] * 10
+        self._check(spark, vals, (0.01, 0.5, 0.95, 1.0))
+
+    def test_empty_and_validation(self, spark):
+        import pytest
+
+        from mopper_spark.textops.analysis import global_order_statistics
+
+        df = spark.createDataFrame([], "v long")
+        row = global_order_statistics(df, "v").collect()[0]
+        assert row.n == 0 and row.min_v is None
+        with pytest.raises(ValueError):
+            global_order_statistics(df, "v", qs=(0.0,))
+
+    def test_wide_range_converges(self, spark):
+        vals = [0, 1, 2, 2**62, -(2**61), 17, 17, 17]
+        self._check(spark, vals, (0.5,))
+
+
+class TestSkewProfile:
+    """analysis.skew_profile — hot-key audit."""
+
+    def test_topk_counts_and_shares(self, spark):
+        from mopper_spark.textops.analysis import skew_profile
+
+        rows = [("hot",)] * 70 + [("warm",)] * 20 + [("a",)] * 5 + [("b",)] * 5
+        df = spark.createDataFrame(rows, "k string")
+        got = [(r.k, r.n, r.share_ppm, r.rank)
+               for r in skew_profile(df, ["k"], top_k=3).collect()]
+        got.sort(key=lambda x: x[3])
+        assert got == [
+            ("hot", 70, 700000, 1),
+            ("warm", 20, 200000, 2),
+            ("a", 5, 50000, 3),   # count tie broken key-ASC
+        ]
+
+    def test_validation_and_partitioning_invariance(self, spark):
+        import pytest
+
+        from mopper_spark.textops.analysis import skew_profile
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        with pytest.raises(ValueError):
+            skew_profile(ev, [])
+        a = sorted(map(tuple, skew_profile(ev, ["event_type"], 10).collect()))
+        b = sorted(map(tuple, skew_profile(ev.repartition(7), ["event_type"], 10).collect()))
+        assert a == b and len(a) == 5
