@@ -4893,6 +4893,102 @@ FROM ranked WHERE rank <= 20
 """
 
 
+def _q_docs_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Typo-tolerant string similarity self-join (textops/similarity.py::
+    edit_distance_join): all vocabulary pairs within Levenshtein
+    distance 2, via FastSS deletion-neighborhood signatures (recall-
+    complete candidate buckets, exact JVM levenshtein verify — never a
+    brute-force pair space).  The ORACLE is the brute-force cross join
+    (DuckDB levenshtein), so the gate proves the signature scheme loses
+    nothing."""
+    from mopper_spark.textops.analysis import tokens
+    from mopper_spark.textops.similarity import edit_distance_join
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("s"))
+        .distinct()
+        .select(F.col("s").alias("id"), "s")  # the token is its own id
+    )
+    return edit_distance_join(vocab, "id", "s", k=2).select(
+        "id_a", "id_b", "dist"
+    )
+
+
+_SQL_DOCS_EDIT_PAIRS = """
+WITH vocab AS (
+  SELECT DISTINCT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x <> '')) AS s
+  FROM documents
+)
+SELECT a.s AS id_a, b.s AS id_b,
+       CAST(levenshtein(a.s, b.s) AS INT) AS dist
+FROM vocab a JOIN vocab b ON a.s < b.s
+WHERE levenshtein(a.s, b.s) <= 2
+"""
+
+
+def _q_graph_random_walks(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic DeepWalk corpus (pipeline/graph.py::random_walks)
+    over the tree+chord graph: 4-step walks, neighbor choice =
+    argmin md5(seed:walk:step:neighbor) — hash-uniform yet
+    bit-reproducible, which is what lets the oracle unroll the same
+    argmin per step.  Per step one frontier-adjacency join + one
+    associative min aggregate."""
+    from mopper_spark.pipeline.graph import random_walks
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    e1 = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 2").cast("long").alias("b"),
+    )
+    e2 = docs.filter(F.col("doc_id") >= 3).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 3").cast("long").alias("b"),
+    )
+    return random_walks(e1.union(e2), walk_len=4, walks_per_node=1)
+
+
+def _walks_oracle_sql() -> str:
+    steps = []
+    prev = "starts"
+    for t in (1, 2, 3, 4):
+        steps.append(
+            f"""s{t} AS (
+  SELECT f.walk_id,
+         CAST(split_part(MIN(md5('walk-v1:' || f.walk_id || ':{t}:'
+                || CAST(sym.dst AS VARCHAR)) || '|' || CAST(sym.dst AS VARCHAR)),
+              '|', 2) AS BIGINT) AS node
+  FROM {prev} f JOIN sym ON sym.src = f.node GROUP BY f.walk_id)"""
+        )
+        prev = f"s{t}"
+    selects = ["SELECT walk_id, CAST(0 AS INT) AS step, node FROM starts"] + [
+        f"SELECT walk_id, CAST({t} AS INT), node FROM s{t}" for t in (1, 2, 3, 4)
+    ]
+    return f"""
+WITH e_raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id // 2 AS BIGINT) AS b
+  FROM documents WHERE doc_id >= 2
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 3 AS BIGINT)
+  FROM documents WHERE doc_id >= 3
+), ed AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM e_raw WHERE a <> b
+), sym AS (
+  SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v AS src, u AS dst FROM ed
+), starts AS (
+  SELECT CAST(src AS VARCHAR) || '#0' AS walk_id, src AS node
+  FROM (SELECT DISTINCT src FROM sym)
+),
+{",".join(steps)}
+{" UNION ALL ".join(selects)}
+"""
+
+
+_SQL_GRAPH_RANDOM_WALKS = _walks_oracle_sql()
+
+
 def _q_docs_stratified_split(spark: SparkSession, sf: str) -> DataFrame:
     """Exact stratified train/val/test split (textops/sampling.py::
     stratified_split): within each source the split sizes are exactly
@@ -7320,6 +7416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rfm": _q_events_rfm,
         "events_global_quantiles": _q_events_global_quantiles,
         "events_skew_profile": _q_events_skew_profile,
+        "docs_edit_distance_pairs": _q_docs_edit_distance_pairs,
+        "graph_random_walks": _q_graph_random_walks,
         "docs_stratified_split": _q_docs_stratified_split,
         "graph_bfs_distances": _q_graph_bfs_distances,
         "fingerprint_md5": _q_fingerprint_md5,
@@ -7474,6 +7572,8 @@ def oracle_sql() -> dict[str, str]:
         "events_rfm": _SQL_EVENTS_RFM,
         "events_global_quantiles": _SQL_EVENTS_GLOBAL_QUANTILES,
         "events_skew_profile": _SQL_EVENTS_SKEW_PROFILE,
+        "docs_edit_distance_pairs": _SQL_DOCS_EDIT_PAIRS,
+        "graph_random_walks": _SQL_GRAPH_RANDOM_WALKS,
         "docs_stratified_split": _SQL_STRATIFIED_SPLIT,
         "graph_bfs_distances": _SQL_GRAPH_BFS,
         "fingerprint_md5": _SQL_FINGERPRINT,

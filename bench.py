@@ -150,6 +150,8 @@ HEADLINE = [
     "events_rfm",
     "events_global_quantiles",
     "events_skew_profile",
+    "docs_edit_distance_pairs",
+    "graph_random_walks",
 ]
 
 

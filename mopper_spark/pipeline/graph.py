@@ -1023,3 +1023,94 @@ def link_prediction(
             (F.col("aa_fp").cast("double") / F.lit(float(scale))).alias("aa"),
         )
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    seed: str = "walk-v1",
+) -> DataFrame:
+    """DeepWalk-style walk corpus generation (Perozzi et al. KDD'14)
+    with DETERMINISTIC pseudo-random neighbor choice: at step t the walk
+    moves to ``argmin_neighbor md5(seed:walk_id:t:neighbor)`` — a pure
+    function of (seed, walk, step, candidate), so the corpus is
+    bit-reproducible in any engine/partitioning (a PRNG would not be),
+    while still hash-uniform over the neighborhood.
+
+    Each node with ≥1 edge starts ``walks_per_node`` walks; undirected
+    adjacency means walks never dead-end.  Per step: one equi-join of
+    the frontier against the adjacency on the current node and one
+    argmin aggregate — the associative ``min(string)`` idiom (md5 is
+    fixed-width, so the ``hash|dst`` concatenation compares identically
+    everywhere); per-round localCheckpoint cuts lineage as in
+    ``transitive_closure``.  Work per step is O(Σ deg(frontier)) — the
+    same bound DeepWalk's sampler pays in aggregate.
+
+    Output: ``(walk_id, step, node)`` long format, step 0 = the start.
+    """
+    if walk_len < 1 or walks_per_node < 1:
+        raise ValueError("random_walks: walk_len and walks_per_node >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint(eager=False)
+    starts = (
+        sym.select("src")
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*[F.lit(w) for w in range(walks_per_node)])
+            ).alias("w"),
+            F.col("src").alias("node"),
+        )
+        .select(
+            F.concat(
+                F.col("node").cast("string"), F.lit("#"), F.col("w").cast("string")
+            ).alias("walk_id"),
+            "node",
+        )
+    )
+    out = starts.select("walk_id", F.lit(0).cast("int").alias("step"), "node")
+    frontier = starts
+    for t in range(1, walk_len + 1):
+        tag = F.min(
+            F.concat(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(seed),
+                        F.col("walk_id"),
+                        F.lit(str(t)),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                F.lit("|"),
+                F.col("dst").cast("string"),
+            )
+        )
+        frontier = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .groupBy("walk_id")
+            .agg(tag.alias("pick"))
+            .select(
+                "walk_id",
+                F.substring_index(F.col("pick"), "|", -1)
+                .cast("long")
+                .alias("node"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(
+            frontier.select("walk_id", F.lit(t).cast("int").alias("step"), "node")
+        )
+    return out

@@ -307,3 +307,87 @@ def label_centroid_cosines(
             ).alias("cos"),
         )
     )
+
+
+def edit_distance_join(
+    strings: DataFrame,
+    id_col: str = "id",
+    str_col: str = "s",
+    k: int = 1,
+) -> DataFrame:
+    """String similarity self-join: all pairs within Levenshtein distance
+    ``k`` — typo-tolerant entity/surface matching (the ER blocking
+    complement for NAME noise rather than token reorderings).
+
+    Candidate generation is the deletion-neighborhood signature scheme
+    (FastSS; Bocek et al. 2007): every string emits itself plus every
+    variant with ≤ k characters deleted, tagged with how many deletions
+    produced it; two strings within edit distance k ALWAYS share a
+    signature reachable with ≤ k total deletions (substitution = delete
+    the differing position from both; insert/delete = delete the extra
+    character) — so a join on the signature is recall-COMPLETE, and the
+    exact ``levenshtein()`` verify (JVM-side, whole-stage codegen) makes
+    precision exact.  No brute-force pair space anywhere: candidates are
+    signature-bucket joins, verified pairs only.
+
+    Scale shape: signatures per string = Σ_{j≤k} C(L, j) — linear in L
+    for k=1, quadratic for k=2; k ≤ 2 enforced.  The signature join
+    shuffles on the signature; a pathological bucket (e.g. every string
+    sharing one variant) is bounded by the verify's early length filter
+    ``|len_a − len_b| ≤ k`` pushed into the join condition.
+
+    Output: ``(id_a, id_b, s_a, s_b, dist)``, id_a < id_b, dist ≤ k.
+    """
+    if k not in (1, 2):
+        raise ValueError("edit_distance_join: k must be 1 or 2")
+    base = strings.select(
+        F.col(id_col).alias("sid"), F.col(str_col).alias("s")
+    ).filter(F.col("s").isNotNull())
+    # deletion variants: j characters removed, j = 0..k.  For k=1 the
+    # variant list is [s] + [s minus position i]; for k=2 additionally
+    # every two-position deletion (i < j) — built natively with
+    # sequence/transform/flatten, no Python per row.
+    del1 = (
+        "transform(sequence(1, length(s)),"
+        " i -> concat(substring(s, 1, i - 1), substring(s, i + 1)))"
+    )
+    if k == 1:
+        sigs = F.expr(f"array_union(array(s), {del1})")
+    else:
+        del2 = (
+            "flatten(transform(sequence(1, length(s)), i ->"
+            " transform(sequence(i + 1, length(s)), j ->"
+            " concat(substring(s, 1, i - 1), substring(s, i + 1, j - i - 1),"
+            " substring(s, j + 1)))))"
+        )
+        sigs = F.expr(
+            f"array_union(array_union(array(s), {del1}),"
+            f" CASE WHEN length(s) >= 2 THEN {del2} ELSE array() END)"
+        )
+    tagged = base.select("sid", "s", F.explode(sigs).alias("sig"))
+    x, y = tagged.alias("x"), tagged.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.sid") < F.col("y.sid"))
+            & (
+                F.abs(F.length(F.col("x.s")) - F.length(F.col("y.s")))
+                <= F.lit(k)
+            ),
+        )
+        .select(
+            F.col("x.sid").alias("id_a"),
+            F.col("y.sid").alias("id_b"),
+            F.col("x.s").alias("s_a"),
+            F.col("y.s").alias("s_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        "s_a",
+        "s_b",
+        F.levenshtein("s_a", "s_b").cast("int").alias("dist"),
+    ).filter(F.col("dist") <= k)

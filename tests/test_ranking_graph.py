@@ -679,3 +679,59 @@ class TestLinkPrediction:
         x = sorted(map(tuple, link_prediction(e).collect()))
         y = sorted(map(tuple, link_prediction(e.repartition(17)).collect()))
         assert x == y and len(x) > 5
+
+
+class TestRandomWalks:
+    """graph.random_walks — deterministic DeepWalk corpus."""
+
+    def test_matches_python_replica(self, spark):
+        import hashlib
+
+        from mopper_spark.pipeline.graph import random_walks
+
+        raw = [(1, 2), (2, 3), (3, 1), (3, 4)]
+        edges = spark.createDataFrame(raw, "a long, b long")
+        adj = {}
+        for u, v in raw:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+
+        def pick(walk_id, t, neighbors):
+            key = lambda d: (
+                hashlib.md5(f"walk-v1:{walk_id}:{t}:{d}".encode()).hexdigest(),
+                str(d),
+            )
+            return min(neighbors, key=key)
+
+        want = {}
+        for node in adj:
+            for w in range(2):
+                wid = f"{node}#{w}"
+                cur = node
+                want[(wid, 0)] = cur
+                for t in range(1, 5):
+                    cur = pick(wid, t, adj[cur])
+                    want[(wid, t)] = cur
+        got = {(r.walk_id, r.step): r.node
+               for r in random_walks(edges, walk_len=4, walks_per_node=2).collect()}
+        assert got == want
+
+    def test_partitioning_invariance_and_shape(self, spark):
+        import pytest
+
+        from mopper_spark.pipeline.graph import random_walks
+
+        e = spark.createDataFrame(
+            [(i % 13, (i * 5 + 1) % 13) for i in range(40)], "a long, b long"
+        )
+        a = sorted(map(tuple, random_walks(e, walk_len=3).collect()))
+        b = sorted(map(tuple, random_walks(e.repartition(7), walk_len=3).collect()))
+        assert a == b
+        n_nodes = len({x for p in e.collect() for x in p if True})
+        # every walk has exactly walk_len+1 steps (undirected: no dead ends)
+        from collections import Counter
+
+        per_walk = Counter(w for (w, _, _) in a)
+        assert set(per_walk.values()) == {4}
+        with pytest.raises(ValueError):
+            random_walks(e, walk_len=0)

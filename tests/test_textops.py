@@ -1442,3 +1442,64 @@ class TestSkewProfile:
         a = sorted(map(tuple, skew_profile(ev, ["event_type"], 10).collect()))
         b = sorted(map(tuple, skew_profile(ev.repartition(7), ["event_type"], 10).collect()))
         assert a == b and len(a) == 5
+
+
+class TestEditDistanceJoin:
+    """similarity.edit_distance_join — FastSS deletion-neighborhood join."""
+
+    def _strings(self, spark):
+        words = ["spark", "spork", "sparks", "park", "quark", "query",
+                 "queue", "quer", "a", "b", "ab", "spark"]
+        return spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "id long, s string"
+        )
+
+    def _brute(self, spark, df, k):
+        import itertools
+
+        def ed(a, b):
+            if len(a) < len(b):
+                a, b = b, a
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        rows = df.collect()
+        return sorted(
+            (r1.id, r2.id, r1.s, r2.s, ed(r1.s, r2.s))
+            for r1, r2 in itertools.combinations(rows, 2)
+            if r1.id < r2.id and ed(r1.s, r2.s) <= k
+        )
+
+    def test_complete_and_exact_k1(self, spark):
+        from mopper_spark.textops.similarity import edit_distance_join
+
+        df = self._strings(spark)
+        got = sorted(map(tuple, edit_distance_join(df, "id", "s", k=1).collect()))
+        assert got == self._brute(spark, df, 1)
+        assert len(got) >= 4  # spark~spork, spark~sparks, spark~spark, ...
+
+    def test_complete_and_exact_k2(self, spark):
+        import pytest
+
+        from mopper_spark.textops.similarity import edit_distance_join
+
+        df = self._strings(spark)
+        got = sorted(map(tuple, edit_distance_join(df, "id", "s", k=2).collect()))
+        assert got == self._brute(spark, df, 2)
+        with pytest.raises(ValueError):
+            edit_distance_join(df, "id", "s", k=3)
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.similarity import edit_distance_join
+
+        df = self._strings(spark)
+        a = sorted(map(tuple, edit_distance_join(df, "id", "s", 1).collect()))
+        b = sorted(map(tuple,
+                       edit_distance_join(df.repartition(7), "id", "s", 1).collect()))
+        assert a == b
