@@ -4676,7 +4676,11 @@ def _q_events_rollup(spark: SparkSession, sf: str) -> DataFrame:
     total in ONE Expand+aggregate job (single Exchange — pinned in
     tests/test_olap.py), each row tagged with the grouping-ID bitmask.
     Measures are COUNT and an integer cents sum, so DuckDB's ROLLUP with
-    the identical GROUPING bitmask is a strict oracle."""
+    the identical GROUPING bitmask is a strict oracle.  Subtotal rows'
+    NULL day_us is re-rendered as the -1 sentinel (gid disambiguates;
+    a real day cannot be negative): a nullable BIGINT becomes float64
+    on the pandas/Arrow oracle fetch path — the r2 HUGEINT divergence
+    class the fetch-path sweep (tests/test_driver_contract.py) pins."""
     from mopper_spark.textops.olap import rollup_metrics
 
     ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -4686,7 +4690,14 @@ def _q_events_rollup(spark: SparkSession, sf: str) -> DataFrame:
         F.expr(f"{ep} - {ep} % 86400000000").cast("long").alias("day_us"),
         "value",
     )
-    return rollup_metrics(base, ["event_type", "day_us"], "value")
+    lat = rollup_metrics(base, ["event_type", "day_us"], "value")
+    return lat.select(
+        "event_type",
+        F.coalesce(F.col("day_us"), F.lit(-1)).cast("long").alias("day_us"),
+        "gid",
+        "n",
+        "value_fp",
+    )
 
 
 _SQL_EVENTS_ROLLUP = """
@@ -4696,7 +4707,7 @@ WITH base AS (
          value
   FROM events
 )
-SELECT event_type, day_us,
+SELECT event_type, COALESCE(day_us, -1) AS day_us,
        CAST(GROUPING(event_type, day_us) AS BIGINT) AS gid,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS value_fp
@@ -4987,6 +4998,128 @@ WITH e_raw AS (
 
 
 _SQL_GRAPH_RANDOM_WALKS = _walks_oracle_sql()
+
+
+def _q_docs_source_hll_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL sketch SET ALGEBRA (textops/sketches.py::hll_set_algebra):
+    per source-pair the sketched distinct-token counts of A, B, A∪B
+    (per-bucket register max — the HLL closure property) and the
+    inclusion-exclusion intersection — cross-source vocabulary overlap
+    from 4096-cell sketches, never a cross-source exact distinct.  The
+    sketch-free exact twin is docs_source_overlap; this is the one that
+    still runs when each source is 10 TB."""
+    from mopper_spark.textops.analysis import tokens
+    from mopper_spark.textops.sketches import hll_set_algebra
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = docs.select(
+        F.col("source").alias("g"), F.explode(tokens(F.col("text"))).alias("v")
+    )
+    return hll_set_algebra(toks, "g", "v")
+
+
+def _hll_overlap_oracle_sql() -> str:
+    est = (
+        "CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0"
+        " * 1125899906842624.0 / s_fp <= 2.5 * 4096.0 AND v_zero > 0"
+        " THEN 4096.0 * ln(4096.0 / CAST(v_zero AS DOUBLE))"
+        " ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0"
+        " * 1125899906842624.0 / s_fp END"
+    )
+    sfp = (
+        "SELECT {keys}, CAST(4096 - n_present AS BIGINT) AS v_zero,"
+        " CAST(s_present + (4096 - n_present) * 1125899906842624 AS BIGINT) AS s_fp"
+        " FROM {src}"
+    )
+    return f"""
+WITH toks AS (
+  SELECT source AS g,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> x <> '')) AS v
+  FROM documents
+), r AS (
+  SELECT g, ('0x' || substr(md5(v), 1, 3))::BIGINT AS bucket,
+         ('0x' || substr(md5(v), 4, 12))::BIGINT AS w
+  FROM toks WHERE v IS NOT NULL
+), regs AS (
+  SELECT g, bucket,
+         MAX(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS mj
+  FROM r GROUP BY g, bucket
+), per AS (
+  SELECT g, COUNT(*) AS n_present,
+         CAST(SUM((1::BIGINT) << (50 - mj)) AS BIGINT) AS s_present
+  FROM regs GROUP BY g
+), perest AS (
+  SELECT g, {est} AS estimate FROM ({sfp.format(keys="g", src="per")})
+), pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b
+  FROM (SELECT DISTINCT g FROM regs) a JOIN (SELECT DISTINCT g FROM regs) b
+    ON a.g < b.g
+), merged AS (
+  SELECT p.group_a, p.group_b, rg.bucket, MAX(rg.mj) AS mj
+  FROM pairs p JOIN regs rg ON rg.g = p.group_a OR rg.g = p.group_b
+  GROUP BY 1, 2, 3
+), uni AS (
+  SELECT group_a, group_b, COUNT(*) AS n_present,
+         CAST(SUM((1::BIGINT) << (50 - mj)) AS BIGINT) AS s_present
+  FROM merged GROUP BY 1, 2
+), uniest AS (
+  SELECT group_a, group_b, {est} AS est_union
+  FROM ({sfp.format(keys="group_a, group_b", src="uni")})
+)
+SELECT u.group_a, u.group_b, ea.estimate AS est_a, eb.estimate AS est_b,
+       u.est_union,
+       GREATEST(0.0, ea.estimate + eb.estimate - u.est_union) AS est_intersection
+FROM uniest u
+JOIN perest ea ON ea.g = u.group_a
+JOIN perest eb ON eb.g = u.group_b
+"""
+
+
+_SQL_DOCS_SOURCE_HLL_OVERLAP = _hll_overlap_oracle_sql()
+
+
+def _q_docs_zorder_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order layout assignment (textops/layout.py): Morton key over
+    (n_chars, doc_id) and an exact nearest-rank-boundary file id — the
+    OPTIMIZE ZORDER BY primitive; a min/max-skipping scan filtered on
+    EITHER dimension then touches a minority of files (pinned in
+    tests/test_layout.py).  Boundaries come from the sort-free
+    global_order_statistics, so there is no global sort anywhere."""
+    from mopper_spark.textops.layout import zorder_files
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    return zorder_files(docs, ["n_chars", "doc_id"], n_files=8, bits=10)
+
+
+def _zorder_oracle_sql() -> str:
+    terms = []
+    for j, c in enumerate(["n_chars", "doc_id"]):
+        for i in range(10):
+            terms.append(f"(((CAST({c} AS BIGINT) >> {i}) & 1) << {i * 2 + j})")
+    z = " + ".join(terms)
+    bounds = ", ".join(
+        f"MAX(CASE WHEN rn = CAST(CEIL(n * ({i}/8.0)) AS BIGINT) THEN zval END) AS p{i}"
+        for i in range(1, 8)
+    )
+    fid = " + ".join(f"CAST(k.zval > b.p{i} AS INT)" for i in range(1, 8))
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars, CAST({z} AS BIGINT) AS zval FROM documents
+), r AS (
+  SELECT zval, ROW_NUMBER() OVER (ORDER BY zval) AS rn, COUNT(*) OVER () AS n
+  FROM keyed
+), b AS (
+  SELECT {bounds} FROM r
+)
+SELECT k.doc_id, k.n_chars, k.zval, CAST({fid} AS INT) AS file_id
+FROM keyed k CROSS JOIN b
+"""
+
+
+_SQL_DOCS_ZORDER_FILES = _zorder_oracle_sql()
 
 
 def _q_docs_stratified_split(spark: SparkSession, sf: str) -> DataFrame:
@@ -7418,6 +7551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_skew_profile": _q_events_skew_profile,
         "docs_edit_distance_pairs": _q_docs_edit_distance_pairs,
         "graph_random_walks": _q_graph_random_walks,
+        "docs_source_hll_overlap": _q_docs_source_hll_overlap,
+        "docs_zorder_files": _q_docs_zorder_files,
         "docs_stratified_split": _q_docs_stratified_split,
         "graph_bfs_distances": _q_graph_bfs_distances,
         "fingerprint_md5": _q_fingerprint_md5,
@@ -7574,6 +7709,8 @@ def oracle_sql() -> dict[str, str]:
         "events_skew_profile": _SQL_EVENTS_SKEW_PROFILE,
         "docs_edit_distance_pairs": _SQL_DOCS_EDIT_PAIRS,
         "graph_random_walks": _SQL_GRAPH_RANDOM_WALKS,
+        "docs_source_hll_overlap": _SQL_DOCS_SOURCE_HLL_OVERLAP,
+        "docs_zorder_files": _SQL_DOCS_ZORDER_FILES,
         "docs_stratified_split": _SQL_STRATIFIED_SPLIT,
         "graph_bfs_distances": _SQL_GRAPH_BFS,
         "fingerprint_md5": _SQL_FINGERPRINT,

@@ -1,0 +1,79 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+The data-layout move behind Delta/Iceberg ``OPTIMIZE ZORDER BY``: a scan
+filtered on ANY of the interleaved dimensions should touch few files,
+which single-column sorting gives only for its leading column.
+Interleaving the bits of d columns into one Morton key makes points
+close in the key iff they are close in EVERY dimension, so
+range-partitioning by the key yields files whose per-dimension min/max
+spans are narrow — and min/max file skipping (parquet row-group stats,
+Iceberg manifests) prunes on all d columns at once.
+
+Everything is exact integer bit arithmetic (native expressions, engine-
+portable), so layouts are reproducible and strict-oracle-able; file
+assignment uses exact nearest-rank key boundaries from
+``analysis.global_order_statistics`` — no global sort anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def zorder_key(cols: list[str], bits: int = 16) -> Column:
+    """Morton key of d integer columns: bit i of column j lands at
+    output bit ``i·d + j``.  Inputs are masked to their low ``bits``
+    bits (callers pre-bucket real values into [0, 2^bits) — rank, range
+    bucket, or truncation); ``d·bits ≤ 63`` keeps the key in int64.
+
+    Pure unrolled shift/mask expression — whole-stage-codegen-friendly,
+    and trivially replicated in any SQL dialect.
+    """
+    d = len(cols)
+    if d < 2:
+        raise ValueError("zorder_key: need at least 2 columns")
+    if bits < 1 or d * bits > 63:
+        raise ValueError("zorder_key: need 1 <= d*bits <= 63")
+    terms = [
+        f"shiftleft((shiftright(CAST({c} AS BIGINT), {i}) & 1), {i * d + j})"
+        for j, c in enumerate(cols)
+        for i in range(bits)
+    ]
+    return F.expr(" + ".join(terms)).cast("long")
+
+
+def zorder_files(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int,
+    bits: int = 16,
+    out_key: str = "zval",
+    out_file: str = "file_id",
+) -> DataFrame:
+    """Assign every row a Morton key and a target file: files are the
+    ``n_files`` EXACT nearest-rank quantile ranges of the key
+    (boundaries from ``global_order_statistics`` — iterative histogram
+    narrowing, no global sort), ``file_id = #{boundaries < zval}``.
+    Ties share a file (value-deterministic), so sizes are exact only up
+    to key ties — the same contract as any stats-based splitter.
+
+    Write ``df.repartition(n_files, out_file)`` partitioned-by-file and
+    each file's per-dimension min/max stays narrow in ALL ``cols`` —
+    the property a min/max-skipping scan prunes on.
+    """
+    if n_files < 2:
+        raise ValueError("zorder_files: need n_files >= 2")
+    from mopper_spark.textops.analysis import global_order_statistics
+
+    keyed = df.withColumn(out_key, zorder_key(cols, bits=bits))
+    qs = tuple(i / n_files for i in range(1, n_files))
+    stats = global_order_statistics(keyed, out_key, qs=qs)
+    bcols = [c for c in stats.columns if c.startswith("p")]
+    bounds = stats.select(*bcols)
+    fid = None
+    for c in bcols:
+        term = (F.col(out_key) > F.col(c)).cast("int")
+        fid = term if fid is None else fid + term
+    return keyed.crossJoin(F.broadcast(bounds)).select(
+        *df.columns, out_key, fid.cast("int").alias(out_file)
+    )

@@ -309,3 +309,108 @@ def cms_lookup(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_count"))
     )
+
+
+def _hll_estimate(s_fp, v_zero):
+    """The hll_summary estimate expression over (s_fp, v_zero) columns —
+    shared by the single-set summary and the set-algebra pairs so the
+    two can never drift."""
+    alpha_num = 0.7213 / (1.0 + 1.079 / 4096.0)
+    est_raw = (
+        F.lit(alpha_num)
+        * F.lit(4096.0)
+        * F.lit(4096.0)
+        * F.lit(1125899906842624.0)  # 2^50
+        / s_fp
+    )
+    return F.when(
+        (est_raw <= F.lit(2.5 * 4096.0)) & (v_zero > 0),
+        F.lit(4096.0) * F.log(F.lit(4096.0) / v_zero.cast("double")),
+    ).otherwise(est_raw)
+
+
+def hll_set_algebra(values: DataFrame, group_col: str, col: str) -> DataFrame:
+    """Sketch SET ALGEBRA: per-group-PAIR distinct-count estimates for
+    A, B, A∪B, and A∩B — the "how much vocabulary do these two sources
+    share" question answered from sketches alone, never a cross-source
+    exact distinct.  Union is the HLL closure property (per-bucket MAX of
+    registers — exact, not an approximation of the union sketch);
+    intersection is inclusion-exclusion ``|A|+|B|−|A∪B|`` clamped at 0
+    (the standard HLL estimator; error grows as the true intersection
+    shrinks — use it to rank overlaps, not to count tiny ones).
+
+    Scale shape: ONE pass builds per-group registers (≤ 4096 rows per
+    group regardless of corpus); pairing and merging act on register
+    tables only.  Registers are integer, so everything up to the final
+    double estimate is bit-exact in any engine.
+
+    Output: ``(group_a, group_b, est_a, est_b, est_union,
+    est_intersection)``, group_a < group_b.
+    """
+    h = F.md5(F.col(col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
+    w = F.conv(F.substring(h, 4, 12), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(w)))
+    regs = (
+        values.filter(F.col(col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"), bucket.alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").cast("int").alias("mj"))
+        .localCheckpoint(eager=False)
+    )
+
+    def summarize(r: DataFrame, keys: list[str]) -> DataFrame:
+        base = r.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - mj)"))
+            .cast("long")
+            .alias("s_present"),
+        )
+        v_zero = (F.lit(4096) - F.col("n_present")).cast("long")
+        s_fp = F.col("s_present") + v_zero * F.lit(1125899906842624).cast("long")
+        return base.select(
+            *keys, _hll_estimate(s_fp, v_zero).alias("estimate")
+        )
+
+    per_group = summarize(regs, ["g"])
+    groups = regs.select("g").distinct()
+    ga, gb = groups.alias("ga"), groups.alias("gb")
+    pairs = ga.join(gb, F.col("ga.g") < F.col("gb.g")).select(
+        F.col("ga.g").alias("group_a"), F.col("gb.g").alias("group_b")
+    )
+    merged = (
+        pairs.join(regs, F.col("g") == F.col("group_a"))
+        .select("group_a", "group_b", "bucket", "mj")
+        .unionByName(
+            pairs.join(regs, F.col("g") == F.col("group_b")).select(
+                "group_a", "group_b", "bucket", "mj"
+            )
+        )
+        .groupBy("group_a", "group_b", "bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
+    union_est = summarize(merged, ["group_a", "group_b"]).withColumnRenamed(
+        "estimate", "est_union"
+    )
+    ea = per_group.select(
+        F.col("g").alias("group_a"), F.col("estimate").alias("est_a")
+    )
+    eb = per_group.select(
+        F.col("g").alias("group_b"), F.col("estimate").alias("est_b")
+    )
+    return (
+        union_est.join(F.broadcast(ea), "group_a")
+        .join(F.broadcast(eb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+            ).alias("est_intersection"),
+        )
+    )

@@ -151,3 +151,55 @@ class TestCountMin:
         assert est["a"] == 12 and est["b"] == 1 and est["zz"] == 0
         with pytest.raises(ValueError):
             cms_registers(df, "tok", width=1)
+
+
+class TestHLLSetAlgebra:
+    """sketches.hll_set_algebra — union/intersection from registers."""
+
+    def _vals(self, spark):
+        rows = (
+            [("a", f"shared{i}") for i in range(300)]
+            + [("a", f"only_a{i}") for i in range(200)]
+            + [("b", f"shared{i}") for i in range(300)]
+            + [("b", f"only_b{i}") for i in range(100)]
+            + [("c", f"c{i}") for i in range(150)]
+        )
+        return spark.createDataFrame(rows, "g string, v string")
+
+    def test_inclusion_exclusion_estimates(self, spark):
+        from mopper_spark.textops.sketches import hll_set_algebra
+
+        out = {(r.group_a, r.group_b): r
+               for r in hll_set_algebra(self._vals(spark), "g", "v").collect()}
+        assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+        ab = out[("a", "b")]
+        # linear-counting regime: estimates within a few % of truth
+        assert abs(ab.est_a - 500) < 25 and abs(ab.est_b - 400) < 20
+        assert abs(ab.est_union - 600) < 30
+        assert abs(ab.est_intersection - 300) < 50
+        ac = out[("a", "c")]   # disjoint: union ~ sum, intersection ~ 0
+        assert abs(ac.est_union - 650) < 35
+        assert ac.est_intersection < 35
+
+    def test_per_group_estimate_matches_hll_summary(self, spark):
+        from mopper_spark.textops.sketches import (
+            hll_registers,
+            hll_set_algebra,
+            hll_summary,
+        )
+
+        df = self._vals(spark)
+        out = hll_set_algebra(df, "g", "v").collect()
+        est_a = [r.est_a for r in out if r.group_a == "a"][0]
+        solo = hll_summary(
+            hll_registers(df.filter("g = 'a'"), "v")
+        ).collect()[0].estimate
+        assert est_a == solo
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.sketches import hll_set_algebra
+
+        df = self._vals(spark)
+        a = sorted(map(tuple, hll_set_algebra(df, "g", "v").collect()))
+        b = sorted(map(tuple, hll_set_algebra(df.repartition(13), "g", "v").collect()))
+        assert a == b
