@@ -1477,6 +1477,148 @@ FROM {last}
 _SQL_IVF_KMEANS_TRAIN = _sql_kmeans_train(8, 12)
 
 
+def _q_pq_encode_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ENCODE (textops/pq.py): train M=8 codebooks of
+    K=8 entries over the 8-dim subspaces (fixed-point Lloyd, 2 rounds,
+    reusing ivf.kmeans_train per subspace) and code every corpus vector —
+    the FAISS-style 32× compression step that makes a 100 TB embedding
+    corpus scannable from executor memory.  Strict-oracled by an unrolled
+    sub-keyed MATERIALIZED-CTE replay of the training + assignment kernel;
+    parity requires NO re-seed at this fixture (pinned in
+    tests/test_pq.py — early convergence is harmless here because only
+    centroids are consumed and a Lloyd fixpoint is stable)."""
+    from mopper_spark.textops.pq import pq_encode, pq_train
+
+    vecs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    books = pq_train(vecs, m=8, k=8, dim=64, max_iters=2)
+    codes = pq_encode(vecs, books, m=8, dim=64)
+    return codes.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("codes", lambda c: c.cast("string"))
+        ).alias("codes"),
+    )
+
+
+def _q_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (textops/pq.py::pq_adc_topk): the
+    query stays un-quantized, its M×K fixed-point distance table vs the
+    codebook is broadcast, and each coded corpus vector costs M integer
+    lookups summed map-side — the compressed-domain scan of Jégou et al.
+    TPAMI'11.  Approximation lives in the DISTANCE (quantized corpus);
+    the operator itself is all-integer and strictly SQL-replayable.  At
+    100 TB, restrict ``codes`` to IVF-probed candidates first
+    (IndexIVFPQ) — composition pinned in tests/test_pq.py with a recall
+    floor vs brute force."""
+    from mopper_spark.textops.pq import pq_adc_topk, pq_encode, pq_train
+
+    vecs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    books = pq_train(vecs, m=8, k=8, dim=64, max_iters=2)
+    codes = pq_encode(vecs, books, m=8, dim=64)
+    qs = vecs.filter(F.col("vec_id") < 3)
+    return pq_adc_topk(codes, qs, books, k_top=5, m=8, dim=64)
+
+
+def _sql_pq_prefix(m: int, k: int, sd: int, rounds: int) -> str:
+    """Shared unrolled-CTE replay of pq_train + pq_encode: the proven
+    _sql_kmeans_train kernel generalized with a ``sub`` key so all M
+    subspaces train jointly.  Ends at ``be`` = (vec_id, sub, cid)
+    assignments under the final codebook ``c{rounds}``."""
+    dist = (
+        "CAST(list_sum(list_transform(range(1, %d + 1), "
+        "i -> CAST(round((%s[i] - %s[i]) * (%s[i] - %s[i]) * 1e12) AS BIGINT)))"
+        " AS BIGINT)" % (sd, "%(a)s", "%(b)s", "%(a)s", "%(b)s")
+    )
+    d_sv_cv = dist % {"a": "s.svec", "b": "c.cvec"}
+    ctes = [
+        f"""v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+sv AS MATERIALIZED (
+  SELECT vec_id, sub,
+         list_transform(range(1, {sd} + 1), i -> vec[sub * {sd} + i]) AS svec
+  FROM v CROSS JOIN (SELECT CAST(unnest(range(0, {m})) AS INTEGER) AS sub)
+),
+c0 AS MATERIALIZED (
+  SELECT sub,
+         CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         svec AS cvec
+  FROM sv WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""x{r} AS MATERIALIZED (
+  SELECT s.vec_id, s.sub, c.cid, s.svec, {d_sv_cv} AS dist_fp
+  FROM sv s JOIN c{r - 1} c ON s.sub = c.sub
+),
+b{r} AS MATERIALIZED (
+  SELECT vec_id, sub, cid, svec FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist_fp, cid) AS rn
+    FROM x{r}) WHERE rn = 1
+),
+c{r} AS MATERIALIZED (
+  SELECT agg.sub, agg.cid,
+         list_transform(dims.slist, s -> s / (agg.n_members * 1000000)) AS cvec
+  FROM (SELECT sub, cid, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM b{r} GROUP BY 1, 2) agg
+  JOIN (SELECT sub, cid, list(s ORDER BY pos) AS slist
+        FROM (SELECT sub, cid, pos, CAST(SUM(x_fp) AS BIGINT) AS s
+              FROM (SELECT sub, cid, CAST(round(x * 1000000) AS BIGINT) AS x_fp, pos
+                    FROM (SELECT sub, cid, unnest(svec) AS x,
+                                 unnest(range(1, {sd} + 1)) AS pos FROM b{r}))
+              GROUP BY 1, 2, 3)
+        GROUP BY 1, 2) dims ON dims.sub = agg.sub AND dims.cid = agg.cid
+)""")
+    ctes.append(f"""xe AS MATERIALIZED (
+  SELECT s.vec_id, s.sub, c.cid, {d_sv_cv} AS dist_fp
+  FROM sv s JOIN c{rounds} c ON s.sub = c.sub
+),
+be AS MATERIALIZED (
+  SELECT vec_id, sub, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist_fp, cid) AS rn
+    FROM xe) WHERE rn = 1
+)""")
+    return ",\n".join(ctes)
+
+
+_SQL_PQ_ENCODE = (
+    "WITH "
+    + _sql_pq_prefix(8, 8, 8, 2)
+    + """
+SELECT vec_id,
+       array_to_string(list_transform(list(cid ORDER BY sub),
+                                      c -> CAST(c AS VARCHAR)), ',') AS codes
+FROM be GROUP BY vec_id
+"""
+)
+
+_SQL_PQ_ADC_TOPK = (
+    "WITH "
+    + _sql_pq_prefix(8, 8, 8, 2)
+    + """,
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, sub, svec FROM sv WHERE vec_id < 3
+),
+dtab AS MATERIALIZED (
+  SELECT s.query_id, s.sub, c.cid AS code,
+         CAST(list_sum(list_transform(range(1, 8 + 1),
+              i -> CAST(round((s.svec[i] - c.cvec[i]) * (s.svec[i] - c.cvec[i]) * 1e12) AS BIGINT)))
+              AS BIGINT) AS d_fp
+  FROM q s JOIN c2 c ON s.sub = c.sub
+),
+cand AS MATERIALIZED (
+  SELECT d.query_id, e.vec_id, CAST(SUM(d.d_fp) AS BIGINT) AS adc_fp
+  FROM be e JOIN dtab d ON d.sub = e.sub AND d.code = e.cid
+  WHERE e.vec_id <> d.query_id GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adc_fp, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp, vec_id) AS rn
+      FROM cand)
+WHERE rn <= 5
+"""
+)
+
+
 _SQL_IVF_KMEANS = """
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
@@ -5596,6 +5738,20 @@ RECALL_PINS: dict[str, dict[str, object]] = {
         "test_gate_fixture_runs_full_rounds_no_reseed",
         "fixtures": ["/root/testdata/sf0.01/embeddings.parquet"],
     },
+    # parity with the unrolled sub-keyed SQL replay requires NO re-seed
+    # in any subspace at this fixture (early convergence is harmless:
+    # only centroids are consumed and a Lloyd fixpoint is stable, so
+    # extra SQL rounds are no-ops); the pinned test asserts it
+    "pq_encode_codes": {
+        "test": "tests/test_pq.py::TestPqOraclePins::"
+        "test_gate_fixture_trains_without_reseed",
+        "fixtures": ["/root/testdata/sf0.01/embeddings.parquet"],
+    },
+    "pq_adc_topk": {
+        "test": "tests/test_pq.py::TestPqOraclePins::"
+        "test_gate_fixture_trains_without_reseed",
+        "fixtures": ["/root/testdata/sf0.01/embeddings.parquet"],
+    },
 }
 
 
@@ -7578,6 +7734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_turn_dedup": _q_transcript_turn_dedup,
         "ivf_kmeans_step": _q_ivf_kmeans_step,
         "ivf_kmeans_train": _q_ivf_kmeans_train,
+        "pq_encode_codes": _q_pq_encode_codes,
+        "pq_adc_topk": _q_pq_adc_topk,
         "repeated_spans": _q_repeated_spans,
         "docs_duplicated_ranges": _q_docs_duplicated_ranges,
         "docs_length_profile": _q_docs_length_profile,
@@ -7736,6 +7894,8 @@ def oracle_sql() -> dict[str, str]:
         "transcript_turn_dedup": _SQL_TURN_DEDUP,
         "ivf_kmeans_step": _SQL_IVF_KMEANS,
         "ivf_kmeans_train": _SQL_IVF_KMEANS_TRAIN,
+        "pq_encode_codes": _SQL_PQ_ENCODE,
+        "pq_adc_topk": _SQL_PQ_ADC_TOPK,
         "repeated_spans": _SQL_REPEATED_SPANS,
         "docs_duplicated_ranges": _SQL_DOCS_DUPLICATED_RANGES,
         "docs_length_profile": _SQL_DOCS_LENGTH_PROFILE,

@@ -1,0 +1,207 @@
+"""Product quantization: encode/ADC exactness, replica parity, IVF-PQ
+composition recall, and the gate-oracle precondition pin."""
+import pytest
+from pyspark.sql import functions as F
+
+from mopper_spark.textops.ivf import S_CENT, kmeans_train, seed_centroids
+from mopper_spark.textops.pq import (
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+    subvectors,
+)
+
+S_DIST = 10**12
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _grid(n, dim, seed=7):
+    """Deterministic synthetic vectors with real cluster structure: four
+    anchor points per subspace pair, plus a small id-dependent offset."""
+    rows = []
+    for i in range(n):
+        base = [(i % 4) * 2.0, ((i // 4) % 4) * 2.0] * (dim // 2)
+        vec = [
+            round(b + ((i * 31 + d * seed) % 10) / 100.0, 3)
+            for d, b in enumerate(base)
+        ]
+        rows.append((i, vec))
+    return rows
+
+
+class TestSubvectors:
+    def test_split_shapes(self, spark):
+        df = _vecs(spark, [(0, [float(i) for i in range(8)])])
+        got = {
+            (r.sub): r.svec for r in subvectors(df, 4, 8).collect()
+        }
+        assert got == {
+            0: [0.0, 1.0],
+            1: [2.0, 3.0],
+            2: [4.0, 5.0],
+            3: [6.0, 7.0],
+        }
+
+    def test_dim_not_multiple_refused(self, spark):
+        df = _vecs(spark, [(0, [1.0, 2.0, 3.0])])
+        with pytest.raises(ValueError):
+            subvectors(df, 2, 3).collect()
+
+
+class TestEncode:
+    def test_encode_matches_python_replica(self, spark):
+        rows = _grid(40, 8)
+        df = _vecs(spark, rows)
+        books = pq_train(df, m=4, k=4, dim=8, max_iters=3)
+        got = {r.vec_id: list(r.codes) for r in pq_encode(df, books, 4, 8).collect()}
+        # replica: argmin fixed-point squared L2 per subspace, tie→min cid
+        cb = {}
+        for r in books.collect():
+            cb.setdefault(r.sub, {})[r.cid] = list(r.cvec)
+        def enc(vec):
+            codes = []
+            for s in range(4):
+                sv = vec[s * 2 : s * 2 + 2]
+                best = min(
+                    (
+                        sum(
+                            int(round((a - b) * (a - b) * S_DIST))
+                            for a, b in zip(sv, cb[s][c])
+                        ),
+                        c,
+                    )
+                    for c in cb[s]
+                )
+                codes.append(best[1])
+            return codes
+        import numpy as np
+
+        # the fixture schema is array<float>: the engine sees float32
+        # values widened to double, so the replica must too
+        for vid, vec in rows:
+            assert got[vid] == enc([float(np.float32(x)) for x in vec]), vid
+
+    def test_encode_partitioning_invariant(self, spark):
+        rows = _grid(60, 8)
+        df = _vecs(spark, rows)
+        books = pq_train(df, m=4, k=4, dim=8, max_iters=2)
+        a = sorted(
+            (r.vec_id, tuple(r.codes))
+            for r in pq_encode(df.repartition(1), books, 4, 8).collect()
+        )
+        b = sorted(
+            (r.vec_id, tuple(r.codes))
+            for r in pq_encode(df.repartition(7), books, 4, 8).collect()
+        )
+        assert a == b
+
+
+class TestAdc:
+    def test_adc_matches_python_replica(self, spark):
+        rows = _grid(30, 8)
+        df = _vecs(spark, rows)
+        books = pq_train(df, m=4, k=4, dim=8, max_iters=2)
+        codes_df = pq_encode(df, books, 4, 8)
+        qs = df.filter(F.col("vec_id") < 2)
+        got = sorted(
+            (r.query_id, r.rank, r.vec_id, r.adc_fp)
+            for r in pq_adc_topk(codes_df, qs, books, k_top=3, m=4, dim=8).collect()
+        )
+        cb = {}
+        for r in books.collect():
+            cb.setdefault(r.sub, {})[r.cid] = list(r.cvec)
+        import numpy as np
+
+        codes = {r.vec_id: list(r.codes) for r in codes_df.collect()}
+        # float32 storage: widen exactly the way the engine does
+        vecs = {vid: [float(np.float32(x)) for x in v] for vid, v in rows}
+        expect = []
+        for q in (0, 1):
+            qv = vecs[q]
+            dt = {
+                (s, c): sum(
+                    int(round((a - b) * (a - b) * S_DIST))
+                    for a, b in zip(qv[s * 2 : s * 2 + 2], cb[s][c])
+                )
+                for s in range(4)
+                for c in cb[s]
+            }
+            scored = sorted(
+                (sum(dt[(s, codes[v][s])] for s in range(4)), v)
+                for v in codes
+                if v != q
+            )
+            for rank, (d, v) in enumerate(scored[:3], 1):
+                expect.append((q, rank, v, d))
+        assert got == sorted(expect)
+
+    def test_ivfpq_composition_recall(self, spark):
+        """IndexIVFPQ shape: ADC over IVF-probed candidates only.  On a
+        corpus with genuine cluster structure the top-1 true neighbour
+        (by exact L2) must appear in PQ top-3 for >= 80% of queries."""
+        rows = _grid(64, 8)
+        df = _vecs(spark, rows)
+        cents = seed_centroids(df, k=4)
+        _, trained, _ = kmeans_train(df, 4, max_iters=3, centroids=cents)
+        coarse = trained.select(
+            "cid",
+            F.transform(
+                "centroid_fp", lambda s: s / (F.col("n_members") * F.lit(S_CENT))
+            ).alias("cvec"),
+        )
+        from mopper_spark.textops.ivf import assign_vectors
+
+        # k=16 codewords per subspace: each 2-dim subspace has 16 anchor
+        # combos, so the codebook can represent them (k=4 would tie all
+        # same-first-anchor vectors and the tie-break would pick wrong ids)
+        books = pq_train(df, m=4, k=16, dim=8, max_iters=3)
+        codes_df = pq_encode(df, books, 4, 8)
+        qs = df.filter(F.col("vec_id") < 10)
+        # probe the query's nearest coarse cluster; restrict codes to it
+        qa = assign_vectors(qs, coarse).select(
+            F.col("vec_id").alias("query_id"), F.col("cid").alias("qcid")
+        )
+        ca = assign_vectors(df, coarse).select("vec_id", "cid")
+        cand_codes = (
+            codes_df.join(ca, "vec_id")
+            .join(qa, F.col("cid") == F.col("qcid"))
+            .select("vec_id", "codes")
+            .distinct()
+        )
+        top = pq_adc_topk(cand_codes, qs, books, k_top=3, m=4, dim=8)
+        got = {}
+        for r in top.collect():
+            got.setdefault(r.query_id, []).append(r.vec_id)
+        vecs = {vid: [float(x) for x in v] for vid, v in rows}
+        hits = 0
+        for q in range(10):
+            qv = vecs[q]
+            true1 = min(
+                (sum((a - b) ** 2 for a, b in zip(qv, vecs[v])), v)
+                for v in vecs
+                if v != q
+            )[1]
+            if true1 in got.get(q, []):
+                hits += 1
+        assert hits >= 8, (hits, got)
+
+
+class TestPqOraclePins:
+    def test_gate_fixture_trains_without_reseed(self, spark):
+        """Oracle-parity precondition for pq_encode_codes / pq_adc_topk:
+        the unrolled SQL replay has no re-seed branch, so training at the
+        gate fixture must never re-seed (empty cluster) in ANY subspace.
+        Early convergence is allowed: only centroids are consumed and a
+        Lloyd fixpoint is stable under further rounds."""
+        vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        sv = subvectors(vecs, 8, 64).localCheckpoint(eager=False)
+        for s in range(8):
+            tbl = sv.filter(F.col("sub") == s).select(
+                "vec_id", F.col("svec").alias("embedding")
+            )
+            _, _, hist = kmeans_train(tbl, 8, max_iters=2)
+            assert all(not h["reseeded"] for h in hist), (s, hist)
+            assert all(h["n_clusters"] == 8 for h in hist), (s, hist)
