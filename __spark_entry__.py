@@ -2740,7 +2740,10 @@ def _q_cc_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_SQL_CC_COMPONENTS = """
+#: shared CTE chain: bigram-Jaccard pair generation over ``documents`` +
+#: recursive min-label closure — ends at ``reach(node, comp)``.  Used by
+#: both the cc_components oracle and the keep-list oracle built on it.
+_SQL_CC_PREFIX = """
 WITH RECURSIVE toks AS (
   SELECT doc_id AS id,
          list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
@@ -2768,10 +2771,60 @@ inter AS (
   SELECT a, a FROM edges
   UNION
   SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
-)
+)"""
+
+_SQL_CC_COMPONENTS = (
+    _SQL_CC_PREFIX
+    + """
 SELECT CAST(node AS BIGINT) AS node, CAST(MIN(comp) AS BIGINT) AS component
 FROM reach GROUP BY node
 """
+)
+
+_SQL_DEDUP_KEEP_LIST = (
+    _SQL_CC_PREFIX
+    + """,
+comp AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node),
+lens AS (SELECT doc_id AS node, CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+member AS (SELECT c.node, c.component, l.n_chars FROM comp c JOIN lens l USING (node)),
+canon AS (
+  SELECT component, node AS canonical_id FROM (
+    SELECT component, node,
+           ROW_NUMBER() OVER (PARTITION BY component ORDER BY n_chars DESC, node) AS rn
+    FROM member) WHERE rn = 1
+),
+verdicts AS (
+  SELECT m.node AS doc_id, m.component, c.canonical_id
+  FROM member m JOIN canon c USING (component)
+  UNION ALL
+  SELECT node, node, node FROM lens WHERE node NOT IN (SELECT node FROM comp)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(component AS BIGINT) AS component,
+       CAST(canonical_id AS BIGINT) AS canonical_id,
+       (doc_id = canonical_id) AS keep
+FROM verdicts
+"""
+)
+
+
+def _q_dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end dedup DECISION list (textops/dedup.py::keep_list): the
+    per-document keep/drop verdict a corpus-dedup run actually ships —
+    near-dup pairs (bigram Jaccard ≥ 0.2, same generator as
+    ``cc_components``) → connected components → canonical survivor per
+    cluster (longest text, ties to smallest id) → singleton self-clusters
+    for untouched docs.  Oracle replays pairs + closure in a recursive
+    CTE and the survivor pick as a window argmax."""
+    from mopper_spark.textops.dedup import keep_list, ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return keep_list(docs, pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        "keep",
+    )
 
 
 #: committed transcript fixture (synth_transcripts(n_turns=2000, n_convs=40,
@@ -7741,6 +7794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_profile": _q_docs_length_profile,
         "events_sessionize": _q_events_sessionize,
         "cc_components": _q_cc_components,
+        "dedup_keep_list": _q_dedup_keep_list,
         "entity_linking_transcripts": _q_entity_linking_transcripts,
         "linking_quality": _q_linking_quality,
         "kg_resolve_weighted": _q_kg_resolve_weighted,
@@ -7901,6 +7955,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_length_profile": _SQL_DOCS_LENGTH_PROFILE,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "cc_components": _SQL_CC_COMPONENTS,
+        "dedup_keep_list": _SQL_DEDUP_KEEP_LIST,
         "entity_linking_transcripts": _SQL_ENTITY_LINKING,
         "linking_quality": _SQL_LINKING_QUALITY,
         "kg_resolve_weighted": _resolve_weighted_oracle_sql(),

@@ -824,3 +824,61 @@ def cdc_chunks(
     return chunks.join(copies, "chunk_hash").select(
         "doc_id", "chunk_idx", "n_tokens", "chunk_hash", "n_copies"
     )
+
+
+# ----------------------------------------------------------- keep list --
+def keep_list(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end dedup DECISION list: turn a near-duplicate pair set into
+    the per-document keep/drop verdict an actual corpus-dedup run emits
+    (the artifact downstream training jobs consume — they never see pairs).
+
+    Clusters = connected components over ``pairs`` (transitive closure of
+    near-duplication, the standard MinHash-dedup contract); the CANONICAL
+    survivor per cluster is the longest document, ties to the smallest id
+    — a deterministic total order, so the verdict is partitioning-proof.
+    Documents in no pair are their own singleton cluster and are kept.
+
+    Returns ``(doc_id, component, canonical_id, keep)``.
+
+    Scale shape: CC is the iterative large/small-star of pipeline/cc.py
+    (log-rounds, no driver-side state); the canonical pick is ONE
+    ``min(struct(-len, id))`` aggregation per component — associative, so
+    it combines map-side; the verdict join back is keyed on component
+    (cluster count ≪ corpus).  Nothing here is quadratic in the corpus —
+    all-pairs risk lives (capped) in the pair generator, not the verdict.
+    """
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("u"), F.col("id_b").cast("long").alias("v")
+    )
+    comp = connected_components(edges)  # (node, component)
+    lens = docs.select(
+        F.col(id_col).cast("long").alias("node"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+    member = comp.join(lens, "node")
+    canon = member.groupBy("component").agg(
+        F.min(F.struct((-F.col("n_chars")).alias("neg_len"), F.col("node").alias("id")))[
+            "id"
+        ].alias("canonical_id")
+    )
+    clustered = member.join(canon, "component").select(
+        F.col("node").alias(id_col),
+        F.col("component"),
+        "canonical_id",
+    )
+    singles = lens.join(comp, "node", "left_anti").select(
+        F.col("node").alias(id_col),
+        F.col("node").alias("component"),
+        F.col("node").alias("canonical_id"),
+    )
+    return clustered.unionByName(singles).select(
+        id_col,
+        "component",
+        "canonical_id",
+        (F.col(id_col) == F.col("canonical_id")).alias("keep"),
+    )

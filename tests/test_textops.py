@@ -1503,3 +1503,62 @@ class TestEditDistanceJoin:
         b = sorted(map(tuple,
                        edit_distance_join(df.repartition(7), "id", "s", 1).collect()))
         assert a == b
+
+
+class TestKeepList:
+    """textops/dedup.py::keep_list — the end-to-end dedup verdict."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, "a" * 10),   # cluster {1,2,3} via pairs below
+            (2, "b" * 30),   # longest -> canonical
+            (3, "c" * 30),   # same length as 2 -> id tie-break keeps 2
+            (4, "d" * 5),    # singleton
+            (5, "e" * 7),    # cluster {5,6}
+            (6, "f" * 6),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _pairs(self, spark):
+        return spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+        )
+
+    def test_verdicts(self, spark):
+        from mopper_spark.textops.dedup import keep_list
+
+        out = {
+            r["doc_id"]: r
+            for r in keep_list(self._docs(spark), self._pairs(spark)).collect()
+        }
+        assert len(out) == 6
+        # cluster {1,2,3}: canonical is 2 (30 chars, smaller id than 3)
+        for d in (1, 2, 3):
+            assert out[d]["component"] == 1
+            assert out[d]["canonical_id"] == 2
+        assert [out[d]["keep"] for d in (1, 2, 3)] == [False, True, False]
+        # cluster {5,6}: 5 is longest
+        assert out[5]["canonical_id"] == 5 and out[5]["keep"] is True
+        assert out[6]["canonical_id"] == 5 and out[6]["keep"] is False
+        # singleton 4 keeps itself as its own component
+        assert out[4]["component"] == 4 and out[4]["keep"] is True
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.dedup import keep_list
+
+        docs, pairs = self._docs(spark), self._pairs(spark)
+        a = sorted(map(tuple, keep_list(docs, pairs).collect()))
+        b = sorted(
+            map(
+                tuple,
+                keep_list(docs.repartition(7), pairs.repartition(3)).collect(),
+            )
+        )
+        assert a == b
+
+    def test_kept_fraction_matches_cluster_count(self, spark):
+        from mopper_spark.textops.dedup import keep_list
+
+        out = keep_list(self._docs(spark), self._pairs(spark))
+        n_clusters = out.select("component").distinct().count()
+        assert out.filter("keep").count() == n_clusters == 3
