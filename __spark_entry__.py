@@ -4982,6 +4982,53 @@ GROUP BY 1, 2, 3
 """
 
 
+def _q_events_ivm_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance (textops/ivm.py::ivm_update): the
+    per-(user, event_type) (count, sum, max) view is bootstrapped over 80%
+    of events, then a changelog (the remaining 20% as inserts + every 7th
+    base row as a retract) is merged WITHOUT a base rescan — count/sum by
+    self-maintainable delta merge, max by dirty-key-only multiset
+    recompute (Gupta–Mumick).  The oracle is the semantic spec itself: a
+    direct aggregate over the effective post-changelog multiset, so the
+    gate proves the incremental path reproduces the full recompute."""
+    from mopper_spark.textops.ivm import agg_snapshot, ivm_update
+
+    keys = ["user_id", "event_type"]
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id",
+        *keys,
+        F.floor(F.col("value") * 100.0).cast("long").alias("value_fp"),
+    )
+    detail = ev.filter(F.col("event_id") % 5 != 0)
+    base = agg_snapshot(detail, keys, "value_fp")
+    changelog = (
+        ev.filter(F.col("event_id") % 5 == 0)
+        .withColumn("op", F.lit(1))
+        .unionByName(
+            detail.filter(F.col("event_id") % 7 == 0).withColumn("op", F.lit(-1))
+        )
+        .select(*keys, "value_fp", "op")
+    )
+    return ivm_update(base, changelog, detail, keys).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        "cnt",
+        "total",
+        "mx",
+    )
+
+
+_SQL_EVENTS_IVM_DELTA = """
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS total,
+       CAST(MAX(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS mx
+FROM events
+WHERE NOT (event_id % 5 <> 0 AND event_id % 7 = 0)
+GROUP BY 1, 2
+"""
+
+
 def _q_events_rfm(spark: SparkSession, sf: str) -> DataFrame:
     """RFM customer scoring (textops/joins.py::rfm_scores): recency /
     frequency / monetary per purchasing user, each quintile-scored by
@@ -7756,6 +7803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bloom_semi": _q_events_bloom_semi,
         "events_session_paths": _q_events_session_paths,
         "events_rfm": _q_events_rfm,
+        "events_ivm_delta": _q_events_ivm_delta,
         "events_global_quantiles": _q_events_global_quantiles,
         "events_skew_profile": _q_events_skew_profile,
         "docs_edit_distance_pairs": _q_docs_edit_distance_pairs,
@@ -7917,6 +7965,7 @@ def oracle_sql() -> dict[str, str]:
         "events_bloom_semi": _SQL_EVENTS_BLOOM_SEMI,
         "events_session_paths": _SQL_EVENTS_SESSION_PATHS,
         "events_rfm": _SQL_EVENTS_RFM,
+        "events_ivm_delta": _SQL_EVENTS_IVM_DELTA,
         "events_global_quantiles": _SQL_EVENTS_GLOBAL_QUANTILES,
         "events_skew_profile": _SQL_EVENTS_SKEW_PROFILE,
         "docs_edit_distance_pairs": _SQL_DOCS_EDIT_PAIRS,
