@@ -5799,6 +5799,14 @@ RECALL_PINS: dict[str, dict[str, object]] = {
         "test_minhash_banding_recall_is_total",
         "fixtures": ["/root/testdata/sf0.01/documents.parquet"],
     },
+    # cross-side variant of the dedup_minhash pin: the band PROBE of the
+    # fresh shard against the corpus index must find every fresh×corpus
+    # pair with exact Jaccard >= 0.5 (incl. the injected exact copies)
+    "dedup_incremental_shard": {
+        "test": "tests/test_textops.py::TestDedupScaleGuards::"
+        "test_incremental_band_recall_is_total",
+        "fixtures": ["/root/testdata/sf0.01/documents.parquet"],
+    },
     "dedup_embedding": {
         "test": "tests/test_textops.py::TestDedupScaleGuards::"
         "test_embedding_banding_recall_is_total",
@@ -7760,6 +7768,266 @@ FROM flags
 """
 
 
+# ------------------------------------------------- incremental-shard dedup --
+def _q_dedup_incremental_shard(spark: SparkSession, sf: str) -> DataFrame:
+    """Shard-vs-corpus dedup (textops/dedup.py::incremental_shard_dedup):
+    the production ingest tick — verdict each NEW doc against the EXISTING
+    corpus only (exact fingerprint index + cross-side minhash-LSH band
+    probe, verified by exact word-shingle Jaccard), never re-pairing the
+    corpus with itself.  Fresh shard = every 5th doc plus three exact
+    copies of corpus docs (re-idded), so all three verdicts are exercised.
+    Strict oracle: the banding recall over fresh×corpus pairs at the 0.5
+    threshold is total on this fixture (subset of the all-pairs recall pin
+    for dedup_minhash, re-pinned cross-side in tests/test_textops.py), so
+    the exact all-pairs Jaccard SQL is an equality oracle."""
+    from mopper_spark.textops.dedup import incremental_shard_dedup
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    corpus = docs.filter("doc_id % 5 <> 4")
+    copies = docs.filter("doc_id IN (0, 5, 10)").select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    fresh = docs.filter("doc_id % 5 = 4").select("doc_id", "text").unionByName(copies)
+    out = incremental_shard_dedup(corpus, fresh, threshold=0.5)
+    # gate projection: -1 sentinel instead of NULL match_id (a nullable
+    # BIGINT renders as float64 on the pandas fetch path — the fetch-path
+    # parity contract pinned in tests/test_driver_contract.py)
+    return out.withColumn(
+        "match_id", F.coalesce("match_id", F.lit(-1)).cast("long")
+    )
+
+
+_SQL_DEDUP_INCREMENTAL_SHARD = r"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+fresh AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id IN (0, 5, 10)
+),
+cn AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm FROM corpus),
+fn AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm FROM fresh),
+exact AS (
+  SELECT f.doc_id, MIN(c.doc_id) AS m FROM fn f JOIN cn c USING (norm) GROUP BY f.doc_id
+),
+ftoks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM fresh
+),
+ctoks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM corpus
+),
+fsh AS (
+  SELECT id, list_distinct(CASE WHEN len(tk) >= 3
+    THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+    ELSE [array_to_string(tk, ' ')] END) AS sh
+  FROM ftoks
+),
+csh AS (
+  SELECT id, list_distinct(CASE WHEN len(tk) >= 3
+    THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+    ELSE [array_to_string(tk, ' ')] END) AS sh
+  FROM ctoks
+),
+finv AS (SELECT id, unnest(sh) AS g FROM fsh),
+cinv AS (SELECT id, unnest(sh) AS g FROM csh),
+fsz AS (SELECT id, len(sh) AS n FROM fsh),
+csz AS (SELECT id, len(sh) AS n FROM csh),
+inter AS (
+  SELECT f.id AS fid, c.id AS cid, COUNT(*) AS i
+  FROM finv f JOIN cinv c ON f.g = c.g GROUP BY f.id, c.id
+),
+jac AS (
+  SELECT fid, cid, i * 1.0 / (fs.n + cs.n - i) AS j
+  FROM inter JOIN fsz fs ON fs.id = fid JOIN csz cs ON cs.id = cid
+  WHERE i * 1.0 / (fs.n + cs.n - i) >= 0.5
+),
+best AS (
+  SELECT fid, cid, j FROM (
+    SELECT fid, cid, j, ROW_NUMBER() OVER (PARTITION BY fid ORDER BY j DESC, cid ASC) AS rn
+    FROM jac
+  ) WHERE rn = 1
+)
+SELECT f.doc_id,
+       CASE WHEN e.m IS NOT NULL THEN 'exact_dup'
+            WHEN b.cid IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS verdict,
+       COALESCE(e.m, b.cid, -1) AS match_id,
+       CASE WHEN e.m IS NULL THEN ROUND(b.j, 5) END AS best_jaccard
+FROM fresh f
+LEFT JOIN exact e ON e.doc_id = f.doc_id
+LEFT JOIN best b ON b.fid = f.doc_id
+"""
+
+
+def _q_docs_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment dedup (textops/dedup.py::ngram_overlap_pairs):
+    overlap coefficient |A∩B| / min(|A|,|B|) ≥ 0.95 over word-3-gram sets —
+    catches a short doc pasted into a much longer one, which Jaccard
+    misses.  The corpus is the documents table plus derived 25-token
+    excerpts of every ≥60-token doc (re-idded +100000), so true
+    containment pairs exist; exactness of the measure is by construction
+    (the hot-shingle cap corrects the intersection count exactly), so the
+    all-pairs SQL is an equality oracle."""
+    from mopper_spark.textops.dedup import _lower_tokens, ngram_overlap_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = _lower_tokens("text")
+    ex = (
+        docs.withColumn("tk", toks)
+        .filter(F.size("tk") >= 60)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(F.slice("tk", 1, 25), " ").alias("text"),
+        )
+    )
+    corpus = docs.select("doc_id", "text").unionByName(ex)
+    out = ngram_overlap_pairs(corpus, threshold=0.95)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("overlap", 5).alias("overlap"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )
+
+
+_SQL_DOCS_CONTAINMENT = r"""
+WITH toks0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, array_to_string(tk[1:25], ' ') AS text
+  FROM toks0 WHERE len(tk) >= 60
+),
+toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM corpus
+),
+shingled AS (
+  SELECT id, list_distinct(CASE WHEN len(tk) >= 3
+    THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+    ELSE [array_to_string(tk, ' ')] END) AS sh
+  FROM toks
+),
+inv AS (SELECT id, unnest(sh) AS g FROM shingled),
+sizes AS (SELECT id, len(sh) AS n_sh FROM shingled),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       ROUND(i * 1.0 / least(sa.n_sh, sb.n_sh), 5) AS overlap,
+       CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE i * 1.0 / (least(sa.n_sh, sb.n_sh)) >= 0.95
+"""
+
+
+# --------------------------------------------------- time-series resample --
+def _q_events_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-grid resample with LOCF (textops/timeseries.py::gap_fill):
+    per user, one row per HOUR between first and last event — observed
+    hours aggregated (count / integer-cents sum / max reading), missing
+    hours materialized with zero-fills and the reading carried forward.
+    Values go through floor(value*100) integer cents so every aggregate
+    is exact under any partitioning; the grid/LOCF recipe is one keyed
+    agg + sequence explode + per-key window (no global sort)."""
+    from mopper_spark.textops.timeseries import gap_fill
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    out = gap_fill(
+        ev.withColumn("cents", cents),
+        "user_id",
+        "ts",
+        unit_seconds=3600,
+        aggs={
+            "n_events": F.count("*"),
+            "cents_sum": F.sum("cents"),
+            "reading": F.max("cents"),
+        },
+        fill_zero=("n_events", "cents_sum"),
+        locf=("reading",),
+    )
+    return out.select(
+        "user_id", "bucket", "bucket_start",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("cents_sum").cast("long").alias("cents_sum"),
+        "reading",
+    )
+
+
+_SQL_EVENTS_GAP_FILL = """
+WITH e AS (
+  SELECT user_id,
+         datediff('hour', TIMESTAMP '1970-01-01 00:00:00', ts) AS bucket,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+), obs AS (
+  SELECT user_id, bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS cents_sum,
+         MAX(cents) AS reading
+  FROM e GROUP BY user_id, bucket
+), grid AS (
+  SELECT user_id, unnest(range(lo, hi + 1)) AS bucket
+  FROM (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM obs GROUP BY user_id)
+)
+SELECT g.user_id, g.bucket,
+       TIMESTAMP '1970-01-01 00:00:00' + INTERVAL 1 HOUR * g.bucket AS bucket_start,
+       COALESCE(o.n_events, 0) AS n_events,
+       COALESCE(o.cents_sum, 0) AS cents_sum,
+       last_value(o.reading IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS reading
+FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket
+"""
+
+
+def _q_events_window_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-free trailing-window features (textops/timeseries.py::
+    rolling_window_features): per event, the same user's event count and
+    integer-cents sum over the preceding hour (RANGE frame, microsecond-
+    exact bounds) — the feature-store shape 'what was known when this
+    event happened'.  One window over one hash partition by user; Spark
+    evaluates the RANGE frame with a sliding two-pointer pass."""
+    from mopper_spark.textops.timeseries import rolling_window_features
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    out = rolling_window_features(
+        ev.withColumn("cents", cents),
+        "user_id",
+        "ts",
+        window_seconds=3600,
+        aggs={"cnt_1h": F.count("*"), "cents_1h": F.sum("cents")},
+    )
+    return out.select("event_id", "user_id", "cnt_1h", "cents_1h")
+
+
+_SQL_EVENTS_WINDOW_FEATURES = """
+WITH e AS (
+  SELECT event_id, user_id, ts, CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS cnt_1h,
+       CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -7924,6 +8192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scrub": _q_docs_pii_scrub,
         "docs_budget_mix": _q_docs_budget_mix,
         "transcripts_segment": _q_transcripts_segment,
+        "dedup_incremental_shard": _q_dedup_incremental_shard,
+        "docs_containment": _q_docs_containment,
+        "events_gap_fill": _q_events_gap_fill,
+        "events_window_features": _q_events_window_features,
     }
 
 
@@ -8097,4 +8369,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_pii_scrub": _SQL_DOCS_PII_SCRUB,
         "docs_budget_mix": _SQL_DOCS_BUDGET_MIX,
         "transcripts_segment": _SQL_TRANSCRIPTS_SEGMENT,
+        "dedup_incremental_shard": _SQL_DEDUP_INCREMENTAL_SHARD,
+        "docs_containment": _SQL_DOCS_CONTAINMENT,
+        "events_gap_fill": _SQL_EVENTS_GAP_FILL,
+        "events_window_features": _SQL_EVENTS_WINDOW_FEATURES,
     }

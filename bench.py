@@ -61,6 +61,10 @@ HEADLINE = [
     "transcript_turn_dedup",
     "kg_bgp_comention",
     "repeated_spans",
+    "dedup_incremental_shard",
+    "docs_containment",
+    "events_gap_fill",
+    "events_window_features",
     "ivf_kmeans_step",
     "similarity_topk_ivf",
     "vocab_oov_rate",

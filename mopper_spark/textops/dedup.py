@@ -125,6 +125,23 @@ def _pairs_from_buckets(keyed: DataFrame, max_bucket: int = 256) -> DataFrame:
     )
 
 
+def _word_jaccard_udf():
+    """Arrow-batched exact word-shingle Jaccard of two text columns —
+    the verify kernel shared by every minhash candidate path."""
+
+    @F.pandas_udf("double")
+    def jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        def j(x: str, y: str) -> float:
+            sx, sy = _word_shingle_hashes(x or ""), _word_shingle_hashes(y or "")
+            if not sx or not sy:
+                return 0.0
+            return len(sx & sy) / len(sx | sy)
+
+        return pd.Series([j(x, y) for x, y in zip(a, b)])
+
+    return jaccard
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -141,19 +158,132 @@ def minhash_near_dup_pairs(
         .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
     )
 
-    @F.pandas_udf("double")
-    def jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
-        def j(x: str, y: str) -> float:
-            sx, sy = _word_shingle_hashes(x or ""), _word_shingle_hashes(y or "")
-            if not sx or not sy:
-                return 0.0
-            return len(sx & sy) / len(sx | sy)
-
-        return pd.Series([j(x, y) for x, y in zip(a, b)])
-
+    jaccard = _word_jaccard_udf()
     return paired.withColumn("jaccard", jaccard("t_a", "t_b")).filter(
         F.col("jaccard") >= threshold
     ).select("id_a", "id_b", "jaccard")
+
+
+def incremental_band_candidates(
+    corpus: DataFrame,
+    fresh: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Cross-side minhash-LSH candidate pairs ``(doc_id, corpus_id)``:
+    fresh band keys probed against the corpus band-key index; band keys
+    whose combined occupancy exceeds ``max_bucket`` are skipped (the
+    stop-phrase-bucket guard of ``_pairs_from_buckets``, cross-sided).
+    Exposed separately so the recall-pin tests can assert candidate
+    coverage independently of the verify/argmax stages."""
+    c_keys = minhash_band_table(corpus, text_col, id_col, num_hashes, bands)
+    f_keys = minhash_band_table(fresh, text_col, id_col, num_hashes, bands)
+    occupancy = (
+        c_keys.groupBy("key").agg(F.count("*").alias("n_c"))
+        .join(f_keys.groupBy("key").agg(F.count("*").alias("n_f")), "key")
+        .filter(F.col("n_c") + F.col("n_f") <= max_bucket)
+        .select("key")
+    )
+    return (
+        f_keys.join(occupancy, "key")
+        .join(c_keys.withColumnRenamed("id", "corpus_id"), "key")
+        .select(F.col("id").alias("doc_id"), "corpus_id")
+        .distinct()
+    )
+
+
+def incremental_shard_dedup(
+    corpus: DataFrame,
+    fresh: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Dedup a NEW shard against the EXISTING corpus only — the shape of a
+    production ingest tick, where re-deduplicating the whole corpus per
+    arriving shard would be quadratic in corpus lifetime.
+
+    For each fresh document, a verdict against the corpus:
+
+    - ``exact_dup``: normalized content fingerprint already in the corpus
+      (match = minimum corpus id with that fingerprint);
+    - ``near_dup``: best corpus doc with exact word-shingle Jaccard ≥
+      ``threshold`` (candidates via cross-side minhash-LSH band-key join,
+      verified exactly; best = highest Jaccard, ties to smallest corpus
+      id) — only for docs that are not exact dups;
+    - ``new``: neither.  Fresh-vs-fresh duplicates are deliberately out
+      of scope (dedup *within* the shard is the ordinary batch operator).
+
+    Returns ``(doc_id, verdict, match_id, best_jaccard)`` — one row per
+    fresh doc; ``match_id``/``best_jaccard`` NULL for ``new``,
+    ``best_jaccard`` NULL for ``exact_dup`` (it is 1.0 by construction).
+
+    Scale shape: the corpus side is touched as two *indexes* — the
+    fingerprint→min-id table and the (id, band_key) table — both of which
+    a production pipeline stores and maintains incrementally rather than
+    recomputing (this function recomputes them so it is self-contained;
+    the join structure is identical either way).  Fresh band keys shuffle
+    once to meet the corpus index; candidate verification touches only
+    the matched pairs.  Band keys whose total occupancy exceeds
+    ``max_bucket`` are skipped, the same stop-phrase-bucket guard as
+    ``_pairs_from_buckets`` (a key shared by half the corpus would make
+    one reducer quadratic); recall consequences are fixture-pinned where
+    this feeds a strict oracle.
+    """
+    f_ids = fresh.select(F.col(id_col).alias("doc_id"))
+
+    corpus_fp = (
+        corpus.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col).alias("cid"))
+        .groupBy("fp")
+        .agg(F.min("cid").alias("exact_match"))
+    )
+    exact = (
+        fresh.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .join(corpus_fp, "fp")
+        .select("doc_id", "exact_match")
+    )
+
+    cands = incremental_band_candidates(
+        corpus, fresh, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, max_bucket=max_bucket,
+    )
+    f_texts = fresh.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t_f"))
+    c_texts = corpus.select(F.col(id_col).alias("corpus_id"), F.col(text_col).alias("t_c"))
+    jaccard = _word_jaccard_udf()
+    near_best = (
+        cands.join(f_texts, "doc_id")
+        .join(c_texts, "corpus_id")
+        .withColumn("jaccard", jaccard("t_f", "t_c"))
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("doc_id")
+        .agg(F.min(F.struct((-F.col("jaccard")).alias("nj"), F.col("corpus_id").alias("cid"))).alias("b"))
+        .select("doc_id", F.col("b.cid").alias("near_match"), (-F.col("b.nj")).alias("near_jaccard"))
+    )
+
+    return (
+        f_ids.join(exact, "doc_id", "left")
+        .join(near_best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("match_id"),
+            F.when(
+                F.col("exact_match").isNull() & F.col("near_match").isNotNull(),
+                F.round("near_jaccard", 5),
+            ).alias("best_jaccard"),
+        )
+    )
 
 
 # -------------------------------------------------------- n-gram Jaccard --
@@ -214,6 +344,60 @@ def ngram_jaccard_pairs(
     stress-asserts linear candidate growth under a corpus-wide shared
     shingle and cap-vs-uncapped result equality.
     """
+
+    def finish(corrected: DataFrame) -> DataFrame:
+        return corrected.select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
+
+    return _ngram_pair_counts(df, text_col, id_col, n, max_df, finish)
+
+
+def ngram_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 4096,
+) -> DataFrame:
+    """Exact word n-gram OVERLAP-COEFFICIENT pairs:
+    ``|A∩B| / min(|A|, |B|)`` ≥ ``threshold`` — the asymmetric
+    *containment* detector.  Jaccard misses a short document pasted into
+    a much longer one (the union is dominated by the long doc); the
+    overlap coefficient is 1.0 whenever either side's shingle set is a
+    subset of the other's, which is the "quoted/wrapped/boilerplate-
+    padded duplicate" case a training-corpus dedup pass actually wants.
+
+    Same physical shape and hot-shingle exactness guarantee as
+    ``ngram_jaccard_pairs`` (shared core): inverted-index candidate join,
+    never all-pairs, the intersection count corrected exactly for capped
+    hot shingles.  Returns ``(id_a, id_b, overlap, n_a, n_b)`` with
+    ``id_a < id_b`` — sizes kept so the caller can tell which side is the
+    contained one.
+    """
+
+    def finish(corrected: DataFrame) -> DataFrame:
+        return corrected.select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / F.least("n_a", "n_b")).alias("overlap"),
+            "n_a",
+            "n_b",
+        ).filter(F.col("overlap") >= threshold)
+
+    return _ngram_pair_counts(df, text_col, id_col, n, max_df, finish)
+
+
+def _ngram_pair_counts(df, text_col, id_col, n, max_df, finish) -> DataFrame:
+    """Shared inverted-index core of the n-gram set-similarity joins:
+    exact per-pair shingle-intersection counts (hot-shingle-capped but
+    exactness-corrected), finished by the caller's measure-specific
+    projection + threshold filter BEFORE materialization."""
     base = df.select(
         F.col(id_col).alias("id"), _lower_tokens(text_col).alias("toks")
     )
@@ -280,13 +464,7 @@ def ngram_jaccard_pairs(
                 ),
             )
         )
-        out = corrected.select(
-            "id_a",
-            "id_b",
-            (
-                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-            ).alias("jaccard"),
-        ).filter(F.col("jaccard") >= threshold)
+        out = finish(corrected)
         # materialize before unpersist so repeated calls in a long-lived
         # session don't accumulate cached postings (judge ADVICE r1); the
         # localCheckpoint also truncates the 2-branch lineage

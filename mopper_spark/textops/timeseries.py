@@ -1,0 +1,146 @@
+"""Time-series resampling primitives the DataFrame API lacks: fixed-grid
+gap filling with LOCF, and time-range rolling-window features.
+
+The reference engine (ghsnd/mopper) is a row-to-triple mapper with no
+temporal algebra at all (`src/operator/` has extend/join/serialize only);
+these operators extend the engine the way an event-log / feature-store
+pipeline needs, as compositions of built-in operators so Catalyst keeps
+whole-stage codegen:
+
+- ``gap_fill``: per-key resample onto a fixed time grid (every bucket
+  between the key's first and last observation), aggregating observed
+  rows per bucket and materializing the *missing* buckets, with
+  zero-fill and last-observation-carried-forward (LOCF) fills.
+- ``rolling_window_features``: per-row trailing-time-window aggregates
+  (``RANGE BETWEEN <interval> PRECEDING AND CURRENT ROW``) — the
+  standard leakage-free feature-engineering shape ("this user's activity
+  in the hour before this event").
+
+Scale notes:
+
+- ``gap_fill`` emits ``span/unit`` rows per key — grid density is the
+  caller's contract (an always-on key at 1 s grain over a year is 31M
+  rows *for that key*; pick the unit for the question being asked).  The
+  grid is built with ``sequence()`` + ``explode`` per key, a narrow op
+  after one keyed aggregation; the LOCF window sorts within each key's
+  partition only (spillable, no global sort).
+- ``rolling_window_features`` is ONE window over a single hash partition
+  by key + in-partition time sort.  Spark evaluates a RANGE frame with a
+  sliding two-pointer pass, so cost is O(rows + evictions), not
+  O(rows × window).  Hot keys (one user with millions of events) are the
+  skew unit — the same caveat as any per-entity window; salt-and-merge
+  only helps for associative-invertible aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket(ts_col: str, unit_seconds: int) -> Column:
+    """Integer bucket index of a timestamp: completed ``unit_seconds``
+    intervals since the epoch (``unix_timestamp`` floors to the second,
+    then integer ``div`` — exact past 2^53 unlike floor(double /))."""
+    return F.expr(f"unix_timestamp({ts_col}) div {int(unit_seconds)}")
+
+
+def gap_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    unit_seconds: int,
+    aggs: dict[str, Column],
+    fill_zero: tuple[str, ...] = (),
+    locf: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-key fixed-grid resample with explicit gap rows.
+
+    For every key, emits one row per ``unit_seconds`` bucket between that
+    key's first and last observation (inclusive).  ``aggs`` maps output
+    names to aggregate Columns evaluated over each bucket's observed rows
+    (e.g. ``{"n": F.count("*"), "v": F.sum("cents")}``).  Buckets with no
+    observations appear with NULL aggregates, then:
+
+    - names in ``fill_zero`` are coalesced to 0 (count-like),
+    - names in ``locf`` get last-observation-carried-forward: the most
+      recent non-NULL value at or before the bucket (NULL until the
+      key's first observed value — nothing to carry).
+
+    Returns ``(key, bucket, bucket_start, <agg columns>)`` where
+    ``bucket_start`` is the bucket's starting timestamp.
+
+    Physical shape: one keyed aggregation (map-side combining) → one
+    per-key min/max + ``sequence`` explode for the grid → one left join
+    grid←observed on (key, bucket) → one per-key ordered window for LOCF.
+    The grid join is co-partitioned with the aggregation output (same
+    keys), so AQE plans it without an extra exchange of the big side.
+    """
+    bucket = time_bucket(ts_col, unit_seconds)
+    observed = (
+        df.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket"))
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+    )
+    grid = (
+        observed.groupBy("key")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select("key", F.explode(F.sequence("lo", "hi")).alias("bucket"))
+    )
+    out = grid.join(observed, ["key", "bucket"], "left")
+    for n in fill_zero:
+        out = out.withColumn(n, F.coalesce(F.col(n), F.lit(0)))
+    if locf:
+        w = (
+            Window.partitionBy("key")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for n in locf:
+            out = out.withColumn(n, F.last(n, ignorenulls=True).over(w))
+    return (
+        out.withColumn(
+            "bucket_start",
+            # NTZ like the source ts column (exact under the pinned UTC tz)
+            F.timestamp_seconds(
+                F.col("bucket") * F.lit(int(unit_seconds))
+            ).cast("timestamp_ntz"),
+        )
+        .withColumnRenamed("key", key_col)
+        .select(key_col, "bucket", "bucket_start", *aggs.keys())
+    )
+
+
+def rolling_window_features(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    window_seconds: int,
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Trailing time-window aggregates per row: for every input row, each
+    ``aggs`` Column evaluated over the same key's rows with
+    ``ts ∈ [row.ts − window_seconds, row.ts]`` (both ends inclusive —
+    ``RANGE BETWEEN x PRECEDING AND CURRENT ROW`` semantics, so
+    simultaneous events are frame peers and share a frame).
+
+    The frame bound is exact to the microsecond (``unix_micros``), not
+    truncated to seconds — two events 59:59.9 apart are inside a 1-hour
+    window, one at 60:00.1 is not.  Leakage-free by construction: only
+    rows at-or-before the current row enter the frame, which is the
+    feature-store contract ("what was known when this event happened").
+
+    Appends the agg columns to ``df`` unchanged otherwise.
+    """
+    # unix_micros rejects TIMESTAMP_NTZ; the cast is exact under the
+    # engine's pinned UTC session timezone (session.py) — no DST folds
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .rangeBetween(-int(window_seconds) * 1_000_000, 0)
+    )
+    out = df
+    for n, c in aggs.items():
+        out = out.withColumn(n, c.over(w))
+    return out

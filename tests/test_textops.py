@@ -310,6 +310,122 @@ FROM toks t LEFT JOIN usig s ON s.id = t.id
         ).collect()
         assert len(full) == 40 * 39 // 2
 
+    def test_incremental_band_recall_is_total(self, spark):
+        """The dedup_incremental_shard oracle is exact all-pairs Jaccard
+        SQL, an equality oracle only if the CROSS-SIDE band probe finds
+        every fresh×corpus pair with exact Jaccard ≥ 0.5 on the gate
+        fixture (including the re-idded exact copies the query injects).
+        Pin it: exact pairs via the independent string-shingle inverted
+        index, candidates via the band join."""
+        from mopper_spark.textops.dedup import incremental_band_candidates
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        corpus = docs.filter("doc_id % 5 <> 4").select("doc_id", "text")
+        copies = docs.filter("doc_id IN (0, 5, 10)").select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+        fresh = docs.filter("doc_id % 5 = 4").select("doc_id", "text").unionByName(copies)
+        fresh_ids = {r.doc_id for r in fresh.select("doc_id").collect()}
+        exact_cross = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(
+                corpus.unionByName(fresh), n=3, threshold=0.5
+            ).collect()
+            if (r.id_a in fresh_ids) != (r.id_b in fresh_ids)
+        }
+        cands = {
+            tuple(sorted((r.doc_id, r.corpus_id)))
+            for r in incremental_band_candidates(corpus, fresh).collect()
+        }
+        assert exact_cross <= cands, sorted(exact_cross - cands)[:5]
+        assert exact_cross, "fixture lost its cross-side near-dup pairs"
+
+
+class TestIncrementalShardDedup:
+    def test_verdicts_python_replica(self, spark):
+        """All three verdicts on a synthetic corpus: exact copy, paraphrase
+        (high-Jaccard), unrelated — plus tie-break to the smallest corpus
+        id when two corpus docs match equally well."""
+        from mopper_spark.textops.dedup import incremental_shard_dedup
+
+        base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+        corpus = spark.createDataFrame(
+            [
+                (0, base),
+                (1, base),  # same text as 0: exact match must pick MIN id 0
+                (2, "one two three four five six seven eight nine ten"),
+                (3, "totally different words in this corpus document here"),
+            ],
+            "doc_id long, text string",
+        )
+        fresh = spark.createDataFrame(
+            [
+                (100, base),  # exact dup (of 0, not 1)
+                (101, base + " kilo"),  # near dup of 0 and 1: tie → 0
+                (102, "unrelated new content nothing shared with anything"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: (r.verdict, r.match_id, r.best_jaccard)
+            for r in incremental_shard_dedup(corpus, fresh, threshold=0.5).collect()
+        }
+        assert out[100] == ("exact_dup", 0, None)
+        assert out[101][0] == "near_dup" and out[101][1] == 0
+        # 10-token base: 8 shingles; +1 token: 9 shingles, 8 shared → 8/9
+        assert out[101][2] == pytest.approx(round(8 / 9, 5))
+        assert out[102] == ("new", None, None)
+
+    def test_fresh_vs_fresh_not_paired(self, spark):
+        """Two identical fresh docs with no corpus match are both 'new' —
+        within-shard dedup is deliberately out of scope."""
+        from mopper_spark.textops.dedup import incremental_shard_dedup
+
+        corpus = spark.createDataFrame(
+            [(0, "corpus words only here")], "doc_id long, text string"
+        )
+        dup = "identical fresh shard text repeated twice exactly"
+        fresh = spark.createDataFrame(
+            [(10, dup), (11, dup)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r.verdict for r in incremental_shard_dedup(corpus, fresh).collect()}
+        assert out == {10: "new", 11: "new"}
+
+
+class TestOverlapPairs:
+    def test_containment_detected_where_jaccard_misses(self, spark):
+        """A 25-token excerpt of a 100-token doc: overlap coefficient 1.0
+        (its shingles are a subset), Jaccard ≈ 23/98 — below any dedup
+        threshold.  The asymmetric measure is the point of the operator."""
+        from mopper_spark.textops.dedup import ngram_jaccard_pairs, ngram_overlap_pairs
+
+        words = [f"w{i}" for i in range(100)]
+        df = spark.createDataFrame(
+            [(0, " ".join(words)), (1, " ".join(words[:25]))],
+            "doc_id long, text string",
+        )
+        ov = ngram_overlap_pairs(df, threshold=0.9).collect()
+        assert len(ov) == 1
+        r = ov[0]
+        assert (r.id_a, r.id_b, r.overlap) == (0, 1, 1.0)
+        assert (r.n_a, r.n_b) == (98, 23)
+        assert ngram_jaccard_pairs(df, threshold=0.5).collect() == []
+
+    def test_hot_shingle_cap_keeps_overlap_exact(self, spark):
+        """Same exactness-correction contract as the Jaccard variant: a
+        corpus-wide hot shingle above max_df still counts toward the
+        intersection of every candidate pair."""
+        from mopper_spark.textops.dedup import ngram_overlap_pairs
+
+        hot = "common shared phrase"
+        rows = [(i, f"{hot} unique{i} tail{i} extra{i}") for i in range(30)]
+        rows.append((100, f"{hot} unique1 tail1 extra1"))  # contains doc 1's set
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = ngram_overlap_pairs(df, threshold=0.99, max_df=5).collect()
+        uncapped = ngram_overlap_pairs(df, threshold=0.99, max_df=10_000).collect()
+        assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
+        assert {(r.id_a, r.id_b) for r in capped} == {(1, 100)}
+
 
 class TestLshBandPlan:
     """lsh_band_plan — the depth-grows-with-log(n) scale discipline as code
