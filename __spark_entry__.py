@@ -8028,6 +8028,180 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+# ------------------------------------------------------ hybrid retrieval --
+def _q_docs_rank_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR'09;
+    textops/ranking.py::reciprocal_rank_fusion) of the BM25 top-20 for the
+    fixed topic seed and the embedding-cosine top-20 for query vector 0 —
+    the rank-based combiner that needs no score calibration between the
+    lexical and dense lists.  Contributions are added in sorted ranker-name
+    order with exact-0 absent branches, so the fused doubles are engine-
+    identical; the final top-10 is a TakeOrdered over ≤40 rows."""
+    from pyspark.sql import Window
+
+    from mopper_spark.textops.ranking import bm25_scores, reciprocal_rank_fusion
+    from mopper_spark.textops.similarity import brute_force_topk
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    bm = bm25_scores(docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+    bm_top = bm.orderBy(F.desc("bm25"), "doc_id").limit(20)
+    bm_rank = bm_top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id"))
+    ).select("doc_id", "rank")
+    cos_rank = (
+        brute_force_topk(emb, emb.filter("vec_id = 0"), k=20)
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    fused = reciprocal_rank_fusion({"bm25": bm_rank, "cosine": cos_rank}, top=10)
+    return fused.select(
+        "doc_id",
+        F.round("rrf", 8).alias("rrf"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SQL_DOCS_RANK_FUSION = f"""
+WITH bm AS (SELECT doc_id, bm25 FROM ({_SQL_DOCS_BM25}) _bm),
+bmr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM bm),
+bmtop AS (SELECT doc_id, r FROM bmr WHERE r <= 20),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+cs AS (
+  SELECT e.vec_id AS doc_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> 0
+),
+cr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r FROM cs),
+ctop AS (SELECT doc_id, r FROM cr WHERE r <= 20),
+fused AS (
+  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         COALESCE(1e0 / (CAST(60 AS DOUBLE) + CAST(b.r AS DOUBLE)), 0e0)
+         + COALESCE(1e0 / (CAST(60 AS DOUBLE) + CAST(c.r AS DOUBLE)), 0e0) AS rrf
+  FROM bmtop b FULL OUTER JOIN ctop c ON b.doc_id = c.doc_id
+)
+SELECT doc_id, ROUND(rrf, 8) AS rrf,
+       ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+FROM fused
+QUALIFY rank <= 10
+"""
+
+
+def _q_events_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponential smoothing in exact integers (textops/timeseries.py::
+    ewma_binary): the α=1/2 EWMA truncated at depth 8, binary weights
+    128..1 over the last 8 events per user — num/den are exact BIGINTs, so
+    the smoothed level is bit-reproducible under any partitioning (a float
+    (1−α)^j power chain is not).  One window, 7 LAGs, no arrays/UDFs."""
+    from mopper_spark.textops.timeseries import ewma_binary
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    out = ewma_binary(
+        ev.withColumn("cents", cents),
+        "user_id",
+        "ts",
+        "cents",
+        depth=8,
+        order_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ewma_num", "ewma_den",
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
+_SQL_EVENTS_EWMA = """
+WITH e AS (
+  SELECT event_id, user_id, ts, CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+), l AS (
+  SELECT event_id, user_id, cents,
+         LAG(cents, 1) OVER w AS c1, LAG(cents, 2) OVER w AS c2,
+         LAG(cents, 3) OVER w AS c3, LAG(cents, 4) OVER w AS c4,
+         LAG(cents, 5) OVER w AS c5, LAG(cents, 6) OVER w AS c6,
+         LAG(cents, 7) OVER w AS c7
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT event_id, user_id,
+         CAST(COALESCE(cents * 128, 0) + COALESCE(c1 * 64, 0)
+            + COALESCE(c2 * 32, 0) + COALESCE(c3 * 16, 0)
+            + COALESCE(c4 * 8, 0) + COALESCE(c5 * 4, 0)
+            + COALESCE(c6 * 2, 0) + COALESCE(c7 * 1, 0) AS BIGINT) AS ewma_num,
+         CAST((CASE WHEN cents IS NOT NULL THEN 128 ELSE 0 END)
+            + (CASE WHEN c1 IS NOT NULL THEN 64 ELSE 0 END)
+            + (CASE WHEN c2 IS NOT NULL THEN 32 ELSE 0 END)
+            + (CASE WHEN c3 IS NOT NULL THEN 16 ELSE 0 END)
+            + (CASE WHEN c4 IS NOT NULL THEN 8 ELSE 0 END)
+            + (CASE WHEN c5 IS NOT NULL THEN 4 ELSE 0 END)
+            + (CASE WHEN c6 IS NOT NULL THEN 2 ELSE 0 END)
+            + (CASE WHEN c7 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ewma_den
+  FROM l
+)
+SELECT event_id, user_id, ewma_num, ewma_den,
+       ROUND(CAST(ewma_num AS DOUBLE) / CAST(ewma_den AS DOUBLE), 6) AS ewma
+FROM s
+"""
+
+
+def _q_events_ab_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic experiment readout (textops/sampling.py::
+    ab_test_two_proportions): users hash-assigned 50/50 (md5-prefix
+    bucket — engine-portable, growth-stable), exposed = has a 'view',
+    converted = high-value 'purchase' (value ≥ 150; the plain predicate
+    converts every fixture user, leaving the z path degenerate) strictly
+    after the first view; pooled two-proportion z emitted as floor(z·10⁶)
+    so the one-row answer is an exact-integer contract.  One keyed
+    aggregation + a 2-arm rollup — the events table is touched once, no
+    joins or windows."""
+    from mopper_spark.textops.sampling import ab_test_two_proportions
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ab_test_two_proportions(
+        ev,
+        "user_id",
+        "ts",
+        exposure=F.col("event_type") == "view",
+        conversion=(F.col("event_type") == "purchase") & (F.col("value") >= 150),
+    )
+
+
+_SQL_EVENTS_AB_TEST = """
+WITH per AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS fe,
+         MAX(CASE WHEN event_type = 'purchase' AND value >= 150 THEN ts END) AS lc
+  FROM events GROUP BY user_id
+), u AS (
+  SELECT CASE WHEN lc > fe THEN 1 ELSE 0 END AS converted,
+         CASE WHEN ('0x' || substr(md5('ab-v1' || CAST(user_id AS VARCHAR)), 1, 4))::BIGINT < 32768
+              THEN 'control' ELSE 'treatment' END AS variant
+  FROM per WHERE fe IS NOT NULL
+), w AS (
+  SELECT CAST(SUM(CASE WHEN variant = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN variant = 'control' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN variant = 'treatment' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+  FROM u
+), stats AS (
+  SELECT n_a, conv_a, n_b, conv_b,
+         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+         CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p_pool
+  FROM w
+), se_t AS (
+  SELECT *, sqrt(p_pool * (1e0 - p_pool)
+                 * (1e0 / CAST(n_a AS DOUBLE) + 1e0 / CAST(n_b AS DOUBLE))) AS se
+  FROM stats
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       ROUND(p_a, 6) AS rate_a, ROUND(p_b, 6) AS rate_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+            THEN CAST(floor(((p_a - p_b) / se) * 1000000e0) AS BIGINT) END AS z_fp
+FROM se_t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -8196,6 +8370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_containment": _q_docs_containment,
         "events_gap_fill": _q_events_gap_fill,
         "events_window_features": _q_events_window_features,
+        "docs_rank_fusion": _q_docs_rank_fusion,
+        "events_ewma": _q_events_ewma,
+        "events_ab_test": _q_events_ab_test,
     }
 
 
@@ -8373,4 +8550,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_containment": _SQL_DOCS_CONTAINMENT,
         "events_gap_fill": _SQL_EVENTS_GAP_FILL,
         "events_window_features": _SQL_EVENTS_WINDOW_FEATURES,
+        "docs_rank_fusion": _SQL_DOCS_RANK_FUSION,
+        "events_ewma": _SQL_EVENTS_EWMA,
+        "events_ab_test": _SQL_EVENTS_AB_TEST,
     }

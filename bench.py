@@ -65,6 +65,9 @@ HEADLINE = [
     "docs_containment",
     "events_gap_fill",
     "events_window_features",
+    "docs_rank_fusion",
+    "events_ewma",
+    "events_ab_test",
     "ivf_kmeans_step",
     "similarity_topk_ivf",
     "vocab_oov_rate",

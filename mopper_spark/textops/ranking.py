@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mopper_spark.textops.analysis import tokens
@@ -466,3 +466,53 @@ def tfidf_cosine_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "dot_fp", "norm_a_fp", "norm_b_fp", "cos")
     )
+
+
+def reciprocal_rank_fusion(
+    ranked: dict[str, DataFrame],
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of several ranked
+    lists: ``score(d) = Σ_lists 1/(k + rank_list(d))``, absent-from-list
+    contributing 0.  The standard hybrid-retrieval combiner (BM25 list +
+    embedding list) — rank-based, so the lists' raw scores never need
+    calibrating against each other.
+
+    ``ranked`` maps a ranker name to a DataFrame with (``id_col``,
+    ``rank_col``); ranks are 1-based.  Returns the fused top-``top``
+    as ``(id_col, rrf double, rank)``, ties broken by ascending id.
+
+    Determinism: contributions are added in SORTED ranker-name order
+    (dict order is a hash-map accident an engine replay can't reproduce),
+    each as ``1/(k + rank)`` with the missing-list branch an exact 0e0.
+    Scale shape: the inputs are already top-N lists (tiny); the fusion is
+    a chain of full outer joins over them and the final top-``top`` is a
+    TakeOrdered, never a global sort of a corpus.
+    """
+    if not ranked:
+        raise ValueError("reciprocal_rank_fusion requires at least one list")
+    names = sorted(ranked)
+    fused = None
+    for name in names:
+        part = ranked[name].select(
+            F.col(id_col), F.col(rank_col).alias(f"_r_{name}")
+        )
+        fused = part if fused is None else fused.join(part, id_col, "full_outer")
+    score = None
+    for name in names:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k) + F.col(f"_r_{name}").cast("double")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    out = (
+        fused.select(F.col(id_col), score.alias("rrf"))
+        .orderBy(F.desc("rrf"), id_col)
+        .limit(top)
+    )
+    w = Window.orderBy(F.desc("rrf"), id_col)
+    return out.withColumn("rank", F.row_number().over(w))

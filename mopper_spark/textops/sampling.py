@@ -229,3 +229,87 @@ def weighted_sample(
         .orderBy(F.desc("key_fp"), F.asc("id"))
         .limit(k)
     )
+
+
+def ab_test_two_proportions(
+    events: DataFrame,
+    unit_col: str,
+    ts_col: str,
+    *,
+    exposure: Column,
+    conversion: Column,
+    seed: str = "ab-v1",
+) -> DataFrame:
+    """Deterministic two-proportion A/B readout: units (users) are
+    assigned 50/50 to control/treatment by ``hash_bucket`` (pure function
+    of seed+unit — reproducible across runs and engines, unlike
+    ``rand()``), a unit counts as EXPOSED if it has any row matching
+    ``exposure``, and as CONVERTED if it has a ``conversion`` row strictly
+    AFTER its first exposure (the funnel direction — a purchase before the
+    first view is not attributable).
+
+    Returns ONE row: per-variant unit and conversion counts, per-variant
+    rates, and the pooled two-proportion z statistic
+    ``(p_a − p_b) / sqrt(p(1−p)(1/n_a + 1/n_b))`` as ``z_fp`` =
+    floor(z·10⁶) — every input to the float chain is an exact integer, so
+    the doubles (and the floor) are engine-identical.  NULL z when either
+    arm is empty or the pooled rate is degenerate (se = 0).
+
+    Scale shape: one keyed aggregation over events (min exposure ts +
+    conditional max via one pass), then a 2-row aggregate — no joins, no
+    windows; the events table is touched exactly once.
+    """
+    unit = F.col(unit_col)
+    ts = F.col(ts_col)
+    per_unit = (
+        events.groupBy(unit.alias("unit"))
+        .agg(
+            F.min(F.when(exposure, ts)).alias("first_exposure"),
+            F.max(F.when(conversion, ts)).alias("last_conversion"),
+        )
+        .filter(F.col("first_exposure").isNotNull())
+        .select(
+            "unit",
+            F.coalesce(
+                (F.col("last_conversion") > F.col("first_exposure")).cast("long"),
+                F.lit(0),
+            ).alias("converted"),
+        )
+        .withColumn(
+            "variant",
+            F.when(hash_bucket(F.col("unit"), seed) < BUCKETS // 2, "control")
+            .otherwise("treatment"),
+        )
+    )
+    wide = per_unit.agg(
+        F.sum(F.when(F.col("variant") == "control", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == "control", F.col("converted")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("variant") == "treatment", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == "treatment", F.col("converted")).otherwise(0)).alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = (p_a - p_b) / se
+    return wide.select(
+        "n_a",
+        F.col("conv_a").cast("long").alias("conv_a"),
+        "n_b",
+        F.col("conv_b").cast("long").alias("conv_b"),
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (se > 0),
+            F.floor(z * F.lit(1000000.0)).cast("long"),
+        ).alias("z_fp"),
+    )

@@ -144,3 +144,50 @@ def rolling_window_features(
     for n, c in aggs.items():
         out = out.withColumn(n, c.over(w))
     return out
+
+
+def ewma_binary(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    depth: int = 8,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Truncated exponential moving average with BINARY weights — the
+    α=1/2 EWMA cut off after ``depth`` observations, computed in exact
+    integers: for the current row and its ``depth−1`` predecessors within
+    the key, ``num = Σ_j value_{t−j} · 2^(depth−1−j)`` and
+    ``den = Σ_j 2^(depth−1−j)`` over the lags that exist.  ``num/den`` is
+    the smoothed level; both terms are exact BIGINTs, so the operator is
+    bit-reproducible under any partitioning and any engine (a float
+    ``(1−α)^j`` power chain is neither).  The truncation error vs the
+    untruncated EWMA is bounded by 2^−depth of the value range.
+
+    Ordering within a key is (``ts_col``, ``order_tiebreak``) — pass a
+    unique column (event id) when timestamps can tie, otherwise lag
+    assignment among peers would be partition-order-dependent.
+
+    Appends ``ewma_num``, ``ewma_den`` (BIGINT) and ``ewma`` (double,
+    ``num/den``).  Physical shape: ``depth`` LAG functions over ONE
+    window (one hash partition by key + one in-partition sort — Spark
+    evaluates all lags in a single pass); no arrays, no UDFs.
+    """
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    v = F.col(value_col)
+    num = None
+    den = None
+    for j in range(depth):
+        weight = 1 << (depth - 1 - j)
+        lagged = v if j == 0 else F.lag(v, j).over(w)
+        num_t = F.coalesce(lagged * F.lit(weight), F.lit(0)).cast("long")
+        den_t = (
+            F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0)).cast("long")
+        )
+        num = num_t if num is None else num + num_t
+        den = den_t if den is None else den + den_t
+    return df.withColumn("ewma_num", num).withColumn("ewma_den", den).withColumn(
+        "ewma", F.col("ewma_num").cast("double") / F.col("ewma_den").cast("double")
+    )

@@ -735,3 +735,35 @@ class TestRandomWalks:
         assert set(per_walk.values()) == {4}
         with pytest.raises(ValueError):
             random_walks(e, walk_len=0)
+
+
+class TestReciprocalRankFusion:
+    def test_fusion_replica_and_absent_lists(self, spark):
+        """Doc in both lists beats docs in one; absent-list contribution is
+        exactly 0; ties broken by ascending id; k=60 closed form."""
+        from mopper_spark.textops.ranking import reciprocal_rank_fusion
+
+        a = spark.createDataFrame(
+            [(10, 1), (11, 2), (12, 3)], "doc_id long, rank long"
+        )
+        b = spark.createDataFrame(
+            [(12, 1), (13, 2), (11, 3)], "doc_id long, rank long"
+        )
+        out = reciprocal_rank_fusion({"lex": a, "dense": b}, top=4).collect()
+        got = {r.doc_id: (r.rrf, r.rank) for r in out}
+        exp = {
+            10: 1 / 61,
+            11: 1 / 62 + 1 / 63,
+            12: 1 / 63 + 1 / 61,
+            13: 1 / 62,
+        }
+        for d, s in exp.items():
+            assert got[d][0] == s
+        order = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+        assert order == [12, 11, 10, 13]  # 12 > 11 > 10 (=1/61 > 13's 1/62)
+
+    def test_requires_a_list(self, spark):
+        from mopper_spark.textops.ranking import reciprocal_rank_fusion
+
+        with pytest.raises(ValueError):
+            reciprocal_rank_fusion({})

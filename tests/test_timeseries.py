@@ -110,3 +110,99 @@ class TestRollingWindowFeatures:
             aggs={"c": F.count("*")},
         )
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestEwmaBinary:
+    def test_python_replica_and_ramp(self, spark):
+        from mopper_spark.textops.timeseries import ewma_binary
+
+        vals = [100, 200, 300, 400]
+        rows = [(i, 1, datetime(2024, 1, 1, 0, i), v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp_ntz, cents long"
+        )
+        out = {
+            r.event_id: (r.ewma_num, r.ewma_den, r.ewma)
+            for r in ewma_binary(
+                df, "user_id", "ts", "cents", depth=4, order_tiebreak="event_id"
+            ).collect()
+        }
+        # depth 4 → weights newest..oldest = 8,4,2,1
+        def replica(i):
+            num = den = 0
+            for j in range(min(i + 1, 4)):
+                w = 1 << (3 - j)
+                num += vals[i - j] * w
+                den += w
+            return num, den, num / den
+        for i in range(4):
+            n, d, e = replica(i)
+            assert out[i][0] == n and out[i][1] == d
+            assert out[i][2] == e
+        # the first row is its own level; a constant series is a fixpoint
+        assert out[0][2] == 100.0
+
+    def test_tiebreak_makes_peers_deterministic(self, spark):
+        from mopper_spark.textops.timeseries import ewma_binary
+
+        ts = datetime(2024, 1, 1, 0, 0)
+        df = spark.createDataFrame(
+            [(0, 1, ts, 10), (1, 1, ts, 90)],
+            "event_id long, user_id long, ts timestamp_ntz, cents long",
+        )
+        a = sorted(map(tuple, ewma_binary(df, "user_id", "ts", "cents",
+                                          depth=2, order_tiebreak="event_id").collect()))
+        b = sorted(map(tuple, ewma_binary(df.repartition(5), "user_id", "ts", "cents",
+                                          depth=2, order_tiebreak="event_id").collect()))
+        assert a == b
+        got = {r[0]: (r[-3], r[-2]) for r in a}
+        assert got[0] == (20, 2)         # first by tiebreak: 10*2 / 2
+        assert got[1] == (90 * 2 + 10, 3)  # second: 90*2 + 10*1
+
+
+class TestAbTest:
+    def test_funnel_direction_and_exposure_filter(self, spark):
+        """A purchase BEFORE the first view is not a conversion; a user with
+        purchases but no view is not in the experiment at all."""
+        from mopper_spark.textops.sampling import ab_test_two_proportions
+
+        t = lambda m: datetime(2024, 1, 1, 0, m)
+        rows = [
+            # user 1: view then purchase → converted
+            (1, t(0), "view"), (1, t(5), "purchase"),
+            # user 2: purchase then view, nothing after → NOT converted
+            (2, t(0), "purchase"), (2, t(5), "view"),
+            # user 3: purchase only → not exposed, excluded entirely
+            (3, t(0), "purchase"),
+            # user 4: view only → exposed, not converted
+            (4, t(0), "view"),
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_type string")
+        row = ab_test_two_proportions(
+            ev, "user_id", "ts",
+            exposure=F.col("event_type") == "view",
+            conversion=F.col("event_type") == "purchase",
+        ).collect()[0]
+        assert row.n_a + row.n_b == 3          # user 3 excluded
+        assert row.conv_a + row.conv_b == 1    # only user 1 converted
+
+    def test_z_replica_matches(self, spark):
+        """z statistic equals the python closed form computed from the same
+        four integers."""
+        import math
+
+        from mopper_spark.textops.sampling import ab_test_two_proportions
+
+        ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        row = ab_test_two_proportions(
+            ev, "user_id", "ts",
+            exposure=F.col("event_type") == "view",
+            conversion=(F.col("event_type") == "purchase") & (F.col("value") >= 150),
+        ).collect()[0]
+        n_a, c_a, n_b, c_b = row.n_a, row.conv_a, row.n_b, row.conv_b
+        assert n_a > 0 and n_b > 0
+        p_a, p_b = c_a / n_a, c_b / n_b
+        p = (c_a + c_b) / (n_a + n_b)
+        se = math.sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b))
+        assert row.z_fp == math.floor((p_a - p_b) / se * 1e6)
+        assert row.rate_a == round(p_a, 6) and row.rate_b == round(p_b, 6)
