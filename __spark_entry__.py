@@ -8144,6 +8144,108 @@ FROM s
 """
 
 
+def _q_events_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user level-shift detection via the integer CUSUM statistic
+    (textops/timeseries.py::cusum_changepoint — Page 1954 location
+    estimator): S_k = n*cumsum_k - k*total over integer cents, change
+    point = argmax |S_k| with smallest-k tie-break.  Every term is an
+    exact BIGINT, so the argmax is engine- and partitioning-identical;
+    one window pass + one combine-able min(struct) argmax."""
+    from mopper_spark.textops.timeseries import cusum_changepoint
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return cusum_changepoint(
+        ev.withColumn("cents", cents), "user_id", "ts", "cents",
+        order_tiebreak="event_id",
+    )
+
+
+_SQL_EVENTS_CHANGEPOINT = """
+WITH e AS (
+  SELECT user_id, ts, event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+           * CAST(SUM(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - CAST(ROW_NUMBER() OVER w AS BIGINT)
+           * CAST(SUM(cents) OVER (PARTITION BY user_id) AS BIGINT) AS sk
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), r AS (
+  SELECT user_id, n, k, ts, abs(sk) AS s_abs,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY abs(sk) DESC, k ASC) AS rn
+  FROM s
+)
+SELECT user_id, n, k AS cp_k, ts AS cp_ts, s_abs FROM r WHERE rn = 1
+"""
+
+
+def _q_kg_sparql_update(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL 1.1 Update DELETE/INSERT WHERE as a graph->graph transform
+    (pipeline/bgp.py::sparql_update): assistant-turn mention edges are
+    re-typed —
+
+        DELETE { ?t ont:mentions ?e }
+        INSERT { ?t ont:refersTo ?e . ?e ont:mentionedBy ?t }
+        WHERE  { ?t ont:mentions ?e . ?t ont:role "assistant" }
+
+    bindings matched against the ORIGINAL graph, deletes applied, then
+    inserts deduplicated against the post-delete graph (set semantics).
+    Two keyed anti-joins over the graph, solution-sized small sides."""
+    from mopper_spark.pipeline.bgp import sparql_update
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
+    ont = "http://example.com/ontology/"
+    return sparql_update(
+        kg.select("subj", "pred", "obj"),
+        where=[("?t", ont + "mentions", "?e"), ("?t", ont + "role", "assistant")],
+        delete=[("?t", ont + "mentions", "?e")],
+        insert=[("?t", ont + "refersTo", "?e"), ("?e", ont + "mentionedBy", "?t")],
+    )
+
+
+_SQL_KG_SPARQL_UPDATE = f"""
+WITH kg AS ({_SQL_KG_GRAPH}),
+kg3 AS (SELECT subj, pred, obj FROM kg),
+b AS (
+  SELECT m.subj AS t, m.obj AS e
+  FROM kg3 m JOIN kg3 r ON r.subj = m.subj
+  WHERE m.pred = 'http://example.com/ontology/mentions'
+    AND r.pred = 'http://example.com/ontology/role'
+    AND r.obj = 'assistant'
+),
+del AS (SELECT DISTINCT t AS subj, 'http://example.com/ontology/mentions' AS pred, e AS obj FROM b),
+keep AS (
+  SELECT k.subj, k.pred, k.obj FROM kg3 k
+  LEFT JOIN del d ON k.subj = d.subj AND k.pred = d.pred AND k.obj = d.obj
+  WHERE d.subj IS NULL
+),
+ins AS (
+  SELECT DISTINCT t AS subj, 'http://example.com/ontology/refersTo' AS pred, e AS obj FROM b
+  UNION
+  SELECT DISTINCT e, 'http://example.com/ontology/mentionedBy', t FROM b
+),
+ins_new AS (
+  SELECT i.subj, i.pred, i.obj FROM ins i
+  LEFT JOIN keep k ON i.subj = k.subj AND i.pred = k.pred AND i.obj = k.obj
+  WHERE k.subj IS NULL
+)
+SELECT subj, pred, obj FROM keep
+UNION ALL
+SELECT subj, pred, obj FROM ins_new
+"""
+
+
 def _q_events_ab_test(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic experiment readout (textops/sampling.py::
     ab_test_two_proportions): users hash-assigned 50/50 (md5-prefix
@@ -8373,6 +8475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_rank_fusion": _q_docs_rank_fusion,
         "events_ewma": _q_events_ewma,
         "events_ab_test": _q_events_ab_test,
+        "events_changepoint": _q_events_changepoint,
+        "kg_sparql_update": _q_kg_sparql_update,
     }
 
 
@@ -8553,4 +8657,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_rank_fusion": _SQL_DOCS_RANK_FUSION,
         "events_ewma": _SQL_EVENTS_EWMA,
         "events_ab_test": _SQL_EVENTS_AB_TEST,
+        "events_changepoint": _SQL_EVENTS_CHANGEPOINT,
+        "kg_sparql_update": _SQL_KG_SPARQL_UPDATE,
     }

@@ -68,6 +68,8 @@ HEADLINE = [
     "docs_rank_fusion",
     "events_ewma",
     "events_ab_test",
+    "events_changepoint",
+    "kg_sparql_update",
     "ivf_kmeans_step",
     "similarity_topk_ivf",
     "vocab_oov_rate",

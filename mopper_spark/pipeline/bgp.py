@@ -795,3 +795,53 @@ def describe_resource(triples: DataFrame, iri: str) -> DataFrame:
     return triples.filter(
         (F.col("subj") == F.lit(iri)) | (F.col("obj") == F.lit(iri))
     )
+
+
+def sparql_update(
+    triples: DataFrame,
+    where: list[tuple],
+    *,
+    delete: list[tuple] | None = None,
+    insert: list[tuple] | None = None,
+    filters: list[str] | None = None,
+    stats: dict[str, int] | None = None,
+) -> DataFrame:
+    """SPARQL 1.1 Update ``DELETE/INSERT WHERE`` (spec §3.1.3) as a pure
+    graph→graph transform: bindings are matched against the ORIGINAL
+    graph (never against intermediate states — the spec's evaluation
+    order), the instantiated DELETE templates are removed, then the
+    instantiated INSERT templates are added.  Template instantiation and
+    its unbound-term drop rule are exactly ``bgp_construct``'s.
+
+    The input must be a 3-column ``(subj, pred, obj)`` graph; for quad
+    stores apply per named graph (the spec's WITH/USING scoping) — a
+    wider frame is refused rather than silently joined on a subset of
+    its columns.
+
+    Output honors set semantics: deleted triples are removed wherever
+    they occur, and inserted triples that survive in the post-delete
+    graph are not duplicated.
+
+    Scale shape: the graph flows through at most two keyed anti-joins on
+    (subj, pred, obj) — one exchange each, the same cost class as any
+    keyed op; the delete/insert sides are solution-sized (small).  Over
+    the subject-bucketed materialized table the first anti-join
+    co-locates on the bucket like every star query.
+    """
+    if set(triples.columns) != {"subj", "pred", "obj"}:
+        raise ValueError(
+            "sparql_update needs exactly (subj, pred, obj); got "
+            f"{triples.columns} — scope quads to one graph first"
+        )
+    if not delete and not insert:
+        raise ValueError("sparql_update with neither DELETE nor INSERT templates")
+    solution = bgp_match(triples, where, filters=filters, stats=stats)
+    out = triples
+    if delete:
+        dels = bgp_construct(solution, list(delete))
+        out = out.join(dels, ["subj", "pred", "obj"], "left_anti")
+    if insert:
+        ins = bgp_construct(solution, list(insert))
+        ins_new = ins.join(out, ["subj", "pred", "obj"], "left_anti")
+        out = out.unionByName(ins_new)
+    return out

@@ -191,3 +191,71 @@ def ewma_binary(
     return df.withColumn("ewma_num", num).withColumn("ewma_den", den).withColumn(
         "ewma", F.col("ewma_num").cast("double") / F.col("ewma_den").cast("double")
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Single change-point detection per key via the CUSUM statistic, in
+    exact integers: with n = #observations and T = Σ value, the centered
+    cumulative sum at position k is ``S_k = n·(Σ_{i≤k} value_i) − k·T``
+    (the textbook ``Σ(x_i − x̄)`` scaled by n to stay integral); the
+    change point is the k maximizing ``|S_k|`` — where the running mean
+    deviates most from the global mean, i.e. the most likely level-shift
+    boundary (Page 1954; the CUSUM location estimator).  Ties break to
+    the smallest k.
+
+    Integer-exactness bound: ``|S_k| ≤ n² · max|value|`` — fits int64 for
+    n ≤ ~3M observations per key at cent-scale values; beyond that,
+    pre-aggregate to coarser buckets first (per-key series length, not
+    corpus size, is the constraint).
+
+    Returns one row per key: ``(key, n, cp_k, cp_ts, s_abs)`` — the
+    1-based change position, its timestamp, and max ``|S_k|``.  Physical
+    shape: one window (cumsum + row_number in a single in-partition sort
+    pass) + one combine-able ``min(struct)`` argmax per key — no second
+    sort, no self-join.
+    """
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    cum = F.sum(value_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    k = F.row_number().over(w)
+    tw = Window.partitionBy(key_col)
+    stamped = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        k.alias("k"),
+        (
+            F.count("*").over(tw) * cum
+            - k.cast("long") * F.sum(value_col).over(tw)
+        ).alias("s"),
+        F.count("*").over(tw).alias("n"),
+    )
+    best = (
+        stamped.withColumn("s_abs", F.abs("s"))
+        .groupBy("key")
+        .agg(
+            F.first("n").alias("n"),
+            F.min(
+                F.struct(
+                    (-F.col("s_abs")).alias("neg"),
+                    F.col("k").alias("k"),
+                    F.col("ts").alias("ts"),
+                )
+            ).alias("b"),
+        )
+    )
+    return best.select(
+        F.col("key").alias(key_col),
+        "n",
+        F.col("b.k").cast("long").alias("cp_k"),
+        F.col("b.ts").alias("cp_ts"),
+        (-F.col("b.neg")).alias("s_abs"),
+    )

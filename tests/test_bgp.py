@@ -911,3 +911,72 @@ class TestAsk:
         df = spark.range(10_000_000).select(F.lit("s").alias("subj"))
         plan = bgp_ask(df)._jdf.queryExecution().executedPlan().toString()
         assert "Limit" in plan
+
+
+class TestSparqlUpdate:
+    def _graph(self, spark):
+        rows = [
+            ("t1", "p:mentions", "alice"),
+            ("t1", "p:role", "assistant"),
+            ("t2", "p:mentions", "bob"),
+            ("t2", "p:role", "user"),
+            ("t1", "p:text", "hello"),
+        ]
+        return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+    def test_delete_insert_where(self, spark):
+        from mopper_spark.pipeline.bgp import sparql_update
+
+        out = sparql_update(
+            self._graph(spark),
+            where=[("?t", "p:mentions", "?e"), ("?t", "p:role", "assistant")],
+            delete=[("?t", "p:mentions", "?e")],
+            insert=[("?t", "p:refersTo", "?e"), ("?e", "p:mentionedBy", "?t")],
+        )
+        got = {tuple(r) for r in out.collect()}
+        assert ("t1", "p:mentions", "alice") not in got       # deleted
+        assert ("t2", "p:mentions", "bob") in got             # user turn untouched
+        assert ("t1", "p:refersTo", "alice") in got           # inserted
+        assert ("alice", "p:mentionedBy", "t1") in got
+        assert ("t1", "p:text", "hello") in got               # bystander kept
+        assert len(got) == 6
+
+    def test_insert_is_set_semantic(self, spark):
+        """Inserting an already-present triple does not duplicate it."""
+        from mopper_spark.pipeline.bgp import sparql_update
+
+        out = sparql_update(
+            self._graph(spark),
+            where=[("?t", "p:role", "assistant")],
+            insert=[("?t", "p:role", "assistant")],
+        )
+        assert out.count() == 5
+
+    def test_bindings_match_original_graph(self, spark):
+        """DELETE removes the triples the WHERE itself matched — the spec's
+        evaluate-against-original order (a sequential engine that re-read
+        the graph mid-update would find nothing to insert)."""
+        from mopper_spark.pipeline.bgp import sparql_update
+
+        out = sparql_update(
+            self._graph(spark),
+            where=[("?t", "p:mentions", "?e")],
+            delete=[("?t", "p:mentions", "?e")],
+            insert=[("?t", "p:sawMention", "?e")],
+        )
+        got = {tuple(r) for r in out.collect()}
+        assert ("t1", "p:sawMention", "alice") in got
+        assert ("t2", "p:sawMention", "bob") in got
+        assert not any(p == "p:mentions" for _, p, _ in got)
+
+    def test_refuses_quads_and_empty_update(self, spark):
+        import pytest as _pytest
+
+        from mopper_spark.pipeline.bgp import sparql_update
+
+        g = self._graph(spark).withColumn("graph", F.lit("g"))
+        with _pytest.raises(ValueError, match="subj, pred, obj"):
+            sparql_update(g, where=[("?t", "p:role", "?r")],
+                          delete=[("?t", "p:role", "?r")])
+        with _pytest.raises(ValueError, match="neither"):
+            sparql_update(self._graph(spark), where=[("?t", "p:role", "?r")])

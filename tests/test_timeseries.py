@@ -206,3 +206,53 @@ class TestAbTest:
         se = math.sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b))
         assert row.z_fp == math.floor((p_a - p_b) / se * 1e6)
         assert row.rate_a == round(p_a, 6) and row.rate_b == round(p_b, 6)
+
+
+class TestCusumChangepoint:
+    def test_level_shift_found_at_boundary(self, spark):
+        """A clean 10→100 level shift at position 5 of 10: |S_k| peaks at
+        the last low observation (k=5), matching the python replica."""
+        from mopper_spark.textops.timeseries import cusum_changepoint
+
+        vals = [10] * 5 + [100] * 5
+        rows = [(i, 1, datetime(2024, 1, 1, 0, i), v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp_ntz, cents long"
+        )
+        out = cusum_changepoint(df, "user_id", "ts", "cents",
+                                order_tiebreak="event_id").collect()
+        assert len(out) == 1
+        r = out[0]
+        n, total = len(vals), sum(vals)
+        best = max(
+            ((abs(n * sum(vals[: k]) - k * total), k) for k in range(1, n + 1)),
+            key=lambda t: (t[0], -t[1]),
+        )
+        assert (r.n, r.cp_k, r.s_abs) == (n, best[1], best[0])
+        assert r.cp_k == 5 and r.cp_ts == datetime(2024, 1, 1, 0, 4)
+
+    def test_constant_series_ties_to_first(self, spark):
+        """No shift → every S_k = 0; the tie-break lands on k=1."""
+        from mopper_spark.textops.timeseries import cusum_changepoint
+
+        rows = [(i, 7, datetime(2024, 1, 1, 0, i), 50) for i in range(6)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp_ntz, cents long"
+        )
+        r = cusum_changepoint(df, "user_id", "ts", "cents",
+                              order_tiebreak="event_id").collect()[0]
+        assert (r.cp_k, r.s_abs) == (1, 0)
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.timeseries import cusum_changepoint
+
+        rows = [(i, i % 3, datetime(2024, 1, 1, 0, i), (i * 37) % 101)
+                for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp_ntz, cents long"
+        )
+        a = sorted(map(tuple, cusum_changepoint(df, "user_id", "ts", "cents",
+                                                order_tiebreak="event_id").collect()))
+        b = sorted(map(tuple, cusum_changepoint(df.repartition(13), "user_id", "ts",
+                                                "cents", order_tiebreak="event_id").collect()))
+        assert a == b
