@@ -8246,6 +8246,77 @@ SELECT subj, pred, obj FROM ins_new
 """
 
 
+def _q_docs_quality_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-evaluation AUC (textops/analysis.py::rank_auc): exact
+    tie-corrected ROC-AUC of the hashed-linear quality score against the
+    lang='en' label, Mann-Whitney integer formulation — numerator and
+    denominator are exact BIGINTs, the single ordered window runs over
+    the (distinct score -> counts) table, not the corpus."""
+    from mopper_spark.textops.analysis import rank_auc
+    from mopper_spark.textops.quality_model import quality_scores
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    scored = quality_scores(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    return rank_auc(scored, "score_fp", F.col("lang") == "en")
+
+
+_SQL_DOCS_QUALITY_AUC = f"""
+WITH q AS ({_SQL_DOCS_QUALITY_MODEL}),
+lab AS (
+  SELECT q.score_fp AS score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM q JOIN documents d ON d.doc_id = q.doc_id
+), g AS (
+  SELECT score, CAST(SUM(pos) AS BIGINT) AS pos_g, CAST(COUNT(*) AS BIGINT) AS n_g
+  FROM lab GROUP BY score
+), p AS (
+  SELECT score, pos_g, n_g - pos_g AS neg_g,
+         CAST(COALESCE(SUM(n_g - pos_g) OVER (
+           ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS neg_below
+  FROM g
+)
+SELECT CAST(SUM(pos_g) AS BIGINT) AS n_pos,
+       CAST(SUM(neg_g) AS BIGINT) AS n_neg,
+       CAST(SUM(2 * pos_g * neg_below + pos_g * neg_g) AS BIGINT) AS auc_num2x,
+       ROUND(CAST(SUM(2 * pos_g * neg_below + pos_g * neg_g) AS DOUBLE)
+             / (2e0 * CAST(SUM(pos_g) AS DOUBLE) * CAST(SUM(neg_g) AS DOUBLE)),
+             6) AS auc
+FROM p
+"""
+
+
+def _q_events_assoc_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association rules (textops/olap.py::
+    association_rules): directional support/confidence/lift over
+    (user, event_type) baskets — exact integer cross-multiplication, one
+    basket-keyed self-join whose cost is basket width squared, supports
+    broadcast back."""
+    from mopper_spark.textops.olap import association_rules
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return association_rules(ev, "user_id", "event_type")
+
+
+_SQL_EVENTS_ASSOC_RULES = """
+WITH u AS (SELECT DISTINCT user_id AS basket, event_type AS item FROM events),
+nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM u),
+s AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS support FROM u GROUP BY item),
+p AS (
+  SELECT a.item AS ant, b.item AS cons, CAST(COUNT(*) AS BIGINT) AS support_ab
+  FROM u a JOIN u b ON a.basket = b.basket AND a.item <> b.item
+  GROUP BY a.item, b.item
+)
+SELECT ant, cons, support_ab,
+       sa.support AS support_ant, sc.support AS support_cons, nb.n_baskets,
+       ROUND(CAST(support_ab AS DOUBLE) / CAST(sa.support AS DOUBLE), 6) AS confidence,
+       ROUND(CAST(support_ab * nb.n_baskets AS DOUBLE)
+             / CAST(sa.support * sc.support AS DOUBLE), 6) AS lift
+FROM p JOIN s sa ON sa.item = p.ant JOIN s sc ON sc.item = p.cons CROSS JOIN nb
+"""
+
+
 def _q_events_ab_test(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic experiment readout (textops/sampling.py::
     ab_test_two_proportions): users hash-assigned 50/50 (md5-prefix
@@ -8477,6 +8548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_test": _q_events_ab_test,
         "events_changepoint": _q_events_changepoint,
         "kg_sparql_update": _q_kg_sparql_update,
+        "docs_quality_auc": _q_docs_quality_auc,
+        "events_assoc_rules": _q_events_assoc_rules,
     }
 
 
@@ -8659,4 +8732,6 @@ def oracle_sql() -> dict[str, str]:
         "events_ab_test": _SQL_EVENTS_AB_TEST,
         "events_changepoint": _SQL_EVENTS_CHANGEPOINT,
         "kg_sparql_update": _SQL_KG_SPARQL_UPDATE,
+        "docs_quality_auc": _SQL_DOCS_QUALITY_AUC,
+        "events_assoc_rules": _SQL_EVENTS_ASSOC_RULES,
     }

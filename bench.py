@@ -70,6 +70,8 @@ HEADLINE = [
     "events_ab_test",
     "events_changepoint",
     "kg_sparql_update",
+    "docs_quality_auc",
+    "events_assoc_rules",
     "ivf_kmeans_step",
     "similarity_topk_ivf",
     "vocab_oov_rate",

@@ -779,3 +779,62 @@ def skew_profile(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def rank_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
+    """Exact tie-corrected ROC-AUC (the Mann-Whitney U formulation) of a
+    score against a binary label, in pure integers until the final
+    division: grouped by distinct score, ``AUC = Σ_g (2·pos_g·neg_below_g
+    + pos_g·neg_g) / (2·n_pos·n_neg)`` — strictly-lower negatives count
+    fully, tied negatives count half (the standard ½ tie credit), and the
+    numerator/denominator are exact BIGINTs so the statistic is identical
+    under any partitioning and in any engine.  Overflow bound:
+    ``2·n_pos·n_neg ≤ n²`` — fits int64 up to n ≈ 3·10⁹ labeled rows.
+
+    ``label_col``: a boolean/0-1 column name or Column (e.g.
+    ``F.col("lang") == "en"``).
+
+    Returns ONE row ``(n_pos, n_neg, auc_num2x, auc)``.
+
+    Scale shape: one keyed aggregation to the (distinct score → counts)
+    table, then ONE ordered window over that reduced table — its
+    cardinality is #distinct scores, not corpus size (integer model
+    scores keep it small; bin continuous scores first), which is the same
+    reduced-cardinality discipline as the exact global quantiles.
+    """
+    from pyspark.sql import Window
+
+    label = F.col(label_col) if isinstance(label_col, str) else label_col
+    g = (
+        df.groupBy(F.col(score_col).alias("score"))
+        .agg(
+            F.sum(label.cast("long")).alias("pos_g"),
+            F.count("*").alias("n_g"),
+        )
+        .withColumn("neg_g", F.col("n_g") - F.col("pos_g"))
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    per = g.withColumn("neg_below", F.coalesce(F.sum("neg_g").over(w), F.lit(0)))
+    num2x = F.sum(
+        F.lit(2) * F.col("pos_g") * F.col("neg_below")
+        + F.col("pos_g") * F.col("neg_g")
+    )
+    agg = per.agg(
+        F.sum("pos_g").cast("long").alias("n_pos"),
+        F.sum("neg_g").cast("long").alias("n_neg"),
+        num2x.cast("long").alias("auc_num2x"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "auc_num2x",
+        F.round(
+            F.col("auc_num2x").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double")
+            ),
+            6,
+        ).alias("auc"),
+    )

@@ -78,3 +78,76 @@ def cube_metrics(
     than running several jobs.
     """
     return _lattice(df, dims, value_col, scale, "cube")
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_support: int = 1,
+) -> DataFrame:
+    """Directional pairwise association rules (support / confidence /
+    lift — the market-basket classics) over (basket, item) rows: a basket
+    is e.g. a user, an item e.g. an event type it performed.  For every
+    ordered pair ``ant → cons`` of distinct co-occurring items:
+
+    - ``support_ab`` = #baskets containing both,
+    - ``confidence`` = support_ab / support_ant,
+    - ``lift`` = support_ab · n_baskets / (support_ant · support_cons)
+      (exact integer cross-multiplication before ONE final division).
+
+    Rules below ``min_support`` co-occurrences are dropped.
+
+    Scale shape: dedup to distinct (basket, item) → self-join on basket —
+    cost Σ_b |items_b|², the classic frequent-pair quadratic IN BASKET
+    WIDTH, not corpus size; restrict ``item_col`` to a bounded vocabulary
+    (top-K items) first when baskets can be wide, the standard a-priori
+    candidate discipline.  Per-item supports and the basket count join
+    back as broadcasts (item-vocabulary-sized).
+    """
+    u = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    n_baskets = u.agg(F.countDistinct("basket").alias("n_baskets"))
+    supports = u.groupBy("item").agg(F.count("*").alias("support"))
+    pairs = (
+        u.alias("a")
+        .join(u.alias("b"), "basket")
+        .filter(F.col("a.item") != F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("ant"), F.col("b.item").alias("cons")
+        )
+        .agg(F.count("*").alias("support_ab"))
+        .filter(F.col("support_ab") >= int(min_support))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(supports.select(F.col("item").alias("ant"),
+                                        F.col("support").alias("support_ant"))),
+            "ant",
+        )
+        .join(
+            F.broadcast(supports.select(F.col("item").alias("cons"),
+                                        F.col("support").alias("support_cons"))),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return out.select(
+        "ant",
+        "cons",
+        "support_ab",
+        "support_ant",
+        "support_cons",
+        "n_baskets",
+        F.round(
+            F.col("support_ab").cast("double") / F.col("support_ant").cast("double"),
+            6,
+        ).alias("confidence"),
+        F.round(
+            (F.col("support_ab") * F.col("n_baskets")).cast("double")
+            / (F.col("support_ant") * F.col("support_cons")).cast("double"),
+            6,
+        ).alias("lift"),
+    )

@@ -1678,3 +1678,79 @@ class TestKeepList:
         out = keep_list(self._docs(spark), self._pairs(spark))
         n_clusters = out.select("component").distinct().count()
         assert out.filter("keep").count() == n_clusters == 3
+
+
+class TestRankAuc:
+    def test_perfect_and_inverted_separation(self, spark):
+        from mopper_spark.textops.analysis import rank_auc
+
+        df = spark.createDataFrame(
+            [(i, i, i >= 5) for i in range(10)], "doc_id long, s long, y boolean"
+        )
+        r = rank_auc(df, "s", "y").collect()[0]
+        assert (r.n_pos, r.n_neg, r.auc) == (5, 5, 1.0)
+        inv = spark.createDataFrame(
+            [(i, -i, i >= 5) for i in range(10)], "doc_id long, s long, y boolean"
+        )
+        assert rank_auc(inv, "s", "y").collect()[0].auc == 0.0
+
+    def test_tie_credit_is_half(self, spark):
+        """All scores equal → every pos/neg pair is a tie → AUC exactly 0.5
+        (2·pos·neg·½ in the integer numerator)."""
+        from mopper_spark.textops.analysis import rank_auc
+
+        df = spark.createDataFrame(
+            [(i, 7, i % 3 == 0) for i in range(12)], "doc_id long, s long, y boolean"
+        )
+        r = rank_auc(df, "s", "y").collect()[0]
+        assert r.auc == 0.5
+        assert r.auc_num2x == r.n_pos * r.n_neg  # the exact half credit
+
+    def test_python_replica(self, spark):
+        from mopper_spark.textops.analysis import rank_auc
+
+        rows = [(i, (i * 13) % 7, (i * 5) % 3 == 0) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, s long, y boolean")
+        r = rank_auc(df, "s", "y").collect()[0]
+        pos = sorted(s for _, s, y in rows if y)
+        neg = sorted(s for _, s, y in rows if not y)
+        num2 = sum(
+            2 * sum(1 for n in neg if n < p) + sum(1 for n in neg if n == p)
+            for p in pos
+        )
+        assert r.auc_num2x == num2
+        assert r.auc == round(num2 / (2.0 * len(pos) * len(neg)), 6)
+
+
+class TestAssociationRules:
+    def test_replica_on_tiny_baskets(self, spark):
+        from mopper_spark.textops.olap import association_rules
+
+        rows = [
+            (1, "a"), (1, "b"), (1, "b"),  # duplicate item rows collapse
+            (2, "a"), (2, "c"),
+            (3, "a"), (3, "b"),
+            (4, "c"),
+        ]
+        df = spark.createDataFrame(rows, "basket long, item string")
+        got = {
+            (r.ant, r.cons): (r.support_ab, r.support_ant, r.support_cons,
+                              r.n_baskets, r.confidence, r.lift)
+            for r in association_rules(df, "basket", "item").collect()
+        }
+        # a: {1,2,3}, b: {1,3}, c: {2,4}
+        assert got[("a", "b")] == (2, 3, 2, 4, round(2 / 3, 6), round(8 / 6, 6))
+        assert got[("b", "a")] == (2, 2, 3, 4, 1.0, round(8 / 6, 6))
+        assert got[("a", "c")] == (1, 3, 2, 4, round(1 / 3, 6), round(4 / 6, 6))
+        assert ("b", "c") not in got  # never co-occur
+
+    def test_min_support_drops_rules(self, spark):
+        from mopper_spark.textops.olap import association_rules
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")],
+            "basket long, item string",
+        )
+        got = {(r.ant, r.cons) for r in
+               association_rules(df, "basket", "item", min_support=2).collect()}
+        assert got == {("a", "b"), ("b", "a")}
