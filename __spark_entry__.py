@@ -8375,6 +8375,285 @@ FROM se_t
 """
 
 
+_WL_PREFIX_TURNS = 4
+
+
+def _q_kg_wl_structural_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph-level structural dedup (pipeline/graphsig.py): each
+    conversation becomes a labeled multigraph — turn-chain ``next``
+    edges, ``role|<role>`` / ``tool|<tool>`` edges into the conversation
+    node, anonymous ``mentions`` edges into per-surface entity nodes —
+    and 3 rounds of Weisfeiler-Leman color refinement hash its SHAPE.
+    Node names never enter the hash (color_0 is a constant), so two
+    transcripts with identical turn/role/tool/mention structure collide
+    even when every entity name differs — the structural analogue of
+    minhash dedup, with the oracle unrolling the same md5 rounds in SQL.
+    Work is conversation-local (no corpus-wide hub key).
+
+    The driver query scopes the graph to the OPENING (first 4 turns):
+    templated agent runs share their scripted opening even when the
+    conversations diverge later, so the opening prefix is where
+    structural duplicate classes actually form (full-conversation WL on
+    45-turn transcripts separates everything — unit tests cover that on
+    synthetic graphs with real isomorphs)."""
+    from pyspark.sql import Window
+
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.graphsig import wl_dedup, wl_fingerprints
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE).filter(
+        F.col("turn_idx") < _WL_PREFIX_TURNS
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tnode = F.concat(F.lit("t:"), F.col("turn_idx"))
+    nxt = (
+        tr.select(
+            "conv_id", "turn_idx", F.lead("turn_idx").over(w).alias("next_idx")
+        )
+        .filter(F.col("next_idx").isNotNull())
+        .select(
+            F.col("conv_id").alias("gid"),
+            tnode.alias("src"),
+            F.lit("next").alias("lbl"),
+            F.concat(F.lit("t:"), F.col("next_idx")).alias("dst"),
+        )
+    )
+    role = tr.select(
+        F.col("conv_id").alias("gid"),
+        tnode.alias("src"),
+        F.concat(F.lit("role|"), F.col("role")).alias("lbl"),
+        F.lit("c:").alias("dst"),
+    )
+    tool = tr.filter(F.col("tool").isNotNull()).select(
+        F.col("conv_id").alias("gid"),
+        tnode.alias("src"),
+        F.concat(F.lit("tool|"), F.col("tool")).alias("lbl"),
+        F.lit("c:").alias("dst"),
+    )
+    men = extract_mentions(tr).select(
+        F.col("conv_id").alias("gid"),
+        tnode.alias("src"),
+        F.lit("mentions").alias("lbl"),
+        F.concat(F.lit("e:"), F.col("surface")).alias("dst"),
+    )
+    edges = nxt.unionByName(role).unionByName(tool).unionByName(men)
+    return wl_dedup(wl_fingerprints(edges, rounds=3))
+
+
+def _wl_round_sql(prev: str, rnd: int) -> str:
+    """One unrolled WL round in DuckDB (mirrors graphsig.wl_colors)."""
+    return f"""
+m{rnd} AS (
+  SELECT e.gid, e.src AS node, 'o|' || e.lbl || '|' || c.color AS msg
+  FROM e JOIN {prev} c ON e.gid = c.gid AND e.dst = c.node
+  UNION ALL
+  SELECT e.gid, e.dst, 'i|' || e.lbl || '|' || c.color
+  FROM e JOIN {prev} c ON e.gid = c.gid AND e.src = c.node
+),
+a{rnd} AS (SELECT gid, node, string_agg(msg, ',' ORDER BY msg) AS ms
+           FROM m{rnd} GROUP BY gid, node),
+c{rnd} AS (SELECT c.gid, c.node, md5(c.color || '#' || coalesce(a.ms, '')) AS color
+           FROM {prev} c LEFT JOIN a{rnd} a
+             ON c.gid = a.gid AND c.node = a.node)"""
+
+
+_SQL_KG_WL_STRUCTURAL_DEDUP = f"""
+WITH {_MENTION_EDGES_CTE},
+e AS (
+  SELECT conv_id AS gid, 't:' || turn_idx AS src, 'next' AS lbl,
+         't:' || next_idx AS dst
+  FROM (SELECT conv_id, turn_idx,
+               lead(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                 AS next_idx
+        FROM tr WHERE turn_idx < {_WL_PREFIX_TURNS})
+  WHERE next_idx IS NOT NULL
+  UNION ALL
+  SELECT conv_id, 't:' || turn_idx, 'role|' || role, 'c:' FROM tr
+  WHERE turn_idx < {_WL_PREFIX_TURNS}
+  UNION ALL
+  SELECT conv_id, 't:' || turn_idx, 'tool|' || tool, 'c:' FROM tr
+  WHERE turn_idx < {_WL_PREFIX_TURNS} AND tool IS NOT NULL
+  UNION ALL
+  SELECT conv_id, 't:' || turn_idx, 'mentions', 'e:' || surface FROM men
+  WHERE turn_idx < {_WL_PREFIX_TURNS}
+),
+n AS (SELECT DISTINCT gid, src AS node FROM e
+      UNION SELECT DISTINCT gid, dst FROM e),
+c0 AS (SELECT gid, node, md5('wl0') AS color FROM n),
+{_wl_round_sql('c0', 1)},
+{_wl_round_sql('c1', 2)},
+{_wl_round_sql('c2', 3)},
+fp AS (SELECT gid, md5(string_agg(color, ',' ORDER BY color)) AS wl_sig,
+              count(*) AS n_nodes
+       FROM c3 GROUP BY gid),
+sz AS (SELECT gid, count(*) AS n_edges FROM e GROUP BY gid),
+f AS (SELECT fp.gid, wl_sig, n_nodes, n_edges FROM fp JOIN sz ON fp.gid = sz.gid),
+g AS (SELECT wl_sig, n_nodes, n_edges, min(gid) AS canonical_gid,
+             count(*) AS group_size
+      FROM f GROUP BY 1, 2, 3)
+SELECT f.gid, f.wl_sig, f.n_nodes, f.n_edges, g.canonical_gid, g.group_size,
+       f.gid = g.canonical_gid AS is_canonical
+FROM f JOIN g USING (wl_sig, n_nodes, n_edges)
+"""
+
+
+def _q_kg_blank_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Blank-node canonicalization (pipeline/graphsig.py::
+    canonical_blank_labels): per-conversation entity blank nodes —
+    (turn, ont:mentions, _:e) plus (_:e, ont:inConversation, conv) —
+    relabeled to signature-ranked ``_:cN`` so two emissions of the same
+    logical graph are byte-comparable.  The global rank is computed
+    bucket-locally (first-sig-byte buckets + a 256-row prefix sum), not
+    by a single-partition sort; the oracle's plain
+    ``row_number() OVER (ORDER BY sig, b)`` proves the bucketed
+    numbering IS the global order."""
+    from mopper_spark.pipeline.graphsig import canonical_blank_labels
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return canonical_blank_labels(_blank_entity_graph(tr))
+
+
+def _blank_entity_graph(tr: DataFrame, drop_mod7: int | None = None) -> DataFrame:
+    """(turn, ont:mentions, _:conv|surface) ∪ (_:conv|surface,
+    ont:inConversation, conv) — the blank-entity statement set the
+    canonicalization queries operate on.  ``drop_mod7`` excludes
+    mentions from turns with ``turn_idx % 7 == drop_mod7`` (the
+    deterministic perturbation the graph-diff query uses as its "new
+    pipeline release")."""
+    from mopper_spark.pipeline.extract import extract_mentions
+
+    ont = "http://example.com/ontology/"
+    men = extract_mentions(tr)
+    if drop_mod7 is not None:
+        men = men.filter(F.col("turn_idx") % 7 != drop_mod7)
+    men = men.select(
+        "conv_id",
+        "turn_idx",
+        F.concat(F.lit("_:"), F.col("conv_id"), F.lit("|"), F.col("surface")).alias(
+            "b"
+        ),
+    )
+    t1 = men.select(
+        F.concat(
+            F.lit(EX + "turn/"), F.col("conv_id"), F.lit("/"), F.col("turn_idx")
+        ).alias("subj"),
+        F.lit(ont + "mentions").alias("pred"),
+        F.col("b").alias("obj"),
+    )
+    t2 = (
+        men.select("conv_id", "b")
+        .distinct()
+        .select(
+            F.col("b").alias("subj"),
+            F.lit(ont + "inConversation").alias("pred"),
+            F.concat(F.lit(EX + "conv/"), F.col("conv_id")).alias("obj"),
+        )
+    )
+    return t1.unionByName(t2)
+
+
+def _q_kg_graph_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Version-to-version KG diff modulo blank naming (pipeline/
+    graphsig.py::graph_diff): "old" is the full blank-entity graph,
+    "new" drops mentions from turns with turn_idx % 7 == 3 (a
+    deterministic stand-in for a pipeline release that extracts
+    differently).  Both sides get signature-STABLE blank labels, so
+    untouched entities' statements cancel in the anti-joins and only
+    genuinely changed statements appear — including the added/removed
+    pair a surviving entity emits when its own neighborhood changed
+    (its signature, hence its label, moved)."""
+    from mopper_spark.pipeline.graphsig import graph_diff
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return graph_diff(
+        _blank_entity_graph(tr), _blank_entity_graph(tr, drop_mod7=3)
+    )
+
+
+_SQL_KG_BLANK_CANONICAL = f"""
+WITH {_MENTION_EDGES_CTE},
+bl AS (SELECT conv_id, surface,
+              '_:' || conv_id || '|' || surface AS b,
+              'http://example.com/turn/' || conv_id || '/' || turn_idx AS turn
+       FROM men),
+t AS (
+  SELECT turn AS subj, 'http://example.com/ontology/mentions' AS pred,
+         b AS obj
+  FROM bl
+  UNION ALL
+  SELECT DISTINCT b, 'http://example.com/ontology/inConversation',
+         'http://example.com/conv/' || conv_id
+  FROM bl
+),
+m AS (
+  SELECT obj AS b, 'o|' || pred || '|' || subj AS msg FROM t
+  WHERE starts_with(obj, '_:')
+  UNION ALL
+  SELECT subj, 's|' || pred || '|' || obj FROM t
+  WHERE starts_with(subj, '_:')
+),
+sg AS (SELECT b, md5(string_agg(msg, ',' ORDER BY msg)) AS sig
+       FROM m GROUP BY b),
+lb AS (SELECT b, '_:c' || row_number() OVER (ORDER BY sig, b) AS lab FROM sg)
+SELECT coalesce(ls.lab, t.subj) AS subj, t.pred,
+       coalesce(lo.lab, t.obj) AS obj
+FROM t
+LEFT JOIN lb ls ON t.subj = ls.b
+LEFT JOIN lb lo ON t.obj = lo.b
+"""
+
+
+def _blank_canon_sig_sql(sfx: str, men_filter: str) -> str:
+    """Canonical blank-entity graph ``g{sfx}`` with signature-STABLE
+    labels (graphsig label_style='sig'), as a CTE chain for the diff
+    oracle."""
+    return f"""
+bl{sfx} AS (SELECT conv_id, surface,
+                   '_:' || conv_id || '|' || surface AS b,
+                   'http://example.com/turn/' || conv_id || '/' || turn_idx AS turn
+            FROM men WHERE {men_filter}),
+tt{sfx} AS (
+  SELECT turn AS subj, 'http://example.com/ontology/mentions' AS pred,
+         b AS obj
+  FROM bl{sfx}
+  UNION ALL
+  SELECT DISTINCT b, 'http://example.com/ontology/inConversation',
+         'http://example.com/conv/' || conv_id
+  FROM bl{sfx}
+),
+mm{sfx} AS (
+  SELECT obj AS b, 'o|' || pred || '|' || subj AS msg FROM tt{sfx}
+  WHERE starts_with(obj, '_:')
+  UNION ALL
+  SELECT subj, 's|' || pred || '|' || obj FROM tt{sfx}
+  WHERE starts_with(subj, '_:')
+),
+sg{sfx} AS (SELECT b, md5(string_agg(msg, ',' ORDER BY msg)) AS sig
+            FROM mm{sfx} GROUP BY b),
+lb{sfx} AS (SELECT b, '_:c' || sig ||
+                   CASE WHEN count(*) OVER (PARTITION BY sig) > 1
+                        THEN '-' || row_number() OVER (PARTITION BY sig ORDER BY b)
+                        ELSE '' END AS lab
+            FROM sg{sfx}),
+g{sfx} AS (SELECT DISTINCT coalesce(ls.lab, t.subj) AS subj, t.pred,
+                  coalesce(lo.lab, t.obj) AS obj
+           FROM tt{sfx} t
+           LEFT JOIN lb{sfx} ls ON t.subj = ls.b
+           LEFT JOIN lb{sfx} lo ON t.obj = lo.b)"""
+
+
+_SQL_KG_GRAPH_DIFF = f"""
+WITH {_MENTION_EDGES_CTE},
+{_blank_canon_sig_sql('o', 'TRUE')},
+{_blank_canon_sig_sql('n', 'turn_idx % 7 <> 3')}
+SELECT subj, pred, obj, 'added' AS status
+FROM (SELECT subj, pred, obj FROM gn EXCEPT SELECT subj, pred, obj FROM go)
+UNION ALL
+SELECT subj, pred, obj, 'removed'
+FROM (SELECT subj, pred, obj FROM go EXCEPT SELECT subj, pred, obj FROM gn)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -8550,6 +8829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_update": _q_kg_sparql_update,
         "docs_quality_auc": _q_docs_quality_auc,
         "events_assoc_rules": _q_events_assoc_rules,
+        "kg_wl_structural_dedup": _q_kg_wl_structural_dedup,
+        "kg_blank_canonical": _q_kg_blank_canonical,
+        "kg_graph_diff": _q_kg_graph_diff,
     }
 
 
@@ -8734,4 +9016,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_update": _SQL_KG_SPARQL_UPDATE,
         "docs_quality_auc": _SQL_DOCS_QUALITY_AUC,
         "events_assoc_rules": _SQL_EVENTS_ASSOC_RULES,
+        "kg_wl_structural_dedup": _SQL_KG_WL_STRUCTURAL_DEDUP,
+        "kg_blank_canonical": _SQL_KG_BLANK_CANONICAL,
+        "kg_graph_diff": _SQL_KG_GRAPH_DIFF,
     }

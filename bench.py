@@ -72,6 +72,9 @@ HEADLINE = [
     "kg_sparql_update",
     "docs_quality_auc",
     "events_assoc_rules",
+    "kg_wl_structural_dedup",
+    "kg_blank_canonical",
+    "kg_graph_diff",
     "ivf_kmeans_step",
     "similarity_topk_ivf",
     "vocab_oov_rate",
