@@ -8654,6 +8654,110 @@ FROM (SELECT subj, pred, obj FROM go EXCEPT SELECT subj, pred, obj FROM gn)
 """
 
 
+def _kg_triples(spark: SparkSession) -> DataFrame:
+    """The extracted transcript KG as (subj, pred, obj) — shared input of
+    the SPARQL-text driver queries."""
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
+    return kg.select("subj", "pred", "obj")
+
+
+def _q_kg_sparql_text(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL *text* front-end (pipeline/sparql.py): the full query
+    string — prologue, ``;`` predicate list, FILTER with a translated
+    builtin, aggregates with aliases, GROUP BY/HAVING/ORDER/LIMIT — is
+    parsed and compiled onto the bgp.py algebra; nothing here touches
+    the programmatic API.  The reference toolchain's users query its RDF
+    output with standard SPARQL engines (ghsnd/mopper produces RDF only,
+    src/lib.rs); this closes that loop in-engine.  Plan shape is
+    bgp_match + one Catalyst groupBy + TakeOrderedAndProject."""
+    from mopper_spark.pipeline.sparql import sparql_query
+
+    return sparql_query(
+        _kg_triples(spark),
+        """
+        PREFIX ont: <http://example.com/ontology/>
+        SELECT ?conv (COUNT(DISTINCT ?e) AS ?n_entities)
+                     (COUNT(?e) AS ?n_mentions)
+        WHERE {
+          ?t ont:mentions ?e ; ont:inConversation ?conv .
+          FILTER(STRSTARTS(?e, "http://example.com/entity/"))
+        }
+        GROUP BY ?conv
+        HAVING(COUNT(DISTINCT ?e) >= 2)
+        ORDER BY DESC(?n_mentions) ?conv
+        LIMIT 20
+        """,
+    ).select(
+        "conv",
+        F.col("n_entities").cast("long").alias("n_entities"),
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+    )
+
+
+_SQL_KG_SPARQL_TEXT = f"""
+WITH kg AS ({_SQL_KG_GRAPH}),
+sol AS (
+  SELECT c.obj AS conv, m.obj AS e
+  FROM kg m JOIN kg c ON m.subj = c.subj
+  WHERE m.pred = 'http://example.com/ontology/mentions'
+    AND c.pred = 'http://example.com/ontology/inConversation'
+    AND starts_with(m.obj, 'http://example.com/entity/')
+)
+SELECT conv,
+       CAST(COUNT(DISTINCT e) AS BIGINT) AS n_entities,
+       CAST(COUNT(e) AS BIGINT) AS n_mentions
+FROM sol GROUP BY conv
+HAVING COUNT(DISTINCT e) >= 2
+ORDER BY n_mentions DESC, conv
+LIMIT 20
+"""
+
+
+def _q_kg_sparql_text_path_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL text with a property PATH: entity conversation-spread via
+    the inverse-sequence path ``?e ^ont:mentions/ont:inConversation
+    ?conv`` — the parser builds the ("/", ("^", mentions), inConv) tuple
+    and bgp's path_edges composes the two hops (each a pushed-filter
+    scan) — then a text-level aggregate ranks entities by how many
+    distinct conversations mention them."""
+    from mopper_spark.pipeline.sparql import sparql_query
+
+    return sparql_query(
+        _kg_triples(spark),
+        """
+        PREFIX ont: <http://example.com/ontology/>
+        SELECT ?e (COUNT(DISTINCT ?conv) AS ?n_convs) WHERE {
+          ?e ^ont:mentions/ont:inConversation ?conv .
+        }
+        GROUP BY ?e
+        ORDER BY DESC(?n_convs) ?e
+        LIMIT 15
+        """,
+    ).select("e", F.col("n_convs").cast("long").alias("n_convs"))
+
+
+_SQL_KG_SPARQL_TEXT_PATH_AGG = f"""
+WITH kg AS ({_SQL_KG_GRAPH}),
+hop AS (
+  SELECT m.obj AS e, c.obj AS conv
+  FROM kg m JOIN kg c ON m.subj = c.subj
+  WHERE m.pred = 'http://example.com/ontology/mentions'
+    AND c.pred = 'http://example.com/ontology/inConversation'
+)
+SELECT e, CAST(COUNT(DISTINCT conv) AS BIGINT) AS n_convs
+FROM hop GROUP BY e
+ORDER BY n_convs DESC, e
+LIMIT 15
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -8832,6 +8936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_wl_structural_dedup": _q_kg_wl_structural_dedup,
         "kg_blank_canonical": _q_kg_blank_canonical,
         "kg_graph_diff": _q_kg_graph_diff,
+        "kg_sparql_text": _q_kg_sparql_text,
+        "kg_sparql_text_path_agg": _q_kg_sparql_text_path_agg,
     }
 
 
@@ -9019,4 +9125,6 @@ def oracle_sql() -> dict[str, str]:
         "kg_wl_structural_dedup": _SQL_KG_WL_STRUCTURAL_DEDUP,
         "kg_blank_canonical": _SQL_KG_BLANK_CANONICAL,
         "kg_graph_diff": _SQL_KG_GRAPH_DIFF,
+        "kg_sparql_text": _SQL_KG_SPARQL_TEXT,
+        "kg_sparql_text_path_agg": _SQL_KG_SPARQL_TEXT_PATH_AGG,
     }

@@ -75,6 +75,8 @@ HEADLINE = [
     "kg_wl_structural_dedup",
     "kg_blank_canonical",
     "kg_graph_diff",
+    "kg_sparql_text",
+    "kg_sparql_text_path_agg",
     "ivf_kmeans_step",
     "similarity_topk_ivf",
     "vocab_oov_rate",

@@ -1,0 +1,850 @@
+"""SPARQL 1.1 text front-end over the BGP DataFrame algebra.
+
+``pipeline/bgp.py`` gives this repo the full relational algebra a SPARQL
+engine needs (pattern match, OPTIONAL, FILTER, UNION, MINUS, BIND,
+VALUES, aggregation, solution modifiers, CONSTRUCT/ASK, property paths)
+— but as a *programmatic* API.  A user of the reference toolchain
+(ghsnd/mopper produces RDF; its users query the output with standard
+SPARQL engines) writes SPARQL *text*.  This module closes that last gap:
+
+    sparql_query(graph_df, '''
+        PREFIX ont: <http://example.com/ontology/>
+        SELECT ?conv (COUNT(DISTINCT ?e) AS ?n) WHERE {
+          ?t ont:mentions ?e ; ont:inConversation ?conv .
+          FILTER(STRSTARTS(?e, "http://example.com/entity/"))
+        } GROUP BY ?conv HAVING (COUNT(DISTINCT ?e) >= 2)
+        ORDER BY DESC(?n) ?conv LIMIT 10
+    ''')
+
+returns a DataFrame; nothing is evaluated outside Catalyst.  The parser
+is a hand-written recursive-descent over a regex tokenizer — the same
+implementation strategy as the repo's Turtle/ShExML front-ends, and like
+them it REFUSES constructs outside its documented subset by raising
+``SparqlParseError`` naming the construct (never a silent wrong answer).
+
+Supported subset
+----------------
+- Prologue: ``PREFIX`` (``BASE`` is refused — all test IRIs are absolute).
+- Query forms: ``SELECT [DISTINCT] (?var | (expr AS ?var) | *) …``,
+  ``ASK``, ``CONSTRUCT { templates } WHERE { … }``.
+- Group graph pattern: triple blocks with ``;`` / ``,`` lists and ``a``;
+  ``OPTIONAL { triples }``; ``FILTER(expr)``; ``FILTER [NOT] EXISTS
+  { group }``; ``{ A } UNION { B }``; ``MINUS { group }``;
+  ``BIND(expr AS ?v)``; ``VALUES (?a ?b) { (…) … }`` (no UNDEF).
+- Predicates: IRIs, prefixed names, ``a``, or SPARQL property paths
+  (``^``, ``/``, ``|``, ``+``, ``{m,n}``, ``!(…)``; ``*`` refused per
+  ``bgp._pattern_df`` — call ``materialize_star`` deliberately).
+- Solution modifiers: ``GROUP BY`` + aggregates (COUNT/SUM/MIN/MAX/AVG,
+  ``COUNT(DISTINCT ?v)``, ``COUNT(*)``), ``HAVING``, ``ORDER BY``
+  (``ASC()``/``DESC()``), ``LIMIT``/``OFFSET`` (LIMIT requires ORDER BY,
+  per ``bgp_slice``'s determinism contract).
+- Expressions (FILTER/BIND/HAVING): comparisons, arithmetic, ``&&`` /
+  ``||`` / ``!``, ``IN``, parentheses, and the function subset
+  STRLEN/LCASE/UCASE/CONTAINS/STRSTARTS/STRENDS/SUBSTR/REPLACE/REGEX/
+  CONCAT/STR/BOUND/COALESCE/IF/ABS — translated to Spark SQL and
+  evaluated with ``F.expr`` (whole-stage codegen, no Python).  Unknown
+  functions are refused by name.
+
+Deliberate refusals (tested): ``SELECT *`` mixed with aggregates,
+``UNDEF`` in VALUES, ``GRAPH`` blocks (quads are the 4-term pattern API
+of ``bgp_match``; text-level named-graph scoping would need a dataset
+clause model), subqueries, ``SERVICE``, blank-node syntax in patterns
+(``[]``/``_:`` — the engine queries the *emitted* graph where blanks are
+already skolemized or canonicalized strings; match them as plain terms).
+
+Semantics notes (where SPARQL is subtle):
+- Group-level FILTERs apply to the whole group after OPTIONAL left-joins
+  (spec §8.3.3 filter scope) — plain FILTERs are collected and applied
+  last, so a filter over an OPTIONAL variable sees its NULLs.
+- UNION branches are compiled independently and concatenated by column
+  name (unbound → NULL), then inner-joined with the rest of the group on
+  shared variables if the group has other bindings.
+- BINDs apply in textual order (a BIND may reference earlier BINDs).
+- Aggregate queries project exactly GROUP BY keys + aggregate aliases;
+  a non-grouped, non-aggregated SELECT variable is refused (same rule
+  as SQL; SPARQL's sample-semantics would hide a bug).
+
+Scale shape: identical to the underlying algebra — this module only
+*parses*; every operator keeps the plan shape documented at its
+definition in ``bgp.py`` (constant predicates → pushed scan filters,
+greedy join order via ``stats``, broadcastable semi/anti joins,
+TakeOrderedAndProject for ORDER+LIMIT).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bgp import (
+    bgp_aggregate,
+    bgp_ask,
+    bgp_bind,
+    bgp_construct,
+    bgp_exists,
+    bgp_match,
+    bgp_minus,
+    bgp_slice,
+    bgp_union,
+    bgp_values,
+)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class SparqlParseError(ValueError):
+    """A construct outside the documented SPARQL subset (named)."""
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRI><[^<>\s]*>)
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z_0-9]*)
+  | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<PNAME>[A-Za-z_][A-Za-z_0-9.-]*?:[A-Za-z_0-9.%-]*)
+  | (?P<KW>[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<REP>\{\d+(?:,\d+)?\})
+  | (?P<OP><=|>=|!=|&&|\|\||[{}().;,=<>!^/|+*\-])
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise SparqlParseError(
+                f"unrecognized SPARQL syntax at offset {pos}: {text[pos:pos+30]!r}"
+            )
+        pos = m.end()
+        kind = m.lastgroup
+        if kind != "WS":
+            out.append((kind, m.group()))
+    return out
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    # ---- token helpers -------------------------------------------------
+    def peek(self, offset: int = 0) -> tuple[str, str]:
+        j = self.i + offset
+        return self.toks[j] if j < len(self.toks) else ("EOF", "")
+
+    def next(self) -> tuple[str, str]:
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def at_kw(self, *words: str) -> bool:
+        k, v = self.peek()
+        return k == "KW" and v.upper() in words
+
+    def expect_kw(self, word: str) -> None:
+        if not self.at_kw(word):
+            raise SparqlParseError(f"expected {word}, got {self.peek()[1]!r}")
+        self.i += 1
+
+    def expect_op(self, op: str) -> None:
+        k, v = self.next()
+        if k not in ("OP", "REP") or v != op:
+            raise SparqlParseError(f"expected {op!r}, got {v!r}")
+
+    # ---- terms ---------------------------------------------------------
+    def _expand_pname(self, pname: str) -> str:
+        pfx, _, local = pname.partition(":")
+        if pfx not in self.prefixes:
+            raise SparqlParseError(f"undeclared prefix {pfx!r} in {pname!r}")
+        return self.prefixes[pfx] + local
+
+    def parse_term(self, *, as_pattern: bool) -> str:
+        """One subject/object/VALUES term.  Pattern terms keep the ``?``
+        marker for the bgp API; literals are unescaped to the plain
+        string stored in the graph; numbers keep their lexical form."""
+        kind, val = self.next()
+        if kind == "VAR":
+            return "?" + val[1:]
+        if kind == "IRI":
+            return val[1:-1]
+        if kind == "PNAME":
+            return self._expand_pname(val)
+        if kind == "STRING":
+            s = _unescape(val)
+            nk, nv = self.peek()
+            if nk == "OP" and nv == "^":  # "lit"^^xsd:type — refuse: the
+                raise SparqlParseError(  # graph stores plain strings
+                    "typed literals (^^) are not in the subset; "
+                    "match the plain lexical form"
+                )
+            if nk == "KW" and nv.startswith("@"):  # never tokenizes; kept
+                raise SparqlParseError("language-tagged literals not supported")
+            return s
+        if kind == "NUM":
+            return val
+        if kind == "KW" and val == "a" and as_pattern:
+            return RDF_TYPE
+        raise SparqlParseError(f"unexpected term {val!r}")
+
+    # ---- property paths (token-level mirror of bgp.parse_path) ---------
+    def parse_path(self):
+        node = self._path_seq()
+        while self.peek() == ("OP", "|"):
+            self.i += 1
+            node = node if isinstance(node, tuple) and node[0] == "|" else ("|", node)
+            node = (*node, self._path_seq())
+        return node
+
+    def _path_seq(self):
+        steps = [self._path_unary()]
+        while self.peek() == ("OP", "/"):
+            self.i += 1
+            steps.append(self._path_unary())
+        return steps[0] if len(steps) == 1 else ("/", *steps)
+
+    def _path_unary(self):
+        if self.peek() == ("OP", "^"):
+            self.i += 1
+            return ("^", self._path_unary())
+        node = self._path_primary()
+        k, v = self.peek()
+        if (k, v) in (("OP", "+"), ("OP", "*")):
+            self.i += 1
+            return (v, node)
+        if k == "REP":
+            self.i += 1
+            return (v, node)
+        return node
+
+    def _path_primary(self):
+        k, v = self.peek()
+        if (k, v) == ("OP", "!"):
+            self.i += 1
+            members = []
+            if self.peek() == ("OP", "("):
+                self.i += 1
+                members.append(self._path_member())
+                while self.peek() == ("OP", "|"):
+                    self.i += 1
+                    members.append(self._path_member())
+                self.expect_op(")")
+            else:
+                members.append(self._path_member())
+            return ("!", *members)
+        if (k, v) == ("OP", "("):
+            self.i += 1
+            inner = self.parse_path()
+            self.expect_op(")")
+            return inner
+        return self._path_iri()
+
+    def _path_member(self):
+        if self.peek() == ("OP", "^"):
+            self.i += 1
+            return ("^", self._path_iri())
+        return self._path_iri()
+
+    def _path_iri(self) -> str:
+        kind, val = self.next()
+        if kind == "IRI":
+            return val[1:-1]
+        if kind == "PNAME":
+            return self._expand_pname(val)
+        if kind == "KW" and val == "a":
+            return RDF_TYPE
+        raise SparqlParseError(f"expected IRI in property path, got {val!r}")
+
+    def parse_predicate(self):
+        """IRI / ``a`` / variable / property path.  A path stays a tuple
+        (the ``bgp_match`` pattern encoding); a plain IRI stays a str."""
+        k, v = self.peek()
+        if k == "VAR":
+            self.i += 1
+            return "?" + v[1:]
+        path = self.parse_path()
+        return path
+
+    # ---- group graph pattern -------------------------------------------
+    def parse_group(self) -> list[tuple]:
+        """``{ … }`` → ordered element list:
+        ``("t", pattern)``, ``("optional", [patterns])``,
+        ``("filter", sql)``, ``("exists"/"notexists", group)``,
+        ``("minus", group)``, ``("union", [group, …])``,
+        ``("bind", var, sql)``, ``("values", rows)``."""
+        self.expect_op("{")
+        elements: list[tuple] = []
+        while True:
+            k, v = self.peek()
+            if (k, v) == ("OP", "}"):
+                self.i += 1
+                return elements
+            if k == "EOF":
+                raise SparqlParseError("unterminated group pattern")
+            if self.at_kw("OPTIONAL"):
+                self.i += 1
+                inner = self.parse_group()
+                pats = [e[1] for e in inner if e[0] == "t"]
+                if len(pats) != len(inner):
+                    raise SparqlParseError(
+                        "OPTIONAL blocks may contain only triple patterns "
+                        "in this subset"
+                    )
+                elements.append(("optional", pats))
+            elif self.at_kw("FILTER"):
+                self.i += 1
+                if self.at_kw("EXISTS"):
+                    self.i += 1
+                    elements.append(("exists", self.parse_group()))
+                elif self.at_kw("NOT"):
+                    self.i += 1
+                    self.expect_kw("EXISTS")
+                    elements.append(("notexists", self.parse_group()))
+                else:
+                    elements.append(("filter", self.parse_expr_parens()))
+            elif self.at_kw("MINUS"):
+                self.i += 1
+                elements.append(("minus", self.parse_group()))
+            elif self.at_kw("BIND"):
+                self.i += 1
+                self.expect_op("(")
+                expr = self.parse_expr(stop={("KW", "AS")})
+                self.expect_kw("AS")
+                k2, v2 = self.next()
+                if k2 != "VAR":
+                    raise SparqlParseError(f"BIND … AS expects a variable, got {v2!r}")
+                self.expect_op(")")
+                elements.append(("bind", v2[1:], expr))
+            elif self.at_kw("VALUES"):
+                self.i += 1
+                elements.append(("values", self.parse_values()))
+            elif self.at_kw("GRAPH", "SERVICE", "SELECT"):
+                raise SparqlParseError(
+                    f"{self.peek()[1].upper()} blocks are not in the subset"
+                )
+            elif (k, v) == ("OP", "{"):
+                branches = [self.parse_group()]
+                while self.at_kw("UNION"):
+                    self.i += 1
+                    branches.append(self.parse_group())
+                if len(branches) == 1:
+                    raise SparqlParseError(
+                        "bare nested group (no UNION): flatten it"
+                    )
+                elements.append(("union", branches))
+            else:
+                elements.extend(self.parse_triples_block())
+            if self.peek() == ("OP", "."):
+                self.i += 1
+        return elements
+
+    def parse_triples_block(self) -> list[tuple]:
+        """One subject with ``;``/``,`` lists → ``("t", pattern)`` items."""
+        subj = self.parse_term(as_pattern=True)
+        out = []
+        while True:
+            pred = self.parse_predicate()
+            while True:
+                obj = self.parse_term(as_pattern=True)
+                out.append(("t", (subj, pred, obj)))
+                if self.peek() == ("OP", ","):
+                    self.i += 1
+                    continue
+                break
+            if self.peek() == ("OP", ";"):
+                self.i += 1
+                if self.peek()[1] in ("}", "."):  # trailing ';'
+                    break
+                continue
+            break
+        return out
+
+    def parse_values(self) -> list[dict]:
+        vars_: list[str] = []
+        if self.peek() == ("OP", "("):
+            self.i += 1
+            while self.peek()[0] == "VAR":
+                vars_.append(self.next()[1][1:])
+            self.expect_op(")")
+        elif self.peek()[0] == "VAR":
+            vars_.append(self.next()[1][1:])
+        if not vars_:
+            raise SparqlParseError("VALUES needs at least one variable")
+        self.expect_op("{")
+        rows = []
+        while self.peek() != ("OP", "}"):
+            if len(vars_) == 1 and self.peek() != ("OP", "("):
+                if self.at_kw("UNDEF"):
+                    raise SparqlParseError("UNDEF in VALUES is not supported")
+                rows.append({vars_[0]: self.parse_term(as_pattern=False)})
+                continue
+            self.expect_op("(")
+            row = {}
+            for var in vars_:
+                if self.at_kw("UNDEF"):
+                    raise SparqlParseError("UNDEF in VALUES is not supported")
+                row[var] = self.parse_term(as_pattern=False)
+            self.expect_op(")")
+            rows.append(row)
+        self.i += 1
+        return rows
+
+    # ---- expressions → Spark SQL ----------------------------------------
+    _FUNCS = {
+        "STRLEN": ("length", 1),
+        "LCASE": ("lower", 1),
+        "UCASE": ("upper", 1),
+        "ABS": ("abs", 1),
+        "CONTAINS": ("contains", 2),
+        "STRSTARTS": ("startswith", 2),
+        "STRENDS": ("endswith", 2),
+        "SUBSTR": ("substring", (2, 3)),
+        "COALESCE": ("coalesce", None),
+        "CONCAT": ("concat", None),
+    }
+
+    def parse_expr_parens(self) -> str:
+        self.expect_op("(")
+        expr = self.parse_expr(stop={("OP", ")")})
+        self.expect_op(")")
+        return expr
+
+    def parse_expr(self, stop: set[tuple[str, str]]) -> str:
+        """Translate a SPARQL expression to a Spark SQL string, stopping
+        (without consuming) at any ``stop`` token at depth 0.  Token-level
+        transliteration with balanced parens — precedence is preserved
+        because every operator maps to an operator of the same SPARQL/SQL
+        precedence tier."""
+        parts: list[str] = []
+        depth = 0
+        while True:
+            k, v = self.peek()
+            if k == "EOF":
+                raise SparqlParseError("unterminated expression")
+            if depth == 0 and (
+                (k, v) in stop
+                or (k == "KW" and ("KW", v.upper()) in stop)
+            ):
+                break
+            self.i += 1
+            if (k, v) == ("OP", "("):
+                depth += 1
+                parts.append("(")
+            elif (k, v) == ("OP", ")"):
+                depth -= 1
+                if depth < 0:
+                    raise SparqlParseError("unbalanced ')' in expression")
+                parts.append(")")
+            elif k == "VAR":
+                parts.append(v[1:])
+            elif k == "STRING":
+                parts.append(_sql_str(_unescape(v)))
+            elif k == "NUM":
+                parts.append(v)
+            elif k == "IRI":
+                parts.append(_sql_str(v[1:-1]))
+            elif k == "PNAME":
+                parts.append(_sql_str(self._expand_pname(v)))
+            elif (k, v) == ("OP", "&&"):
+                parts.append("AND")
+            elif (k, v) == ("OP", "||"):
+                parts.append("OR")
+            elif (k, v) == ("OP", "!"):
+                parts.append("NOT")
+            elif (k, v) == ("OP", "!="):
+                parts.append("!=")
+            elif k == "OP" and v in ("<", "<=", ">", ">=", "=", "+", "-", "*", "/", ","):
+                parts.append(v)
+            elif k == "KW":
+                parts.append(self._expr_keyword(v))
+            else:
+                raise SparqlParseError(f"unexpected {v!r} in expression")
+        if depth != 0:
+            raise SparqlParseError("unbalanced '(' in expression")
+        if not parts:
+            raise SparqlParseError("empty expression")
+        return " ".join(parts)
+
+    def _expr_keyword(self, word: str) -> str:
+        up = word.upper()
+        if up in ("TRUE", "FALSE", "AND", "OR", "NOT", "IN", "IS", "NULL",
+                  "CASE", "WHEN", "THEN", "ELSE", "END", "LIKE", "RLIKE"):
+            return up
+        if up == "BOUND":
+            inner = self.parse_expr_parens()
+            return f"({inner} IS NOT NULL)"
+        if up == "REGEX":
+            self.expect_op("(")
+            arg = self.parse_expr(stop={("OP", ",")})
+            self.expect_op(",")
+            pat = self.parse_expr(stop={("OP", ")"), ("OP", ",")})
+            if self.peek() == ("OP", ","):
+                raise SparqlParseError("REGEX flags are not supported")
+            self.expect_op(")")
+            return f"({arg} RLIKE {pat})"
+        if up == "STR":
+            inner = self.parse_expr_parens()
+            return f"CAST({inner} AS STRING)"
+        if up == "IF":
+            self.expect_op("(")
+            c = self.parse_expr(stop={("OP", ",")})
+            self.expect_op(",")
+            t = self.parse_expr(stop={("OP", ",")})
+            self.expect_op(",")
+            e = self.parse_expr(stop={("OP", ")")})
+            self.expect_op(")")
+            return f"(CASE WHEN {c} THEN {t} ELSE {e} END)"
+        if up == "REPLACE":
+            self.expect_op("(")
+            a = self.parse_expr(stop={("OP", ",")})
+            self.expect_op(",")
+            b = self.parse_expr(stop={("OP", ",")})
+            self.expect_op(",")
+            c = self.parse_expr(stop={("OP", ")"), ("OP", ",")})
+            if self.peek() == ("OP", ","):
+                raise SparqlParseError("REPLACE flags are not supported")
+            self.expect_op(")")
+            return f"regexp_replace({a}, {b}, {c})"
+        if up in self._AGGS:
+            # aggregates appear in HAVING (and are re-parsed identically to
+            # the SELECT list, so HAVING(COUNT(?x) >= 2) matches its alias)
+            self.expect_op("(")
+            distinct = ""
+            if self.at_kw("DISTINCT"):
+                self.i += 1
+                distinct = "DISTINCT "
+            if self.peek() == ("OP", "*"):
+                self.i += 1
+                inner = "*"
+            else:
+                inner = self.parse_expr(stop={("OP", ")")})
+            self.expect_op(")")
+            return f"{up.lower()}({distinct}{inner})"
+        if up in self._FUNCS:
+            name, arity = self._FUNCS[up]
+            self.expect_op("(")
+            args = [self.parse_expr(stop={("OP", ","), ("OP", ")")})]
+            while self.peek() == ("OP", ","):
+                self.i += 1
+                args.append(self.parse_expr(stop={("OP", ","), ("OP", ")")}))
+            self.expect_op(")")
+            if arity is not None:
+                ok = (args and len(args) in arity) if isinstance(arity, tuple) \
+                    else len(args) == arity
+                if not ok:
+                    raise SparqlParseError(f"{up} takes {arity} arguments")
+            return f"{name}({', '.join(args)})"
+        raise SparqlParseError(f"function/keyword {word!r} is not in the subset")
+
+    # ---- aggregates ------------------------------------------------------
+    _AGGS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
+
+    def parse_select_items(self):
+        """``SELECT`` list → (plain_vars, aggregates{alias: sql}, star)."""
+        plain: list[str] = []
+        aggs: dict[str, str] = {}
+        star = False
+        while True:
+            k, v = self.peek()
+            if (k, v) == ("OP", "*"):
+                self.i += 1
+                star = True
+            elif k == "VAR":
+                self.i += 1
+                plain.append(v[1:])
+            elif (k, v) == ("OP", "("):
+                self.i += 1
+                sql = self._parse_aggregate()
+                self.expect_kw("AS")
+                k2, v2 = self.next()
+                if k2 != "VAR":
+                    raise SparqlParseError("aggregate alias must be a variable")
+                self.expect_op(")")
+                aggs[v2[1:]] = sql
+            else:
+                break
+        if not (plain or aggs or star):
+            raise SparqlParseError("empty SELECT list")
+        if star and (plain or aggs):
+            raise SparqlParseError("SELECT * cannot mix with other items")
+        return plain, aggs, star
+
+    def _parse_aggregate(self) -> str:
+        k, v = self.next()
+        if k != "KW" or v.upper() not in self._AGGS:
+            raise SparqlParseError(
+                f"expected aggregate ({'/'.join(self._AGGS)}), got {v!r}"
+            )
+        fn = v.upper()
+        self.expect_op("(")
+        distinct = ""
+        if self.at_kw("DISTINCT"):
+            self.i += 1
+            distinct = "DISTINCT "
+        if self.peek() == ("OP", "*"):
+            self.i += 1
+            inner = "*"
+            if distinct:
+                raise SparqlParseError("COUNT(DISTINCT *) is not supported")
+        else:
+            inner = self.parse_expr(stop={("OP", ")")})
+        self.expect_op(")")
+        return f"{fn.lower()}({distinct}{inner})"
+
+
+def _unescape(quoted: str) -> str:
+    body = quoted[1:-1]
+    return (
+        body.replace("\\\\", "\x00")
+        .replace('\\"', '"')
+        .replace("\\'", "'")
+        .replace("\\n", "\n")
+        .replace("\\t", "\t")
+        .replace("\x00", "\\")
+    )
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+# --------------------------------------------------------------------------
+# compilation: element list → DataFrame
+# --------------------------------------------------------------------------
+
+
+def _ground_to_probe(pattern: tuple, idx: int) -> tuple[tuple, str]:
+    """An all-constant pattern (legal SPARQL, e.g. in ASK) can't flow into
+    ``bgp_match`` (which requires ≥1 variable): rebind the object as a
+    helper variable constrained by an equality filter — same relation,
+    and the helper column is dropped after compilation."""
+    var = f"?__const{idx}"
+    rewritten = (*pattern[:2], var, *pattern[3:])
+    return rewritten, f"__const{idx} = {_sql_str(pattern[2])}"
+
+
+def _compile_group(
+    triples: DataFrame, elements: list[tuple], stats: dict[str, int] | None
+) -> DataFrame:
+    patterns = []
+    probe_filters = []
+    for e in elements:
+        if e[0] != "t":
+            continue
+        p = e[1]
+        if not any(isinstance(t, str) and t.startswith("?") for t in p):
+            p, flt = _ground_to_probe(p, len(probe_filters))
+            probe_filters.append(flt)
+        patterns.append(p)
+    optionals = [p for e in elements if e[0] == "optional" for p in e[1]]
+    solution: DataFrame | None = None
+    if patterns:
+        solution = bgp_match(
+            triples, patterns, select=None, optional=optionals or None, stats=stats
+        )
+        for flt in probe_filters:
+            solution = solution.filter(F.expr(flt))
+    elif optionals:
+        raise SparqlParseError("OPTIONAL with no required patterns in scope")
+
+    for e in elements:
+        if e[0] == "union":
+            branch = bgp_union(
+                *[_compile_group(triples, g, stats) for g in e[1]]
+            )
+            if solution is None:
+                solution = branch
+            else:
+                shared = sorted(
+                    set(solution.columns) & set(branch.columns)
+                )
+                if not shared:
+                    raise SparqlParseError(
+                        "UNION block shares no variable with the rest of "
+                        "the group (would be a cartesian product)"
+                    )
+                solution = solution.join(branch, on=shared)
+
+    if solution is None:
+        raise SparqlParseError("group pattern binds nothing")
+
+    # textual order for BIND (later binds may use earlier ones) and VALUES
+    for e in elements:
+        if e[0] == "bind":
+            solution = bgp_bind(solution, e[1], e[2])
+        elif e[0] == "values":
+            solution = bgp_values(solution, e[1])
+
+    # group-level scope: filters/EXISTS/MINUS after all joins (spec §8.3.3)
+    for e in elements:
+        if e[0] == "filter":
+            solution = solution.filter(F.expr(e[1]))
+        elif e[0] == "exists":
+            solution = bgp_exists(solution, _compile_group(triples, e[1], stats))
+        elif e[0] == "notexists":
+            other = _compile_group(triples, e[1], stats)
+            shared = sorted(set(solution.columns) & set(other.columns))
+            if not shared:
+                raise SparqlParseError(
+                    "FILTER NOT EXISTS shares no variable with the solution"
+                )
+            solution = solution.join(
+                other.select(*shared), on=shared, how="left_anti"
+            )
+        elif e[0] == "minus":
+            solution = bgp_minus(
+                solution, _compile_group(triples, e[1], stats)
+            )
+    helpers = [c for c in solution.columns if c.startswith("__const")]
+    return solution.drop(*helpers) if helpers else solution
+
+
+def sparql_query(
+    triples: DataFrame, text: str, *, stats: dict[str, int] | None = None
+) -> DataFrame:
+    """Run a SPARQL query string against a ``(subj, pred, obj[, graph])``
+    triples DataFrame.  SELECT returns one column per projected variable;
+    ASK returns one row ``(found boolean)``; CONSTRUCT returns a
+    ``(subj, pred, obj)`` graph.  See the module docstring for the
+    supported subset; anything outside it raises ``SparqlParseError``.
+    ``stats`` is ``bgp_match``'s predicate-cardinality map (one
+    ``curate.predicate_profile`` pass) for join ordering."""
+    p = _Parser(text)
+    while p.at_kw("PREFIX", "BASE"):
+        if p.at_kw("BASE"):
+            raise SparqlParseError("BASE is not supported — use absolute IRIs")
+        p.i += 1
+        k, v = p.next()
+        if k != "PNAME" or not v.endswith(":"):
+            raise SparqlParseError(f"PREFIX expects 'pfx:', got {v!r}")
+        k2, v2 = p.next()
+        if k2 != "IRI":
+            raise SparqlParseError(f"PREFIX expects an <IRI>, got {v2!r}")
+        p.prefixes[v[:-1]] = v2[1:-1]
+
+    if p.at_kw("ASK"):
+        p.i += 1
+        if p.at_kw("WHERE"):
+            p.i += 1
+        group = p.parse_group()
+        _expect_end(p)
+        return bgp_ask(_compile_group(triples, group, stats))
+
+    if p.at_kw("CONSTRUCT"):
+        p.i += 1
+        p.expect_op("{")
+        templates = []
+        while p.peek() != ("OP", "}"):
+            block = p.parse_triples_block()
+            templates.extend(t for _, t in block)
+            if p.peek() == ("OP", "."):
+                p.i += 1
+        p.i += 1
+        p.expect_kw("WHERE")
+        group = p.parse_group()
+        _expect_end(p)
+        return bgp_construct(_compile_group(triples, group, stats), templates)
+
+    p.expect_kw("SELECT")
+    distinct = False
+    if p.at_kw("DISTINCT"):
+        p.i += 1
+        distinct = True
+    elif p.at_kw("REDUCED"):
+        raise SparqlParseError("REDUCED is not supported (use DISTINCT)")
+    plain, aggs, star = p.parse_select_items()
+    if p.at_kw("WHERE"):
+        p.i += 1
+    group = p.parse_group()
+
+    group_by: list[str] = []
+    if p.at_kw("GROUP"):
+        p.i += 1
+        p.expect_kw("BY")
+        while p.peek()[0] == "VAR":
+            group_by.append(p.next()[1][1:])
+        if not group_by:
+            raise SparqlParseError("GROUP BY expects variables")
+    having = None
+    if p.at_kw("HAVING"):
+        p.i += 1
+        having = p.parse_expr_parens()
+    order_by: list = []
+    if p.at_kw("ORDER"):
+        p.i += 1
+        p.expect_kw("BY")
+        while True:
+            if p.at_kw("ASC", "DESC"):
+                direction = p.next()[1].lower()
+                p.expect_op("(")
+                k, v = p.next()
+                if k != "VAR":
+                    raise SparqlParseError("ORDER BY expects variables")
+                p.expect_op(")")
+                order_by.append((v[1:], direction))
+            elif p.peek()[0] == "VAR":
+                order_by.append(p.next()[1][1:])
+            else:
+                break
+        if not order_by:
+            raise SparqlParseError("empty ORDER BY")
+    limit = offset = None
+    # SPARQL allows LIMIT/OFFSET in either order
+    for _ in range(2):
+        if p.at_kw("LIMIT"):
+            p.i += 1
+            limit = _expect_int(p)
+        elif p.at_kw("OFFSET"):
+            p.i += 1
+            offset = _expect_int(p)
+    _expect_end(p)
+
+    solution = _compile_group(triples, group, stats)
+
+    if aggs or group_by:
+        if star:
+            raise SparqlParseError("SELECT * cannot be aggregated")
+        if having and not aggs:
+            raise SparqlParseError("HAVING without aggregates")
+        bad = [v for v in plain if v not in group_by]
+        if bad:
+            raise SparqlParseError(
+                f"non-grouped variables {bad} in an aggregate SELECT"
+            )
+        solution = bgp_aggregate(solution, group_by, aggs, having=having)
+        projected = (plain or group_by) + sorted(aggs)
+    elif star:
+        projected = sorted(solution.columns)
+    else:
+        missing = [v for v in plain if v not in solution.columns]
+        if missing:
+            raise SparqlParseError(f"SELECT variables {missing} are not bound")
+        projected = plain
+
+    out = solution.select(*projected)
+    if distinct:
+        out = out.distinct()
+    if limit is not None or offset is not None:
+        out = bgp_slice(out, order_by, limit=limit, offset=offset or 0)
+    elif order_by:
+        out = bgp_slice(out, order_by)
+    return out
+
+
+def _expect_int(p: _Parser) -> int:
+    k, v = p.next()
+    if k != "NUM" or not v.isdigit():
+        raise SparqlParseError(f"expected a non-negative integer, got {v!r}")
+    return int(v)
+
+
+def _expect_end(p: _Parser) -> None:
+    if p.peek()[0] != "EOF":
+        raise SparqlParseError(f"trailing input: {p.peek()[1]!r}")

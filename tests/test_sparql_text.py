@@ -1,0 +1,305 @@
+"""SPARQL text front-end (pipeline/sparql.py) over the BGP algebra."""
+
+import pytest
+
+from mopper_spark.pipeline.sparql import RDF_TYPE, SparqlParseError, sparql_query
+
+EX = "http://ex.com/"
+ONT = "http://ex.com/ont/"
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    t = lambda s, p, o: (EX + s, ONT + p, o)  # noqa: E731
+    rows = [
+        t("t1", "mentions", EX + "alice"),
+        t("t1", "inConv", EX + "c1"),
+        t("t2", "mentions", EX + "bob"),
+        t("t2", "inConv", EX + "c1"),
+        t("t3", "mentions", EX + "alice"),
+        t("t3", "inConv", EX + "c2"),
+        t("t1", "role", "user"),
+        t("t2", "role", "assistant"),
+        t("t3", "role", "user"),
+        (EX + "alice", RDF_TYPE, ONT + "Person"),
+        (EX + "bob", RDF_TYPE, ONT + "Person"),
+        (EX + "alice", ONT + "knows", EX + "bob"),
+        (EX + "bob", ONT + "knows", EX + "carol"),
+        (EX + "t1", ONT + "next", EX + "t2"),
+        (EX + "t2", ONT + "next", EX + "t3"),
+    ]
+    return spark.createDataFrame(rows, ["subj", "pred", "obj"])
+
+
+PFX = f"PREFIX ont: <{ONT}> PREFIX ex: <{EX}>\n"
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_select_basic_semicolon_and_prefix(graph):
+    out = sparql_query(
+        graph,
+        PFX
+        + """SELECT ?t ?e WHERE {
+              ?t ont:mentions ?e ; ont:inConv ex:c1 .
+            }""",
+    )
+    assert out.columns == ["t", "e"]
+    assert rows(out) == [(EX + "t1", EX + "alice"), (EX + "t2", EX + "bob")]
+
+
+def test_a_keyword_and_distinct(graph):
+    out = sparql_query(
+        graph, PFX + "SELECT DISTINCT ?x WHERE { ?x a ont:Person . }"
+    )
+    assert rows(out) == [(EX + "alice",), (EX + "bob",)]
+
+
+def test_filter_expressions(graph):
+    out = sparql_query(
+        graph,
+        PFX
+        + """SELECT ?t ?r WHERE {
+              ?t ont:role ?r .
+              FILTER(REGEX(?r, "^assist") || ?r = "user" && STRLEN(?r) < 3)
+            }""",
+    )
+    # operator precedence: || lower than && — only the regex arm matches
+    assert rows(out) == [(EX + "t2", "assistant")]
+
+
+def test_filter_strstarts_contains(graph):
+    out = sparql_query(
+        graph,
+        PFX
+        + """SELECT ?e WHERE {
+              ?t ont:mentions ?e .
+              FILTER(STRSTARTS(STR(?e), "http://ex.com/a") && CONTAINS(?e, "lic"))
+            }""",
+    )
+    assert rows(out) == [(EX + "alice",)] * 2
+
+
+def test_optional_yields_nulls(graph):
+    out = sparql_query(
+        graph,
+        PFX
+        + """SELECT ?e ?k WHERE {
+              ?t ont:mentions ?e .
+              OPTIONAL { ?e ont:knows ?k }
+            }""",
+    )
+    got = rows(out)
+    assert (EX + "alice", EX + "bob") in got
+    assert (EX + "bob", EX + "carol") in got
+
+
+def test_union_standalone(graph):
+    out = sparql_query(
+        graph,
+        PFX
+        + """SELECT ?x WHERE {
+              { ?x ont:role "user" } UNION { ?x ont:role "assistant" }
+            }""",
+    )
+    assert rows(out) == [(EX + "t1",), (EX + "t2",), (EX + "t3",)]
+
+
+def test_union_joined_with_rest(graph):
+    out = sparql_query(
+        graph,
+        PFX
+        + """SELECT ?t ?e WHERE {
+              ?t ont:mentions ?e .
+              { ?t ont:role "user" } UNION { ?t ont:role "assistant" }
+              FILTER(?e != ex:bob)
+            }""",
+    )
+    assert rows(out) == [(EX + "t1", EX + "alice"), (EX + "t3", EX + "alice")]
+
+
+def test_minus_and_not_exists_agree(graph):
+    q = """SELECT DISTINCT ?e WHERE {{
+             ?t ont:mentions ?e .
+             {clause}
+           }}"""
+    minus = sparql_query(
+        graph, PFX + q.format(clause="MINUS { ?e ont:knows ex:bob }")
+    )
+    nexists = sparql_query(
+        graph,
+        PFX + q.format(clause="FILTER NOT EXISTS { ?e ont:knows ex:bob }"),
+    )
+    assert rows(minus) == rows(nexists) == [(EX + "bob",)]
+
+
+def test_filter_exists(graph):
+    out = sparql_query(
+        graph,
+        PFX
+        + """SELECT DISTINCT ?e WHERE {
+              ?t ont:mentions ?e .
+              FILTER EXISTS { ?e ont:knows ?anyone }
+            }""",
+    )
+    assert rows(out) == [(EX + "alice",), (EX + "bob",)]
+
+
+def test_bind_and_values(graph):
+    out = sparql_query(
+        graph,
+        PFX
+        + """SELECT ?t ?who WHERE {
+              ?t ont:role ?r .
+              BIND(UCASE(?r) AS ?who)
+              VALUES ?r { "assistant" }
+            }""",
+    )
+    assert rows(out) == [(EX + "t2", "ASSISTANT")]
+
+
+def test_values_multi_var_rows(graph):
+    out = sparql_query(
+        graph,
+        PFX
+        + """SELECT ?t WHERE {
+              ?t ont:mentions ?e ; ont:inConv ?c .
+              VALUES (?e ?c) { (ex:alice ex:c1) (ex:bob ex:c1) }
+            }""",
+    )
+    assert rows(out) == [(EX + "t1",), (EX + "t2",)]
+
+
+def test_aggregate_group_having_order_limit(graph):
+    out = sparql_query(
+        graph,
+        PFX
+        + """SELECT ?c (COUNT(DISTINCT ?e) AS ?n) WHERE {
+              ?t ont:mentions ?e ; ont:inConv ?c .
+            } GROUP BY ?c HAVING(COUNT(DISTINCT ?e) >= 1)
+            ORDER BY DESC(?n) ?c LIMIT 2""",
+    )
+    assert out.columns == ["c", "n"]
+    assert rows(out) == [(EX + "c1", 2), (EX + "c2", 1)]
+
+
+def test_property_path_text_forms(graph):
+    # one-or-more closure
+    plus = sparql_query(
+        graph, PFX + "SELECT ?y WHERE { ex:t1 ont:next+ ?y . }"
+    )
+    assert rows(plus) == [(EX + "t2",), (EX + "t3",)]
+    # sequence + inverse
+    seq = sparql_query(
+        graph,
+        PFX + "SELECT ?c WHERE { ex:alice ^ont:mentions/ont:inConv ?c . }",
+    )
+    assert rows(seq) == [(EX + "c1",), (EX + "c2",)]
+    # alternation
+    alt = sparql_query(
+        graph,
+        PFX + 'SELECT ?o WHERE { ex:t2 (ont:role|ont:next) ?o . }',
+    )
+    assert rows(alt) == [("assistant",), (EX + "t3",)]
+    # bounded repetition
+    rep = sparql_query(
+        graph, PFX + "SELECT ?y WHERE { ex:t1 ont:next{2} ?y . }"
+    )
+    assert rows(rep) == [(EX + "t3",)]
+    # negated property set
+    nps = sparql_query(
+        graph,
+        PFX
+        + "SELECT ?o WHERE { ex:t1 !(ont:mentions|ont:role|ont:next) ?o . }",
+    )
+    assert rows(nps) == [(EX + "c1",)]
+
+
+def test_ask(graph):
+    yes = sparql_query(graph, PFX + "ASK { ex:alice ont:knows ex:bob }")
+    no = sparql_query(graph, PFX + "ASK { ex:bob ont:knows ex:alice }")
+    assert [r["found"] for r in yes.collect()] == [True]
+    assert [r["found"] for r in no.collect()] == [False]
+
+
+def test_construct(graph):
+    out = sparql_query(
+        graph,
+        PFX
+        + """CONSTRUCT { ?e ont:appearsIn ?c . ?c a ont:Conversation }
+            WHERE { ?t ont:mentions ?e ; ont:inConv ?c . }""",
+    )
+    got = rows(out)
+    assert (EX + "alice", ONT + "appearsIn", EX + "c1") in got
+    assert (EX + "c1", RDF_TYPE, ONT + "Conversation") in got
+    # graph semantics: distinct (alice appears in c1 once despite 1 turn)
+    assert len(got) == len(set(got))
+
+
+def test_matches_programmatic_api(graph):
+    from mopper_spark.pipeline.bgp import bgp_match
+
+    text = sparql_query(
+        graph,
+        PFX
+        + """SELECT ?conv ?e1 ?e2 WHERE {
+              ?t1 ont:mentions ?e1 . ?t1 ont:inConv ?conv .
+              ?t2 ont:mentions ?e2 . ?t2 ont:inConv ?conv .
+              FILTER(?e1 < ?e2)
+            }""",
+    ).distinct()
+    api = (
+        bgp_match(
+            graph,
+            [
+                ("?t1", ONT + "mentions", "?e1"),
+                ("?t1", ONT + "inConv", "?conv"),
+                ("?t2", ONT + "mentions", "?e2"),
+                ("?t2", ONT + "inConv", "?conv"),
+            ],
+            select=["conv", "e1", "e2"],
+        )
+        .filter("e1 < e2")
+        .distinct()
+    )
+    assert rows(text.select("conv", "e1", "e2")) == rows(api)
+
+
+@pytest.mark.parametrize(
+    "q,needle",
+    [
+        ("BASE <http://x/> SELECT ?x WHERE { ?x ?p ?o }", "BASE"),
+        (PFX + "SELECT ?x WHERE { GRAPH ?g { ?x ont:role ?r } }", "GRAPH"),
+        (PFX + "SELECT ?x WHERE { SELECT ?x WHERE { ?x ont:role ?r } }", "SELECT"),
+        (PFX + "SELECT ?x WHERE { VALUES ?x { UNDEF } ?x ont:role ?r }", "UNDEF"),
+        (PFX + 'SELECT ?x WHERE { ?x ont:role "u"^^ont:T }', "typed literals"),
+        (PFX + "SELECT * (COUNT(?x) AS ?n) WHERE { ?x ont:role ?r }", "mix"),
+        (PFX + "SELECT ?x WHERE { ?x ont:role ?r FILTER(NOW() > 3) }", "NOW"),
+        (PFX + "SELECT ?x WHERE { ?x ont:role ?r } OFFSET 2 LIMIT 1", "ORDER BY"),
+        (PFX + "SELECT ?nope WHERE { ?x ont:role ?r }", "nope"),
+        (PFX + "SELECT ?r (SUM(?x) AS ?s) WHERE { ?x ont:role ?r }", "non-grouped"),
+    ],
+)
+def test_refusals(graph, q, needle):
+    with pytest.raises(ValueError, match=needle):
+        sparql_query(graph, q).collect()
+
+
+def test_star_path_refused(graph):
+    with pytest.raises(
+        (ValueError, NotImplementedError),
+        match="materialize_star|zero-or-more|\\*",
+    ):
+        sparql_query(
+            graph, PFX + "SELECT ?y WHERE { ex:t1 ont:next* ?y . }"
+        ).collect()
+
+
+def test_select_star(graph):
+    out = sparql_query(
+        graph, PFX + 'SELECT * WHERE { ?t ont:role "user" . ?t ont:inConv ?c }'
+    )
+    assert out.columns == ["c", "t"]  # sorted variable order
+    assert len(out.collect()) == 2
