@@ -8758,6 +8758,130 @@ LIMIT 15
 """
 
 
+def _q_events_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the per-day event-count series
+    (textops/timeseries.py::autocorrelation) in exact n²-scaled BIGINTs —
+    the seasonality probe an events pipeline runs before picking rollup
+    grain.  Corpus-scale work is the one day-bucket aggregation; the ACF
+    itself runs over the tiny per-day series."""
+    from mopper_spark.textops.timeseries import autocorrelation, time_bucket
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    daily = ev.groupBy(time_bucket("ts", 86400).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    return autocorrelation(daily, "day", "x", max_lag=7)
+
+
+_SQL_EVENTS_AUTOCORR = """
+WITH daily AS MATERIALIZED (
+  SELECT epoch_us(ts) // 86400000000 AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), idx AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) AS idx, x FROM daily
+), g AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s FROM idx
+), c AS MATERIALIZED (
+  SELECT idx.idx, g.n * idx.x - g.s AS c FROM idx, g
+), den AS MATERIALIZED (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS den_scaled FROM c
+)
+SELECT CAST(b.idx - a.idx AS BIGINT) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(a.c * b.c) AS BIGINT) AS num_scaled,
+       den.den_scaled AS den_scaled
+FROM c a JOIN c b ON b.idx - a.idx BETWEEN 1 AND 7, den
+GROUP BY 1, den.den_scaled
+"""
+
+
+def _q_docs_quality_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability bins for the hashed-linear quality model
+    (textops/evaluation.py::calibration_bins): 10 equal-width bins over
+    the fixed-point mean feature weight, each with exact BIGINT doc /
+    positive-label / score-mass counts — AUC's companion audit (does a
+    high score MEAN a higher en-rate, bin by bin?)."""
+    from mopper_spark.textops.evaluation import calibration_bins
+    from mopper_spark.textops.quality_model import quality_scores
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    scored = quality_scores(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    return calibration_bins(
+        scored.withColumn("label", (F.col("lang") == "en").cast("int")),
+        n_bins=10,
+    )
+
+
+_SQL_DOCS_QUALITY_CALIBRATION = f"""
+WITH q AS MATERIALIZED ({_SQL_DOCS_QUALITY_MODEL}),
+j AS MATERIALIZED (
+  SELECT q.score_fp, q.n_features,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM q JOIN documents d USING (doc_id)
+  WHERE q.n_features > 0
+), m AS MATERIALIZED (
+  SELECT ((score_fp + 1000 * n_features) * 1000000) // n_features AS mean_fp,
+         pos
+  FROM j
+)
+SELECT CAST((mean_fp * 10) // 2000000001 AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(mean_fp) AS BIGINT) AS sum_mean_fp
+FROM m GROUP BY 1
+"""
+
+
+def _q_docs_rater_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's kappa (textops/evaluation.py::cohens_kappa) between two
+    independent binary quality raters — the hashed-linear model
+    (score_fp ≥ 0) and a length heuristic (n_chars ≥ 150) — as one
+    exact-integer row: full confusion counts plus the n²-scaled kappa
+    numerator/denominator.  The agreement audit a curation pipeline runs
+    before swapping a heuristic filter for a model."""
+    from mopper_spark.textops.evaluation import cohens_kappa
+    from mopper_spark.textops.quality_model import quality_scores
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    scored = quality_scores(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+    ).join(docs.select("doc_id", "n_chars"), "doc_id")
+    rated = scored.filter(F.col("n_features") > 0).select(
+        (F.col("score_fp") >= 0).cast("int").alias("model_pos"),
+        (F.col("n_chars") >= 150).cast("int").alias("length_pos"),
+    )
+    return cohens_kappa(rated, "model_pos", "length_pos")
+
+
+_SQL_DOCS_RATER_KAPPA = f"""
+WITH q AS MATERIALIZED ({_SQL_DOCS_QUALITY_MODEL}),
+r AS MATERIALIZED (
+  SELECT CASE WHEN q.score_fp >= 0 THEN 1 ELSE 0 END AS a,
+         CASE WHEN d.n_chars >= 150 THEN 1 ELSE 0 END AS b
+  FROM q JOIN documents d USING (doc_id)
+  WHERE q.n_features > 0
+), m AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM r
+)
+SELECT n, n11, n10, n01, n00,
+       CAST(n11 + n00 AS BIGINT) AS agree,
+       CAST((n11 + n10) * (n11 + n01)
+            + (n00 + n01) * (n00 + n10) AS BIGINT) AS pe_num,
+       CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
+            + (n00 + n01) * (n00 + n10)) AS BIGINT) AS kappa_num,
+       CAST(n * n - ((n11 + n10) * (n11 + n01)
+            + (n00 + n01) * (n00 + n10)) AS BIGINT) AS kappa_den
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -8938,6 +9062,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_diff": _q_kg_graph_diff,
         "kg_sparql_text": _q_kg_sparql_text,
         "kg_sparql_text_path_agg": _q_kg_sparql_text_path_agg,
+        "events_autocorr": _q_events_autocorr,
+        "docs_quality_calibration": _q_docs_quality_calibration,
+        "docs_rater_kappa": _q_docs_rater_kappa,
     }
 
 
@@ -9127,4 +9254,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_diff": _SQL_KG_GRAPH_DIFF,
         "kg_sparql_text": _SQL_KG_SPARQL_TEXT,
         "kg_sparql_text_path_agg": _SQL_KG_SPARQL_TEXT_PATH_AGG,
+        "events_autocorr": _SQL_EVENTS_AUTOCORR,
+        "docs_quality_calibration": _SQL_DOCS_QUALITY_CALIBRATION,
+        "docs_rater_kappa": _SQL_DOCS_RATER_KAPPA,
     }

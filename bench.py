@@ -77,6 +77,9 @@ HEADLINE = [
     "kg_graph_diff",
     "kg_sparql_text",
     "kg_sparql_text_path_agg",
+    "events_autocorr",
+    "docs_quality_calibration",
+    "docs_rater_kappa",
     "ivf_kmeans_step",
     "similarity_topk_ivf",
     "vocab_oov_rate",

@@ -259,3 +259,72 @@ def cusum_changepoint(
         F.col("b.ts").alias("cp_ts"),
         (-F.col("b.neg")).alias("s_abs"),
     )
+
+
+def autocorrelation(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation function (ACF) of an ordered series, lags
+    1..``max_lag``, in exact integer arithmetic: with n observations,
+    total ``S = Σx`` and mean ``x̄ = S/n``, the standard estimator
+
+        r_k = Σ_{t=1}^{n-k} (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+
+    is reported as the BIGINT pair scaled by n² (``n·x_t − S`` is
+    integral, so numerator·n² = Σ (n·x_t − S)(n·x_{t+k} − S) and
+    denominator·n² = Σ (n·x_t − S)² are exact) — one division at display
+    time, hash-exact everywhere else.  Overflow bound: |n·x − S| ≤ n·max|x|,
+    so the denominator fits int64 while n³·max|x|² < 2⁶³ (≈ a 100k-point
+    series of million-scale values) — ACF inputs are AGGREGATED series
+    (per-day counts, per-minute rates), so this holds by construction;
+    aggregate finer-grained data first rather than raising the scale.
+
+    Input is one row per series position (``order_col`` strictly
+    increasing-comparable, e.g. the day date; gaps are treated as
+    adjacent positions — gap_fill() first if calendar-lag semantics are
+    wanted).  Returns ``(lag, n_pairs, num_scaled, den_scaled)``.
+
+    Physical shape: the series is an AGGREGATE (tiny — one row per
+    bucket), so the row_number window over it is deliberately
+    single-partition; the lag pairing is one range self-join
+    (``0 < b.idx − a.idx ≤ max_lag``) followed by a combine-able
+    per-lag aggregation.  The upstream aggregation that produced the
+    series is where corpus-scale work happens.
+    """
+    w = Window.orderBy(F.col(order_col))
+    idx = series.select(
+        F.row_number().over(w).alias("idx"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    glob = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    centered = idx.crossJoin(F.broadcast(glob)).select(
+        "idx", (F.col("n") * F.col("x") - F.col("s")).alias("c"), "n", "s"
+    )
+    den = centered.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("den_scaled")
+    )
+    a, b = centered.alias("a"), centered.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.idx") - F.col("a.idx") > 0)
+        & (F.col("b.idx") - F.col("a.idx") <= max_lag),
+    ).select(
+        (F.col("b.idx") - F.col("a.idx")).cast("long").alias("lag"),
+        (F.col("a.c") * F.col("b.c")).alias("prod"),
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("prod").cast("long").alias("num_scaled"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select("lag", "n_pairs", "num_scaled", "den_scaled")
+    )

@@ -1,0 +1,145 @@
+"""Model-evaluation operators: calibration bins, Cohen's kappa
+(mopper_spark/textops/evaluation.py) and the exact-integer ACF
+(mopper_spark/textops/timeseries.py::autocorrelation).  Python-replica
+equalities on synthetic frames with known closed-form answers, plus
+partitioning-invariance for the aggregation-only operators."""
+
+from fractions import Fraction
+
+import pytest
+from pyspark.sql import functions as F
+
+from mopper_spark.textops.evaluation import calibration_bins, cohens_kappa
+from mopper_spark.textops.timeseries import autocorrelation
+
+
+class TestCalibrationBins:
+    def _replica(self, rows, n_bins=10, wmax=1000, scale=1_000_000):
+        span = 2 * wmax * scale + 1
+        bins = {}
+        for score_fp, n_features, label in rows:
+            if n_features <= 0:
+                continue
+            mean_fp = ((score_fp + wmax * n_features) * scale) // n_features
+            b = (mean_fp * n_bins) // span
+            n, p, s = bins.get(b, (0, 0, 0))
+            bins[b] = (n + 1, p + label, s + mean_fp)
+        return bins
+
+    def test_matches_replica(self, spark):
+        rows = [
+            (-900, 3, 1),   # mean -300 → low bin
+            (0, 5, 0),      # mean 0 → middle
+            (2500, 5, 1),   # mean 500
+            (999, 1, 1),    # near max mean
+            (-1000, 1, 0),  # exact min mean → bin 0
+            (0, 0, 1),      # zero features → excluded
+        ]
+        df = spark.createDataFrame(
+            rows, "score_fp long, n_features long, label int"
+        )
+        got = {
+            r["bin"]: (r["n_docs"], r["n_pos"], r["sum_mean_fp"])
+            for r in calibration_bins(df).collect()
+        }
+        assert got == self._replica(rows)
+
+    def test_min_mean_lands_in_bin_zero_max_in_last(self, spark):
+        df = spark.createDataFrame(
+            [(-1000, 1, 0), (1000, 1, 1)], "score_fp long, n_features long, label int"
+        )
+        got = sorted(r["bin"] for r in calibration_bins(df).collect())
+        assert got == [0, 9]
+
+    def test_partitioning_invariance(self, spark):
+        rows = [(i * 7 % 1500 - 700, 1 + i % 9, i % 2) for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "score_fp long, n_features long, label int"
+        )
+        one = {tuple(r) for r in calibration_bins(df.coalesce(1)).collect()}
+        many = {tuple(r) for r in calibration_bins(df.repartition(13)).collect()}
+        assert one == many == {
+            (b, n, p, s)
+            for b, (n, p, s) in self._replica(rows).items()
+        }
+
+
+class TestCohensKappa:
+    def test_known_confusion(self, spark):
+        # 20 both-pos, 5 A-only, 10 B-only, 15 both-neg (n=50)
+        rows = (
+            [(1, 1)] * 20 + [(1, 0)] * 5 + [(0, 1)] * 10 + [(0, 0)] * 15
+        )
+        df = spark.createDataFrame(rows, "a int, b int")
+        r = cohens_kappa(df, "a", "b").collect()[0]
+        assert (r["n"], r["n11"], r["n10"], r["n01"], r["n00"]) == (
+            50, 20, 5, 10, 15,
+        )
+        assert r["agree"] == 35
+        # po = 35/50, pe = (25*30 + 25*20)/2500 = 1250/2500
+        pe_num = 25 * 30 + 25 * 20
+        assert r["pe_num"] == pe_num
+        kappa = Fraction(50 * 35 - pe_num, 50 * 50 - pe_num)
+        assert Fraction(r["kappa_num"], r["kappa_den"]) == kappa
+        assert kappa == Fraction(2, 5)
+
+    def test_perfect_agreement_is_one(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1)] * 4 + [(0, 0)] * 6, "a int, b int"
+        )
+        r = cohens_kappa(df, "a", "b").collect()[0]
+        assert r["kappa_num"] == r["kappa_den"] != 0
+
+    def test_constant_raters_emit_zero_denominator(self, spark):
+        df = spark.createDataFrame([(1, 1)] * 5, "a int, b int")
+        r = cohens_kappa(df, "a", "b").collect()[0]
+        assert r["kappa_den"] == 0 and r["kappa_num"] == 0
+
+
+class TestAutocorrelation:
+    def _replica(self, xs, max_lag):
+        n, s = len(xs), sum(xs)
+        c = [n * x - s for x in xs]
+        den = sum(v * v for v in c)
+        out = {}
+        for k in range(1, max_lag + 1):
+            if k >= n:
+                break
+            out[k] = (
+                n - k,
+                sum(c[t] * c[t + k] for t in range(n - k)),
+                den,
+            )
+        return out
+
+    def test_matches_replica_and_alternating_sign(self, spark):
+        xs = [10, 2, 9, 1, 11, 3, 8, 2, 12, 1]  # strong period-2 series
+        df = spark.createDataFrame(
+            [(i, x) for i, x in enumerate(xs)], "pos long, x long"
+        )
+        got = {
+            r["lag"]: (r["n_pairs"], r["num_scaled"], r["den_scaled"])
+            for r in autocorrelation(df, "pos", "x", max_lag=3).collect()
+        }
+        rep = self._replica(xs, 3)
+        assert got == rep
+        assert got[1][1] < 0 < got[2][1]  # lag-1 anti, lag-2 positive
+
+    def test_constant_series_zero_everything(self, spark):
+        df = spark.createDataFrame(
+            [(i, 5) for i in range(6)], "pos long, x long"
+        )
+        for r in autocorrelation(df, "pos", "x", max_lag=2).collect():
+            assert r["num_scaled"] == 0 and r["den_scaled"] == 0
+
+    def test_gaps_in_order_col_are_adjacent_positions(self, spark):
+        # order values 0, 10, 20 — ACF must treat them as t=1,2,3
+        xs = [4, 7, 1]
+        df = spark.createDataFrame(
+            [(i * 10, x) for i, x in enumerate(xs)], "pos long, x long"
+        )
+        got = {
+            r["lag"]: (r["n_pairs"], r["num_scaled"], r["den_scaled"])
+            for r in autocorrelation(df, "pos", "x", max_lag=2).collect()
+        }
+        assert got == self._replica(xs, 2)
