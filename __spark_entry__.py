@@ -8882,6 +8882,89 @@ FROM m
 """
 
 
+def _q_graph_ktruss(spark: SparkSession, sf: str) -> DataFrame:
+    """4-truss decomposition (pipeline/graph.py::k_truss) of the doc-id
+    tree + div-3 chord + mod-3 clique fixture graph (the k_core fixture):
+    synchronous support peeling to the unique maximal subgraph where
+    every edge closes ≥ 2 triangles — the edge-density sharpening of
+    k-core.  Oracle replays the same peeling as a bounded CTE unroll
+    (extra rounds at the fixpoint are no-ops)."""
+    from mopper_spark.pipeline.graph import k_truss
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    e1 = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 2").cast("long").alias("b"),
+    )
+    e2 = docs.filter(F.col("doc_id") >= 3).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 3").cast("long").alias("b"),
+    )
+    ids = docs.filter(F.col("doc_id") < 30)
+    e3 = (
+        ids.select(F.col("doc_id").alias("a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("b")))
+        .filter("a < b AND (a + b) % 3 = 0")
+        .select(F.col("a").cast("long"), F.col("b").cast("long"))
+    )
+    return k_truss(e1.union(e2).union(e3), k=4)
+
+
+def _sql_ktruss(k: int, rounds: int) -> str:
+    """Unrolled-CTE DuckDB replay of k_truss over the k_core fixture
+    graph: each round enumerates triangles over the surviving canonical
+    edge set (id-ordered x<y<z three-way join — support counts are
+    orientation-independent, so the oracle needn't replicate the
+    degree-ordered physical strategy), counts per-edge support, and keeps
+    edges with support >= k-2.  All CTEs MATERIALIZED (the kmeans_train
+    lesson)."""
+    parts = [
+        """WITH e_raw AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id // 2 AS BIGINT) AS b
+  FROM documents WHERE doc_id >= 2
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 3 AS BIGINT)
+  FROM documents WHERE doc_id >= 3
+  UNION ALL
+  SELECT CAST(d1.doc_id AS BIGINT), CAST(d2.doc_id AS BIGINT)
+  FROM documents d1 JOIN documents d2
+    ON d1.doc_id < d2.doc_id AND (d1.doc_id + d2.doc_id) % 3 = 0
+  WHERE d1.doc_id < 30 AND d2.doc_id < 30
+), s0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM e_raw WHERE a <> b
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""", t{r} AS MATERIALIZED (
+  SELECT ab.u AS x, ab.v AS y, bc.v AS z
+  FROM s{p} ab JOIN s{p} bc ON bc.u = ab.v
+  JOIN s{p} ac ON ac.u = ab.u AND ac.v = bc.v
+), p{r} AS MATERIALIZED (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS supp FROM (
+    SELECT x AS u, y AS v FROM t{r}
+    UNION ALL SELECT y, z FROM t{r}
+    UNION ALL SELECT x, z FROM t{r}
+  ) GROUP BY u, v
+), s{r} AS MATERIALIZED (
+  SELECT s.u, s.v FROM s{p} s
+  JOIN p{r} p ON p.u = s.u AND p.v = s.v
+  WHERE p.supp >= {k - 2}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT s.u, s.v, p.supp
+FROM s{rounds} s JOIN p{rounds} p ON p.u = s.u AND p.v = s.v"""
+    )
+    return "".join(parts)
+
+
+_SQL_GRAPH_KTRUSS = _sql_ktruss(4, 8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -9065,6 +9148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_autocorr": _q_events_autocorr,
         "docs_quality_calibration": _q_docs_quality_calibration,
         "docs_rater_kappa": _q_docs_rater_kappa,
+        "graph_ktruss": _q_graph_ktruss,
     }
 
 
@@ -9257,4 +9341,5 @@ def oracle_sql() -> dict[str, str]:
         "events_autocorr": _SQL_EVENTS_AUTOCORR,
         "docs_quality_calibration": _SQL_DOCS_QUALITY_CALIBRATION,
         "docs_rater_kappa": _SQL_DOCS_RATER_KAPPA,
+        "graph_ktruss": _SQL_GRAPH_KTRUSS,
     }

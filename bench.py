@@ -80,6 +80,7 @@ HEADLINE = [
     "events_autocorr",
     "docs_quality_calibration",
     "docs_rater_kappa",
+    "graph_ktruss",
     "ivf_kmeans_step",
     "similarity_topk_ivf",
     "vocab_oov_rate",

@@ -767,3 +767,73 @@ class TestReciprocalRankFusion:
 
         with pytest.raises(ValueError):
             reciprocal_rank_fusion({})
+
+
+class TestKTruss:
+    def test_clique_survives_pendant_triangle_peels(self, spark):
+        """K5 is a 4-truss (every edge closes 3 triangles); a triangle
+        hanging off one K5 node peels (its edges close only 1), and the
+        removal CASCADES — the bridge edges die once the pendant goes."""
+        from mopper_spark.pipeline.graph import k_truss
+
+        k5 = [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]
+        pendant = [(5, 10), (5, 11), (10, 11)]
+        df = spark.createDataFrame(k5 + pendant, "a long, b long")
+        got = {(r.u, r.v, r.supp) for r in k_truss(df, k=4).collect()}
+        assert got == {(u, v, 3) for u, v in k5}
+
+    def test_truss_vs_core_on_hub_and_spoke(self, spark):
+        """Two triangles sharing a hub: every node is in the 2-core at
+        k=3-ish density, but NO edge closes 2 triangles — the 4-truss is
+        empty while the 4-clique sub-case survives."""
+        from mopper_spark.pipeline.graph import k_truss
+
+        bowtie = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3)]
+        df = spark.createDataFrame(bowtie, "a long, b long")
+        assert k_truss(df, k=4).count() == 0
+        # each bowtie edge closes exactly one triangle → 3-truss = all 6
+        got3 = {(r.u, r.v, r.supp) for r in k_truss(df, k=3).collect()}
+        assert got3 == {(min(a, b), max(a, b), 1) for a, b in bowtie}
+
+    def test_matches_python_peeling_replica(self, spark):
+        from itertools import combinations
+
+        from mopper_spark.pipeline.graph import k_truss
+
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in ((i, (i * 7 + 3) % 23) for i in range(60))
+                if a != b
+            }
+        )
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {(r.u, r.v, r.supp) for r in k_truss(df, k=3).collect()}
+
+        es = set(edges)
+        while True:
+            adj: dict[int, set[int]] = {}
+            for a, b in es:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            supp = {
+                (a, b): sum(1 for c in adj[a] & adj[b]) for a, b in es
+            }
+            dead = {e for e, s in supp.items() if s < 1}
+            if not dead:
+                break
+            es -= dead
+        assert got == {(a, b, supp[(a, b)]) for a, b in es}
+
+    def test_partitioning_invariance_and_validation(self, spark):
+        import pytest
+
+        from mopper_spark.pipeline.graph import k_truss
+
+        edges = [(i, (i * 5 + 1) % 17) for i in range(50) if i != (i * 5 + 1) % 17]
+        df = spark.createDataFrame(edges, "a long, b long")
+        one = {tuple(r) for r in k_truss(df.coalesce(1), k=3).collect()}
+        many = {tuple(r) for r in k_truss(df.repartition(16), k=3).collect()}
+        assert one == many
+        with pytest.raises(ValueError):
+            k_truss(df, k=2)
