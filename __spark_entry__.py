@@ -8965,6 +8965,37 @@ FROM s{rounds} s JOIN p{rounds} p ON p.u = s.u AND p.v = s.v"""
 _SQL_GRAPH_KTRUSS = _sql_ktruss(4, 8)
 
 
+def _q_transcripts_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """Privacy release-gate audit (textops/prepare.py::k_anonymity_audit):
+    k-anonymity (k=5) + l-diversity (l=2) equivalence classes over the
+    transcript corpus with QI = (role, tool, turn-decade) and conv_id as
+    the sensitive attribute — which QI combinations alone re-identify
+    their rows, and which leak their conversation even at k rows.  NULL
+    tool is a QI value like any other."""
+    from mopper_spark.textops.prepare import k_anonymity_audit
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    banded = tr.withColumn(
+        "turn_band", F.expr("turn_idx div 10").cast("long")
+    )
+    return k_anonymity_audit(
+        banded, ["role", "tool", "turn_band"], "conv_id", k=5
+    )
+
+
+_SQL_TRANSCRIPTS_K_ANONYMITY = f"""
+SELECT role, tool, CAST(turn_idx // 10 AS BIGINT) AS turn_band,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_sensitive,
+       CAST(CASE WHEN COUNT(*) >= 5 THEN 1 ELSE 0 END AS BIGINT)
+         AS k_anonymous,
+       CAST(CASE WHEN COUNT(DISTINCT conv_id) >= 2 THEN 1 ELSE 0 END
+         AS BIGINT) AS l_diverse
+FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+GROUP BY 1, 2, 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -9149,6 +9180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_calibration": _q_docs_quality_calibration,
         "docs_rater_kappa": _q_docs_rater_kappa,
         "graph_ktruss": _q_graph_ktruss,
+        "transcripts_k_anonymity": _q_transcripts_k_anonymity,
     }
 
 
@@ -9342,4 +9374,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_calibration": _SQL_DOCS_QUALITY_CALIBRATION,
         "docs_rater_kappa": _SQL_DOCS_RATER_KAPPA,
         "graph_ktruss": _SQL_GRAPH_KTRUSS,
+        "transcripts_k_anonymity": _SQL_TRANSCRIPTS_K_ANONYMITY,
     }

@@ -81,6 +81,7 @@ HEADLINE = [
     "docs_quality_calibration",
     "docs_rater_kappa",
     "graph_ktruss",
+    "transcripts_k_anonymity",
     "ivf_kmeans_step",
     "similarity_topk_ivf",
     "vocab_oov_rate",

@@ -417,3 +417,53 @@ def mixture_weights(
         "w_fp",
         (F.col("w_fp") / F.col("z_fp").cast("double")).alias("p"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive_col: str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over a quasi-identifier tuple
+    (Sweeney 2002; Machanavajjhala et al. 2007): group rows by the QI
+    columns and report, per equivalence class, the row count, the number
+    of DISTINCT sensitive values, and whether the class meets the
+    k-anonymity bar — the release-gate audit a transcript corpus runs
+    before publication (a class of < k rows means those rows' QI
+    combination alone re-identifies them; a class with one distinct
+    sensitive value leaks it even at k rows — homogeneity attack).
+
+    NULL is a QI value like any other (SQL GROUP BY semantics): an absent
+    ``tool`` column still partitions the population.
+
+    Returns the QI columns + ``(n_rows, n_sensitive, k_anonymous,
+    l_diverse)`` with the flags as exact 0/1 integers against ``k`` and
+    l = 2 respectively.
+
+    Scale shape: ONE combine-able aggregation keyed by the QI tuple
+    (count + count_distinct; map-side partial on the count, distinct via
+    the standard two-phase expand).  No self-join, no window — the audit
+    costs one pass at any corpus size.
+    """
+    if not quasi_identifiers:
+        raise ValueError("k_anonymity_audit: empty quasi_identifiers")
+    if k < 1:
+        raise ValueError("k_anonymity_audit: k must be >= 1")
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_identifiers])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col(sensitive_col)).cast("long").alias(
+                "n_sensitive"
+            ),
+        )
+        .select(
+            *quasi_identifiers,
+            "n_rows",
+            "n_sensitive",
+            (F.col("n_rows") >= k).cast("long").alias("k_anonymous"),
+            (F.col("n_sensitive") >= 2).cast("long").alias("l_diverse"),
+        )
+    )

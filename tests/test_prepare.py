@@ -253,3 +253,38 @@ def test_tool_transitions_partitioning_invariant(spark):
     a = sorted(map(tuple, tool_transitions(tr).collect()))
     b = sorted(map(tuple, tool_transitions(tr.repartition(13)).collect()))
     assert a == b and len(a) >= 4
+
+
+class TestKAnonymityAudit:
+    def test_classes_flags_and_null_qi(self, spark):
+        from mopper_spark.textops.prepare import k_anonymity_audit
+
+        rows = (
+            # class ("a", None): 5 rows, 2 convs → k-anon AND l-diverse
+            [("a", None, "c1")] * 3 + [("a", None, "c2")] * 2
+            # class ("a", "t"): 2 rows, 1 conv → neither
+            + [("a", "t", "c3")] * 2
+            # class ("b", "t"): 6 rows, 1 conv → k-anon, NOT l-diverse
+            + [("b", "t", "c4")] * 6
+        )
+        df = spark.createDataFrame(rows, "role string, tool string, conv string")
+        got = {
+            (r.role, r.tool): (r.n_rows, r.n_sensitive, r.k_anonymous, r.l_diverse)
+            for r in k_anonymity_audit(df, ["role", "tool"], "conv", k=5).collect()
+        }
+        assert got == {
+            ("a", None): (5, 2, 1, 1),
+            ("a", "t"): (2, 1, 0, 0),
+            ("b", "t"): (6, 1, 1, 0),
+        }
+
+    def test_validation(self, spark):
+        import pytest
+
+        from mopper_spark.textops.prepare import k_anonymity_audit
+
+        df = spark.createDataFrame([("a", "c")], "role string, conv string")
+        with pytest.raises(ValueError):
+            k_anonymity_audit(df, [], "conv")
+        with pytest.raises(ValueError):
+            k_anonymity_audit(df, ["role"], "conv", k=0)
