@@ -405,6 +405,22 @@ def _q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_dedup_minhash_oph(spark: SparkSession, sf: str) -> DataFrame:
+    """One-permutation-hashing minhash (textops/dedup.py::
+    make_oph_minhash_udf — Li/Owen/Zhang NIPS'12 + Shrivastava/Li
+    ICML'14 rotation densification): the same 32-wide signature as
+    dedup_minhash from ONE hash pass instead of 32 — the K× signature-
+    compute reduction for the 100 TB dedup job.  Same banding, same
+    exact-Jaccard verify, same exact all-pairs SQL oracle; OPH banding
+    recall is measured 1.0 on this fixture (RECALL_PINS entry)."""
+    from mopper_spark.textops.dedup import minhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return minhash_near_dup_pairs(docs, threshold=0.5, scheme="oph").select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 def _q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs; 8×8-bit bands GUARANTEE recall at hamming ≤ 6
     (pigeonhole) and the hamming filter is exact, so an all-pairs hamming
@@ -5799,6 +5815,13 @@ RECALL_PINS: dict[str, dict[str, object]] = {
         "test_minhash_banding_recall_is_total",
         "fixtures": ["/root/testdata/sf0.01/documents.parquet"],
     },
+    # same exact-Jaccard oracle, one-permutation-hashing signature path:
+    # the densified OPH bands must also find every qualifying pair
+    "dedup_minhash_oph": {
+        "test": "tests/test_textops.py::TestDedupScaleGuards::"
+        "test_oph_banding_recall_is_total",
+        "fixtures": ["/root/testdata/sf0.01/documents.parquet"],
+    },
     # cross-side variant of the dedup_minhash pin: the band PROBE of the
     # fresh shard against the corpus index must find every fresh×corpus
     # pair with exact Jaccard >= 0.5 (incl. the injected exact copies)
@@ -9181,6 +9204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_rater_kappa": _q_docs_rater_kappa,
         "graph_ktruss": _q_graph_ktruss,
         "transcripts_k_anonymity": _q_transcripts_k_anonymity,
+        "dedup_minhash_oph": _q_dedup_minhash_oph,
     }
 
 
@@ -9375,4 +9399,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_rater_kappa": _SQL_DOCS_RATER_KAPPA,
         "graph_ktruss": _SQL_GRAPH_KTRUSS,
         "transcripts_k_anonymity": _SQL_TRANSCRIPTS_K_ANONYMITY,
+        "dedup_minhash_oph": _SQL_DEDUP_MINHASH,
     }

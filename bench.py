@@ -82,6 +82,7 @@ HEADLINE = [
     "docs_rater_kappa",
     "graph_ktruss",
     "transcripts_k_anonymity",
+    "dedup_minhash_oph",
     "ivf_kmeans_step",
     "similarity_topk_ivf",
     "vocab_oov_rate",

@@ -136,6 +136,25 @@ class TestDedupScaleGuards:
         }
         assert exact == lsh
 
+    def test_oph_banding_recall_is_total(self, spark):
+        """Same pinning for dedup_minhash_oph: the one-permutation-hashing
+        signature path (densified bins, one hash pass) must also find
+        every exact word-3-shingle-Jaccard ≥ 0.5 pair on the gate
+        fixture, or the shared exact-Jaccard SQL is not an equality
+        oracle for it."""
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        exact = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+        }
+        oph = {
+            (r.id_a, r.id_b)
+            for r in minhash_near_dup_pairs(
+                docs, threshold=0.5, scheme="oph"
+            ).collect()
+        }
+        assert exact == oph
+
     def test_embedding_banding_recall_is_total(self, spark):
         """Same pinning for dedup_embedding: banded hyperplane LSH at the
         gate parameters (2 planes × 24 bands, threshold 0.4) must find every
@@ -1754,3 +1773,59 @@ class TestAssociationRules:
         got = {(r.ant, r.cons) for r in
                association_rules(df, "basket", "item", min_support=2).collect()}
         assert got == {("a", "b"), ("b", "a")}
+
+
+class TestOphMinhash:
+    """One-permutation-hashing signature kernel: determinism, densification
+    invariants, estimator sanity, scheme validation."""
+
+    def _sigs(self, spark, rows):
+        from mopper_spark.textops.dedup import make_oph_minhash_udf
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        udf = make_oph_minhash_udf(32)
+        return {
+            r.doc_id: tuple(r.s)
+            for r in df.select("doc_id", udf("text").alias("s")).collect()
+        }
+
+    def test_identical_texts_identical_signatures(self, spark):
+        t = "the quick brown fox jumps over the lazy dog again and again"
+        sigs = self._sigs(spark, [(0, t), (1, t)])
+        assert sigs[0] == sigs[1]
+        assert len(sigs[0]) == 32
+
+    def test_short_doc_densifies_deterministically(self, spark):
+        # 4 tokens → 2 word-3-shingles → at most 2 non-empty bins; the
+        # other 30 are rotation borrows.  Signature must be identical
+        # across partitionings (pure function of the text).
+        t = "alpha beta gamma delta"
+        a = self._sigs(spark, [(0, t)])
+        b = self._sigs(spark, [(1, t), (2, "unrelated filler words here")])
+        assert a[0] == b[1]
+        from mopper_spark.textops.dedup import _MERSENNE
+
+        direct_max = _MERSENNE // 32
+        n_direct = sum(1 for v in a[0] if v <= direct_max)
+        assert 1 <= n_direct <= 2  # everything else is an offset borrow
+
+    def test_estimator_tracks_jaccard(self, spark):
+        base = " ".join(f"tok{i}" for i in range(60))
+        near = " ".join(f"tok{i}" for i in range(58)) + " other words"
+        far = " ".join(f"zzz{i}" for i in range(60))
+        sigs = self._sigs(spark, [(0, base), (1, near), (2, far)])
+        match_near = sum(a == b for a, b in zip(sigs[0], sigs[1]))
+        match_far = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+        assert match_near >= 20  # J ≈ 0.9 → expect ~29/32
+        assert match_far <= 4
+
+    def test_empty_text_and_unknown_scheme(self, spark):
+        from mopper_spark.textops.dedup import minhash_band_table
+
+        sigs = self._sigs(spark, [(0, ""), (1, None)])
+        assert sigs[0] == sigs[1] == tuple([0] * 32)
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        import pytest
+
+        with pytest.raises(ValueError):
+            minhash_band_table(df, scheme="nope")
