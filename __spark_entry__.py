@@ -8988,6 +8988,40 @@ FROM s{rounds} s JOIN p{rounds} p ON p.u = s.u AND p.v = s.v"""
 _SQL_GRAPH_KTRUSS = _sql_ktruss(4, 8)
 
 
+def _q_stream_heavy_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ε-heavy-hitter tokens (streaming.py::heavy_hitters_stream,
+    k=300): the corpus token stream arrives as a 4-micro-batch file
+    stream; each batch's exact counts fold into the ≤ k-entry Misra-Gries
+    counter state (versioned parquet, replay-idempotent), then the
+    drained candidate set is finalized with exact counts and the exact
+    n/301 threshold.  MG candidate recall is total under ANY merge order
+    (the Agarwal et al. mergeability bound — a guarantee, not a fixture
+    measurement), so the result equals the batch docs_heavy_tokens and
+    the full-GROUP-BY SQL is an equality oracle."""
+    from mopper_spark.streaming import (
+        heavy_hitters_from_state,
+        heavy_hitters_stream,
+    )
+
+    root = _scratch_root("stream_mg")
+    src, state, ck = (os.path.join(root, d) for d in ("src", "state", "ck"))
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "").repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = heavy_hitters_stream(stream, state, ck, k=300)
+    q.awaitTermination(300)
+    return heavy_hitters_from_state(
+        spark, state, spark.read.parquet(src), "tok", k=300
+    )
+
+
 def _q_transcripts_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     """Privacy release-gate audit (textops/prepare.py::k_anonymity_audit):
     k-anonymity (k=5) + l-diversity (l=2) equivalence classes over the
@@ -9205,6 +9239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": _q_graph_ktruss,
         "transcripts_k_anonymity": _q_transcripts_k_anonymity,
         "dedup_minhash_oph": _q_dedup_minhash_oph,
+        "stream_heavy_tokens": _q_stream_heavy_tokens,
     }
 
 
@@ -9400,4 +9435,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_ktruss": _SQL_GRAPH_KTRUSS,
         "transcripts_k_anonymity": _SQL_TRANSCRIPTS_K_ANONYMITY,
         "dedup_minhash_oph": _SQL_DEDUP_MINHASH,
+        "stream_heavy_tokens": _SQL_HEAVY_TOKENS,
     }

@@ -83,6 +83,7 @@ HEADLINE = [
     "graph_ktruss",
     "transcripts_k_anonymity",
     "dedup_minhash_oph",
+    "stream_heavy_tokens",
     "ivf_kmeans_step",
     "similarity_topk_ivf",
     "vocab_oov_rate",

@@ -463,3 +463,149 @@ def read_hll_registers(spark, state_dir: str) -> DataFrame:
     with open(os.path.join(state_dir, "_LATEST")) as fh:
         v = fh.read().strip()
     return spark.read.parquet(os.path.join(state_dir, v))
+
+
+def process_mg_batch(
+    batch_df: DataFrame, batch_id: int, state_dir: str, k: int
+) -> None:
+    """One micro-batch of the streaming Misra-Gries heavy-hitter sketch:
+    fold the batch's exact value counts into the ≤ k-entry counter state,
+    then trim with the batched MG rule (subtract the (k+1)-largest count
+    from all counters, drop non-positive — the same rule as the batch
+    sketch's ``sketches._mg_partition``).  MG summaries are MERGEABLE
+    (Agarwal et al. PODS'12): any merge sequence undercounts each value
+    by at most n/(k+1), so every true ε-heavy hitter survives REGARDLESS
+    of batch order — the order-insensitivity that makes the drained
+    candidate set safe to finalize with one exact counting pass.
+
+    State per version: ``counters`` (≤ k rows of (value, cnt)) and
+    ``meta`` (one row: exact n_total of non-null stream values, for the
+    final threshold).  Versioned-parquet + ``_LATEST``-pointer-last
+    idempotence, replay short-circuit, and eager ``localCheckpoint``
+    before overwrite — the ``process_hll_batch`` discipline.
+
+    The (k+1)-th-largest cut and the batch total are driver scalars by
+    design: MG state is O(k) and meta is one row — nothing corpus-sized
+    crosses to the driver.
+    """
+    import os
+
+    spark = batch_df.sparkSession
+    version = f"v{batch_id:06d}"
+    latest_path = os.path.join(state_dir, "_LATEST")
+
+    try:
+        with open(latest_path) as fh:
+            if fh.read().strip() == version:
+                return  # replayed batch already fully applied
+    except FileNotFoundError:
+        pass
+
+    def read_latest():
+        try:
+            with open(latest_path) as fh:
+                v = fh.read().strip()
+        except FileNotFoundError:
+            empty = spark.createDataFrame([], "value string, cnt long")
+            return empty, 0
+        base = os.path.join(state_dir, v)
+        counters = spark.read.parquet(os.path.join(base, "counters"))
+        n_total = spark.read.parquet(os.path.join(base, "meta")).first()[
+            "n_total"
+        ]
+        return counters, n_total
+
+    col = batch_df.columns[-1]
+    vals = batch_df.select(F.col(col).cast("string").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    batch_counts = vals.groupBy("value").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    n_batch = vals.count()
+    prev, n_prev = read_latest()
+    merged = (
+        prev.unionByName(batch_counts)
+        .groupBy("value")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    if merged.count() > k:
+        cut = (
+            merged.orderBy(F.desc("cnt"), F.asc("value"))
+            .limit(k + 1)
+            .agg(F.min("cnt"))
+            .first()[0]
+        )
+        merged = (
+            merged.select("value", (F.col("cnt") - F.lit(cut)).alias("cnt"))
+            .filter(F.col("cnt") > 0)
+            .localCheckpoint(eager=True)
+        )
+    base = os.path.join(state_dir, version)
+    merged.write.mode("overwrite").parquet(os.path.join(base, "counters"))
+    spark.createDataFrame(
+        [(int(n_prev) + int(n_batch),)], "n_total long"
+    ).write.mode("overwrite").parquet(os.path.join(base, "meta"))
+    tmp = latest_path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(version)
+    os.replace(tmp, latest_path)
+
+
+def heavy_hitters_stream(
+    value_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = 500,
+):
+    """Streaming ε-heavy-hitter sketch (ε = 1/(k+1)): fold each
+    micro-batch into the bounded Misra-Gries counter state via
+    ``foreachBatch`` (the trim is a cross-key operation, so per-key state
+    tools don't apply — the ``hll_distinct_stream`` reasoning).  The LAST
+    column of ``value_stream`` is the sketched value.  After the stream
+    drains, ``heavy_hitters_from_state`` finalizes candidates with exact
+    counts — output identical to the batch ``sketches.heavy_hitters``
+    over the same (unordered) value multiset, because MG candidate
+    recall is total under any merge order."""
+    import os
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def process(bdf: DataFrame, bid: int) -> None:
+        process_mg_batch(bdf, bid, state_dir, k)
+
+    return (
+        value_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def heavy_hitters_from_state(
+    spark, state_dir: str, values: DataFrame, col: str, k: int
+) -> DataFrame:
+    """Finalize the drained MG stream: exact counts of the ≤ k surviving
+    candidates over ``values`` (the archived stream content), thresholded
+    at the meta table's exact n_total — ``(value, freq)``, the batch
+    ``heavy_hitters`` contract.  One broadcast semi-probe + one
+    aggregation; candidates and meta are O(k) and one row."""
+    import os
+
+    with open(os.path.join(state_dir, "_LATEST")) as fh:
+        v = fh.read().strip()
+    base = os.path.join(state_dir, v)
+    candidates = spark.read.parquet(os.path.join(base, "counters")).select(
+        "value"
+    )
+    n_total = spark.read.parquet(os.path.join(base, "meta")).first()["n_total"]
+    vals = values.select(F.col(col).cast("string").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    exact = (
+        vals.join(F.broadcast(candidates), "value")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return exact.filter(F.col("freq") * (k + 1) > F.lit(int(n_total)))

@@ -446,3 +446,90 @@ class TestHllStream:
                 process_hll_batch(b, bid, st)
             states.append(sorted(map(tuple, read_hll_registers(spark, st).collect())))
         assert states[0] == states[1]
+
+
+class TestHeavyHittersStream:
+    def test_stream_equals_batch_and_replay_idempotent(self, spark, tmp_path):
+        """MG candidate recall is total under any merge order, so the
+        finalized stream output == batch heavy_hitters; a replayed
+        micro-batch (same batch_id) is a no-op; state stays ≤ k rows."""
+        import os
+
+        from mopper_spark.streaming import (
+            heavy_hitters_from_state,
+            process_mg_batch,
+        )
+        from mopper_spark.textops.sketches import heavy_hitters
+
+        # skewed stream: value h0 dominates, long uniform tail
+        vals = spark.range(4000).selectExpr(
+            "CASE WHEN id % 4 < 2 THEN 'h0' ELSE concat('t', id % 900) END AS v"
+        )
+        state = str(tmp_path / "state")
+        os.makedirs(state)
+        k = 10
+        for bid, pred in enumerate(["id % 3 = 0", "id % 3 = 1", "id % 3 = 2"]):
+            b = spark.range(4000).filter(pred).selectExpr(
+                "CASE WHEN id % 4 < 2 THEN 'h0' ELSE concat('t', id % 900) END AS v"
+            )
+            process_mg_batch(b, bid, state, k)
+        with open(os.path.join(state, "_LATEST")) as fh:
+            v = fh.read().strip()
+        counters = spark.read.parquet(os.path.join(state, v, "counters"))
+        assert counters.count() <= k
+        n_total = spark.read.parquet(os.path.join(state, v, "meta")).first()[
+            "n_total"
+        ]
+        assert n_total == 4000
+
+        before = sorted(map(tuple, counters.collect()))
+        process_mg_batch(
+            spark.range(4000).filter("id % 3 = 2").selectExpr(
+                "CASE WHEN id % 4 < 2 THEN 'h0' ELSE concat('t', id % 900) END AS v"
+            ),
+            2, state, k,
+        )
+        counters2 = spark.read.parquet(os.path.join(state, v, "counters"))
+        assert sorted(map(tuple, counters2.collect())) == before
+
+        got = sorted(
+            map(tuple, heavy_hitters_from_state(spark, state, vals, "v", k).collect())
+        )
+        exp = sorted(map(tuple, heavy_hitters(vals, "v", k=k).collect()))
+        assert got == exp == [("h0", 2000)]
+
+    def test_order_insensitive_final_output(self, spark, tmp_path):
+        """Intermediate counter SETS may differ with batch order (the trim
+        is order-dependent) but the FINALIZED output may not — recall of
+        every true heavy hitter is the mergeability guarantee."""
+        import os
+
+        from mopper_spark.streaming import (
+            heavy_hitters_from_state,
+            process_mg_batch,
+        )
+
+        expr = (
+            "CASE WHEN id % 5 = 0 THEN 'a' WHEN id % 5 = 1 THEN 'b' "
+            "ELSE concat('z', id % 300) END AS v"
+        )
+        vals = spark.range(3000).selectExpr(expr)
+        slices = ["id % 3 = 0", "id % 3 = 1", "id % 3 = 2"]
+        outs = []
+        for i, order in enumerate((slices, slices[::-1])):
+            st = str(tmp_path / f"s{i}")
+            os.makedirs(st)
+            for bid, pred in enumerate(order):
+                process_mg_batch(
+                    spark.range(3000).filter(pred).selectExpr(expr), bid, st, 6
+                )
+            outs.append(
+                sorted(
+                    map(
+                        tuple,
+                        heavy_hitters_from_state(spark, st, vals, "v", 6).collect(),
+                    )
+                )
+            )
+        assert outs[0] == outs[1]
+        assert {v for v, _ in outs[0]} == {"a", "b"}
