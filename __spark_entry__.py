@@ -9053,6 +9053,138 @@ GROUP BY 1, 2, 3
 """
 
 
+def _q_kg_distmult_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """DistMult margin-ranking evaluation (pipeline/embedding.py::
+    distmult_margin_eval — Yang et al. ICLR'15 bilinear-diagonal scorer)
+    over the same extracted KG, hash embeddings, and deterministic
+    negatives as kg_transe_eval: hinge = max(0, margin + s_neg − s_pos),
+    positives should score HIGHER (the sign-flipped twin of TransE's
+    distance).  Every md5 coordinate and every int64 triple product
+    recomputed hex-for-hex by the oracle."""
+    from mopper_spark.pipeline.embedding import distmult_margin_eval
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = extract_triples(tr).unionByName(mention_triples(extract_mentions(tr)))
+    return distmult_margin_eval(kg.select("subj", "pred", "obj"))
+
+
+_SQL_KG_DISTMULT = f"""
+WITH neg AS ({_SQL_KG_NEGATIVE_SAMPLES}),
+scores AS (
+  SELECT pred,
+    CAST(list_sum(list_transform(range(0, 16), i ->
+      {_emb_sql("emb-v1/e", "subj")} * {_emb_sql("emb-v1/r", "pred")}
+        * {_emb_sql("emb-v1/e", "obj")})) AS BIGINT) AS s_pos,
+    CAST(list_sum(list_transform(range(0, 16), i ->
+      {_emb_sql("emb-v1/e", "subj")} * {_emb_sql("emb-v1/r", "pred")}
+        * {_emb_sql("emb-v1/e", "neg_obj")})) AS BIGINT) AS s_neg
+  FROM neg
+),
+hinges AS (
+  SELECT pred, GREATEST(0, 1000000 + s_neg - s_pos) AS hinge FROM scores
+)
+SELECT pred,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN hinge > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       CAST(SUM(hinge) AS BIGINT) AS total_hinge
+FROM hinges GROUP BY pred
+"""
+
+
+def _q_docs_token_chi2(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square token selection (textops/analysis.py::token_chi2,
+    Yang & Pedersen ICML'97): top-30 tokens whose document-level presence
+    most discriminates the lang='en' label — exact BIGINT contingency
+    cells, χ² as ONE fixed-parenthesization double expression over them
+    (the rate_anomaly determinism discipline)."""
+    from mopper_spark.textops.analysis import token_chi2
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return token_chi2(docs, "text", F.col("lang") == "en", top_k=30, min_df=5)
+
+
+_SQL_DOCS_TOKEN_CHI2 = r"""
+WITH toks AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         unnest(list_distinct(list_filter(
+           string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS token
+  FROM documents
+), per_tok AS (
+  SELECT token, CAST(SUM(y) AS BIGINT) AS a,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS b
+  FROM toks GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n0
+  FROM documents
+), j AS (
+  SELECT token, a + b AS df_t, a, b, n1 - a AS c, n0 - b AS d,
+         n1 + n0 AS n
+  FROM per_tok, tot
+)
+SELECT token, CAST(df_t AS BIGINT) AS df_t, a, b,
+  (CAST(n AS DOUBLE)
+   * ((CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+       - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+      * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+         - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))))
+  / ((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE))
+     * (CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE))) AS chi2
+FROM j
+WHERE df_t >= 5 AND c + d > 0 AND a + c > 0 AND b + d > 0
+ORDER BY chi2 DESC, token ASC LIMIT 30
+"""
+
+
+def _q_events_trend_ols(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type OLS trend (textops/timeseries.py::group_trend_ols)
+    over the per-day count series: slope and intercept as exact BIGINT
+    rationals — "is this event type growing?" with no float summation
+    order-sensitivity.  Corpus-scale work is the one day-bucket
+    aggregation; the regression runs over the tiny per-type series."""
+    from mopper_spark.textops.timeseries import group_trend_ols, time_bucket
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    daily = ev.groupBy(
+        "event_type", time_bucket("ts", 86400).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return group_trend_ols(daily, "event_type", "day", "y")
+
+
+_SQL_EVENTS_TREND_OLS = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), pos AS MATERIALIZED (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS x,
+         y
+  FROM daily
+), agg AS MATERIALIZED (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pos GROUP BY event_type
+)
+SELECT event_type, n,
+  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+  CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS BIGINT)
+    AS icept_num,
+  CAST(n * (n * sxx - sx * sx) AS BIGINT) AS icept_den
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -9240,6 +9372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_k_anonymity": _q_transcripts_k_anonymity,
         "dedup_minhash_oph": _q_dedup_minhash_oph,
         "stream_heavy_tokens": _q_stream_heavy_tokens,
+        "kg_distmult_eval": _q_kg_distmult_eval,
+        "docs_token_chi2": _q_docs_token_chi2,
+        "events_trend_ols": _q_events_trend_ols,
     }
 
 
@@ -9436,4 +9571,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_k_anonymity": _SQL_TRANSCRIPTS_K_ANONYMITY,
         "dedup_minhash_oph": _SQL_DEDUP_MINHASH,
         "stream_heavy_tokens": _SQL_HEAVY_TOKENS,
+        "kg_distmult_eval": _SQL_KG_DISTMULT,
+        "docs_token_chi2": _SQL_DOCS_TOKEN_CHI2,
+        "events_trend_ols": _SQL_EVENTS_TREND_OLS,
     }

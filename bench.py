@@ -84,6 +84,9 @@ HEADLINE = [
     "transcripts_k_anonymity",
     "dedup_minhash_oph",
     "stream_heavy_tokens",
+    "kg_distmult_eval",
+    "docs_token_chi2",
+    "events_trend_ols",
     "ivf_kmeans_step",
     "similarity_topk_ivf",
     "vocab_oov_rate",

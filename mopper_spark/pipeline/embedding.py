@@ -131,3 +131,70 @@ def transe_margin_eval(
         F.sum((F.col("hinge") > 0).cast("long")).cast("long").alias("n_violations"),
         F.sum("hinge").cast("long").alias("total_hinge"),
     )
+
+
+def distmult_score(
+    subj: Column,
+    pred: Column,
+    obj: Column,
+    *,
+    dim: int = 16,
+    seed: str = "emb-v1",
+    scale: int = 1000,
+) -> Column:
+    """DistMult bilinear-diagonal score Σᵢ e_s[i]·r_p[i]·e_o[i] (Yang et
+    al., ICLR'15) with the same hash-initialized integer embeddings as
+    ``transe_distance`` — exact int64 (|coord| ≤ scale, so the sum is
+    bounded by dim·scale³ ≈ 1.6e10 at the defaults).  DistMult scores
+    SYMMETRIC in (s, o) by construction — the known expressiveness limit
+    vs TransE's translation — which is exactly why an eval harness wants
+    both scorers over the same negatives."""
+    es = hash_embedding(subj, dim=dim, seed=seed + "/e", scale=scale)
+    rp = hash_embedding(pred, dim=dim, seed=seed + "/r", scale=scale)
+    eo = hash_embedding(obj, dim=dim, seed=seed + "/e", scale=scale)
+    prod = F.zip_with(
+        F.zip_with(es, rp, lambda x, y: x * y), eo, lambda xy, z: xy * z
+    )
+    return F.aggregate(prod, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def distmult_margin_eval(
+    triples: DataFrame,
+    *,
+    n_per: int = 2,
+    margin: int = 1_000_000,
+    dim: int = 16,
+    seed: str = "emb-v1",
+    scale: int = 1000,
+    neg_seed: str = "neg-v1",
+) -> DataFrame:
+    """Margin-ranking evaluation per predicate with the DistMult scorer:
+    positives should score HIGHER, so hinge = max(0, margin + s_neg −
+    s_pos) — the sign-flipped twin of ``transe_margin_eval`` (TransE is a
+    distance, DistMult a similarity).  Same negative sampler, same exact
+    int64 outputs ``(pred, n_pairs, n_violations, total_hinge)``, same
+    one-narrow-pass + one-aggregation plan shape."""
+    from mopper_spark.pipeline.curate import negative_samples
+
+    pairs = negative_samples(triples, n_per=n_per, seed=neg_seed)
+    kw = dict(dim=dim, seed=seed, scale=scale)
+    scored = pairs.select(
+        "pred",
+        distmult_score(F.col("subj"), F.col("pred"), F.col("obj"), **kw).alias(
+            "s_pos"
+        ),
+        distmult_score(
+            F.col("subj"), F.col("pred"), F.col("neg_obj"), **kw
+        ).alias("s_neg"),
+    ).withColumn(
+        "hinge",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.lit(margin) + F.col("s_neg") - F.col("s_pos"),
+        ),
+    )
+    return scored.groupBy("pred").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum((F.col("hinge") > 0).cast("long")).cast("long").alias("n_violations"),
+        F.sum("hinge").cast("long").alias("total_hinge"),
+    )

@@ -838,3 +838,97 @@ def rank_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+def token_chi2(
+    df: DataFrame,
+    text_col: str,
+    label_col,
+    *,
+    top_k: int = 30,
+    min_df: int = 5,
+) -> DataFrame:
+    """Chi-square feature selection over document-level token PRESENCE
+    (Yang & Pedersen ICML'97): per token, the 2×2 contingency of
+    (document contains token) × (binary label), scored with the classic
+    χ² = n·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) — which tokens most
+    discriminate the label, the first stage of any interpretable
+    classifier or corpus-drift audit.
+
+    All contingency cells are EXACT BIGINTs; χ² is one double expression
+    over them with a fixed parenthesization (the ``rate_anomaly``
+    discipline — deterministic IEEE evaluation, engine-identical).
+    Degenerate margins (a+b, c+d, a+c or b+d zero) are excluded — χ² is
+    undefined there, and such tokens carry no signal by definition.
+    ``min_df`` prunes rare tokens (χ² is unreliable under ~5 expected
+    counts, the standard guidance).
+
+    Returns top-``top_k`` by (χ² desc, token asc): ``(token, df_t, a, b,
+    chi2)`` where ``a``/``b`` split the token's document frequency by
+    label.
+
+    Scale shape: distinct-(doc, token) explode → ONE token-keyed
+    aggregation (map-side combine) → one-row label totals broadcast back
+    → TakeOrdered top-k.  No self-join, no window.
+    """
+    base = df.select(
+        label_col.cast("long").alias("y"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+                )
+            )
+        ).alias("token"),
+    )
+    per_tok = base.groupBy("token").agg(
+        F.sum("y").cast("long").alias("a"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("b"),
+    )
+    totals = df.agg(
+        F.sum(label_col.cast("long")).cast("long").alias("n1"),
+        F.sum(1 - label_col.cast("long")).cast("long").alias("n0"),
+    )
+    j = per_tok.crossJoin(F.broadcast(totals)).select(
+        "token",
+        (F.col("a") + F.col("b")).alias("df_t"),
+        "a",
+        "b",
+        (F.col("n1") - F.col("a")).alias("c"),
+        (F.col("n0") - F.col("b")).alias("d"),
+        (F.col("n1") + F.col("n0")).alias("n"),
+    )
+    chi2 = (
+        F.col("n").cast("double")
+        * (
+            (
+                F.col("a").cast("double") * F.col("d").cast("double")
+                - F.col("b").cast("double") * F.col("c").cast("double")
+            )
+            * (
+                F.col("a").cast("double") * F.col("d").cast("double")
+                - F.col("b").cast("double") * F.col("c").cast("double")
+            )
+        )
+        / (
+            (
+                (F.col("a") + F.col("b")).cast("double")
+                * (F.col("c") + F.col("d")).cast("double")
+            )
+            * (
+                (F.col("a") + F.col("c")).cast("double")
+                * (F.col("b") + F.col("d")).cast("double")
+            )
+        )
+    )
+    return (
+        j.filter(
+            (F.col("df_t") >= min_df)
+            & (F.col("c") + F.col("d") > 0)
+            & (F.col("a") + F.col("c") > 0)
+            & (F.col("b") + F.col("d") > 0)
+        )
+        .select("token", "df_t", "a", "b", chi2.alias("chi2"))
+        .orderBy(F.desc("chi2"), F.asc("token"))
+        .limit(top_k)
+    )

@@ -328,3 +328,56 @@ def autocorrelation(
         .crossJoin(F.broadcast(den))
         .select("lag", "n_pairs", "num_scaled", "den_scaled")
     )
+
+
+def group_trend_ols(
+    series: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend over (x = 1-based position in
+    ``order_col`` order, y = value), in exact integer rationals:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy·slope_den − slope_num·Σx) / (n·slope_den)
+
+    reported as the BIGINT pairs ``(slope_num, slope_den)`` and
+    ``(icept_num, icept_den)`` — the per-entity drift detector ("is this
+    event type growing?") with none of float summation's order
+    sensitivity.  Overflow bound: Σxy ≤ n²·max|y|, so slope_num fits
+    int64 while n³·max|y| < 2⁶³ — and like the ACF, the input is an
+    AGGREGATED series (per-day counts per key), so n is grid-sized.
+
+    Single-point keys get slope_den = 0 (undefined trend) — emitted, not
+    masked, the ``cohens_kappa`` convention.
+
+    Returns ``(key, n, slope_num, slope_den, icept_num, icept_den)``.
+    Physical shape: one per-key row_number window (series are per-key
+    aggregates — small, spillable) + one combine-able aggregation.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col))
+    pos = series.select(
+        F.col(key_col).alias("key"),
+        F.row_number().over(w).cast("long").alias("x"),
+        F.col(value_col).cast("long").alias("y"),
+    )
+    agg = pos.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope_den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        F.col("key").alias(key_col),
+        "n",
+        slope_num.cast("long").alias("slope_num"),
+        slope_den.cast("long").alias("slope_den"),
+        (F.col("sy") * slope_den - slope_num * F.col("sx"))
+        .cast("long")
+        .alias("icept_num"),
+        (F.col("n") * slope_den).cast("long").alias("icept_den"),
+    )

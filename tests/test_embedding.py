@@ -101,3 +101,67 @@ class TestMarginEval:
             .toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _py_distmult(s: str, p: str, o: str) -> int:
+    es, rp, eo = (
+        _py_emb("emb-v1/e", s),
+        _py_emb("emb-v1/r", p),
+        _py_emb("emb-v1/e", o),
+    )
+    return sum(a * b * c for a, b, c in zip(es, rp, eo))
+
+
+class TestDistMult:
+    def test_score_matches_python_replica(self, spark):
+        from mopper_spark.pipeline.embedding import distmult_score
+
+        df = spark.createDataFrame(
+            [("ent:a", "rel:p", "ent:b")], "s string, p string, o string"
+        )
+        got = df.select(
+            distmult_score(F.col("s"), F.col("p"), F.col("o")).alias("sc")
+        ).collect()[0]["sc"]
+        assert got == _py_distmult("ent:a", "rel:p", "ent:b")
+
+    def test_symmetry_in_subject_object(self, spark):
+        """DistMult's known expressiveness limit — score(s,p,o) ==
+        score(o,p,s) — holds by construction (shared entity namespace,
+        elementwise product commutes)."""
+        from mopper_spark.pipeline.embedding import distmult_score
+
+        df = spark.createDataFrame(
+            [("ent:a", "rel:p", "ent:b"), ("ent:b", "rel:p", "ent:a")],
+            "s string, p string, o string",
+        )
+        got = [
+            r["sc"]
+            for r in df.select(
+                distmult_score(F.col("s"), F.col("p"), F.col("o")).alias("sc")
+            ).collect()
+        ]
+        assert got[0] == got[1]
+
+    def test_margin_eval_replica_and_invariance(self, triples):
+        from mopper_spark.pipeline.curate import negative_samples
+        from mopper_spark.pipeline.embedding import distmult_margin_eval
+
+        one = {
+            tuple(r)
+            for r in distmult_margin_eval(triples.coalesce(1)).collect()
+        }
+        many = {
+            tuple(r)
+            for r in distmult_margin_eval(triples.repartition(8)).collect()
+        }
+        assert one == many and one
+
+        pairs = negative_samples(triples, n_per=2, seed="neg-v1").collect()
+        agg = {}
+        for r in pairs:
+            s_pos = _py_distmult(r.subj, r.pred, r.obj)
+            s_neg = _py_distmult(r.subj, r.pred, r.neg_obj)
+            hinge = max(0, 1_000_000 + s_neg - s_pos)
+            n, v, t = agg.get(r.pred, (0, 0, 0))
+            agg[r.pred] = (n + 1, v + (hinge > 0), t + hinge)
+        assert one == {(p, n, v, t) for p, (n, v, t) in agg.items()}

@@ -143,3 +143,83 @@ class TestAutocorrelation:
             for r in autocorrelation(df, "pos", "x", max_lag=2).collect()
         }
         assert got == self._replica(xs, 2)
+
+
+class TestTokenChi2:
+    def test_replica_and_degenerate_exclusion(self, spark):
+        from mopper_spark.textops.analysis import token_chi2
+
+        # 'pos' appears only in label-1 docs, 'neg' only in label-0,
+        # 'both' everywhere (zero signal), 'rare' under min_df
+        rows = (
+            [(1, "pos both filler%d" % i) for i in range(6)]
+            + [(0, "neg both filler%d" % i) for i in range(6)]
+            + [(1, "rare both"), (0, "both x")]
+        )
+        df = spark.createDataFrame(rows, "y int, text string")
+        got = {
+            r.token: (r.df_t, r.a, r.b, r.chi2)
+            for r in token_chi2(
+                df, "text", F.col("y") == 1, top_k=50, min_df=5
+            ).collect()
+        }
+        assert "rare" not in got            # min_df prune
+        assert "both" not in got            # c+d == 0 → degenerate margin
+        n, n1, n0 = 14, 7, 7
+        for tok, (a, b) in (("pos", (6, 0)), ("neg", (0, 6))):
+            c, d = n1 - a, n0 - b
+            chi2 = (
+                n * ((a * d - b * c) * (a * d - b * c))
+                / ((a + b) * (c + d) * (a + c) * (b + d))
+            )
+            assert got[tok][:3] == (6, a, b)
+            assert abs(got[tok][3] - chi2) < 1e-9
+        assert got["pos"][3] == got["neg"][3] > 0
+
+    def test_top_k_order_is_deterministic(self, spark):
+        from mopper_spark.textops.analysis import token_chi2
+
+        rows = [(i % 2, f"t{i % 7} u{i % 5} w") for i in range(40)]
+        df = spark.createDataFrame(rows, "y int, text string")
+        a = [tuple(r) for r in token_chi2(df.coalesce(1), "text", F.col("y") == 1, top_k=5, min_df=1).collect()]
+        b = [tuple(r) for r in token_chi2(df.repartition(9), "text", F.col("y") == 1, top_k=5, min_df=1).collect()]
+        assert a == b and len(a) == 5
+
+
+class TestGroupTrendOls:
+    def test_perfect_line_and_constant(self, spark):
+        from fractions import Fraction
+
+        from mopper_spark.textops.timeseries import group_trend_ols
+
+        rows = (
+            # key 'up': y = 3x + 2 exactly
+            [("up", i, 3 * i + 2) for i in range(1, 8)]
+            # key 'flat': constant 9
+            + [("flat", i, 9) for i in range(1, 5)]
+            # key 'one': a single point → undefined slope (den 0)
+            + [("one", 1, 42)]
+        )
+        # order col deliberately != position: x must be the RANK
+        df = spark.createDataFrame(
+            [(k, o * 10, y) for k, o, y in rows], "k string, o long, y long"
+        )
+        got = {
+            r.k: (r.n, r.slope_num, r.slope_den, r.icept_num, r.icept_den)
+            for r in group_trend_ols(df, "k", "o", "y").collect()
+        }
+        assert got["up"][0] == 7
+        assert Fraction(got["up"][1], got["up"][2]) == 3
+        assert Fraction(got["up"][3], got["up"][4]) == 2
+        assert got["flat"][1] == 0
+        assert Fraction(got["flat"][3], got["flat"][4]) == 9
+        assert got["one"][0] == 1 and got["one"][2] == 0
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.timeseries import group_trend_ols
+
+        rows = [(f"k{i % 3}", i, (i * 7) % 11) for i in range(60)]
+        df = spark.createDataFrame(rows, "k string, o long, y long")
+        one = {tuple(r) for r in group_trend_ols(df.coalesce(1), "k", "o", "y").collect()}
+        many = {tuple(r) for r in group_trend_ols(df.repartition(13), "k", "o", "y").collect()}
+        assert one == many
