@@ -9185,6 +9185,116 @@ FROM agg
 """
 
 
+def _q_graph_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman modularity (pipeline/graph.py::modularity) of the 3-round
+    LPA assignment over the doc-id tree + div-3 chord + mod-3 clique
+    fixture graph (the k_core/k_truss graph — it HAS community structure,
+    unlike the near-complete mention graph where LPA correctly collapses
+    to one label and Q = 0).  Per community: exact BIGINT intra-edge
+    count, degree sum, and the (2m)²-scaled contribution q_num over the
+    shared q_den.  Edges are canonicalized BEFORE LPA — the tree and
+    chord relations overlap (e.g. 3→1 is both doc div 2 and doc div 3),
+    and label_propagation counts multi-edges multiply by contract.
+    Oracle unrolls the same 3 synchronous argmax rounds in SQL."""
+    from mopper_spark.pipeline.graph import label_propagation, modularity
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    e1 = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 2").cast("long").alias("b"),
+    )
+    e2 = docs.filter(F.col("doc_id") >= 3).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 3").cast("long").alias("b"),
+    )
+    ids = docs.filter(F.col("doc_id") < 30)
+    e3 = (
+        ids.select(F.col("doc_id").alias("a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("b")))
+        .filter("a < b AND (a + b) % 3 = 0")
+        .select(F.col("a").cast("long"), F.col("b").cast("long"))
+    )
+    edges = (
+        e1.union(e2)
+        .union(e3)
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    comm = label_propagation(edges, a="u", b="v", rounds=3)
+    return modularity(edges, comm, a="u", b="v")
+
+
+def _sql_graph_modularity(rounds: int) -> str:
+    """Unrolled-CTE replay: the k_core fixture graph, ``rounds`` rounds of
+    synchronous LPA (argmax neighbor label, count desc / label asc —
+    QUALIFY row_number replays the engine's min(struct) argmax), then the
+    Newman closed form Q·(2m)² = Σ_c [4·m·m_c − d_c²]."""
+    parts = [
+        """WITH e_raw AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id // 2 AS BIGINT) AS b
+  FROM documents WHERE doc_id >= 2
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 3 AS BIGINT)
+  FROM documents WHERE doc_id >= 3
+  UNION ALL
+  SELECT CAST(d1.doc_id AS BIGINT), CAST(d2.doc_id AS BIGINT)
+  FROM documents d1 JOIN documents d2
+    ON d1.doc_id < d2.doc_id AND (d1.doc_id + d2.doc_id) % 3 = 0
+  WHERE d1.doc_id < 30 AND d2.doc_id < 30
+), s0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM e_raw WHERE a <> b
+), sym AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM s0 UNION ALL SELECT v, u FROM s0
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS label FROM sym
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", l{r} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT sym.dst AS node, l.label, COUNT(*) AS cnt
+    FROM sym JOIN l{r - 1} l ON l.node = sym.src
+    GROUP BY sym.dst, l.label
+  ) QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY node ORDER BY cnt DESC, label ASC) = 1
+)"""
+        )
+    parts.append(
+        f""", deg AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM s0 UNION ALL SELECT v FROM s0
+  ) GROUP BY node
+), mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM s0),
+lab AS MATERIALIZED (
+  SELECT cu.label AS lu, cv.label AS lv
+  FROM s0 e JOIN l{rounds} cu ON cu.node = e.u
+  JOIN l{rounds} cv ON cv.node = e.v
+), intra AS (
+  SELECT lu AS community, CAST(COUNT(*) AS BIGINT) AS m_intra
+  FROM lab WHERE lu = lv GROUP BY lu
+), dsum AS (
+  SELECT c.label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d.d) AS BIGINT) AS d_c
+  FROM l{rounds} c JOIN deg d ON d.node = c.node GROUP BY c.label
+)
+SELECT ds.community, ds.n_nodes,
+       CAST(COALESCE(i.m_intra, 0) AS BIGINT) AS m_intra, ds.d_c,
+       CAST(4 * mm.m * COALESCE(i.m_intra, 0) - ds.d_c * ds.d_c AS BIGINT)
+         AS q_num,
+       CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
+FROM dsum ds LEFT JOIN intra i ON i.community = ds.community, mm"""
+    )
+    return "".join(parts)
+
+
+_SQL_GRAPH_MODULARITY = _sql_graph_modularity(3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -9375,6 +9485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_distmult_eval": _q_kg_distmult_eval,
         "docs_token_chi2": _q_docs_token_chi2,
         "events_trend_ols": _q_events_trend_ols,
+        "graph_modularity": _q_graph_modularity,
     }
 
 
@@ -9574,4 +9685,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_distmult_eval": _SQL_KG_DISTMULT,
         "docs_token_chi2": _SQL_DOCS_TOKEN_CHI2,
         "events_trend_ols": _SQL_EVENTS_TREND_OLS,
+        "graph_modularity": _SQL_GRAPH_MODULARITY,
     }

@@ -87,6 +87,7 @@ HEADLINE = [
     "kg_distmult_eval",
     "docs_token_chi2",
     "events_trend_ols",
+    "graph_modularity",
     "ivf_kmeans_step",
     "similarity_topk_ivf",
     "vocab_oov_rate",

@@ -1203,3 +1203,83 @@ def random_walks(
             frontier.select("walk_id", F.lit(t).cast("int").alias("step"), "node")
         )
     return out
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    *,
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity of a community assignment, per community, in
+    exact integers (Newman & Girvan 2004): for undirected simple edges
+    with m total edges, community intra-edge count m_c and degree sum
+    d_c,
+
+        Q = Σ_c [ m_c/m − (d_c/(2m))² ]  ⇒  Q·(2m)² = Σ_c [4·m·m_c − d_c²]
+
+    so each community's contribution is the BIGINT ``q_num = 4·m·m_c −
+    d_c²`` over the shared denominator ``q_den = (2m)²`` — the quality
+    score that tells you whether the LPA labels actually found structure
+    (Q near 0 = no better than random given the degree sequence).
+
+    Nodes present in ``edges`` but absent from ``communities`` are a
+    caller error and surface as dropped edges in the inner join — pass
+    the assignment produced over the same edge set
+    (``label_propagation``).
+
+    Returns ``(community, n_nodes, m_intra, d_c, q_num, q_den)``.
+
+    Physical shape: canonicalize edges, ONE degree aggregation, two
+    label joins (community table is node-sized; broadcast when small),
+    two combine-able per-label aggregations, one-row edge total
+    broadcast back.  No self-join, no window, no iteration.
+    """
+    e = _canonical_edges(edges, a, b)
+    comm = communities.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("label")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    mm = e.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    lab = (
+        e.join(comm.withColumnRenamed("node", "u").withColumnRenamed("label", "lu"), "u")
+        .join(comm.withColumnRenamed("node", "v").withColumnRenamed("label", "lv"), "v")
+    )
+    intra = (
+        lab.filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("m_intra"))
+    )
+    dsum = (
+        comm.join(deg, "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("d_c"),
+        )
+    )
+    return (
+        dsum.join(intra, "community", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("m_intra"), F.lit(0)).cast("long").alias("m_intra"),
+            "d_c",
+            (
+                F.lit(4) * F.col("m") * F.coalesce(F.col("m_intra"), F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            )
+            .cast("long")
+            .alias("q_num"),
+            (F.lit(4) * F.col("m") * F.col("m")).cast("long").alias("q_den"),
+        )
+    )

@@ -837,3 +837,54 @@ class TestKTruss:
         assert one == many
         with pytest.raises(ValueError):
             k_truss(df, k=2)
+
+
+class TestModularity:
+    def test_two_cliques_closed_form(self, spark):
+        """Two K4s joined by one bridge: LPA (3 rounds) labels each clique
+        uniformly; modularity matches the hand-computed closed form and
+        is strongly positive."""
+        from mopper_spark.pipeline.graph import label_propagation, modularity
+
+        k4a = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+        k4b = [(i, j) for i in range(11, 15) for j in range(i + 1, 15)]
+        edges = k4a + k4b + [(4, 11)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        comm = label_propagation(df, rounds=3)
+        got = {
+            r.community: (r.n_nodes, r.m_intra, r.d_c, r.q_num, r.q_den)
+            for r in modularity(df, comm).collect()
+        }
+        assert len(got) == 2
+        m = 13  # 6 + 6 + 1 edges
+        for n_nodes, m_intra, d_c, q_num, q_den in got.values():
+            assert n_nodes == 4 and m_intra == 6
+            assert d_c == 13  # 4 nodes × deg 3 + the bridge endpoint's +1
+            assert q_num == 4 * m * m_intra - d_c * d_c
+            assert q_den == 4 * m * m
+            assert q_num > 0
+        # total Q = Σ q_num / q_den ≈ 0.46 — strong structure
+        assert sum(v[3] for v in got.values()) / (4 * m * m) > 0.4
+
+    def test_single_community_is_zero(self, spark):
+        """All nodes in one community ⇒ Q = 0 exactly (m_c = m, d_c = 2m)."""
+        from mopper_spark.pipeline.graph import modularity
+
+        edges = [(1, 2), (2, 3), (3, 1), (3, 4)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        comm = spark.createDataFrame(
+            [(i, 0) for i in range(1, 5)], "node long, label long"
+        )
+        rows = modularity(df, comm).collect()
+        assert len(rows) == 1 and rows[0].q_num == 0
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.pipeline.graph import label_propagation, modularity
+
+        edges = [(i, (i * 7 + 3) % 23) for i in range(60) if i != (i * 7 + 3) % 23]
+        df = spark.createDataFrame(edges, "a long, b long")
+        comm1 = label_propagation(df.coalesce(1), rounds=3)
+        comm2 = label_propagation(df.repartition(16), rounds=3)
+        one = {tuple(r) for r in modularity(df.coalesce(1), comm1).collect()}
+        many = {tuple(r) for r in modularity(df.repartition(16), comm2).collect()}
+        assert one == many
