@@ -9295,6 +9295,59 @@ FROM dsum ds LEFT JOIN intra i ON i.community = ds.community, mm"""
 _SQL_GRAPH_MODULARITY = _sql_graph_modularity(3)
 
 
+def _q_docs_pareto_front(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D Pareto front (textops/olap.py::pareto_front_2d) over documents
+    maximizing (n_chars, quality mean_fp) jointly — the multi-criteria
+    selection primitive: no other document is at least as long AND at
+    least as well-scored with one strict.  The engine computes M>(x) via
+    bucketed prefix maxima (no single-partition data sort); the oracle
+    uses the plain global window, which is what makes the bucketing
+    independently checkable."""
+    from mopper_spark.textops.olap import pareto_front_2d
+    from mopper_spark.textops.quality_model import quality_scores
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    scored = (
+        quality_scores(docs.repartition(spark.sparkContext.defaultParallelism))
+        .filter(F.col("n_features") > 0)
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr(
+                "((score_fp + 1000 * n_features) * 1000000) div n_features"
+            )
+            .cast("long")
+            .alias("mean_fp"),
+        )
+    )
+    return pareto_front_2d(scored, "n_chars", "mean_fp")
+
+
+_SQL_DOCS_PARETO_FRONT = f"""
+WITH q AS MATERIALIZED ({_SQL_DOCS_QUALITY_MODEL}),
+pts AS MATERIALIZED (
+  SELECT q.doc_id, d.n_chars,
+         ((q.score_fp + 1000 * q.n_features) * 1000000) // q.n_features
+           AS mean_fp
+  FROM q JOIN documents d USING (doc_id)
+  WHERE q.n_features > 0
+), g AS MATERIALIZED (
+  SELECT n_chars AS x, CAST(MAX(mean_fp) AS BIGINT) AS gy
+  FROM pts GROUP BY n_chars
+), m AS MATERIALIZED (
+  SELECT x, gy,
+         MAX(gy) OVER (ORDER BY x DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS mgt
+  FROM g
+)
+SELECT p.doc_id, p.n_chars, CAST(p.mean_fp AS BIGINT) AS mean_fp
+FROM pts p JOIN m ON m.x = p.n_chars
+WHERE p.mean_fp = m.gy AND (m.mgt IS NULL OR p.mean_fp > m.mgt)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -9486,6 +9539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_chi2": _q_docs_token_chi2,
         "events_trend_ols": _q_events_trend_ols,
         "graph_modularity": _q_graph_modularity,
+        "docs_pareto_front": _q_docs_pareto_front,
     }
 
 
@@ -9686,4 +9740,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_chi2": _SQL_DOCS_TOKEN_CHI2,
         "events_trend_ols": _SQL_EVENTS_TREND_OLS,
         "graph_modularity": _SQL_GRAPH_MODULARITY,
+        "docs_pareto_front": _SQL_DOCS_PARETO_FRONT,
     }

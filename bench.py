@@ -88,6 +88,7 @@ HEADLINE = [
     "docs_token_chi2",
     "events_trend_ols",
     "graph_modularity",
+    "docs_pareto_front",
     "ivf_kmeans_step",
     "similarity_topk_ivf",
     "vocab_oov_rate",

@@ -151,3 +151,77 @@ def association_rules(
             6,
         ).alias("lift"),
     )
+
+
+def pareto_front_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """2-D Pareto front (skyline, maximize both axes — Börzsönyi et al.
+    ICDE'01): the rows no other row dominates, where j dominates i iff
+    ``x_j ≥ x_i ∧ y_j ≥ y_i`` with at least one strict — the
+    multi-criteria selection primitive ("longest AND highest-quality
+    documents, jointly undominated").
+
+    2-D skylines have a closed form that needs NO pair join: with
+    ``M>(x) = max{y_j : x_j > x}`` and ``gy(x) = max{y_j : x_j = x}``,
+    row i is on the front iff ``y_i > M>(x_i)`` (or nothing lies to its
+    right) **and** ``y_i = gy(x_i)``.  Exact-duplicate points are all
+    kept (neither strict inequality holds between them), the standard
+    skyline convention.
+
+    ``M>`` is computed WITHOUT a single-partition sort over the data:
+    per-distinct-x maxima → range buckets of ``bucket_width`` on the
+    integer x → per-bucket maxima → one exclusive running max over the
+    (tiny) bucket list → within-bucket exclusive running max — the
+    two-phase bucketed-prefix idiom of ``packing.pack_sequences`` and
+    ``graphsig.canonical_blank_labels``; only bucket aggregates ever sit
+    in a single partition.  The oracle side can afford the plain global
+    window, which is exactly what makes the bucketing independently
+    checkable.
+
+    Returns the input columns of the front rows, unchanged.
+    """
+    if bucket_width < 1:
+        raise ValueError("pareto_front_2d: bucket_width must be >= 1")
+    from pyspark.sql import Window
+
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    pts = df.select(x.alias("_x"), y.alias("_y"), "*")
+    g = pts.groupBy("_x").agg(F.max("_y").alias("_gy"))
+    g = g.withColumn("_bkt", F.expr(f"_x div {int(bucket_width)}"))
+    bmax = g.groupBy("_bkt").agg(F.max("_gy").alias("_bmax"))
+    w_b = (
+        Window.orderBy(F.desc("_bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bpre = bmax.withColumn("_bpre", F.max("_bmax").over(w_b))
+    w_x = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.desc("_x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gm = (
+        g.join(bpre.select("_bkt", "_bpre"), "_bkt")
+        .withColumn("_inpre", F.max("_gy").over(w_x))
+        .select(
+            "_x",
+            "_gy",
+            # greatest() skips NULLs (returns NULL only when both are) —
+            # same semantics in DuckDB, so the no-points-to-the-right case
+            # flows through as NULL on both sides
+            F.greatest("_bpre", "_inpre").alias("_mgt"),
+        )
+    )
+    out = (
+        pts.join(gm, "_x")
+        .filter(
+            (F.col("_y") == F.col("_gy"))
+            & (F.col("_mgt").isNull() | (F.col("_y") > F.col("_mgt")))
+        )
+        .drop("_x", "_y", "_gy", "_mgt")
+    )
+    return out

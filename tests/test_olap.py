@@ -59,3 +59,53 @@ class TestRollupCube:
         b = sorted(map(tuple, rollup_metrics(df.repartition(7), ["t", "g"],
                                              "value").collect()), key=str)
         assert a == b
+
+
+class TestParetoFront2D:
+    def _replica(self, pts):
+        out = []
+        for i, (xi, yi) in enumerate(pts):
+            dominated = any(
+                (xj >= xi and yj >= yi and (xj > xi or yj > yi))
+                for j, (xj, yj) in enumerate(pts)
+                if j != i
+            )
+            if not dominated:
+                out.append((xi, yi))
+        return sorted(out)
+
+    def test_matches_bruteforce_replica(self, spark):
+        from mopper_spark.textops.olap import pareto_front_2d
+
+        pts = [((i * 13) % 97, (i * 29) % 89) for i in range(150)]
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(pts)],
+            "id long, x long, y long",
+        )
+        got = sorted((r.x, r.y) for r in pareto_front_2d(df, "x", "y").collect())
+        assert got == self._replica(pts)
+
+    def test_duplicates_and_ties_kept(self, spark):
+        from mopper_spark.textops.olap import pareto_front_2d
+
+        # (5,5) twice: neither dominates the other — both kept; (5,4) is
+        # dominated by the equal-x higher-y points; (4,5) by equal-y
+        # higher-x; (6,1) and (1,6) are corners of the front
+        pts = [(1, 5, 5), (2, 5, 5), (3, 5, 4), (4, 4, 5), (5, 6, 1), (6, 1, 6)]
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        got = sorted(r.id for r in pareto_front_2d(df, "x", "y").collect())
+        assert got == [1, 2, 5, 6]
+
+    def test_bucket_width_invariance_and_validation(self, spark):
+        import pytest
+
+        from mopper_spark.textops.olap import pareto_front_2d
+
+        pts = [(i, (i * 7) % 50, (i * 11) % 40) for i in range(120)]
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        a = sorted(tuple(r) for r in pareto_front_2d(df, "x", "y", bucket_width=1).collect())
+        b = sorted(tuple(r) for r in pareto_front_2d(df, "x", "y", bucket_width=1000).collect())
+        c = sorted(tuple(r) for r in pareto_front_2d(df.repartition(16), "x", "y").collect())
+        assert a == b == c
+        with pytest.raises(ValueError):
+            pareto_front_2d(df, "x", "y", bucket_width=0)
