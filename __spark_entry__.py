@@ -9348,6 +9348,53 @@ WHERE p.mean_fp = m.gy AND (m.mgt IS NULL OR p.mean_fp > m.mgt)
 """
 
 
+def _q_kg_sparql_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Braced SPARQL subquery (pipeline/sparql.py — SPARQL 1.1 §12,
+    closing the r3-era named refusal): per-entity conversation counts
+    computed in an inner ``{ SELECT … GROUP BY }`` join the outer mention
+    pattern on the projected ?e only — the canonical "annotate each
+    mention with its entity's corpus-wide stats" shape.  Plan is the
+    same bgp algebra: the subquery compiles to a relation joined on
+    shared columns."""
+    from mopper_spark.pipeline.sparql import sparql_query
+
+    return sparql_query(
+        _kg_triples(spark),
+        """
+        PREFIX ont: <http://example.com/ontology/>
+        SELECT ?e ?conv ?n_convs WHERE {
+          ?t ont:mentions ?e ; ont:inConversation ?conv .
+          { SELECT ?e (COUNT(DISTINCT ?c) AS ?n_convs) WHERE {
+              ?u ont:mentions ?e ; ont:inConversation ?c .
+              FILTER(STRSTARTS(?e, "http://example.com/entity/"))
+            } GROUP BY ?e }
+        }
+        ORDER BY DESC(?n_convs) ?e ?conv
+        LIMIT 30
+        """,
+    ).select("e", "conv", F.col("n_convs").cast("long").alias("n_convs"))
+
+
+_SQL_KG_SPARQL_SUBQUERY = f"""
+WITH kg AS MATERIALIZED ({_SQL_KG_GRAPH}),
+men AS MATERIALIZED (
+  SELECT m.subj AS t, m.obj AS e, c.obj AS conv
+  FROM kg m JOIN kg c ON m.subj = c.subj
+  WHERE m.pred = 'http://example.com/ontology/mentions'
+    AND c.pred = 'http://example.com/ontology/inConversation'
+), sub AS (
+  SELECT e, CAST(COUNT(DISTINCT conv) AS BIGINT) AS n_convs
+  FROM men
+  WHERE e LIKE 'http://example.com/entity/%'
+  GROUP BY e
+)
+SELECT men.e, men.conv, sub.n_convs
+FROM men JOIN sub ON sub.e = men.e
+ORDER BY sub.n_convs DESC, men.e, men.conv
+LIMIT 30
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -9540,6 +9587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend_ols": _q_events_trend_ols,
         "graph_modularity": _q_graph_modularity,
         "docs_pareto_front": _q_docs_pareto_front,
+        "kg_sparql_subquery": _q_kg_sparql_subquery,
     }
 
 
@@ -9741,4 +9789,5 @@ def oracle_sql() -> dict[str, str]:
         "events_trend_ols": _SQL_EVENTS_TREND_OLS,
         "graph_modularity": _SQL_GRAPH_MODULARITY,
         "docs_pareto_front": _SQL_DOCS_PARETO_FRONT,
+        "kg_sparql_subquery": _SQL_KG_SPARQL_SUBQUERY,
     }

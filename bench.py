@@ -89,6 +89,7 @@ HEADLINE = [
     "events_trend_ols",
     "graph_modularity",
     "docs_pareto_front",
+    "kg_sparql_subquery",
     "ivf_kmeans_step",
     "similarity_topk_ivf",
     "vocab_oov_rate",

@@ -30,7 +30,11 @@ Supported subset
 - Group graph pattern: triple blocks with ``;`` / ``,`` lists and ``a``;
   ``OPTIONAL { triples }``; ``FILTER(expr)``; ``FILTER [NOT] EXISTS
   { group }``; ``{ A } UNION { B }``; ``MINUS { group }``;
-  ``BIND(expr AS ?v)``; ``VALUES (?a ?b) { (…) … }`` (no UNDEF).
+  ``BIND(expr AS ?v)``; ``VALUES (?a ?b) { (…) … }`` (no UNDEF);
+  braced subqueries ``{ SELECT … }`` (SPARQL 1.1 §12 — full modifier
+  grammar inside, result joined to the group on its PROJECTED variables
+  only, the spec's scoping rule; a bare in-group ``SELECT`` without
+  braces stays refused, as in the grammar).
 - Predicates: IRIs, prefixed names, ``a``, or SPARQL property paths
   (``^``, ``/``, ``|``, ``+``, ``{m,n}``, ``!(…)``; ``*`` refused per
   ``bgp._pattern_df`` — call ``materialize_star`` deliberately).
@@ -48,7 +52,7 @@ Supported subset
 Deliberate refusals (tested): ``SELECT *`` mixed with aggregates,
 ``UNDEF`` in VALUES, ``GRAPH`` blocks (quads are the 4-term pattern API
 of ``bgp_match``; text-level named-graph scoping would need a dataset
-clause model), subqueries, ``SERVICE``, blank-node syntax in patterns
+clause model), ``SERVICE``, blank-node syntax in patterns
 (``[]``/``_:`` — the engine queries the *emitted* graph where blanks are
 already skolemized or canonicalized strings; match them as plain terms).
 
@@ -329,6 +333,17 @@ class _Parser:
                 raise SparqlParseError(
                     f"{self.peek()[1].upper()} blocks are not in the subset"
                 )
+            elif (k, v) == ("OP", "{") and (
+                self.peek(1)[0] == "KW"
+                and self.peek(1)[1].upper() == "SELECT"
+            ):
+                # braced subquery (SPARQL 1.1 §12): parsed with the same
+                # tail as the top-level form; the result relation joins
+                # the enclosing group on its PROJECTED variables only
+                self.i += 2  # consume "{" and "SELECT"
+                spec = _parse_select_tail(self)
+                self.expect_op("}")
+                elements.append(("subselect", spec))
             elif (k, v) == ("OP", "{"):
                 branches = [self.parse_group()]
                 while self.at_kw("UNION"):
@@ -671,6 +686,18 @@ def _compile_group(
                         "the group (would be a cartesian product)"
                     )
                 solution = solution.join(branch, on=shared)
+        elif e[0] == "subselect":
+            sub = _compile_select(triples, e[1], stats)
+            if solution is None:
+                solution = sub
+            else:
+                shared = sorted(set(solution.columns) & set(sub.columns))
+                if not shared:
+                    raise SparqlParseError(
+                        "subquery shares no variable with the rest of the "
+                        "group (would be a cartesian product)"
+                    )
+                solution = solution.join(sub, on=shared)
 
     if solution is None:
         raise SparqlParseError("group pattern binds nothing")
@@ -753,6 +780,17 @@ def sparql_query(
         return bgp_construct(_compile_group(triples, group, stats), templates)
 
     p.expect_kw("SELECT")
+    spec = _parse_select_tail(p)
+    _expect_end(p)
+    return _compile_select(triples, spec, stats)
+
+
+def _parse_select_tail(p: _Parser) -> dict:
+    """Everything after the ``SELECT`` keyword — projection, group
+    pattern, solution modifiers — into a spec dict.  Shared by the
+    top-level SELECT form and braced subqueries (SPARQL 1.1 §12), which
+    have identical grammar (the subquery's caller consumes the closing
+    ``}`` )."""
     distinct = False
     if p.at_kw("DISTINCT"):
         p.i += 1
@@ -804,9 +842,32 @@ def sparql_query(
         elif p.at_kw("OFFSET"):
             p.i += 1
             offset = _expect_int(p)
-    _expect_end(p)
+    return {
+        "distinct": distinct,
+        "plain": plain,
+        "aggs": aggs,
+        "star": star,
+        "group": group,
+        "group_by": group_by,
+        "having": having,
+        "order_by": order_by,
+        "limit": limit,
+        "offset": offset,
+    }
 
-    solution = _compile_group(triples, group, stats)
+
+def _compile_select(
+    triples: DataFrame, spec: dict, stats: dict[str, int] | None
+) -> DataFrame:
+    """Compile a parsed SELECT spec (top-level or subquery) onto the
+    bgp.py algebra.  Only projected variables leave — which is exactly
+    SPARQL's subquery scoping rule (§12: inner non-projected variables
+    are invisible to the outer group)."""
+    plain, aggs, star = spec["plain"], spec["aggs"], spec["star"]
+    group_by, having = spec["group_by"], spec["having"]
+    order_by, limit, offset = spec["order_by"], spec["limit"], spec["offset"]
+
+    solution = _compile_group(triples, spec["group"], stats)
 
     if aggs or group_by:
         if star:
@@ -829,7 +890,7 @@ def sparql_query(
         projected = plain
 
     out = solution.select(*projected)
-    if distinct:
+    if spec["distinct"]:
         out = out.distinct()
     if limit is not None or offset is not None:
         out = bgp_slice(out, order_by, limit=limit, offset=offset or 0)

@@ -303,3 +303,72 @@ def test_select_star(graph):
     )
     assert out.columns == ["c", "t"]  # sorted variable order
     assert len(out.collect()) == 2
+
+
+def test_subquery_joined_with_outer_pattern(graph):
+    """Braced subquery (SPARQL 1.1 §12): per-entity mention counts join
+    the outer mention pattern on the projected ?e only."""
+    out = sparql_query(
+        graph,
+        PFX
+        + """SELECT ?t ?e ?n WHERE {
+              ?t ont:mentions ?e .
+              { SELECT ?e (COUNT(?x) AS ?n) WHERE {
+                  ?x ont:mentions ?e .
+                } GROUP BY ?e }
+            }""",
+    )
+    got = rows(out.select("t", "e", out.n.cast("long")))
+    assert got == sorted(
+        [
+            (EX + "t1", EX + "alice", 2),
+            (EX + "t3", EX + "alice", 2),
+            (EX + "t2", EX + "bob", 1),
+        ]
+    )
+
+
+def test_subquery_alone_and_modifiers(graph):
+    """A group may be JUST a subquery; inner ORDER/LIMIT apply before the
+    outer projection sees the rows."""
+    out = sparql_query(
+        graph,
+        PFX
+        + """SELECT ?e WHERE {
+              { SELECT ?e (COUNT(?x) AS ?n) WHERE { ?x ont:mentions ?e . }
+                GROUP BY ?e ORDER BY DESC(?n) ?e LIMIT 1 }
+            }""",
+    )
+    assert rows(out) == [(EX + "alice",)]
+
+
+def test_subquery_scoping_hides_inner_variables(graph):
+    """?x is not projected by the subquery, so the outer SELECT cannot
+    see it — the §12 scoping rule."""
+    with pytest.raises(SparqlParseError, match="x"):
+        sparql_query(
+            graph,
+            PFX
+            + """SELECT ?x WHERE {
+                  { SELECT ?e WHERE { ?x ont:mentions ?e . } }
+                }""",
+        )
+
+
+def test_subquery_cartesian_guard(graph):
+    with pytest.raises(SparqlParseError, match="cartesian"):
+        sparql_query(
+            graph,
+            PFX
+            + """SELECT ?t WHERE {
+                  ?t ont:role "user" .
+                  { SELECT ?e WHERE { ?x ont:mentions ?e . } }
+                }""",
+        )
+
+
+def test_bare_in_group_select_still_refused(graph):
+    with pytest.raises(SparqlParseError, match="SELECT"):
+        sparql_query(
+            graph, PFX + "SELECT ?x WHERE { SELECT ?x WHERE { ?x ont:role ?r } }"
+        )
