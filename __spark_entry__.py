@@ -9395,6 +9395,52 @@ LIMIT 30
 """
 
 
+def _q_kg_sparql_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Text-level ``GRAPH`` blocks (pipeline/sparql.py — quad-pattern
+    sugar over a graph-columned DataFrame, closing the r3-era named
+    refusal): mention statements placed in their conversation's named
+    graph, then queried with ``GRAPH ?g {…}`` + aggregate — per-graph
+    distinct-entity counts, the provenance-scoped query a multi-tenant
+    KG runs constantly."""
+    from mopper_spark.pipeline.sparql import sparql_query
+
+    kg = _kg_triples(spark)
+    ment = kg.filter(
+        F.col("pred") == "http://example.com/ontology/mentions"
+    )
+    conv = kg.filter(
+        F.col("pred") == "http://example.com/ontology/inConversation"
+    ).select(F.col("subj"), F.col("obj").alias("graph"))
+    quads = ment.join(conv, "subj").select("subj", "pred", "obj", "graph")
+    return sparql_query(
+        quads,
+        """
+        PREFIX ont: <http://example.com/ontology/>
+        SELECT ?g (COUNT(DISTINCT ?e) AS ?n_entities) WHERE {
+          GRAPH ?g { ?t ont:mentions ?e . }
+        }
+        GROUP BY ?g
+        ORDER BY DESC(?n_entities) ?g
+        LIMIT 25
+        """,
+    ).select("g", F.col("n_entities").cast("long").alias("n_entities"))
+
+
+_SQL_KG_SPARQL_GRAPH = f"""
+WITH kg AS MATERIALIZED ({_SQL_KG_GRAPH}),
+quads AS MATERIALIZED (
+  SELECT m.subj, m.pred, m.obj, c.obj AS graph
+  FROM kg m JOIN kg c ON m.subj = c.subj
+  WHERE m.pred = 'http://example.com/ontology/mentions'
+    AND c.pred = 'http://example.com/ontology/inConversation'
+)
+SELECT graph AS g, CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_entities
+FROM quads GROUP BY graph
+ORDER BY n_entities DESC, g
+LIMIT 25
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -9588,6 +9634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": _q_graph_modularity,
         "docs_pareto_front": _q_docs_pareto_front,
         "kg_sparql_subquery": _q_kg_sparql_subquery,
+        "kg_sparql_graph": _q_kg_sparql_graph,
     }
 
 
@@ -9790,4 +9837,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_modularity": _SQL_GRAPH_MODULARITY,
         "docs_pareto_front": _SQL_DOCS_PARETO_FRONT,
         "kg_sparql_subquery": _SQL_KG_SPARQL_SUBQUERY,
+        "kg_sparql_graph": _SQL_KG_SPARQL_GRAPH,
     }

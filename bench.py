@@ -90,6 +90,7 @@ HEADLINE = [
     "graph_modularity",
     "docs_pareto_front",
     "kg_sparql_subquery",
+    "kg_sparql_graph",
     "ivf_kmeans_step",
     "similarity_topk_ivf",
     "vocab_oov_rate",

@@ -34,7 +34,10 @@ Supported subset
   braced subqueries ``{ SELECT … }`` (SPARQL 1.1 §12 — full modifier
   grammar inside, result joined to the group on its PROJECTED variables
   only, the spec's scoping rule; a bare in-group ``SELECT`` without
-  braces stays refused, as in the grammar).
+  braces stays refused, as in the grammar); ``GRAPH (iri|?g) { triples }``
+  as quad-pattern sugar over a ``graph``-columned DataFrame (full §13
+  dataset semantics — FROM NAMED, graph-scoped FILTER/OPTIONAL, nested
+  GRAPH — refused by name).
 - Predicates: IRIs, prefixed names, ``a``, or SPARQL property paths
   (``^``, ``/``, ``|``, ``+``, ``{m,n}``, ``!(…)``; ``*`` refused per
   ``bgp._pattern_df`` — call ``materialize_star`` deliberately).
@@ -50,9 +53,8 @@ Supported subset
   functions are refused by name.
 
 Deliberate refusals (tested): ``SELECT *`` mixed with aggregates,
-``UNDEF`` in VALUES, ``GRAPH`` blocks (quads are the 4-term pattern API
-of ``bgp_match``; text-level named-graph scoping would need a dataset
-clause model), ``SERVICE``, blank-node syntax in patterns
+``UNDEF`` in VALUES, non-triple elements or nested GRAPH inside a
+``GRAPH`` block, ``SERVICE``, blank-node syntax in patterns
 (``[]``/``_:`` — the engine queries the *emitted* graph where blanks are
 already skolemized or canonicalized strings; match them as plain terms).
 
@@ -329,7 +331,26 @@ class _Parser:
             elif self.at_kw("VALUES"):
                 self.i += 1
                 elements.append(("values", self.parse_values()))
-            elif self.at_kw("GRAPH", "SERVICE", "SELECT"):
+            elif self.at_kw("GRAPH"):
+                # quad-pattern sugar: every triple pattern inside gets the
+                # graph term as its 4th position (bgp_match's quad form —
+                # the triples DataFrame must carry a `graph` column).
+                # Full §13 dataset semantics (FROM NAMED, graph-scoped
+                # FILTER/OPTIONAL) stay out of subset: non-triple elements
+                # inside GRAPH are refused by name below.
+                self.i += 1
+                gterm = self.parse_term(as_pattern=True)
+                inner = self.parse_group()
+                pats = [e[1] for e in inner if e[0] == "t"]
+                if len(pats) != len(inner):
+                    raise SparqlParseError(
+                        "GRAPH blocks may contain only triple patterns "
+                        "in this subset"
+                    )
+                if any(len(pt) != 3 for pt in pats):
+                    raise SparqlParseError("nested GRAPH blocks")
+                elements.extend(("t", (*pt, gterm)) for pt in pats)
+            elif self.at_kw("SERVICE", "SELECT"):
                 raise SparqlParseError(
                     f"{self.peek()[1].upper()} blocks are not in the subset"
                 )

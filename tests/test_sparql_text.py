@@ -271,7 +271,11 @@ def test_matches_programmatic_api(graph):
     "q,needle",
     [
         ("BASE <http://x/> SELECT ?x WHERE { ?x ?p ?o }", "BASE"),
-        (PFX + "SELECT ?x WHERE { GRAPH ?g { ?x ont:role ?r } }", "GRAPH"),
+        (
+            PFX + "SELECT ?x WHERE { GRAPH ?g { ?x ont:role ?r "
+            "FILTER(?x > 1) } }",
+            "GRAPH",
+        ),
         (PFX + "SELECT ?x WHERE { SELECT ?x WHERE { ?x ont:role ?r } }", "SELECT"),
         (PFX + "SELECT ?x WHERE { VALUES ?x { UNDEF } ?x ont:role ?r }", "UNDEF"),
         (PFX + 'SELECT ?x WHERE { ?x ont:role "u"^^ont:T }', "typed literals"),
@@ -371,4 +375,59 @@ def test_bare_in_group_select_still_refused(graph):
     with pytest.raises(SparqlParseError, match="SELECT"):
         sparql_query(
             graph, PFX + "SELECT ?x WHERE { SELECT ?x WHERE { ?x ont:role ?r } }"
+        )
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    rows = [
+        (EX + "t1", ONT + "mentions", EX + "alice", EX + "g1"),
+        (EX + "t2", ONT + "mentions", EX + "bob", EX + "g1"),
+        (EX + "t3", ONT + "mentions", EX + "alice", EX + "g2"),
+        (EX + "t3", ONT + "mentions", EX + "carol", EX + "g2"),
+    ]
+    return spark.createDataFrame(rows, ["subj", "pred", "obj", "graph"])
+
+
+def test_graph_block_variable_binds_graph(quads):
+    out = sparql_query(
+        quads,
+        PFX + "SELECT ?g ?e WHERE { GRAPH ?g { ?t ont:mentions ?e . } }",
+    )
+    assert rows(out) == sorted(
+        [
+            (EX + "g1", EX + "alice"),
+            (EX + "g1", EX + "bob"),
+            (EX + "g2", EX + "alice"),
+            (EX + "g2", EX + "carol"),
+        ]
+    )
+
+
+def test_graph_block_constant_graph(quads):
+    out = sparql_query(
+        quads,
+        PFX + "SELECT ?e WHERE { GRAPH ex:g2 { ?t ont:mentions ?e . } }",
+    )
+    assert rows(out) == sorted([(EX + "alice",), (EX + "carol",)])
+
+
+def test_graph_block_aggregate_per_graph(quads):
+    out = sparql_query(
+        quads,
+        PFX
+        + """SELECT ?g (COUNT(?e) AS ?n) WHERE {
+              GRAPH ?g { ?t ont:mentions ?e . }
+            } GROUP BY ?g ORDER BY ?g""",
+    )
+    got = [(r.g, int(r.n)) for r in out.collect()]
+    assert got == [(EX + "g1", 2), (EX + "g2", 2)]
+
+
+def test_nested_graph_refused(quads):
+    with pytest.raises(SparqlParseError, match="nested GRAPH"):
+        sparql_query(
+            quads,
+            PFX
+            + "SELECT ?e WHERE { GRAPH ?g { GRAPH ?h { ?t ont:mentions ?e . } } }",
         )
