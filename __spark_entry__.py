@@ -9441,6 +9441,48 @@ LIMIT 25
 """
 
 
+def _q_kg_sparql_group_concat(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL GROUP_CONCAT + SAMPLE aggregates (pipeline/sparql.py):
+    per-conversation sorted distinct entity roster as one string.  SPARQL
+    leaves GROUP_CONCAT element order undefined; the engine DEFINES it as
+    sorted (array_sort-after-collect), which is exactly what lets DuckDB's
+    ``string_agg(… ORDER BY …)`` serve as a strict oracle."""
+    from mopper_spark.pipeline.sparql import sparql_query
+
+    return sparql_query(
+        _kg_triples(spark),
+        """
+        PREFIX ont: <http://example.com/ontology/>
+        SELECT ?conv (COUNT(DISTINCT ?e) AS ?n)
+               (GROUP_CONCAT(DISTINCT ?e; SEPARATOR="|") AS ?entities)
+        WHERE {
+          ?t ont:mentions ?e ; ont:inConversation ?conv .
+          FILTER(STRSTARTS(?e, "http://example.com/entity/"))
+        }
+        GROUP BY ?conv
+        ORDER BY DESC(?n) ?conv
+        LIMIT 20
+        """,
+    ).select("conv", F.col("n").cast("long").alias("n"), "entities")
+
+
+_SQL_KG_SPARQL_GROUP_CONCAT = f"""
+WITH kg AS MATERIALIZED ({_SQL_KG_GRAPH}),
+men AS (
+  SELECT c.obj AS conv, m.obj AS e
+  FROM kg m JOIN kg c ON m.subj = c.subj
+  WHERE m.pred = 'http://example.com/ontology/mentions'
+    AND c.pred = 'http://example.com/ontology/inConversation'
+    AND m.obj LIKE 'http://example.com/entity/%'
+)
+SELECT conv, CAST(COUNT(DISTINCT e) AS BIGINT) AS n,
+       string_agg(DISTINCT e, '|' ORDER BY e) AS entities
+FROM men GROUP BY conv
+ORDER BY n DESC, conv
+LIMIT 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -9635,6 +9677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pareto_front": _q_docs_pareto_front,
         "kg_sparql_subquery": _q_kg_sparql_subquery,
         "kg_sparql_graph": _q_kg_sparql_graph,
+        "kg_sparql_group_concat": _q_kg_sparql_group_concat,
     }
 
 
@@ -9838,4 +9881,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_pareto_front": _SQL_DOCS_PARETO_FRONT,
         "kg_sparql_subquery": _SQL_KG_SPARQL_SUBQUERY,
         "kg_sparql_graph": _SQL_KG_SPARQL_GRAPH,
+        "kg_sparql_group_concat": _SQL_KG_SPARQL_GROUP_CONCAT,
     }

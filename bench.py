@@ -91,6 +91,7 @@ HEADLINE = [
     "docs_pareto_front",
     "kg_sparql_subquery",
     "kg_sparql_graph",
+    "kg_sparql_group_concat",
     "ivf_kmeans_step",
     "similarity_topk_ivf",
     "vocab_oov_rate",

@@ -42,7 +42,9 @@ Supported subset
   (``^``, ``/``, ``|``, ``+``, ``{m,n}``, ``!(…)``; ``*`` refused per
   ``bgp._pattern_df`` — call ``materialize_star`` deliberately).
 - Solution modifiers: ``GROUP BY`` + aggregates (COUNT/SUM/MIN/MAX/AVG,
-  ``COUNT(DISTINCT ?v)``, ``COUNT(*)``), ``HAVING``, ``ORDER BY``
+  ``COUNT(DISTINCT ?v)``, ``COUNT(*)``, ``SAMPLE`` — deterministic as
+  MIN, ``GROUP_CONCAT(?v; SEPARATOR="…")`` — element order DEFINED as
+  sorted so the string is engine-reproducible), ``HAVING``, ``ORDER BY``
   (``ASC()``/``DESC()``), ``LIMIT``/``OFFSET`` (LIMIT requires ORDER BY,
   per ``bgp_slice``'s determinism contract).
 - Expressions (FILTER/BIND/HAVING): comparisons, arithmetic, ``&&`` /
@@ -551,6 +553,11 @@ class _Parser:
         if up in self._AGGS:
             # aggregates appear in HAVING (and are re-parsed identically to
             # the SELECT list, so HAVING(COUNT(?x) >= 2) matches its alias)
+            if up == "GROUP_CONCAT":
+                raise SparqlParseError(
+                    "GROUP_CONCAT in HAVING is not in the subset — filter "
+                    "on a counted/summed alias instead"
+                )
             self.expect_op("(")
             distinct = ""
             if self.at_kw("DISTINCT"):
@@ -562,6 +569,8 @@ class _Parser:
             else:
                 inner = self.parse_expr(stop={("OP", ")")})
             self.expect_op(")")
+            if up == "SAMPLE":
+                return f"min({inner})"
             return f"{up.lower()}({distinct}{inner})"
         if up in self._FUNCS:
             name, arity = self._FUNCS[up]
@@ -580,7 +589,7 @@ class _Parser:
         raise SparqlParseError(f"function/keyword {word!r} is not in the subset")
 
     # ---- aggregates ------------------------------------------------------
-    _AGGS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
+    _AGGS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT")
 
     def parse_select_items(self):
         """``SELECT`` list → (plain_vars, aggregates{alias: sql}, star)."""
@@ -630,8 +639,32 @@ class _Parser:
             if distinct:
                 raise SparqlParseError("COUNT(DISTINCT *) is not supported")
         else:
-            inner = self.parse_expr(stop={("OP", ")")})
+            inner = self.parse_expr(stop={("OP", ")"), ("OP", ";")})
+        if fn == "GROUP_CONCAT":
+            # SPARQL leaves element order undefined; we DEFINE it as the
+            # sorted value order so the result is engine-reproducible
+            # (the array_sort-after-collect order-proofing idiom)
+            sep = " "
+            if self.peek() == ("OP", ";"):
+                self.i += 1
+                self.expect_kw("SEPARATOR")
+                self.expect_op("=")
+                k, v = self.next()
+                if k != "STRING":
+                    raise SparqlParseError(
+                        "SEPARATOR expects a string literal"
+                    )
+                sep = _unescape(v)
+            self.expect_op(")")
+            collect = "collect_set" if distinct else "collect_list"
+            return (
+                f"array_join(array_sort({collect}({inner})), {_sql_str(sep)})"
+            )
         self.expect_op(")")
+        if fn == "SAMPLE":
+            # SAMPLE picks an arbitrary value; we pick the MINIMUM so the
+            # choice is deterministic across engines and partitionings
+            return f"min({inner})"
         return f"{fn.lower()}({distinct}{inner})"
 
 

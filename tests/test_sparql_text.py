@@ -431,3 +431,40 @@ def test_nested_graph_refused(quads):
             PFX
             + "SELECT ?e WHERE { GRAPH ?g { GRAPH ?h { ?t ont:mentions ?e . } } }",
         )
+
+
+def test_group_concat_and_sample(graph):
+    out = sparql_query(
+        graph,
+        PFX
+        + """SELECT ?c (GROUP_CONCAT(?e; SEPARATOR=",") AS ?es)
+                      (SAMPLE(?t) AS ?any_t)
+            WHERE { ?t ont:mentions ?e ; ont:inConv ?c . }
+            GROUP BY ?c ORDER BY ?c""",
+    )
+    got = [(r.c, r.es, r.any_t) for r in out.collect()]
+    assert got == [
+        (EX + "c1", EX + "alice," + EX + "bob", EX + "t1"),
+        (EX + "c2", EX + "alice", EX + "t3"),
+    ]
+
+
+def test_group_concat_distinct_and_default_separator(graph):
+    out = sparql_query(
+        graph,
+        PFX
+        + """SELECT (GROUP_CONCAT(DISTINCT ?r) AS ?roles)
+            WHERE { ?t ont:role ?r . }""",
+    )
+    assert [r.roles for r in out.collect()] == ["assistant user"]
+
+
+def test_group_concat_in_having_refused(graph):
+    with pytest.raises(SparqlParseError, match="GROUP_CONCAT in HAVING"):
+        sparql_query(
+            graph,
+            PFX
+            + """SELECT ?c (COUNT(?e) AS ?n) WHERE {
+                  ?t ont:mentions ?e ; ont:inConv ?c .
+                } GROUP BY ?c HAVING(GROUP_CONCAT(?e) != "")""",
+        )
