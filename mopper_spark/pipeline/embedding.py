@@ -110,21 +110,60 @@ def transe_margin_eval(
     map-side-combining aggregation on ``pred`` — no extra shuffle beyond
     the sampler's.
     """
+    return _margin_eval(
+        triples,
+        transe_distance,
+        similarity=False,
+        n_per=n_per,
+        margin=margin,
+        dim=dim,
+        seed=seed,
+        scale=scale,
+        neg_seed=neg_seed,
+    )
+
+
+def _margin_eval(
+    triples: DataFrame,
+    score_fn,
+    *,
+    similarity: bool,
+    n_per: int,
+    margin: int,
+    dim: int,
+    seed: str,
+    scale: int,
+    neg_seed: str,
+) -> DataFrame:
+    """Shared margin-ranking harness: sample negatives, score both sides
+    with ``score_fn(subj, pred, obj, **kw)``, hinge with the sign the
+    scorer's direction demands (distance: pos − neg; similarity:
+    neg − pos), aggregate per predicate — ONE copy of the sampler
+    wiring, the hinge clamp, and the ``(pred, n_pairs, n_violations,
+    total_hinge)`` output contract for every scorer."""
     from mopper_spark.pipeline.curate import negative_samples
 
     pairs = negative_samples(triples, n_per=n_per, seed=neg_seed)
     kw = dict(dim=dim, seed=seed, scale=scale)
     scored = pairs.select(
         "pred",
-        transe_distance(F.col("subj"), F.col("pred"), F.col("obj"), **kw).alias(
-            "d_pos"
+        score_fn(F.col("subj"), F.col("pred"), F.col("obj"), **kw).alias(
+            "s_pos"
         ),
-        transe_distance(F.col("subj"), F.col("pred"), F.col("neg_obj"), **kw).alias(
-            "d_neg"
+        score_fn(F.col("subj"), F.col("pred"), F.col("neg_obj"), **kw).alias(
+            "s_neg"
         ),
     ).withColumn(
         "hinge",
-        F.greatest(F.lit(0).cast("long"), F.lit(margin) + F.col("d_pos") - F.col("d_neg")),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.lit(margin)
+            + (
+                F.col("s_neg") - F.col("s_pos")
+                if similarity
+                else F.col("s_pos") - F.col("s_neg")
+            ),
+        ),
     )
     return scored.groupBy("pred").agg(
         F.count("*").cast("long").alias("n_pairs"),
@@ -174,27 +213,14 @@ def distmult_margin_eval(
     distance, DistMult a similarity).  Same negative sampler, same exact
     int64 outputs ``(pred, n_pairs, n_violations, total_hinge)``, same
     one-narrow-pass + one-aggregation plan shape."""
-    from mopper_spark.pipeline.curate import negative_samples
-
-    pairs = negative_samples(triples, n_per=n_per, seed=neg_seed)
-    kw = dict(dim=dim, seed=seed, scale=scale)
-    scored = pairs.select(
-        "pred",
-        distmult_score(F.col("subj"), F.col("pred"), F.col("obj"), **kw).alias(
-            "s_pos"
-        ),
-        distmult_score(
-            F.col("subj"), F.col("pred"), F.col("neg_obj"), **kw
-        ).alias("s_neg"),
-    ).withColumn(
-        "hinge",
-        F.greatest(
-            F.lit(0).cast("long"),
-            F.lit(margin) + F.col("s_neg") - F.col("s_pos"),
-        ),
-    )
-    return scored.groupBy("pred").agg(
-        F.count("*").cast("long").alias("n_pairs"),
-        F.sum((F.col("hinge") > 0).cast("long")).cast("long").alias("n_violations"),
-        F.sum("hinge").cast("long").alias("total_hinge"),
+    return _margin_eval(
+        triples,
+        distmult_score,
+        similarity=True,
+        n_per=n_per,
+        margin=margin,
+        dim=dim,
+        seed=seed,
+        scale=scale,
+        neg_seed=neg_seed,
     )

@@ -253,7 +253,13 @@ def k_truss(
         # on the PRE-filter edge set — recompute on what survived so the
         # reported numbers are at least self-consistent
         supp = _edge_support(e)
-    return e.join(supp, ["u", "v"]).select("u", "v", "supp")
+    # left join: at a fixpoint every survivor has supp >= k-2 >= 1 (inner
+    # would be equivalent), but on max_rounds exhaustion a surviving edge
+    # may have dropped to 0 triangles — it must come back as supp 0, not
+    # silently vanish
+    return e.join(supp, ["u", "v"], "left").select(
+        "u", "v", F.coalesce(F.col("supp"), F.lit(0)).cast("long").alias("supp")
+    )
 
 
 def transitive_closure(
@@ -1229,7 +1235,9 @@ def modularity(
     Nodes present in ``edges`` but absent from ``communities`` are a
     caller error and surface as dropped edges in the inner join — pass
     the assignment produced over the same edge set
-    (``label_propagation``).
+    (``label_propagation``).  The converse is fine: an assignment may
+    cover isolated (degree-0) nodes; they count toward ``n_nodes`` with
+    zero degree contribution.
 
     Returns ``(community, n_nodes, m_intra, d_c, q_num, q_den)``.
 
@@ -1258,12 +1266,15 @@ def modularity(
         .groupBy(F.col("lu").alias("community"))
         .agg(F.count(F.lit(1)).cast("long").alias("m_intra"))
     )
+    # left join: an assignment may cover isolated (degree-0) nodes — they
+    # contribute n_nodes but zero degree, and an all-isolated community
+    # must still emit its (m_intra=0, d_c=0, q_num=0) row
     dsum = (
-        comm.join(deg, "node")
+        comm.join(deg, "node", "left")
         .groupBy(F.col("label").alias("community"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_nodes"),
-            F.sum("d").cast("long").alias("d_c"),
+            F.sum(F.coalesce(F.col("d"), F.lit(0))).cast("long").alias("d_c"),
         )
     )
     return (

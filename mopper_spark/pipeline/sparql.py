@@ -356,32 +356,45 @@ class _Parser:
                 raise SparqlParseError(
                     f"{self.peek()[1].upper()} blocks are not in the subset"
                 )
-            elif (k, v) == ("OP", "{") and (
-                self.peek(1)[0] == "KW"
-                and self.peek(1)[1].upper() == "SELECT"
-            ):
-                # braced subquery (SPARQL 1.1 §12): parsed with the same
-                # tail as the top-level form; the result relation joins
-                # the enclosing group on its PROJECTED variables only
-                self.i += 2  # consume "{" and "SELECT"
-                spec = _parse_select_tail(self)
-                self.expect_op("}")
-                elements.append(("subselect", spec))
             elif (k, v) == ("OP", "{"):
-                branches = [self.parse_group()]
+                # braced group: either a subquery (SPARQL 1.1 §12), a
+                # UNION chain, or both — a UNION branch may itself be a
+                # subquery, per the GroupOrUnionGraphPattern grammar
+                branches = [self._parse_group_or_subselect()]
                 while self.at_kw("UNION"):
                     self.i += 1
-                    branches.append(self.parse_group())
+                    branches.append(self._parse_group_or_subselect())
                 if len(branches) == 1:
-                    raise SparqlParseError(
-                        "bare nested group (no UNION): flatten it"
-                    )
-                elements.append(("union", branches))
+                    only = branches[0]
+                    if len(only) == 1 and only[0][0] == "subselect":
+                        elements.append(only[0])
+                    else:
+                        raise SparqlParseError(
+                            "bare nested group (no UNION): flatten it"
+                        )
+                else:
+                    elements.append(("union", branches))
             else:
                 elements.extend(self.parse_triples_block())
             if self.peek() == ("OP", "."):
                 self.i += 1
         return elements
+
+    def _parse_group_or_subselect(self) -> list[tuple]:
+        """One brace-led construct: a subquery ``{ SELECT … }`` (parsed
+        with the same tail grammar as the top-level form; the result
+        relation joins the enclosing group on its PROJECTED variables
+        only) or a plain group graph pattern."""
+        if (
+            self.peek() == ("OP", "{")
+            and self.peek(1)[0] == "KW"
+            and self.peek(1)[1].upper() == "SELECT"
+        ):
+            self.i += 2  # consume "{" and "SELECT"
+            spec = _parse_select_tail(self)
+            self.expect_op("}")
+            return [("subselect", spec)]
+        return self.parse_group()
 
     def parse_triples_block(self) -> list[tuple]:
         """One subject with ``;``/``,`` lists → ``("t", pattern)`` items."""
@@ -566,6 +579,8 @@ class _Parser:
             if self.peek() == ("OP", "*"):
                 self.i += 1
                 inner = "*"
+                if up != "COUNT":
+                    raise SparqlParseError(f"{up}(*) is not in the subset")
             else:
                 inner = self.parse_expr(stop={("OP", ")")})
             self.expect_op(")")
@@ -638,6 +653,8 @@ class _Parser:
             inner = "*"
             if distinct:
                 raise SparqlParseError("COUNT(DISTINCT *) is not supported")
+            if fn != "COUNT":
+                raise SparqlParseError(f"{fn}(*) is not in the subset")
         else:
             inner = self.parse_expr(stop={("OP", ")"), ("OP", ";")})
         if fn == "GROUP_CONCAT":

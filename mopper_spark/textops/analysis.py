@@ -871,6 +871,10 @@ def token_chi2(
     aggregation (map-side combine) → one-row label totals broadcast back
     → TakeOrdered top-k.  No self-join, no window.
     """
+    # NULL labels are EXCLUDED consistently (they would otherwise count as
+    # negatives in the per-token cells but be skipped by the totals,
+    # leaving a + b + c + d != n and a silently wrong χ²)
+    df = df.filter(label_col.isNotNull())
     base = df.select(
         label_col.cast("long").alias("y"),
         F.explode(

@@ -335,6 +335,8 @@ def group_trend_ols(
     key_col: str,
     order_col: str,
     value_col: str,
+    *,
+    order_tiebreak: str | None = None,
 ) -> DataFrame:
     """Per-key ordinary-least-squares trend over (x = 1-based position in
     ``order_col`` order, y = value), in exact integer rationals:
@@ -352,11 +354,21 @@ def group_trend_ols(
     Single-point keys get slope_den = 0 (undefined trend) — emitted, not
     masked, the ``cohens_kappa`` convention.
 
+    ``order_col`` must be UNIQUE within each key (it is by construction
+    when the input is a per-(key, bucket) aggregate, the intended shape);
+    with duplicates the rank assignment among peers — and therefore the
+    exact slope — would be partition-order-dependent.  Pass
+    ``order_tiebreak`` (a unique column) when ties are possible, the
+    ``cusum_changepoint``/``ewma_binary`` convention.
+
     Returns ``(key, n, slope_num, slope_den, icept_num, icept_den)``.
     Physical shape: one per-key row_number window (series are per-key
     aggregates — small, spillable) + one combine-able aggregation.
     """
-    w = Window.partitionBy(key_col).orderBy(F.col(order_col))
+    order = [F.col(order_col)] + (
+        [F.col(order_tiebreak)] if order_tiebreak else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
     pos = series.select(
         F.col(key_col).alias("key"),
         F.row_number().over(w).cast("long").alias("x"),

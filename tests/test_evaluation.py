@@ -223,3 +223,21 @@ class TestGroupTrendOls:
         one = {tuple(r) for r in group_trend_ols(df.coalesce(1), "k", "o", "y").collect()}
         many = {tuple(r) for r in group_trend_ols(df.repartition(13), "k", "o", "y").collect()}
         assert one == many
+
+
+    def test_null_labels_excluded_consistently(self, spark):
+        """A NULL label must not count as a negative in the per-token
+        cells while being skipped by the totals (reviewer finding): the
+        doc is excluded everywhere, so a + b + c + d == n holds."""
+        from mopper_spark.textops.analysis import token_chi2
+
+        rows = [(1, "pos w"), (0, "neg w"), (None, "pos neg w")]
+        df = spark.createDataFrame(rows, "y int, text string")
+        got = {
+            r.token: (r.df_t, r.a, r.b)
+            for r in token_chi2(df, "text", F.col("y"), top_k=10, min_df=1).collect()
+        }
+        # the NULL-label doc contributes to NOTHING: pos has df_t 1 a 1 b 0
+        assert got["pos"] == (1, 1, 0)
+        assert got["neg"] == (1, 0, 1)
+        assert "w" not in got  # present in both live docs -> c+d==0 degenerate

@@ -888,3 +888,34 @@ class TestModularity:
         one = {tuple(r) for r in modularity(df.coalesce(1), comm1).collect()}
         many = {tuple(r) for r in modularity(df.repartition(16), comm2).collect()}
         assert one == many
+
+
+class TestReviewFixes:
+    def test_ktruss_exhaustion_keeps_zero_support_edges(self, spark):
+        """max_rounds exhaustion must not silently drop surviving edges
+        with no triangles — they come back with supp 0 (reviewer
+        finding)."""
+        from mopper_spark.pipeline.graph import k_truss
+
+        edges = [(1, 2), (2, 3), (3, 1), (3, 4)]  # triangle + pendant
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {(r.u, r.v): r.supp for r in k_truss(df, k=3, max_rounds=0).collect()}
+        assert got == {(1, 2): 1, (2, 3): 1, (1, 3): 1, (3, 4): 0}
+
+    def test_modularity_isolated_nodes_counted(self, spark):
+        """An assignment covering degree-0 nodes keeps them in n_nodes,
+        and an all-isolated community emits its zero row (reviewer
+        finding)."""
+        from mopper_spark.pipeline.graph import modularity
+
+        edges = [(1, 2)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        comm = spark.createDataFrame(
+            [(1, 0), (2, 0), (9, 0), (7, 1), (8, 1)], "node long, label long"
+        )
+        got = {
+            r.community: (r.n_nodes, r.m_intra, r.d_c, r.q_num)
+            for r in modularity(df, comm).collect()
+        }
+        assert got[0] == (3, 1, 2, 4 * 1 * 1 - 4)
+        assert got[1] == (2, 0, 0, 0)

@@ -468,3 +468,36 @@ def test_group_concat_in_having_refused(graph):
                   ?t ont:mentions ?e ; ont:inConv ?c .
                 } GROUP BY ?c HAVING(GROUP_CONCAT(?e) != "")""",
         )
+
+
+def test_subquery_as_union_branch(graph):
+    """A UNION branch may itself be a braced subquery (the
+    GroupOrUnionGraphPattern grammar), in either position."""
+    q1 = (
+        PFX
+        + """SELECT ?e WHERE {
+              { SELECT ?e WHERE { ?t ont:mentions ?e . } }
+              UNION { ex:alice ont:knows ?e }
+            }"""
+    )
+    q2 = (
+        PFX
+        + """SELECT ?e WHERE {
+              { ex:alice ont:knows ?e }
+              UNION { SELECT ?e WHERE { ?t ont:mentions ?e . } }
+            }"""
+    )
+    exp = sorted(
+        [(EX + "alice",)] * 2 + [(EX + "bob",)] * 2  # 2 mentions + knows
+    )
+    assert rows(sparql_query(graph, q1)) == exp
+    assert rows(sparql_query(graph, q2)) == exp
+
+
+def test_star_in_non_count_aggregate_refused(graph):
+    for agg in ("SUM", "SAMPLE", "GROUP_CONCAT"):
+        with pytest.raises(SparqlParseError, match=r"\(\*\)"):
+            sparql_query(
+                graph,
+                PFX + f"SELECT ({agg}(*) AS ?s) WHERE {{ ?x ont:role ?r }}",
+            )
