@@ -9483,6 +9483,425 @@ LIMIT 20
 """
 
 
+def _q_events_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    """nDCG@10 per query (textops/ranking.py::ndcg_at_k) — graded
+    retrieval evaluation, the metric a training-data relevance filter is
+    tuned against.  Fixture: user buckets are queries, event values are
+    run scores, ``event_id % 4`` the graded labels; per-query lists are
+    bounded so the two ranking windows are skew-free."""
+    from mopper_spark.textops.ranking import ndcg_at_k
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    runs = ev.select(
+        (F.col("user_id") % 25).alias("qid"),
+        F.col("event_id").alias("item"),
+        F.col("value").alias("score"),
+        (F.col("event_id") % 4).alias("rel"),
+    )
+    return ndcg_at_k(runs, k=10)
+
+
+_SQL_EVENTS_NDCG = """
+WITH runs AS (
+  SELECT user_id % 25 AS qid, event_id AS item, value AS score,
+         event_id % 4 AS rel
+  FROM events
+),
+ranked AS (
+  SELECT qid,
+         CAST((CAST(1 AS BIGINT) << CAST(rel AS INT)) - 1 AS DOUBLE) AS g,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, item ASC) AS pos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, item ASC) AS ipos
+  FROM runs
+),
+agg AS (
+  SELECT qid,
+         SUM(CASE WHEN pos <= 10 THEN g / log2(CAST(pos AS DOUBLE) + 1.0)
+                  ELSE 0.0 END) AS dcg,
+         SUM(CASE WHEN ipos <= 10 THEN g / log2(CAST(ipos AS DOUBLE) + 1.0)
+                  ELSE 0.0 END) AS idcg
+  FROM ranked GROUP BY qid
+)
+SELECT qid, dcg, idcg,
+       CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END AS ndcg
+FROM agg
+"""
+
+
+_SQL_BIGRAM_CTES = """
+t AS (
+  SELECT tl AS t
+  FROM (SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS tl
+        FROM documents)
+  WHERE len(tl) > 1
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+  FROM t
+),
+big AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2)
+"""
+
+
+def _q_docs_collocations_llr(spark: SparkSession, sf: str) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (textops/ranking.py::
+    collocations_llr, G² over the bigram contingency table) — the phrase
+    miner that, unlike PMI, stays calibrated on rare pairs."""
+    from mopper_spark.textops.ranking import collocations_llr
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return collocations_llr(docs, min_count=5)
+
+
+_SQL_DOCS_COLLOCATIONS_LLR = f"""
+WITH {_SQL_BIGRAM_CTES},
+marg AS (
+  SELECT b.w1, b.w2, b.n_pair, l.r1, r.c1, t.nn
+  FROM big b
+  JOIN (SELECT w1, SUM(n_pair) AS r1 FROM big GROUP BY w1) l ON b.w1 = l.w1
+  JOIN (SELECT w2, SUM(n_pair) AS c1 FROM big GROUP BY w2) r ON b.w2 = r.w2
+  CROSS JOIN (SELECT SUM(n_pair) AS nn FROM big) t
+  WHERE b.n_pair >= 5
+)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+  (CASE WHEN n_pair > 0 THEN CAST(n_pair AS DOUBLE)
+          * ln((CAST(n_pair AS DOUBLE) * CAST(nn AS DOUBLE))
+               / (CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE))) ELSE 0.0 END
+   + CASE WHEN r1 - n_pair > 0 THEN CAST(r1 - n_pair AS DOUBLE)
+          * ln((CAST(r1 - n_pair AS DOUBLE) * CAST(nn AS DOUBLE))
+               / (CAST(r1 AS DOUBLE) * CAST(nn - c1 AS DOUBLE))) ELSE 0.0 END
+   + CASE WHEN c1 - n_pair > 0 THEN CAST(c1 - n_pair AS DOUBLE)
+          * ln((CAST(c1 - n_pair AS DOUBLE) * CAST(nn AS DOUBLE))
+               / (CAST(nn - r1 AS DOUBLE) * CAST(c1 AS DOUBLE))) ELSE 0.0 END
+   + CASE WHEN nn - r1 - c1 + n_pair > 0 THEN CAST(nn - r1 - c1 + n_pair AS DOUBLE)
+          * ln((CAST(nn - r1 - c1 + n_pair AS DOUBLE) * CAST(nn AS DOUBLE))
+               / (CAST(nn - r1 AS DOUBLE) * CAST(nn - c1 AS DOUBLE))) ELSE 0.0 END
+  ) * 2.0 AS llr
+FROM marg
+"""
+
+
+def _q_docs_kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (textops/ranking.py::
+    kneser_ney_bigrams, D=0.75) — continuation-probability smoothing, the
+    real LM-quality estimator.  All statistics exact integers; p_kn is
+    one fixed-order double expression."""
+    from mopper_spark.textops.ranking import kneser_ney_bigrams
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return kneser_ney_bigrams(docs, min_count=3)
+
+
+_SQL_DOCS_KNESER_NEY = f"""
+WITH {_SQL_BIGRAM_CTES}
+SELECT b.w1, b.w2, CAST(b.n_pair AS BIGINT) AS n_pair,
+       CAST(l.n1f AS BIGINT) AS n1f, CAST(r.n1b AS BIGINT) AS n1b,
+       (GREATEST(CAST(b.n_pair AS DOUBLE) - 0.75, 0.0)
+        + 0.75 * CAST(l.n1f AS DOUBLE)
+          * (CAST(r.n1b AS DOUBLE) / CAST(t.n1all AS DOUBLE)))
+       / CAST(l.cv AS DOUBLE) AS p_kn
+FROM big b
+JOIN (SELECT w1, SUM(n_pair) AS cv, COUNT(*) AS n1f FROM big GROUP BY w1) l
+  ON b.w1 = l.w1
+JOIN (SELECT w2, COUNT(*) AS n1b FROM big GROUP BY w2) r ON b.w2 = r.w2
+CROSS JOIN (SELECT COUNT(*) AS n1all FROM big) t
+WHERE b.n_pair >= 3
+"""
+
+
+def _q_linking_fs_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage scores (pipeline/linking.py::
+    fs_weights + fs_scores): m/u parameters estimated from a labeled
+    candidate-pair table, per-pair log2-likelihood-ratio scores under the
+    naive-Bayes model.  Pair generation is an EQUI-join (a +δ key, δ ∈
+    {1,2,3} exploded) — never a theta join — and the one-row weights
+    aggregate broadcasts back, so scoring is a narrow map."""
+    from mopper_spark.pipeline.linking import fs_scores, fs_weights
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    a = cust.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_mktsegment").alias("a_seg"),
+        F.col("c_nationkey").alias("a_nat"),
+        F.col("c_acctbal").alias("a_bal"),
+    ).withColumn("dd", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+    b = cust.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_mktsegment").alias("b_seg"),
+        F.col("c_nationkey").alias("b_nat"),
+        F.col("c_acctbal").alias("b_bal"),
+    )
+    pairs = (
+        a.join(b, a["a_key"] + a["dd"] == b["b_key"])
+        .select(
+            "a_key",
+            "b_key",
+            (F.col("a_seg") == F.col("b_seg")).alias("agree_seg"),
+            (F.col("a_nat") == F.col("b_nat")).alias("agree_nat"),
+            (F.abs(F.col("a_bal") - F.col("b_bal")) < 500.0).alias("agree_bal"),
+            (((F.col("a_key") * 7 + F.col("dd")) % 11) < 3).alias("is_match"),
+        )
+    )
+    cols = ["agree_seg", "agree_nat", "agree_bal"]
+    w = fs_weights(pairs, cols)
+    return fs_scores(pairs, w, cols).select(
+        "a_key", "b_key", "agree_seg", "agree_nat", "agree_bal", "fs_score"
+    )
+
+
+_SQL_LINKING_FS = """
+WITH pairs AS (
+  SELECT c1.c_custkey AS a_key, c2.c_custkey AS b_key,
+         c1.c_mktsegment = c2.c_mktsegment AS agree_seg,
+         c1.c_nationkey = c2.c_nationkey AS agree_nat,
+         abs(c1.c_acctbal - c2.c_acctbal) < 500.0 AS agree_bal,
+         ((c1.c_custkey * 7 + d.dd) % 11) < 3 AS is_match
+  FROM customer c1
+  CROSS JOIN (VALUES (1), (2), (3)) d(dd)
+  JOIN customer c2 ON c2.c_custkey = c1.c_custkey + d.dd
+),
+w AS (
+  SELECT SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS n_m,
+         SUM(CASE WHEN is_match THEN 0 ELSE 1 END) AS n_u,
+         SUM(CASE WHEN is_match AND agree_seg THEN 1 ELSE 0 END) AS am_seg,
+         SUM(CASE WHEN NOT is_match AND agree_seg THEN 1 ELSE 0 END) AS au_seg,
+         SUM(CASE WHEN is_match AND agree_nat THEN 1 ELSE 0 END) AS am_nat,
+         SUM(CASE WHEN NOT is_match AND agree_nat THEN 1 ELSE 0 END) AS au_nat,
+         SUM(CASE WHEN is_match AND agree_bal THEN 1 ELSE 0 END) AS am_bal,
+         SUM(CASE WHEN NOT is_match AND agree_bal THEN 1 ELSE 0 END) AS au_bal
+  FROM pairs
+)
+SELECT a_key, b_key, agree_seg, agree_nat, agree_bal,
+  0.0
+  + CASE WHEN agree_seg
+      THEN log2(((CAST(am_seg AS DOUBLE) + 1.0) / (CAST(n_m AS DOUBLE) + 2.0))
+                / ((CAST(au_seg AS DOUBLE) + 1.0) / (CAST(n_u AS DOUBLE) + 2.0)))
+      ELSE log2((1.0 - (CAST(am_seg AS DOUBLE) + 1.0) / (CAST(n_m AS DOUBLE) + 2.0))
+                / (1.0 - (CAST(au_seg AS DOUBLE) + 1.0) / (CAST(n_u AS DOUBLE) + 2.0)))
+    END
+  + CASE WHEN agree_nat
+      THEN log2(((CAST(am_nat AS DOUBLE) + 1.0) / (CAST(n_m AS DOUBLE) + 2.0))
+                / ((CAST(au_nat AS DOUBLE) + 1.0) / (CAST(n_u AS DOUBLE) + 2.0)))
+      ELSE log2((1.0 - (CAST(am_nat AS DOUBLE) + 1.0) / (CAST(n_m AS DOUBLE) + 2.0))
+                / (1.0 - (CAST(au_nat AS DOUBLE) + 1.0) / (CAST(n_u AS DOUBLE) + 2.0)))
+    END
+  + CASE WHEN agree_bal
+      THEN log2(((CAST(am_bal AS DOUBLE) + 1.0) / (CAST(n_m AS DOUBLE) + 2.0))
+                / ((CAST(au_bal AS DOUBLE) + 1.0) / (CAST(n_u AS DOUBLE) + 2.0)))
+      ELSE log2((1.0 - (CAST(am_bal AS DOUBLE) + 1.0) / (CAST(n_m AS DOUBLE) + 2.0))
+                / (1.0 - (CAST(au_bal AS DOUBLE) + 1.0) / (CAST(n_u AS DOUBLE) + 2.0)))
+    END AS fs_score
+FROM pairs CROSS JOIN w
+"""
+
+
+def _q_kg_reify_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """RDF reification round-trip (pipeline/reify.py): every distinct KG
+    statement → its 4-triple rdf:Statement form with deterministic md5
+    statement IRIs → recovered via a 3-pattern BGP star + okind join.
+    The oracle is the ORIGINAL distinct statement set, so the gate hash
+    proves unreify∘reify = identity on the full extracted KG (literals
+    and IRIs both)."""
+    from mopper_spark.pipeline.extract import (
+        extract_mentions,
+        extract_triples,
+        mention_triples,
+    )
+    from mopper_spark.pipeline.reify import reify, unreify
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    kg = (
+        extract_triples(tr)
+        .unionByName(mention_triples(extract_mentions(tr)))
+        .select("subj", "pred", "obj", "okind")
+    )
+    return unreify(reify(kg))
+
+
+def _q_graph_scc(spark: SparkSession, sf: str) -> DataFrame:
+    """Strongly connected components (pipeline/graph.py::scc_components,
+    forward-backward coloring with trim).  Fixture: a 4-level layered
+    digraph over the doc ids — each level is a jump ring (pos → pos+2^k
+    mod P for every 2^k < P, so within-level diameter ≤ log2 P and the
+    level is one SCC), cross edges only go level ℓ → ℓ+1 (acyclic between
+    levels).  Exactly 4 SCCs whose canonical min-ids are 0,1,2,3; the
+    coloring retires one level per outer round, exercising the multi-round
+    path.  ``prop_rounds`` is the constructive diameter bound (4 ring
+    diameters + 3 cross hops, padded); ``verify_fixpoint`` keeps it
+    honest.  Oracle: recursive-CTE mutual reachability — scc_id =
+    min{u : u↔v} — over the identical edge set."""
+    from mopper_spark.pipeline.graph import scc_components
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n = docs.count()
+    p = n // 4
+    ks = [k for k in range(11) if (1 << k) < p]
+    nodes = docs.filter(F.col("doc_id") < 4 * p).select(
+        F.col("doc_id").cast("long").alias("v")
+    )
+    jump = nodes.select(
+        "v", F.explode(F.array(*[F.lit(k) for k in ks])).alias("k")
+    ).select(
+        F.col("v").alias("src"),
+        (
+            ((F.expr("v div 4") + F.expr("shiftleft(CAST(1 AS BIGINT), k)")) % p)
+            * 4
+            + F.col("v") % 4
+        ).alias("dst"),
+    )
+    cross = nodes.filter(F.col("v") % 4 < 3).select(
+        F.col("v").alias("src"), (F.col("v") + 1).alias("dst")
+    )
+    # longest min-label path: ≤ len(ks) within-level jump hops to reach the
+    # right ring position + ≤3 cross hops; +6 slack (verify_fixpoint guards)
+    bound = len(ks) + 6
+    return scc_components(jump.unionAll(cross), prop_rounds=bound)
+
+
+_SQL_GRAPH_SCC = """
+WITH RECURSIVE par AS (SELECT CAST(count(*) AS BIGINT) // 4 AS p FROM documents),
+ks AS (
+  SELECT k FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) t(k)
+  WHERE (CAST(1 AS BIGINT) << k) < (SELECT p FROM par)
+),
+nodes AS (
+  SELECT CAST(doc_id AS BIGINT) AS v FROM documents
+  WHERE doc_id < 4 * (SELECT p FROM par)
+),
+e AS (
+  SELECT v AS s, ((v // 4 + (CAST(1 AS BIGINT) << k)) % p) * 4 + (v % 4) AS d
+  FROM nodes, ks, par
+  UNION ALL
+  SELECT v, v + 1 FROM nodes WHERE v % 4 < 3
+),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e2.d FROM reach r JOIN e e2 ON e2.s = r.d
+),
+mutual AS (
+  SELECT r1.s AS v, r1.d AS u
+  FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
+)
+SELECT n.v AS node,
+       CAST(LEAST(n.v, COALESCE(MIN(m.u), n.v)) AS BIGINT) AS scc_id
+FROM nodes n LEFT JOIN mutual m ON m.v = n.v
+GROUP BY n.v
+"""
+
+
+def _q_graph_harmonic(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact harmonic centrality + distance profile (pipeline/
+    centrality.py::harmonic_centrality) over the doc-id binary tree,
+    cohort-bounded to ids < 1500 (all-pairs BFS is the deliberate
+    ORACLE-GRADE variant; graph_hyperball is the corpus-scale sketch of
+    the same quantity).  harmonic_fp keeps Σ1/d in fixed-point int64 —
+    associative-safe, hash-exact."""
+    from mopper_spark.pipeline.centrality import harmonic_centrality
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+        F.col("doc_id") < 1500
+    )
+    edges = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("src"),
+        F.expr("doc_id div 2").cast("long").alias("dst"),
+    )
+    return harmonic_centrality(edges, max_hops=24)
+
+
+_SQL_GRAPH_HARMONIC = """
+WITH RECURSIVE ed AS (
+  SELECT CAST(doc_id AS BIGINT) AS s, CAST(doc_id // 2 AS BIGINT) AS d
+  FROM documents WHERE doc_id >= 2 AND doc_id < 1500
+),
+sym AS (SELECT s, d FROM ed UNION ALL SELECT d AS s, s AS d FROM ed),
+walk(o, node, dist) AS (
+  SELECT s, d, 1 FROM sym
+  UNION
+  SELECT w.o, s2.d, w.dist + 1 FROM walk w JOIN sym s2 ON s2.s = w.node
+  WHERE w.dist < 24
+),
+md AS (
+  SELECT o, node, MIN(dist) AS dist FROM walk WHERE node <> o GROUP BY o, node
+)
+SELECT o AS node, CAST(COUNT(*) AS BIGINT) AS reach,
+       CAST(SUM(dist) AS BIGINT) AS dist_sum,
+       CAST(SUM(1000000000 // dist) AS BIGINT) AS harmonic_fp
+FROM md GROUP BY o
+"""
+
+
+def _q_graph_hyperball(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperBall 3-ball sizes (pipeline/centrality.py::hyperball) over
+    the full doc-id binary tree: 64 md5-derived HLL registers max-merged
+    along edges — O(64·n) state per round where the exact ball is O(n²),
+    the neighborhood-function sketch of Boldi & Vigna.  Registers and the
+    harmonic denominator are exact integers, so even the SKETCH is
+    strict-oracled: DuckDB replays the same 3 unrolled max-merge rounds
+    bit-for-bit."""
+    from mopper_spark.pipeline.centrality import hyperball
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    edges = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("src"),
+        F.expr("doc_id div 2").cast("long").alias("dst"),
+    )
+    return hyperball(edges, rounds=3)
+
+
+def _sql_graph_hyperball(rounds: int) -> str:
+    reg = "('0x' || substr(md5(CAST(v AS VARCHAR)), {a}, {b}))::BIGINT"
+    parts = [
+        f"""WITH ed AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS s, CAST(doc_id // 2 AS BIGINT) AS d
+  FROM documents WHERE doc_id >= 2
+), sym AS MATERIALIZED (
+  SELECT DISTINCT s, d FROM (SELECT s, d FROM ed UNION ALL SELECT d, s FROM ed)
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT s AS v FROM sym UNION ALL SELECT d FROM sym)
+), s0 AS MATERIALIZED (
+  SELECT v AS node,
+         {reg.format(a=1, b=2)} % 64 AS bucket,
+         CASE WHEN {reg.format(a=3, b=12)} = 0 THEN 49
+              ELSE 49 - length(bin({reg.format(a=3, b=12)})) END AS r
+  FROM nodes
+)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""", s{t} AS MATERIALIZED (
+  SELECT node, bucket, MAX(r) AS r FROM (
+    SELECT node, bucket, r FROM s{t - 1}
+    UNION ALL
+    SELECT e.s AS node, st.bucket, st.r FROM sym e JOIN s{t - 1} st ON st.node = e.d
+  ) GROUP BY node, bucket
+)"""
+        )
+    alpha = "(0.7213 / (1.0 + 1.079 / 64.0))"
+    sfp = "(s_present + (64 - n_present) * 1125899906842624)"
+    raw = f"{alpha} * 64.0 * 64.0 * 1125899906842624.0 / {sfp}"
+    parts.append(
+        f""", summ AS (
+  SELECT node, COUNT(*) AS n_present,
+         CAST(SUM((CAST(1 AS BIGINT)) << (50 - r)) AS BIGINT) AS s_present
+  FROM s{rounds} GROUP BY node
+)
+SELECT node,
+  CAST(64 - n_present AS BIGINT) AS v_zero,
+  CAST({sfp} AS BIGINT) AS s_fp,
+  CASE WHEN {raw} <= 2.5 * 64.0 AND (64 - n_present) > 0
+       THEN 64.0 * ln(64.0 / CAST(64 - n_present AS DOUBLE))
+       ELSE {raw} END AS est
+FROM summ"""
+    )
+    return "".join(parts)
+
+
+_SQL_GRAPH_HYPERBALL = _sql_graph_hyperball(3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -9678,6 +10097,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_subquery": _q_kg_sparql_subquery,
         "kg_sparql_graph": _q_kg_sparql_graph,
         "kg_sparql_group_concat": _q_kg_sparql_group_concat,
+        "graph_scc": _q_graph_scc,
+        "graph_harmonic": _q_graph_harmonic,
+        "graph_hyperball": _q_graph_hyperball,
+        "events_ndcg": _q_events_ndcg,
+        "docs_collocations_llr": _q_docs_collocations_llr,
+        "docs_kneser_ney": _q_docs_kneser_ney,
+        "linking_fs_scores": _q_linking_fs_scores,
+        "kg_reify_roundtrip": _q_kg_reify_roundtrip,
     }
 
 
@@ -9882,4 +10309,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_subquery": _SQL_KG_SPARQL_SUBQUERY,
         "kg_sparql_graph": _SQL_KG_SPARQL_GRAPH,
         "kg_sparql_group_concat": _SQL_KG_SPARQL_GROUP_CONCAT,
+        "graph_scc": _SQL_GRAPH_SCC,
+        "graph_harmonic": _SQL_GRAPH_HARMONIC,
+        "graph_hyperball": _SQL_GRAPH_HYPERBALL,
+        "events_ndcg": _SQL_EVENTS_NDCG,
+        "docs_collocations_llr": _SQL_DOCS_COLLOCATIONS_LLR,
+        "docs_kneser_ney": _SQL_DOCS_KNESER_NEY,
+        "linking_fs_scores": _SQL_LINKING_FS,
+        "kg_reify_roundtrip": (
+            f"WITH kg AS ({_SQL_KG_GRAPH})\n"
+            "SELECT DISTINCT subj, pred, obj, okind FROM kg"
+        ),
     }

@@ -1294,3 +1294,187 @@ def modularity(
             (F.lit(4) * F.col("m") * F.col("m")).cast("long").alias("q_den"),
         )
     )
+
+
+def scc_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    prop_rounds: int | None = None,
+    max_outer: int = 50,
+    verify_fixpoint: bool = True,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph by iterative
+    forward-backward coloring (Orzan 2004; the FW-BW-Trim family of
+    Fleischer/Hendrickson/Pinar 2000 and Hong et al. PPoPP'13, which is
+    the standard distributed SCC algorithm — Tarjan's stack is inherently
+    sequential).  Returns ``(node, scc_id)`` with ``scc_id`` = the
+    MINIMUM node id in the component, a canonical engine-independent
+    labeling (cf. ``connected_components``' min-label convention).
+
+    One outer round over the still-unsettled subgraph:
+
+    1. TRIM — a node with no in-edge or no out-edge cannot lie on a
+       cycle: settle it as a singleton SCC.  (One pass per round; a deep
+       DAG peels across successive outer rounds.)
+    2. FORWARD coloring — ``color(v) = min id of any node that reaches
+       v``, by min-propagation along edge direction to fixpoint.  A
+       *root* (``color(r) = r``) is reached by nothing smaller, and for
+       every v with ``color(v) = r``: r reaches v, and r IS the minimum
+       of SCC(r) (everything in SCC(r) both reaches and is reached by r,
+       so it shares r's color and can't be smaller than the min over
+       r's reach-set... which r itself achieves).
+    3. BACKWARD sweep — within color class r, mark nodes that reach r
+       (propagate "settled" backward along edges, never leaving the
+       class: any node on a v→…→r path with color(v)=r also has color
+       r, so the class restriction loses nothing).  Marked nodes are
+       exactly SCC(r): they reach r (sweep) and are reached by r
+       (color).  Settle and remove them; every color class retires at
+       least its root's SCC per round.
+
+    ``prop_rounds``: per-phase propagation bound.  ``None`` runs each
+    phase to a PROBED fixpoint (one extra count/sum action per
+    propagation step — robust for unknown graphs); a caller who knows a
+    diameter bound passes it and pays ZERO per-step actions (the whole
+    phase is one lazy plan).  With ``verify_fixpoint`` (default), a
+    bounded phase appends one extra propagation step and raises
+    ``ValueError`` if anything still changed — a too-small bound becomes
+    a loud error, never a silently wrong component.
+
+    Scale shape: each propagation step is one equi-join (frontier-sized)
+    + one min/max aggregate with map-side combine; per-phase lineage is
+    cut with ``localCheckpoint``.  Outer rounds ≤ the graph's
+    SCC-condensation depth (long DAG chains cost rounds — trim absorbs
+    pure chains; real workloads' condensations are shallow).
+    """
+    e_all = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    remaining = (
+        e_all.select(F.col("s").alias("node"))
+        .union(e_all.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    settled_parts: list[DataFrame] = []
+    e = e_all
+
+    def _min_prop(state: DataFrame, edges_sd: DataFrame, col: str) -> DataFrame:
+        """One step: state[col] absorbs min over in-neighbors."""
+        moved = (
+            edges_sd.join(state, edges_sd["s"] == state["node"])
+            .select(F.col("d").alias("node"), F.col(col))
+        )
+        return (
+            state.unionAll(moved).groupBy("node").agg(F.min(col).alias(col))
+        )
+
+    def _run_phase(state, step, probe_agg, colname):
+        """Iterate `step` to fixpoint (probed) or for prop_rounds (bounded,
+        then verified)."""
+        if prop_rounds is None:
+            prev = state.agg(probe_agg).collect()[0][0]
+            for _ in range(10**6):
+                state = step(state).localCheckpoint(eager=True)
+                now = state.agg(probe_agg).collect()[0][0]
+                if now == prev:
+                    return state
+                prev = now
+        state = state.localCheckpoint(eager=False)
+        for i in range(prop_rounds):
+            state = step(state)
+            if (i + 1) % 8 == 0:
+                state = state.localCheckpoint(eager=False)
+        state = state.localCheckpoint(eager=True)
+        if verify_fixpoint:
+            before = state.agg(probe_agg).collect()[0][0]
+            after = step(state).agg(probe_agg).collect()[0][0]
+            if before != after:
+                raise ValueError(
+                    f"scc_components: prop_rounds={prop_rounds} did not reach "
+                    f"the {colname} fixpoint — pass a larger bound or None"
+                )
+        return state
+
+    for _ in range(max_outer):
+        if remaining.isEmpty():
+            break
+        # 1. trim: settle nodes missing an in- or out-edge as singletons.
+        has_out = e.select(F.col("s").alias("node")).distinct()
+        has_in = e.select(F.col("d").alias("node")).distinct()
+        on_cycle_maybe = remaining.join(has_out, "node", "left_semi").join(
+            has_in, "node", "left_semi"
+        )
+        trimmed = remaining.join(on_cycle_maybe, "node", "left_anti")
+        settled_parts.append(
+            trimmed.select("node", F.col("node").alias("scc_id"))
+            .localCheckpoint(eager=True)
+        )
+        remaining = on_cycle_maybe.localCheckpoint(eager=True)
+        if remaining.isEmpty():
+            break
+        e = (
+            e.join(remaining.withColumnRenamed("node", "s"), "s", "left_semi")
+            .join(remaining.withColumnRenamed("node", "d"), "d", "left_semi")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+        # 2. forward min-coloring over the remaining subgraph.
+        colors = remaining.select("node", F.col("node").alias("color"))
+        colors = _run_phase(
+            colors, lambda st: _min_prop(st, e, "color"),
+            # decimal(38,0): the probe must be an EXACT sum — int64 could
+            # wrap on huge-id graphs and fake a fixpoint.
+            F.sum(F.col("color").cast("decimal(38,0)")), "color",
+        )
+        # 3. backward sweep from each root within its color class.
+        ec = (
+            e.join(colors.withColumnRenamed("node", "s"), "s")
+            .withColumnRenamed("color", "c_s")
+            .join(colors.withColumnRenamed("node", "d"), "d")
+            .withColumnRenamed("color", "c_d")
+            .filter(F.col("c_s") == F.col("c_d"))
+            .select(F.col("d").alias("s"), F.col("s").alias("d"))  # reversed
+            .localCheckpoint(eager=True)
+        )
+        marked = colors.filter(F.col("node") == F.col("color")).select(
+            "node", F.col("color").alias("scc_id")
+        )
+
+        def _bwd_step(st: DataFrame) -> DataFrame:
+            moved = (
+                ec.join(st, ec["s"] == st["node"])
+                .select(F.col("d").alias("node"), "scc_id")
+            )
+            return st.unionAll(moved).groupBy("node").agg(
+                F.min("scc_id").alias("scc_id")
+            )
+
+        marked = _run_phase(marked, _bwd_step, F.count(F.lit(1)), "sweep")
+        settled_parts.append(marked.localCheckpoint(eager=True))
+        remaining = remaining.join(marked, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        e = (
+            e.join(remaining.withColumnRenamed("node", "s"), "s", "left_semi")
+            .join(remaining.withColumnRenamed("node", "d"), "d", "left_semi")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if not remaining.isEmpty():
+            raise ValueError("scc_components: max_outer exhausted")
+
+    if not settled_parts:  # edgeless input: no nodes, empty result
+        return spark.createDataFrame([], "node long, scc_id long")
+    out = settled_parts[0]
+    for part in settled_parts[1:]:
+        out = out.unionAll(part)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("scc_id").cast("long").alias("scc_id"),
+    )

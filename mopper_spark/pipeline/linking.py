@@ -264,3 +264,76 @@ def clustering_pair_counts(
             (F.col("gp") - F.col("tp")).cast("long").alias("fn"),
         )
     )
+
+
+def fs_weights(
+    pairs: DataFrame,
+    agree_cols: list[str],
+    label_col: str = "is_match",
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage parameters (Fellegi & Sunter,
+    JASA'69) from LABELED candidate pairs: one row with, per comparison
+    field j, the agreement counts among matches (``am_j``) and among
+    non-matches (``au_j``), plus the class totals ``n_m`` / ``n_u`` —
+    the sufficient statistics for ``m_j = P(agree_j | match)`` and
+    ``u_j = P(agree_j | unmatch)``.
+
+    Kept as EXACT integer counts (the probabilities are derived at
+    scoring time with +1/+2 Laplace smoothing) so the statistics are
+    associative-safe, mergeable across shards, and SQL-oracle-able.
+
+    Scale shape: ONE map-side-combining aggregate over the pair table —
+    no shuffle wider than one row.
+    """
+    lab = F.col(label_col).cast("boolean")
+    aggs = [
+        F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("n_m"),
+        F.sum(F.when(lab, 0).otherwise(1)).cast("long").alias("n_u"),
+    ]
+    for c in agree_cols:
+        a = F.col(c).cast("boolean")
+        aggs.append(
+            F.sum(F.when(lab & a, 1).otherwise(0)).cast("long").alias(f"am_{c}")
+        )
+        aggs.append(
+            F.sum(F.when((~lab) & a, 1).otherwise(0))
+            .cast("long")
+            .alias(f"au_{c}")
+        )
+    return pairs.agg(*aggs)
+
+
+def fs_scores(
+    pairs: DataFrame,
+    weights: DataFrame,
+    agree_cols: list[str],
+) -> DataFrame:
+    """Fellegi-Sunter match score per candidate pair: the sum over fields
+    of the log2 likelihood ratio — ``log2(m_j/u_j)`` on agreement,
+    ``log2((1-m_j)/(1-u_j))`` on disagreement — under the naive-Bayes
+    conditional-independence model of the original paper (the scoring
+    core of modern probabilistic linkers like Splink).
+
+    ``m_j = (am_j+1)/(n_m+2)``, ``u_j = (au_j+1)/(n_u+2)`` (Laplace:
+    keeps every ratio finite and in (0,1) even for degenerate fields).
+    Terms are added in ``agree_cols`` order — fixed association, 1-ulp
+    engine agreement.
+
+    Scale shape: the one-row weights table is broadcast; scoring is a
+    narrow map over the pair table.  Pair GENERATION stays the blocked
+    ``candidate_pairs`` path — this function never joins wide.
+    """
+    j = pairs.crossJoin(F.broadcast(weights))
+    score = F.lit(0.0)
+    for c in agree_cols:
+        m = (F.col(f"am_{c}").cast("double") + 1.0) / (
+            F.col("n_m").cast("double") + 2.0
+        )
+        u = (F.col(f"au_{c}").cast("double") + 1.0) / (
+            F.col("n_u").cast("double") + 2.0
+        )
+        term = F.when(
+            F.col(c).cast("boolean"), F.log2(m / u)
+        ).otherwise(F.log2((F.lit(1.0) - m) / (F.lit(1.0) - u)))
+        score = score + term
+    return j.select(*pairs.columns, score.alias("fs_score"))

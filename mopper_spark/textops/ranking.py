@@ -516,3 +516,215 @@ def reciprocal_rank_fusion(
     )
     w = Window.orderBy(F.desc("rrf"), id_col)
     return out.withColumn("rank", F.row_number().over(w))
+
+
+def ndcg_at_k(
+    runs: DataFrame,
+    query_col: str = "qid",
+    item_col: str = "item",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """nDCG@k per query (Järvelin & Kekäläinen, TOIS'02 — the standard
+    graded-relevance retrieval metric): ``(qid, dcg, idcg, ndcg)`` with
+    exponential gain ``2^rel - 1`` and ``log2(pos+1)`` discount, ideal
+    ranking = relevance-descending.
+
+    Determinism: both rankings tie-break on ``item`` ascending, so the
+    permutation (and therefore the score, float or not) is a pure function
+    of the data; the gain ``2^rel - 1`` is computed as an exact integer
+    shift before the single division per term.
+
+    Scale shape: two ``row_number`` windows partitioned by query — a
+    ranked run is bounded per query (a retrieval system returns hundreds
+    of candidates, not the corpus), so per-partition state is small and
+    skew-free by construction; one map-side-combining aggregate each.
+    A query with no positive item gets ``ndcg = 0`` (idcg = 0 — defined,
+    not NULL, so downstream averages are stable).
+    """
+    base = runs.select(
+        F.col(query_col).alias("qid"),
+        F.col(item_col).alias("item"),
+        F.col(score_col).alias("score"),
+        F.col(rel_col).cast("long").alias("rel"),
+    )
+    gain = (F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT))") - 1).cast(
+        "double"
+    )
+    run_w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("item"))
+    ideal_w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("item"))
+    ranked = base.select(
+        "qid",
+        gain.alias("g"),
+        F.row_number().over(run_w).alias("pos"),
+        F.row_number().over(ideal_w).alias("ipos"),
+    )
+    agg = ranked.groupBy("qid").agg(
+        F.sum(
+            F.when(
+                F.col("pos") <= k,
+                F.col("g") / F.log2(F.col("pos").cast("double") + F.lit(1.0)),
+            ).otherwise(F.lit(0.0))
+        ).alias("dcg"),
+        F.sum(
+            F.when(
+                F.col("ipos") <= k,
+                F.col("g") / F.log2(F.col("ipos").cast("double") + F.lit(1.0)),
+            ).otherwise(F.lit(0.0))
+        ).alias("idcg"),
+    )
+    return agg.select(
+        "qid",
+        "dcg",
+        "idcg",
+        F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg"))
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+    )
+
+
+def _bigram_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(w1, w2, n_pair) adjacent-bigram counts — the shared first pass of
+    the collocation / LM estimators (the bigram_pmi tokenization)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    t = docs.select(toks.alias("t")).filter(F.size("t") > 1)
+    pairs = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    return pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+
+
+def collocations_llr(
+    docs: DataFrame,
+    *,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation extraction by Dunning's log-likelihood ratio (Dunning,
+    CL'93 — the G² statistic over the bigram 2×2 contingency table),
+    the classic phrase miner that, unlike PMI, does not explode on rare
+    pairs.  Returns ``(w1, w2, n_pair bigint, llr double)`` for bigrams
+    seen ≥ ``min_count``.
+
+    With ``k11 = c(w1,w2)``, ``r1 = c(w1,·)``, ``c1 = c(·,w2)``, ``N`` =
+    total bigrams: the table is (k11, r1-k11; c1-k11, N-r1-c1+k11) and
+
+        G² = 2 · Σ_cell  k · ln( k·N / (rowsum · colsum) )    (0 at k=0)
+
+    Each term is ONE ``ln`` over a ratio of fixed-order double products
+    of exact integers (the ``bigram_pmi`` determinism discipline), the
+    four terms added left-to-right — an independent SQL engine agrees to
+    1 ulp per term.
+
+    Scale shape: the word-count pattern — one bigram count shuffle, two
+    marginal aggregations OVER THE BIGRAM TABLE (not the corpus), one-row
+    total broadcast back; AQE picks broadcast for the marginals when they
+    fit.
+    """
+    big = _bigram_counts(docs, text_col)
+    left = big.groupBy("w1").agg(F.sum("n_pair").alias("r1"))
+    right = big.groupBy("w2").agg(F.sum("n_pair").alias("c1"))
+    total = big.agg(F.sum("n_pair").alias("nn"))
+    j = (
+        big.filter(F.col("n_pair") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+    )
+
+    def term(kk, row, colc):
+        return F.when(
+            kk > 0,
+            kk.cast("double")
+            * F.log(
+                (kk.cast("double") * F.col("nn").cast("double"))
+                / (row.cast("double") * colc.cast("double"))
+            ),
+        ).otherwise(F.lit(0.0))
+
+    k11 = F.col("n_pair")
+    k12 = F.col("r1") - k11
+    k21 = F.col("c1") - k11
+    k22 = F.col("nn") - F.col("r1") - F.col("c1") + k11
+    r2 = F.col("nn") - F.col("r1")
+    c2 = F.col("nn") - F.col("c1")
+    g2 = (
+        term(k11, F.col("r1"), F.col("c1"))
+        + term(k12, F.col("r1"), c2)
+        + term(k21, r2, F.col("c1"))
+        + term(k22, r2, c2)
+    ) * F.lit(2.0)
+    return j.select(
+        "w1", "w2", F.col("n_pair").cast("long").alias("n_pair"), g2.alias("llr")
+    )
+
+
+def kneser_ney_bigrams(
+    docs: DataFrame,
+    *,
+    discount: float = 0.75,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney,
+    ICASSP'95; the Chen & Goodman '98 interpolated form with one fixed
+    discount D) — the smoothing that actual LM-quality scoring uses,
+    where ``bigram_backoff_xent``'s add-k is the toy:
+
+        p(w|v) = max(c(vw) − D, 0)/c(v·)  +  D·N1+(v·)/c(v·) · p_cont(w)
+        p_cont(w) = N1+(·w) / N1+(··)
+
+    (continuation probability = how many distinct LEFT contexts w
+    follows, normalized by the bigram-type count — the KN insight that
+    "Francisco" is frequent but only ever follows "San").
+
+    Returns ``(w1, w2, n_pair bigint, n1f bigint, n1b bigint, p_kn
+    double)`` for observed bigrams with count ≥ ``min_count``; all four
+    statistics are exact integers and ``p_kn`` is one fixed-order double
+    expression over them, so the result is engine-reproducible (strict
+    SQL oracle) — and ``Σ_w p(w|v) ≤ 1`` exactly (unit-tested), the
+    probability-mass sanity a hand-rolled smoother usually gets wrong.
+
+    Scale shape: identical to ``collocations_llr`` — bigram word-count
+    shuffle + three bigram-table aggregations (left totals, left type
+    counts, right type counts) + one-row type total broadcast back.
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError("kneser_ney_bigrams: discount must be in (0, 1)")
+    big = _bigram_counts(docs, text_col)
+    left = big.groupBy("w1").agg(
+        F.sum("n_pair").alias("cv"), F.count("*").alias("n1f")
+    )
+    right = big.groupBy("w2").agg(F.count("*").alias("n1b"))
+    total = big.agg(F.count("*").alias("n1all"))
+    j = (
+        big.filter(F.col("n_pair") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    d = F.lit(float(discount))
+    p_kn = (
+        F.greatest(F.col("n_pair").cast("double") - d, F.lit(0.0))
+        + d
+        * F.col("n1f").cast("double")
+        * (F.col("n1b").cast("double") / F.col("n1all").cast("double"))
+    ) / F.col("cv").cast("double")
+    return j.select(
+        "w1",
+        "w2",
+        F.col("n_pair").cast("long").alias("n_pair"),
+        F.col("n1f").cast("long").alias("n1f"),
+        F.col("n1b").cast("long").alias("n1b"),
+        p_kn.alias("p_kn"),
+    )
