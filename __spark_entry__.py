@@ -9483,6 +9483,178 @@ LIMIT 20
 """
 
 
+def _q_graph_mis(spark: SparkSession, sf: str) -> DataFrame:
+    """Luby maximal independent set (pipeline/graph.py::luby_mis) over the
+    doc-id binary-tree + div-3-chord graph.  md5 round-priorities make the
+    randomized algorithm bit-reproducible, so the oracle unrolls the SAME
+    rounds (6 unrolled ≥ the 3 the fixture needs; an exhausted round has
+    no active nodes and emits nothing — over-unrolling is a no-op)."""
+    from mopper_spark.pipeline.graph import luby_mis
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    e1 = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 2").cast("long").alias("b"),
+    )
+    e2 = docs.filter(F.col("doc_id") >= 3).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 3").cast("long").alias("b"),
+    )
+    return luby_mis(e1.union(e2))
+
+
+def _sql_graph_mis(rounds: int) -> str:
+    parts = [
+        """WITH ed AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id // 2 AS BIGINT) AS b
+  FROM documents WHERE doc_id >= 2
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 3 AS BIGINT)
+  FROM documents WHERE doc_id >= 3
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT a AS node FROM (SELECT a FROM ed UNION ALL SELECT b FROM ed)
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM
+    (SELECT a AS u, b AS v FROM ed UNION ALL SELECT b, a FROM ed)
+  WHERE u <> v
+), act0 AS MATERIALIZED (SELECT node FROM nodes)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", p{r} AS MATERIALIZED (
+  SELECT node, md5('mis-v1:{r}:' || CAST(node AS VARCHAR)) AS p FROM act{r - 1}
+), w{r} AS MATERIALIZED (
+  SELECT pr.node FROM p{r} pr
+  LEFT JOIN (SELECT e.u AS node, MIN(pv.p) AS nb_p
+             FROM e{r - 1} e JOIN p{r} pv ON pv.node = e.v GROUP BY e.u) nb
+    ON nb.node = pr.node
+  WHERE nb.nb_p IS NULL OR pr.p < nb.nb_p
+), act{r} AS MATERIALIZED (
+  SELECT a.node FROM act{r - 1} a
+  WHERE a.node NOT IN (SELECT node FROM w{r})
+    AND a.node NOT IN (SELECT e.v FROM e{r - 1} e JOIN w{r} w ON w.node = e.u)
+), e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r - 1} e
+  JOIN act{r} x ON x.node = e.u JOIN act{r} y ON y.node = e.v
+)"""
+        )
+    wins = " UNION ALL ".join(f"SELECT node FROM w{r}" for r in range(1, rounds + 1))
+    parts.append(
+        f"""
+SELECT n.node, n.node IN ({wins}) AS in_mis FROM nodes n"""
+    )
+    return "".join(parts)
+
+
+_SQL_GRAPH_MIS = _sql_graph_mis(6)
+
+
+def _q_graph_butterflies(spark: SparkSession, sf: str) -> DataFrame:
+    """Bipartite butterfly counts (pipeline/graph.py::butterfly_counts)
+    over the user×(event_id mod 199) co-engagement graph — 2×2 biclique
+    motifs, exact integers; the wedge join's quadratic lives on the
+    bounded item-side degree."""
+    from mopper_spark.pipeline.graph import butterfly_counts
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    bip = ev.select(
+        F.col("user_id").alias("u"), (F.col("event_id") % 199).alias("item")
+    )
+    return butterfly_counts(bip)
+
+
+_SQL_GRAPH_BUTTERFLIES = """
+WITH e AS (
+  SELECT DISTINCT user_id AS u, event_id % 199 AS it FROM events
+),
+wedges AS (
+  SELECT w1.u AS ua, w2.u AS ub, COUNT(*) AS c
+  FROM e w1 JOIN e w2 ON w1.it = w2.it AND w1.u < w2.u
+  GROUP BY w1.u, w2.u
+  HAVING COUNT(*) >= 2
+),
+pair_bf AS (
+  SELECT ua, ub, CAST(c * (c - 1) / 2 AS BIGINT) AS bf FROM wedges
+)
+SELECT u, CAST(SUM(bf) AS BIGINT) AS butterflies FROM (
+  SELECT ua AS u, bf FROM pair_bf UNION ALL SELECT ub, bf FROM pair_bf
+) GROUP BY u
+"""
+
+
+def _q_graph_densest(spark: SparkSession, sf: str) -> DataFrame:
+    """Densest-subgraph peel trajectory (pipeline/graph.py::
+    densest_peel_stats, Bahmani et al. VLDB'12, ε=1/4): the binary-tree +
+    div-3-chord scaffold peels away in a few rounds while the planted
+    30-node partial clique holds — the densest prefix is the core.  The
+    integer threshold test makes the trajectory engine-exact; the oracle
+    unrolls 8 rounds (≥ the 4 the fixture needs; empty rounds emit no
+    rows)."""
+    from mopper_spark.pipeline.graph import densest_peel_stats
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    e1 = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 2").cast("long").alias("b"),
+    )
+    e2 = docs.filter(F.col("doc_id") >= 3).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 3").cast("long").alias("b"),
+    )
+    ids = docs.filter(F.col("doc_id") < 30)
+    e3 = (
+        ids.select(F.col("doc_id").alias("a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("b")))
+        .filter("a < b AND (a + b) % 3 = 0")
+        .select(F.col("a").cast("long"), F.col("b").cast("long"))
+    )
+    return densest_peel_stats(e1.union(e2).union(e3))
+
+
+def _sql_graph_densest(rounds: int) -> str:
+    parts = [
+        """WITH ed AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id // 2 AS BIGINT) AS b
+  FROM documents WHERE doc_id >= 2
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id // 3 AS BIGINT)
+  FROM documents WHERE doc_id >= 3
+  UNION ALL
+  SELECT CAST(d1.doc_id AS BIGINT), CAST(d2.doc_id AS BIGINT)
+  FROM documents d1 JOIN documents d2
+    ON d1.doc_id < d2.doc_id AND (d1.doc_id + d2.doc_id) % 3 = 0
+  WHERE d1.doc_id < 30 AND d2.doc_id < 30
+), s0 AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM
+    (SELECT a AS u, b AS v FROM ed UNION ALL SELECT b, a FROM ed)
+  WHERE u <> v
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", d{r} AS MATERIALIZED (
+  SELECT u, COUNT(*) AS deg FROM s{r - 1} GROUP BY u
+), st{r} AS MATERIALIZED (
+  SELECT COUNT(*) AS n, CAST(COALESCE(SUM(deg), 0) // 2 AS BIGINT) AS m FROM d{r}
+), k{r} AS MATERIALIZED (
+  SELECT d.u FROM d{r} d, st{r} s WHERE d.deg * s.n * 4 >= 10 * s.m
+), s{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM s{r - 1} e
+  JOIN k{r} x ON x.u = e.u JOIN k{r} y ON y.u = e.v
+)"""
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r - 1} AS BIGINT) AS round, CAST(n AS BIGINT) AS n_nodes,"
+        f" m AS n_edges FROM st{r} WHERE n > 0"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"\nSELECT * FROM ({rows})")
+    return "".join(parts)
+
+
+_SQL_GRAPH_DENSEST = _sql_graph_densest(8)
+
+
 def _q_events_ndcg(spark: SparkSession, sf: str) -> DataFrame:
     """nDCG@10 per query (textops/ranking.py::ndcg_at_k) — graded
     retrieval evaluation, the metric a training-data relevance filter is
@@ -10105,6 +10277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_kneser_ney": _q_docs_kneser_ney,
         "linking_fs_scores": _q_linking_fs_scores,
         "kg_reify_roundtrip": _q_kg_reify_roundtrip,
+        "graph_mis": _q_graph_mis,
+        "graph_butterflies": _q_graph_butterflies,
+        "graph_densest": _q_graph_densest,
     }
 
 
@@ -10320,4 +10495,7 @@ def oracle_sql() -> dict[str, str]:
             f"WITH kg AS ({_SQL_KG_GRAPH})\n"
             "SELECT DISTINCT subj, pred, obj, okind FROM kg"
         ),
+        "graph_mis": _SQL_GRAPH_MIS,
+        "graph_butterflies": _SQL_GRAPH_BUTTERFLIES,
+        "graph_densest": _SQL_GRAPH_DENSEST,
     }

@@ -1478,3 +1478,219 @@ def scc_components(
         F.col("node").cast("long").alias("node"),
         F.col("scc_id").cast("long").alias("scc_id"),
     )
+
+
+def luby_mis(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    *,
+    max_rounds: int = 40,
+    seed: str = "mis-v1",
+) -> DataFrame:
+    """Maximal independent set by Luby's algorithm (Luby, SICOMP'86 — THE
+    distributed symmetry-breaking primitive; greedy MIS is inherently
+    sequential).  Per round every still-active node draws a priority and
+    joins the MIS iff it beats ALL active neighbors; winners and their
+    neighbors retire.  Expected O(log n) rounds (half the EDGES die per
+    round in expectation).
+
+    Priorities are ``md5(seed:round:node)`` hex strings — deterministic,
+    collision-free per round (distinct nodes), ORDER-PORTABLE (ASCII-hex
+    binary comparison is identical in Spark and DuckDB), so the "random"
+    algorithm is bit-reproducible and strict-oracle-able: a SQL engine
+    unrolling the same rounds retires the same nodes.  Self-loops are
+    dropped (a self-looped node is its own neighbor under the naive
+    reading; MIS is defined on the simple graph).
+
+    Returns ``(node, in_mis)`` covering every endpoint.
+
+    Scale shape per round: one join edge×priority + one min-aggregate
+    (map-side combine) + two semi/anti joins to retire winners and their
+    neighborhoods — all equi-joins on node ids, lineage cut per round.
+    """
+    sym = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .union(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    active = (
+        edges.select(F.col(a).alias("node"))
+        .union(edges.select(F.col(b).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = sym
+    spark = edges.sparkSession
+    mis_parts: list[DataFrame] = []
+    for r in range(1, max_rounds + 1):
+        if active.isEmpty():
+            break
+        prio = active.select(
+            "node",
+            F.md5(
+                F.concat_ws(":", F.lit(seed), F.lit(str(r)), F.col("node"))
+            ).alias("p"),
+        )
+        nb_min = (
+            e.join(prio.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("p").alias("nb_p"))
+            .withColumnRenamed("u", "node")
+        )
+        winners = (
+            prio.join(nb_min, "node", "left")
+            .filter(F.col("nb_p").isNull() | (F.col("p") < F.col("nb_p")))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        mis_parts.append(winners)
+        dead = winners.unionAll(
+            e.join(winners.withColumnRenamed("node", "u"), "u", "left_semi")
+            .select(F.col("v").alias("node"))
+        ).distinct()
+        active = active.join(dead, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
+        e = (
+            e.join(active.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(active.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if not active.isEmpty():
+            raise ValueError("luby_mis: max_rounds exhausted")
+
+    nodes = (
+        edges.select(F.col(a).alias("node"))
+        .union(edges.select(F.col(b).alias("node")))
+        .distinct()
+    )
+    if mis_parts:
+        mis = mis_parts[0]
+        for part in mis_parts[1:]:
+            mis = mis.unionAll(part)
+        flag = nodes.join(
+            mis.withColumn("in_mis", F.lit(True)), "node", "left"
+        )
+    else:
+        flag = nodes.withColumn("in_mis", F.lit(None).cast("boolean"))
+    return flag.select(
+        F.col("node").cast("long").alias("node"),
+        F.coalesce(F.col("in_mis"), F.lit(False)).alias("in_mis"),
+    )
+
+
+def butterfly_counts(
+    edges: DataFrame,
+    left: str = "u",
+    right: str = "item",
+) -> DataFrame:
+    """Per-left-vertex butterfly (2×2 biclique) counts in a bipartite
+    graph (Sanei-Mehri et al., KDD'18) — the bipartite analogue of
+    triangle counting, the motif behind co-engagement / co-purchase
+    density.  For every left pair (u, w) sharing ``c`` right neighbors,
+    the pair lies on C(c, 2) butterflies; ``bf(u) = Σ_w C(c_uw, 2)``.
+
+    Returns ``(u, butterflies bigint)`` for left vertices on ≥ 1
+    butterfly.  Exact integers throughout.
+
+    Scale shape: one wedge join through the right side (wedges =
+    Σ_item C(deg_item, 2) — the quadratic lives on right-side degree, so
+    a celebrity ITEM is the hazard, same as the triangle wedge bound),
+    one (u, w) count aggregation, one per-u sum.  At corpus scale,
+    degree-cap or sample hot items first (the KDD'18 vertex-priority
+    trick mirrors ``_triangles``' degree orientation); this operator
+    computes the exact count of whatever edge set it is given.
+    """
+    e = edges.select(
+        F.col(left).alias("u"), F.col(right).alias("it")
+    ).distinct()
+    w1 = e.withColumnRenamed("u", "ua")
+    w2 = e.withColumnRenamed("u", "ub")
+    wedges = (
+        w1.join(w2, "it")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    pair_bf = wedges.select(
+        "ua", "ub", (F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("bf")
+    )
+    per_u = (
+        pair_bf.select(F.col("ua").alias("u"), "bf")
+        .unionAll(pair_bf.select(F.col("ub").alias("u"), "bf"))
+        .groupBy("u")
+        .agg(F.sum("bf").cast("long").alias("butterflies"))
+    )
+    return per_u
+
+
+def densest_peel_stats(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    *,
+    eps_num: int = 1,
+    eps_den: int = 4,
+    max_rounds: int = 256,  # ≥ log_{1+ε}(n) even at n = 10^12 for ε = 1/4
+) -> DataFrame:
+    """Greedy densest-subgraph peeling (Bahmani, Kumar & Vassilvitskii,
+    VLDB'12 — the MapReduce 2(1+ε)-approximation of Charikar's peel):
+    each round drops EVERY node whose degree is below ``2(1+ε)·|E|/|V|``
+    of the current subgraph; the densest prefix over rounds is within
+    2(1+ε) of the true maximum-density subgraph, in O(log n / ε) rounds
+    instead of Charikar's n one-at-a-time peels.
+
+    The threshold test is EXACT integer arithmetic:
+    ``deg < 2(1+ε)·m/n  ⟺  deg·n·eps_den < 2·(eps_den+eps_num)·m``
+    (ε = eps_num/eps_den, default 1/4 → factor 2.5) — no float density
+    ever computed, so the peel sequence is engine-reproducible and a SQL
+    engine replays the identical unrolled rounds.
+
+    Returns the per-round trajectory ``(round, n_nodes, n_edges)``
+    BEFORE each peel (round 0 = input) — density ``m/n`` maximizes at
+    some prefix; compare rounds by cross-multiplying (``m1·n2 vs m2·n1``)
+    to stay exact.
+
+    Scale shape per round: one degree aggregate + two semi-joins, the
+    ``k_core`` envelope; rounds are O(log n) by the VLDB'12 argument.
+    """
+    thr = 2 * (eps_den + eps_num)
+    sym = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .union(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    stats: list[tuple[int, int, int]] = []
+    for r in range(max_rounds):
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        agg = deg.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("deg").alias("m2")
+        ).collect()[0]
+        n, m = int(agg["n"] or 0), int(agg["m2"] or 0) // 2
+        if n == 0:  # uniform contract: rounds with surviving nodes only
+            break
+        stats.append((r, n, m))
+        # deg·n·eps_den < 2(eps_den+eps_num)·m  — exact integer peel test
+        keep = deg.filter(
+            F.col("deg") * F.lit(n) * F.lit(eps_den) >= F.lit(thr) * F.lit(m)
+        ).select("u")
+        sym = (
+            sym.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise ValueError("densest_peel_stats: max_rounds exhausted")
+    return spark.createDataFrame(
+        [(int(r), int(n), int(m)) for r, n, m in stats],
+        "round long, n_nodes long, n_edges long",
+    )
