@@ -9655,6 +9655,87 @@ def _sql_graph_densest(rounds: int) -> str:
 _SQL_GRAPH_DENSEST = _sql_graph_densest(8)
 
 
+def _q_graph_betweenness(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact betweenness centrality (pipeline/centrality.py::
+    betweenness_centrality, level-synchronous Brandes with fixed-point
+    dependency accumulation) over the doc-id binary tree cohort-bounded
+    to ids < 400 (depth 8, eccentricity ≤ 16).  σ is exact int64; δ is
+    fixed-point, so the notoriously float-order-sensitive Brandes sweep
+    is hash-exact against a DuckDB replay of the same 17 forward + 17
+    backward unrolled levels (levels past the real depth are empty —
+    over-unrolling is a no-op)."""
+    from mopper_spark.pipeline.centrality import betweenness_centrality
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+        F.col("doc_id") < 400
+    )
+    edges = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("src"),
+        F.expr("doc_id div 2").cast("long").alias("dst"),
+    )
+    return betweenness_centrality(edges)
+
+
+def _sql_graph_betweenness(depth: int, scale: int = 10**9) -> str:
+    parts = [
+        """WITH ed AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS s, CAST(doc_id // 2 AS BIGINT) AS d
+  FROM documents WHERE doc_id >= 2 AND doc_id < 400
+), sym AS MATERIALIZED (
+  SELECT DISTINCT s, d FROM (SELECT s, d FROM ed UNION ALL SELECT d, s FROM ed)
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT s AS node FROM (SELECT s FROM sym UNION ALL SELECT d FROM sym)
+), l0 AS MATERIALIZED (
+  SELECT node AS o, node, CAST(1 AS BIGINT) AS sigma FROM nodes
+), vis0 AS MATERIALIZED (SELECT o, node FROM l0)"""
+    ]
+    for t in range(1, depth + 1):
+        parts.append(
+            f""", l{t} AS MATERIALIZED (
+  SELECT c.o, c.node, c.sigma FROM (
+    SELECT f.o, e.d AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+    FROM l{t - 1} f JOIN sym e ON e.s = f.node
+    GROUP BY f.o, e.d
+  ) c LEFT JOIN vis{t - 1} v ON v.o = c.o AND v.node = c.node
+  WHERE v.node IS NULL
+), vis{t} AS MATERIALIZED (
+  SELECT o, node FROM vis{t - 1} UNION ALL SELECT o, node FROM l{t}
+)"""
+        )
+    parts.append(
+        f""", del{depth} AS MATERIALIZED (
+  SELECT o, node, CAST(0 AS BIGINT) AS delta FROM l{depth} WHERE 1 = 0
+)"""
+    )
+    for t in range(depth - 1, -1, -1):
+        parts.append(
+            f""", del{t} AS MATERIALIZED (
+  SELECT u.o, u.node,
+         CAST(SUM((u.sigma * ({scale} + COALESCE(dl.delta, 0))) // v.sigma)
+              AS BIGINT) AS delta
+  FROM l{t} u
+  JOIN sym e ON e.s = u.node
+  JOIN l{t + 1} v ON v.o = u.o AND v.node = e.d
+  LEFT JOIN del{t + 1} dl ON dl.o = v.o AND dl.node = v.node
+  GROUP BY u.o, u.node
+)"""
+        )
+    alldel = " UNION ALL ".join(
+        f"SELECT o, node, delta FROM del{t}" for t in range(depth)
+    )
+    parts.append(
+        f"""
+SELECT n.node, CAST(COALESCE(b.s, 0) AS BIGINT) AS bc_fp
+FROM nodes n LEFT JOIN (
+  SELECT node, SUM(delta) AS s FROM ({alldel}) WHERE o <> node GROUP BY node
+) b ON b.node = n.node"""
+    )
+    return "".join(parts)
+
+
+_SQL_GRAPH_BETWEENNESS = _sql_graph_betweenness(17)
+
+
 def _q_events_ndcg(spark: SparkSession, sf: str) -> DataFrame:
     """nDCG@10 per query (textops/ranking.py::ndcg_at_k) — graded
     retrieval evaluation, the metric a training-data relevance filter is
@@ -10280,6 +10361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mis": _q_graph_mis,
         "graph_butterflies": _q_graph_butterflies,
         "graph_densest": _q_graph_densest,
+        "graph_betweenness": _q_graph_betweenness,
     }
 
 
@@ -10498,4 +10580,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_mis": _SQL_GRAPH_MIS,
         "graph_butterflies": _SQL_GRAPH_BUTTERFLIES,
         "graph_densest": _SQL_GRAPH_DENSEST,
+        "graph_betweenness": _SQL_GRAPH_BETWEENNESS,
     }

@@ -184,3 +184,125 @@ def hyperball(
             ).otherwise(est_raw),
         )
     )
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_depth: int = 30,
+    directed: bool = False,
+    fp_scale: int = 10**9,
+) -> DataFrame:
+    """Exact betweenness centrality by LEVEL-SYNCHRONOUS Brandes (Brandes,
+    J. Math. Sociol. 2001; the level-parallel formulation is the standard
+    distributed one — per BFS level, every node's path count / dependency
+    is a pure aggregate of the previous level, so each level is one join +
+    one reduce instead of Brandes' sequential stack).
+
+    Two phases over ALL sources simultaneously (state keyed by
+    ``(origin, node)`` — O(n²) worst case, the deliberate oracle-grade
+    cohort variant, same contract as ``harmonic_centrality``):
+
+    1. FORWARD: BFS levels carrying σ, the number of shortest paths —
+       ``σ(o,v) = Σ σ(o,u)`` over predecessors u one level up.  Exact
+       int64 (requires ``σ_max < 2^63``; path counts explode only on
+       dense same-length mesh families — raise-on-overflow would be the
+       ANSI mode, here the fixture families are trees+chords).
+    2. BACKWARD: dependency accumulation per level, DEEPEST FIRST:
+       ``δ(o,u) = Σ_v σ(o,u)·(1 + δ(o,v)) / σ(o,v)`` over successors v
+       one level down.  δ is held in FIXED-POINT int64 (units
+       ``1/fp_scale``, every term ``(σ_u·(scale + δ_v)) div σ_v``) so the
+       reduction is associative-safe and an independent SQL engine
+       replays it bit-for-bit — float Brandes is famously partition-
+       order-dependent.  Quantization: each div truncates ≤ 1 unit;
+       errors compound along ≤ depth levels — ≤ depth·deg/fp_scale
+       absolute, 1e-9-grade at the default scale.
+
+    Returns ``(node, bc_fp bigint)`` — ``Σ_{o≠v} δ(o,v)`` in fixed
+    point.  For undirected input every unordered pair is counted from
+    both endpoints (the classical convention divides by 2 — left to the
+    caller so the integer stays exact).
+
+    Overflow bound: ``σ_u·(scale + δ_v) ≤ σ_max·n·scale`` must stay
+    below 2^63 — with the default scale, σ_max·n < 9·10^9.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if not directed:
+        e = e.union(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
+    e = e.distinct().localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # ---- forward: (o, node, d, sigma), level-synchronous
+    frontier = nodes.select(
+        F.col("node").alias("o"),
+        F.col("node"),
+        F.lit(0).cast("long").alias("d"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=False)
+    acc = frontier
+    for dep in range(1, max_depth + 1):
+        if frontier.isEmpty():
+            break
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .groupBy("o", F.col("_d").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(acc.select("o", "node"), ["o", "node"], "left_anti")
+            .withColumn("d", F.lit(dep).cast("long"))
+            .select("o", "node", "d", "sigma")
+            .localCheckpoint(eager=True)
+        )
+        frontier = nxt
+        acc = acc.unionAll(nxt).localCheckpoint(eager=False)
+    acc = acc.localCheckpoint(eager=True)
+    d_max = acc.agg(F.max("d")).collect()[0][0] or 0
+
+    # ---- backward: fixed-point dependency per level, deepest first
+    scale = F.lit(fp_scale).cast("long")
+    delta = None  # (o, node, delta) for levels processed so far
+    for dep in range(d_max - 1, -1, -1):
+        lev_u = acc.filter(F.col("d") == dep).select("o", "node", "sigma")
+        lev_v = acc.filter(F.col("d") == dep + 1).select(
+            "o", F.col("node").alias("vn"), F.col("sigma").alias("vsigma")
+        )
+        if delta is not None:
+            lev_v = lev_v.join(
+                delta.select("o", F.col("node").alias("vn"),
+                             F.col("delta").alias("vdelta")),
+                ["o", "vn"],
+                "left",
+            ).withColumn("vdelta", F.coalesce(F.col("vdelta"), F.lit(0)))
+        else:
+            lev_v = lev_v.withColumn("vdelta", F.lit(0).cast("long"))
+        contrib = (
+            lev_u.join(e, lev_u["node"] == e["_s"])
+            .join(lev_v, (F.col("_d") == lev_v["vn"]) & (lev_u["o"] == lev_v["o"]))
+            .select(
+                lev_u["o"].alias("o"),
+                lev_u["node"].alias("node"),
+                F.expr(f"(sigma * ({fp_scale} + vdelta)) div vsigma").alias("c"),
+            )
+            .groupBy("o", "node")
+            .agg(F.sum("c").cast("long").alias("delta"))
+        )
+        delta = (
+            contrib if delta is None else delta.unionAll(contrib)
+        ).localCheckpoint(eager=True)
+
+    if delta is None:
+        return nodes.select("node", F.lit(0).cast("long").alias("bc_fp"))
+    bc = (
+        delta.filter(F.col("o") != F.col("node"))
+        .groupBy("node")
+        .agg(F.sum("delta").cast("long").alias("bc_fp"))
+    )
+    return nodes.join(bc, "node", "left").select(
+        "node", F.coalesce(F.col("bc_fp"), F.lit(0)).cast("long").alias("bc_fp")
+    )

@@ -252,3 +252,98 @@ class TestHyperball:
         assert len(rows) == 200
         for r in rows:
             assert 5 <= r["est"] <= 22, (r["node"], r["est"])
+
+
+def _py_brandes_fp(edges, scale=10**9, directed=False):
+    """Level-synchronous Brandes with the SAME fixed-point dependency
+    arithmetic as betweenness_centrality."""
+    adj = defaultdict(set)
+    nodes = set()
+    for a, b in edges:
+        nodes.add(a)
+        nodes.add(b)
+        adj[a].add(b)
+        if not directed:
+            adj[b].add(a)
+    bc = defaultdict(int)
+    for o in sorted(nodes):
+        dist = {o: 0}
+        levels = defaultdict(list)
+        levels[0] = [o]
+        dq = deque([o])
+        while dq:
+            u = dq.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    levels[dist[w]].append(w)
+                    dq.append(w)
+        dmax = max(dist.values())
+        sigma = {o: 1}
+        for d in range(1, dmax + 1):
+            for w in levels[d]:
+                sigma[w] = sum(
+                    sigma[u]
+                    for u in nodes
+                    if dist.get(u) == d - 1 and w in adj[u]
+                )
+        delta = defaultdict(int)
+        for d in range(dmax - 1, -1, -1):
+            for u in levels[d]:
+                s = 0
+                for v in adj[u]:
+                    if dist.get(v) == d + 1:
+                        s += (sigma[u] * (scale + delta[v])) // sigma[v]
+                delta[u] = s
+        for v in dist:
+            if v != o:
+                bc[v] += delta[v]
+    return {v: bc.get(v, 0) for v in nodes}
+
+
+class TestBetweenness:
+    def test_path_graph(self, spark):
+        from mopper_spark.pipeline.centrality import betweenness_centrality
+
+        # 1-2-3: only node 2 lies between; pairs (1,3) and (3,1) each give
+        # delta 1.0 -> bc_fp = 2 * scale exactly
+        got = dict(
+            betweenness_centrality(_edges_df(spark, [(1, 2), (2, 3)]))
+            .collect()
+        )
+        assert got == {1: 0, 3: 0, 2: 2 * 10**9}
+
+    def test_matches_replica_mixed(self, spark):
+        from mopper_spark.pipeline.centrality import betweenness_centrality
+
+        nodes, edges = _mixed_graph()
+        got = dict(betweenness_centrality(_edges_df(spark, edges)).collect())
+        assert got == _py_brandes_fp(edges)
+
+    def test_matches_replica_directed(self, spark):
+        from mopper_spark.pipeline.centrality import betweenness_centrality
+
+        edges = [(1, 2), (2, 3), (3, 1), (2, 4), (4, 5), (1, 4)]
+        got = dict(
+            betweenness_centrality(
+                _edges_df(spark, edges), directed=True
+            ).collect()
+        )
+        assert got == _py_brandes_fp(edges, directed=True)
+
+    def test_sigma_multiplicity(self, spark):
+        from mopper_spark.pipeline.centrality import betweenness_centrality
+
+        # diamond 1-2-4, 1-3-4: two shortest paths; each middle gets
+        # delta (1*(scale+0))//2 = scale//2 from o=1 and o=4
+        got = dict(
+            betweenness_centrality(
+                _edges_df(spark, [(1, 2), (1, 3), (2, 4), (3, 4)])
+            ).collect()
+        )
+        assert got[2] == 2 * (10**9 // 2)
+        assert got[3] == 2 * (10**9 // 2)
+        # 1 and 4 each sit on the unique 2-3 shortest path through them:
+        # delta scale/2 from o=2 plus scale/2 from o=3
+        assert got[1] == 2 * (10**9 // 2)
+        assert got[4] == 2 * (10**9 // 2)
