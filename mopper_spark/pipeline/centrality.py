@@ -269,23 +269,30 @@ def betweenness_centrality(
     delta = None  # (o, node, delta) for levels processed so far
     for dep in range(d_max - 1, -1, -1):
         lev_u = acc.filter(F.col("d") == dep).select("o", "node", "sigma")
+        # Rename EVERY lev_v column (including the key "o" -> "vo"): lev_u and
+        # lev_v share the `acc` lineage, so an equality between their "o"
+        # attributes resolves to the same expression id and Spark warns
+        # "trivially true equals predicate 'o == o'" before special-casing the
+        # self-join — distinct names make the join condition unambiguous.
         lev_v = acc.filter(F.col("d") == dep + 1).select(
-            "o", F.col("node").alias("vn"), F.col("sigma").alias("vsigma")
+            F.col("o").alias("vo"),
+            F.col("node").alias("vn"),
+            F.col("sigma").alias("vsigma"),
         )
         if delta is not None:
             lev_v = lev_v.join(
-                delta.select("o", F.col("node").alias("vn"),
+                delta.select(F.col("o").alias("vo"), F.col("node").alias("vn"),
                              F.col("delta").alias("vdelta")),
-                ["o", "vn"],
+                ["vo", "vn"],
                 "left",
             ).withColumn("vdelta", F.coalesce(F.col("vdelta"), F.lit(0)))
         else:
             lev_v = lev_v.withColumn("vdelta", F.lit(0).cast("long"))
         contrib = (
             lev_u.join(e, lev_u["node"] == e["_s"])
-            .join(lev_v, (F.col("_d") == lev_v["vn"]) & (lev_u["o"] == lev_v["o"]))
+            .join(lev_v, (F.col("_d") == F.col("vn")) & (F.col("o") == F.col("vo")))
             .select(
-                lev_u["o"].alias("o"),
+                F.col("o"),
                 lev_u["node"].alias("node"),
                 F.expr(f"(sigma * ({fp_scale} + vdelta)) div vsigma").alias("c"),
             )
