@@ -10155,6 +10155,175 @@ FROM summ"""
 _SQL_GRAPH_HYPERBALL = _sql_graph_hyperball(3)
 
 
+def _q_graph_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs/authorities in exact fixed point (pipeline/graph.py::
+    hits_fixed, 2 iterations, scale 10**6) over a doc-id digraph: tree
+    edges v -> v div 2 plus modular citation jumps v -> (7v+3) mod n.
+    Every op is integer (sum, max-rescale with GREATEST(max,1) guard,
+    div), so DuckDB unrolls the same two authority/hub rounds
+    bit-for-bit."""
+    from mopper_spark.pipeline.graph import hits_fixed
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n = docs.count()
+    tree = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("src"),
+        F.expr("doc_id div 2").cast("long").alias("dst"),
+    )
+    jump = docs.select(
+        F.col("doc_id").cast("long").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % F.lit(n)).cast("long").alias("dst"),
+    )
+    return hits_fixed(tree.unionAll(jump), iters=2, scale=10**6)
+
+
+def _sql_graph_hits(iters: int = 2, scale: int = 10**6) -> str:
+    parts = [
+        """WITH par AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+e AS MATERIALIZED (
+  SELECT DISTINCT s, d FROM (
+    SELECT CAST(doc_id AS BIGINT) AS s, CAST(doc_id // 2 AS BIGINT) AS d
+    FROM documents WHERE doc_id >= 2
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), CAST((7 * doc_id + 3) % n AS BIGINT)
+    FROM documents, par
+  ) WHERE s <> d
+), n0 AS MATERIALIZED (
+  SELECT DISTINCT node FROM (SELECT s AS node FROM e UNION ALL SELECT d FROM e)
+), h0 AS MATERIALIZED (SELECT node, CAST("""
+        + str(scale)
+        + """ AS BIGINT) AS val FROM n0)"""
+    ]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", a{i}r AS MATERIALIZED (
+  SELECT e.d AS node, SUM(h.val) AS raw FROM e JOIN {prev_h} h ON e.s = h.node
+  GROUP BY e.d
+), a{i} AS MATERIALIZED (
+  SELECT node, raw * {scale} // GREATEST((SELECT MAX(raw) FROM a{i}r), 1) AS val
+  FROM a{i}r
+), h{i}r AS MATERIALIZED (
+  SELECT e.s AS node, SUM(a.val) AS raw FROM e JOIN a{i} a ON e.d = a.node
+  GROUP BY e.s
+), h{i} AS MATERIALIZED (
+  SELECT node, raw * {scale} // GREATEST((SELECT MAX(raw) FROM h{i}r), 1) AS val
+  FROM h{i}r
+)"""
+        )
+        prev_h = f"h{i}"
+    parts.append(
+        f"""
+SELECT n0.node, COALESCE(h{iters}.val, 0) AS hub_fp,
+       COALESCE(a{iters}.val, 0) AS auth_fp
+FROM n0 LEFT JOIN h{iters} ON n0.node = h{iters}.node
+LEFT JOIN a{iters} ON n0.node = a{iters}.node"""
+    )
+    return "".join(parts)
+
+
+_SQL_GRAPH_HITS = _sql_graph_hits()
+
+
+def _q_graph_topo_layers(spark: SparkSession, sf: str) -> DataFrame:
+    """Longest-path DAG layering (pipeline/graph.py::topo_layers) over the
+    doc-id DAG with tree edges (v div 2 -> v) AND skip edges
+    (v div 4 -> v), cohort-bounded to ids < 2048 so the longest path is
+    <= 11 regardless of sf.  The skips make shortest != longest paths, so
+    the query distinguishes longest-path layering from BFS depth.
+    Oracle: recursive walk enumerating (node, depth) pairs (dedup'd by
+    UNION — state is bounded by n * depth) and taking the max."""
+    from mopper_spark.pipeline.graph import topo_layers
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+        F.col("doc_id") < 2048
+    )
+    tree = docs.filter(F.col("doc_id") >= 2).select(
+        F.expr("doc_id div 2").cast("long").alias("src"),
+        F.col("doc_id").cast("long").alias("dst"),
+    )
+    skip = docs.filter(F.col("doc_id") >= 4).select(
+        F.expr("doc_id div 4").cast("long").alias("src"),
+        F.col("doc_id").cast("long").alias("dst"),
+    )
+    return topo_layers(tree.unionAll(skip), max_depth=12)
+
+
+_SQL_GRAPH_TOPO = """
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT s, d FROM (
+    SELECT CAST(doc_id // 2 AS BIGINT) AS s, CAST(doc_id AS BIGINT) AS d
+    FROM documents WHERE doc_id >= 2 AND doc_id < 2048
+    UNION ALL
+    SELECT CAST(doc_id // 4 AS BIGINT), CAST(doc_id AS BIGINT)
+    FROM documents WHERE doc_id >= 4 AND doc_id < 2048
+  ) WHERE s <> d
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (SELECT s AS node FROM e UNION ALL SELECT d FROM e)
+), walk(node, dep) AS (
+  SELECT node, 0 FROM nodes
+  UNION
+  SELECT e.d, w.dep + 1 FROM walk w JOIN e ON e.s = w.node WHERE w.dep < 12
+)
+SELECT node, CAST(MAX(dep) AS BIGINT) AS layer FROM walk GROUP BY node
+"""
+
+
+def _q_graph_node_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Neighborhood Jaccard pairs (pipeline/graph.py::node_jaccard) over
+    the undirected doc-id tree + successor ring, cohort-bounded to ids
+    < 1024.  Max degree there is 5 (two tree children, one parent, two
+    ring neighbors), far under the 256 wedge cap, so the hub-filtered
+    score IS the exact classical Jaccard; all-integer counts and div make
+    it hash-exact."""
+    from mopper_spark.pipeline.graph import node_jaccard
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+        F.col("doc_id") < 1024
+    )
+    n_expr = F.lit(1024)
+    tree = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 2").cast("long").alias("b"),
+    )
+    ring = docs.select(
+        F.col("doc_id").cast("long").alias("a"),
+        ((F.col("doc_id") + 1) % n_expr).cast("long").alias("b"),
+    )
+    return node_jaccard(tree.unionAll(ring))
+
+
+_SQL_GRAPH_NODE_JACCARD = """
+WITH ed AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS a, CAST(doc_id // 2 AS BIGINT) AS b
+  FROM documents WHERE doc_id >= 2 AND doc_id < 1024
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), CAST((doc_id + 1) % 1024 AS BIGINT)
+  FROM documents WHERE doc_id < 1024
+), sym AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM
+    (SELECT a AS u, b AS v FROM ed UNION ALL SELECT b, a FROM ed)
+  WHERE u <> v
+), cdeg AS MATERIALIZED (
+  SELECT u AS c, count(*) AS cdeg FROM sym GROUP BY u
+), adj AS MATERIALIZED (
+  SELECT sym.u AS c, sym.v AS m FROM sym JOIN cdeg ON sym.u = cdeg.c
+  WHERE cdeg.cdeg <= 256
+), deg AS MATERIALIZED (
+  SELECT m AS node, count(*) AS deg FROM adj GROUP BY m
+), com AS MATERIALIZED (
+  SELECT l.m AS x, r.m AS y, count(*) AS common
+  FROM adj l JOIN adj r ON l.c = r.c AND l.m < r.m
+  GROUP BY l.m, r.m
+  HAVING count(*) >= 1
+)
+SELECT com.x, com.y, com.common,
+       com.common * 1000000000 // (dx.deg + dy.deg - com.common) AS j_fp
+FROM com JOIN deg dx ON com.x = dx.node JOIN deg dy ON com.y = dy.node
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -10362,6 +10531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_butterflies": _q_graph_butterflies,
         "graph_densest": _q_graph_densest,
         "graph_betweenness": _q_graph_betweenness,
+        "graph_hits": _q_graph_hits,
+        "graph_topo_layers": _q_graph_topo_layers,
+        "graph_node_jaccard": _q_graph_node_jaccard,
     }
 
 
@@ -10581,4 +10753,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_butterflies": _SQL_GRAPH_BUTTERFLIES,
         "graph_densest": _SQL_GRAPH_DENSEST,
         "graph_betweenness": _SQL_GRAPH_BETWEENNESS,
+        "graph_hits": _SQL_GRAPH_HITS,
+        "graph_topo_layers": _SQL_GRAPH_TOPO,
+        "graph_node_jaccard": _SQL_GRAPH_NODE_JACCARD,
     }

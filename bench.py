@@ -183,6 +183,26 @@ HEADLINE = [
     "events_skew_profile",
     "docs_edit_distance_pairs",
     "graph_random_walks",
+    # round 4, final-sitting additions.  graph_scc is deliberately NOT in
+    # the headline: its fixture is sf-scaled and the FW-BW coloring runs
+    # ~100 bounded propagation steps whose per-step Spark overhead
+    # dominates at toy scale (~60 s solo at sf0.01) — it stays correctness-
+    # gated via the oracle sweep, where iteration overhead is the cost of
+    # the multi-round path the fixture exists to exercise.
+    "graph_harmonic",
+    "graph_hyperball",
+    "graph_betweenness",
+    "graph_mis",
+    "graph_butterflies",
+    "graph_densest",
+    "events_ndcg",
+    "docs_collocations_llr",
+    "docs_kneser_ney",
+    "linking_fs_scores",
+    "kg_reify_roundtrip",
+    "graph_hits",
+    "graph_topo_layers",
+    "graph_node_jaccard",
 ]
 
 

@@ -1694,3 +1694,239 @@ def densest_peel_stats(
         [(int(r), int(n), int(m)) for r, n, m in stats],
         "round long, n_nodes long, n_edges long",
     )
+
+
+def hits_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iters: int = 2,
+    scale: int = 10**6,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM'99) over a DIRECTED
+    graph, in exact fixed-point integers — the same reproducibility
+    contract as ``pagerank_fixed``: float HITS is partition-order
+    sensitive in its reduction AND its normalization, so two cluster runs
+    disagree in the last ulps; here every operation (sum, max, integer
+    div) is associative-safe and a single-threaded SQL engine replays it
+    bit-for-bit.
+
+    Per iteration (mutual recursion, authorities first):
+
+        a_t(v) = Σ_{u→v} h_{t-1}(u)   then rescale  a ← (a·scale) div max(a)
+        h_t(u) = Σ_{u→v} a_t(v)       then rescale  h ← (h·scale) div max(h)
+
+    The max-rescale replaces the classical L2 normalization: it keeps
+    every score in [0, scale] (the top hub/authority pins at exactly
+    ``scale``), prevents the power-iteration overflow that kills an
+    unnormalized integer HITS after ~3 rounds, and — unlike an L2 norm —
+    stays in exact integer arithmetic.  Relative order per side is
+    preserved, which is all HITS ranks mean anyway.
+
+    Overflow bound: the raw sum is ≤ deg_max·scale and the rescale
+    multiplies by ``scale`` before dividing, so ``deg_max·scale² < 2^63``
+    must hold — the default 10**6 is safe to deg_max ≈ 9·10^6; drop to
+    10**4 for hub degrees beyond that.  Quantization: each rescale
+    truncates ≤ 1 unit (≤ 1/scale relative).
+
+    Scale shape per iteration: two frontier joins + two map-side-combining
+    sums + two single-row max aggregates broadcast back — the
+    ``pagerank_fixed`` cost envelope exactly.  Returns
+    ``(node, hub_fp, auth_fp)`` for every node incident to an edge
+    (dangling sides score 0).
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("val"))
+
+    def _push(state: DataFrame, key: str, out: str) -> DataFrame:
+        """Sum `state.val` over edges into the `out` endpoint, then
+        max-rescale to [0, scale]."""
+        raw = (
+            e.join(state, e[key] == state["node"])
+            .groupBy(F.col(out).alias("node"))
+            .agg(F.sum("val").alias("raw"))
+        )
+        mx = raw.agg(F.max("raw").alias("mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "node", F.expr(f"(raw * CAST({scale} AS BIGINT)) div mx").alias("val")
+        )
+
+    auth = hub  # placeholder; first iteration overwrites
+    for i in range(iters):
+        auth = _push(hub, "s", "d")
+        hub = _push(auth, "d", "s")
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            auth = auth.localCheckpoint(eager=False)
+            hub = hub.localCheckpoint(eager=False)
+    return (
+        nodes.join(hub.withColumnRenamed("val", "hub_fp"), "node", "left")
+        .join(auth.withColumnRenamed("val", "auth_fp"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub_fp", F.lit(0)).cast("long").alias("hub_fp"),
+            F.coalesce("auth_fp", F.lit(0)).cast("long").alias("auth_fp"),
+        )
+    )
+
+
+def topo_layers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_depth: int = 40,
+    verify_acyclic: bool = True,
+) -> DataFrame:
+    """Longest-path layering of a DAG: ``layer(v)`` = the length of the
+    LONGEST directed path ending at v (0 for sources).  This is the
+    canonical parallel "topological sort" — an explicit order is
+    inherently sequential, but the layer number IS the schedulable-wave
+    index (all of layer k can run once layers < k finished), which is
+    what a distributed consumer of a topo order actually needs
+    (cf. the coffman-graham / longest-path layering of DAG schedulers).
+
+    Level-synchronous relaxation (Bellman-Ford specialization with unit
+    weights, maximizing): ``layer_0 ≡ 0``;
+    ``layer_{t+1}(v) = max(layer_t(v), max_{u→v} layer_t(u) + 1)``.
+    ``max_depth`` bounds the rounds; with ``verify_acyclic`` one extra
+    relaxation runs afterward and ANY remaining change raises
+    ``ValueError`` — on a DAG the fixpoint is reached after
+    longest-path-length rounds, so a verified non-fixpoint means a cycle
+    (layers on a cycle grow forever) or a too-small bound: a loud error,
+    never a silently wrong layering.  All-integer max/plus — exact,
+    associative, engine-portable.
+
+    Scale shape per round: one frontier join + one map-side-combining
+    max — the ``connected_components`` envelope; lineage cut per round.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    state = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("layer"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _relax(st: DataFrame) -> DataFrame:
+        moved = (
+            e.join(st, e["s"] == st["node"])
+            .select(F.col("d").alias("node"), (F.col("layer") + 1).alias("layer"))
+        )
+        return st.unionAll(moved).groupBy("node").agg(
+            F.max("layer").alias("layer")
+        )
+
+    for _ in range(max_depth):
+        state = _relax(state).localCheckpoint(eager=True)
+    if verify_acyclic:
+        # exact probe: layers only ever grow, so an unchanged SUM is an
+        # unchanged layering (decimal — int64 could wrap and fake it)
+        probe = F.sum(F.col("layer").cast("decimal(38,0)"))
+        before = state.agg(probe).collect()[0][0]
+        after = _relax(state).agg(probe).collect()[0][0]
+        if before != after:
+            raise ValueError(
+                f"topo_layers: not at fixpoint after {max_depth} rounds — "
+                "the graph has a cycle or max_depth is below the longest path"
+            )
+    return state
+
+
+def node_jaccard(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    *,
+    max_center_degree: int = 256,
+    min_common: int = 1,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Neighborhood Jaccard similarity for every node pair sharing at
+    least ``min_common`` neighbors: ``J(x,y) = |N(x)∩N(y)| / |N(x)∪N(y)|``
+    — the classical structural-equivalence / link-prediction score
+    (cf. ``link_prediction``'s Adamic-Adar, which this complements with
+    a size-normalized measure).
+
+    Candidate pairs are WEDGE-GENERATED: (x, y) surfaces iff some common
+    neighbor c lists both — the inverted-index discipline of
+    ``ngram_jaccard_pairs``.  A center c with degree > ``max_center_degree``
+    is excluded from wedge GENERATION *and* from the common/degree counts
+    (both sides of the ratio drop hub-mediated co-membership
+    consistently), because a hub of degree d mints d² pairs — the
+    standard quadratic-blowup cap.  Consequence, documented per house
+    rule: the score is the exact Jaccard of the HUB-FILTERED neighborhood
+    sets; pairs whose only common neighbors are hubs are not emitted.
+    Pick the cap above the true max degree (the fixture does) and the
+    result is the exact classical Jaccard.
+
+    Exact integers end-to-end: counts, and ``j_fp = common·scale div
+    (deg_x + deg_y − common)`` in fixed point.  Returns
+    ``(x, y, common, j_fp)`` with x < y.
+
+    Scale shape: one degree aggregate, one hub filter, one self-join on
+    the center key (per-center fan-out ≤ cap²), one pair count — linear
+    in wedges, never corpus-quadratic.
+    """
+    sym = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .union(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # (center, member) adjacency restricted to low-degree centers; member
+    # degrees are counted over the SAME restricted adjacency so the ratio
+    # is the exact Jaccard of hub-filtered neighborhoods.
+    cdeg = sym.groupBy(F.col("u").alias("c")).agg(
+        F.count(F.lit(1)).alias("cdeg")
+    )
+    adj = (
+        sym.join(
+            cdeg.filter(F.col("cdeg") <= max_center_degree), sym["u"] == F.col("c")
+        )
+        .select(F.col("c"), F.col("v").alias("m"))
+    )
+    deg = adj.groupBy(F.col("m").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    left = adj.select("c", F.col("m").alias("x"))
+    right = adj.select(F.col("c").alias("c2"), F.col("m").alias("y"))
+    common = (
+        left.join(right, (F.col("c") == F.col("c2")) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    return (
+        common.join(deg.withColumnRenamed("node", "x"), "x")
+        .withColumnRenamed("deg", "deg_x")
+        .join(deg.withColumnRenamed("node", "y"), "y")
+        .withColumnRenamed("deg", "deg_y")
+        .select(
+            "x",
+            "y",
+            "common",
+            F.expr(
+                f"(common * CAST({scale} AS BIGINT)) div (deg_x + deg_y - common)"
+            ).alias("j_fp"),
+        )
+    )

@@ -1,0 +1,206 @@
+"""Tests for fixed-point HITS, longest-path DAG layering, and neighborhood
+Jaccard — each against a pure-Python integer replica, plus the structural
+invariants (rescale pinning, cycle detection, hub-cap consistency) and a
+partitioning-invariance check on HITS (the reason it is fixed-point)."""
+
+from collections import defaultdict
+
+import pytest
+
+from mopper_spark.pipeline.graph import hits_fixed, node_jaccard, topo_layers
+
+
+def _edges_df(spark, edges, schema):
+    return spark.createDataFrame([(int(a), int(b)) for a, b in edges], schema)
+
+
+def _py_hits(edges, iters=2, scale=10**6):
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    hub = {v: scale for v in nodes}
+
+    def push(state, forward):
+        raw = defaultdict(int)
+        for s, d in e:
+            if forward:
+                if s in state:
+                    raw[d] += state[s]
+            else:
+                if d in state:
+                    raw[s] += state[d]
+        mx = max(raw.values(), default=0)
+        return {v: (r * scale) // max(mx, 1) for v, r in raw.items()}
+
+    auth = {}
+    for _ in range(iters):
+        auth = push(hub, forward=True)
+        hub = push(auth, forward=False)
+    return {v: (hub.get(v, 0), auth.get(v, 0)) for v in nodes}
+
+
+def _py_layers(edges):
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = {s for s, _ in e} | {d for _, d in e}
+    layer = {v: 0 for v in nodes}
+    for _ in range(len(nodes) + 1):
+        nxt = dict(layer)
+        for s, d in e:
+            nxt[d] = max(nxt[d], layer[s] + 1)
+        if nxt == layer:
+            return layer
+        layer = nxt
+    raise AssertionError("replica given a cyclic graph")
+
+
+def _py_jaccard(edges, cap=256, scale=10**9):
+    sym = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            sym[a].add(b)
+            sym[b].add(a)
+    # hub-filtered neighborhoods: keep only low-degree CENTERS
+    filt = {
+        v: {u for u in nb if len(sym[u]) <= cap} for v, nb in sym.items()
+    }
+    out = {}
+    nodes = sorted(sym)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1 :]:
+            common = len(filt[x] & filt[y])
+            if common >= 1:
+                denom = len(filt[x]) + len(filt[y]) - common
+                out[(x, y)] = (common, (common * scale) // denom)
+    return out
+
+
+def _digraph():
+    edges = set()
+    for v in range(2, 60):
+        edges.add((v, v // 2))
+        edges.add((v, (7 * v + 3) % 60))
+    return sorted((a, b) for a, b in edges if a != b)
+
+
+class TestHitsFixed:
+    def test_matches_replica(self, spark):
+        edges = _digraph()
+        got = {
+            r["node"]: (r["hub_fp"], r["auth_fp"])
+            for r in hits_fixed(
+                _edges_df(spark, edges, "src long, dst long")
+            ).collect()
+        }
+        assert got == _py_hits(edges)
+
+    def test_top_scores_pin_at_scale(self, spark):
+        """The max-rescale contract: the best hub and the best authority
+        sit at exactly `scale`."""
+        res = hits_fixed(
+            _edges_df(spark, _digraph(), "src long, dst long"), scale=10**6
+        ).collect()
+        assert max(r["hub_fp"] for r in res) == 10**6
+        assert max(r["auth_fp"] for r in res) == 10**6
+
+    def test_pure_source_and_sink(self, spark):
+        """A node with no in-edges has authority 0; no out-edges -> hub 0."""
+        res = {
+            r["node"]: (r["hub_fp"], r["auth_fp"])
+            for r in hits_fixed(
+                _edges_df(spark, [(1, 2), (2, 3), (1, 3)], "src long, dst long")
+            ).collect()
+        }
+        assert res[1][1] == 0  # 1 is a pure source
+        assert res[3][0] == 0  # 3 is a pure sink
+
+    def test_partitioning_invariance(self, spark):
+        """Bit-identical under different partition counts — the point of
+        integer fixed point."""
+        edges = _digraph()
+        outs = []
+        for parts in (1, 7):
+            df = _edges_df(spark, edges, "src long, dst long").repartition(
+                parts
+            )
+            outs.append(sorted(tuple(r) for r in hits_fixed(df).collect()))
+        assert outs[0] == outs[1]
+
+
+class TestTopoLayers:
+    def test_matches_replica(self, spark):
+        edges = [(v // 2, v) for v in range(2, 80)] + [
+            (v // 4, v) for v in range(4, 80)
+        ]
+        got = {
+            r["node"]: r["layer"]
+            for r in topo_layers(
+                _edges_df(spark, edges, "src long, dst long"), max_depth=8
+            ).collect()
+        }
+        assert got == _py_layers(edges)
+
+    def test_layering_is_schedulable(self, spark):
+        """Every edge goes strictly up the layering — the property a wave
+        scheduler needs."""
+        edges = [(v // 2, v) for v in range(2, 80)] + [
+            (v // 4, v) for v in range(4, 80)
+        ]
+        lay = {
+            r["node"]: r["layer"]
+            for r in topo_layers(
+                _edges_df(spark, edges, "src long, dst long"), max_depth=8
+            ).collect()
+        }
+        assert all(lay[s] < lay[d] for s, d in edges if s != d)
+
+    def test_cycle_raises(self, spark):
+        with pytest.raises(ValueError, match="cycle|fixpoint"):
+            topo_layers(
+                _edges_df(spark, [(1, 2), (2, 3), (3, 1)], "src long, dst long"),
+                max_depth=6,
+            ).collect()
+
+    def test_too_small_bound_raises(self, spark):
+        chain = [(i, i + 1) for i in range(10)]
+        with pytest.raises(ValueError, match="fixpoint"):
+            topo_layers(
+                _edges_df(spark, chain, "src long, dst long"), max_depth=3
+            ).collect()
+
+
+class TestNodeJaccard:
+    def test_matches_replica(self, spark):
+        edges = [(v, v // 2) for v in range(2, 50)] + [
+            (v, (v + 1) % 50) for v in range(50)
+        ]
+        got = {
+            (r["x"], r["y"]): (r["common"], r["j_fp"])
+            for r in node_jaccard(
+                _edges_df(spark, edges, "a long, b long")
+            ).collect()
+        }
+        assert got == _py_jaccard(edges)
+
+    def test_identical_neighborhoods_score_one(self, spark):
+        """Two nodes adjacent to exactly the same set score scale (J=1)."""
+        edges = [(1, 10), (1, 11), (2, 10), (2, 11)]
+        got = {
+            (r["x"], r["y"]): r["j_fp"]
+            for r in node_jaccard(
+                _edges_df(spark, edges, "a long, b long")
+            ).collect()
+        }
+        assert got[(1, 2)] == 10**9
+
+    def test_hub_cap_drops_hub_mediated_pairs(self, spark):
+        """With the cap below the star hub's degree, leaf pairs (whose only
+        common neighbor is the hub) are not emitted — and the hub's own
+        scores count only low-degree commons."""
+        star = [(0, v) for v in range(1, 8)]  # hub 0, degree 7
+        extra = [(1, 9), (2, 9)]  # 1,2 also share low-degree node 9
+        res = node_jaccard(
+            _edges_df(spark, star + extra, "a long, b long"),
+            max_center_degree=3,
+        ).collect()
+        pairs = {(r["x"], r["y"]): (r["common"], r["j_fp"]) for r in res}
+        assert (3, 4) not in pairs  # hub-only common neighbor: dropped
+        assert pairs == _py_jaccard(star + extra, cap=3)
