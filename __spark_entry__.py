@@ -10323,6 +10323,138 @@ FROM com JOIN deg dx ON com.x = dx.node JOIN deg dy ON com.y = dy.node
 """
 
 
+def _q_docs_mannwhitney_length(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U (textops/rankstats.py::mann_whitney_u) comparing
+    the 50-char-bucketed length distribution of English documents against
+    the rest of the corpus — the nonparametric "did this source's length
+    distribution shift" audit.  2xU plus the tie-correction term, all
+    BIGINT; per-distinct-value counts then a bucketed exclusive prefix,
+    so no row-shaped data crosses a single-partition window."""
+    from mopper_spark.textops.rankstats import mann_whitney_u
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.expr("n_chars div 50").alias("len_bkt"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    return mann_whitney_u(docs, "len_bkt", "is_en")
+
+
+_SQL_DOCS_MANNWHITNEY_LENGTH = """
+WITH pv AS MATERIALIZED (
+  SELECT n_chars // 50 AS v,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nb
+  FROM documents GROUP BY 1
+), pre AS MATERIALIZED (
+  SELECT v, na, nb,
+         COALESCE(SUM(nb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre_nb
+  FROM pv
+), agg AS MATERIALIZED (
+  SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+         CAST(SUM(nb) AS BIGINT) AS n_b,
+         CAST(SUM(na * (2 * pre_nb + nb)) AS BIGINT) AS u2x_a,
+         CAST(SUM((na + nb) * (na + nb) * (na + nb) - (na + nb))
+              AS BIGINT) AS tie_cubes
+  FROM pre
+)
+SELECT n_a, n_b, u2x_a,
+       CAST(2 * n_a * n_b - u2x_a AS BIGINT) AS u2x_b, tie_cubes
+FROM agg
+"""
+
+
+def _q_docs_spearman_len_ws(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rank-correlation terms (rankstats.py::spearman_terms)
+    between document length and whitespace count — exact centered
+    2x-midrank product sums (rho = num / sqrt(den_x * den_y) at display
+    time).  Ties handled by integer 2x-midranks; ranks come from
+    per-distinct-value prefix counts broadcast-joined back, one
+    combine-able aggregation after that."""
+    from mopper_spark.textops.rankstats import spearman_terms
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("n_chars").alias("x"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+        ).cast("long").alias("y"),
+    )
+    return spearman_terms(docs, "x", "y")
+
+
+_SQL_DOCS_SPEARMAN_LEN_WS = """
+WITH base AS MATERIALIZED (
+  SELECT CAST(n_chars AS BIGINT) AS x,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS y
+  FROM documents
+), rk AS MATERIALIZED (
+  SELECT
+    2 * RANK() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1 AS rx,
+    2 * RANK() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y) - 1 AS ry
+  FROM base
+), agg AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+         CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+         CAST(SUM(ry * ry) AS BIGINT) AS syy
+  FROM rk
+)
+SELECT n,
+       CAST(sxy - n * (n + 1) * (n + 1) AS BIGINT) AS num,
+       CAST(sxx - n * (n + 1) * (n + 1) AS BIGINT) AS den_x,
+       CAST(syy - n * (n + 1) * (n + 1) AS BIGINT) AS den_y
+FROM agg
+"""
+
+
+def _q_docs_kendall_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall tau pair-class counts (rankstats.py::kendall_tau_counts)
+    between bucketed length (div 100) and bucketed whitespace count
+    (div 20) — the corpus collapses to ~30 (x, y) cells, the quadratic
+    concordance join runs over cells only (max_cells-guarded), and the
+    five pair classes come back as one exact-BIGINT row."""
+    from mopper_spark.textops.rankstats import kendall_tau_counts
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.expr("n_chars div 100").alias("x"),
+        F.expr(
+            "CAST((length(text) - length(replace(text, ' ', ''))) div 20"
+            " AS BIGINT)"
+        ).alias("y"),
+    )
+    return kendall_tau_counts(docs, "x", "y")
+
+
+_SQL_DOCS_KENDALL_BUCKETS = """
+WITH cells AS MATERIALIZED (
+  SELECT n_chars // 100 AS x,
+         (length(text) - length(replace(text, ' ', ''))) // 20 AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), marg AS MATERIALIZED (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS both2
+  FROM cells
+), tx AS MATERIALIZED (
+  SELECT CAST(SUM(cx * (cx - 1)) AS BIGINT) AS tx2
+  FROM (SELECT SUM(c) AS cx FROM cells GROUP BY x)
+), ty AS MATERIALIZED (
+  SELECT CAST(SUM(cy * (cy - 1)) AS BIGINT) AS ty2
+  FROM (SELECT SUM(c) AS cy FROM cells GROUP BY y)
+), disc AS MATERIALIZED (
+  SELECT CAST(COALESCE(SUM(l.c * r.c), 0) AS BIGINT) AS discordant
+  FROM cells l JOIN cells r ON l.x < r.x AND l.y > r.y
+)
+SELECT n,
+       CAST((n * (n - 1) - tx2 - ty2 + both2) // 2 - discordant
+            AS BIGINT) AS concordant,
+       discordant,
+       CAST((tx2 - both2) // 2 AS BIGINT) AS ties_x_only,
+       CAST((ty2 - both2) // 2 AS BIGINT) AS ties_y_only,
+       CAST(both2 // 2 AS BIGINT) AS ties_both
+FROM marg, tx, ty, disc
+"""
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -10534,6 +10666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": _q_graph_hits,
         "graph_topo_layers": _q_graph_topo_layers,
         "graph_node_jaccard": _q_graph_node_jaccard,
+        "docs_mannwhitney_length": _q_docs_mannwhitney_length,
+        "docs_spearman_len_ws": _q_docs_spearman_len_ws,
+        "docs_kendall_buckets": _q_docs_kendall_buckets,
     }
 
 
@@ -10756,4 +10891,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits": _SQL_GRAPH_HITS,
         "graph_topo_layers": _SQL_GRAPH_TOPO,
         "graph_node_jaccard": _SQL_GRAPH_NODE_JACCARD,
+        "docs_mannwhitney_length": _SQL_DOCS_MANNWHITNEY_LENGTH,
+        "docs_spearman_len_ws": _SQL_DOCS_SPEARMAN_LEN_WS,
+        "docs_kendall_buckets": _SQL_DOCS_KENDALL_BUCKETS,
     }

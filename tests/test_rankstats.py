@@ -1,0 +1,139 @@
+"""Exact-integer rank statistics (textops/rankstats.py): brute-force
+python replicas over tied fixtures, plus partitioning invariance."""
+
+import random
+
+import pytest
+
+
+def _fixture_pairs(n=200, seed=7):
+    rnd = random.Random(seed)
+    # heavy ties on both axes, correlated with noise, some negatives
+    return [
+        (v := rnd.randrange(-5, 15), (v * 2 + rnd.randrange(-4, 5)) // 3)
+        for _ in range(n)
+    ]
+
+
+def _brute_mw(vals_a, vals_b):
+    u2 = 0
+    for a in vals_a:
+        for b in vals_b:
+            if a > b:
+                u2 += 2
+            elif a == b:
+                u2 += 1
+    from collections import Counter
+
+    ties = Counter(vals_a + vals_b)
+    cubes = sum(t**3 - t for t in ties.values())
+    return u2, cubes
+
+
+def _ranks2(vals):
+    srt = sorted(vals)
+    from collections import Counter
+
+    cnt = Counter(vals)
+    below = {}
+    seen = 0
+    for v in sorted(cnt):
+        below[v] = seen
+        seen += cnt[v]
+    assert seen == len(srt)
+    return [2 * below[v] + cnt[v] + 1 for v in vals]
+
+
+class TestMannWhitney:
+    def test_matches_bruteforce_with_ties(self, spark):
+        from mopper_spark.textops.rankstats import mann_whitney_u
+
+        pairs = _fixture_pairs()
+        rows = [(x, 1 if i % 3 == 0 else 0) for i, (x, _) in enumerate(pairs)]
+        df = spark.createDataFrame(rows, "v long, grp int")
+        got = mann_whitney_u(df, "v", "grp", bucket_width=4).collect()[0]
+        vals_a = [x for x, g in rows if g]
+        vals_b = [x for x, g in rows if not g]
+        u2a, cubes = _brute_mw(vals_a, vals_b)
+        assert (got.n_a, got.n_b) == (len(vals_a), len(vals_b))
+        assert got.u2x_a == u2a
+        assert got.u2x_b == 2 * len(vals_a) * len(vals_b) - u2a
+        assert got.tie_cubes == cubes
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.rankstats import mann_whitney_u
+
+        rows = [(x, i % 2) for i, (x, _) in enumerate(_fixture_pairs(150, 3))]
+        df1 = spark.createDataFrame(rows, "v long, grp int").repartition(1)
+        df7 = spark.createDataFrame(rows, "v long, grp int").repartition(7)
+        r1 = mann_whitney_u(df1, "v", "grp").collect()[0]
+        r7 = mann_whitney_u(df7, "v", "grp", bucket_width=2).collect()[0]
+        assert r1 == r7
+
+
+class TestSpearman:
+    def test_matches_bruteforce_with_ties(self, spark):
+        from mopper_spark.textops.rankstats import spearman_terms
+
+        pairs = _fixture_pairs()
+        df = spark.createDataFrame(pairs, "x long, y long")
+        got = spearman_terms(df, "x", "y", bucket_width=4).collect()[0]
+        rx = _ranks2([x for x, _ in pairs])
+        ry = _ranks2([y for _, y in pairs])
+        n = len(pairs)
+        assert got.n == n
+        assert sum(rx) == n * (n + 1) and sum(ry) == n * (n + 1)
+        m = n + 1
+        assert got.num == sum((a - m) * (b - m) for a, b in zip(rx, ry))
+        assert got.den_x == sum((a - m) ** 2 for a in rx)
+        assert got.den_y == sum((b - m) ** 2 for b in ry)
+
+    def test_perfect_monotone_gives_equal_terms(self, spark):
+        from mopper_spark.textops.rankstats import spearman_terms
+
+        rows = [(i, i * 3 - 7) for i in range(50)]
+        got = spearman_terms(
+            spark.createDataFrame(rows, "x long, y long"), "x", "y"
+        ).collect()[0]
+        assert got.num == got.den_x == got.den_y > 0  # rho exactly 1
+
+
+class TestKendall:
+    def test_matches_bruteforce_with_ties(self, spark):
+        from mopper_spark.textops.rankstats import kendall_tau_counts
+
+        pairs = _fixture_pairs(120, 11)
+        df = spark.createDataFrame(pairs, "x long, y long")
+        got = kendall_tau_counts(df, "x", "y").collect()[0]
+        c = d = tx = ty = tb = 0
+        for i in range(len(pairs)):
+            for j in range(i + 1, len(pairs)):
+                (x1, y1), (x2, y2) = pairs[i], pairs[j]
+                if x1 == x2 and y1 == y2:
+                    tb += 1
+                elif x1 == x2:
+                    tx += 1
+                elif y1 == y2:
+                    ty += 1
+                elif (x1 < x2) == (y1 < y2):
+                    c += 1
+                else:
+                    d += 1
+        assert (
+            got.concordant,
+            got.discordant,
+            got.ties_x_only,
+            got.ties_y_only,
+            got.ties_both,
+        ) == (c, d, tx, ty, tb)
+        total = len(pairs) * (len(pairs) - 1) // 2
+        assert c + d + tx + ty + tb == total
+
+    def test_max_cells_guard(self, spark):
+        from mopper_spark.textops.rankstats import kendall_tau_counts
+
+        df = spark.createDataFrame(
+            [(i, i) for i in range(20)], "x long, y long"
+        )
+        with pytest.raises(ValueError, match="max_cells"):
+            kendall_tau_counts(df, "x", "y", max_cells=5)
