@@ -10364,6 +10364,45 @@ FROM agg
 """
 
 
+def _q_docs_ks_length(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov (rankstats.py::ks_statistic)
+    between English and non-English 10-char length buckets: the max
+    ECDF gap scaled to the exact integer |n_b*cumA - n_a*cumB| plus the
+    smallest bucket attaining it — the distribution-drift audit
+    companion to the Mann-Whitney query."""
+    from mopper_spark.textops.rankstats import ks_statistic
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.expr("n_chars div 10").alias("len_bkt"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    return ks_statistic(docs, "len_bkt", "is_en")
+
+
+_SQL_DOCS_KS_LENGTH = """
+WITH pv AS MATERIALIZED (
+  SELECT n_chars // 10 AS v,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nb
+  FROM documents GROUP BY 1
+), cum AS MATERIALIZED (
+  SELECT v,
+         SUM(na) OVER (ORDER BY v) AS ca,
+         SUM(nb) OVER (ORDER BY v) AS cb,
+         (SELECT SUM(na) FROM pv) AS n_a,
+         (SELECT SUM(nb) FROM pv) AS n_b
+  FROM pv
+), gaps AS MATERIALIZED (
+  SELECT v, n_a, n_b, ABS(n_b * ca - n_a * cb) AS gap FROM cum
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(MAX(gap) AS BIGINT) AS d_num,
+       CAST(MIN(v) FILTER (WHERE gap = (SELECT MAX(gap) FROM gaps))
+            AS BIGINT) AS at_v
+FROM gaps GROUP BY n_a, n_b
+"""
+
+
 def _q_docs_spearman_len_ws(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank-correlation terms (rankstats.py::spearman_terms)
     between document length and whitespace count — exact centered
@@ -10667,6 +10706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_topo_layers": _q_graph_topo_layers,
         "graph_node_jaccard": _q_graph_node_jaccard,
         "docs_mannwhitney_length": _q_docs_mannwhitney_length,
+        "docs_ks_length": _q_docs_ks_length,
         "docs_spearman_len_ws": _q_docs_spearman_len_ws,
         "docs_kendall_buckets": _q_docs_kendall_buckets,
     }
@@ -10892,6 +10932,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_topo_layers": _SQL_GRAPH_TOPO,
         "graph_node_jaccard": _SQL_GRAPH_NODE_JACCARD,
         "docs_mannwhitney_length": _SQL_DOCS_MANNWHITNEY_LENGTH,
+        "docs_ks_length": _SQL_DOCS_KS_LENGTH,
         "docs_spearman_len_ws": _SQL_DOCS_SPEARMAN_LEN_WS,
         "docs_kendall_buckets": _SQL_DOCS_KENDALL_BUCKETS,
     }

@@ -142,6 +142,9 @@ class _Parser:
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        # set while parsing a non-aggregate (expr AS ?v) SELECT item so
+        # _expr_keyword can refuse aggregates embedded in expressions
+        self._no_aggs = False
 
     # ---- token helpers -------------------------------------------------
     def peek(self, offset: int = 0) -> tuple[str, str]:
@@ -523,6 +526,29 @@ class _Parser:
             raise SparqlParseError("empty expression")
         return " ".join(parts)
 
+    def _apply_regex_flags(self, pat: str) -> str:
+        """Fold a REGEX/REPLACE flags argument (XPath §4.7: ``i s m x``,
+        position-independent) into the pattern as a Java inline
+        ``(?ismx)`` prefix — the flags must be a STRING LITERAL (the only
+        form with a static translation; a computed flags expression has
+        no SQL equivalent short of eval) and the pattern is concatenated
+        at query time so a variable pattern still works."""
+        tok = self.next()
+        if tok[0] != "STRING":
+            raise SparqlParseError(
+                "REGEX/REPLACE flags must be a string literal"
+            )
+        flags = _unescape(tok[1])
+        if not flags:
+            return pat
+        bad = set(flags) - set("ismx")
+        if bad:
+            raise SparqlParseError(
+                f"unsupported regex flag(s) {''.join(sorted(bad))!r} "
+                "(supported: i s m x — 'q' has no Java inline form)"
+            )
+        return f"concat('(?{flags})', {pat})"
+
     def _expr_keyword(self, word: str) -> str:
         up = word.upper()
         if up in ("TRUE", "FALSE", "AND", "OR", "NOT", "IN", "IS", "NULL",
@@ -537,7 +563,8 @@ class _Parser:
             self.expect_op(",")
             pat = self.parse_expr(stop={("OP", ")"), ("OP", ",")})
             if self.peek() == ("OP", ","):
-                raise SparqlParseError("REGEX flags are not supported")
+                self.i += 1
+                pat = self._apply_regex_flags(pat)
             self.expect_op(")")
             return f"({arg} RLIKE {pat})"
         if up == "STR":
@@ -560,12 +587,18 @@ class _Parser:
             self.expect_op(",")
             c = self.parse_expr(stop={("OP", ")"), ("OP", ",")})
             if self.peek() == ("OP", ","):
-                raise SparqlParseError("REPLACE flags are not supported")
+                self.i += 1
+                b = self._apply_regex_flags(b)
             self.expect_op(")")
             return f"regexp_replace({a}, {b}, {c})"
         if up in self._AGGS:
             # aggregates appear in HAVING (and are re-parsed identically to
             # the SELECT list, so HAVING(COUNT(?x) >= 2) matches its alias)
+            if self._no_aggs:
+                raise SparqlParseError(
+                    f"{up} inside a SELECT expression is not in the subset "
+                    "— bind the aggregate to its own (AGG(...) AS ?v) item"
+                )
             if up == "GROUP_CONCAT":
                 raise SparqlParseError(
                     "GROUP_CONCAT in HAVING is not in the subset — filter "
@@ -607,9 +640,14 @@ class _Parser:
     _AGGS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT")
 
     def parse_select_items(self):
-        """``SELECT`` list → (plain_vars, aggregates{alias: sql}, star)."""
+        """``SELECT`` list → (plain_vars, aggregates{alias: sql},
+        expressions{alias: sql}, star).  A parenthesized item whose head
+        token is an aggregate keyword goes to ``aggs``; any other
+        ``(expr AS ?v)`` is a SPARQL 1.1 §18.2.4.4 Extend — a plain
+        per-row expression bound after the group pattern."""
         plain: list[str] = []
         aggs: dict[str, str] = {}
+        exprs: dict[str, str] = {}
         star = False
         while True:
             k, v = self.peek()
@@ -621,20 +659,36 @@ class _Parser:
                 plain.append(v[1:])
             elif (k, v) == ("OP", "("):
                 self.i += 1
-                sql = self._parse_aggregate()
+                nk, nv = self.peek()
+                is_agg = nk == "KW" and nv.upper() in self._AGGS
+                if is_agg:
+                    sql = self._parse_aggregate()
+                else:
+                    self._no_aggs = True
+                    try:
+                        sql = self.parse_expr(stop={("KW", "AS")})
+                    finally:
+                        self._no_aggs = False
                 self.expect_kw("AS")
                 k2, v2 = self.next()
                 if k2 != "VAR":
-                    raise SparqlParseError("aggregate alias must be a variable")
+                    raise SparqlParseError(
+                        "SELECT expression alias must be a variable"
+                    )
                 self.expect_op(")")
-                aggs[v2[1:]] = sql
+                (aggs if is_agg else exprs)[v2[1:]] = sql
             else:
                 break
-        if not (plain or aggs or star):
+        if not (plain or aggs or exprs or star):
             raise SparqlParseError("empty SELECT list")
-        if star and (plain or aggs):
+        if star and (plain or aggs or exprs):
             raise SparqlParseError("SELECT * cannot mix with other items")
-        return plain, aggs, star
+        dup = set(plain) & (set(aggs) | set(exprs))
+        if dup:
+            raise SparqlParseError(
+                f"alias rebinds an already-selected variable: {sorted(dup)}"
+            )
+        return plain, aggs, exprs, star
 
     def _parse_aggregate(self) -> str:
         k, v = self.next()
@@ -867,8 +921,12 @@ def _parse_select_tail(p: _Parser) -> dict:
         p.i += 1
         distinct = True
     elif p.at_kw("REDUCED"):
-        raise SparqlParseError("REDUCED is not supported (use DISTINCT)")
-    plain, aggs, star = p.parse_select_items()
+        # spec §18.5: REDUCED permits ANY duplicate multiplicity between
+        # DISTINCT's and the full multiset — eliminating all of them is a
+        # conformant (and the only deterministic) answer
+        p.i += 1
+        distinct = True
+    plain, aggs, exprs, star = p.parse_select_items()
     if p.at_kw("WHERE"):
         p.i += 1
     group = p.parse_group()
@@ -917,6 +975,7 @@ def _parse_select_tail(p: _Parser) -> dict:
         "distinct": distinct,
         "plain": plain,
         "aggs": aggs,
+        "exprs": exprs,
         "star": star,
         "group": group,
         "group_by": group_by,
@@ -935,10 +994,26 @@ def _compile_select(
     SPARQL's subquery scoping rule (§12: inner non-projected variables
     are invisible to the outer group)."""
     plain, aggs, star = spec["plain"], spec["aggs"], spec["star"]
+    exprs = spec.get("exprs") or {}
     group_by, having = spec["group_by"], spec["having"]
     order_by, limit, offset = spec["order_by"], spec["limit"], spec["offset"]
 
     solution = _compile_group(triples, spec["group"], stats)
+
+    if exprs and (aggs or group_by):
+        raise SparqlParseError(
+            "SELECT expressions alongside aggregates/GROUP BY are not in "
+            "the subset — compute the expression in a subquery"
+        )
+    if exprs:
+        for alias in sorted(exprs):
+            if alias in solution.columns:
+                raise SparqlParseError(
+                    f"(expr AS ?{alias}) rebinds a variable already bound "
+                    "in the group pattern"
+                )
+            solution = solution.withColumn(alias, F.expr(exprs[alias]))
+        plain = plain + sorted(exprs)
 
     if aggs or group_by:
         if star:

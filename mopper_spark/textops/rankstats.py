@@ -149,6 +149,71 @@ def mann_whitney_u(
     )
 
 
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between group A
+    (``group_col`` truthy) and group B, as ONE exact-integer row.
+
+    The ECDF gap at value v is ``|cumA(v)/nA - cumB(v)/nB|``; scaled by
+    ``nA * nB`` it is the INTEGER ``|nB * cumA(v) - nA * cumB(v)|``, so
+    ``d_num = max over distinct v`` is exact and
+    ``D = d_num / (nA * nB)`` is one consumer-side division.  ``at_v``
+    reports the smallest value attaining the max (deterministic
+    tie-break), which pins WHERE the distributions diverge most — the
+    actionable part of a drift audit.
+
+    Same scale shape as ``mann_whitney_u``: per-distinct-value counts
+    (combine-able), bucketed exclusive prefix, then one max-aggregate;
+    the group totals ride in on a one-row broadcast cross join.
+
+    Returns ``(n_a, n_b, d_num, at_v)``.
+    """
+    a = F.col(group_col).cast("boolean")
+    per_v = (
+        df.select(
+            F.col(value_col).cast("long").alias("_v"),
+            F.when(a, F.lit(1)).otherwise(F.lit(0)).alias("_ia"),
+        )
+        .groupBy("_v")
+        .agg(
+            F.sum("_ia").cast("long").alias("_na"),
+            F.sum(1 - F.col("_ia")).cast("long").alias("_nb"),
+        )
+    )
+    pre = _exclusive_prefix(
+        per_v, "_v", ["_na", "_nb"], bucket_width=bucket_width
+    ).localCheckpoint(eager=True)
+    totals = pre.agg(
+        F.sum("_na").cast("long").alias("n_a"),
+        F.sum("_nb").cast("long").alias("n_b"),
+    )
+    gaps = pre.crossJoin(F.broadcast(totals)).select(
+        "_v",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("n_b") * (F.col("_pre__na") + F.col("_na"))
+            - F.col("n_a") * (F.col("_pre__nb") + F.col("_nb"))
+        ).cast("long").alias("_gap"),
+    )
+    # min_by over (-gap, v): max gap first, then smallest v — one pass,
+    # combine-able (struct comparison is lexicographic in Spark)
+    return gaps.groupBy("n_a", "n_b").agg(
+        F.max("_gap").cast("long").alias("d_num"),
+        F.min_by(
+            "_v",
+            F.struct(
+                (-F.col("_gap")).alias("ng"), F.col("_v").alias("v")
+            ),
+        ).cast("long").alias("at_v"),
+    )
+
+
 def _with_r2(
     df: DataFrame, col: str, out: str, *, bucket_width: int
 ) -> DataFrame:

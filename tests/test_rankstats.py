@@ -71,6 +71,38 @@ class TestMannWhitney:
         assert r1 == r7
 
 
+class TestKS:
+    def test_matches_bruteforce_with_ties(self, spark):
+        from mopper_spark.textops.rankstats import ks_statistic
+
+        pairs = _fixture_pairs(180, 5)
+        rows = [(x, 1 if i % 4 == 0 else 0) for i, (x, _) in enumerate(pairs)]
+        df = spark.createDataFrame(rows, "v long, grp int")
+        got = ks_statistic(df, "v", "grp", bucket_width=3).collect()[0]
+        va = sorted(x for x, g in rows if g)
+        vb = sorted(x for x, g in rows if not g)
+        na, nb = len(va), len(vb)
+        best, at = -1, None
+        for v in sorted(set(va + vb)):
+            ca = sum(1 for x in va if x <= v)
+            cb = sum(1 for x in vb if x <= v)
+            gap = abs(nb * ca - na * cb)
+            if gap > best:
+                best, at = gap, v
+        assert (got.n_a, got.n_b) == (na, nb)
+        assert got.d_num == best
+        assert got.at_v == at
+
+    def test_identical_distributions_gap_zero_somewhere(self, spark):
+        from mopper_spark.textops.rankstats import ks_statistic
+
+        rows = [(i % 10, g) for i in range(100) for g in (0, 1)]
+        got = ks_statistic(
+            spark.createDataFrame(rows, "v long, grp int"), "v", "grp"
+        ).collect()[0]
+        assert got.d_num == 0 and got.at_v == 0  # tie-break: smallest v
+
+
 class TestSpearman:
     def test_matches_bruteforce_with_ties(self, spark):
         from mopper_spark.textops.rankstats import spearman_terms

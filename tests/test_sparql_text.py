@@ -501,3 +501,52 @@ def test_star_in_non_count_aggregate_refused(graph):
                 graph,
                 PFX + f"SELECT ({agg}(*) AS ?s) WHERE {{ ?x ont:role ?r }}",
             )
+
+
+def test_regex_flags_case_insensitive(graph):
+    out = sparql_query(
+        graph,
+        PFX
+        + """SELECT ?t WHERE {
+              ?t ont:role ?r . FILTER(REGEX(?r, "^ASSIST", "i"))
+            }""",
+    )
+    assert rows(out) == [(EX + "t2",)]
+    # empty flags string is a no-op
+    out2 = sparql_query(
+        graph,
+        PFX + 'SELECT ?t WHERE { ?t ont:role ?r . FILTER(REGEX(?r, "^user", "")) }',
+    )
+    assert rows(out2) == [(EX + "t1",), (EX + "t3",)]
+
+
+def test_replace_flags_case_insensitive(graph):
+    out = sparql_query(
+        graph,
+        PFX
+        + """SELECT ?t (REPLACE(?r, "USER", "human", "i") AS ?h) WHERE {
+              ?t ont:role ?r .
+            }""",
+    )
+    got = dict(rows(out))
+    assert got[EX + "t1"] == "human" and got[EX + "t2"] == "assistant"
+
+
+def test_regex_flags_refusals(graph):
+    with pytest.raises(SparqlParseError, match="flag"):
+        sparql_query(
+            graph,
+            PFX + 'SELECT ?t WHERE { ?t ont:role ?r . FILTER(REGEX(?r, "a", "q")) }',
+        )
+    with pytest.raises(SparqlParseError, match="string literal"):
+        sparql_query(
+            graph,
+            PFX + 'SELECT ?t WHERE { ?t ont:role ?r . FILTER(REGEX(?r, "a", ?r)) }',
+        )
+
+
+def test_reduced_eliminates_duplicates(graph):
+    out = sparql_query(
+        graph, PFX + "SELECT REDUCED ?x WHERE { ?x a ont:Person . }"
+    )
+    assert rows(out) == [(EX + "alice",), (EX + "bob",)]
