@@ -10495,6 +10495,69 @@ FROM marg, tx, ty, disc
 """
 
 
+def _q_events_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Contingency pivot (textops/olap.py::pivot_metrics): day ×
+    event_type crosstab with per-cell count and integer cents sum,
+    zero-filled.  Explicit value list → no distinct-values discovery
+    job; the plan is the two-aggregate PivotFirst shape whose second
+    exchange moves only (day, type) pairs (pinned in tests/test_olap.py).
+    Day rides as an ISO string — fetch-path-proof (DATE becomes a
+    pandas Timestamp on the oracle's Arrow path)."""
+    from mopper_spark.textops.olap import pivot_metrics
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+    )
+    types = ["click", "view", "signup", "purchase", "error"]
+    return pivot_metrics(ev, ["day"], "event_type", types, "value")
+
+
+_SQL_EVENTS_PIVOT = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_n,
+       CAST(COALESCE(SUM(FLOOR(value * 100)) FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS click_value_fp,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view_n,
+       CAST(COALESCE(SUM(FLOOR(value * 100)) FILTER (WHERE event_type = 'view'), 0) AS BIGINT) AS view_value_fp,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup_n,
+       CAST(COALESCE(SUM(FLOOR(value * 100)) FILTER (WHERE event_type = 'signup'), 0) AS BIGINT) AS signup_value_fp,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_n,
+       CAST(COALESCE(SUM(FLOOR(value * 100)) FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS purchase_value_fp,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error_n,
+       CAST(COALESCE(SUM(FLOOR(value * 100)) FILTER (WHERE event_type = 'error'), 0) AS BIGINT) AS error_value_fp
+FROM events GROUP BY 1
+"""
+
+
+def _q_events_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-7-day distinct active users per active day
+    (timeseries.py::rolling_active_users) — the WAU curve, exact, via
+    the contribution-explode shape: events reduce to distinct
+    (day, user) pairs first, each pair fans out to its 7 window-end
+    days, so no shuffle after the first is event-scale."""
+    from mopper_spark.textops.timeseries import rolling_active_users
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    out = rolling_active_users(ev, "user_id", "ts", window_days=7)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "au"
+    )
+
+
+_SQL_EVENTS_ACTIVE_USERS = """
+WITH du AS MATERIALIZED (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u FROM events
+), days AS MATERIALIZED (
+  SELECT DISTINCT d FROM du
+)
+SELECT CAST(days.d AS VARCHAR) AS day,
+       CAST(COUNT(DISTINCT du.u) AS BIGINT) AS au
+FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -10709,6 +10772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ks_length": _q_docs_ks_length,
         "docs_spearman_len_ws": _q_docs_spearman_len_ws,
         "docs_kendall_buckets": _q_docs_kendall_buckets,
+        "events_pivot": _q_events_pivot,
+        "events_active_users": _q_events_active_users,
     }
 
 
@@ -10935,4 +11000,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_ks_length": _SQL_DOCS_KS_LENGTH,
         "docs_spearman_len_ws": _SQL_DOCS_SPEARMAN_LEN_WS,
         "docs_kendall_buckets": _SQL_DOCS_KENDALL_BUCKETS,
+        "events_pivot": _SQL_EVENTS_PIVOT,
+        "events_active_users": _SQL_EVENTS_ACTIVE_USERS,
     }

@@ -80,6 +80,67 @@ def cube_metrics(
     return _lattice(df, dims, value_col, scale, "cube")
 
 
+def pivot_metrics(
+    df: DataFrame,
+    row_dims: list[str],
+    pivot_col: str,
+    values: list[str],
+    value_col: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Contingency table / crosstab: one output row per ``row_dims``
+    group, one column pair per pivot value — ``{v}_n`` (count) and,
+    when ``value_col`` is given, ``{v}_value_fp`` (Σ floor(value·scale),
+    the same exact-integer measure as the lattice ops above).
+
+    ``values`` is REQUIRED, not discovered: Spark's ``pivot`` without an
+    explicit value list first runs a separate distinct-values job over
+    the whole input and then caps the result at
+    ``spark.sql.pivotMaxValues`` — at 100 TB that is an extra full scan
+    and a silent truncation hazard.  With the list supplied, Catalyst
+    compiles the pivot to TWO aggregates: a map-side-combining
+    ``(row_dims…, pivot_col)`` aggregate over the raw input (the only
+    event-scale shuffle), then a ``PivotFirst`` aggregate whose exchange
+    moves pre-aggregated (group, value) pairs only — bounded by
+    groups × len(values), never by input rows.  Semantically identical
+    to the conditional-aggregation SQL a warehouse would write — which
+    is exactly what the DuckDB oracle does.
+
+    The ``row_dims`` group domain is the FULL input: a group none of
+    whose rows match any listed pivot value still gets its (all-zero)
+    row — pivot values outside ``values`` contribute to no column but do
+    keep their group alive, the contingency-table contract.  Counts and
+    sums are zero-filled because a table with NULL holes cannot be
+    summed downstream.  To restrict the domain, filter upstream — that
+    filter then pushes to the scan.
+    """
+    if not values:
+        raise ValueError("pivot_metrics: need at least one pivot value")
+    if len(set(values)) != len(values):
+        raise ValueError("pivot_metrics: duplicate pivot values")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(
+                F.floor(F.col(value_col).cast("double") * F.lit(float(scale)))
+                .cast("long")
+            ).alias("value_fp")
+        )
+    out = df.groupBy(*row_dims).pivot(pivot_col, values).agg(*aggs)
+    # single-agg pivots name columns bare "{v}"; multi-agg "{v}_{alias}"
+    sel: list = [F.col(c) for c in row_dims]
+    for v in values:
+        src_n = f"{v}_n" if value_col is not None else str(v)
+        sel.append(F.coalesce(F.col(f"`{src_n}`"), F.lit(0)).cast("long").alias(f"{v}_n"))
+        if value_col is not None:
+            sel.append(
+                F.coalesce(F.col(f"`{v}_value_fp`"), F.lit(0))
+                .cast("long")
+                .alias(f"{v}_value_fp")
+            )
+    return out.select(*sel)
+
+
 def association_rules(
     df: DataFrame,
     basket_col: str,

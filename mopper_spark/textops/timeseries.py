@@ -146,6 +146,62 @@ def rolling_window_features(
     return out
 
 
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-``window_days`` distinct active users per day (the
+    DAU/WAU/MAU family): for every day that has at least one event,
+    ``au`` = COUNT(DISTINCT user) over events in
+    ``[day − window_days + 1, day]``.
+
+    COUNT(DISTINCT …) over a sliding frame is not window-computable (the
+    measure isn't invertible), and a day×day range join re-scans the
+    event log per day.  Instead the classic contribution-explode shape,
+    which never touches raw events twice:
+
+    1. reduce events to distinct ``(day, user)`` pairs — one map-side-
+       combining aggregation, output bounded by users × days, not events;
+    2. each pair contributes to the ``window_days`` window-end days
+       ``day … day+w−1`` via ``sequence`` + ``explode`` (w is a small
+       constant — ×7/×30 row fan-out of the already-tiny pair set);
+    3. distinct again (a user active on several days inside one window
+       must count once), keep only window-end days that actually occur
+       in the data (broadcast semi-join — the day list is tiny), then a
+       plain count per day.
+
+    All shuffles after step 1 are (day, user)-pair-shaped.  Exact, no
+    sketches — for approximate at extreme cardinality see
+    ``sketches.hll_distinct`` which IS mergeable across frames.
+    """
+    if window_days < 1:
+        raise ValueError("rolling_active_users: window_days must be >= 1")
+    du = (
+        df.select(
+            F.to_date(F.col(ts_col)).alias("_d"),
+            F.col(user_col).alias("_u"),
+        )
+        .distinct()
+    )
+    days = du.select(F.col("_d").alias("day")).distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                F.col("_d"), F.date_add(F.col("_d"), window_days - 1)
+            )
+        ).alias("day"),
+        "_u",
+    ).distinct()
+    return (
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("au"))
+    )
+
+
 def ewma_binary(
     df: DataFrame,
     key_col: str,

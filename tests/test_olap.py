@@ -109,3 +109,58 @@ class TestParetoFront2D:
         assert a == b == c
         with pytest.raises(ValueError):
             pareto_front_2d(df, "x", "y", bucket_width=0)
+
+
+class TestPivot:
+    def _df(self, spark):
+        rows = [
+            ("d1", "click", 1.25), ("d1", "click", 0.5), ("d1", "view", 2.0),
+            ("d2", "view", 4.0), ("d2", "error", 1.0), ("d2", "other", 9.0),
+        ]
+        return spark.createDataFrame(rows, "day string, et string, value double")
+
+    def test_counts_sums_and_zero_fill(self, spark):
+        from mopper_spark.textops.olap import pivot_metrics
+
+        out = {
+            r.day: r
+            for r in pivot_metrics(
+                self._df(spark), ["day"], "et", ["click", "view", "error"], "value"
+            ).collect()
+        }
+        d1, d2 = out["d1"], out["d2"]
+        assert (d1.click_n, d1.click_value_fp) == (2, 175)
+        assert (d1.view_n, d1.view_value_fp) == (1, 200)
+        assert (d1.error_n, d1.error_value_fp) == (0, 0)  # zero-filled hole
+        assert (d2.click_n, d2.view_n, d2.error_n) == (0, 1, 1)
+        # 'other' rows dropped up front, never a column
+        assert not any(c.startswith("other") for c in out["d1"].asDict())
+
+    def test_count_only_and_validation(self, spark):
+        from mopper_spark.textops.olap import pivot_metrics
+
+        out = pivot_metrics(self._df(spark), ["day"], "et", ["click"])
+        assert out.columns == ["day", "click_n"]
+        got = {r.day: r.click_n for r in out.collect()}
+        assert got == {"d1": 2, "d2": 0}
+        with pytest.raises(ValueError, match="at least one"):
+            pivot_metrics(self._df(spark), ["day"], "et", [])
+        with pytest.raises(ValueError, match="duplicate"):
+            pivot_metrics(self._df(spark), ["day"], "et", ["a", "a"])
+
+    def test_two_aggregate_plan_no_values_discovery_job(self, spark):
+        """Explicit values → the two-aggregate PivotFirst plan: one
+        event-scale Exchange on (day, et), one pair-scale Exchange on
+        (day) — and no separate distinct-values collect job (building
+        the plan triggers zero Spark jobs)."""
+        from mopper_spark.textops.olap import pivot_metrics
+
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        df = pivot_metrics(self._df(spark), ["day"], "et", ["click", "view"], "value")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert after == before  # no discovery job ran at plan time
+        assert plan.count("Exchange") == 2
+        assert "PivotFirst" in plan or "pivotfirst" in plan.lower()

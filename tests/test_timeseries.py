@@ -256,3 +256,41 @@ class TestCusumChangepoint:
         b = sorted(map(tuple, cusum_changepoint(df.repartition(13), "user_id", "ts",
                                                 "cents", order_tiebreak="event_id").collect()))
         assert a == b
+
+
+class TestRollingActiveUsers:
+    def test_matches_bruteforce(self, spark):
+        import datetime as dt
+        from mopper_spark.textops.timeseries import rolling_active_users
+
+        base = dt.datetime(2024, 1, 1)
+        # user 1 active days 0,2,9; user 2 days 2,3; user 3 day 0 twice
+        obs = [(1, 0), (1, 2), (1, 9), (2, 2), (2, 3), (3, 0), (3, 0)]
+        rows = [(u, base + dt.timedelta(days=d, hours=u)) for u, d in obs]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            str(r.day): r.au
+            for r in rolling_active_users(df, "user_id", "ts", window_days=3).collect()
+        }
+        active_days = sorted({d for _, d in obs})
+        want = {}
+        for d in active_days:
+            users = {u for u, dd in obs if d - 2 <= dd <= d}
+            want[str((base + dt.timedelta(days=d)).date())] = len(users)
+        assert got == want
+        assert got["2024-01-01"] == 2      # users 1,3 (3's dup day counts once)
+        assert got["2024-01-03"] == 3      # window d1..d3: users 1,2,3
+        assert got["2024-01-10"] == 1
+
+    def test_window_one_is_plain_dau(self, spark):
+        import datetime as dt
+        from mopper_spark.textops.timeseries import rolling_active_users
+
+        base = dt.datetime(2024, 3, 1)
+        rows = [(u, base + dt.timedelta(days=d)) for u, d in [(1, 0), (2, 0), (1, 1)]]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {str(r.day): r.au for r in rolling_active_users(df, "user_id", "ts", window_days=1).collect()}
+        assert got == {"2024-03-01": 2, "2024-03-02": 1}
+        import pytest as _pt
+        with _pt.raises(ValueError, match=">= 1"):
+            rolling_active_users(df, "user_id", "ts", window_days=0)
