@@ -10558,6 +10558,75 @@ GROUP BY 1
 """
 
 
+def _q_docs_gini_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini concentration of the token-frequency distribution
+    (rankstats.py::gini_terms): one exact-integer row (n, total, g_num),
+    G = g_num/(n·total) — "is the vocabulary Zipf-steep or flat?".
+    Run-based rank formula over per-distinct-frequency counts, so no
+    global sort and no tie-break sensitivity (runs of equal frequency
+    contribute a closed form)."""
+    from mopper_spark.textops.analysis import tokens
+    from mopper_spark.textops.rankstats import gini_terms
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return gini_terms(tf, "cnt")
+
+
+_SQL_DOCS_GINI_TOKENS = r"""
+WITH tf AS MATERIALIZED (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents)
+  GROUP BY token
+), r AS MATERIALIZED (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS i FROM tf
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c) AS BIGINT) AS total,
+       CAST(2 * SUM(i * c) - (COUNT(*) + 1) * SUM(c) AS BIGINT) AS g_num
+FROM r
+"""
+
+
+def _q_transcripts_loss_mask(spark: SparkSession, sf: str) -> DataFrame:
+    """Assistant-only SFT loss-mask spans (prepare.py::render_loss_spans):
+    per assistant turn, the 0-based end-exclusive character offsets of
+    its CONTENT inside the render_conversations document — pure integer
+    prefix arithmetic over per-turn lengths (text never moves), pinned
+    char-exact against the rendered text in tests/test_prepare.py."""
+    from mopper_spark.textops.prepare import render_loss_spans
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return render_loss_spans(tr)
+
+
+_SQL_TRANSCRIPTS_LOSS_MASK = f"""
+WITH t AS MATERIALIZED (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+         CAST(4 + LENGTH(role) AS BIGINT) AS hl,
+         CAST(4 + LENGTH(role) + LENGTH(text) AS BIGINT) AS rl,
+         '<|' || role || '|>' || text AS r
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+), o AS MATERIALIZED (
+  SELECT conv_id, turn_idx, role, hl, rl,
+         COALESCE(SUM(rl + 1) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx, r
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       CAST(pre + hl AS BIGINT) AS start_off,
+       CAST(pre + rl AS BIGINT) AS end_off
+FROM o WHERE role = 'assistant'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -10774,6 +10843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_kendall_buckets": _q_docs_kendall_buckets,
         "events_pivot": _q_events_pivot,
         "events_active_users": _q_events_active_users,
+        "docs_gini_tokens": _q_docs_gini_tokens,
+        "transcripts_loss_mask": _q_transcripts_loss_mask,
     }
 
 
@@ -11002,4 +11073,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_kendall_buckets": _SQL_DOCS_KENDALL_BUCKETS,
         "events_pivot": _SQL_EVENTS_PIVOT,
         "events_active_users": _SQL_EVENTS_ACTIVE_USERS,
+        "docs_gini_tokens": _SQL_DOCS_GINI_TOKENS,
+        "transcripts_loss_mask": _SQL_TRANSCRIPTS_LOSS_MASK,
     }

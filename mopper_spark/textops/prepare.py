@@ -57,6 +57,62 @@ def render_conversations(
     )
 
 
+def render_loss_spans(
+    transcripts: DataFrame,
+    *,
+    loss_role: str = "assistant",
+    turn_sep: str = "\n",
+    role_open: str = "<|",
+    role_close: str = "|>",
+) -> DataFrame:
+    """Loss-mask spans for SFT training over ``render_conversations``
+    output: one row per ``loss_role`` turn with ``(conv_id, turn_idx,
+    start_off, end_off)`` — 0-based, end-exclusive CHARACTER offsets into
+    the rendered conversation text covering the turn's CONTENT only (the
+    ``<|role|>`` header stays out of the loss, the standard
+    assistant-only SFT masking contract).
+
+    Offsets are pure integer arithmetic over per-turn rendered lengths —
+    an exclusive prefix sum of ``len(header)+len(text)+len(sep)`` within
+    each conversation, ordered by ``(turn_idx, rendered)`` — the SAME
+    tie-break ``render_conversations`` gets from ``array_sort`` over
+    ``(turn_idx, r)`` structs, so the two functions agree even on a
+    pathological duplicate ``turn_idx``.  One per-conversation window
+    (spillable, conversation-sized partitions — the identical skew unit
+    as the render itself); text never moves, only its lengths do.
+    """
+    rendered = F.concat(
+        F.lit(role_open), F.col("role"), F.lit(role_close), F.col("text")
+    )
+    hdr = F.length(F.col("role")) + F.lit(len(role_open) + len(role_close))
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        hdr.cast("long").alias("_hl"),
+        (hdr + F.length("text")).cast("long").alias("_rl"),
+        rendered.alias("_r"),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx", "_r")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = F.coalesce(
+        F.sum(F.col("_rl") + F.lit(len(turn_sep))).over(w), F.lit(0)
+    )
+    return (
+        t.withColumn("_pre", pre.cast("long"))
+        .filter(F.col("role") == loss_role)
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            (F.col("_pre") + F.col("_hl")).cast("long").alias("start_off"),
+            (F.col("_pre") + F.col("_rl")).cast("long").alias("end_off"),
+        )
+    )
+
+
 # ----------------------------------------------------------------- PII
 
 # RE2-compatible (works verbatim in Java regex AND DuckDB's RE2 — no

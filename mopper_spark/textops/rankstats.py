@@ -214,6 +214,52 @@ def ks_statistic(
     )
 
 
+def gini_terms(df: DataFrame, value_col: str, *, bucket_width: int = 64) -> DataFrame:
+    """Gini concentration coefficient of a nonnegative integer measure
+    (token frequencies, per-source document counts, per-user event
+    counts) as ONE exact-integer row ``(n, total, g_num)`` with
+    ``G = g_num / (n * total)`` — the inequality audit ("is this corpus
+    a few mega-documents or a flat distribution?").
+
+    Uses the rank form ``G·n·Σx = 2·Σ i·x_(i) − (n+1)·Σx`` (values
+    ascending, ranks 1…n).  The rank-weighted sum needs no per-row rank:
+    collapse to per-distinct-value counts ``m_v`` (combine-able groupBy),
+    take the bucketed exclusive prefix ``s_v`` of ``m`` over ascending v,
+    and a run of ``m_v`` equal values contributes
+    ``v·(m_v·s_v + m_v(m_v+1)/2)`` — tie-order invariant, so no
+    tie-break is ever needed.  Same two-phase prefix shape as
+    ``mann_whitney_u``; only per-bucket subtotals cross a single
+    partition.
+
+    Overflow: ``Σ i·x_i ≤ n·Σx`` — exact in int64 through
+    ``n·total < 2^63`` (e.g. 10^9 tokens of total frequency 10^9 needs
+    the caller to pre-bucket; the statistic is scale-free so any
+    proportional coarsening preserves G).
+    """
+    per_v = (
+        df.select(F.col(value_col).cast("long").alias("_v"))
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_m"))
+    )
+    pre = _exclusive_prefix(per_v, "_v", ["_m"], bucket_width=bucket_width)
+    return pre.agg(
+        F.sum("_m").cast("long").alias("n"),
+        F.sum(F.col("_m") * F.col("_v")).cast("long").alias("total"),
+        # 2·Σ i·x_i folded into the per-run term (×2 pre-applied so the
+        # triangular m(m+1)/2 needs no division — int64 throughout)
+        (
+            F.sum(
+                F.col("_v")
+                * (
+                    F.lit(2) * F.col("_m") * F.col("_pre__m")
+                    + F.col("_m") * (F.col("_m") + 1)
+                )
+            )
+            - (F.sum("_m") + 1) * F.sum(F.col("_m") * F.col("_v"))
+        ).cast("long").alias("g_num"),
+    )
+
+
 def _with_r2(
     df: DataFrame, col: str, out: str, *, bucket_width: int
 ) -> DataFrame:

@@ -288,3 +288,38 @@ class TestKAnonymityAudit:
             k_anonymity_audit(df, [], "conv")
         with pytest.raises(ValueError):
             k_anonymity_audit(df, ["role"], "conv", k=0)
+
+
+class TestRenderLossSpans:
+    def _tr(self, spark):
+        rows = [
+            ("c1", 0, "user", "hi"),
+            ("c1", 1, "assistant", "hello there"),
+            ("c1", 2, "user", "bye"),
+            ("c1", 3, "assistant", "ok"),
+            ("c2", 0, "assistant", "solo"),
+        ]
+        return spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+
+    def test_spans_index_into_rendered_text(self, spark):
+        from mopper_spark.textops.prepare import render_conversations, render_loss_spans
+
+        tr = self._tr(spark)
+        docs = {r.conv_id: r.text for r in render_conversations(tr).collect()}
+        spans = render_loss_spans(tr).collect()
+        assert len(spans) == 3
+        texts = {(r.conv_id, r.turn_idx): r.text for r in tr.collect()}
+        for s in spans:
+            assert docs[s.conv_id][s.start_off:s.end_off] == texts[(s.conv_id, s.turn_idx)]
+        # header excluded: the char before start_off closes the role tag
+        for s in spans:
+            assert docs[s.conv_id][s.start_off - 2:s.start_off] == "|>"
+
+    def test_custom_role_and_partition_invariance(self, spark):
+        from mopper_spark.textops.prepare import render_loss_spans
+
+        tr = self._tr(spark)
+        got = sorted(map(tuple, render_loss_spans(tr, loss_role="user").collect()))
+        got7 = sorted(map(tuple, render_loss_spans(tr.repartition(7), loss_role="user").collect()))
+        assert got == got7
+        assert [g[:2] for g in got] == [("c1", 0), ("c1", 2)]

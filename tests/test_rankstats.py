@@ -169,3 +169,32 @@ class TestKendall:
         )
         with pytest.raises(ValueError, match="max_cells"):
             kendall_tau_counts(df, "x", "y", max_cells=5)
+
+
+class TestGini:
+    def test_matches_bruteforce(self, spark):
+        from mopper_spark.textops.rankstats import gini_terms
+
+        vals = [1, 1, 2, 3, 3, 3, 10, 40, 40, 100]
+        got = gini_terms(
+            spark.createDataFrame([(v,) for v in vals], "v long"), "v",
+            bucket_width=3,
+        ).collect()[0]
+        xs = sorted(vals)
+        n, s = len(xs), sum(xs)
+        w = sum((i + 1) * x for i, x in enumerate(xs))
+        assert (got.n, got.total) == (n, s)
+        assert got.g_num == 2 * w - (n + 1) * s
+        # sanity: 0 <= G < 1
+        assert 0 <= got.g_num < n * s
+
+    def test_uniform_is_zero_and_partition_invariance(self, spark):
+        from mopper_spark.textops.rankstats import gini_terms
+
+        rows = [(7,) for _ in range(50)]
+        df = spark.createDataFrame(rows, "v long")
+        got = gini_terms(df, "v").collect()[0]
+        assert got.g_num == 0
+        r1 = gini_terms(df.repartition(1), "v", bucket_width=2).collect()[0]
+        r7 = gini_terms(df.repartition(7), "v", bucket_width=64).collect()[0]
+        assert tuple(r1) == tuple(r7) == tuple(got)
