@@ -10627,6 +10627,49 @@ FROM o WHERE role = 'assistant'
 """
 
 
+def _q_kg_sparql_strfns(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL 1.1 string/hash builtins through the text front-end
+    (pipeline/sparql.py): STRAFTER/STRBEFORE (CASE/instr translation
+    with the spec's empty-needle and no-match '' semantics), MD5 and
+    SHA256 over entity IRIs, composed inside SELECT expressions
+    ((expr AS ?v) Extend items) with DISTINCT + ORDER + LIMIT — the
+    IRI-namespace-stripping idiom every downstream SPARQL consumer
+    writes."""
+    from mopper_spark.pipeline.sparql import sparql_query
+
+    return sparql_query(
+        _kg_triples(spark),
+        """
+        PREFIX ont: <http://example.com/ontology/>
+        SELECT DISTINCT ?e (STRAFTER(?e, "/entity/") AS ?name)
+               (MD5(?e) AS ?fp)
+               (SHA256(STRBEFORE(STRAFTER(?e, "/entity/"), "%20")) AS ?head_fp)
+        WHERE { ?t ont:mentions ?e . }
+        ORDER BY ?e
+        LIMIT 40
+        """,
+    )
+
+
+_SQL_KG_SPARQL_STRFNS = f"""
+WITH kg AS ({_SQL_KG_GRAPH}),
+ent AS (
+  SELECT DISTINCT obj AS e FROM kg
+  WHERE pred = 'http://example.com/ontology/mentions'
+), x AS (
+  SELECT e,
+         CASE WHEN instr(e, '/entity/') > 0
+              THEN substring(e, instr(e, '/entity/') + 8) ELSE '' END AS name
+  FROM ent
+)
+SELECT e, name, md5(e) AS fp,
+       sha256(CASE WHEN instr(name, '%20') > 0
+                   THEN substring(name, 1, instr(name, '%20') - 1)
+                   ELSE '' END) AS head_fp
+FROM x ORDER BY e LIMIT 40
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -10845,6 +10888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_active_users": _q_events_active_users,
         "docs_gini_tokens": _q_docs_gini_tokens,
         "transcripts_loss_mask": _q_transcripts_loss_mask,
+        "kg_sparql_strfns": _q_kg_sparql_strfns,
     }
 
 
@@ -11075,4 +11119,5 @@ def oracle_sql() -> dict[str, str]:
         "events_active_users": _SQL_EVENTS_ACTIVE_USERS,
         "docs_gini_tokens": _SQL_DOCS_GINI_TOKENS,
         "transcripts_loss_mask": _SQL_TRANSCRIPTS_LOSS_MASK,
+        "kg_sparql_strfns": _SQL_KG_SPARQL_STRFNS,
     }

@@ -462,6 +462,11 @@ class _Parser:
         "SUBSTR": ("substring", (2, 3)),
         "COALESCE": ("coalesce", None),
         "CONCAT": ("concat", None),
+        "ROUND": ("round", 1),
+        "CEIL": ("ceil", 1),
+        "FLOOR": ("floor", 1),
+        "MD5": ("md5", 1),
+        "SHA1": ("sha1", 1),
     }
 
     def parse_expr_parens(self) -> str:
@@ -570,6 +575,31 @@ class _Parser:
         if up == "STR":
             inner = self.parse_expr_parens()
             return f"CAST({inner} AS STRING)"
+        if up == "SHA256":
+            inner = self.parse_expr_parens()
+            return f"sha2({inner}, 256)"
+        if up in ("STRBEFORE", "STRAFTER"):
+            # §17.4.3.3-4: '' when the needle never occurs; the empty
+            # needle matches at position 1 (instr convention on both
+            # engines), giving '' for STRBEFORE and the whole string for
+            # STRAFTER — the spec's answers.  Args are duplicated in the
+            # translation, safe because the subset has no nondeterministic
+            # functions.
+            self.expect_op("(")
+            a = self.parse_expr(stop={("OP", ",")})
+            self.expect_op(",")
+            b = self.parse_expr(stop={("OP", ")")})
+            self.expect_op(")")
+            if up == "STRBEFORE":
+                return (
+                    f"(CASE WHEN instr({a}, {b}) > 0 THEN "
+                    f"substring({a}, 1, instr({a}, {b}) - 1) ELSE '' END)"
+                )
+            return (
+                f"(CASE WHEN instr({a}, {b}) > 0 THEN "
+                f"substring({a}, instr({a}, {b}) + length({b})) "
+                f"ELSE '' END)"
+            )
         if up == "IF":
             self.expect_op("(")
             c = self.parse_expr(stop={("OP", ",")})

@@ -550,3 +550,33 @@ def test_reduced_eliminates_duplicates(graph):
         graph, PFX + "SELECT REDUCED ?x WHERE { ?x a ont:Person . }"
     )
     assert rows(out) == [(EX + "alice",), (EX + "bob",)]
+
+
+def test_strbefore_strafter_semantics(graph):
+    out = sparql_query(
+        graph,
+        PFX
+        + """SELECT ?t (STRAFTER(?r, "ss") AS ?a) (STRBEFORE(?r, "ss") AS ?b)
+                     (STRBEFORE(?r, "zz") AS ?miss) (STRAFTER(?r, "") AS ?all)
+            WHERE { ?t ont:role ?r . FILTER(?r = "assistant") }""",
+    )
+    r = out.collect()[0]
+    assert (r.a, r.b, r.miss, r.all) == ("istant", "a", "", "assistant")
+
+
+def test_hash_and_numeric_builtins(graph):
+    import hashlib
+
+    out = sparql_query(
+        graph,
+        PFX
+        + """SELECT ?r (MD5(?r) AS ?m) (SHA1(?r) AS ?s1) (SHA256(?r) AS ?s2)
+                     (FLOOR(STRLEN(?r) / 2) AS ?half)
+            WHERE { ?t ont:role ?r . FILTER(?r = "user") }
+            ORDER BY ?r LIMIT 1""",
+    )
+    r = out.collect()[0]
+    assert r.m == hashlib.md5(b"user").hexdigest()
+    assert r.s1 == hashlib.sha1(b"user").hexdigest()
+    assert r.s2 == hashlib.sha256(b"user").hexdigest()
+    assert r.half == 2
