@@ -10670,6 +10670,58 @@ FROM x ORDER BY e LIMIT 40
 """
 
 
+def _q_docs_shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global training shuffle (sampling.py::shuffle_rank):
+    every document's 0-based position in the md5-keyed corpus
+    permutation — reproducible across runs, partitionings, and engines
+    (the oracle is one ROW_NUMBER over the same hash).  Computed with
+    the bucketed-prefix idiom on the top 16 hash bits, so no global
+    sort; md5 uniformity makes the buckets balanced by construction."""
+    from mopper_spark.textops.sampling import shuffle_rank
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    return shuffle_rank(docs, "doc_id", "shuffle-v1").select("doc_id", "ord")
+
+
+_SQL_DOCS_SHUFFLE_ORDER = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5('shuffle-v1' || CAST(doc_id AS VARCHAR)),
+                  CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS ord
+FROM documents
+"""
+
+
+def _q_events_props_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-on-read JSON column flattening: the events ``props`` JSON
+    payload is parsed IN the scan projection with native
+    ``get_json_object`` (JVM Jackson path evaluation — no Python, no
+    UDF) and aggregated per event_type: presence count, exact integer
+    sum/min/max of ``$.k``.  The ELT staple for semi-structured event
+    payloads; at 100 TB the parse rides the existing scan, no extra
+    pass."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("sum_k"),
+        F.coalesce(F.min("k"), F.lit(-1)).cast("long").alias("min_k"),
+        F.coalesce(F.max("k"), F.lit(-1)).cast("long").alias("max_k"),
+    )
+
+
+_SQL_EVENTS_PROPS_STATS = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+       CAST(COALESCE(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)), 0) AS BIGINT) AS sum_k,
+       CAST(COALESCE(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)), -1) AS BIGINT) AS min_k,
+       CAST(COALESCE(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)), -1) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -10889,6 +10941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_gini_tokens": _q_docs_gini_tokens,
         "transcripts_loss_mask": _q_transcripts_loss_mask,
         "kg_sparql_strfns": _q_kg_sparql_strfns,
+        "docs_shuffle_order": _q_docs_shuffle_order,
+        "events_props_stats": _q_events_props_stats,
     }
 
 
@@ -11120,4 +11174,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_gini_tokens": _SQL_DOCS_GINI_TOKENS,
         "transcripts_loss_mask": _SQL_TRANSCRIPTS_LOSS_MASK,
         "kg_sparql_strfns": _SQL_KG_SPARQL_STRFNS,
+        "docs_shuffle_order": _SQL_DOCS_SHUFFLE_ORDER,
+        "events_props_stats": _SQL_EVENTS_PROPS_STATS,
     }

@@ -313,3 +313,53 @@ def ab_test_two_proportions(
             F.floor(z * F.lit(1000000.0)).cast("long"),
         ).alias("z_fp"),
     )
+
+
+def shuffle_rank(
+    df: DataFrame,
+    key: str,
+    seed: str = "shuffle-v1",
+    *,
+    out_col: str = "ord",
+) -> DataFrame:
+    """Deterministic global shuffle ordinal: ``out_col`` = the 0-based
+    position of each row in the corpus permutation ordered by
+    ``(md5(seed || key), key)`` — the "shuffle once, reproducibly,
+    before packing/sharding" step of training-data prep.  A pure
+    function of (seed, key): re-running, re-partitioning, or porting
+    engines reproduces the identical permutation (the DuckDB oracle is
+    one ROW_NUMBER), and changing the seed draws a fresh independent
+    permutation.
+
+    No global sort: ranks come from the two-phase bucketed prefix idiom
+    (``packing.pack_sequences``) keyed on the TOP 16 hash bits — md5 is
+    uniform, so the 65536 buckets are balanced by construction (no skew
+    caveat, unlike value-bucketed prefixes): per-bucket counts, one
+    running sum over the tiny bucket list, per-bucket ROW_NUMBER windows
+    (spillable, ~corpus/65536 rows each).  The hash string orders ties
+    away except true key duplicates, which ``key`` itself breaks —
+    making the rank total and stable.
+
+    Returns the input columns plus ``out_col``.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(key).cast("string")))
+    from pyspark.sql import Window
+
+    t = df.withColumn("_h", h).withColumn(
+        "_bkt", F.conv(F.substring("_h", 1, 4), 16, 10).cast("long")
+    )
+    bsub = t.groupBy("_bkt").agg(F.count(F.lit(1)).cast("long").alias("_bn"))
+    w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = bsub.select(
+        "_bkt",
+        F.coalesce(F.sum("_bn").over(w_b), F.lit(0)).cast("long").alias("_bpre"),
+    )
+    w_in = Window.partitionBy("_bkt").orderBy("_h", key)
+    return (
+        t.join(F.broadcast(bpre), "_bkt")
+        .withColumn(
+            out_col,
+            (F.col("_bpre") + F.row_number().over(w_in) - 1).cast("long"),
+        )
+        .drop("_h", "_bkt", "_bpre")
+    )

@@ -166,3 +166,35 @@ class TestStratifiedSplit:
         assert a == b
         with pytest.raises(ValueError):
             stratified_split(df, "source", "doc_id", splits={})
+
+
+class TestShuffleRank:
+    def test_matches_python_replica_and_is_stable(self, spark):
+        import hashlib
+        from mopper_spark.textops.sampling import shuffle_rank
+
+        keys = [f"doc{i}" for i in range(200)]
+        df = spark.createDataFrame([(k,) for k in keys], "doc_id string")
+        got = {r.doc_id: r.ord for r in shuffle_rank(df, "doc_id", "s1").collect()}
+        want_order = sorted(
+            keys, key=lambda k: (hashlib.md5(f"s1{k}".encode()).hexdigest(), k)
+        )
+        assert got == {k: i for i, k in enumerate(want_order)}
+        # partition-invariant
+        got7 = {
+            r.doc_id: r.ord
+            for r in shuffle_rank(df.repartition(7), "doc_id", "s1").collect()
+        }
+        assert got7 == got
+
+    def test_seed_changes_permutation_and_ties_break_on_key(self, spark):
+        from mopper_spark.textops.sampling import shuffle_rank
+
+        df = spark.createDataFrame([(f"d{i}",) for i in range(50)], "doc_id string")
+        a = {r.doc_id: r.ord for r in shuffle_rank(df, "doc_id", "a").collect()}
+        b = {r.doc_id: r.ord for r in shuffle_rank(df, "doc_id", "b").collect()}
+        assert a != b and sorted(a.values()) == sorted(b.values()) == list(range(50))
+        # duplicate keys: both copies ranked adjacently, total order still
+        dup = spark.createDataFrame([("x",), ("x",), ("y",)], "doc_id string")
+        ords = sorted(r.ord for r in shuffle_rank(dup, "doc_id", "a").collect())
+        assert ords == [0, 1, 2]
