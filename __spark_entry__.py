@@ -10722,6 +10722,49 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_events_subseq_patterns(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-allowed sequential-pattern support
+    (joins.py::subsequence_support): PrefixSpan-statistic counts of every
+    ordered length-2/3 event-type pattern as a SUBSEQUENCE of a
+    (user, day) session — complements events_session_paths, which counts
+    only consecutive runs.  All pattern probes run in per-session array
+    lambdas over (min, max, positions) per type; the oracle reproduces
+    them with relational joins, making the closed-form subsequence
+    criteria (min<max for pairs, exists-middle for triples)
+    independently checkable."""
+    from mopper_spark.textops.joins import subsequence_support
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    types = ["click", "view", "signup", "purchase", "error"]
+    return subsequence_support(ev, types)
+
+
+_SQL_EVENTS_SUBSEQ_PATTERNS = """
+WITH pos AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type AS t,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, epoch_us(ts) // 86400000000
+           ORDER BY ts, event_id) AS p
+  FROM events
+  WHERE event_type IN ('click', 'view', 'signup', 'purchase', 'error')
+), st AS MATERIALIZED (
+  SELECT user_id, day, t, MIN(p) AS mn, MAX(p) AS mx
+  FROM pos GROUP BY 1, 2, 3
+)
+SELECT a.t AS t1, b.t AS t2, '' AS t3, CAST(COUNT(*) AS BIGINT) AS support
+FROM st a JOIN st b ON a.user_id = b.user_id AND a.day = b.day AND a.mn < b.mx
+GROUP BY 1, 2
+UNION ALL
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS support FROM (
+  SELECT DISTINCT a.user_id, a.day, a.t AS t1, p.t AS t2, c.t AS t3
+  FROM st a
+  JOIN st c ON a.user_id = c.user_id AND a.day = c.day
+  JOIN pos p ON p.user_id = a.user_id AND p.day = a.day
+            AND p.p > a.mn AND p.p < c.mx
+) GROUP BY 1, 2, 3
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -10943,6 +10986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_strfns": _q_kg_sparql_strfns,
         "docs_shuffle_order": _q_docs_shuffle_order,
         "events_props_stats": _q_events_props_stats,
+        "events_subseq_patterns": _q_events_subseq_patterns,
     }
 
 
@@ -11176,4 +11220,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_strfns": _SQL_KG_SPARQL_STRFNS,
         "docs_shuffle_order": _SQL_DOCS_SHUFFLE_ORDER,
         "events_props_stats": _SQL_EVENTS_PROPS_STATS,
+        "events_subseq_patterns": _SQL_EVENTS_SUBSEQ_PATTERNS,
     }

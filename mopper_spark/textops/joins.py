@@ -619,6 +619,96 @@ def session_paths(
     )
 
 
+def subsequence_support(
+    events: DataFrame,
+    types: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-allowed sequential-pattern support (the PrefixSpan statistic,
+    Pei et al. ICDE'01, depth ≤ 3): for every ordered type pattern
+    ``(t1, t2)`` and ``(t1, t2, t3)`` over the explicit ``types``
+    alphabet, the number of (user, day) sessions containing it as a
+    SUBSEQUENCE — any gaps allowed, the difference from
+    ``session_paths`` which counts only consecutive runs.
+
+    Exact without enumerating subsequences: a session supports
+    ``(a, b)`` iff ``min_pos(a) < max_pos(b)`` — which also makes
+    ``(a, a)`` mean "a at least twice" with no special case — and
+    supports ``(a, b, c)`` iff some occurrence of ``b`` lies strictly
+    between ``min_pos(a)`` and ``max_pos(c)`` (min/max alone are NOT
+    sufficient for the middle element; the per-type position list is).
+
+    Scale shape: events collapse to one row per (session, type) carrying
+    ``(min, max, sorted positions)`` — a combine-able aggregate — then
+    ALL pattern checks run inside per-session array lambdas
+    (|types|² + |types|³ candidate probes against session-local
+    position lists; no joins, no explosion proportional to pattern
+    count × events).  The explicit ``types`` list is the cap that keeps
+    the cubic alphabet term a deliberate act, same contract as
+    ``olap.pivot_metrics``.
+
+    Output: ``(t1, t2, t3, support)`` with ``t3 = ''`` for length-2
+    patterns (fetch-path-safe sentinel; event types are never empty).
+    """
+    if not types:
+        raise ValueError("subsequence_support: need a non-empty alphabet")
+    if len(set(types)) != len(types):
+        raise ValueError("subsequence_support: duplicate types")
+    ep = (
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {ts_col})"
+    )
+    DAY = 86_400_000_000
+    pos = (
+        events.filter(F.col(type_col).isin(types))
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.expr(f"({ep}) div {DAY}").cast("long").alias("day"),
+            F.expr(ep).cast("long").alias("ts_us"),
+            F.col(id_col).cast("long").alias("eid"),
+            F.col(type_col).alias("t"),
+        )
+        .withColumn(
+            "p",
+            F.row_number().over(
+                Window.partitionBy("user_id", "day").orderBy("ts_us", "eid")
+            ).cast("long"),
+        )
+    )
+    st = pos.groupBy("user_id", "day", "t").agg(
+        F.min("p").alias("mn"),
+        F.max("p").alias("mx"),
+        F.array_sort(F.collect_list("p")).alias("ps"),
+    )
+    per_sess = st.groupBy("user_id", "day").agg(
+        F.collect_list(F.struct("t", "mn", "mx", "ps")).alias("tps")
+    )
+    pats = per_sess.select(
+        F.explode(
+            F.expr(
+                """
+                concat(
+                  flatten(transform(tps, a ->
+                    transform(filter(tps, b -> a.mn < b.mx),
+                              b -> struct(a.t AS t1, b.t AS t2, '' AS t3)))),
+                  flatten(transform(tps, a ->
+                    flatten(transform(filter(tps, c -> a.mn + 1 < c.mx), c ->
+                      transform(
+                        filter(tps, b ->
+                          exists(b.ps, p -> p > a.mn AND p < c.mx)),
+                        b -> struct(a.t AS t1, b.t AS t2, c.t AS t3)))))))
+                """
+            )
+        ).alias("g")
+    ).select("g.*")
+    return pats.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+
+
 def rfm_scores(
     events: DataFrame,
     purchase_type: str = "purchase",

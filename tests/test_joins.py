@@ -479,3 +479,67 @@ class TestRFMScores:
         out = rfm_scores(df).collect()
         assert len(out) == 10
         assert len({(r.r_score, r.f_score, r.m_score) for r in out}) == 1
+
+
+class TestSubsequenceSupport:
+    def _events(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 5, 1)
+        # (user, day, seq)
+        sessions = [
+            (1, 0, ["view", "click", "view", "purchase"]),
+            (1, 1, ["click", "view"]),
+            (2, 0, ["view", "view", "view"]),
+            (3, 0, ["purchase", "click", "purchase"]),
+        ]
+        rows, eid = [], 0
+        for u, d, seq in sessions:
+            for i, t in enumerate(seq):
+                rows.append((eid, base + dt.timedelta(days=d, minutes=i), u, t))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        return df, [s[2] for s in sessions]
+
+    @staticmethod
+    def _contains(seq, pat):
+        it = iter(seq)
+        return all(any(x == p for x in it) for p in pat)
+
+    def test_matches_bruteforce(self, spark):
+        from itertools import product
+        from mopper_spark.textops.joins import subsequence_support
+
+        df, seqs = self._events(spark)
+        types = ["view", "click", "purchase"]
+        got = {
+            (r.t1, r.t2, r.t3): r.support
+            for r in subsequence_support(df, types).collect()
+        }
+        want = {}
+        for pat in list(product(types, repeat=2)) + list(product(types, repeat=3)):
+            n = sum(1 for s in seqs if self._contains(s, pat))
+            if n:
+                key = pat if len(pat) == 3 else (pat[0], pat[1], "")
+                want[key] = n
+        assert got == want
+        # spot checks: gap-allowed (view..purchase skips click)
+        assert got[("view", "purchase", "")] == 1
+        assert got[("view", "view", "")] == 2          # repeats need two occurrences
+        assert got[("view", "click", "view")] == 1     # strict between
+        assert got[("purchase", "click", "purchase")] == 1
+
+    def test_partition_invariance_and_validation(self, spark):
+        import pytest as _pt
+        from mopper_spark.textops.joins import subsequence_support
+
+        df, _ = self._events(spark)
+        a = sorted(map(tuple, subsequence_support(df, ["view", "click"]).collect()))
+        b = sorted(map(tuple, subsequence_support(df.repartition(7), ["view", "click"]).collect()))
+        assert a == b
+        with _pt.raises(ValueError, match="alphabet"):
+            subsequence_support(df, [])
+        with _pt.raises(ValueError, match="duplicate"):
+            subsequence_support(df, ["a", "a"])
