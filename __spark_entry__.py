@@ -10214,8 +10214,8 @@ e AS MATERIALIZED (
         prev_h = f"h{i}"
     parts.append(
         f"""
-SELECT n0.node, COALESCE(h{iters}.val, 0) AS hub_fp,
-       COALESCE(a{iters}.val, 0) AS auth_fp
+SELECT n0.node, CAST(COALESCE(h{iters}.val, 0) AS BIGINT) AS hub_fp,
+       CAST(COALESCE(a{iters}.val, 0) AS BIGINT) AS auth_fp
 FROM n0 LEFT JOIN h{iters} ON n0.node = h{iters}.node
 LEFT JOIN a{iters} ON n0.node = a{iters}.node"""
     )
@@ -10765,6 +10765,85 @@ SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS support FROM (
 """
 
 
+def _q_events_itemsets(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequent unordered itemsets of size 2/3 over (user, day) baskets
+    (joins.py::frequent_itemsets) — the FP-growth support statistic,
+    canonical-ascending so each set counts once per basket with no dedup
+    pass; per-basket index-lambda generation, output bounded by the
+    explicit alphabet, oracled by canonical self-joins."""
+    from mopper_spark.textops.joins import frequent_itemsets
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return frequent_itemsets(
+        ev, ["click", "view", "signup", "purchase", "error"]
+    )
+
+
+_SQL_EVENTS_ITEMSETS = """
+WITH bi AS MATERIALIZED (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+         event_type AS it
+  FROM events
+  WHERE event_type IN ('click', 'view', 'signup', 'purchase', 'error')
+)
+SELECT a.it AS i1, b.it AS i2, '' AS i3, CAST(COUNT(*) AS BIGINT) AS support
+FROM bi a JOIN bi b ON a.user_id = b.user_id AND a.day = b.day AND a.it < b.it
+GROUP BY 1, 2
+UNION ALL
+SELECT a.it, b.it, c.it, CAST(COUNT(*) AS BIGINT)
+FROM bi a
+JOIN bi b ON a.user_id = b.user_id AND a.day = b.day AND a.it < b.it
+JOIN bi c ON a.user_id = c.user_id AND a.day = c.day AND b.it < c.it
+GROUP BY 1, 2, 3
+"""
+
+
+def _q_docs_bootstrap_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic Poisson bootstrap of the corpus mean document
+    length (sampling.py::poisson_bootstrap, Chamandy et al. 2012): 16
+    replicates, every Poisson(1) multiplicity a pure function of
+    (seed, rep, doc_id) via md5 against precomputed integer thresholds —
+    the oracle re-derives each draw hex-for-hex, so the whole sampling
+    distribution is strict-checked, not just its moments."""
+    from mopper_spark.textops.sampling import poisson_bootstrap
+
+    docs = spark.read.schema("doc_id long, n_chars long").parquet(
+        f"{sf}/documents.parquet"
+    )
+    return poisson_bootstrap(
+        docs, "doc_id", "n_chars", replicates=16, scale=1
+    )
+
+
+def _boot_sql() -> str:
+    hexpos = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1) * {16 ** (12 - p)}"
+        for p in range(1, 13)
+    )
+    ts = [103548857136060, 207097714272121, 258872142840152, 276130285696162,
+          280444821410164, 281307728552965, 281451546410098, 281472091818260,
+          281474659994280]
+    ladder = " ".join(f"WHEN u < {t} THEN {k}" for k, t in enumerate(ts))
+    return f"""
+WITH reps AS (SELECT unnest(generate_series(0, 15)) AS rep),
+h AS (
+  SELECT r.rep, d.n_chars,
+         substr(md5('boot-v1:' || CAST(r.rep AS VARCHAR) || ':'
+                    || CAST(d.doc_id AS VARCHAR)), 1, 12) AS hx
+  FROM reps r CROSS JOIN documents d
+),
+u AS (SELECT rep, n_chars, {hexpos} AS u FROM h),
+w AS (SELECT rep, n_chars, CASE {ladder} ELSE 10 END AS w FROM u)
+SELECT CAST(rep AS BIGINT) AS rep,
+       CAST(SUM(w) AS BIGINT) AS n_eff,
+       CAST(SUM(w * n_chars) AS BIGINT) AS sum_fp
+FROM w GROUP BY rep
+"""
+
+
+_SQL_DOCS_BOOTSTRAP_MEAN = _boot_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -10987,6 +11066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_shuffle_order": _q_docs_shuffle_order,
         "events_props_stats": _q_events_props_stats,
         "events_subseq_patterns": _q_events_subseq_patterns,
+        "events_itemsets": _q_events_itemsets,
+        "docs_bootstrap_mean": _q_docs_bootstrap_mean,
     }
 
 
@@ -11221,4 +11302,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_shuffle_order": _SQL_DOCS_SHUFFLE_ORDER,
         "events_props_stats": _SQL_EVENTS_PROPS_STATS,
         "events_subseq_patterns": _SQL_EVENTS_SUBSEQ_PATTERNS,
+        "events_itemsets": _SQL_EVENTS_ITEMSETS,
+        "docs_bootstrap_mean": _SQL_DOCS_BOOTSTRAP_MEAN,
     }

@@ -203,6 +203,19 @@ HEADLINE = [
     "graph_hits",
     "graph_topo_layers",
     "graph_node_jaccard",
+    # round 4, closing-sitting additions
+    "docs_mannwhitney_length",
+    "docs_ks_length",
+    "docs_spearman_len_ws",
+    "docs_kendall_buckets",
+    "events_pivot",
+    "events_active_users",
+    "docs_gini_tokens",
+    "transcripts_loss_mask",
+    "kg_sparql_strfns",
+    "docs_shuffle_order",
+    "events_props_stats",
+    "events_subseq_patterns",
 ]
 
 

@@ -709,6 +709,83 @@ def subsequence_support(
     )
 
 
+def frequent_itemsets(
+    events: DataFrame,
+    items: list[str],
+    user_col: str = "user_id",
+    item_col: str = "event_type",
+    ts_col: str = "ts",
+    *,
+    min_support: int = 1,
+) -> DataFrame:
+    """Frequent UNORDERED itemsets of size 2 and 3 (the FP-growth /
+    Apriori statistic) over (user, day) baskets: how many sessions
+    contain {a, b} (or {a, b, c}) regardless of order or multiplicity —
+    the set-shaped sibling of ``subsequence_support`` (ordered) and
+    ``olap.association_rules`` (pairs + confidence/lift).
+
+    Itemsets are emitted in canonical ascending order (``i1 < i2 < i3``
+    lexicographically), so each set appears exactly once per basket by
+    construction — support is a plain count, no dedup pass.  Baskets
+    collapse to sorted distinct-item arrays first (combine-able
+    ``collect_set``); combination generation is per-basket index lambdas
+    bounded by the explicit ``items`` alphabet (the deliberate-cap
+    contract of ``pivot_metrics``), so output ≤ C(|items|, 2) +
+    C(|items|, 3) rows regardless of input size.
+
+    Output: ``(i1, i2, i3, support)`` with ``i3 = ''`` for pairs.
+    """
+    if not items:
+        raise ValueError("frequent_itemsets: need a non-empty alphabet")
+    if len(set(items)) != len(items):
+        raise ValueError("frequent_itemsets: duplicate items")
+    ep = (
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {ts_col})"
+    )
+    DAY = 86_400_000_000
+    baskets = (
+        events.filter(F.col(item_col).isin(items))
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.expr(f"({ep}) div {DAY}").cast("long").alias("day"),
+            F.col(item_col).alias("it"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.array_sort(F.collect_set("it")).alias("xs"))
+    )
+    sets = baskets.select(
+        F.explode(
+            F.expr(
+                """
+                concat(
+                  flatten(transform(sequence(0, size(xs) - 1), i ->
+                    CASE WHEN i + 1 <= size(xs) - 1 THEN
+                      transform(sequence(i + 1, size(xs) - 1),
+                                j -> struct(xs[i] AS i1, xs[j] AS i2,
+                                            '' AS i3))
+                    ELSE array() END)),
+                  flatten(flatten(transform(sequence(0, size(xs) - 1), i ->
+                    CASE WHEN i + 1 <= size(xs) - 1 THEN
+                      transform(sequence(i + 1, size(xs) - 1), j ->
+                        CASE WHEN j + 1 <= size(xs) - 1 THEN
+                          transform(sequence(j + 1, size(xs) - 1),
+                                    k -> struct(xs[i] AS i1, xs[j] AS i2,
+                                                xs[k] AS i3))
+                        ELSE array() END)
+                    ELSE array() END))))
+                """
+            )
+        ).alias("g")
+    ).select("g.*")
+    out = sets.groupBy("i1", "i2", "i3").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    if min_support > 1:
+        out = out.filter(F.col("support") >= min_support)
+    return out
+
+
 def rfm_scores(
     events: DataFrame,
     purchase_type: str = "purchase",

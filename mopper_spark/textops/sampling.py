@@ -363,3 +363,93 @@ def shuffle_rank(
         )
         .drop("_h", "_bkt", "_bpre")
     )
+
+
+HEX12 = 16 ** 12  # 48 bits of md5 — exact in int64 AND in a double
+
+
+def poisson_thresholds(max_k: int = 8) -> list[int]:
+    """Integer inverse-CDF thresholds for Poisson(1) on a 48-bit uniform:
+    ``T_k = floor(CDF(k) · 16^12)``; a draw u ∈ [0, 16^12) maps to the
+    smallest k with ``u < T_k`` (``max_k + 1`` past the ladder,
+    probability < 1e-6 at max_k=8).  Plain integer literals, so the
+    DuckDB oracle embeds the SAME constants — no cross-engine float
+    reproduction question ever arises."""
+    import math
+
+    cdf, out, term = 0.0, [], math.exp(-1.0)
+    for k in range(max_k + 1):
+        cdf += term
+        out.append(int(math.floor(cdf * HEX12)))
+        term /= k + 1
+    return out
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    *,
+    replicates: int = 32,
+    scale: int = 100,
+    seed: str = "boot-v1",
+) -> DataFrame:
+    """Deterministic Poisson bootstrap (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google TR 2012): ``replicates``
+    independent resamples of the corpus, each row entering replicate b
+    with multiplicity ``w ~ Poisson(1)`` drawn from
+    ``md5(seed:b:key)`` — the streaming-friendly bootstrap that needs no
+    global n and no coordination, and here is also a pure function of
+    (seed, key): re-runs, re-partitionings, and the SQL oracle reproduce
+    every draw bit-for-bit.
+
+    Returns one row per replicate: ``(rep, n_eff, sum_fp)`` with
+    ``mean_b = sum_fp / (n_eff · scale)``; the spread of the B means IS
+    the sampling distribution of the corpus mean (CI = percentiles of
+    it, consumer-side — B is small).
+
+    Scale shape: the ×B fan-out is ``explode(sequence(...))`` feeding
+    straight into a partial aggregate — the shuffle carries B rows per
+    partition, never B× the data.  All arithmetic is int64 (48-bit hash
+    uniform against precomputed integer thresholds; floor(value·scale)
+    fixed-point sums).
+    """
+    if replicates < 1:
+        raise ValueError("poisson_bootstrap: replicates must be >= 1")
+    ts = poisson_thresholds()
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed + ":"),
+                    F.col("rep").cast("string"),
+                    F.lit(":"),
+                    F.col(key).cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(len(ts) + 1)
+    for k in range(len(ts) - 1, -1, -1):
+        w = F.when(F.col("_u") < F.lit(ts[k]), F.lit(k)).otherwise(w)
+    return (
+        df.select(
+            F.col(key).cast("string").alias(key),
+            F.floor(F.col(value_col).cast("double") * F.lit(float(scale)))
+            .cast("long")
+            .alias("_vfp"),
+        )
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))))
+        .withColumn("_u", u)
+        .withColumn("_w", w.cast("long"))
+        .groupBy("rep")
+        .agg(
+            F.sum("_w").cast("long").alias("n_eff"),
+            F.sum(F.col("_w") * F.col("_vfp")).cast("long").alias("sum_fp"),
+        )
+        .select(F.col("rep").cast("long").alias("rep"), "n_eff", "sum_fp")
+    )

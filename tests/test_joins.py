@@ -543,3 +543,53 @@ class TestSubsequenceSupport:
             subsequence_support(df, [])
         with _pt.raises(ValueError, match="duplicate"):
             subsequence_support(df, ["a", "a"])
+
+
+class TestFrequentItemsets:
+    def test_matches_bruteforce(self, spark):
+        import datetime as dt
+        from itertools import combinations
+        from mopper_spark.textops.joins import frequent_itemsets
+
+        base = dt.datetime(2024, 6, 1)
+        sessions = [
+            (1, 0, ["view", "click", "view", "purchase"]),
+            (1, 1, ["click", "view"]),
+            (2, 0, ["view"]),
+            (3, 0, ["purchase", "click", "error"]),
+        ]
+        rows = [
+            (u, base + dt.timedelta(days=d, minutes=i), t)
+            for u, d, seq in sessions
+            for i, t in enumerate(seq)
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        items = ["click", "error", "purchase", "view"]
+        got = {
+            (r.i1, r.i2, r.i3): r.support
+            for r in frequent_itemsets(df, items).collect()
+        }
+        want = {}
+        for _, _, seq in sessions:
+            xs = sorted(set(seq))
+            for pat in list(combinations(xs, 2)):
+                want[(pat[0], pat[1], "")] = want.get((pat[0], pat[1], ""), 0) + 1
+            for pat in combinations(xs, 3):
+                want[pat] = want.get(pat, 0) + 1
+        assert got == want
+        assert got[("click", "view", "")] == 2
+        assert got[("click", "purchase", "view")] == 1
+
+    def test_min_support_and_validation(self, spark):
+        import datetime as dt
+        import pytest as _pt
+        from mopper_spark.textops.joins import frequent_itemsets
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), "a"), (1, dt.datetime(2024, 1, 1), "b")],
+            "user_id long, ts timestamp, event_type string",
+        )
+        out = frequent_itemsets(df, ["a", "b"], min_support=2).collect()
+        assert out == []
+        with _pt.raises(ValueError, match="alphabet"):
+            frequent_itemsets(df, [])

@@ -198,3 +198,43 @@ class TestShuffleRank:
         dup = spark.createDataFrame([("x",), ("x",), ("y",)], "doc_id string")
         ords = sorted(r.ord for r in shuffle_rank(dup, "doc_id", "a").collect())
         assert ords == [0, 1, 2]
+
+
+class TestPoissonBootstrap:
+    def test_matches_python_replica(self, spark):
+        import hashlib
+        from mopper_spark.textops.sampling import poisson_bootstrap, poisson_thresholds
+
+        rows = [(f"d{i}", 10.0 + i * 0.25) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id string, v double")
+        got = {
+            r.rep: (r.n_eff, r.sum_fp)
+            for r in poisson_bootstrap(
+                df, "doc_id", "v", replicates=5, seed="s"
+            ).collect()
+        }
+        ts = poisson_thresholds()
+        import math
+        want = {}
+        for b in range(5):
+            n_eff = s = 0
+            for k_, v in rows:
+                u = int(hashlib.md5(f"s:{b}:{k_}".encode()).hexdigest()[:12], 16)
+                w = next((k for k, t in enumerate(ts) if u < t), len(ts) + 1)
+                n_eff += w
+                s += w * math.floor(v * 100)
+            want[b] = (n_eff, s)
+        assert got == want
+
+    def test_mean_concentrates_and_partition_invariance(self, spark):
+        from mopper_spark.textops.sampling import poisson_bootstrap
+
+        rows = [(str(i), 50.0) for i in range(500)]
+        df = spark.createDataFrame(rows, "k string, v double")
+        out = poisson_bootstrap(df, "k", "v", replicates=8).collect()
+        for r in out:
+            assert r.sum_fp == r.n_eff * 5000  # constant value: mean exact
+            assert 350 < r.n_eff < 650         # Poisson(1) mass around n
+        a = sorted(map(tuple, out))
+        b = sorted(map(tuple, poisson_bootstrap(df.repartition(13), "k", "v", replicates=8).collect()))
+        assert a == b
