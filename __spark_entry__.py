@@ -10844,6 +10844,76 @@ FROM w GROUP BY rep
 _SQL_DOCS_BOOTSTRAP_MEAN = _boot_sql()
 
 
+def _q_events_attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-touch linear attribution (joins.py::linear_attribution):
+    every purchase's integer cents split equally over the same user's
+    view/click touches in the preceding hour, remainder cents to the
+    earliest touches — deterministic and exactly value-conserving
+    (credits sum back to the conversion value; pinned in
+    tests/test_joins.py).  The equi-join on user bounds pair growth;
+    last-touch lives in events_asof_attribution."""
+    from mopper_spark.textops.joins import linear_attribution
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return linear_attribution(
+        ev, "purchase", ["view", "click"], window_seconds=3600
+    )
+
+
+_SQL_EVENTS_ATTRIBUTION_LINEAR = """
+WITH base AS MATERIALIZED (
+  SELECT user_id AS u, epoch_us(ts) AS ts_us, event_id AS eid,
+         event_type AS et, CAST(FLOOR(value * 100) AS BIGINT) AS vfp
+  FROM events
+), conv AS (SELECT u, ts_us AS cts, eid AS cid, vfp FROM base WHERE et = 'purchase'),
+tch AS (SELECT u, ts_us AS tts, eid AS tid FROM base WHERE et IN ('view', 'click')),
+cand AS (
+  SELECT c.cid, c.vfp, t.tid, t.tts
+  FROM conv c JOIN tch t
+    ON c.u = t.u AND t.tts < c.cts AND t.tts >= c.cts - 3600000000
+), kr AS (
+  SELECT cid, vfp, tid,
+         COUNT(*) OVER (PARTITION BY cid) AS k,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY tts, tid) AS r
+  FROM cand
+)
+SELECT tid AS touch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(vfp // k + CASE WHEN r <= vfp % k THEN 1 ELSE 0 END)
+            AS BIGINT) AS credit_fp
+FROM kr GROUP BY tid
+"""
+
+
+def _q_docs_percentile_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source ECDF positions (rankstats.py::grouped_midrank): for
+    every distinct (source, n_chars), the exact 2x-midrank and group
+    size — the cross-source score-calibration table ("this length is
+    top-12% in src0 but median in src3"), computed with the per-group
+    bucketed prefix so no group-global sort sees row-shaped data."""
+    from mopper_spark.textops.rankstats import grouped_midrank
+
+    docs = spark.read.schema("source string, n_chars long").parquet(
+        f"{sf}/documents.parquet"
+    )
+    return grouped_midrank(docs, "source", "n_chars")
+
+
+_SQL_DOCS_PERCENTILE_BY_SOURCE = """
+WITH pv AS MATERIALIZED (
+  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS m
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, v AS n_chars, m,
+       CAST(2 * COALESCE(SUM(m) OVER (
+              PARTITION BY source ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + m + 1 AS BIGINT) AS rank2,
+       CAST(SUM(m) OVER (PARTITION BY source) AS BIGINT) AS n
+FROM pv
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -11068,6 +11138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_subseq_patterns": _q_events_subseq_patterns,
         "events_itemsets": _q_events_itemsets,
         "docs_bootstrap_mean": _q_docs_bootstrap_mean,
+        "events_attribution_linear": _q_events_attribution_linear,
+        "docs_percentile_by_source": _q_docs_percentile_by_source,
     }
 
 
@@ -11304,4 +11376,6 @@ def oracle_sql() -> dict[str, str]:
         "events_subseq_patterns": _SQL_EVENTS_SUBSEQ_PATTERNS,
         "events_itemsets": _SQL_EVENTS_ITEMSETS,
         "docs_bootstrap_mean": _SQL_DOCS_BOOTSTRAP_MEAN,
+        "events_attribution_linear": _SQL_EVENTS_ATTRIBUTION_LINEAR,
+        "docs_percentile_by_source": _SQL_DOCS_PERCENTILE_BY_SOURCE,
     }

@@ -709,6 +709,85 @@ def subsequence_support(
     )
 
 
+def linear_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    window_seconds: int,
+    *,
+    scale: int = 100,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-touch LINEAR attribution: each conversion's integer value
+    (``floor(value·scale)``) is split equally across every touch event of
+    the same user in the ``window_seconds`` before it (strictly earlier,
+    half-open ``[conv_ts − W, conv_ts)``), and per-touch credits are
+    summed — the marketing-analytics staple between first-touch and
+    last-touch (``as_of_join`` covers last-touch).
+
+    Exact division: each of the k touches gets ``value_fp div k``, and
+    the ``value_fp mod k`` remainder units go one each to the EARLIEST
+    touches (ordered by (ts, event_id)) — deterministic, and the credits
+    sum back to value_fp exactly (no lost cents, no floats).
+
+    Scale shape: the candidate join is an equi-join on ``user_col`` with
+    the time window as a residual predicate — the user key bounds pair
+    growth, so cost is Σ_user (conversions × in-window touches), linear
+    for bounded windows; a mega-user is ordinary join skew (AQE / the
+    explicit ``salted_join`` handle it).  Ranks and k come from
+    per-conversion windows (conversion-sized partitions, spillable).
+
+    Output: ``(touch_id, n_conversions, credit_fp)`` per credited touch.
+    """
+    if window_seconds <= 0:
+        raise ValueError("linear_attribution: window_seconds must be > 0")
+    ep = (
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {ts_col})"
+    )
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.expr(ep).cast("long").alias("ts_us"),
+        F.col(id_col).cast("long").alias("eid"),
+        F.col(type_col).alias("et"),
+        F.floor(F.col(value_col).cast("double") * F.lit(float(scale)))
+        .cast("long")
+        .alias("vfp"),
+    )
+    conv = base.filter(F.col("et") == conversion_type).select(
+        "u", F.col("ts_us").alias("cts"), F.col("eid").alias("cid"), "vfp"
+    )
+    touch = base.filter(F.col("et").isin(touch_types)).select(
+        "u", F.col("ts_us").alias("tts"), F.col("eid").alias("tid")
+    )
+    W = int(window_seconds) * 1_000_000
+    cand = conv.join(touch, "u").filter(
+        (F.col("tts") < F.col("cts")) & (F.col("tts") >= F.col("cts") - W)
+    )
+    w_c = Window.partitionBy("cid")
+    w_r = Window.partitionBy("cid").orderBy("tts", "tid")
+    credited = (
+        cand.withColumn("k", F.count(F.lit(1)).over(w_c).cast("long"))
+        .withColumn("r", F.row_number().over(w_r).cast("long"))
+        .select(
+            "tid",
+            "cid",
+            (
+                F.expr("vfp div k")
+                + F.when(F.col("r") <= F.col("vfp") % F.col("k"), 1).otherwise(0)
+            ).cast("long").alias("credit_fp"),
+        )
+    )
+    return credited.groupBy("tid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.sum("credit_fp").cast("long").alias("credit_fp"),
+    ).withColumnRenamed("tid", "touch_id")
+
+
 def frequent_itemsets(
     events: DataFrame,
     items: list[str],

@@ -260,6 +260,80 @@ def gini_terms(df: DataFrame, value_col: str, *, bucket_width: int = 64) -> Data
     )
 
 
+def grouped_midrank(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Per-group ECDF positions as exact integers: for every distinct
+    ``(group, value)``, the occurrence count ``m``, the 2x-midrank
+    ``rank2 = 2·below + m + 1`` (always an odd-or-even INTEGER — the
+    file-wide ties convention), and the group size ``n`` — so a row's
+    within-group percentile is ``rank2 / (2n)`` consumer-side.  This is
+    the building block of quantile normalization and cross-source score
+    calibration ("a 0.7 quality score means top-12% in src0 but top-40%
+    in src3").
+
+    Same two-phase bucketed prefix as ``mann_whitney_u`` but PARTITIONED
+    by group: per-(group, bucket) subtotals, a per-group running sum over
+    the tiny bucket list, a within-bucket window — no global or
+    group-global single-partition pass ever sees value-shaped data; the
+    group totals ride back on a broadcast join (group cardinality is the
+    small dimension by assumption).
+
+    Output: ``(group_col, value_col, m, rank2, n)`` per distinct pair.
+    """
+    from pyspark.sql import Window
+
+    if bucket_width < 1:
+        raise ValueError("grouped_midrank: bucket_width must be >= 1")
+    g, v = F.col(group_col), F.col(value_col).cast("long")
+    per_v = (
+        df.select(g.alias("_g"), v.alias("_v"))
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+        .withColumn(
+            "_bkt", F.floor(F.col("_v") / F.lit(int(bucket_width))).cast("long")
+        )
+    )
+    bsub = per_v.groupBy("_g", "_bkt").agg(F.sum("m").alias("_bm"))
+    w_b = (
+        Window.partitionBy("_g")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bpre = bsub.select(
+        "_g",
+        "_bkt",
+        F.coalesce(F.sum("_bm").over(w_b), F.lit(0)).cast("long").alias("_bpre"),
+    )
+    w_in = (
+        Window.partitionBy("_g", "_bkt")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = per_v.groupBy("_g").agg(F.sum("m").cast("long").alias("n"))
+    return (
+        per_v.join(bpre, ["_g", "_bkt"])
+        .withColumn(
+            "_below",
+            F.col("_bpre") + F.coalesce(F.sum("m").over(w_in), F.lit(0)),
+        )
+        .join(F.broadcast(totals), "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_v").alias(value_col),
+            "m",
+            (F.lit(2) * F.col("_below") + F.col("m") + 1)
+            .cast("long")
+            .alias("rank2"),
+            "n",
+        )
+    )
+
+
 def _with_r2(
     df: DataFrame, col: str, out: str, *, bucket_width: int
 ) -> DataFrame:

@@ -593,3 +593,48 @@ class TestFrequentItemsets:
         assert out == []
         with _pt.raises(ValueError, match="alphabet"):
             frequent_itemsets(df, [])
+
+
+class TestLinearAttribution:
+    def test_matches_bruteforce_exact_split(self, spark):
+        import datetime as dt
+        from mopper_spark.textops.joins import linear_attribution
+
+        base = dt.datetime(2024, 7, 1)
+        # user 1: touches at t=0,10,20 min; conversions at t=25 (val 1.01) and t=200
+        rows = [
+            (0, base, 1, "view", 0.0),
+            (1, base + dt.timedelta(minutes=10), 1, "click", 0.0),
+            (2, base + dt.timedelta(minutes=20), 1, "view", 0.0),
+            (3, base + dt.timedelta(minutes=25), 1, "purchase", 1.01),
+            (4, base + dt.timedelta(minutes=200), 1, "purchase", 5.0),
+            # user 2: conversion with no touches in window
+            (5, base, 2, "purchase", 9.0),
+            (6, base + dt.timedelta(minutes=1), 2, "click", 0.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        got = {
+            r.touch_id: (r.n_conversions, r.credit_fp)
+            for r in linear_attribution(
+                df, "purchase", ["view", "click"], window_seconds=3600
+            ).collect()
+        }
+        # conversion 3: k=3, 101 div 3 = 33 rem 2 -> earliest two touches +1
+        # conversion 4 (t=200): window [140,200) -> no touches
+        assert got == {0: (1, 34), 1: (1, 34), 2: (1, 33)}
+        # credits conserve the conversion value exactly
+        assert sum(c for _, c in got.values()) == 101
+
+    def test_validation(self, spark):
+        import datetime as dt
+        import pytest as _pt
+        from mopper_spark.textops.joins import linear_attribution
+
+        df = spark.createDataFrame(
+            [(0, dt.datetime(2024, 1, 1), 1, "x", 1.0)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        )
+        with _pt.raises(ValueError, match="window_seconds"):
+            linear_attribution(df, "x", ["y"], 0)

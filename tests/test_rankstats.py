@@ -198,3 +198,39 @@ class TestGini:
         r1 = gini_terms(df.repartition(1), "v", bucket_width=2).collect()[0]
         r7 = gini_terms(df.repartition(7), "v", bucket_width=64).collect()[0]
         assert tuple(r1) == tuple(r7) == tuple(got)
+
+
+class TestGroupedMidrank:
+    def test_matches_bruteforce_with_ties(self, spark):
+        from mopper_spark.textops.rankstats import grouped_midrank
+
+        rows = [("a", v) for v in [5, 5, 7, 9, 9, 9, 12]] + [
+            ("b", v) for v in [1, 1, 1, 4]
+        ]
+        df = spark.createDataFrame(rows, "src string, v long")
+        got = {
+            (r.src, r.v): (r.m, r.rank2, r.n)
+            for r in grouped_midrank(df, "src", "v", bucket_width=2).collect()
+        }
+        import collections
+        bysrc = collections.defaultdict(list)
+        for s, v in rows:
+            bysrc[s].append(v)
+        want = {}
+        for s, vs in bysrc.items():
+            for v in set(vs):
+                below = sum(1 for x in vs if x < v)
+                m = vs.count(v)
+                want[(s, v)] = (m, 2 * below + m + 1, len(vs))
+        assert got == want
+        # spot: midrank of the 9-run in 'a' is ranks 4..6 -> mid 5 -> rank2 10
+        assert got[("a", 9)] == (3, 10, 7)
+
+    def test_partition_invariance(self, spark):
+        from mopper_spark.textops.rankstats import grouped_midrank
+
+        rows = [("g%d" % (i % 3), (i * 7) % 23) for i in range(200)]
+        df = spark.createDataFrame(rows, "src string, v long")
+        a = sorted(map(tuple, grouped_midrank(df, "src", "v", bucket_width=3).collect()))
+        b = sorted(map(tuple, grouped_midrank(df.repartition(11), "src", "v", bucket_width=64).collect()))
+        assert a == b
