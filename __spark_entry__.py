@@ -10914,6 +10914,73 @@ FROM pv
 """
 
 
+def _q_similarity_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """FAISS IndexIVFPQ composition (pq.py::ivfpq_topk): coarse IVF
+    routing (K=8 seeds, nprobe=3) then compressed-domain ADC over the
+    probed clusters' PQ codes only — the full 100 TB ANN shape in one
+    operator, all-integer routing and distances, so the ENTIRE
+    composition (coarse assign + PQ train/encode + per-query candidate
+    restriction + ADC ranking) replays strictly in SQL.  Composition ==
+    manually-restricted pq_adc_topk pinned in tests/test_pq.py."""
+    from mopper_spark.textops.ivf import seed_centroids
+    from mopper_spark.textops.pq import ivfpq_topk, pq_train
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = seed_centroids(emb, k=8)
+    books = pq_train(emb, m=8, k=8, dim=64, max_iters=2)
+    qs = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(emb, qs, cents, books, k_top=5, nprobe=3, m=8, dim=64)
+
+
+_SQL_SIMILARITY_TOPK_IVFPQ = (
+    "WITH "
+    + _sql_pq_prefix(8, 8, 8, 2)
+    + """,
+cseeds AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS ccid,
+         vec AS ccvec
+  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)
+), cdists AS MATERIALIZED (
+  SELECT vec_id, ccid,
+         CAST(list_sum(list_transform(range(1, len(vec) + 1),
+              i -> CAST(round((vec[i] - ccvec[i]) * (vec[i] - ccvec[i]) * 1e12) AS BIGINT)))
+              AS BIGINT) AS dist_fp
+  FROM v CROSS JOIN cseeds
+), corpus_assign AS MATERIALIZED (
+  SELECT vec_id, ccid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_fp, ccid) AS rn
+    FROM cdists) WHERE rn = 1
+), probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, ccid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_fp, ccid) AS rn
+    FROM cdists WHERE vec_id < 5) WHERE rn <= 3
+), pairs AS MATERIALIZED (
+  SELECT p.query_id, c.vec_id
+  FROM probes p JOIN corpus_assign c USING (ccid)
+  WHERE c.vec_id <> p.query_id
+), q AS MATERIALIZED (
+  SELECT vec_id AS query_id, sub, svec FROM sv WHERE vec_id < 5
+), dtab AS MATERIALIZED (
+  SELECT s.query_id, s.sub, c.cid AS code,
+         CAST(list_sum(list_transform(range(1, 8 + 1),
+              i -> CAST(round((s.svec[i] - c.cvec[i]) * (s.svec[i] - c.cvec[i]) * 1e12) AS BIGINT)))
+              AS BIGINT) AS d_fp
+  FROM q s JOIN c2 c ON s.sub = c.sub
+), cand AS MATERIALIZED (
+  SELECT p.query_id, e.vec_id, CAST(SUM(d.d_fp) AS BIGINT) AS adc_fp
+  FROM pairs p
+  JOIN be e ON e.vec_id = p.vec_id
+  JOIN dtab d ON d.query_id = p.query_id AND d.sub = e.sub AND d.code = e.cid
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adc_fp, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp, vec_id) AS rn
+      FROM cand)
+WHERE rn <= 5
+"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -11140,6 +11207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bootstrap_mean": _q_docs_bootstrap_mean,
         "events_attribution_linear": _q_events_attribution_linear,
         "docs_percentile_by_source": _q_docs_percentile_by_source,
+        "similarity_topk_ivfpq": _q_similarity_topk_ivfpq,
     }
 
 
@@ -11378,4 +11446,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_bootstrap_mean": _SQL_DOCS_BOOTSTRAP_MEAN,
         "events_attribution_linear": _SQL_EVENTS_ATTRIBUTION_LINEAR,
         "docs_percentile_by_source": _SQL_DOCS_PERCENTILE_BY_SOURCE,
+        "similarity_topk_ivfpq": _SQL_SIMILARITY_TOPK_IVFPQ,
     }

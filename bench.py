@@ -216,6 +216,13 @@ HEADLINE = [
     "docs_shuffle_order",
     "events_props_stats",
     "events_subseq_patterns",
+    "events_itemsets",
+    "docs_bootstrap_mean",
+    "events_attribution_linear",
+    "docs_percentile_by_source",
+    # similarity_topk_ivfpq is NOT in the headline for the same reason as
+    # pq_adc_topk: PQ training (8 subspaces x Lloyd rounds) dominates its
+    # toy-scale wall clock; it stays correctness-gated in the oracle sweep.
 ]
 
 

@@ -209,3 +209,86 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k_top)
         .select("query_id", "vec_id", "adc_fp", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k_top: int = 5,
+    nprobe: int = 2,
+    m: int | None = None,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS ``IndexIVFPQ`` (Jégou et al. TPAMI'11 §V): coarse IVF
+    routing THEN compressed-domain ADC — each query scores only the
+    PQ codes of vectors in its ``nprobe`` nearest coarse clusters, and
+    each scored vector costs M integer table lookups instead of a D-dim
+    float pass.  The two approximations compose: candidate recall from
+    IVF (``~nprobe/K`` of the corpus probed), distance fidelity from PQ
+    (quantized corpus, exact query) — the recall floor of the
+    composition is measured in tests/test_pq.py, never assumed.
+
+    Scale shape: the only corpus-sized inputs are the (already
+    materialized, at scale) assignment table and code table; the
+    per-query work is candidate-bounded end to end — the (query, vec)
+    pair list from the probe join bounds the code explode (×M), the
+    broadcast distance-table join, the combine-able ADC sum, and the
+    final per-query top-k window.  Nothing query-side ever scans
+    unprobed clusters, unlike ``pq_adc_topk`` alone (whole-corpus ADC).
+
+    Returns ``(query_id, vec_id, adc_fp, rank)``, rank 1..k_top per
+    query by ``(adc_fp ASC, vec_id ASC)``; self-matches excluded.
+    """
+    from mopper_spark.textops.ivf import assign_vectors
+
+    if m is None:
+        m = codebooks.agg(F.max("sub")).collect()[0][0] + 1
+    if dim is None:
+        dim = queries.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+    ca = assign_vectors(corpus, centroids, id_col, vec_col).select("vec_id", "cid")
+    codes = pq_encode(corpus, codebooks, m, dim, id_col=id_col, vec_col=vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("dist_fp", _dist_fp_col())
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist_fp", "cid")
+            ),
+        )
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "cid")
+    )
+    pairs = (
+        probes.join(ca, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    qsv = subvectors(queries, m, dim, id_col=id_col, vec_col=vec_col).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("svec").alias("vec")
+    )
+    dtab = qsv.join(F.broadcast(codebooks), "sub").select(
+        "query_id", "sub", F.col("cid").alias("code"),
+        _dist_fp_col().alias("d_fp"),
+    )
+    cand = (
+        pairs.join(codes, "vec_id")
+        .select("query_id", "vec_id", F.posexplode("codes").alias("sub", "code"))
+        .join(F.broadcast(dtab), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d_fp").cast("long").alias("adc_fp"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_fp"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", "vec_id", "adc_fp", "rank")
+    )

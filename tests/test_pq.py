@@ -205,3 +205,53 @@ class TestPqOraclePins:
             _, _, hist = kmeans_train(tbl, 8, max_iters=2)
             assert all(not h["reseeded"] for h in hist), (s, hist)
             assert all(h["n_clusters"] == 8 for h in hist), (s, hist)
+
+
+class TestIvfPqOperator:
+    def test_matches_restricted_adc_and_partition_invariance(self, spark):
+        """ivfpq_topk == pq_adc_topk run on the per-query IVF candidate
+        set (the composition the docstring promises), checked per query
+        against a manual restriction."""
+        from mopper_spark.textops.ivf import assign_vectors, seed_centroids
+        from mopper_spark.textops.pq import ivfpq_topk, pq_adc_topk, pq_encode, pq_train
+
+        rows = _grid(64, 8)
+        df = _vecs(spark, rows)
+        coarse = seed_centroids(df, k=4)
+        books = pq_train(df, m=4, k=16, dim=8, max_iters=2)
+        qs = df.filter(F.col("vec_id") < 6)
+        got = sorted(
+            map(tuple, ivfpq_topk(df, qs, coarse, books, k_top=3, nprobe=2,
+                                  m=4, dim=8).collect())
+        )
+        # manual per-query restriction: probe ranks from assign logic
+        ca = assign_vectors(df, coarse).select("vec_id", "cid").collect()
+        cid_of = {r.vec_id: r.cid for r in ca}
+        import collections
+        # per-query nprobe=2 nearest centroids via the same integer argmin
+        from mopper_spark.textops.ivf import _dist_fp_col
+        qp = (
+            qs.select(F.col("vec_id").alias("query_id"),
+                      F.transform("embedding", lambda x: x.cast("double")).alias("vec"))
+            .crossJoin(F.broadcast(coarse))
+            .withColumn("dist_fp", _dist_fp_col())
+            .collect()
+        )
+        probed = collections.defaultdict(list)
+        for r in qp:
+            probed[r.query_id].append((r.dist_fp, r.cid))
+        want = []
+        codes_all = pq_encode(df, books, 4, 8)
+        for q in sorted(probed):
+            cids = {c for _, c in sorted(probed[q])[:2]}
+            cand_ids = [v for v, c in cid_of.items() if c in cids]
+            sub = codes_all.filter(F.col("vec_id").isin(cand_ids))
+            top = pq_adc_topk(sub, qs.filter(F.col("vec_id") == q), books,
+                              k_top=3, m=4, dim=8)
+            want.extend(map(tuple, top.collect()))
+        assert got == sorted(want)
+        got13 = sorted(
+            map(tuple, ivfpq_topk(df.repartition(13), qs, coarse, books,
+                                  k_top=3, nprobe=2, m=4, dim=8).collect())
+        )
+        assert got13 == got
