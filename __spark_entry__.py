@@ -10981,6 +10981,63 @@ WHERE rn <= 5
 )
 
 
+def _q_kg_rdf_lists(spark: SparkSession, sf: str) -> DataFrame:
+    """RDF collection unfolding (reasoning.py::rdf_list_members): per
+    source a deterministic rdf:first/rdf:rest cons-chain over its
+    doc_id<40 documents is constructed in-plan, then the operator walks
+    the spine level-synchronously into flat (head, pos, member) rows.
+    The oracle derives the same answer WITHOUT recursion (positions from
+    the construction's own ranks) — an independent check of the walk."""
+    from mopper_spark.pipeline.reasoning import (
+        RDF_FIRST,
+        RDF_NIL,
+        RDF_REST,
+        rdf_list_members,
+    )
+    from pyspark.sql import Window
+
+    docs = (
+        spark.read.schema("doc_id long, source string")
+        .parquet(f"{sf}/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cells = docs.select(
+        "source",
+        "doc_id",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    cell = F.concat(F.lit("cell:"), F.col("source"), F.lit("/"), F.col("r"))
+    firsts = cells.select(
+        cell.alias("subj"),
+        F.lit(RDF_FIRST).alias("pred"),
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("obj"),
+    )
+    rests = cells.select(
+        cell.alias("subj"),
+        F.lit(RDF_REST).alias("pred"),
+        F.when(
+            F.col("r") < F.col("n"),
+            F.concat(F.lit("cell:"), F.col("source"), F.lit("/"), F.col("r") + 1),
+        ).otherwise(F.lit(RDF_NIL)).alias("obj"),
+    )
+    return rdf_list_members(firsts.unionByName(rests), max_len=64)
+
+
+_SQL_KG_RDF_LISTS = """
+WITH d AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS r
+  FROM documents WHERE doc_id < 40
+)
+SELECT 'cell:' || source || '/1' AS head,
+       CAST(r - 1 AS BIGINT) AS pos,
+       'doc:' || CAST(doc_id AS VARCHAR) AS member
+FROM d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -11208,6 +11265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_linear": _q_events_attribution_linear,
         "docs_percentile_by_source": _q_docs_percentile_by_source,
         "similarity_topk_ivfpq": _q_similarity_topk_ivfpq,
+        "kg_rdf_lists": _q_kg_rdf_lists,
     }
 
 
@@ -11447,4 +11505,5 @@ def oracle_sql() -> dict[str, str]:
         "events_attribution_linear": _SQL_EVENTS_ATTRIBUTION_LINEAR,
         "docs_percentile_by_source": _SQL_DOCS_PERCENTILE_BY_SOURCE,
         "similarity_topk_ivfpq": _SQL_SIMILARITY_TOPK_IVFPQ,
+        "kg_rdf_lists": _SQL_KG_RDF_LISTS,
     }

@@ -506,3 +506,65 @@ def sameas_canonicalize(
         for c in triples.columns
     ]
     return joined.select(*out_cols).distinct()
+
+
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+
+
+def rdf_list_members(
+    triples: DataFrame, *, max_len: int = 32
+) -> DataFrame:
+    """Materialize RDF collections (rdf:List cons-chains, RDF 1.1
+    Schema §5.2) into flat ordered membership: ``(head, pos, member)``
+    with ``pos`` 0-based along the ``rdf:rest`` spine — the unfolding
+    every SPARQL user otherwise hand-writes as a fragile
+    ``rest*/first`` path, and SQL engines as a recursive CTE.
+
+    A node is a list HEAD iff it carries ``rdf:first`` and is not itself
+    the object of any ``rdf:rest`` (interior cons cells are reachable
+    but not heads).  The spine is walked level-synchronously: the
+    frontier (head → current cell) advances one ``rdf:rest`` hop per
+    round, emitting each cell's ``rdf:first`` — per-round lineage cut,
+    early exit on an empty frontier, hard stop at ``max_len`` (named
+    cap: deeper lists are truncated — well-formed RDF lists at 100 TB
+    are shallow; a pathological million-element chain needs the
+    path-doubling treatment of ``graph.transitive_closure``, not this).
+    Cycles through ``rdf:rest`` (malformed RDF) terminate at the cap
+    instead of looping, and a fork (a cell with two ``rdf:rest`` out-
+    edges, also malformed) walks both branches — emission, not
+    validation; pair with SHACL for rejection.
+
+    Rounds are joins against the (typically tiny) first/rest edge
+    relations only — the instance graph is scanned once to slice them.
+    """
+    if max_len < 1:
+        raise ValueError("rdf_list_members: max_len must be >= 1")
+    first = triples.filter(F.col("pred") == RDF_FIRST).select(
+        F.col("subj").alias("cell"), F.col("obj").alias("member")
+    ).localCheckpoint(eager=False)
+    rest = triples.filter(F.col("pred") == RDF_REST).select(
+        F.col("subj").alias("cell"), F.col("obj").alias("nxt")
+    ).localCheckpoint(eager=False)
+    heads = first.select("cell").distinct().join(
+        rest.select(F.col("nxt").alias("cell")).distinct(),
+        "cell",
+        "left_anti",
+    )
+    frontier = heads.select(F.col("cell").alias("head"), "cell")
+    out = None
+    for pos in range(max_len):
+        emitted = frontier.join(first, "cell").select(
+            "head", F.lit(pos).cast("long").alias("pos"), "member"
+        )
+        out = emitted if out is None else out.unionByName(emitted)
+        frontier = (
+            frontier.join(rest, "cell")
+            .filter(F.col("nxt") != RDF_NIL)
+            .select("head", F.col("nxt").alias("cell"))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.limit(1).count() == 0:
+            break
+    return out

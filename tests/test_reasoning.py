@@ -450,3 +450,45 @@ def test_delta_partitioning_invariance(spark):
         for r in rdfs_entailment_delta(base_closed, d.repartition(16)).collect()
     }
     assert a == b == _python_rdfs_fixpoint(_INC_SCHEMA + base_inst + delta_rows)
+
+
+class TestRdfListMembers:
+    def _g(self, spark, rows):
+        return spark.createDataFrame(rows, ["subj", "pred", "obj"])
+
+    def test_unfolds_chains_heads_only(self, spark):
+        from mopper_spark.pipeline.reasoning import (
+            RDF_FIRST, RDF_NIL, RDF_REST, rdf_list_members,
+        )
+
+        rows = [
+            # list A: [x, y]
+            ("a0", RDF_FIRST, "x"), ("a0", RDF_REST, "a1"),
+            ("a1", RDF_FIRST, "y"), ("a1", RDF_REST, RDF_NIL),
+            # list B: [z]
+            ("b0", RDF_FIRST, "z"), ("b0", RDF_REST, RDF_NIL),
+            # unrelated triple
+            ("s", "p", "o"),
+        ]
+        got = sorted(
+            map(tuple, rdf_list_members(self._g(spark, rows)).collect())
+        )
+        assert got == [("a0", 0, "x"), ("a0", 1, "y"), ("b0", 0, "z")]
+
+    def test_cycle_terminates_at_cap(self, spark):
+        from mopper_spark.pipeline.reasoning import (
+            RDF_FIRST, RDF_REST, rdf_list_members,
+        )
+
+        rows = [
+            ("c0", RDF_FIRST, "x"), ("c0", RDF_REST, "c1"),
+            ("c1", RDF_FIRST, "y"), ("c1", RDF_REST, "c0"),  # malformed cycle
+        ]
+        # c0 and c1 are each rest-objects... both interior -> no heads
+        out = rdf_list_members(self._g(spark, rows), max_len=5).collect()
+        assert out == []
+        # open cycle: head h chains into the cycle
+        rows += [("h", RDF_FIRST, "w"), ("h", RDF_REST, "c0")]
+        got = rdf_list_members(self._g(spark, rows), max_len=4).collect()
+        assert len(got) == 4  # capped, not infinite
+        assert sorted(r.pos for r in got) == [0, 1, 2, 3]
