@@ -11038,6 +11038,46 @@ FROM d
 """
 
 
+def _q_events_active_users_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-path WAU (sketches.py::hll_rolling_distinct): trailing-7-day
+    distinct users as per-day HLL register merges — raw events touched
+    once, every window a per-bucket MAX of seven 4096-int day-sketches
+    (the union closure an incremental daily job folds).  The exact
+    sibling is events_active_users; emitted summaries are all-integer,
+    so the oracle replays every register hex-for-hex."""
+    from mopper_spark.textops.sketches import hll_rolling_distinct
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    out = hll_rolling_distinct(ev, "user_id", "ts", window_days=7)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "v_zero", "s_fp"
+    )
+
+
+_SQL_EVENTS_ACTIVE_USERS_HLL = """
+WITH r AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS d,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 3))::BIGINT AS bucket,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 4, 12))::BIGINT AS w
+  FROM events WHERE user_id IS NOT NULL
+), regs AS MATERIALIZED (
+  SELECT d, bucket,
+         MAX(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS mj
+  FROM r GROUP BY 1, 2
+), days AS MATERIALIZED (SELECT DISTINCT d FROM regs),
+merged AS MATERIALIZED (
+  SELECT days.d AS day, regs.bucket, MAX(regs.mj) AS mj
+  FROM days JOIN regs ON regs.d BETWEEN days.d - 6 AND days.d
+  GROUP BY 1, 2
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(4096 - COUNT(*) AS BIGINT) AS v_zero,
+       CAST(SUM((1::BIGINT) << (50 - mj))
+            + (4096 - COUNT(*)) * 1125899906842624 AS BIGINT) AS s_fp
+FROM merged GROUP BY day
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -11266,6 +11306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_percentile_by_source": _q_docs_percentile_by_source,
         "similarity_topk_ivfpq": _q_similarity_topk_ivfpq,
         "kg_rdf_lists": _q_kg_rdf_lists,
+        "events_active_users_hll": _q_events_active_users_hll,
     }
 
 
@@ -11506,4 +11547,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_percentile_by_source": _SQL_DOCS_PERCENTILE_BY_SOURCE,
         "similarity_topk_ivfpq": _SQL_SIMILARITY_TOPK_IVFPQ,
         "kg_rdf_lists": _SQL_KG_RDF_LISTS,
+        "events_active_users_hll": _SQL_EVENTS_ACTIVE_USERS_HLL,
     }

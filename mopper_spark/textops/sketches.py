@@ -414,3 +414,68 @@ def hll_set_algebra(values: DataFrame, group_col: str, col: str) -> DataFrame:
             ).alias("est_intersection"),
         )
     )
+
+
+def hll_rolling_distinct(
+    df: DataFrame,
+    col: str,
+    ts_col: str,
+    *,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct counts from MERGEABLE sketches: per
+    active day, the HLL register state of the last ``window_days`` days'
+    values — the sketch-path sibling of
+    ``timeseries.rolling_active_users``.  Exact WAU re-reads every
+    window; this computes per-day registers ONCE (4096 ints/day,
+    regardless of volume) and every window is a per-bucket MAX of W
+    day-sketches — the HLL union closure, which is also precisely what
+    an incremental daily job folds: yesterday's window state never has
+    to be rebuilt from raw events.
+
+    Emits the integer sketch summary ``(day, v_zero, s_fp)`` — estimate
+    via ``_hll_estimate`` consumer-side; everything emitted is int64,
+    bit-exact cross-engine.
+
+    Scale: raw data is touched once (the per-(day, bucket) aggregate);
+    the ×W contribution explode acts on ≤ 4096-row day-sketches.
+    """
+    if window_days < 1:
+        raise ValueError("hll_rolling_distinct: window_days must be >= 1")
+    h = F.md5(F.col(col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
+    w = F.conv(F.substring(h, 4, 12), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(49)).otherwise(F.lit(49) - F.length(F.bin(w)))
+    regs = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.to_date(F.col(ts_col)).alias("_d"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("_d", "bucket")
+        .agg(F.max("rho").cast("int").alias("mj"))
+    )
+    days = regs.select(F.col("_d").alias("day")).distinct()
+    merged = (
+        regs.select(
+            F.explode(
+                F.sequence(
+                    F.col("_d"), F.date_add(F.col("_d"), window_days - 1)
+                )
+            ).alias("day"),
+            "bucket",
+            "mj",
+        )
+        .join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day", "bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
+    return merged.groupBy("day").agg(
+        (F.lit(4096) - F.count(F.lit(1))).cast("long").alias("v_zero"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - mj)"))
+            + (F.lit(4096) - F.count(F.lit(1)))
+            * F.lit(1125899906842624).cast("long")
+        ).cast("long").alias("s_fp"),
+    )

@@ -203,3 +203,44 @@ class TestHLLSetAlgebra:
         a = sorted(map(tuple, hll_set_algebra(df, "g", "v").collect()))
         b = sorted(map(tuple, hll_set_algebra(df.repartition(13), "g", "v").collect()))
         assert a == b
+
+
+class TestHllRollingDistinct:
+    def test_merge_equals_rebuild_and_window_one(self, spark):
+        import datetime as dt
+        from mopper_spark.textops.sketches import hll_registers, hll_rolling_distinct
+
+        base = dt.datetime(2024, 2, 1)
+        rows = [
+            (u, base + dt.timedelta(days=d))
+            for u, d in [(1, 0), (2, 0), (3, 1), (1, 1), (4, 3), (1, 3)]
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            str(r.day): (r.v_zero, r.s_fp)
+            for r in hll_rolling_distinct(df, "user_id", "ts", window_days=2).collect()
+        }
+        assert set(got) == {"2024-02-01", "2024-02-02", "2024-02-04"}
+        # window state == sketch rebuilt from the window's raw values
+        for day, lo, hi in [("2024-02-01", 0, 0), ("2024-02-02", 0, 1), ("2024-02-04", 3, 3)]:
+            vals = [
+                (u,) for u, d in [(1, 0), (2, 0), (3, 1), (1, 1), (4, 3), (1, 3)]
+                if lo <= d <= hi
+            ]
+            regs = hll_registers(
+                spark.createDataFrame(vals, "user_id long"), "user_id"
+            ).collect()
+            n_present = len(regs)
+            s_fp = sum(1 << (50 - r.mj) for r in regs) + (4096 - n_present) * (1 << 50)
+            assert got[day] == (4096 - n_present, s_fp), day
+
+    def test_validation(self, spark):
+        import datetime as dt
+        import pytest as _pt
+        from mopper_spark.textops.sketches import hll_rolling_distinct
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1))], "user_id long, ts timestamp"
+        )
+        with _pt.raises(ValueError, match=">= 1"):
+            hll_rolling_distinct(df, "user_id", "ts", window_days=0)
