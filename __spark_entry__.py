@@ -11078,6 +11078,106 @@ FROM merged GROUP BY day
 """
 
 
+def _q_events_pit_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time join (joins.py::pit_join): each event picks up the
+    SCD2 event-type version its user held ONE HOUR BEFORE the event —
+    the leakage-free feature-store lookup ("state as of then, not now").
+    Dimension = scd2_intervals over the same stream; events whose ts−1h
+    precedes the user's first version keep NULL → '' sentinel.  Plain
+    keyed hash join with the interval test as residual."""
+    from mopper_spark.textops.joins import pit_join, scd2_intervals
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    dim = scd2_intervals(ev, ["user_id"], "ts", ["event_type"]).select(
+        "user_id",
+        F.col("event_type").alias("prev_type"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = ev.select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("ts"),
+    )
+    out = pit_join(facts, dim, ["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("prev_type"), F.lit("")).alias("prev_type"),
+    )
+
+
+_SQL_EVENTS_PIT_JOIN = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN (lag(event_type) OVER w IS NOT DISTINCT FROM event_type)
+                   AND lag(ts) OVER w IS NOT NULL
+              THEN 0 ELSE 1 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+),
+runs AS (
+  SELECT user_id, ts, event_type,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM ordered
+),
+iv AS (
+  SELECT user_id, run, event_type, MIN(ts) AS valid_from
+  FROM runs GROUP BY user_id, run, event_type
+),
+dim AS (
+  SELECT user_id, event_type AS prev_type, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to
+  FROM iv
+),
+facts AS (
+  SELECT event_id, user_id, ts - INTERVAL 1 HOUR AS fts FROM events
+)
+SELECT f.event_id, f.user_id,
+       COALESCE(d.prev_type, '') AS prev_type
+FROM facts f
+LEFT JOIN dim d
+  ON f.user_id = d.user_id AND f.fts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.fts < d.valid_to)
+"""
+
+
+def _q_docs_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction planning (layout.py::compaction_plan): a
+    synthetic per-source manifest (file = 50-doc bucket, bytes = Σ
+    n_chars) rolled into ~5000-byte groups by running total — the
+    Iceberg binpack OPTIMIZE step, planned with the bucketed prefix sum
+    so a billion-file manifest never global-sorts."""
+    from mopper_spark.textops.layout import compaction_plan
+
+    docs = spark.read.schema("doc_id long, source string, n_chars long").parquet(
+        f"{sf}/documents.parquet"
+    )
+    manifest = docs.groupBy(
+        F.col("source"), F.expr("doc_id div 50").alias("seq")
+    ).agg(F.sum("n_chars").cast("long").alias("bytes"))
+    return compaction_plan(manifest, "source", "seq", "bytes", 5000)
+
+
+_SQL_DOCS_COMPACTION_PLAN = """
+WITH manifest AS MATERIALIZED (
+  SELECT source, doc_id // 50 AS seq, CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, seq, bytes,
+       CAST(COALESCE(SUM(bytes) OVER (
+         PARTITION BY source ORDER BY seq
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS start_bytes,
+       CAST(COALESCE(SUM(bytes) OVER (
+         PARTITION BY source ORDER BY seq
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 5000
+         AS BIGINT) AS grp
+FROM manifest
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -11307,6 +11407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_ivfpq": _q_similarity_topk_ivfpq,
         "kg_rdf_lists": _q_kg_rdf_lists,
         "events_active_users_hll": _q_events_active_users_hll,
+        "events_pit_join": _q_events_pit_join,
+        "docs_compaction_plan": _q_docs_compaction_plan,
     }
 
 
@@ -11548,4 +11650,6 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk_ivfpq": _SQL_SIMILARITY_TOPK_IVFPQ,
         "kg_rdf_lists": _SQL_KG_RDF_LISTS,
         "events_active_users_hll": _SQL_EVENTS_ACTIVE_USERS_HLL,
+        "events_pit_join": _SQL_EVENTS_PIT_JOIN,
+        "docs_compaction_plan": _SQL_DOCS_COMPACTION_PLAN,
     }

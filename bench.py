@@ -220,6 +220,10 @@ HEADLINE = [
     "docs_bootstrap_mean",
     "events_attribution_linear",
     "docs_percentile_by_source",
+    "events_active_users_hll",
+    "events_pit_join",
+    "docs_compaction_plan",
+    "kg_rdf_lists",
     # similarity_topk_ivfpq is NOT in the headline for the same reason as
     # pq_adc_topk: PQ training (8 subspaces x Lloyd rounds) dominates its
     # toy-scale wall clock; it stays correctness-gated in the oracle sweep.

@@ -709,6 +709,53 @@ def subsequence_support(
     )
 
 
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (PIT) join against an SCD2 dimension: each fact row
+    picks up the dimension version valid AT its timestamp —
+    ``valid_from <= ts < valid_to``, open current version = NULL
+    ``valid_to`` — the feature-store / warehouse staple
+    ("the user's tier when the order happened", never today's tier:
+    leakage-free by construction, same contract as
+    ``rolling_window_features``).
+
+    SCD2 intervals are disjoint per key, so each fact matches at most
+    one version; facts before the key's first version (or with no key
+    match) survive with NULL dimension columns (LEFT join — dropping
+    facts silently is how training sets rot).
+
+    Scale shape: an equi-join on ``keys`` with the interval test as a
+    residual predicate — Catalyst plans the ordinary hash join on the
+    keys; the dimension is usually the broadcast side.  No interval
+    bucketing needed: the key already co-locates, unlike the keyless
+    ``range_join_buckets``.
+
+    Output: all fact columns plus the dim's non-key columns.
+    """
+    dcols = [c for c in dim.columns if c not in keys]
+    d = dim.select(
+        *[F.col(k).alias(f"_dk_{k}") for k in keys],
+        *[F.col(c) for c in dcols],
+    )
+    cond = [facts[k].eqNullSafe(F.col(f"_dk_{k}")) for k in keys]
+    cond.append(facts[ts_col] >= F.col(valid_from))
+    cond.append(
+        F.col(valid_to).isNull() | (facts[ts_col] < F.col(valid_to))
+    )
+    # dims are usually broadcast-sized; callers wrap `dim` in
+    # F.broadcast() when that is known — the hint survives the select
+    pred = cond[0]
+    for c in cond[1:]:
+        pred = pred & c
+    return facts.join(d, pred, "left").drop(*[f"_dk_{k}" for k in keys])
+
+
 def linear_attribution(
     events: DataFrame,
     conversion_type: str,

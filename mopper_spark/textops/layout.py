@@ -77,3 +77,72 @@ def zorder_files(
     return keyed.crossJoin(F.broadcast(bounds)).select(
         *df.columns, out_key, fid.cast("int").alias(out_file)
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    part_col: str,
+    seq_col: str,
+    size_col: str,
+    target_bytes: int,
+    *,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Small-file compaction planning — the maintenance half of
+    ``OPTIMIZE`` next to ``zorder_key``'s layout half: within each
+    partition, roll files (in ``seq_col`` order, the manifest ordinal,
+    so locality-sorted files stay adjacent) into groups of
+    ``~target_bytes``: ``group = exclusive_prefix(bytes) div target``.
+    Deterministic, and groups never split a file; a group overshoots by
+    at most one file (the standard bin-by-running-total compaction,
+    e.g. Iceberg's binpack strategy).
+
+    The prefix sum is the two-phase bucketed idiom over the integer
+    ordinal — per-(partition, bucket) subtotals, a per-partition running
+    sum over the tiny bucket list, an in-bucket window — so planning a
+    billion-file manifest never global-sorts it.
+
+    Output: ``(part_col, seq_col, size_col, start_bytes, grp)``.
+    """
+    from pyspark.sql import Window
+
+    if target_bytes < 1:
+        raise ValueError("compaction_plan: target_bytes must be >= 1")
+    if bucket_width < 1:
+        raise ValueError("compaction_plan: bucket_width must be >= 1")
+    t = files.select(
+        F.col(part_col).alias("_p"),
+        F.col(seq_col).cast("long").alias("_s"),
+        F.col(size_col).cast("long").alias("_b"),
+    ).withColumn("_bkt", F.floor(F.col("_s") / F.lit(int(bucket_width))).cast("long"))
+    bsub = t.groupBy("_p", "_bkt").agg(F.sum("_b").alias("_bb"))
+    w_b = (
+        Window.partitionBy("_p")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bpre = bsub.select(
+        "_p",
+        "_bkt",
+        F.coalesce(F.sum("_bb").over(w_b), F.lit(0)).cast("long").alias("_bpre"),
+    )
+    w_in = (
+        Window.partitionBy("_p", "_bkt")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        t.join(bpre, ["_p", "_bkt"])
+        .withColumn(
+            "start_bytes",
+            (F.col("_bpre") + F.coalesce(F.sum("_b").over(w_in), F.lit(0)))
+            .cast("long"),
+        )
+        .select(
+            F.col("_p").alias(part_col),
+            F.col("_s").alias(seq_col),
+            F.col("_b").alias(size_col),
+            "start_bytes",
+            F.expr(f"start_bytes div {int(target_bytes)}").alias("grp"),
+        )
+    )

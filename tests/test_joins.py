@@ -638,3 +638,36 @@ class TestLinearAttribution:
         )
         with _pt.raises(ValueError, match="window_seconds"):
             linear_attribution(df, "x", ["y"], 0)
+
+
+class TestPitJoin:
+    def test_picks_version_valid_at_ts(self, spark):
+        import datetime as dt
+        from mopper_spark.textops.joins import pit_join
+
+        T = lambda d: dt.datetime(2024, 1, d)
+        dim = spark.createDataFrame(
+            [
+                (1, "bronze", T(1), T(10)),
+                (1, "gold", T(10), None),       # current
+                (2, "silver", T(5), None),
+            ],
+            "user_id long, tier string, valid_from timestamp, valid_to timestamp",
+        )
+        facts = spark.createDataFrame(
+            [
+                (100, 1, T(3)),    # bronze
+                (101, 1, T(10)),   # boundary: valid_from inclusive -> gold
+                (102, 1, T(20)),   # gold (open interval)
+                (103, 2, T(1)),    # before first version -> NULL
+                (104, 3, T(1)),    # unknown key -> NULL
+            ],
+            "fact_id long, user_id long, ts timestamp",
+        )
+        got = {
+            r.fact_id: r.tier
+            for r in pit_join(facts, dim, ["user_id"]).collect()
+        }
+        assert got == {100: "bronze", 101: "gold", 102: "gold", 103: None, 104: None}
+        # each fact survives exactly once (disjoint intervals)
+        assert pit_join(facts, dim, ["user_id"]).count() == 5
