@@ -11178,6 +11178,79 @@ FROM manifest
 """
 
 
+def _q_events_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonality-adjusted rate anomaly (joins.py::seasonal_rate_anomaly):
+    each hour bucket z-scored against its own (type, day-of-week,
+    hour-of-day) cell — weekly-periodic load stops looking anomalous.
+    Calendar keys are integer epoch arithmetic (UTC, Sunday=0), exact
+    K/S1/S2 per cell, one double z expression."""
+    from mopper_spark.textops.joins import seasonal_rate_anomaly
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return seasonal_rate_anomaly(ev)
+
+
+_SQL_EVENTS_SEASONAL_ANOMALY = """
+WITH counts AS MATERIALIZED (
+  SELECT event_type,
+         CAST(epoch_us(ts) - epoch_us(ts) % 3600000000 AS BIGINT) AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), keyed AS MATERIALIZED (
+  SELECT *,
+         CAST((bucket_us // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+         CAST((bucket_us // 3600000000) % 24 AS BIGINT) AS hod
+  FROM counts
+), stats AS MATERIALIZED (
+  SELECT event_type, dow, hod,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS s1,
+         CAST(SUM(n * n) AS BIGINT) AS s2
+  FROM keyed GROUP BY 1, 2, 3
+)
+SELECT c.event_type, c.bucket_us, c.dow, c.hod, c.n,
+       CASE WHEN s.k * s.s2 - s.s1 * s.s1 > 0
+            THEN (c.n * s.k - s.s1)
+                 / sqrt(CAST(s.k * s.s2 - s.s1 * s.s1 AS DOUBLE))
+            ELSE 0.0e0 END AS z
+FROM keyed c JOIN stats s USING (event_type, dow, hod)
+"""
+
+
+def _q_docs_winsorized_len(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized length moments (analysis.py::winsorized_stats): exact
+    nearest-rank p5/p95 bounds via distributed selection (no global
+    sort), then clamped integer count/sum/sum-of-squares — the
+    outlier-robust moments for the corpus report.  Quantile targets use
+    ceil(q·n) on IEEE doubles; the oracle forces its literals to DOUBLE
+    (e0 suffix) so both engines round the same product."""
+    from mopper_spark.textops.analysis import winsorized_stats
+
+    docs = spark.read.schema("n_chars long").parquet(f"{sf}/documents.parquet")
+    return winsorized_stats(docs, "n_chars", lo_q=0.05, hi_q=0.95)
+
+
+_SQL_DOCS_WINSORIZED_LEN = """
+WITH s AS MATERIALIZED (SELECT n_chars AS v FROM documents),
+c AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+r AS MATERIALIZED (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rr FROM s),
+b AS MATERIALIZED (
+  SELECT (SELECT v FROM r, c WHERE rr = CAST(ceil(0.05e0 * n) AS BIGINT)) AS lo,
+         (SELECT v FROM r, c WHERE rr = CAST(ceil(0.95e0 * n) AS BIGINT)) AS hi
+)
+SELECT c.n,
+       CAST(b.lo AS BIGINT) AS lo,
+       CAST(b.hi AS BIGINT) AS hi,
+       CAST((SELECT SUM(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END)
+             FROM s, b) AS BIGINT) AS wsum,
+       CAST((SELECT SUM(CASE WHEN v < lo THEN lo * lo
+                             WHEN v > hi THEN hi * hi
+                             ELSE v * v END)
+             FROM s, b) AS BIGINT) AS wsumsq
+FROM c, b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -11409,6 +11482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_active_users_hll": _q_events_active_users_hll,
         "events_pit_join": _q_events_pit_join,
         "docs_compaction_plan": _q_docs_compaction_plan,
+        "events_seasonal_anomaly": _q_events_seasonal_anomaly,
+        "docs_winsorized_len": _q_docs_winsorized_len,
     }
 
 
@@ -11652,4 +11727,6 @@ def oracle_sql() -> dict[str, str]:
         "events_active_users_hll": _SQL_EVENTS_ACTIVE_USERS_HLL,
         "events_pit_join": _SQL_EVENTS_PIT_JOIN,
         "docs_compaction_plan": _SQL_DOCS_COMPACTION_PLAN,
+        "events_seasonal_anomaly": _SQL_EVENTS_SEASONAL_ANOMALY,
+        "docs_winsorized_len": _SQL_DOCS_WINSORIZED_LEN,
     }

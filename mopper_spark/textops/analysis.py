@@ -936,3 +936,44 @@ def token_chi2(
         .orderBy(F.desc("chi2"), F.asc("token"))
         .limit(top_k)
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Winsorized moments of an integer column: exact nearest-rank
+    quantile bounds ``[lo, hi]`` (from ``global_order_statistics`` —
+    distributed selection, no global sort), then the clamped count /
+    sum / sum-of-squares as exact int64 — the outlier-robust mean and
+    variance inputs a curation report wants when a handful of
+    mega-documents would otherwise own the moments.
+
+    The bounds are corpus metadata (two integers) resolved at plan
+    time — the same driver-side-metadata contract as the quantile op
+    itself and the checkpoint manifest counts; rows never leave
+    executors.  Empty corpus → a single all-NULL-stats row.
+
+    Output: one row ``(n, lo, hi, wsum, wsumsq)`` with
+    ``winsorized mean = wsum/n``, variance from the two sums.
+    """
+    if not (0 < lo_q < hi_q <= 1):
+        raise ValueError("winsorized_stats: need 0 < lo_q < hi_q <= 1")
+    b = global_order_statistics(df, value_col, qs=(lo_q, hi_q)).collect()[0]
+    n, lo, hi = b[0], b[3], b[4]
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [(0, None, None, None, None)],
+            "n long, lo long, hi long, wsum long, wsumsq long",
+        )
+    w = F.least(F.greatest(F.col(value_col).cast("long"), F.lit(lo)), F.lit(hi))
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.lit(lo).cast("long").alias("lo"),
+        F.lit(hi).cast("long").alias("hi"),
+        F.sum(w).cast("long").alias("wsum"),
+        F.sum(w * w).cast("long").alias("wsumsq"),
+    )

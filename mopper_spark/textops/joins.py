@@ -301,6 +301,74 @@ def rate_anomaly(
     )
 
 
+def seasonal_rate_anomaly(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    *,
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Seasonality-adjusted event-rate anomaly: like ``rate_anomaly``
+    but each hour bucket is z-scored against its own
+    ``(type, day-of-week, hour-of-day)`` CELL's count distribution —
+    so Monday-9am load is compared to other Monday-9am's, not to
+    Sunday-3am's, which is what makes weekly-periodic traffic
+    alertable ("normal Monday peak" stops paging).
+
+    Same exactness discipline as ``rate_anomaly``: per-cell statistics
+    are the exact integer ``K, S1, S2`` over present buckets, the
+    z-score one double expression, zero variance guarded by an integer
+    comparison.  Calendar keys are pure integer arithmetic on the epoch
+    bucket (UTC; epoch day 0 = Thursday → dow 4) — engine-portable, no
+    timezone/locale function divergence.
+
+    Output: ``(event_type, bucket_us, dow, hod, n, z)``.
+    """
+    ep = (
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {ts_col})"
+    )
+    DAY = 86_400_000_000
+    HOUR = 3_600_000_000
+    counts = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            (F.expr(ep) - F.pmod(F.expr(ep), F.lit(bucket_us)))
+            .cast("long")
+            .alias("bucket_us"),
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "dow",
+            F.pmod(F.expr(f"bucket_us div {DAY}") + 4, F.lit(7)).cast("long"),
+        )
+        .withColumn(
+            "hod",
+            F.pmod(F.expr(f"bucket_us div {HOUR}"), F.lit(24)).cast("long"),
+        )
+    )
+    stats = counts.groupBy("event_type", "dow", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    j = counts.join(F.broadcast(stats), ["event_type", "dow", "hod"])
+    disc = F.col("k") * F.col("s2") - F.col("s1") * F.col("s1")
+    return j.select(
+        "event_type",
+        "bucket_us",
+        "dow",
+        "hod",
+        "n",
+        F.when(disc > 0,
+               (F.col("n") * F.col("k") - F.col("s1"))
+               / F.sqrt(disc.cast("double")))
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",

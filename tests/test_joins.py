@@ -671,3 +671,32 @@ class TestPitJoin:
         assert got == {100: "bronze", 101: "gold", 102: "gold", 103: None, 104: None}
         # each fact survives exactly once (disjoint intervals)
         assert pit_join(facts, dim, ["user_id"]).count() == 5
+
+
+class TestSeasonalRateAnomaly:
+    def test_cells_and_z(self, spark):
+        import datetime as dt
+        from mopper_spark.textops.joins import seasonal_rate_anomaly
+
+        # two Mondays 9:00 with counts 2 and 4; one Sunday 3:00 with 100
+        mon1 = dt.datetime(2024, 1, 1, 9)   # Monday
+        mon2 = dt.datetime(2024, 1, 8, 9)
+        sun = dt.datetime(2024, 1, 7, 3)
+        rows = (
+            [("click", mon1)] * 2 + [("click", mon2)] * 4 + [("click", sun)] * 100
+        )
+        df = spark.createDataFrame(
+            [(i, t, ts) for i, (t, ts) in enumerate(rows)],
+            "event_id long, event_type string, ts timestamp",
+        )
+        out = {
+            (r.dow, r.hod, r.n): r.z
+            for r in seasonal_rate_anomaly(df).collect()
+        }
+        # (epoch_day + 4) % 7: Sunday = 0, Monday = 1
+        assert set(out) == {(1, 9, 2), (1, 9, 4), (0, 3, 100)}
+        # the huge Sunday count is NOT anomalous (its own cell, k=1 -> z=0)
+        assert out[(0, 3, 100)] == 0.0
+        # Monday cell: mean 3, counts 2/4 -> symmetric z
+        assert abs(out[(1, 9, 2)] + out[(1, 9, 4)]) < 1e-12
+        assert out[(1, 9, 4)] > 0
