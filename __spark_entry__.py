@@ -11251,6 +11251,81 @@ FROM c, b
 """
 
 
+def _q_events_lateness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark lateness audit (streaming.py::lateness_audit): replay
+    the event log in a deterministic md5-scrambled arrival order (the
+    portable pseudo-arrival idiom — real logs carry an ingest offset)
+    and mark which rows a 30-minute watermark would drop, exactly per
+    Spark's rule (event time < running-max-of-earlier-arrivals − delay).
+    The design audit run BEFORE committing a streaming job to a policy."""
+    from mopper_spark.streaming import lateness_audit
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+        "arr",
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10
+        ).cast("long"),
+    )
+    out = lateness_audit(ev, "ts", "arr", delay_seconds=1800)
+    return out.select("event_id", "wm_us", "late")
+
+
+_SQL_EVENTS_LATENESS_AUDIT = """
+WITH t AS MATERIALIZED (
+  SELECT event_id, epoch_us(ts) AS ts_us,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS arr
+  FROM events
+)
+SELECT event_id,
+       CAST(COALESCE(MAX(ts_us) OVER (
+              ORDER BY arr ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              - 1800000000, -1) AS BIGINT) AS wm_us,
+       CAST(CASE WHEN ts_us < MAX(ts_us) OVER (
+              ORDER BY arr ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              - 1800000000 THEN 1 ELSE 0 END AS BIGINT) AS late
+FROM t
+"""
+
+
+def _q_docs_nfc_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode-normalization-aware dedup (dedup.py::nfc_exact_dedup):
+    the corpus unioned with a shadow copy whose text appends the
+    DECOMPOSED 'e'+U+0301 while originals append composed U+00E9 — every
+    (original, shadow) pair is byte-distinct yet NFC-equal, so the merge
+    count directly measures the normalizer.  NFC runs as the sanctioned
+    Arrow-batched pandas UDF; the oracle uses DuckDB's native
+    nfc_normalize (independent UAX #15 implementation — a cross-library
+    conformance check, not a replica)."""
+    from mopper_spark.textops.dedup import nfc_exact_dedup
+
+    docs = spark.read.schema("doc_id long, text string").parquet(
+        f"{sf}/documents.parquet"
+    )
+    mixed = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit("é")).alias("text")
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit("é")).alias("text"),
+        )
+    )
+    return nfc_exact_dedup(mixed)
+
+
+_SQL_DOCS_NFC_DEDUP = """
+WITH mixed AS MATERIALIZED (
+  SELECT doc_id, text || chr(233) AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || chr(101) || chr(769) FROM documents
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw_distinct
+FROM mixed
+GROUP BY md5(nfc_normalize(text))
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -11484,6 +11559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_compaction_plan": _q_docs_compaction_plan,
         "events_seasonal_anomaly": _q_events_seasonal_anomaly,
         "docs_winsorized_len": _q_docs_winsorized_len,
+        "events_lateness_audit": _q_events_lateness_audit,
+        "docs_nfc_dedup": _q_docs_nfc_dedup,
     }
 
 
@@ -11729,4 +11806,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_compaction_plan": _SQL_DOCS_COMPACTION_PLAN,
         "events_seasonal_anomaly": _SQL_EVENTS_SEASONAL_ANOMALY,
         "docs_winsorized_len": _SQL_DOCS_WINSORIZED_LEN,
+        "events_lateness_audit": _SQL_EVENTS_LATENESS_AUDIT,
+        "docs_nfc_dedup": _SQL_DOCS_NFC_DEDUP,
     }

@@ -226,6 +226,8 @@ HEADLINE = [
     "kg_rdf_lists",
     "events_seasonal_anomaly",
     "docs_winsorized_len",
+    "events_lateness_audit",
+    "docs_nfc_dedup",
     # similarity_topk_ivfpq is NOT in the headline for the same reason as
     # pq_adc_topk: PQ training (8 subspaces x Lloyd rounds) dominates its
     # toy-scale wall clock; it stays correctness-gated in the oracle sweep.

@@ -578,6 +578,28 @@ class _Parser:
         if up == "SHA256":
             inner = self.parse_expr_parens()
             return f"sha2({inner}, 256)"
+        if up == "ENCODE_FOR_URI":
+            # §17.4.2.8 for the ASCII plane: unreserved (ALPHA / DIGIT /
+            # - . _ ~) pass through, everything else becomes %XX of its
+            # byte.  Non-ASCII needs UTF-8 byte-level encoding, which has
+            # no native SQL translation — strict raise_error branch (the
+            # ntriples.py refusal idiom, filter-pushdown-proof) instead
+            # of silently wrong output.
+            inner = self.parse_expr_parens()
+            pct = (
+                f"CASE WHEN substring({inner}, i, 1) RLIKE '[A-Za-z0-9._~-]' "
+                f"THEN substring({inner}, i, 1) "
+                f"ELSE concat('%', lpad(upper(hex(ascii(substring({inner}, i, 1)))), 2, '0')) END"
+            )
+            return (
+                f"(CASE WHEN {inner} RLIKE '[^\\\\x00-\\\\x7F]' THEN "
+                f"raise_error('ENCODE_FOR_URI: non-ASCII input is not in "
+                f"the subset (UTF-8 byte-level pct-encoding has no native "
+                f"SQL translation)') "
+                f"WHEN length({inner}) = 0 THEN '' "
+                f"ELSE aggregate(sequence(1, length({inner})), '', "
+                f"(acc, i) -> concat(acc, {pct})) END)"
+            )
         if up in ("STRBEFORE", "STRAFTER"):
             # §17.4.3.3-4: '' when the needle never occurs; the empty
             # needle matches at position 1 (instr convention on both

@@ -609,3 +609,71 @@ def heavy_hitters_from_state(
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
     return exact.filter(F.col("freq") * (k + 1) > F.lit(int(n_total)))
+
+
+def lateness_audit(
+    df: DataFrame,
+    ts_col: str,
+    arrival_col: str,
+    *,
+    delay_seconds: int,
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Batch audit of a streaming watermark policy: replaying the rows
+    in ``arrival_col`` order, which ones would
+    ``withWatermark(ts, delay)`` drop?  A row is LATE iff its event time
+    is older than ``max(event time of strictly-earlier arrivals) −
+    delay`` — exactly Spark's watermark rule, evaluated exactly, so the
+    "how much data does a 1 h watermark cost us?" design question is
+    answered from history before committing a streaming job to it.
+
+    The running max over arrival order is the bucketed-prefix-MAX idiom
+    (``pareto_front_2d``): per-arrival-bucket maxima, one running max
+    over the tiny bucket list, an in-bucket exclusive window — no global
+    sort of the event log.
+
+    Output: input columns plus ``wm_us`` (the watermark each row faced;
+    −1 for the first arrival — no earlier rows, never late, the
+    fetch-safe sentinel) and ``late`` (0/1).
+    """
+    from pyspark.sql import Window
+
+    if delay_seconds < 0:
+        raise ValueError("lateness_audit: delay_seconds must be >= 0")
+    if bucket_width < 1:
+        raise ValueError("lateness_audit: bucket_width must be >= 1")
+    ep = (
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {ts_col})"
+    )
+    t = df.withColumn("_ts_us", F.expr(ep).cast("long")).withColumn(
+        "_arr", F.col(arrival_col).cast("long")
+    ).withColumn("_bkt", F.floor(F.col("_arr") / F.lit(int(bucket_width))).cast("long"))
+    bmax = t.groupBy("_bkt").agg(F.max("_ts_us").alias("_bm"))
+    w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = bmax.select(
+        "_bkt", F.max("_bm").over(w_b).alias("_bpre")
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy("_arr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    delay_us = int(delay_seconds) * 1_000_000
+    out = (
+        t.join(F.broadcast(bpre), "_bkt")
+        .withColumn("_run", F.greatest(F.col("_bpre"), F.max("_ts_us").over(w_in)))
+        .withColumn(
+            "wm_us",
+            F.coalesce(F.col("_run") - F.lit(delay_us), F.lit(-1)).cast("long"),
+        )
+        .withColumn(
+            "late",
+            F.when(
+                F.col("_run").isNotNull()
+                & (F.col("_ts_us") < F.col("_run") - F.lit(delay_us)),
+                1,
+            ).otherwise(0).cast("long"),
+        )
+    )
+    return out.drop("_ts_us", "_arr", "_bkt", "_bpre", "_run")

@@ -1127,3 +1127,49 @@ def keep_list(
         "canonical_id",
         (F.col(id_col) == F.col("canonical_id")).alias("keep"),
     )
+
+
+def nfc_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode-normalization-aware exact dedup: documents identical
+    AFTER NFC normalization (UAX #15 — 'é' composed == 'e' + combining
+    acute) collapse to one group; byte-level exact dedup misses these,
+    and real web corpora mix normalization forms freely.
+
+    NFC has no JVM-native Spark expression, so this is a deliberate
+    Arrow-batched pandas UDF (``unicodedata.normalize`` per batch — the
+    sanctioned slow path, one narrow pass, placed before the keyed
+    aggregate so only the md5 of the normalized text shuffles).  Output
+    per group: canonical keeper = smallest id, group size, and whether
+    normalization (vs raw equality) created the group.
+
+    Output: ``(keep_id, n_copies, n_raw_distinct)`` — ``n_raw_distinct
+    > 1`` means NFC merged byte-distinct variants.
+    """
+    import unicodedata
+
+    import pandas as pd  # noqa: F811 (module-level import exists for WAV/PNG)
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    t = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.md5(_nfc(F.col(text_col))).alias("_k"),
+        F.md5(F.col(text_col)).alias("_kr"),
+    )
+    return (
+        t.groupBy("_k")
+        .agg(
+            F.min("_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.count_distinct(F.col("_kr")).cast("long").alias("n_raw_distinct"),
+        )
+        .drop("_k")
+    )

@@ -580,3 +580,33 @@ def test_hash_and_numeric_builtins(graph):
     assert r.s1 == hashlib.sha1(b"user").hexdigest()
     assert r.s2 == hashlib.sha256(b"user").hexdigest()
     assert r.half == 2
+
+
+def test_encode_for_uri(graph):
+    out = sparql_query(
+        graph,
+        PFX
+        + """SELECT ?r (ENCODE_FOR_URI(?r) AS ?e)
+             (ENCODE_FOR_URI("a b/c?d~e") AS ?x)
+            WHERE { ?t ont:role ?r . FILTER(?r = "user") }
+            ORDER BY ?r LIMIT 1""",
+    )
+    r = out.collect()[0]
+    assert r.e == "user"
+    assert r.x == "a%20b%2Fc%3Fd~e"
+
+
+def test_encode_for_uri_non_ascii_raises(spark, graph):
+    from pyspark.sql import functions as F
+
+    g2 = graph.unionByName(
+        spark.createDataFrame([("s", ONT + "role", "café")],
+                              ["subj", "pred", "obj"])
+    )
+    out = sparql_query(
+        g2,
+        PFX + 'SELECT (ENCODE_FOR_URI(?r) AS ?e) WHERE { ?t ont:role ?r . }',
+    )
+    import pytest as _pt
+    with _pt.raises(Exception, match="non-ASCII"):
+        out.collect()

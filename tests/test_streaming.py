@@ -533,3 +533,45 @@ class TestHeavyHittersStream:
             )
         assert outs[0] == outs[1]
         assert {v for v, _ in outs[0]} == {"a", "b"}
+
+
+class TestLatenessAudit:
+    def test_matches_replay(self, spark):
+        import datetime as dt
+        from mopper_spark.streaming import lateness_audit
+
+        base = dt.datetime(2024, 1, 1)
+        # (arrival, event-time offset minutes)
+        obs = [(0, 0), (1, 60), (2, 30), (3, 5), (4, 90), (5, 85), (6, 10)]
+        rows = [(a, base + dt.timedelta(minutes=m)) for a, m in obs]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        got = {
+            r.event_id: (r.wm_us, r.late)
+            for r in lateness_audit(df, "ts", "event_id",
+                                    delay_seconds=1800, bucket_width=3).collect()
+        }
+        run = None
+        want = {}
+        for a, m in obs:
+            ts = int((base + dt.timedelta(minutes=m)).timestamp() * 1e6)
+            wm = run - 1800 * 1_000_000 if run is not None else -1
+            want[a] = (wm, 1 if run is not None and ts < wm else 0)
+            run = ts if run is None else max(run, ts)
+        assert got == want
+        # the 5-minute event after the 60-minute high water is late
+        assert got[3][1] == 1 and got[2][1] == 0 and got[6][1] == 1
+
+    def test_partition_invariance(self, spark):
+        import datetime as dt
+        from mopper_spark.streaming import lateness_audit
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [(i, base + dt.timedelta(minutes=(i * 37) % 120)) for i in range(100)]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+        a = sorted((r.event_id, r.wm_us, r.late) for r in
+                   lateness_audit(df, "ts", "event_id", delay_seconds=600,
+                                  bucket_width=7).collect())
+        b = sorted((r.event_id, r.wm_us, r.late) for r in
+                   lateness_audit(df.repartition(9), "ts", "event_id",
+                                  delay_seconds=600).collect())
+        assert a == b
