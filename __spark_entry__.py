@@ -11326,6 +11326,102 @@ GROUP BY md5(nfc_normalize(text))
 """
 
 
+def _q_docs_token_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Token burstiness terms (analysis.py::token_burstiness): per token
+    df / Σc / Σc² across documents — Fano-factor dispersion as one
+    consumer division over exact integers; bursty ≫ 1 marks boilerplate
+    and templated spans.  Word-count-shaped shuffles only."""
+    from mopper_spark.textops.analysis import token_burstiness
+
+    docs = spark.read.schema("doc_id long, text string").parquet(
+        f"{sf}/documents.parquet"
+    )
+    return token_burstiness(docs, min_df=3)
+
+
+_SQL_DOCS_TOKEN_BURSTINESS = r"""
+WITH pd AS MATERIALIZED (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents)
+  GROUP BY 1, 2
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(c) AS BIGINT) AS s1,
+       CAST(SUM(c * c) AS BIGINT) AS s2
+FROM pd GROUP BY token HAVING COUNT(*) >= 3
+"""
+
+
+def _q_transcripts_tool_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-tool next-step entropy (prepare.py::tool_entropy): the
+    Markov-profile rows collapsed to H(next|prev) with every log a
+    fixed-point floor(ln·1e6) integer, so the reported numerator is an
+    exact int64 — low entropy = scripted tool, high = branching
+    decision point."""
+    from mopper_spark.textops.prepare import tool_entropy
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return tool_entropy(tr)
+
+
+_SQL_TRANSCRIPTS_TOOL_ENTROPY = f"""
+WITH seq AS (
+  SELECT COALESCE(LAG(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                  '_START_') AS prev_tool,
+         tool AS next_tool
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+  WHERE tool IS NOT NULL
+), c AS (
+  SELECT prev_tool, next_tool, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq GROUP BY 1, 2
+), g AS (
+  SELECT prev_tool,
+         CAST(SUM(n) AS BIGINT) AS n_from,
+         CAST(COUNT(*) AS BIGINT) AS branching,
+         CAST(SUM(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT))
+              AS BIGINT) AS s
+  FROM c GROUP BY 1
+)
+SELECT prev_tool, n_from, branching,
+       CAST(n_from * CAST(floor(ln(CAST(n_from AS DOUBLE)) * 1000000) AS BIGINT)
+            - s AS BIGINT) AS h_num_fp
+FROM g
+"""
+
+
+def _q_docs_hrw_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Rendezvous-hash sharding (sampling.py::hrw_shards): every doc to
+    its argmax-of-md5 shard of 8 — the minimal-reshuffle-on-resize
+    scheme — reported as the shard histogram; the oracle replays all 8
+    hashes per key and takes the same lexicographic argmax."""
+    from mopper_spark.textops.sampling import hrw_shards
+
+    docs = spark.read.schema("doc_id long").parquet(f"{sf}/documents.parquet")
+    return hrw_shards(docs, "doc_id", 8).groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+_SQL_DOCS_HRW_SHARDS = """
+WITH h AS MATERIALIZED (
+  SELECT doc_id, s,
+         md5('hrw-v1:' || CAST(s AS VARCHAR) || ':'
+             || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS s)
+), a AS MATERIALIZED (
+  SELECT doc_id, s FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hx DESC, s DESC) AS rn
+    FROM h) WHERE rn = 1
+)
+SELECT CAST(s AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n
+FROM a GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -11561,6 +11657,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_winsorized_len": _q_docs_winsorized_len,
         "events_lateness_audit": _q_events_lateness_audit,
         "docs_nfc_dedup": _q_docs_nfc_dedup,
+        "docs_token_burstiness": _q_docs_token_burstiness,
+        "transcripts_tool_entropy": _q_transcripts_tool_entropy,
+        "docs_hrw_shards": _q_docs_hrw_shards,
     }
 
 
@@ -11808,4 +11907,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_winsorized_len": _SQL_DOCS_WINSORIZED_LEN,
         "events_lateness_audit": _SQL_EVENTS_LATENESS_AUDIT,
         "docs_nfc_dedup": _SQL_DOCS_NFC_DEDUP,
+        "docs_token_burstiness": _SQL_DOCS_TOKEN_BURSTINESS,
+        "transcripts_tool_entropy": _SQL_TRANSCRIPTS_TOOL_ENTROPY,
+        "docs_hrw_shards": _SQL_DOCS_HRW_SHARDS,
     }

@@ -228,6 +228,9 @@ HEADLINE = [
     "docs_winsorized_len",
     "events_lateness_audit",
     "docs_nfc_dedup",
+    "docs_token_burstiness",
+    "transcripts_tool_entropy",
+    "docs_hrw_shards",
     # similarity_topk_ivfpq is NOT in the headline for the same reason as
     # pq_adc_topk: PQ training (8 subspaces x Lloyd rounds) dominates its
     # toy-scale wall clock; it stays correctness-gated in the oracle sweep.

@@ -977,3 +977,40 @@ def winsorized_stats(
         F.sum(w).cast("long").alias("wsum"),
         F.sum(w * w).cast("long").alias("wsumsq"),
     )
+
+
+def token_burstiness(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-token burstiness terms (index of dispersion / Fano factor
+    inputs): over the N corpus documents, each token's document
+    frequency ``df``, occurrence sum ``s1 = Σ c_d`` and square sum
+    ``s2 = Σ c_d²`` (zero-count documents contribute zero to both, so
+    presence-only sums ARE the full-population sums) — dispersion
+    ``D = (N·s2 − s1²) / (N·s1)`` is one consumer-side division over
+    exact integers.  ``D ≈ 1`` is Poisson scatter; ``D ≫ 1`` marks
+    bursty tokens (boilerplate, code, templated spans) — a
+    content-quality signal orthogonal to raw frequency.
+
+    Word-count-shaped: one (doc, token) count aggregate, one per-token
+    aggregate; ``min_df`` prunes the hapax tail (where dispersion is
+    meaningless anyway).  Output: ``(token, df, s1, s2)``.
+    """
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("_d"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("_d", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    out = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    return out.filter(F.col("df") >= min_df)

@@ -523,3 +523,40 @@ def k_anonymity_audit(
             (F.col("n_sensitive") >= 2).cast("long").alias("l_diverse"),
         )
     )
+
+
+def tool_entropy(transcripts: DataFrame) -> DataFrame:
+    """Per-tool next-step entropy of the transition Markov profile
+    (``tool_transitions``): ``H(next | prev) = ln(n_from) −
+    Σ n·ln(n) / n_from`` — low entropy = a scripted tool (one dominant
+    successor), high = a branching decision point; the agent-ops signal
+    for which tools gate divergent behavior.
+
+    Exactness: each count's log enters as the fixed-point
+    ``floor(ln(n)·1e6)`` (the ``docs_unigram_xent`` idiom), so the
+    reported ``h_num_fp = n_from·lnf(n_from) − Σ n·lnf(n)`` is an exact
+    int64 and ``H = h_num_fp / (n_from · 1e6)`` one consumer division.
+
+    Output: ``(prev_tool, n_from, branching, h_num_fp)`` — transition-
+    matrix-sized (≤ (tools+1)²) end to end.
+    """
+    t = tool_transitions(transcripts)
+    lnf = lambda c: F.floor(F.log(c.cast("double")) * F.lit(1000000.0)).cast("long")  # noqa: E731
+    return (
+        t.groupBy("prev_tool")
+        .agg(
+            F.sum("n_trans").cast("long").alias("n_from"),
+            F.count(F.lit(1)).cast("long").alias("branching"),
+            F.sum(F.col("n_trans") * lnf(F.col("n_trans")))
+            .cast("long")
+            .alias("_s"),
+        )
+        .select(
+            "prev_tool",
+            "n_from",
+            "branching",
+            (F.col("n_from") * lnf(F.col("n_from")) - F.col("_s"))
+            .cast("long")
+            .alias("h_num_fp"),
+        )
+    )

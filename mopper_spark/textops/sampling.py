@@ -453,3 +453,43 @@ def poisson_bootstrap(
         )
         .select(F.col("rep").cast("long").alias("rep"), "n_eff", "sum_fp")
     )
+
+
+def hrw_shards(
+    df: DataFrame,
+    key: str,
+    n_shards: int,
+    seed: str = "hrw-v1",
+    *,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each key
+    goes to ``argmax over s of md5(seed:s:key)`` — the sharding scheme
+    whose defining property is MINIMAL RESHUFFLE: adding shard N+1
+    moves only ~1/(N+1) of keys (those whose new hash wins), versus
+    mod-hashing's near-total remap.  Deterministic, coordination-free,
+    engine-portable (the oracle replays every hash).
+
+    One narrow pass: the per-key argmax is an ``array_max`` over
+    ``n_shards`` (hash, shard) structs — lexicographic struct order,
+    hash first — inside whole-stage codegen; no shuffle at all until
+    the caller aggregates.
+
+    Appends ``out_col`` to the input.
+    """
+    if n_shards < 1:
+        raise ValueError("hrw_shards: n_shards must be >= 1")
+    entries = F.array(
+        *[
+            F.struct(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}:{s}:"), F.col(key).cast("string")
+                    )
+                ).alias("h"),
+                F.lit(s).cast("long").alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+    )
+    return df.withColumn(out_col, F.array_max(entries)["s"])

@@ -26,3 +26,25 @@ class TestWinsorizedStats:
         assert row.n == 0 and row.wsum is None
         with _pt.raises(ValueError, match="lo_q"):
             winsorized_stats(empty, "v", lo_q=0.9, hi_q=0.1)
+
+
+class TestTokenBurstiness:
+    def test_matches_bruteforce(self, spark):
+        from mopper_spark.textops.analysis import token_burstiness
+
+        docs = [
+            (0, "a a a b"), (1, "a b b"), (2, "b"), (3, "c"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.token: (r.df, r.s1, r.s2)
+            for r in token_burstiness(df, min_df=1).collect()
+        }
+        assert got == {"a": (2, 4, 10), "b": (3, 4, 6), "c": (1, 1, 1)}
+        # min_df prunes
+        got2 = {r.token for r in token_burstiness(df, min_df=2).collect()}
+        assert got2 == {"a", "b"}
+        # bursty 'a' disperses more than flat 'b': N*s2-s1^2 scaled by s1
+        N = 4
+        disp = lambda d: (N * d[2] - d[1] ** 2) / (N * d[1])
+        assert disp(got["a"]) > disp(got["b"])

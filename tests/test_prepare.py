@@ -323,3 +323,43 @@ class TestRenderLossSpans:
         got7 = sorted(map(tuple, render_loss_spans(tr.repartition(7), loss_role="user").collect()))
         assert got == got7
         assert [g[:2] for g in got] == [("c1", 0), ("c1", 2)]
+
+
+class TestToolEntropy:
+    def test_matches_python_replica(self, spark):
+        import math
+        from mopper_spark.textops.prepare import tool_entropy
+
+        rows = [
+            ("c1", 0, "u", "x", "search"), ("c1", 1, "u", "x", "code"),
+            ("c1", 2, "u", "x", "search"), ("c1", 3, "u", "x", "code"),
+            ("c2", 0, "u", "x", "search"), ("c2", 1, "u", "x", "code"),
+            ("c2", 2, "u", "x", "browse"),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string, tool string"
+        )
+        got = {
+            r.prev_tool: (r.n_from, r.branching, r.h_num_fp)
+            for r in tool_entropy(df).collect()
+        }
+        lnf = lambda n: math.floor(math.log(n) * 1e6)
+        # search -> code(2+1=...): transitions: c1: S->c, c->s, s->c; plus start
+        import collections
+        trans = collections.Counter()
+        for conv in ("c1", "c2"):
+            seq = [t for c, _, _, _, t in rows if c == conv]
+            prev = "_START_"
+            for t in seq:
+                trans[(prev, t)] += 1
+                prev = t
+        want = {}
+        for p in {p for p, _ in trans}:
+            ns = [n for (pp, _), n in trans.items() if pp == p]
+            nf = sum(ns)
+            want[p] = (nf, len(ns), nf * lnf(nf) - sum(n * lnf(n) for n in ns))
+        assert got == want
+        # deterministic tool (only one successor) has zero entropy
+        zero = [p for p, (nf, br, h) in got.items() if br == 1]
+        for p in zero:
+            assert got[p][2] == 0

@@ -238,3 +238,34 @@ class TestPoissonBootstrap:
         a = sorted(map(tuple, out))
         b = sorted(map(tuple, poisson_bootstrap(df.repartition(13), "k", "v", replicates=8).collect()))
         assert a == b
+
+
+class TestHrwShards:
+    def test_matches_python_and_minimal_reshuffle(self, spark):
+        import hashlib
+        from mopper_spark.textops.sampling import hrw_shards
+
+        keys = [f"k{i}" for i in range(300)]
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        got8 = {r.k: r.shard for r in hrw_shards(df, "k", 8, "s").collect()}
+        want = {
+            k: max(
+                (hashlib.md5(f"s:{s}:{k}".encode()).hexdigest(), s)
+                for s in range(8)
+            )[1]
+            for k in keys
+        }
+        assert got8 == want
+        # adding a 9th shard moves only the keys the new shard wins (~1/9)
+        got9 = {r.k: r.shard for r in hrw_shards(df, "k", 9, "s").collect()}
+        moved = {k for k in keys if got8[k] != got9[k]}
+        assert all(got9[k] == 8 for k in moved)
+        assert len(moved) < 300 * 2 / 9  # generous bound around 1/9
+
+    def test_validation(self, spark):
+        import pytest as _pt
+        from mopper_spark.textops.sampling import hrw_shards
+
+        df = spark.createDataFrame([("a",)], "k string")
+        with _pt.raises(ValueError, match="n_shards"):
+            hrw_shards(df, "k", 0)
