@@ -11422,6 +11422,92 @@ FROM a GROUP BY 1
 """
 
 
+def _q_embeddings_jl_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 projection (similarity.py::jl_project):
+    64-dim embeddings to 16 exact-integer components in one unrolled
+    whole-stage-codegen expression — the pre-LSH/IVF shrink that cuts
+    every downstream vector shuffle 4×.  The oracle replays the
+    identical literal sign matrix (shared constant, not a cross-engine
+    hash contract)."""
+    from mopper_spark.textops.similarity import jl_project
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return jl_project(emb, 64, 16)
+
+
+def _jl_sql() -> str:
+    import hashlib
+
+    arms = []
+    for j in range(16):
+        terms = []
+        for i in range(64):
+            s = int(hashlib.md5(f"jl-v1:{j}:{i}".encode()).hexdigest()[0], 16) % 2
+            terms.append(("+ " if s == 0 else "- ") + f"v[{i + 1}]")
+        expr = " ".join(terms)
+        if expr.startswith("+ "):
+            expr = expr[2:]
+        arms.append(
+            f"SELECT vec_id, CAST({j} AS BIGINT) AS j,"
+            f" CAST({expr} AS BIGINT) AS y_fp FROM vfp"
+        )
+    return (
+        "WITH vfp AS MATERIALIZED (SELECT vec_id,"
+        " list_transform(CAST(embedding AS DOUBLE[]),"
+        " x -> CAST(floor(x * 1000000) AS BIGINT)) AS v FROM embeddings)\n"
+        + "\nUNION ALL\n".join(arms)
+    )
+
+
+_SQL_EMBEDDINGS_JL_PROJECT = _jl_sql()
+
+
+def _q_docs_bootstrap_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified Poisson bootstrap (sampling.py::poisson_bootstrap with
+    group_cols): per-source resampled length sums, 8 replicates — draws
+    keyed on (seed, rep, doc_id) only, so strata sums add exactly to the
+    global bootstrap's (mutual-consistency pinned in
+    tests/test_sampling.py)."""
+    from mopper_spark.textops.sampling import poisson_bootstrap
+
+    docs = spark.read.schema("doc_id long, source string, n_chars long").parquet(
+        f"{sf}/documents.parquet"
+    )
+    return poisson_bootstrap(
+        docs, "doc_id", "n_chars", replicates=8, scale=1,
+        group_cols=["source"],
+    )
+
+
+def _boot_by_source_sql() -> str:
+    hexpos = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1) * {16 ** (12 - p)}"
+        for p in range(1, 13)
+    )
+    ts = [103548857136060, 207097714272121, 258872142840152, 276130285696162,
+          280444821410164, 281307728552965, 281451546410098, 281472091818260,
+          281474659994280]
+    ladder = " ".join(f"WHEN u < {t} THEN {k}" for k, t in enumerate(ts))
+    return f"""
+WITH reps AS (SELECT unnest(generate_series(0, 7)) AS rep),
+h AS (
+  SELECT r.rep, d.source, d.n_chars,
+         substr(md5('boot-v1:' || CAST(r.rep AS VARCHAR) || ':'
+                    || CAST(d.doc_id AS VARCHAR)), 1, 12) AS hx
+  FROM reps r CROSS JOIN documents d
+),
+u AS (SELECT rep, source, n_chars, {hexpos} AS u FROM h),
+w AS (SELECT rep, source, n_chars, CASE {ladder} ELSE 10 END AS w FROM u)
+SELECT source, CAST(rep AS BIGINT) AS rep,
+       CAST(SUM(w) AS BIGINT) AS n_eff,
+       CAST(SUM(w * n_chars) AS BIGINT) AS sum_fp
+FROM w GROUP BY source, rep
+"""
+
+
+_SQL_DOCS_BOOTSTRAP_BY_SOURCE = _boot_by_source_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -11660,6 +11746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_burstiness": _q_docs_token_burstiness,
         "transcripts_tool_entropy": _q_transcripts_tool_entropy,
         "docs_hrw_shards": _q_docs_hrw_shards,
+        "embeddings_jl_project": _q_embeddings_jl_project,
+        "docs_bootstrap_by_source": _q_docs_bootstrap_by_source,
     }
 
 
@@ -11910,4 +11998,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_burstiness": _SQL_DOCS_TOKEN_BURSTINESS,
         "transcripts_tool_entropy": _SQL_TRANSCRIPTS_TOOL_ENTROPY,
         "docs_hrw_shards": _SQL_DOCS_HRW_SHARDS,
+        "embeddings_jl_project": _SQL_EMBEDDINGS_JL_PROJECT,
+        "docs_bootstrap_by_source": _SQL_DOCS_BOOTSTRAP_BY_SOURCE,
     }

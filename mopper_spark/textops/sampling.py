@@ -393,6 +393,7 @@ def poisson_bootstrap(
     replicates: int = 32,
     scale: int = 100,
     seed: str = "boot-v1",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic Poisson bootstrap (Chamandy et al., "Estimating
     Uncertainty for Massive Data Streams", Google TR 2012): ``replicates``
@@ -403,7 +404,11 @@ def poisson_bootstrap(
     (seed, key): re-runs, re-partitionings, and the SQL oracle reproduce
     every draw bit-for-bit.
 
-    Returns one row per replicate: ``(rep, n_eff, sum_fp)`` with
+    With ``group_cols`` the resample runs independently per group (draws
+    still keyed on (seed, rep, key) only, so a row keeps the same
+    multiplicity in every grouping — stratified readouts stay mutually
+    consistent).  Returns one row per (group…, replicate):
+    ``(…, rep, n_eff, sum_fp)`` with
     ``mean_b = sum_fp / (n_eff · scale)``; the spread of the B means IS
     the sampling distribution of the corpus mean (CI = percentiles of
     it, consumer-side — B is small).
@@ -438,6 +443,7 @@ def poisson_bootstrap(
         w = F.when(F.col("_u") < F.lit(ts[k]), F.lit(k)).otherwise(w)
     return (
         df.select(
+            *(group_cols or []),
             F.col(key).cast("string").alias(key),
             F.floor(F.col(value_col).cast("double") * F.lit(float(scale)))
             .cast("long")
@@ -446,12 +452,17 @@ def poisson_bootstrap(
         .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))))
         .withColumn("_u", u)
         .withColumn("_w", w.cast("long"))
-        .groupBy("rep")
+        .groupBy(*(group_cols or []), "rep")
         .agg(
             F.sum("_w").cast("long").alias("n_eff"),
             F.sum(F.col("_w") * F.col("_vfp")).cast("long").alias("sum_fp"),
         )
-        .select(F.col("rep").cast("long").alias("rep"), "n_eff", "sum_fp")
+        .select(
+            *(group_cols or []),
+            F.col("rep").cast("long").alias("rep"),
+            "n_eff",
+            "sum_fp",
+        )
     )
 
 

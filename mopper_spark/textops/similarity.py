@@ -391,3 +391,68 @@ def edit_distance_join(
         "s_b",
         F.levenshtein("s_a", "s_b").cast("int").alias("dist"),
     ).filter(F.col("dist") <= k)
+
+
+def jl_signs(dim: int, out_dim: int, seed: str = "jl-v1") -> list[list[int]]:
+    """The deterministic ±1 projection matrix of :func:`jl_project` —
+    ``signs[j][i]`` from the parity of the first md5 nibble of
+    ``seed:j:i``.  A plain Python constant (out_dim × dim ints), shared
+    verbatim by the Spark plan and the SQL oracle, so "same matrix on
+    both sides" is true by construction, not by cross-engine hashing."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    vectors: DataFrame,
+    dim: int,
+    out_dim: int,
+    *,
+    seed: str = "jl-v1",
+    scale: int = 10**6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a ±1
+    (Achlioptas 2003) projection: ``y_j = Σ_i sign_{j,i} · v_i`` —
+    pairwise distances survive to within (1±ε) at
+    ``out_dim = O(log n / ε²)``, which is what makes 64-dim embeddings
+    16-dim BEFORE the LSH/IVF stage (4× less shuffle weight per vector
+    through every downstream join).
+
+    Exact integers: components enter as ``floor(v·scale)`` and each
+    output is a ±-sum of them — int64, partitioning-proof, and the
+    oracle replays the identical literal matrix.  The whole projection
+    is one narrow unrolled expression (out_dim × dim add/sub terms) in
+    whole-stage codegen — no UDF, no shuffle.
+
+    Output: ``(vec_id, j, y_fp)`` — one row per output component.
+    """
+    if dim < 1 or out_dim < 1:
+        raise ValueError("jl_project: dim and out_dim must be >= 1")
+    signs = jl_signs(dim, out_dim, seed)
+    vfp = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    t = vectors.select(F.col(id_col).alias("vec_id"), vfp.alias("_v"))
+    comps = []
+    for j in range(out_dim):
+        y = None
+        for i, s in enumerate(signs[j]):
+            term = F.element_at("_v", i + 1)
+            term = term if s > 0 else -term
+            y = term if y is None else y + term
+        comps.append(
+            F.struct(F.lit(j).cast("long").alias("j"), y.cast("long").alias("y_fp"))
+        )
+    return t.select(
+        "vec_id", F.explode(F.array(*comps)).alias("_c")
+    ).select("vec_id", F.col("_c.j").alias("j"), F.col("_c.y_fp").alias("y_fp"))

@@ -269,3 +269,31 @@ class TestHrwShards:
         df = spark.createDataFrame([("a",)], "k string")
         with _pt.raises(ValueError, match="n_shards"):
             hrw_shards(df, "k", 0)
+
+
+class TestPoissonBootstrapGrouped:
+    def test_groups_consistent_with_global_draws(self, spark):
+        from mopper_spark.textops.sampling import poisson_bootstrap
+
+        rows = [(f"d{i}", "a" if i % 2 else "b", 10.0) for i in range(100)]
+        df = spark.createDataFrame(rows, "k string, src string, v double")
+        grouped = {
+            (r.src, r.rep): (r.n_eff, r.sum_fp)
+            for r in poisson_bootstrap(
+                df, "k", "v", replicates=4, group_cols=["src"]
+            ).collect()
+        }
+        total = {
+            r.rep: (r.n_eff, r.sum_fp)
+            for r in poisson_bootstrap(df, "k", "v", replicates=4).collect()
+        }
+        # per-row draws are group-independent: group sums add to the total
+        for rep in range(4):
+            assert (
+                grouped[("a", rep)][0] + grouped[("b", rep)][0]
+                == total[rep][0]
+            )
+            assert (
+                grouped[("a", rep)][1] + grouped[("b", rep)][1]
+                == total[rep][1]
+            )
