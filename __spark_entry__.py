@@ -11508,6 +11508,56 @@ FROM w GROUP BY source, rep
 _SQL_DOCS_BOOTSTRAP_BY_SOURCE = _boot_by_source_sql()
 
 
+def _q_kg_sparql_update_text(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL 1.1 Update as TEXT (sparql.py::sparql_update_text): the
+    string form with a FILTER in WHERE — beyond the programmatic API's
+    plain-pattern where-list — re-typing multi-word entity mentions:
+
+        DELETE { ?t ont:mentions ?e } INSERT { ?t ont:mentionsEntity ?e }
+        WHERE  { ?t ont:mentions ?e . FILTER(CONTAINS(?e, "%20")) }
+
+    Spec evaluation order and set semantics as kg_sparql_update."""
+    from mopper_spark.pipeline.sparql import sparql_update_text
+
+    return sparql_update_text(
+        _kg_triples(spark),
+        """
+        PREFIX ont: <http://example.com/ontology/>
+        DELETE { ?t ont:mentions ?e }
+        INSERT { ?t ont:mentionsEntity ?e }
+        WHERE  { ?t ont:mentions ?e . FILTER(CONTAINS(?e, "%20")) }
+        """,
+    )
+
+
+_SQL_KG_SPARQL_UPDATE_TEXT = f"""
+WITH kg AS ({_SQL_KG_GRAPH}),
+sol AS (
+  SELECT subj AS t, obj AS e FROM kg
+  WHERE pred = 'http://example.com/ontology/mentions'
+    AND contains(obj, '%20')
+),
+del AS (
+  SELECT t AS subj, 'http://example.com/ontology/mentions' AS pred, e AS obj
+  FROM sol
+),
+post AS (
+  SELECT kg.* FROM kg ANTI JOIN del USING (subj, pred, obj)
+),
+ins AS (
+  SELECT DISTINCT t AS subj,
+         'http://example.com/ontology/mentionsEntity' AS pred, e AS obj
+  FROM sol
+),
+new AS (
+  SELECT ins.* FROM ins ANTI JOIN post USING (subj, pred, obj)
+)
+SELECT subj, pred, obj FROM post
+UNION ALL
+SELECT subj, pred, obj FROM new
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -11748,6 +11798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hrw_shards": _q_docs_hrw_shards,
         "embeddings_jl_project": _q_embeddings_jl_project,
         "docs_bootstrap_by_source": _q_docs_bootstrap_by_source,
+        "kg_sparql_update_text": _q_kg_sparql_update_text,
     }
 
 
@@ -12000,4 +12051,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_hrw_shards": _SQL_DOCS_HRW_SHARDS,
         "embeddings_jl_project": _SQL_EMBEDDINGS_JL_PROJECT,
         "docs_bootstrap_by_source": _SQL_DOCS_BOOTSTRAP_BY_SOURCE,
+        "kg_sparql_update_text": _SQL_KG_SPARQL_UPDATE_TEXT,
     }

@@ -231,6 +231,8 @@ HEADLINE = [
     "docs_token_burstiness",
     "transcripts_tool_entropy",
     "docs_hrw_shards",
+    "kg_sparql_update_text",
+    "docs_bootstrap_by_source",
     # similarity_topk_ivfpq is NOT in the headline for the same reason as
     # pq_adc_topk: PQ training (8 subspaces x Lloyd rounds) dominates its
     # toy-scale wall clock; it stays correctness-gated in the oracle sweep.

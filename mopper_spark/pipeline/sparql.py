@@ -1107,3 +1107,123 @@ def _expect_int(p: _Parser) -> int:
 def _expect_end(p: _Parser) -> None:
     if p.peek()[0] != "EOF":
         raise SparqlParseError(f"trailing input: {p.peek()[1]!r}")
+
+
+def sparql_update_text(
+    triples: DataFrame, text: str, *, stats: dict[str, int] | None = None
+) -> DataFrame:
+    """SPARQL 1.1 Update as TEXT (spec §3.1) over a 3-column graph —
+    the string forms of ``bgp.sparql_update``:
+
+    - ``INSERT DATA { ground triples }`` / ``DELETE DATA { … }`` —
+      ground-only by spec (§3.1.1-2: variables refused);
+    - ``DELETE WHERE { patterns }`` — §3.1.3.1 shorthand, the pattern
+      is both binding source and delete template (plain triple
+      patterns only — OPTIONAL/UNION in the shorthand have no
+      template reading);
+    - ``DELETE { t } INSERT { t } WHERE { group }`` — either or both
+      template blocks; WHERE takes the full group grammar (OPTIONAL,
+      FILTER, paths, …), a superset of the programmatic API.
+
+    Spec evaluation order: bindings match the ORIGINAL graph, deletes
+    apply, then inserts — two keyed anti-joins, the same cost class as
+    ``sparql_update``; the returned graph honors set semantics.
+    """
+    spo = ["subj", "pred", "obj"]
+    if set(triples.columns) != set(spo):
+        raise SparqlParseError(
+            "sparql_update_text needs exactly (subj, pred, obj); got "
+            f"{triples.columns} — scope quads to one graph first"
+        )
+    from mopper_spark.pipeline.bgp import bgp_construct
+
+    p = _Parser(text)
+    while p.at_kw("PREFIX", "BASE"):
+        if p.at_kw("BASE"):
+            raise SparqlParseError("BASE is not supported — use absolute IRIs")
+        p.i += 1
+        k, v = p.next()
+        if k != "PNAME" or not v.endswith(":"):
+            raise SparqlParseError(f"PREFIX expects 'pfx:', got {v!r}")
+        k2, v2 = p.next()
+        if k2 != "IRI":
+            raise SparqlParseError(f"PREFIX expects an <IRI>, got {v2!r}")
+        p.prefixes[v[:-1]] = v2[1:-1]
+
+    def parse_block() -> list[tuple]:
+        p.expect_op("{")
+        tps: list[tuple] = []
+        while p.peek() != ("OP", "}"):
+            tps.extend(t for _, t in p.parse_triples_block())
+            if p.peek() == ("OP", "."):
+                p.i += 1
+        p.i += 1
+        if not tps:
+            raise SparqlParseError("empty template/data block")
+        return tps
+
+    def ground_df(tps: list[tuple], what: str) -> DataFrame:
+        for t in tps:
+            if len(t) != 3:
+                raise SparqlParseError(f"{what} DATA template {t!r} is not a triple")
+            if any(isinstance(x, str) and x.startswith("?") for x in t):
+                raise SparqlParseError(
+                    f"{what} DATA requires ground triples (spec §3.1.1)"
+                )
+        return (
+            triples.sparkSession.createDataFrame([tuple(t) for t in tps], spo)
+            .distinct()
+        )
+
+    delete_df = insert_df = None
+    if p.at_kw("INSERT"):
+        p.i += 1
+        if p.at_kw("DATA"):
+            p.i += 1
+            insert_df = ground_df(parse_block(), "INSERT")
+        else:
+            ins_t = parse_block()
+            p.expect_kw("WHERE")
+            sol = _compile_group(triples, p.parse_group(), stats)
+            insert_df = bgp_construct(sol, ins_t)
+    elif p.at_kw("DELETE"):
+        p.i += 1
+        if p.at_kw("DATA"):
+            p.i += 1
+            delete_df = ground_df(parse_block(), "DELETE")
+        elif p.at_kw("WHERE"):
+            p.i += 1
+            group = p.parse_group()
+            bad = [e[0] for e in group if e[0] != "t"]
+            if bad:
+                raise SparqlParseError(
+                    f"DELETE WHERE shorthand allows plain triple patterns "
+                    f"only, found {sorted(set(bad))} — use DELETE {{ }} "
+                    "WHERE { } with explicit templates"
+                )
+            tpl = [e[1] for e in group]
+            sol = _compile_group(triples, group, stats)
+            delete_df = bgp_construct(sol, tpl)
+        else:
+            del_t = parse_block()
+            ins_t = None
+            if p.at_kw("INSERT"):
+                p.i += 1
+                ins_t = parse_block()
+            p.expect_kw("WHERE")
+            sol = _compile_group(triples, p.parse_group(), stats)
+            delete_df = bgp_construct(sol, del_t)
+            if ins_t:
+                insert_df = bgp_construct(sol, ins_t)
+    else:
+        raise SparqlParseError(
+            f"expected INSERT or DELETE, got {p.peek()[1]!r}"
+        )
+    _expect_end(p)
+
+    out = triples.select(*spo)
+    if delete_df is not None:
+        out = out.join(delete_df, spo, "left_anti")
+    if insert_df is not None:
+        out = out.unionByName(insert_df.join(out, spo, "left_anti"))
+    return out

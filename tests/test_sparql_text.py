@@ -610,3 +610,50 @@ def test_encode_for_uri_non_ascii_raises(spark, graph):
     import pytest as _pt
     with _pt.raises(Exception, match="non-ASCII"):
         out.collect()
+
+
+def _g3(spark, rows):
+    return spark.createDataFrame(rows, ["subj", "pred", "obj"])
+
+
+def test_update_insert_delete_data(spark, graph):
+    from mopper_spark.pipeline.sparql import sparql_update_text
+
+    g = _g3(spark, [("s1", "p", "o1"), ("s2", "p", "o2")])
+    out = sparql_update_text(
+        g, 'INSERT DATA { <s3> <p> "o3" . <s1> <p> "o1" }'
+    )
+    got = rows(out)
+    assert ("s3", "p", "o3") in got and len(got) == 3  # existing not duped
+    out2 = sparql_update_text(g, "DELETE DATA { <s1> <p> <o1> }")
+    # <o1> is an IRI term; graph stores plain strings -> matches "o1"
+    assert rows(out2) == [("s2", "p", "o2")]
+    with pytest.raises(SparqlParseError, match="ground"):
+        sparql_update_text(g, "INSERT DATA { ?x <p> <o> }")
+
+
+def test_update_delete_where_shorthand(spark):
+    from mopper_spark.pipeline.sparql import sparql_update_text
+
+    g = _g3(spark, [("s1", "p", "x"), ("s2", "p", "x"), ("s1", "q", "y")])
+    out = sparql_update_text(g, "DELETE WHERE { ?s <p> ?o }")
+    assert rows(out) == [("s1", "q", "y")]
+    with pytest.raises(SparqlParseError, match="shorthand"):
+        sparql_update_text(g, "DELETE WHERE { OPTIONAL { ?s <p> ?o } }")
+
+
+def test_update_delete_insert_where(spark):
+    from mopper_spark.pipeline.sparql import sparql_update_text
+
+    g = _g3(spark, [("a", "old", "1"), ("b", "old", "2"), ("c", "keep", "3")])
+    out = sparql_update_text(
+        g,
+        """DELETE { ?s <old> ?v } INSERT { ?s <new> ?v } WHERE {
+             ?s <old> ?v . FILTER(?v != "2")
+           }""",
+    )
+    got = rows(out)
+    assert ("a", "new", "1") in got
+    assert ("a", "old", "1") not in got
+    assert ("b", "old", "2") in got      # filtered out of the solution
+    assert ("c", "keep", "3") in got
