@@ -3419,6 +3419,8 @@ ed AS (SELECT DISTINCT a.norm AS u, b.norm AS v
         pagerank_sql,
         lpa_sql,
         edges_cte,
+        mentions_cte,
+        norm,
     )
 
 
@@ -3430,6 +3432,8 @@ ed AS (SELECT DISTINCT a.norm AS u, b.norm AS v
     _SQL_MENTION_PAGERANK,
     _SQL_MENTION_COMMUNITIES,
     _MENTION_EDGES_CTE,
+    _MENTIONS_CTE,
+    _NORM_TMPL,
 ) = _transcript_oracle_sqls()
 
 _SQL_GRAPH_LINK_PREDICTION = """
@@ -11558,6 +11562,136 @@ SELECT subj, pred, obj FROM new
 """
 
 
+def _q_kg_temporal_reachability(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-respecting reachability (temporal.py::temporal_reachability,
+    Holme & Saramäki 2012): consecutive mention events within a
+    conversation become contact events stamped with the later turn's
+    epoch µs, and the query asks which
+    entities the seed ('ada lovelace' normalized forms) can reach along
+    NON-DECREASING-time chains — the contagion/provenance question a
+    static closure over-answers.  Earliest-arrival min-fixpoint,
+    level-synchronous rounds; the oracle is a recursive (node, arrival)
+    walk with UNION dedup collapsed by MIN."""
+    from mopper_spark.pipeline.extract import extract_mentions
+    from mopper_spark.pipeline.linking import normalize_surface
+    from mopper_spark.pipeline.temporal import temporal_reachability
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    from pyspark.sql import Window
+
+    men = (
+        extract_mentions(tr)
+        .join(tr.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"])
+        .select(
+            "conv_id",
+            "turn_idx",
+            normalize_surface(F.col("surface")).alias("e"),
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).cast("long").alias("t_us"),
+        )
+        .distinct()
+    )
+    # contact = consecutive mention events within a conversation (each
+    # mention forwards to the NEXT one, stamped with the later turn's
+    # time) — linear in mentions, conversation-bounded window
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "e")
+    edges = (
+        men.withColumn("dst", F.lead("e").over(w))
+        .withColumn("t2", F.lead("t_us").over(w))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("e")))
+        .select(F.col("e").alias("src"), "dst", F.col("t2").alias("t_us"))
+        .distinct()
+    )
+    seeds = men.filter(F.col("e") == "ada lovelace").select(
+        F.col("e").alias("node")
+    ).distinct()
+    return temporal_reachability(edges, seeds, max_hops=16)
+
+
+_SQL_KG_TEMPORAL_REACHABILITY = f"""
+WITH {_MENTIONS_CTE},
+mt AS (
+  SELECT DISTINCT m.conv_id, m.turn_idx,
+         {_NORM_TMPL.format(v='m.surface')} AS e,
+         epoch_us(t.ts) AS t_us
+  FROM men m JOIN tr t
+    ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx
+),
+seq AS (
+  SELECT e AS src,
+         LEAD(e) OVER w AS dst,
+         LEAD(t_us) OVER w AS t2
+  FROM mt WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, e)
+),
+edges AS (
+  SELECT DISTINCT src, dst, t2 AS t_us FROM seq
+  WHERE dst IS NOT NULL AND dst <> src
+),
+seeds AS (SELECT DISTINCT e AS node FROM mt WHERE e = 'ada lovelace')
+SELECT node, CAST(MIN(arr) AS BIGINT) AS arrival_us FROM (
+  WITH RECURSIVE walk(node, arr) AS (
+    SELECT node, CAST(-1 AS BIGINT) FROM seeds
+    UNION
+    SELECT e.dst, e.t_us FROM walk w
+    JOIN edges e ON e.src = w.node AND e.t_us >= w.arr
+  )
+  SELECT node, arr FROM walk
+) GROUP BY node
+"""
+
+
+def _q_transcripts_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """DF-threshold boilerplate stripping (prepare.py::
+    drop_common_paragraphs): rendered turns present in > 10% of
+    conversations are template noise and vanish from EVERY document —
+    the C4 policy-line rule, vs dedup_paragraphs' keep-first.  The
+    integer threshold floor(frac·n) is computed from the corpus count
+    (driver metadata, e0-literal parity in the oracle)."""
+    from mopper_spark.textops.prepare import (
+        drop_common_paragraphs,
+        render_conversations,
+    )
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    docs = render_conversations(tr).select(
+        F.col("conv_id").alias("doc_id"), "text"
+    )
+    n = docs.count()
+    return drop_common_paragraphs(docs, n, max_df_frac=0.1).withColumnRenamed(
+        "doc_id", "conv_id"
+    )
+
+
+_SQL_TRANSCRIPTS_BOILERPLATE_STRIP = f"""
+WITH paras AS MATERIALIZED (
+  SELECT conv_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY conv_id
+           ORDER BY turn_idx, '<|' || role || '|>' || text) - 1 AS BIGINT) AS pos,
+         '<|' || role || '|>' || text AS para
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+), n AS MATERIALIZED (
+  SELECT CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_docs FROM paras
+), hot AS MATERIALIZED (
+  SELECT para FROM (
+    SELECT para, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS df
+    FROM paras GROUP BY para
+  ), n WHERE df > CAST(floor(0.1e0 * n_docs) AS BIGINT)
+), tagged AS (
+  SELECT p.conv_id, p.pos, p.para, h.para IS NOT NULL AS drop_it
+  FROM paras p LEFT JOIN hot h ON p.para = h.para
+)
+SELECT conv_id,
+       COALESCE(string_agg(CASE WHEN NOT drop_it THEN para END,
+                           chr(10) ORDER BY pos), '') AS text,
+       CAST(SUM(CASE WHEN drop_it THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN drop_it THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM tagged GROUP BY conv_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -11799,6 +11933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_jl_project": _q_embeddings_jl_project,
         "docs_bootstrap_by_source": _q_docs_bootstrap_by_source,
         "kg_sparql_update_text": _q_kg_sparql_update_text,
+        "kg_temporal_reachability": _q_kg_temporal_reachability,
+        "transcripts_boilerplate_strip": _q_transcripts_boilerplate_strip,
     }
 
 
@@ -12052,4 +12188,6 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_jl_project": _SQL_EMBEDDINGS_JL_PROJECT,
         "docs_bootstrap_by_source": _SQL_DOCS_BOOTSTRAP_BY_SOURCE,
         "kg_sparql_update_text": _SQL_KG_SPARQL_UPDATE_TEXT,
+        "kg_temporal_reachability": _SQL_KG_TEMPORAL_REACHABILITY,
+        "transcripts_boilerplate_strip": _SQL_TRANSCRIPTS_BOILERPLATE_STRIP,
     }

@@ -334,3 +334,72 @@ def read_intervals(spark, state_dir: str) -> DataFrame:
     if version is None:
         return empty_intervals(spark)
     return spark.read.parquet(os.path.join(state_dir, version))
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    max_hops: int = 8,
+) -> DataFrame:
+    """Time-respecting reachability (Holme & Saramäki, Phys. Rep. 2012
+    §4): which nodes can be reached from the sources along edge
+    sequences with NON-DECREASING timestamps — information/contagion
+    flow, where a static closure over-counts (an edge that fired
+    YESTERDAY cannot forward what arrives today).
+
+    ``edges``: ``(src, dst, t_us)`` contact events;
+    ``sources``: ``(node)`` seeds (reachable at time −∞).
+    Returns ``(node, arrival_us)`` — the EARLIEST arrival time per
+    reachable node (sources themselves at −1, the open sentinel);
+    earliest arrival is the right invariant because arriving earlier
+    never hurts (more onward edges remain usable), so the min-arrival
+    fixpoint IS the reachable set.
+
+    Level-synchronous relaxation: each round joins the current
+    ``(node, arrival)`` frontier to edges with ``t_us >= arrival``,
+    keeps strict improvements via a combine-able ``min`` aggregate +
+    anti-comparison against the known table, and stops when no arrival
+    improves or at ``max_hops`` (named cap — temporal diameters are
+    short in practice; deep chains want the same path-doubling
+    treatment as ``graph.transitive_closure``).  Per-round lineage is
+    cut with ``localCheckpoint``; shuffles are edge-keyed joins only.
+    """
+    if max_hops < 1:
+        raise ValueError("temporal_reachability: max_hops must be >= 1")
+    e = edges.select(
+        F.col("src"), F.col("dst"), F.col("t_us").cast("long")
+    ).localCheckpoint(eager=False)
+    known = (
+        sources.select(F.col("node"), F.lit(-1).cast("long").alias("arrival_us"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = known
+    for _ in range(max_hops):
+        relaxed = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .filter(F.col("t_us") >= F.col("arrival_us"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("t_us").cast("long").alias("arrival_us"))
+        )
+        improved = (
+            relaxed.join(
+                known.select(F.col("node"), F.col("arrival_us").alias("_old")),
+                "node",
+                "left",
+            )
+            .filter(F.col("_old").isNull() | (F.col("arrival_us") < F.col("_old")))
+            .select("node", "arrival_us")
+            .localCheckpoint(eager=True)
+        )
+        if improved.limit(1).count() == 0:
+            break
+        known = (
+            known.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("arrival_us").alias("arrival_us"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return known

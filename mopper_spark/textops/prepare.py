@@ -560,3 +560,73 @@ def tool_entropy(transcripts: DataFrame) -> DataFrame:
             .alias("h_num_fp"),
         )
     )
+
+
+def drop_common_paragraphs(
+    docs: DataFrame,
+    n_docs: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sep: str = "\n",
+    max_df_frac: float = 0.1,
+    min_len: int = 1,
+) -> DataFrame:
+    """Boilerplate stripping by document frequency: a paragraph present
+    in more than ``max_df_frac`` of the ``n_docs`` corpus documents is
+    navigation/footer/template noise and is dropped from EVERY document
+    (the C4 "policy line" rule generalized) — unlike
+    ``dedup_paragraphs``, which keeps the first occurrence of
+    everything.
+
+    The threshold compares integers (``df · 1 > floor(max_df_frac ·
+    n_docs)``); ``n_docs`` is a caller-supplied constant (one prior
+    ``count()`` — corpus metadata, same contract as the quantile
+    bounds), so the hot set is computable in one word-count-shaped
+    aggregate and broadcast back.  Reassembly is the per-document
+    ``array_sort`` idiom.
+
+    Returns ``(doc_id, text, n_kept, n_dropped)``.
+    """
+    if n_docs < 1:
+        raise ValueError("drop_common_paragraphs: n_docs must be >= 1")
+    if not (0 < max_df_frac <= 1):
+        raise ValueError("drop_common_paragraphs: max_df_frac must be in (0, 1]")
+    import math
+
+    cap = math.floor(max_df_frac * n_docs)
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).filter(F.length(F.trim(F.col("para"))) >= min_len)
+    hot = (
+        paras.select("doc_id", F.md5("para").alias("_h"))
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > cap)
+        .select("_h")
+    )
+    tagged = paras.withColumn("_h", F.md5("para")).join(
+        F.broadcast(hot.withColumn("_drop", F.lit(1))), "_h", "left"
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_drop").isNull(),
+                        F.struct(F.col("pos"), F.col("para").alias("p")),
+                    )
+                )
+            ).alias("kept"),
+            F.sum(F.col("_drop").isNotNull().cast("long")).alias("n_dropped"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.transform("kept", lambda s: s["p"]), sep).alias("text"),
+            F.size("kept").cast("long").alias("n_kept"),
+            F.col("n_dropped").cast("long"),
+        )
+    )

@@ -363,3 +363,29 @@ class TestToolEntropy:
         zero = [p for p, (nf, br, h) in got.items() if br == 1]
         for p in zero:
             assert got[p][2] == 0
+
+
+class TestDropCommonParagraphs:
+    def test_drops_above_threshold_everywhere(self, spark):
+        from mopper_spark.textops.prepare import drop_common_paragraphs
+
+        foot = "(c) footer"
+        docs = [
+            (0, f"alpha\n{foot}"),
+            (1, f"beta\n{foot}"),
+            (2, f"gamma\n{foot}"),
+            (3, "delta\nunique line"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text, r.n_kept, r.n_dropped)
+            for r in drop_common_paragraphs(df, 4, max_df_frac=0.5).collect()
+        }
+        # footer df=3 > floor(0.5*4)=2 -> dropped everywhere, incl. first
+        assert got[0] == ("alpha", 1, 1)
+        assert got[1] == ("beta", 1, 1)
+        assert got[2] == ("gamma", 1, 1)
+        assert got[3] == ("delta\nunique line", 2, 0)
+        import pytest as _pt
+        with _pt.raises(ValueError, match="max_df_frac"):
+            drop_common_paragraphs(df, 4, max_df_frac=0.0)

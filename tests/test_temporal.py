@@ -322,3 +322,36 @@ def test_interval_quads_encodes_conv_iri(spark):
     ont = "http://example.com/ontology/"
     rows = {r.pred: r.obj for r in interval_quads(df).collect()}
     assert rows[ont + "inConversation"] == "http://example.com/conv/my%20conv"
+
+
+class TestTemporalReachability:
+    def test_time_respecting_vs_static(self, spark):
+        from mopper_spark.pipeline.temporal import temporal_reachability
+
+        # a -(t=10)-> b -(t=5)-> c : static closure reaches c, temporal does NOT
+        # a -(t=10)-> b -(t=20)-> d : temporal reaches d at 20
+        edges = spark.createDataFrame(
+            [("a", "b", 10), ("b", "c", 5), ("b", "d", 20), ("x", "y", 1)],
+            "src string, dst string, t_us long",
+        )
+        src = spark.createDataFrame([("a",)], "node string")
+        got = {r.node: r.arrival_us for r in temporal_reachability(edges, src).collect()}
+        assert got == {"a": -1, "b": 10, "d": 20}
+
+    def test_earliest_arrival_and_partition_invariance(self, spark):
+        from mopper_spark.pipeline.temporal import temporal_reachability
+
+        # two routes to c: via b (arrive 30) and direct (arrive 40) -> min 30
+        edges = spark.createDataFrame(
+            [("a", "b", 10), ("b", "c", 30), ("a", "c", 40), ("c", "e", 35)],
+            "src string, dst string, t_us long",
+        )
+        src = spark.createDataFrame([("a",)], "node string")
+        got = {r.node: r.arrival_us for r in temporal_reachability(edges, src).collect()}
+        # e via c@30 needs an edge >= 30: (c,e,35) qualifies
+        assert got == {"a": -1, "b": 10, "c": 30, "e": 35}
+        got2 = {
+            r.node: r.arrival_us
+            for r in temporal_reachability(edges.repartition(7), src, max_hops=4).collect()
+        }
+        assert got2 == got
