@@ -11692,6 +11692,159 @@ FROM tagged GROUP BY conv_id
 """
 
 
+def _q_transcripts_dpo_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """DPO preference-pair mining (prepare.py::dpo_pairs): sft_pairs
+    grouped by EXACT prompt text; each prompt with >= 2 distinct
+    assistant responses yields one (chosen, rejected) row under the
+    deterministic longest-response ranking (whitespace tokens, lex
+    tie-break).  161 prompt groups on the fixture.  One window pass +
+    one associative max/min(struct) aggregation — no per-prompt sort."""
+    from mopper_spark.textops.prepare import dpo_pairs
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return dpo_pairs(tr)
+
+
+_SQL_TRANSCRIPTS_DPO_PAIRS = f"""
+WITH p AS (
+  SELECT conv_id, turn_idx, role, text,
+         last_value(CASE WHEN role = 'user' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prompt
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+), cand AS MATERIALIZED (
+  SELECT DISTINCT prompt, text AS response FROM p
+  WHERE role = 'assistant' AND prompt IS NOT NULL
+), lenc AS MATERIALIZED (
+  SELECT prompt, response,
+         CAST(len(list_filter(string_split_regex(trim(response), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS resp_len
+  FROM cand
+), r AS (
+  SELECT prompt, response, resp_len,
+         row_number() OVER (PARTITION BY prompt
+                            ORDER BY resp_len DESC, response DESC) AS rmax,
+         row_number() OVER (PARTITION BY prompt
+                            ORDER BY resp_len ASC, response ASC) AS rmin,
+         CAST(count(*) OVER (PARTITION BY prompt) AS BIGINT) AS nc
+  FROM lenc
+)
+SELECT prompt,
+       max(CASE WHEN rmax = 1 THEN response END) AS chosen,
+       max(CASE WHEN rmin = 1 THEN response END) AS rejected,
+       max(CASE WHEN rmax = 1 THEN resp_len END) AS chosen_len,
+       max(CASE WHEN rmin = 1 THEN resp_len END) AS rejected_len,
+       max(nc) AS n_candidates
+FROM r WHERE nc >= 2 GROUP BY prompt
+"""
+
+
+def _retry_corpus(spark: SparkSession) -> DataFrame:
+    """The prefix-dedup driver input: the transcript fixture UNIONed
+    with deterministic 'retry' copies — for every conversation whose
+    conv_id ends in 0 or 5, its first 3 turns re-issued under
+    ``conv_id || '-retry'``.  This is the regenerated-session shape
+    prefix dedup exists for; the oracle builds the identical corpus in
+    SQL, so the duplicate set is fully determined."""
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    retries = (
+        tr.filter(F.substring(F.col("conv_id"), -1, 1).isin("0", "5"))
+        .filter(F.col("turn_idx") < 3)
+        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("-retry")))
+    )
+    return tr.unionByName(retries)
+
+
+def _q_transcripts_prefix_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversation-prefix dedup (prepare.py::prefix_duplicates) over
+    the fixture plus synthesized retry sessions (_retry_corpus): each
+    retry conversation is flagged with its longest host and the
+    lexicographically-least host conv_id.  Fingerprint join only —
+    no pairwise conversation comparison; cumulative-concat window
+    bounded by the max_prefix_turns cap."""
+    from mopper_spark.textops.prepare import prefix_duplicates
+
+    return prefix_duplicates(_retry_corpus(spark), max_prefix_turns=32)
+
+
+_SQL_TRANSCRIPTS_PREFIX_DEDUP = f"""
+WITH base AS MATERIALIZED (
+  SELECT conv_id, turn_idx, text FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+), corpus AS MATERIALIZED (
+  SELECT conv_id, turn_idx, text FROM base
+  UNION ALL
+  SELECT conv_id || '-retry', turn_idx, text FROM base
+  WHERE right(conv_id, 1) IN ('0', '5') AND turn_idx < 3
+), pref AS MATERIALIZED (
+  SELECT conv_id,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+         md5(string_agg(text, chr(30))
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS ph
+  FROM corpus QUALIFY rn <= 32
+), n AS MATERIALIZED (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns FROM corpus GROUP BY 1
+), sig AS (
+  SELECT p.conv_id, n.n_turns, p.ph AS s
+  FROM pref p JOIN n USING (conv_id) WHERE p.rn = n.n_turns
+), cand AS (
+  SELECT s.conv_id, s.n_turns,
+         h.conv_id AS host_conv, hn.n_turns AS host_turns
+  FROM sig s
+  JOIN pref h ON h.ph = s.s AND h.conv_id <> s.conv_id
+  JOIN n hn ON hn.conv_id = h.conv_id
+  WHERE hn.n_turns > s.n_turns
+     OR (hn.n_turns = s.n_turns AND h.conv_id < s.conv_id)
+), best AS (
+  SELECT conv_id, n_turns, max(host_turns) AS host_turns
+  FROM cand GROUP BY 1, 2
+)
+SELECT c.conv_id, c.n_turns, min(c.host_conv) AS host_conv, c.host_turns
+FROM cand c JOIN best b
+  ON c.conv_id = b.conv_id AND c.host_turns = b.host_turns
+GROUP BY c.conv_id, c.n_turns, c.host_turns
+"""
+
+
+def _q_transcripts_truncate_context(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window truncation audit (prepare.py::truncate_context):
+    per conversation, the longest turn suffix under a 512-token budget
+    (last turn always kept) — the drop-oldest-first policy every chat
+    runtime applies.  One suffix-sum window pass + one combine-able
+    aggregation."""
+    from mopper_spark.textops.prepare import truncate_context
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return truncate_context(tr, budget_tokens=512)
+
+
+_SQL_TRANSCRIPTS_TRUNCATE_CONTEXT = f"""
+WITH toks AS MATERIALIZED (
+  SELECT conv_id, turn_idx,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS nt
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+), marked AS (
+  SELECT conv_id, turn_idx, nt,
+         sum(nt) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS suffix_tokens,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY turn_idx DESC) AS rn_from_end
+  FROM toks
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN suffix_tokens <= 512 OR rn_from_end = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_turns,
+       CAST(sum(CASE WHEN suffix_tokens <= 512 OR rn_from_end = 1
+                     THEN nt ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(min(CASE WHEN suffix_tokens <= 512 OR rn_from_end = 1
+                     THEN turn_idx END) AS BIGINT) AS first_kept_idx
+FROM marked GROUP BY conv_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -11935,6 +12088,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_update_text": _q_kg_sparql_update_text,
         "kg_temporal_reachability": _q_kg_temporal_reachability,
         "transcripts_boilerplate_strip": _q_transcripts_boilerplate_strip,
+        "transcripts_dpo_pairs": _q_transcripts_dpo_pairs,
+        "transcripts_prefix_dedup": _q_transcripts_prefix_dedup,
+        "transcripts_truncate_context": _q_transcripts_truncate_context,
     }
 
 
@@ -12190,4 +12346,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_update_text": _SQL_KG_SPARQL_UPDATE_TEXT,
         "kg_temporal_reachability": _SQL_KG_TEMPORAL_REACHABILITY,
         "transcripts_boilerplate_strip": _SQL_TRANSCRIPTS_BOILERPLATE_STRIP,
+        "transcripts_dpo_pairs": _SQL_TRANSCRIPTS_DPO_PAIRS,
+        "transcripts_prefix_dedup": _SQL_TRANSCRIPTS_PREFIX_DEDUP,
+        "transcripts_truncate_context": _SQL_TRANSCRIPTS_TRUNCATE_CONTEXT,
     }

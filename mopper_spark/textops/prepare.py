@@ -630,3 +630,214 @@ def drop_common_paragraphs(
             F.col("n_dropped").cast("long"),
         )
     )
+
+
+# ------------------------------------------------------- preference pairs
+
+
+def dpo_pairs(
+    transcripts: DataFrame,
+    *,
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+    min_candidates: int = 2,
+) -> DataFrame:
+    """Preference-pair mining for DPO/RLHF-style training (Rafailov et
+    al. 2023): collect every (prompt, response) pair via the
+    ``sft_pairs`` nearest-preceding-prompt rule, group the corpus by
+    EXACT prompt text, and inside each group with >= ``min_candidates``
+    DISTINCT responses emit one ``(prompt, chosen, rejected,
+    chosen_len, rejected_len, n_candidates)`` row.
+
+    Chosen/rejected selection is a deterministic ranking, not a reward
+    model: longer response wins (whitespace-token count — the
+    standard length-bias-aware baseline when no reward signal exists),
+    ties broken lexicographically by response text so the pair is a pure
+    function of the response SET.  Swap the ranking struct for a reward
+    column when one is available — the aggregation shape is unchanged.
+
+    Plan: one per-conversation window (inside sft_pairs) + ONE groupBy
+    on prompt with two associative ``max(struct)``/``min(struct)``
+    aggregations — no window over the prompt groups, so a viral prompt
+    shared by millions of conversations costs a combine-able agg, never
+    a single-task sort.  Distinct responses are counted exactly;
+    identical duplicated responses collapse before ranking.
+    """
+    from mopper_spark.textops.analysis import token_count
+
+    if min_candidates < 2:
+        raise ValueError("dpo_pairs: min_candidates must be >= 2")
+    pairs = sft_pairs(
+        transcripts, prompt_role=prompt_role, response_role=response_role
+    )
+    cand = (
+        pairs.select("prompt", "response")
+        .distinct()
+        .withColumn("resp_len", token_count(F.col("response")).cast("long"))
+    )
+    rank = F.struct(F.col("resp_len"), F.col("response"))
+    grouped = cand.groupBy("prompt").agg(
+        F.max(rank).alias("best"),
+        F.min(rank).alias("worst"),
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+    )
+    return grouped.filter(F.col("n_candidates") >= min_candidates).select(
+        "prompt",
+        F.col("best.response").alias("chosen"),
+        F.col("worst.response").alias("rejected"),
+        F.col("best.resp_len").alias("chosen_len"),
+        F.col("worst.resp_len").alias("rejected_len"),
+        "n_candidates",
+    )
+
+
+# ------------------------------------------------------ prefix dedup
+
+
+def prefix_duplicates(
+    transcripts: DataFrame,
+    *,
+    max_prefix_turns: int = 32,
+    sep: str = "\x1e",
+) -> DataFrame:
+    """Conversation-prefix duplicate detection: a conversation A is a
+    prefix-duplicate of a host B when A's ENTIRE turn sequence equals
+    B's first ``len(A)`` turns (per-turn text equality under the stable
+    (conv_id, turn_idx) order).  Regenerated/retried agent sessions
+    produce exactly this shape — the shared prefix re-sent, then a
+    longer continuation — and keeping both double-counts the prefix
+    tokens, so dedup pipelines drop the strictly-contained one.
+
+    Returns ``(conv_id, n_turns, host_conv, host_turns)`` — one row per
+    duplicated conversation, with the DETERMINISTIC host: the
+    lexicographically-least conv_id among its longest containers.
+    Exact-equal conversations keep the least conv_id as survivor (it is
+    nobody's duplicate; the others point at it).
+
+    Cap: only conversations with <= ``max_prefix_turns`` turns can be
+    flagged as duplicates, and only the first ``max_prefix_turns`` turns
+    of any host are candidate cut points.  The cap bounds the cumulative
+    concat at ``max_prefix_turns``x the mean turn length per
+    conversation (the window below is quadratic in turns without it);
+    longer containments are out of scope BY DEFINITION of the cap —
+    raise it, or chain-hash per conversation via applyInPandas, when
+    full-depth containment matters.
+
+    Plan: one per-conversation window (cumulative concat + md5 prefix
+    fingerprints, rows truncated at the cap), one exact-count agg, one
+    equi-join on the 128-bit fingerprint + one associative max(struct)
+    to pick the host.  No pairwise conversation comparison anywhere.
+    """
+    if max_prefix_turns < 1:
+        raise ValueError("prefix_duplicates: max_prefix_turns must be >= 1")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cum = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_prefix_turns)
+        .withColumn(
+            "ph", F.md5(F.concat_ws(sep, F.collect_list("text").over(cum)))
+        )
+    )
+    n_turns = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns")
+    )
+    # A's signature: its prefix fingerprint at rn == n_turns (whole conv).
+    sig = (
+        pref.join(n_turns, "conv_id")
+        .filter(F.col("rn") == F.col("n_turns"))
+        .select("conv_id", "n_turns", F.col("ph").alias("sig"))
+    )
+    hosts = pref.join(n_turns, "conv_id").select(
+        F.col("conv_id").alias("host_conv"),
+        F.col("n_turns").alias("host_turns"),
+        F.col("rn").alias("host_rn"),
+        F.col("ph").alias("sig"),
+    )
+    cand = sig.join(hosts, "sig").filter(
+        (F.col("host_conv") != F.col("conv_id"))
+        & (
+            (F.col("host_turns") > F.col("n_turns"))
+            | (
+                (F.col("host_turns") == F.col("n_turns"))
+                & (F.col("host_conv") < F.col("conv_id"))
+            )
+        )
+    )
+    # Longest container, then least conv_id: max(struct(host_turns, neg-lex))
+    # is not expressible for strings, so rank by (host_turns, host_conv)
+    # with min over conv_ids at the MAX host_turns: two associative aggs.
+    best = cand.groupBy("conv_id", "n_turns").agg(
+        F.max("host_turns").alias("host_turns")
+    )
+    return (
+        cand.join(best, ["conv_id", "n_turns", "host_turns"])
+        .groupBy("conv_id", "n_turns", "host_turns")
+        .agg(F.min("host_conv").alias("host_conv"))
+        .select("conv_id", "n_turns", "host_conv", "host_turns")
+    )
+
+
+# -------------------------------------------------- context truncation
+
+
+def truncate_context(
+    transcripts: DataFrame,
+    *,
+    budget_tokens: int,
+    keep_last: bool = True,
+) -> DataFrame:
+    """Context-window truncation: per conversation, keep the LONGEST
+    SUFFIX of turns whose whitespace-token total fits ``budget_tokens``
+    — the standard "drop oldest turns first" policy every chat runtime
+    applies before inference.  With ``keep_last`` (default), the final
+    turn survives even when it alone exceeds the budget (truncating to
+    an EMPTY conversation is never useful; disable for a strict audit).
+
+    Returns one row per conversation: ``(conv_id, n_turns, kept_turns,
+    kept_tokens, first_kept_idx)`` — the summary a batching layer needs
+    to slice the real rows; join back on ``turn_idx >= first_kept_idx``
+    to materialize the truncated transcript itself.
+
+    Plan: one per-conversation window pass (suffix running sum: ORDER BY
+    turn_idx DESC, rows unbounded-preceding) + one combine-able agg.
+    Same skew posture as every per-conversation operator here: the
+    10k-turn outlier costs one partition-local sort.
+    """
+    from mopper_spark.textops.analysis import token_count
+
+    if budget_tokens < 0:
+        raise ValueError("truncate_context: budget_tokens must be >= 0")
+    sfx = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_desc = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").desc())
+    toks = transcripts.select(
+        "conv_id", "turn_idx", token_count(F.col("text")).cast("long").alias("nt")
+    )
+    marked = (
+        toks.withColumn("suffix_tokens", F.sum("nt").over(sfx))
+        .withColumn("rn_from_end", F.row_number().over(w_desc))
+        .withColumn(
+            "keep",
+            (F.col("suffix_tokens") <= budget_tokens)
+            | (F.lit(keep_last) & (F.col("rn_from_end") == 1)),
+        )
+    )
+    return marked.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.col("keep").cast("long")).alias("kept_turns"),
+        F.sum(F.when(F.col("keep"), F.col("nt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.min(F.when(F.col("keep"), F.col("turn_idx")))
+        .cast("long")
+        .alias("first_kept_idx"),
+    )

@@ -389,3 +389,171 @@ class TestDropCommonParagraphs:
         import pytest as _pt
         with _pt.raises(ValueError, match="max_df_frac"):
             drop_common_paragraphs(df, 4, max_df_frac=0.0)
+
+
+class TestDpoPairs:
+    def test_chosen_longer_rejected_shorter(self, spark):
+        from mopper_spark.textops.prepare import dpo_pairs
+
+        rows = [
+            ("c1", 1, "user", "how do trees work"),
+            ("c1", 2, "assistant", "short answer"),
+            ("c2", 1, "user", "how do trees work"),
+            ("c2", 2, "assistant", "a much longer and better answer here"),
+            ("c3", 1, "user", "solo prompt"),
+            ("c3", 2, "assistant", "only candidate"),
+        ]
+        tr = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+        got = dpo_pairs(tr).collect()
+        assert len(got) == 1  # solo prompt has < 2 candidates
+        (r,) = got
+        assert r.prompt == "how do trees work"
+        assert r.chosen == "a much longer and better answer here"
+        assert r.rejected == "short answer"
+        assert (r.chosen_len, r.rejected_len, r.n_candidates) == (7, 2, 2)
+
+    def test_tie_breaks_lexicographic_and_dupes_collapse(self, spark):
+        from mopper_spark.textops.prepare import dpo_pairs
+
+        rows = [
+            ("a", 1, "user", "p"),
+            ("a", 2, "assistant", "bb cc"),
+            ("b", 1, "user", "p"),
+            ("b", 2, "assistant", "aa cc"),
+            ("c", 1, "user", "p"),
+            ("c", 2, "assistant", "aa cc"),  # exact dup of b's reply
+        ]
+        tr = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+        (r,) = dpo_pairs(tr).collect()
+        # equal token length: lexicographically larger wins chosen
+        assert (r.chosen, r.rejected, r.n_candidates) == ("bb cc", "aa cc", 2)
+
+    def test_min_candidates_validation(self, spark):
+        from mopper_spark.textops.prepare import dpo_pairs
+
+        with pytest.raises(ValueError):
+            dpo_pairs(spark.range(1), min_candidates=1)
+
+
+class TestPrefixDuplicates:
+    def _tr(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+
+    def test_strict_prefix_flagged(self, spark):
+        from mopper_spark.textops.prepare import prefix_duplicates
+
+        rows = [
+            ("long", 1, "user", "hi"),
+            ("long", 2, "assistant", "hello"),
+            ("long", 3, "user", "more"),
+            ("short", 1, "user", "hi"),
+            ("short", 2, "assistant", "hello"),
+            ("other", 1, "user", "different"),
+        ]
+        got = prefix_duplicates(self._tr(spark, rows)).collect()
+        assert len(got) == 1
+        (r,) = got
+        assert (r.conv_id, r.n_turns, r.host_conv, r.host_turns) == (
+            "short", 2, "long", 3
+        )
+
+    def test_exact_dup_keeps_least_conv_id(self, spark):
+        from mopper_spark.textops.prepare import prefix_duplicates
+
+        rows = [
+            ("b", 1, "user", "same"),
+            ("a", 1, "user", "same"),
+        ]
+        got = prefix_duplicates(self._tr(spark, rows)).collect()
+        assert [(r.conv_id, r.host_conv) for r in got] == [("b", "a")]
+
+    def test_longest_container_preferred(self, spark):
+        from mopper_spark.textops.prepare import prefix_duplicates
+
+        rows = [
+            ("p", 1, "user", "x"),
+            ("mid", 1, "user", "x"),
+            ("mid", 2, "user", "y"),
+            ("big", 1, "user", "x"),
+            ("big", 2, "user", "y"),
+            ("big", 3, "user", "z"),
+        ]
+        got = {r.conv_id: (r.host_conv, r.host_turns)
+               for r in prefix_duplicates(self._tr(spark, rows)).collect()}
+        assert got["p"] == ("big", 3)
+        assert got["mid"] == ("big", 3)
+
+    def test_cap_excludes_long_conversations(self, spark):
+        from mopper_spark.textops.prepare import prefix_duplicates
+
+        rows = [("dup", i, "user", f"t{i}") for i in range(1, 5)] + [
+            ("host", i, "user", f"t{i}") for i in range(1, 6)
+        ]
+        # cap below the dup's length: nothing can be flagged
+        assert prefix_duplicates(
+            self._tr(spark, rows), max_prefix_turns=3
+        ).count() == 0
+        # cap at the dup's length: flagged against the longer host
+        (r,) = prefix_duplicates(
+            self._tr(spark, rows), max_prefix_turns=4
+        ).collect()
+        assert (r.conv_id, r.host_conv) == ("dup", "host")
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.prepare import prefix_duplicates
+
+        rows = [("h", i, "user", f"w{i % 3}") for i in range(1, 20)] + [
+            ("d", i, "user", f"w{i % 3}") for i in range(1, 9)
+        ]
+        a = sorted(map(tuple, prefix_duplicates(self._tr(spark, rows)).collect()))
+        b = sorted(
+            map(
+                tuple,
+                prefix_duplicates(self._tr(spark, rows).repartition(17)).collect(),
+            )
+        )
+        assert a == b and len(a) == 1
+
+
+class TestTruncateContext:
+    def _tr(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+
+    def test_suffix_fits_budget(self, spark):
+        from mopper_spark.textops.prepare import truncate_context
+
+        rows = [
+            ("c", 1, "user", "one two three"),      # 3 tokens
+            ("c", 2, "assistant", "four five"),     # 2 tokens
+            ("c", 3, "user", "six"),                # 1 token
+        ]
+        (r,) = truncate_context(self._tr(spark, rows), budget_tokens=3).collect()
+        assert (r.n_turns, r.kept_turns, r.kept_tokens, r.first_kept_idx) == (
+            3, 2, 3, 2
+        )
+
+    def test_keep_last_overrides_budget(self, spark):
+        from mopper_spark.textops.prepare import truncate_context
+
+        rows = [("c", 1, "user", "a b c d e")]
+        (r,) = truncate_context(self._tr(spark, rows), budget_tokens=2).collect()
+        assert (r.kept_turns, r.kept_tokens, r.first_kept_idx) == (1, 5, 1)
+        (r2,) = truncate_context(
+            self._tr(spark, rows), budget_tokens=2, keep_last=False
+        ).collect()
+        assert (r2.kept_turns, r2.kept_tokens, r2.first_kept_idx) == (0, 0, None)
+
+    def test_whole_conversation_fits(self, spark):
+        from mopper_spark.textops.prepare import truncate_context
+
+        rows = [("c", i, "user", "tok") for i in range(1, 4)]
+        (r,) = truncate_context(self._tr(spark, rows), budget_tokens=99).collect()
+        assert (r.kept_turns, r.first_kept_idx) == (3, 1)
