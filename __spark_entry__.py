@@ -11845,6 +11845,127 @@ FROM marked GROUP BY conv_id
 """
 
 
+def _q_events_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """Full CUBE lattice (textops/olap.py::cube_metrics) over
+    event_type × day-of-week: all 4 grouping sets in ONE Expand+
+    aggregate job, each row tagged with the grouping-ID bitmask —
+    the rollup query's sibling exercising the 2^d path.  Day-of-week is
+    integer calendar arithmetic (epoch-days mod 7 — engine-neutral,
+    unlike dayofweek() whose origin differs per engine); NULL subtotal
+    dims re-rendered as '_ALL_'/-1 sentinels (gid disambiguates; the
+    fetch-path rule for nullable BIGINT)."""
+    from mopper_spark.textops.olap import cube_metrics
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ep = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    base = ev.select(
+        "event_type",
+        F.expr(f"{ep} div 86400000000 % 7").cast("long").alias("dow"),
+        "value",
+    )
+    lat = cube_metrics(base, ["event_type", "dow"], "value")
+    return lat.select(
+        F.coalesce(F.col("event_type"), F.lit("_ALL_")).alias("event_type"),
+        F.coalesce(F.col("dow"), F.lit(-1)).cast("long").alias("dow"),
+        "gid",
+        "n",
+        "value_fp",
+    )
+
+
+_SQL_EVENTS_CUBE = """
+WITH base AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 % 7 AS BIGINT) AS dow,
+         value
+  FROM events
+)
+SELECT COALESCE(event_type, '_ALL_') AS event_type,
+       COALESCE(dow, -1) AS dow,
+       CAST(GROUPING(event_type, dow) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS value_fp
+FROM base GROUP BY CUBE(event_type, dow)
+"""
+
+
+def _q_events_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """Median absolute deviation per event type (rankstats.grouped_mad):
+    lower nearest-rank median twice over exact integer cents — the
+    robust dispersion readout outlier-heavy value distributions need.
+    Two spillable per-group window passes + a broadcast median join."""
+    from mopper_spark.textops.rankstats import grouped_mad
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("event_type", "value")
+    return grouped_mad(ev, "event_type", "value", scale=100)
+
+
+_SQL_EVENTS_MAD = """
+WITH fp AS MATERIALIZED (
+  SELECT event_type AS grp, CAST(FLOOR(value * 100.0) AS BIGINT) AS x
+  FROM events
+), med AS MATERIALIZED (
+  SELECT grp, x AS med, n FROM (
+    SELECT grp, x,
+           row_number() OVER (PARTITION BY grp ORDER BY x) AS rn,
+           CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+    FROM fp
+  ) WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT fp.grp, abs(fp.x - med.med) AS d FROM fp JOIN med USING (grp)
+), mad AS (
+  SELECT grp, d AS mad_fp FROM (
+    SELECT grp, d,
+           row_number() OVER (PARTITION BY grp ORDER BY d) AS rn,
+           count(*) OVER (PARTITION BY grp) AS n
+    FROM dev
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT med.grp AS event_type, med.n, med.med AS median_fp, mad.mad_fp
+FROM med JOIN mad USING (grp)
+"""
+
+
+def _q_docs_target_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-out target encoding (features.py::target_encoding_loo)
+    of document source against the is-English label: per-row smoothed
+    category rates with the row's own label excluded (the Micci-Barreca
+    leakage guard), every value an exact BIGINT via integer div.  One
+    combine-able per-category aggregate + broadcasts — no window."""
+    from mopper_spark.textops.features import target_encoding_loo
+
+    docs = spark.read.schema("doc_id long, lang string, source string").parquet(
+        f"{sf}/documents.parquet"
+    )
+    labeled = docs.select(
+        "doc_id", "source", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    return target_encoding_loo(labeled, "source", "y", "doc_id")
+
+
+_SQL_DOCS_TARGET_ENCODING = """
+WITH rows_l AS MATERIALIZED (
+  SELECT doc_id AS id, source AS key,
+         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS label
+  FROM documents
+), k AS (
+  SELECT key, CAST(SUM(label) AS BIGINT) AS k_pos,
+         CAST(COUNT(*) AS BIGINT) AS k_n
+  FROM rows_l GROUP BY key
+), g AS (
+  SELECT CAST(SUM(label) AS BIGINT) AS g_pos,
+         CAST(COUNT(*) AS BIGINT) AS g_n
+  FROM rows_l
+)
+SELECT id, key, label,
+       (k_pos - label) AS loo_pos,
+       (k_n - 1) AS loo_n,
+       CAST((1000000 * ((k_pos - label) * g_n + 20 * g_pos))
+            // (((k_n - 1) + 20) * g_n) AS BIGINT) AS enc_fp
+FROM rows_l JOIN k USING (key) CROSS JOIN g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -12091,6 +12212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_dpo_pairs": _q_transcripts_dpo_pairs,
         "transcripts_prefix_dedup": _q_transcripts_prefix_dedup,
         "transcripts_truncate_context": _q_transcripts_truncate_context,
+        "events_cube": _q_events_cube,
+        "events_mad": _q_events_mad,
+        "docs_target_encoding": _q_docs_target_encoding,
     }
 
 
@@ -12349,4 +12473,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_dpo_pairs": _SQL_TRANSCRIPTS_DPO_PAIRS,
         "transcripts_prefix_dedup": _SQL_TRANSCRIPTS_PREFIX_DEDUP,
         "transcripts_truncate_context": _SQL_TRANSCRIPTS_TRUNCATE_CONTEXT,
+        "events_cube": _SQL_EVENTS_CUBE,
+        "events_mad": _SQL_EVENTS_MAD,
+        "docs_target_encoding": _SQL_DOCS_TARGET_ENCODING,
     }

@@ -487,3 +487,64 @@ def kendall_tau_counts(
         F.expr("CAST((_ty2 - _both2) div 2 AS BIGINT)").alias("ties_y_only"),
         F.expr("CAST(_both2 div 2 AS BIGINT)").alias("ties_both"),
     )
+
+
+def grouped_mad(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    estimate curation dashboards pair with the median when outliers make
+    stddev useless (a handful of 10 MB documents should not define a
+    source's "spread").  Returns ``(group, n, median_fp, mad_fp)`` with
+    both statistics as exact BIGINT fixed-point at ``scale`` (values are
+    floored to integers first, so every rank selection is over integers
+    and the result is engine-reproducible bit-for-bit).
+
+    Statistic: LOWER nearest-rank median (element ``(n+1) div 2`` of the
+    sorted multiset — total, deterministic, no interpolation), applied
+    twice: once over ``floor(value*scale)``, once over the absolute
+    deviations from that median.
+
+    Plan: two per-group sort-window passes (row_number over the group,
+    deterministic value order) + one broadcast-sized per-group median
+    join back.  Groups are dashboard-cardinality (sources, event types);
+    for millions of rows per group the window sort spills per partition
+    — same posture as analysis.group_quantiles.  If the GROUP count is
+    huge and per-group rows small, this is one shuffle per pass on the
+    group key, combine-friendly either way.
+    """
+    from pyspark.sql import Window
+
+    g, v = F.col(group_col), F.col(value_col)
+    fp = df.select(
+        g.alias("grp"),
+        F.floor(v.cast("double") * F.lit(float(scale))).cast("long").alias("x"),
+    )
+
+    def _lower_median(frame: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("grp").orderBy(F.col(col))
+        ranked = frame.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+        )
+        return ranked.filter(
+            F.col("_rn") == F.expr("(_n + 1) div 2")
+        ).select(
+            "grp",
+            F.col(col).alias("med"),
+            F.col("_n").cast("long").alias("n"),
+        )
+
+    med = _lower_median(fp, "x")
+    dev = fp.join(F.broadcast(med.select("grp", "med")), "grp").select(
+        "grp", F.abs(F.col("x") - F.col("med")).alias("d")
+    )
+    mad = _lower_median(dev, "d").select("grp", F.col("med").alias("mad_fp"))
+    return (
+        med.select(F.col("grp").alias(group_col), "n", F.col("med").alias("median_fp"))
+        .join(mad.withColumnRenamed("grp", group_col), group_col)
+        .select(group_col, "n", "median_fp", "mad_fp")
+    )
