@@ -11966,6 +11966,148 @@ FROM rows_l JOIN k USING (key) CROSS JOIN g
 """
 
 
+def _q_kg_rdf_containers(spark: SparkSession, sf: str) -> DataFrame:
+    """RDF container unfolding (reasoning.py::rdf_container_members):
+    per source a deterministic rdf:Seq/rdf:Bag of its doc_id<40
+    documents is constructed in-plan (rdf:_N membership arcs; kind by
+    source-name length parity — even=Seq, odd=Bag — so both kinds are
+    gate-exercised), then the operator decomposes the numbered
+    membership predicates back into flat (container, kind, idx, member)
+    rows.  Pure regexp pass + one broadcast kind join; the oracle
+    re-derives the answer from the construction ranks directly."""
+    from mopper_spark.pipeline.reasoning import (
+        RDF_NS,
+        RDF_TYPE,
+        rdf_container_members,
+    )
+    from pyspark.sql import Window
+
+    docs = (
+        spark.read.schema("doc_id long, source string")
+        .parquet(f"{sf}/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.select("source", "doc_id", F.row_number().over(w).alias("r"))
+    cont = F.concat(F.lit("cont:"), F.col("source"))
+    members = ranked.select(
+        cont.alias("subj"),
+        F.concat(F.lit(RDF_NS + "_"), F.col("r")).alias("pred"),
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("obj"),
+    )
+    kinds = ranked.select("source").distinct().select(
+        cont.alias("subj"),
+        F.lit(RDF_TYPE).alias("pred"),
+        F.when(F.length("source") % 2 == 0, F.lit(RDF_NS + "Seq"))
+        .otherwise(F.lit(RDF_NS + "Bag"))
+        .alias("obj"),
+    )
+    return rdf_container_members(members.unionByName(kinds))
+
+
+_SQL_KG_RDF_CONTAINERS = """
+WITH d AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS r
+  FROM documents WHERE doc_id < 40
+)
+SELECT 'cont:' || source AS container,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#'
+         || CASE WHEN length(source) % 2 = 0 THEN 'Seq' ELSE 'Bag' END AS kind,
+       CAST(r AS BIGINT) AS idx,
+       'doc:' || CAST(doc_id AS VARCHAR) AS member
+FROM d
+"""
+
+
+def _q_graph_simrank(spark: SparkSession, sf: str) -> DataFrame:
+    """First-iteration SimRank (graph.py::simrank_first_iteration) over
+    the DIRECTED doc-id tree + successor ring (ids < 1024): normalized
+    in-neighbor overlap at C = 8/10 in exact fixed point.  Max out-
+    degree is 2, far under the 256 wedge cap, so the hub-filtered score
+    IS the exact textbook s1.  One wedge join over shared in-neighbors —
+    never corpus-quadratic."""
+    from mopper_spark.pipeline.graph import simrank_first_iteration
+
+    docs = spark.read.schema("doc_id long").parquet(
+        f"{sf}/documents.parquet"
+    ).filter(F.col("doc_id") < 1024)
+    tree = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 2").cast("long").alias("b"),
+    )
+    ring = docs.select(
+        F.col("doc_id").cast("long").alias("a"),
+        ((F.col("doc_id") + 1) % 1024).cast("long").alias("b"),
+    )
+    return simrank_first_iteration(tree.unionAll(ring))
+
+
+_SQL_GRAPH_SIMRANK = """
+WITH ed AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT CAST(doc_id AS BIGINT) AS src, CAST(doc_id // 2 AS BIGINT) AS dst
+    FROM documents WHERE doc_id >= 2 AND doc_id < 1024
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), CAST((doc_id + 1) % 1024 AS BIGINT)
+    FROM documents WHERE doc_id < 1024
+  ) WHERE src <> dst
+), odeg AS (
+  SELECT src AS c, count(*) AS od FROM ed GROUP BY src
+), adj AS MATERIALIZED (
+  SELECT ed.src AS c, ed.dst AS m FROM ed JOIN odeg ON ed.src = odeg.c
+  WHERE odeg.od <= 256
+), indeg AS (
+  SELECT m AS node, CAST(count(*) AS BIGINT) AS ind FROM adj GROUP BY m
+), com AS (
+  SELECT l.m AS x, r.m AS y, CAST(count(*) AS BIGINT) AS common
+  FROM adj l JOIN adj r ON l.c = r.c AND l.m < r.m
+  GROUP BY l.m, r.m
+)
+SELECT com.x, com.y, com.common, ix.ind AS in_x, iy.ind AS in_y,
+       (8 * com.common * CAST(100000000 AS BIGINT))
+         // (10 * ix.ind * iy.ind) AS s_fp
+FROM com JOIN indeg ix ON com.x = ix.node JOIN indeg iy ON com.y = iy.node
+"""
+
+
+def _q_docs_feature_hashing(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick featurization (features.py::feature_hashing): every
+    document's whitespace bag-of-words folded into 1024 md5-derived
+    buckets, reported as the corpus-level bucket load histogram (bucket,
+    n_docs, n_tokens) — the collision audit a quality-model owner reads
+    before picking the width.  No vocabulary pass anywhere; word-count-
+    shaped shuffles only."""
+    from mopper_spark.textops.features import feature_hashing
+
+    docs = spark.read.schema("doc_id long, text string").parquet(
+        f"{sf}/documents.parquet"
+    )
+    sparse = feature_hashing(docs, "doc_id", "text", n_buckets=1024)
+    return sparse.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+    )
+
+
+_SQL_DOCS_FEATURE_HASHING = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), sparse AS MATERIALIZED (
+  SELECT doc_id,
+         ('0x' || substr(md5('fh-v1:' || tok), 1, 8))::BIGINT % 1024 AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM toks GROUP BY 1, 2
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens
+FROM sparse GROUP BY bucket
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -12215,6 +12357,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": _q_events_cube,
         "events_mad": _q_events_mad,
         "docs_target_encoding": _q_docs_target_encoding,
+        "kg_rdf_containers": _q_kg_rdf_containers,
+        "graph_simrank": _q_graph_simrank,
+        "docs_feature_hashing": _q_docs_feature_hashing,
     }
 
 
@@ -12476,4 +12621,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cube": _SQL_EVENTS_CUBE,
         "events_mad": _SQL_EVENTS_MAD,
         "docs_target_encoding": _SQL_DOCS_TARGET_ENCODING,
+        "kg_rdf_containers": _SQL_KG_RDF_CONTAINERS,
+        "graph_simrank": _SQL_GRAPH_SIMRANK,
+        "docs_feature_hashing": _SQL_DOCS_FEATURE_HASHING,
     }

@@ -1930,3 +1930,80 @@ def node_jaccard(
             ).alias("j_fp"),
         )
     )
+
+
+def simrank_first_iteration(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    *,
+    c_num: int = 8,
+    c_den: int = 10,
+    max_center_out_degree: int = 256,
+    min_common: int = 1,
+    scale: int = 10**8,
+) -> DataFrame:
+    """SimRank similarity after ONE iteration from the identity
+    initialization (Jeh & Widom, KDD'02 §3): with s₀(i,j) = [i = j],
+
+        s₁(x,y) = C / (|I(x)|·|I(y)|) · Σ_{i∈I(x), j∈I(y)} s₀(i,j)
+                = C · |I(x) ∩ I(y)| / (|I(x)|·|I(y)|)
+
+    — a CLOSED FORM over in-neighbor overlaps (normalized co-citation),
+    so the first fixpoint step costs one wedge join, not an O(n²) state
+    matrix.  This is the similarity the full SimRank fixpoint refines;
+    for k > 1 iterations the state is pair-shaped and needs the
+    IVF/LSH-style candidate capping of the dedup family — deliberately
+    out of scope here (named boundary, like transitive_closure's cap).
+
+    Directed semantics: ``I(v)`` is the in-neighbor multiset collapsed
+    to a set from ``a → b`` edges.  Wedges are generated from each
+    common in-neighbor ``c``; a c with OUT-degree > ``max_center_out_
+    degree`` is excluded from generation AND from the |I(·)| counts
+    (both sides of the ratio drop hub-mediated evidence consistently —
+    the node_jaccard cap discipline).  With the cap above the true max
+    out-degree the score is the exact textbook s₁.
+
+    Exact integers: C = ``c_num/c_den`` kept rational, result
+    ``s_fp = (c_num·common·scale) div (c_den·in_x·in_y)`` — BIGINT
+    throughout.  Returns ``(x, y, common, in_x, in_y, s_fp)``, x < y.
+    """
+    e = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    odeg = e.groupBy(F.col("src").alias("c")).agg(F.count(F.lit(1)).alias("od"))
+    adj = e.join(
+        odeg.filter(F.col("od") <= max_center_out_degree),
+        e["src"] == F.col("c"),
+    ).select(F.col("c"), F.col("dst").alias("m"))
+    indeg = adj.groupBy(F.col("m").alias("node")).agg(
+        F.count(F.lit(1)).alias("ind")
+    )
+    left = adj.select("c", F.col("m").alias("x"))
+    right = adj.select(F.col("c").alias("c2"), F.col("m").alias("y"))
+    common = (
+        left.join(right, (F.col("c") == F.col("c2")) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    return (
+        common.join(indeg.withColumnRenamed("node", "x"), "x")
+        .withColumnRenamed("ind", "in_x")
+        .join(indeg.withColumnRenamed("node", "y"), "y")
+        .withColumnRenamed("ind", "in_y")
+        .select(
+            "x",
+            "y",
+            F.col("common").cast("long").alias("common"),
+            F.col("in_x").cast("long").alias("in_x"),
+            F.col("in_y").cast("long").alias("in_y"),
+            F.expr(
+                f"({int(c_num)} * common * CAST({int(scale)} AS BIGINT))"
+                f" div ({int(c_den)} * in_x * in_y)"
+            ).alias("s_fp"),
+        )
+    )

@@ -204,3 +204,42 @@ class TestNodeJaccard:
         pairs = {(r["x"], r["y"]): (r["common"], r["j_fp"]) for r in res}
         assert (3, 4) not in pairs  # hub-only common neighbor: dropped
         assert pairs == _py_jaccard(star + extra, cap=3)
+
+
+class TestSimrankFirstIteration:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "a long, b long")
+
+    def test_closed_form_matches_textbook(self, spark):
+        from mopper_spark.pipeline.graph import simrank_first_iteration
+
+        # 1 -> {3, 4}; 2 -> {3, 4}; 5 -> 3.  I(3) = {1,2,5}, I(4) = {1,2}.
+        e = self._edges(spark, [(1, 3), (1, 4), (2, 3), (2, 4), (5, 3)])
+        got = {(r.x, r.y): (r.common, r.in_x, r.in_y, r.s_fp)
+               for r in simrank_first_iteration(e).collect()}
+        # s1(3,4) = 0.8 * |{1,2}| / (3*2) = 0.8*2/6 -> fp floor(8*2*1e8/(10*6))
+        assert got[(3, 4)] == (2, 3, 2, (8 * 2 * 10**8) // (10 * 3 * 2))
+
+    def test_hub_cap_drops_center_consistently(self, spark):
+        from mopper_spark.pipeline.graph import simrank_first_iteration
+
+        # hub 9 points at everything; with cap 2 it vanishes from wedges
+        # AND from in-degree counts.
+        e = self._edges(
+            spark, [(9, 1), (9, 2), (9, 3), (7, 1), (7, 2)]
+        )
+        got = {(r.x, r.y): (r.common, r.in_x, r.in_y)
+               for r in simrank_first_iteration(
+                   e, max_center_out_degree=2).collect()}
+        assert got == {(1, 2): (1, 1, 1)}
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.pipeline.graph import simrank_first_iteration
+
+        rows = [(i // 6 + 100, (i * 7) % 23) for i in range(60)]
+        e = self._edges(spark, rows)
+        a = sorted(map(tuple, simrank_first_iteration(e).collect()))
+        b = sorted(
+            map(tuple, simrank_first_iteration(e.repartition(13)).collect())
+        )
+        assert a == b and len(a) > 0

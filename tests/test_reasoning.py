@@ -492,3 +492,62 @@ class TestRdfListMembers:
         got = rdf_list_members(self._g(spark, rows), max_len=4).collect()
         assert len(got) == 4  # capped, not infinite
         assert sorted(r.pos for r in got) == [0, 1, 2, 3]
+
+
+class TestRdfContainerMembers:
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+    def _triples(self, spark, rows):
+        return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+    def test_seq_unfolds_ordered(self, spark):
+        from mopper_spark.pipeline.reasoning import rdf_container_members
+
+        t = self._triples(spark, [
+            ("s", self.RDF + "type", self.RDF + "Seq"),
+            ("s", self.RDF + "_2", "b"),
+            ("s", self.RDF + "_1", "a"),
+            ("s", self.RDF + "_10", "j"),
+            ("s", "http://ex/other", "noise"),
+        ])
+        got = sorted(
+            (r.idx, r.member, r.kind) for r in rdf_container_members(t).collect()
+        )
+        assert got == [
+            (1, "a", self.RDF + "Seq"),
+            (2, "b", self.RDF + "Seq"),
+            (10, "j", self.RDF + "Seq"),
+        ]
+
+    def test_untyped_and_multi_typed(self, spark):
+        from mopper_spark.pipeline.reasoning import rdf_container_members
+
+        t = self._triples(spark, [
+            ("u", self.RDF + "_1", "x"),
+            ("m", self.RDF + "type", self.RDF + "Seq"),
+            ("m", self.RDF + "type", self.RDF + "Alt"),
+            ("m", self.RDF + "_1", "y"),
+            # foreign type does not count as a container kind
+            ("u", self.RDF + "type", "http://ex/Thing"),
+        ])
+        got = {r.container: r.kind for r in rdf_container_members(t).collect()}
+        assert got["u"] == "untyped"
+        assert got["m"] == self.RDF + "Alt"  # lexicographically least
+
+    def test_duplicate_index_both_emit(self, spark):
+        from mopper_spark.pipeline.reasoning import rdf_container_members
+
+        t = self._triples(spark, [
+            ("s", self.RDF + "_3", "p"),
+            ("s", self.RDF + "_3", "q"),
+        ])
+        assert rdf_container_members(t).count() == 2
+
+    def test_non_numeric_suffix_ignored(self, spark):
+        from mopper_spark.pipeline.reasoning import rdf_container_members
+
+        t = self._triples(spark, [
+            ("s", self.RDF + "_x", "bad"),
+            ("s", self.RDF + "_1suffix", "bad"),
+        ])
+        assert rdf_container_members(t).count() == 0
