@@ -12108,6 +12108,203 @@ FROM sparse GROUP BY bucket
 """
 
 
+def _q_events_sax(spark: SparkSession, sf: str) -> DataFrame:
+    """SAX symbolization (timeseries.py::sax_symbols): each event type's
+    daily value series PAA-reduced and cut at its own nearest-rank
+    quartiles into a ~30-letter motif string — the whole-series
+    anomaly/clustering representation.  All-integer comparisons; one
+    event-scale aggregate, the rest windows over 30-row series."""
+    from mopper_spark.textops.timeseries import sax_symbols
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return sax_symbols(ev, "event_type", "ts", "value", window_seconds=86400)
+
+
+_SQL_EVENTS_SAX = """
+WITH paa AS MATERIALIZED (
+  SELECT event_type AS key,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS win,
+         CAST(FLOOR(CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS DOUBLE)
+                    / COUNT(*)) AS BIGINT) AS mean_fp
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT key, win, mean_fp,
+         row_number() OVER (PARTITION BY key ORDER BY mean_fp, win) AS rn,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM paa
+), cuts AS MATERIALIZED (
+  SELECT key, mean_fp AS cut, ci FROM ranked
+  CROSS JOIN (SELECT unnest([1, 2, 3]) AS ci)
+  WHERE rn = greatest(1, (ci * n) // 4)
+), sym AS (
+  SELECT paa.key, paa.win,
+         substr('abcd',
+                1 + CAST(SUM(CASE WHEN paa.mean_fp > cuts.cut
+                                  THEN 1 ELSE 0 END) AS INT), 1) AS sym
+  FROM paa JOIN cuts ON paa.key = cuts.key
+  GROUP BY paa.key, paa.win, paa.mean_fp
+)
+SELECT key AS event_type,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       string_agg(sym, '' ORDER BY win) AS sax
+FROM sym GROUP BY key
+"""
+
+
+def _q_events_theilsen(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust trend (timeseries.py::theil_sen_slope) over each
+    event type's DAILY MEAN series (the pre-aggregation the estimator's
+    quadratic gate requires — 30 points, 435 pairs per type): the
+    median pairwise slope as an exact integer rise/run plus the floored
+    fixed-point slope.  Outlier days cannot move it, unlike
+    events_trend_ols."""
+    from mopper_spark.textops.timeseries import theil_sen_slope
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ep = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(f"{ep} div 86400000000").cast("long").alias("day"),
+            F.floor(F.col("value").cast("double") * 100).cast("long").alias("v_fp"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.floor(F.sum("v_fp").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean_fp")
+        )
+    )
+    return theil_sen_slope(daily, "event_type", "day", "mean_fp")
+
+
+_SQL_EVENTS_THEILSEN = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type AS key,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS x,
+         CAST(FLOOR(CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS DOUBLE)
+                    / COUNT(*)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), np AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n_points FROM daily GROUP BY key
+), pairs AS MATERIALIZED (
+  SELECT l.key, np.n_points,
+         (r.y - l.y) AS dy, (r.x - l.x) AS dx
+  FROM daily l
+  JOIN daily r ON l.key = r.key AND l.x < r.x
+  JOIN np ON np.key = l.key
+  WHERE np.n_points <= 512
+), ranked AS (
+  SELECT key, n_points, dy, dx,
+         row_number() OVER (
+           PARTITION BY key
+           ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) ASC, dy ASC, dx ASC
+         ) AS rn,
+         CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n_pairs
+  FROM pairs
+)
+SELECT key AS event_type, n_points, n_pairs,
+       dy AS med_dy, dx AS med_dx,
+       CAST(FLOOR(1000000.0 * CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE))
+            AS BIGINT) AS slope_fp
+FROM ranked WHERE rn = (n_pairs + 1) // 2
+"""
+
+
+def _q_graph_eccentricity(spark: SparkSession, sf: str) -> DataFrame:
+    """Landmark eccentricity sweep (graph.py::eccentricity_from): per
+    seed the greatest shortest-hop distance over the undirected doc-id
+    tree (ids < 512), with the least farthest-node witness — max over
+    the seed set is the standard diameter lower bound.  One multi-source
+    BFS; oracle = bounded recursive-CTE walk with MIN(dist) per seed."""
+    from mopper_spark.pipeline.graph import eccentricity_from
+
+    docs = spark.read.schema("doc_id long").parquet(
+        f"{sf}/documents.parquet"
+    ).filter(F.col("doc_id") < 512)
+    edges = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("src"),
+        F.expr("doc_id div 2").cast("long").alias("dst"),
+    )
+    seeds = spark.createDataFrame([(1,), (7,), (100,)], "origin long")
+    return eccentricity_from(edges, seeds, directed=False)
+
+
+_SQL_GRAPH_ECCENTRICITY = """
+WITH RECURSIVE ed AS (
+  SELECT CAST(doc_id AS BIGINT) AS s, CAST(doc_id // 2 AS BIGINT) AS d
+  FROM documents WHERE doc_id >= 2 AND doc_id < 512
+),
+sym AS (SELECT s, d FROM ed UNION ALL SELECT d, s FROM ed),
+walk(origin, node, dist) AS (
+  SELECT o.origin, o.origin, 0 FROM (
+    SELECT unnest([CAST(1 AS BIGINT), 7, 100]) AS origin) o
+  UNION
+  SELECT w.origin, sym.d, w.dist + 1
+  FROM walk w JOIN sym ON sym.s = w.node
+  WHERE w.dist < 30
+),
+dist AS MATERIALIZED (
+  SELECT origin, node, CAST(MIN(dist) AS BIGINT) AS dist
+  FROM walk WHERE node <> origin GROUP BY origin, node
+),
+ecc AS (
+  SELECT origin, MAX(dist) AS ecc, CAST(COUNT(*) AS BIGINT) AS n_reached
+  FROM dist GROUP BY origin
+)
+SELECT ecc.origin, ecc.ecc, ecc.n_reached, MIN(dist.node) AS farthest
+FROM ecc JOIN dist ON dist.origin = ecc.origin AND dist.dist = ecc.ecc
+GROUP BY ecc.origin, ecc.ecc, ecc.n_reached
+"""
+
+
+def _q_docs_lexical_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexical-richness dashboard (analysis.py::lexical_profile): per
+    source the type/token ratio, hapax-legomena tail, and LIX
+    readability terms as exact integers — the vocabulary-health row
+    read next to docs_table_profile.  One explode + word-count-shaped
+    aggregations."""
+    from mopper_spark.textops.analysis import lexical_profile
+
+    docs = spark.read.schema("source string, text string").parquet(
+        f"{sf}/documents.parquet"
+    )
+    return lexical_profile(docs)
+
+
+_SQL_DOCS_LEXICAL_PROFILE = r"""
+WITH tok AS (
+  SELECT source AS grp,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), freq AS MATERIALIZED (
+  SELECT grp, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), vocab AS (
+  SELECT grp,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         CAST(SUM(CASE WHEN length(tok) >= 7 THEN c ELSE 0 END) AS BIGINT)
+           AS n_long
+  FROM freq GROUP BY grp
+), sent AS (
+  SELECT source AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(greatest(1, len(regexp_extract_all(text, '[.!?]+'))))
+              AS BIGINT) AS n_sentences
+  FROM documents GROUP BY source
+)
+SELECT vocab.grp AS source, n_docs, n_tokens, n_types, n_hapax,
+       n_sentences, n_long,
+       (n_types * 1000000) // n_tokens AS ttr_fp,
+       (n_hapax * 1000000) // n_types AS hapax_fp,
+       (n_tokens * 1000) // n_sentences
+         + (100000 * n_long) // n_tokens AS lix_fp
+FROM vocab JOIN sent ON vocab.grp = sent.grp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -12360,6 +12557,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdf_containers": _q_kg_rdf_containers,
         "graph_simrank": _q_graph_simrank,
         "docs_feature_hashing": _q_docs_feature_hashing,
+        "events_sax": _q_events_sax,
+        "events_theilsen": _q_events_theilsen,
+        "graph_eccentricity": _q_graph_eccentricity,
+        "docs_lexical_profile": _q_docs_lexical_profile,
     }
 
 
@@ -12624,4 +12825,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_rdf_containers": _SQL_KG_RDF_CONTAINERS,
         "graph_simrank": _SQL_GRAPH_SIMRANK,
         "docs_feature_hashing": _SQL_DOCS_FEATURE_HASHING,
+        "events_sax": _SQL_EVENTS_SAX,
+        "events_theilsen": _SQL_EVENTS_THEILSEN,
+        "graph_eccentricity": _SQL_GRAPH_ECCENTRICITY,
+        "docs_lexical_profile": _SQL_DOCS_LEXICAL_PROFILE,
     }

@@ -2007,3 +2007,49 @@ def simrank_first_iteration(
             ).alias("s_fp"),
         )
     )
+
+
+def eccentricity_from(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_hops: int = 30,
+    directed: bool = False,
+) -> DataFrame:
+    """Per-seed eccentricity: for each origin in ``seeds``, the greatest
+    shortest-hop distance to any node reachable within ``max_hops`` —
+    the landmark sweep behind every practical diameter estimate (the
+    max over a seed set is the classic diameter LOWER bound; exact
+    diameter needs all-pairs and is deliberately out of scope, same
+    boundary as hyperball_centrality's approximation).
+
+    Returns ``(origin, ecc, n_reached, farthest)`` with ``farthest``
+    the LEAST node id at distance ``ecc`` (deterministic witness).
+    ``ecc`` is the eccentricity of the reachable cone: for a
+    disconnected graph that is eccentricity within the seed's
+    component, the standard convention short of reporting infinity.
+
+    Composition over ``bfs_distances`` — one BFS per seed SET (not per
+    seed), one per-origin aggregate, one witness join.  Cost is the
+    seeds' cones; pick landmark seeds by md5 for an unbiased bound.
+    """
+    acc = bfs_distances(
+        edges, seeds, src, dst, max_hops=max_hops, directed=directed
+    )
+    ecc = acc.groupBy("origin").agg(
+        F.max("dist").cast("long").alias("ecc"),
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+    )
+    witness = (
+        acc.join(
+            ecc.select("origin", F.col("ecc").alias("dist")),
+            ["origin", "dist"],
+        )
+        .groupBy("origin")
+        .agg(F.min("node").alias("farthest"))
+    )
+    return ecc.join(witness, "origin").select(
+        "origin", "ecc", "n_reached", "farthest"
+    )

@@ -1014,3 +1014,75 @@ def token_burstiness(
         F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
     )
     return out.filter(F.col("df") >= min_df)
+
+
+def lexical_profile(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    *,
+    long_word_len: int = 7,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-group lexical-richness and readability profile — the corpus
+    dashboard row quality triage reads next to ``quality_scores``:
+
+    - ``n_docs, n_tokens, n_types, n_hapax``: vocabulary size and
+      hapax-legomena count (types occurring exactly once IN THE GROUP) —
+      the classic richness signals; boilerplate-heavy sources show low
+      type/token ratio and a thin hapax tail.
+    - ``ttr_fp = n_types·scale div n_tokens`` and
+      ``hapax_fp = n_hapax·scale div n_types``: fixed-point ratios.
+    - ``n_sentences, n_long``: sentence-terminator runs (``[.!?]+``)
+      and long words (≥ ``long_word_len`` chars), the LIX readability
+      terms (Björnsson 1968), reported with
+      ``lix_fp = n_tokens·1000 div n_sentences + 100000·n_long div
+      n_tokens`` — LIX ≈ ``lix_fp/1000``; docs with no terminator count
+      one sentence (a fragment is read as one sentence, and the div
+      stays total).
+
+    All counts are exact BIGINTs from whitespace tokens (``tokens``,
+    the house tokenizer); both divisions are non-negative integer div —
+    engine-reproducible.  Plan: one explode + two word-count-shaped
+    aggregations for the type/hapax side, one narrow per-doc pass +
+    per-group aggregate for the sentence side, one small join of
+    group-cardinality rows.
+    """
+    g, txt = F.col(group_col), F.col(text_col)
+    tok = docs.select(g.alias("grp"), F.explode(tokens(txt)).alias("tok"))
+    freq = tok.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = freq.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+        F.sum(
+            F.when(F.length("tok") >= long_word_len, F.col("c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_long"),
+    )
+    sent = docs.select(
+        g.alias("grp"),
+        F.greatest(
+            F.lit(1), F.size(F.regexp_extract_all(txt, F.lit(r"[.!?]+"), 0))
+        ).alias("ns"),
+    ).groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ns").cast("long").alias("n_sentences"),
+    )
+    out = vocab.join(sent, "grp")
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        "n_sentences",
+        "n_long",
+        F.expr(f"(n_types * {int(scale)}) div n_tokens").alias("ttr_fp"),
+        F.expr(f"(n_hapax * {int(scale)}) div n_types").alias("hapax_fp"),
+        F.expr(
+            "(n_tokens * 1000) div n_sentences"
+            " + (100000 * n_long) div n_tokens"
+        ).alias("lix_fp"),
+    )

@@ -449,3 +449,169 @@ def group_trend_ols(
         .alias("icept_num"),
         (F.col("n") * slope_den).cast("long").alias("icept_den"),
     )
+
+
+def sax_symbols(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    window_seconds: int = 86400,
+    alphabet: int = 4,
+    scale: int = 100,
+) -> DataFrame:
+    """SAX symbolization (Lin et al., DMKD 2007 — Symbolic Aggregate
+    approXimation): each key's value series is PAA-reduced to one mean
+    per fixed time window, the means are cut at the key's own
+    nearest-rank quartile breakpoints, and each window becomes one
+    letter — ``(key, n_windows, sax)`` with ``sax`` a string like
+    ``'abdcca…'``.  Motif mining, anomaly screening, and whole-series
+    clustering all run on these strings instead of the raw points.
+
+    Deviations from the paper, chosen for engine-reproducibility (the
+    classic formulation needs z-normalization and Gaussian breakpoints —
+    both float-fuzzy): breakpoints are the per-key EMPIRICAL
+    nearest-rank quantiles of the window means (rank ``max(1,
+    (i·n) div alphabet)``), so the pipeline is distribution-free and
+    every comparison is over exact integers.  PAA means are
+    ``floor(sum_fp / n)`` — the only division, floored identically on
+    any engine.  Letters are ``a..z`` prefixes (alphabet ≤ 26).
+
+    Plan: one (key, window) aggregate over raw rows (the only
+    event-scale shuffle), one per-key rank window over the means
+    (n_windows-sized), one broadcast-friendly breakpoint join, one
+    order-proofed concat (array_sort after collect_list — the house
+    idiom, partitioning-invariant).
+    """
+    if not 2 <= alphabet <= 26:
+        raise ValueError("sax_symbols: alphabet must be in [2, 26]")
+    ep = (
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {ts_col})"
+    )
+    win_us = int(window_seconds) * 1_000_000
+    paa = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.expr(f"{ep} div {win_us}").cast("long").alias("win"),
+            F.floor(F.col(value_col).cast("double") * F.lit(float(scale)))
+            .cast("long")
+            .alias("v_fp"),
+        )
+        .groupBy("key", "win")
+        .agg(
+            F.sum("v_fp").alias("s"), F.count(F.lit(1)).alias("c")
+        )
+        .select(
+            "key",
+            "win",
+            F.floor(F.col("s").cast("double") / F.col("c"))
+            .cast("long")
+            .alias("mean_fp"),
+        )
+    )
+    w = Window.partitionBy("key").orderBy("mean_fp", "win")
+    ranked = paa.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("key"))
+    )
+    cuts = None
+    for i in range(1, alphabet):
+        cut_i = ranked.filter(
+            F.col("rn") == F.greatest(F.lit(1), F.expr(f"({i} * n) div {alphabet}"))
+        ).select("key", F.col("mean_fp").alias("cut"), F.lit(i).alias("ci"))
+        cuts = cut_i if cuts is None else cuts.unionByName(cut_i)
+    sym = (
+        paa.join(F.broadcast(cuts), "key")
+        .groupBy("key", "win", "mean_fp")
+        .agg(F.sum((F.col("mean_fp") > F.col("cut")).cast("int")).alias("s"))
+        .select(
+            "key",
+            "win",
+            F.substring(F.lit("abcdefghijklmnopqrstuvwxyz"), 1, 26)
+            .substr(F.col("s") + 1, F.lit(1))
+            .alias("sym"),
+        )
+    )
+    return sym.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("win", "sym"))),
+                lambda s: s["sym"],
+            ),
+            "",
+        ).alias("sax"),
+    ).withColumnRenamed("key", key_col)
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    max_points: int = 512,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Theil-Sen robust trend (Sen 1968): per key, the MEDIAN of all
+    pairwise slopes ``(y_j − y_i) / (x_j − x_i)`` over points with
+    distinct integer x — the estimator that shrugs off ~29% outliers
+    where OLS (``group_trend_ols``) breaks.  Returns ``(key, n_points,
+    n_pairs, med_dy, med_dx, slope_fp)``: the median pair's exact
+    integer rise/run plus ``slope_fp = floor(scale·dy/dx)``.
+
+    Median selection: pairs are ordered by their IEEE-double slope with
+    the exact ``(dy, dx)`` pair as tie-break (doubles computed from
+    exact int64 inputs by one division are engine-reproducible; ties
+    resolve on integers), and the LOWER nearest-rank element is
+    reported — fully deterministic.
+
+    Pairwise cost is O(n²) per key BY DEFINITION of the estimator, so
+    it is gated, not capped silently: keys with more than ``max_points``
+    points are EXCLUDED from the output (the caller pre-aggregates —
+    daily means, not raw events; that is how Theil-Sen is used on
+    series).  The self-join is keyed, so each key's quadratic runs
+    partition-local; nothing is corpus-quadratic.
+    """
+    pts = df.select(
+        F.col(key_col).alias("key"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    counts = pts.groupBy("key").agg(F.count(F.lit(1)).alias("n_points"))
+    small = pts.join(
+        F.broadcast(counts.filter(F.col("n_points") <= max_points)), "key"
+    )
+    l = small.select("key", "n_points", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    r = small.select(F.col("key").alias("k2"), F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = l.join(
+        r, (F.col("key") == F.col("k2")) & (F.col("x1") < F.col("x2"))
+    ).select(
+        "key",
+        "n_points",
+        (F.col("y2") - F.col("y1")).alias("dy"),
+        (F.col("x2") - F.col("x1")).alias("dx"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        (F.col("dy").cast("double") / F.col("dx").cast("double")).asc(),
+        F.col("dy").asc(),
+        F.col("dx").asc(),
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_pairs", F.count(F.lit(1)).over(Window.partitionBy("key"))
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+    return med.select(
+        F.col("key").alias(key_col),
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("dy").cast("long").alias("med_dy"),
+        F.col("dx").cast("long").alias("med_dx"),
+        F.floor(
+            F.lit(float(scale)) * F.col("dy").cast("double")
+            / F.col("dx").cast("double")
+        )
+        .cast("long")
+        .alias("slope_fp"),
+    )

@@ -48,3 +48,38 @@ class TestTokenBurstiness:
         N = 4
         disp = lambda d: (N * d[2] - d[1] ** 2) / (N * d[1])
         assert disp(got["a"]) > disp(got["b"])
+
+
+class TestLexicalProfile:
+    def test_counts_and_ratios(self, spark):
+        from mopper_spark.textops.analysis import lexical_profile
+
+        docs = spark.createDataFrame(
+            [
+                ("s", "the cat sat. the cat ran!"),
+                ("s", "elephants remembered everything"),
+            ],
+            "source string, text string",
+        )
+        (r,) = lexical_profile(docs).collect()
+        # tokens: the cat sat. the cat ran! elephants remembered everything
+        assert r.n_docs == 2 and r.n_tokens == 9
+        # types: the, cat, sat., ran!, elephants, remembered, everything
+        assert r.n_types == 7
+        assert r.n_hapax == 5
+        assert r.n_sentences == 2 + 1  # two runs in doc1, fragment counts 1
+        # long words (>=7 chars): elephants remembered everything
+        assert r.n_long == 3
+        assert r.ttr_fp == (7 * 10**6) // 9
+        assert r.hapax_fp == (5 * 10**6) // 7
+        assert r.lix_fp == (9 * 1000) // 3 + (100000 * 3) // 9
+
+    def test_groups_independent(self, spark):
+        from mopper_spark.textops.analysis import lexical_profile
+
+        docs = spark.createDataFrame(
+            [("a", "x x"), ("b", "x y")], "source string, text string"
+        )
+        got = {r.source: (r.n_types, r.n_hapax)
+               for r in lexical_profile(docs).collect()}
+        assert got["a"] == (1, 0) and got["b"] == (2, 2)

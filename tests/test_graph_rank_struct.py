@@ -243,3 +243,28 @@ class TestSimrankFirstIteration:
             map(tuple, simrank_first_iteration(e.repartition(13)).collect())
         )
         assert a == b and len(a) > 0
+
+
+class TestEccentricityFrom:
+    def test_path_graph(self, spark):
+        from mopper_spark.pipeline.graph import eccentricity_from
+
+        # path 1-2-3-4-5: ecc(1)=4 witness 5, ecc(3)=2 witness min(1,5)=1
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(1,), (3,)], "origin long")
+        got = {r.origin: (r.ecc, r.n_reached, r.farthest)
+               for r in eccentricity_from(e, seeds).collect()}
+        assert got[1] == (4, 4, 5)
+        assert got[3] == (2, 4, 1)
+
+    def test_disconnected_component_scope(self, spark):
+        from mopper_spark.pipeline.graph import eccentricity_from
+
+        e = spark.createDataFrame(
+            [(1, 2), (8, 9)], "src long, dst long"
+        )
+        seeds = spark.createDataFrame([(1,)], "origin long")
+        got = eccentricity_from(e, seeds).collect()
+        assert [(r.ecc, r.n_reached, r.farthest) for r in got] == [(1, 1, 2)]

@@ -294,3 +294,89 @@ class TestRollingActiveUsers:
         import pytest as _pt
         with _pt.raises(ValueError, match=">= 1"):
             rolling_active_users(df, "user_id", "ts", window_days=0)
+
+
+class TestSaxSymbols:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+    def test_quartile_letters(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        # 8 daily windows with strictly increasing means 1..8
+        rows = [("k", base + dt.timedelta(days=i), float(i + 1)) for i in range(8)]
+        from mopper_spark.textops.timeseries import sax_symbols
+
+        (r,) = sax_symbols(
+            self._df(spark, rows), "k", "ts", "v", window_seconds=86400
+        ).collect()
+        # n=8: cuts at ranks 2,4,6 -> means 2,4,6 (fp 200,400,600)
+        # symbols: 1,2<=200->a a; 3,4->b b; 5,6->c c; 7,8->d d
+        assert (r.k, r.n_windows, r.sax) == ("k", 8, "aabbccdd")
+
+    def test_paa_mean_and_flat_series(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        from mopper_spark.textops.timeseries import sax_symbols
+
+        # two points in the same window average; flat series = all 'a'
+        rows = [
+            ("k", base, 2.0), ("k", base + dt.timedelta(hours=1), 4.0),
+            ("k", base + dt.timedelta(days=1), 3.0),
+        ]
+        (r,) = sax_symbols(
+            self._df(spark, rows), "k", "ts", "v", window_seconds=86400
+        ).collect()
+        assert r.n_windows == 2 and r.sax == "aa"  # means equal -> cuts equal
+
+    def test_partitioning_invariance_and_alphabet_validation(self, spark):
+        import datetime as dt
+
+        import pytest as _pt
+
+        from mopper_spark.textops.timeseries import sax_symbols
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("k", base + dt.timedelta(days=i), float((i * 13) % 7))
+            for i in range(20)
+        ]
+        df = self._df(spark, rows)
+        a = sax_symbols(df, "k", "ts", "v").collect()
+        b = sax_symbols(df.repartition(9), "k", "ts", "v").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        with _pt.raises(ValueError):
+            sax_symbols(df, "k", "ts", "v", alphabet=1)
+
+
+class TestTheilSenSlope:
+    def test_median_slope_resists_outlier(self, spark):
+        from mopper_spark.textops.timeseries import theil_sen_slope
+
+        # y = 2x except one wild outlier; Theil-Sen stays at slope 2
+        rows = [("k", x, 2 * x) for x in range(1, 7)] + [("k", 7, 1000)]
+        df = spark.createDataFrame(rows, "k string, x long, y long")
+        (r,) = theil_sen_slope(df, "k", "x", "y").collect()
+        assert (r.med_dy, r.med_dx) == (2, 1) or r.med_dy / r.med_dx == 2
+        assert r.slope_fp == 2_000_000
+        assert r.n_points == 7 and r.n_pairs == 21
+
+    def test_gate_excludes_oversize_groups(self, spark):
+        from mopper_spark.textops.timeseries import theil_sen_slope
+
+        rows = [("big", x, x) for x in range(10)] + [("ok", 1, 1), ("ok", 2, 3)]
+        df = spark.createDataFrame(rows, "k string, x long, y long")
+        got = {r.k: r.slope_fp
+               for r in theil_sen_slope(df, "k", "x", "y", max_points=5).collect()}
+        assert got == {"ok": 2_000_000}
+
+    def test_negative_slope_floor(self, spark):
+        from mopper_spark.textops.timeseries import theil_sen_slope
+
+        rows = [("k", 0, 10), ("k", 3, 3)]
+        df = spark.createDataFrame(rows, "k string, x long, y long")
+        (r,) = theil_sen_slope(df, "k", "x", "y").collect()
+        # -7/3 -> floor(-2333333.33..) = -2333334
+        assert (r.med_dy, r.med_dx, r.slope_fp) == (-7, 3, -2333334)
