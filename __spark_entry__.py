@@ -12305,6 +12305,138 @@ FROM vocab JOIN sent ON vocab.grp = sent.grp
 """
 
 
+#: unigram-LM vocabulary shared verbatim by the Spark query and the DuckDB
+#: oracle: full [a-z0-9] character fallback (total coverage of the fixture's
+#: words) + cheaper multi-character pieces that create real lattice
+#: ambiguity (ta+ble vs t+able vs chars, …).  Costs are fixed-point −log p.
+_VITERBI_VOCAB = (
+    [(c, 300000) for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+    + [
+        ("ta", 250000), ("ble", 280000), ("able", 560000),
+        ("row", 410000), ("key", 420000), ("val", 430000),
+        ("ue", 260000), ("an", 240000), ("sort", 520000),
+        ("spark", 600000), ("win", 400000), ("dow", 410000),
+        ("me", 250000), ("rge", 390000), ("fa", 240000), ("st", 230000),
+    ]
+)
+
+
+def _q_tokenizer_unigram_viterbi(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM Viterbi segmentation scoring (tokenizer.py::
+    unigram_viterbi — the SentencePiece decode, Kudo 2018) of the
+    corpus's distinct words against _VITERBI_VOCAB: minimum-cost piece
+    cover with fewest-pieces tie-break, exact integers end-to-end.  The
+    DP runs level-synchronously over char positions (settled-frontier
+    joins, no recursion per word); the oracle walks the SAME lattice as
+    a recursive CTE and takes the same composite minimum — two
+    independent shortest-path formulations of one DP."""
+    from mopper_spark.textops.analysis import tokens
+    from mopper_spark.textops.tokenizer import unigram_viterbi
+
+    docs = spark.read.schema("text string").parquet(f"{sf}/documents.parquet")
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("word")).distinct()
+    return unigram_viterbi(words, _VITERBI_VOCAB, max_word_len=12)
+
+
+def _viterbi_vocab_values() -> str:
+    rows = ", ".join(f"('{p}', {c})" for p, c in _VITERBI_VOCAB)
+    return f"(VALUES {rows}) AS v(piece, pcost)"
+
+
+_SQL_TOKENIZER_UNIGRAM_VITERBI = rf"""
+WITH RECURSIVE words AS (
+  SELECT DISTINCT tok AS word FROM (
+    SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents)
+  WHERE length(tok) BETWEEN 1 AND 12
+), vocab AS (
+  SELECT piece, length(piece) AS plen, CAST(pcost AS BIGINT) AS pcost
+  FROM {_viterbi_vocab_values()}
+), lattice(word, pos, cost, ntok) AS (
+  SELECT word, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM words
+  UNION
+  SELECT l.word, l.pos + v.plen, l.cost + v.pcost, l.ntok + 1
+  FROM lattice l JOIN vocab v
+    ON substr(l.word, l.pos + 1, v.plen) = v.piece
+  WHERE l.pos < length(l.word)
+), best AS (
+  SELECT word, CAST(length(word) AS BIGINT) AS n_chars,
+         MIN(cost * 64 + ntok) AS ck
+  FROM lattice WHERE pos = length(word) GROUP BY word
+)
+SELECT word, n_chars, CAST(ck // 64 AS BIGINT) AS cost_fp,
+       CAST(ck % 64 AS BIGINT) AS n_tokens
+FROM best
+"""
+
+
+def _q_embeddings_power_iteration(spark: SparkSession, sf: str) -> DataFrame:
+    """One power-iteration matvec pair (similarity.py::
+    power_iteration_step): w = Xt(X v0) from an md5-derived ±1 start
+    vector over the 64-dim embedding corpus — the randomized-SVD range
+    finder step, all BIGINT (components quantized once to 2^14 fixed
+    point).  Two dim-bounded shuffles; no dense matrix anywhere."""
+    from mopper_spark.textops.similarity import power_iteration_step
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return power_iteration_step(emb)
+
+
+_SQL_EMBEDDINGS_POWER_ITERATION = """
+WITH dims AS (SELECT unnest(range(0, 64)) AS dim),
+signs AS MATERIALIZED (
+  SELECT CAST(dim AS BIGINT) AS dim,
+         CAST(CASE WHEN substr(md5('pi-v1:' || CAST(dim AS VARCHAR)), 1, 1) < '8'
+                   THEN 1 ELSE -1 END AS BIGINT) AS v0
+  FROM dims
+), x AS MATERIALIZED (
+  SELECT e.vec_id, d.dim,
+         CAST(FLOOR(CAST(e.embedding[d.dim + 1] AS DOUBLE) * 16384.0)
+              AS BIGINT) AS x_fp
+  FROM embeddings e CROSS JOIN dims d
+), s AS MATERIALIZED (
+  SELECT x.vec_id, CAST(SUM(x.x_fp * signs.v0) AS BIGINT) AS s
+  FROM x JOIN signs ON x.dim = signs.dim GROUP BY x.vec_id
+)
+SELECT x.dim, signs.v0, CAST(SUM(x.x_fp * s.s) AS BIGINT) AS w_fp
+FROM x JOIN s ON x.vec_id = s.vec_id
+JOIN signs ON signs.dim = x.dim
+GROUP BY x.dim, signs.v0
+"""
+
+
+def _q_docs_curriculum_interleave(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum interleaving (sampling.py::curriculum_interleave):
+    documents ranked within source by n_chars (longest first) and laid
+    out round-robin across sources — the anti-clumping training order,
+    with the global position CLOSED-FORM from broadcast group counts
+    instead of a single-partition sort.  The oracle derives the same
+    permutation BY the global sort (row_number over (rank, source)) —
+    an independent formulation."""
+    from mopper_spark.textops.sampling import curriculum_interleave
+
+    docs = spark.read.schema("doc_id long, source string, n_chars long").parquet(
+        f"{sf}/documents.parquet"
+    )
+    return curriculum_interleave(docs, "source", "n_chars", "doc_id")
+
+
+_SQL_DOCS_CURRICULUM_INTERLEAVE = """
+WITH ranked AS MATERIALIZED (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id ASC)
+              AS BIGINT) AS src_rank
+  FROM documents
+)
+SELECT doc_id, source, src_rank,
+       CAST(row_number() OVER (ORDER BY src_rank, source) - 1 AS BIGINT)
+         AS global_pos
+FROM ranked
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -12561,6 +12693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_theilsen": _q_events_theilsen,
         "graph_eccentricity": _q_graph_eccentricity,
         "docs_lexical_profile": _q_docs_lexical_profile,
+        "tokenizer_unigram_viterbi": _q_tokenizer_unigram_viterbi,
+        "embeddings_power_iteration": _q_embeddings_power_iteration,
+        "docs_curriculum_interleave": _q_docs_curriculum_interleave,
     }
 
 
@@ -12829,4 +12964,7 @@ def oracle_sql() -> dict[str, str]:
         "events_theilsen": _SQL_EVENTS_THEILSEN,
         "graph_eccentricity": _SQL_GRAPH_ECCENTRICITY,
         "docs_lexical_profile": _SQL_DOCS_LEXICAL_PROFILE,
+        "tokenizer_unigram_viterbi": _SQL_TOKENIZER_UNIGRAM_VITERBI,
+        "embeddings_power_iteration": _SQL_EMBEDDINGS_POWER_ITERATION,
+        "docs_curriculum_interleave": _SQL_DOCS_CURRICULUM_INTERLEAVE,
     }

@@ -504,3 +504,70 @@ def hrw_shards(
         ]
     )
     return df.withColumn(out_col, F.array_max(entries)["s"])
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic curriculum ordering with source interleaving: rank
+    rows within each group by ``metric_col`` DESC (ties by ``id_col``),
+    then lay groups out ROUND-ROBIN by rank — the training-order recipe
+    that avoids source clumping (a million consecutive rows from one
+    crawl) while still front-loading high-metric examples.  Returns
+    ``(id, group, src_rank, global_pos)`` where ``global_pos`` is the
+    0-based position in the interleaved order: all rank-1 rows first
+    (group-name order), then rank-2, and so on.
+
+    The global position is CLOSED-FORM, not a global sort: for a row at
+    rank r of group s,
+
+        global_pos = Σ_{s'} min(r−1, n_{s'})  +  |{s' < s : n_{s'} ≥ r}|
+
+    (rows of smaller rank from every group, plus same-rank rows of
+    earlier-named groups).  With the per-group counts broadcast, that is
+    one per-group window (rank) + one broadcast fan-out over the GROUP
+    list + a per-row aggregate — no single-partition sort anywhere, the
+    same no-global-sort discipline as ``pack_sequences``.  Group count
+    is the fan-out factor: groups are source-cardinality (dozens), so
+    the expansion is ~n_groups× row-count map-side — linear, never
+    quadratic.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(metric_col).desc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.row_number().over(w).cast("long").alias("src_rank"),
+    )
+    counts = ranked.groupBy(F.col("grp").alias("g2")).agg(
+        F.count(F.lit(1)).cast("long").alias("n2")
+    )
+    pos = (
+        ranked.crossJoin(F.broadcast(counts))
+        .groupBy("id", "grp", "src_rank")
+        .agg(
+            (
+                F.sum(F.least(F.col("src_rank") - 1, F.col("n2")))
+                + F.sum(
+                    (
+                        (F.col("g2") < F.col("grp"))
+                        & (F.col("n2") >= F.col("src_rank"))
+                    ).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("global_pos")
+        )
+    )
+    return pos.select(
+        F.col("id").alias(id_col),
+        F.col("grp").alias(group_col),
+        "src_rank",
+        "global_pos",
+    )

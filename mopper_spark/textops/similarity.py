@@ -456,3 +456,75 @@ def jl_project(
     return t.select(
         "vec_id", F.explode(F.array(*comps)).alias("_c")
     ).select("vec_id", F.col("_c.j").alias("j"), F.col("_c.y_fp").alias("y_fp"))
+
+
+def power_iteration_step(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    scale: int = 1 << 14,
+    seed: str = "pi-v1",
+) -> DataFrame:
+    """One power-iteration step toward the corpus's top principal
+    direction: ``w = Xᵀ (X v₀)`` with a deterministic md5-derived ±1
+    start vector ``v₀`` — the spectral building block (von Mises
+    iteration; Halko et al. 2011 use exactly this matvec pair as the
+    randomized-SVD range finder).  One step from a random sign vector
+    is the classic cheap estimate of the dominant variance direction;
+    iterating is two more joins per step with ``w`` re-signed, and the
+    Rayleigh quotient ``wᵀv₀ / v₀ᵀv₀`` falls out of the same frame.
+
+    Everything is exact integer arithmetic: components are quantized
+    ONCE to fixed point (``floor(x·scale)``), ``v₀ⱼ ∈ {+1, −1}`` by the
+    first hex nibble of ``md5(seed:j)`` (engine-portable), both matvecs
+    are BIGINT sums — the result is bit-identical under any
+    partitioning and in any engine.  Returns one row per dimension:
+    ``(dim, v0, w_fp)``.
+
+    Plan: posexplode to (row, dim, x_fp), broadcast the 1-per-dim sign
+    relation, one per-row aggregate (s = X v₀), broadcast-join s back,
+    one per-dim aggregate (w = Xᵀ s).  Two dim-bounded shuffles; never
+    materializes a dense matrix.  Overflow: |w| ≤ n·scale²·dim — safe
+    through ~10⁹ rows at the default scale; shrink ``scale`` past that.
+    """
+    spark = embeddings.sparkSession
+    # the caller's id column, not monotonically_increasing_id(): x feeds TWO
+    # join branches, and a synthetic id re-evaluated per branch under AQE /
+    # task retry is not guaranteed to agree between them
+    x = embeddings.select(
+        F.col(id_col).alias("_row"),
+        F.posexplode(F.col(vec_col)).alias("dim", "xv"),
+    ).select(
+        "_row",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("xv").cast("double") * F.lit(float(scale)))
+        .cast("long")
+        .alias("x_fp"),
+    )
+    dim_count = embeddings.select(
+        F.size(F.col(vec_col)).alias("d")
+    ).limit(1).collect()[0]["d"]
+    signs = spark.range(dim_count).select(
+        F.col("id").cast("long").alias("dim"),
+        F.when(
+            F.substring(F.md5(F.concat(F.lit(seed + ":"), F.col("id"))), 1, 1)
+            < "8",
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("v0"),
+    )
+    s = (
+        x.join(F.broadcast(signs), "dim")
+        .groupBy("_row")
+        .agg(F.sum(F.col("x_fp") * F.col("v0")).alias("s"))
+    )
+    return (
+        x.join(s, "_row")
+        .groupBy("dim")
+        .agg(F.sum(F.col("x_fp") * F.col("s")).cast("long").alias("w_fp"))
+        .join(F.broadcast(signs), "dim")
+        .select("dim", "v0", "w_fp")
+    )

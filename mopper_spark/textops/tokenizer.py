@@ -202,3 +202,96 @@ def bpe_encode(
             F.size(F.flatten(F.col("ordered.tokens"))).alias("n_tokens"),
         )
     )
+
+
+def unigram_viterbi(
+    words: DataFrame,
+    vocab: list[tuple[str, int]],
+    *,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """Unigram-LM segmentation scoring (Kudo, ACL 2018 — the
+    SentencePiece unigram model's Viterbi decode): for each distinct
+    word, the MINIMUM total cost of covering it with vocabulary pieces,
+    where ``vocab`` is ``[(piece, cost_fp)]`` with integer fixed-point
+    costs (−log p scaled; any positive ints work).  Returns ``(word,
+    n_chars, cost_fp, n_tokens)`` — the best segmentation's exact cost
+    and, among equal-cost paths, the FEWEST-pieces count (deterministic
+    composite minimum, no float anywhere).
+
+    The lattice DP runs LEVEL-SYNCHRONOUSLY over character positions:
+    every transition consumes ≥ 1 char, so position p is SETTLED once
+    rounds 0..p−1 have relaxed — each of ``max_word_len`` rounds is one
+    substring-match join (vocab rides broadcast as a literal relation)
+    plus one associative ``min(struct(cost, n_tokens))`` merge; no
+    per-word recursion, no UDF.  This is Dijkstra degenerated to a DAG
+    leveled by position — the same frontier shape as
+    ``graph.bfs_distances``, with cost instead of hop count.
+
+    Contracts: every single character of every word must be coverable
+    (callers include a full character fallback in ``vocab`` — the
+    standard unigram-LM byte/char fallback); words that end UNREACHABLE
+    anyway (an uncovered character) are simply absent from the output.
+    Words longer than ``max_word_len`` are EXCLUDED up front (named
+    cap: the DP is rounds = max length; segment long words after a
+    pre-split, or raise the cap).  Pieces must be non-empty with
+    positive costs.
+
+    Scale: run on the DISTINCT-word table (vocabulary-sized, Heaps'
+    law), never raw tokens — same discipline as ``bpe_train``; join
+    results back to the corpus by word.
+    """
+    if not vocab:
+        raise ValueError("unigram_viterbi: empty vocab")
+    for p, c in vocab:
+        if not p or c <= 0:
+            raise ValueError(
+                "unigram_viterbi: pieces must be non-empty with positive costs"
+            )
+    spark = words.sparkSession
+    (word_col,) = words.columns
+    w = (
+        words.select(F.col(word_col).alias("word"))
+        .filter(
+            (F.length("word") >= 1) & (F.length("word") <= max_word_len)
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    v = spark.createDataFrame(
+        [(p, len(p), int(c)) for p, c in vocab],
+        "piece string, plen int, pcost long",
+    )
+    # acc: best (cost, ntok) per (word, pos); pos = chars consumed.
+    acc = w.select(
+        "word",
+        F.lit(0).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("cost"),
+        F.lit(0).cast("long").alias("ntok"),
+    ).localCheckpoint(eager=False)
+    for p in range(max_word_len):
+        frontier = acc.filter(F.col("pos") == p)
+        if frontier.isEmpty():
+            break
+        relaxed = frontier.join(
+            F.broadcast(v),
+            F.expr("substring(word, pos + 1, plen) = piece"),
+        ).select(
+            "word",
+            (F.col("pos") + F.col("plen")).cast("long").alias("pos"),
+            (F.col("cost") + F.col("pcost")).cast("long").alias("cost"),
+            (F.col("ntok") + 1).cast("long").alias("ntok"),
+        )
+        acc = (
+            acc.unionByName(relaxed)
+            .groupBy("word", "pos")
+            .agg(F.min(F.struct("cost", "ntok")).alias("b"))
+            .select("word", "pos", F.col("b.cost").alias("cost"), F.col("b.ntok").alias("ntok"))
+            .localCheckpoint(eager=True)
+        )
+    return acc.filter(F.col("pos") == F.length("word")).select(
+        "word",
+        F.length("word").cast("long").alias("n_chars"),
+        F.col("cost").alias("cost_fp"),
+        F.col("ntok").alias("n_tokens"),
+    )

@@ -297,3 +297,41 @@ class TestPoissonBootstrapGrouped:
                 grouped[("a", rep)][1] + grouped[("b", rep)][1]
                 == total[rep][1]
             )
+
+
+class TestCurriculumInterleave:
+    def test_round_robin_layout(self, spark):
+        from mopper_spark.textops.sampling import curriculum_interleave
+
+        rows = [
+            # group a: 3 rows, metric = id value for easy ranking
+            (1, "a", 30), (2, "a", 20), (3, "a", 10),
+            # group b: 2 rows
+            (4, "b", 99), (5, "b", 1),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, m long")
+        got = sorted(
+            (r.global_pos, r.doc_id, r.source, r.src_rank)
+            for r in curriculum_interleave(df, "source", "m", "doc_id").collect()
+        )
+        # interleaved: a1, b1, a2, b2, a3
+        assert got == [
+            (0, 1, "a", 1),
+            (1, 4, "b", 1),
+            (2, 2, "a", 2),
+            (3, 5, "b", 2),
+            (4, 3, "a", 3),
+        ]
+
+    def test_positions_are_a_permutation(self, spark):
+        from mopper_spark.textops.sampling import curriculum_interleave
+
+        rows = [(i, f"s{i % 4}", (i * 13) % 17) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, m long")
+        out = curriculum_interleave(df, "source", "m", "doc_id").collect()
+        assert sorted(r.global_pos for r in out) == list(range(40))
+        # same answer under different partitioning
+        out2 = curriculum_interleave(
+            df.repartition(11), "source", "m", "doc_id"
+        ).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

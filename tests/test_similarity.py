@@ -38,3 +38,38 @@ class TestJlProject:
         df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<double>")
         with _pt.raises(ValueError, match="out_dim"):
             jl_project(df, 1, 0)
+
+
+class TestPowerIterationStep:
+    def test_matches_python_replica(self, spark):
+        import hashlib
+        import math
+
+        from mopper_spark.textops.similarity import power_iteration_step
+
+        vecs = [
+            (0, [0.5, -0.25, 0.125]),
+            (1, [1.0, 0.0, -0.5]),
+            (2, [-0.75, 0.5, 0.25]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        got = {r.dim: (r.v0, r.w_fp)
+               for r in power_iteration_step(df).collect()}
+
+        scale = 1 << 14
+        def sign(j):
+            return 1 if hashlib.md5(f"pi-v1:{j}".encode()).hexdigest()[0] < "8" else -1
+        x = [[math.floor(v * scale) for v in e] for _, e in vecs]
+        s = [sum(xi[j] * sign(j) for j in range(3)) for xi in x]
+        w = [sum(x[i][j] * s[i] for i in range(3)) for j in range(3)]
+        assert got == {j: (sign(j), w[j]) for j in range(3)}
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.similarity import power_iteration_step
+
+        rows = [(i, [((i * 31 + j * 7) % 13 - 6) / 6.0 for j in range(8)])
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        a = sorted(map(tuple, power_iteration_step(df).collect()))
+        b = sorted(map(tuple, power_iteration_step(df.repartition(9)).collect()))
+        assert a == b and len(a) == 8

@@ -164,3 +164,65 @@ class TestBpeEncode:
             .toString()
         )
         assert "EvalPython" not in plan  # all-native: no UDF stage
+
+
+class TestUnigramViterbi:
+    CHARS = [(c, 300) for c in "abcdefghijklmnopqrstuvwxyz"]
+
+    def test_prefers_cheap_multichar_pieces(self, spark):
+        from mopper_spark.textops.tokenizer import unigram_viterbi
+
+        words = spark.createDataFrame([("table",), ("cat",)], "word string")
+        vocab = self.CHARS + [("ta", 250), ("ble", 280), ("able", 700)]
+        got = {r.word: (r.cost_fp, r.n_tokens)
+               for r in unigram_viterbi(words, vocab).collect()}
+        # table: ta(250)+ble(280)=530 beats t+able(1000), chars(1500)
+        assert got["table"] == (530, 2)
+        assert got["cat"] == (900, 3)
+
+    def test_tie_breaks_on_fewest_pieces(self, spark):
+        from mopper_spark.textops.tokenizer import unigram_viterbi
+
+        words = spark.createDataFrame([("ab",)], "word string")
+        # a+b = 600 and ab = 600: equal cost, ab wins with 1 token
+        vocab = [("a", 300), ("b", 300), ("ab", 600)]
+        (r,) = unigram_viterbi(words, vocab).collect()
+        assert (r.cost_fp, r.n_tokens) == (600, 1)
+
+    def test_uncoverable_word_absent(self, spark):
+        from mopper_spark.textops.tokenizer import unigram_viterbi
+
+        words = spark.createDataFrame([("ax",), ("aa",)], "word string")
+        vocab = [("a", 300)]
+        got = {r.word for r in unigram_viterbi(words, vocab).collect()}
+        assert got == {"aa"}
+
+    def test_length_cap_and_validation(self, spark):
+        from mopper_spark.textops.tokenizer import unigram_viterbi
+
+        words = spark.createDataFrame(
+            [("short",), ("averyveryverylongword",)], "word string"
+        )
+        got = {r.word for r in unigram_viterbi(
+            words, self.CHARS, max_word_len=8).collect()}
+        assert got == {"short"}
+        with pytest.raises(ValueError):
+            unigram_viterbi(words, [])
+        with pytest.raises(ValueError):
+            unigram_viterbi(words, [("", 10)])
+        with pytest.raises(ValueError):
+            unigram_viterbi(words, [("a", 0)])
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.tokenizer import unigram_viterbi
+
+        words = spark.createDataFrame(
+            [(w,) for w in ["table", "tablet", "battle", "ab", "ba"]],
+            "word string",
+        )
+        vocab = self.CHARS + [("ta", 200), ("ab", 200), ("ble", 250), ("t", 300)]
+        a = sorted(map(tuple, unigram_viterbi(words, vocab).collect()))
+        b = sorted(
+            map(tuple, unigram_viterbi(words.repartition(7), vocab).collect())
+        )
+        assert a == b and len(a) == 5
