@@ -12437,6 +12437,128 @@ FROM ranked
 """
 
 
+def _q_transcripts_tool_loops(spark: SparkSession, sf: str) -> DataFrame:
+    """Stuck-agent loop detection (prepare.py::tool_loops): per
+    conversation and cycle period 1–3, the longest run of consecutive
+    lag-L tool repeats as a complete-cycle count with its starting
+    turn — the retry/oscillation signature agent-ops dashboards page
+    on.  Lag windows + gaps-and-islands run grouping, one pass."""
+    from mopper_spark.textops.prepare import tool_loops
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return tool_loops(tr)
+
+
+_SQL_TRANSCRIPTS_TOOL_LOOPS = f"""
+WITH seq AS MATERIALIZED (
+  SELECT conv_id, turn_idx, tool,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+  WHERE tool IS NOT NULL
+), lagd AS (
+  SELECT L.L, s.conv_id, s.turn_idx, s.rn,
+         lag(s.tool, L.L) OVER (PARTITION BY L.L, s.conv_id
+                                ORDER BY s.rn) AS prev_tool,
+         s.tool
+  FROM seq s CROSS JOIN (SELECT unnest([1, 2, 3]) AS L) L
+), flagged AS (
+  SELECT L, conv_id, turn_idx, rn,
+         rn - row_number() OVER (PARTITION BY L, conv_id ORDER BY rn) AS grp
+  FROM lagd WHERE prev_tool = tool
+), runs AS (
+  SELECT L, conv_id, grp, count(*) AS k,
+         min(rn) AS first_match_rn
+  FROM flagged GROUP BY 1, 2, 3
+), cyc AS (
+  SELECT r.L, r.conv_id,
+         CAST((r.k + r.L) // r.L AS BIGINT) AS n_cycles,
+         s.turn_idx AS run_start_idx
+  FROM runs r
+  JOIN seq s ON s.conv_id = r.conv_id AND s.rn = r.first_match_rn - r.L
+  WHERE (r.k + r.L) // r.L >= 3
+)
+SELECT conv_id, CAST(L AS BIGINT) AS cycle_len,
+       max_by(n_cycles, n_cycles * 1000000 - run_start_idx) AS n_cycles,
+       CAST(max_by(run_start_idx, n_cycles * 1000000 - run_start_idx)
+            AS BIGINT) AS run_start_idx
+FROM cyc GROUP BY conv_id, L
+"""
+
+
+def _q_events_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index terms (timeseries.py::psi_drift):
+    event values binned into unit-width bands, first-half vs
+    second-half of the month, each common band's exact counts plus the
+    integer-ratio log term — the train-vs-serve drift audit.  One
+    groupBy + one broadcast totals row."""
+    from mopper_spark.textops.timeseries import psi_drift
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return psi_drift(ev, "ts", "value", "2024-01-16")
+
+
+_SQL_EVENTS_PSI_DRIFT = """
+WITH per AS MATERIALIZED (
+  SELECT CAST(FLOOR(value / 1.0) AS BIGINT) AS band,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_b
+  FROM events GROUP BY 1
+  HAVING n_a > 0 AND n_b > 0
+), tot AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a, CAST(SUM(n_b) AS BIGINT) AS tot_b
+  FROM per
+)
+SELECT band, n_a, n_b,
+       CAST(FLOOR(1000000.0 * ln(CAST(n_a * tot_b AS DOUBLE)
+                                 / CAST(n_b * tot_a AS DOUBLE)))
+            AS BIGINT) AS ln_ratio_fp
+FROM per CROSS JOIN tot
+"""
+
+
+def _q_kg_sparql_in(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARQL 1.1 IN / NOT IN operator expressions (§17.4.1.9-10)
+    through the text front-end: mention counts for a fixed entity list,
+    excluding turns whose conversation sits in a named block list —
+    both operators transliterate to the SQL tier of identical
+    precedence, and the constant lists become pushed scan filters."""
+    from mopper_spark.pipeline.sparql import sparql_query
+
+    return sparql_query(
+        _kg_triples(spark),
+        """
+        PREFIX ont: <http://example.com/ontology/>
+        SELECT ?e (COUNT(?t) AS ?n_mentions)
+        WHERE {
+          ?t ont:mentions ?e ; ont:inConversation ?conv .
+          FILTER(?e IN (<http://example.com/entity/Alan%20Turing>,
+                        <http://example.com/entity/Grace%20Hopper>,
+                        <http://example.com/entity/Ada%20Lovelace>))
+          FILTER(?conv NOT IN (<http://example.com/conv/conv_00000>,
+                               <http://example.com/conv/conv_00001>))
+        }
+        GROUP BY ?e
+        """,
+    ).select("e", F.col("n_mentions").cast("long").alias("n_mentions"))
+
+
+_SQL_KG_SPARQL_IN = f"""
+WITH kg AS ({_SQL_KG_GRAPH})
+SELECT m.obj AS e, CAST(COUNT(*) AS BIGINT) AS n_mentions
+FROM kg m JOIN kg c ON m.subj = c.subj
+WHERE m.pred = 'http://example.com/ontology/mentions'
+  AND c.pred = 'http://example.com/ontology/inConversation'
+  AND m.obj IN ('http://example.com/entity/Alan%20Turing',
+                'http://example.com/entity/Grace%20Hopper',
+                'http://example.com/entity/Ada%20Lovelace')
+  AND c.obj NOT IN ('http://example.com/conv/conv_00000',
+                    'http://example.com/conv/conv_00001')
+GROUP BY m.obj
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -12696,6 +12818,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_unigram_viterbi": _q_tokenizer_unigram_viterbi,
         "embeddings_power_iteration": _q_embeddings_power_iteration,
         "docs_curriculum_interleave": _q_docs_curriculum_interleave,
+        "transcripts_tool_loops": _q_transcripts_tool_loops,
+        "events_psi_drift": _q_events_psi_drift,
+        "kg_sparql_in": _q_kg_sparql_in,
     }
 
 
@@ -12967,4 +13092,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_unigram_viterbi": _SQL_TOKENIZER_UNIGRAM_VITERBI,
         "embeddings_power_iteration": _SQL_EMBEDDINGS_POWER_ITERATION,
         "docs_curriculum_interleave": _SQL_DOCS_CURRICULUM_INTERLEAVE,
+        "transcripts_tool_loops": _SQL_TRANSCRIPTS_TOOL_LOOPS,
+        "events_psi_drift": _SQL_EVENTS_PSI_DRIFT,
+        "kg_sparql_in": _SQL_KG_SPARQL_IN,
     }

@@ -50,7 +50,9 @@ Supported subset
 - Expressions (FILTER/BIND/HAVING): comparisons, arithmetic, ``&&`` /
   ``||`` / ``!``, ``IN``, parentheses, and the function subset
   STRLEN/LCASE/UCASE/CONTAINS/STRSTARTS/STRENDS/SUBSTR/REPLACE/REGEX/
-  CONCAT/STR/BOUND/COALESCE/IF/ABS — translated to Spark SQL and
+  CONCAT/STR/BOUND/COALESCE/IF/ABS, and the IN / NOT IN operator
+  expressions (§17.4.1.9-10, same precedence tier in SQL) — translated
+  to Spark SQL and
   evaluated with ``F.expr`` (whole-stage codegen, no Python).  Unknown
   functions are refused by name.
 

@@ -841,3 +841,92 @@ def truncate_context(
         .cast("long")
         .alias("first_kept_idx"),
     )
+
+
+# ---------------------------------------------------- tool-loop detection
+
+
+def tool_loops(
+    transcripts: DataFrame,
+    *,
+    max_cycle_len: int = 3,
+    min_cycles: int = 3,
+) -> DataFrame:
+    """Agent tool-loop detection: find conversations where the tool-call
+    sequence repeats with period L (``tool[i] == tool[i−L]`` over the
+    conversation's tool turns in (conv_id, turn_idx) order) for at least
+    ``min_cycles`` consecutive repetitions — the stuck-agent signature
+    (retry loops, oscillating search↔read cycles) an agent-ops dashboard
+    pages on.  Returns ``(conv_id, cycle_len, n_cycles, run_start_idx)``
+    — per conversation and period, the LONGEST such run (as complete
+    cycle count) and the turn_idx where it starts; ties on length keep
+    the earliest run.
+
+    A period-1 loop (AAAA…) also matches every multiple (L = 2, 3);
+    minimal-period filtering is deliberately NOT applied — each period
+    row answers "does it repeat at this lag", and the consumer reads
+    cycle_len = 1 first.  n_cycles counts FULL periods: a run of k
+    consecutive lag-L matches spans k + L turns = ``(k + L) div L``
+    cycles.
+
+    Plan: per-conversation lag windows (one per period — max_cycle_len
+    is a literal, so this is ≤ 3 window functions in ONE pass) + the
+    gaps-and-islands run grouping (rn − row_number over the matching
+    rows) + one associative max(struct).  Per-conversation state only;
+    the usual 10k-turn-outlier sort posture.
+    """
+    if max_cycle_len < 1:
+        raise ValueError("tool_loops: max_cycle_len must be >= 1")
+    if min_cycles < 2:
+        raise ValueError("tool_loops: min_cycles must be >= 2")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = (
+        transcripts.filter(F.col("tool").isNotNull())
+        .select("conv_id", "turn_idx", "tool")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    out = None
+    for L in range(1, max_cycle_len + 1):
+        flagged = seq.withColumn("_prev", F.lag("tool", L).over(w)).filter(
+            F.col("_prev") == F.col("tool")
+        )
+        wl = Window.partitionBy("conv_id").orderBy("rn")
+        runs = (
+            flagged.withColumn("grp", F.col("rn") - F.row_number().over(wl))
+            .groupBy("conv_id", "grp")
+            .agg(
+                F.count(F.lit(1)).alias("k"),
+                F.min("turn_idx").alias("first_match_idx"),
+                F.min("rn").alias("first_match_rn"),
+            )
+            .withColumn("n_cycles", F.expr(f"(k + {L}) div {L}").cast("long"))
+            .filter(F.col("n_cycles") >= min_cycles)
+        )
+        # run starts L tool-turns before the first match; recover its
+        # turn_idx by joining rn - L back to the sequence
+        starts = seq.select(
+            "conv_id",
+            F.col("rn").alias("start_rn"),
+            F.col("turn_idx").alias("run_start_idx"),
+        )
+        best = (
+            runs.withColumn("start_rn", F.col("first_match_rn") - L)
+            .join(starts, ["conv_id", "start_rn"])
+            .groupBy("conv_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("n_cycles"),
+                        (-F.col("run_start_idx")).alias("neg_start"),
+                    )
+                ).alias("b")
+            )
+            .select(
+                "conv_id",
+                F.lit(L).cast("long").alias("cycle_len"),
+                F.col("b.n_cycles").alias("n_cycles"),
+                (-F.col("b.neg_start")).cast("long").alias("run_start_idx"),
+            )
+        )
+        out = best if out is None else out.unionByName(best)
+    return out

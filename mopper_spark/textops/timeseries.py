@@ -615,3 +615,73 @@ def theil_sen_slope(
         .cast("long")
         .alias("slope_fp"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    split_ts: str,
+    *,
+    band_width: int = 1,
+    log_scale: int = 10**6,
+) -> DataFrame:
+    """Population Stability Index terms between the rows BEFORE and
+    AFTER ``split_ts`` (ISO timestamp literal): values are binned into
+    fixed-width integer bands and each band common to both sides is
+    reported as ``(band, n_a, n_b, ln_ratio_fp)`` with
+
+        ln_ratio_fp = floor(log_scale · ln((n_a·N_b) / (n_b·N_a)))
+
+    — the exact-integer-ratio log both engines compute identically
+    (one double ln of a ratio of BIGINT products).  The consumer sums
+    ``(n_a/N_a − n_b/N_b) · ln_ratio`` for the classic PSI; > 0.2 is
+    the standard "distribution moved" alarm for feature drift between
+    a training snapshot and serving traffic.
+
+    Bands present on ONLY ONE side are EXCLUDED (their PSI term is
+    ±∞; the textbook epsilon-smoothing trades exactness for a number,
+    which this codebase does not do — read the exclusive-band count
+    off a plain anti-join when it matters), and ``N_a``/``N_b`` are the
+    totals over the COMMON SUPPORT, so the reported terms are the PSI
+    of the two distributions restricted to it.  Fixed-width bands, not
+    quantiles: PSI is defined over a FROZEN binning so the two sides
+    are binned identically.
+
+    Plan: one scan, two combine-able aggregates (per band-and-side,
+    then totals crossed in as one broadcast row) — event-scale work is
+    a single groupBy.
+    """
+    band = F.floor(
+        F.col(value_col).cast("double") / F.lit(float(band_width))
+    ).cast("long")
+    side = (F.col(ts_col) < F.to_timestamp(F.lit(split_ts))).alias("is_a")
+    per = (
+        df.select(band.alias("band"), side)
+        .groupBy("band")
+        .agg(
+            F.sum(F.col("is_a").cast("long")).alias("n_a"),
+            F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
+        )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )
+    totals = per.agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "band",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.floor(
+                F.lit(float(log_scale))
+                * F.log(
+                    (F.col("n_a") * F.col("tot_b")).cast("double")
+                    / (F.col("n_b") * F.col("tot_a")).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("ln_ratio_fp"),
+        )
+    )

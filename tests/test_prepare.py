@@ -557,3 +557,61 @@ class TestTruncateContext:
         rows = [("c", i, "user", "tok") for i in range(1, 4)]
         (r,) = truncate_context(self._tr(spark, rows), budget_tokens=99).collect()
         assert (r.kept_turns, r.first_kept_idx) == (3, 1)
+
+
+class TestToolLoops:
+    def _tr(self, spark, tools, conv="c"):
+        rows = [(conv, i, "assistant", f"t{i}", t)
+                for i, t in enumerate(tools)]
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string",
+        )
+
+    def test_period_one_loop(self, spark):
+        from mopper_spark.textops.prepare import tool_loops
+
+        tr = self._tr(spark, ["search", "search", "search", "search", "read"])
+        got = {r.cycle_len: (r.n_cycles, r.run_start_idx)
+               for r in tool_loops(tr).collect()}
+        # 4 consecutive 'search': 3 lag-1 matches -> (3+1)/1 = 4 cycles at idx 0
+        assert got[1] == (4, 0)
+
+    def test_period_two_loop(self, spark):
+        from mopper_spark.textops.prepare import tool_loops
+
+        tr = self._tr(spark, ["a", "b", "a", "b", "a", "b", "x"])
+        got = {r.cycle_len: (r.n_cycles, r.run_start_idx)
+               for r in tool_loops(tr).collect()}
+        # ababab: 4 lag-2 matches -> (4+2)/2 = 3 cycles starting at idx 0
+        assert got[2] == (3, 0)
+        assert 1 not in got  # no consecutive equal tools
+
+    def test_below_min_cycles_silent(self, spark):
+        from mopper_spark.textops.prepare import tool_loops
+
+        tr = self._tr(spark, ["a", "b", "a", "b", "x"])  # only 2 cycles
+        assert tool_loops(tr).count() == 0
+
+    def test_null_tools_skipped_and_validation(self, spark):
+        from mopper_spark.textops.prepare import tool_loops
+
+        rows = [("c", 0, "u", "x", "a"), ("c", 1, "u", "x", None),
+                ("c", 2, "u", "x", "a"), ("c", 3, "u", "x", "a")]
+        tr = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, tool string",
+        )
+        got = {r.cycle_len: r.n_cycles for r in tool_loops(tr).collect()}
+        assert got[1] == 3  # nulls collapse out: a a a
+        with pytest.raises(ValueError):
+            tool_loops(tr, min_cycles=1)
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.prepare import tool_loops
+
+        tr = self._tr(spark, ["a", "b", "c"] * 5 + ["z"])
+        a = sorted(map(tuple, tool_loops(tr).collect()))
+        b = sorted(map(tuple, tool_loops(tr.repartition(7)).collect()))
+        assert a == b
+        assert any(row[1] == 3 and row[2] == 5 for row in a)  # abcabc... 5 cycles

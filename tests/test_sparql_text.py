@@ -657,3 +657,36 @@ def test_update_delete_insert_where(spark):
     assert ("a", "old", "1") not in got
     assert ("b", "old", "2") in got      # filtered out of the solution
     assert ("c", "keep", "3") in got
+
+
+def test_filter_in_list(graph):
+    got = rows(sparql_query(
+        graph,
+        PFX + """SELECT ?t ?e WHERE {
+          ?t ont:mentions ?e .
+          FILTER(?e IN (ex:alice, ex:carol))
+        }""",
+    ))
+    assert got == [(EX + "t1", EX + "alice"), (EX + "t3", EX + "alice")]
+
+
+def test_filter_not_in_list(graph):
+    got = rows(sparql_query(
+        graph,
+        PFX + """SELECT ?t WHERE {
+          ?t ont:mentions ?e .
+          FILTER(?e NOT IN (ex:alice))
+        }""",
+    ))
+    assert got == [(EX + "t2",)]
+
+
+def test_in_with_string_literals_and_expr(graph):
+    got = rows(sparql_query(
+        graph,
+        PFX + """SELECT ?t WHERE {
+          ?t ont:role ?r .
+          FILTER(UCASE(?r) IN ("USER"))
+        }""",
+    ))
+    assert got == [(EX + "t1",), (EX + "t3",)]

@@ -380,3 +380,42 @@ class TestTheilSenSlope:
         (r,) = theil_sen_slope(df, "k", "x", "y").collect()
         # -7/3 -> floor(-2333333.33..) = -2333334
         assert (r.med_dy, r.med_dx, r.slope_fp) == (-7, 3, -2333334)
+
+
+class TestPsiDrift:
+    def test_terms_match_replica(self, spark):
+        import datetime as dt
+        import math
+
+        from mopper_spark.textops.timeseries import psi_drift
+
+        before = dt.datetime(2024, 1, 1)
+        after = dt.datetime(2024, 2, 1)
+        rows = (
+            [("e", before, 1.5)] * 6 + [("e", before, 2.5)] * 4
+            + [("e", after, 1.5)] * 2 + [("e", after, 2.5)] * 8
+            + [("e", after, 9.0)] * 3  # band 9 only on side b: excluded
+        )
+        df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+        got = {r.band: (r.n_a, r.n_b, r.ln_ratio_fp)
+               for r in psi_drift(df, "ts", "value", "2024-01-15").collect()}
+        assert set(got) == {1, 2}
+        na, nb = 6, 2
+        ln = math.floor(1e6 * math.log((na * 10) / (nb * 10)))
+        assert got[1] == (6, 2, ln)
+        assert got[2][0:2] == (4, 8)
+
+    def test_common_support_totals(self, spark):
+        import datetime as dt
+
+        from mopper_spark.textops.timeseries import psi_drift
+
+        rows = [
+            ("e", dt.datetime(2024, 1, 1), 1.0),
+            ("e", dt.datetime(2024, 2, 1), 1.0),
+            ("e", dt.datetime(2024, 2, 1), 5.0),  # exclusive: dropped
+        ]
+        df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+        (r,) = psi_drift(df, "ts", "value", "2024-01-15").collect()
+        # common support is band 1 alone: ratio (1*1)/(1*1) -> ln 0
+        assert (r.band, r.n_a, r.n_b, r.ln_ratio_fp) == (1, 1, 1, 0)
