@@ -12559,6 +12559,127 @@ GROUP BY m.obj
 """
 
 
+def _q_transcripts_turn_taking(spark: SparkSession, sf: str) -> DataFrame:
+    """Turn-taking profile (conversation.py::turn_taking): alternation
+    count, same-role runs, and the user token share per conversation —
+    the dialog-shape dashboard row.  One lag window + aggregates."""
+    from mopper_spark.textops.conversation import turn_taking
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return turn_taking(tr)
+
+
+_SQL_TRANSCRIPTS_TURN_TAKING = rf"""
+WITH marked AS MATERIALIZED (
+  SELECT conv_id, turn_idx, role,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS nt,
+         CASE WHEN lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   IS NOT NULL
+               AND lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   <> role
+              THEN 1 ELSE 0 END AS switch
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+), runs AS (
+  SELECT conv_id,
+         SUM(switch) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+), run_lens AS (
+  SELECT conv_id, run_id, count(*) AS run_len FROM runs GROUP BY 1, 2
+), per_run AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_same_role_runs,
+         CAST(max(run_len) AS BIGINT) AS max_same_role_run
+  FROM run_lens GROUP BY conv_id
+), per_conv AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(SUM(switch) AS BIGINT) AS n_switches,
+         CAST(SUM(CASE WHEN role = 'user' THEN nt ELSE 0 END) AS BIGINT) AS ut,
+         CAST(SUM(nt) AS BIGINT) AS tt
+  FROM marked GROUP BY conv_id
+)
+SELECT per_conv.conv_id, n_turns, n_switches, n_same_role_runs,
+       max_same_role_run,
+       CASE WHEN tt > 0 THEN (ut * 1000000) // tt ELSE 0 END
+         AS user_token_share_fp
+FROM per_conv JOIN per_run ON per_conv.conv_id = per_run.conv_id
+"""
+
+
+def _q_transcripts_time_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Wall-clock attribution (conversation.py::time_allocation): every
+    inter-turn gap attributed to the later turn's role, exact epoch-µs
+    sums reconciling to the conversation span — the stackable latency
+    decomposition.  One lag window + one aggregate."""
+    from mopper_spark.textops.conversation import time_allocation
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return time_allocation(tr)
+
+
+_SQL_TRANSCRIPTS_TIME_ALLOCATION = f"""
+WITH gaps AS (
+  SELECT conv_id, role,
+         COALESCE(epoch_us(ts)
+                  - lag(epoch_us(ts)) OVER (PARTITION BY conv_id
+                                            ORDER BY turn_idx), 0) AS gap_us
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+)
+SELECT conv_id, role, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(SUM(gap_us) AS BIGINT) AS attributed_us
+FROM gaps GROUP BY conv_id, role
+"""
+
+
+def _q_transcripts_episodes(spark: SparkSession, sf: str) -> DataFrame:
+    """Inactivity-episode split (conversation.py::inactivity_episodes)
+    over the fixture with a deterministic pause injected every 7th turn
+    (ts + (turn_idx div 7) hours — the oracle builds the identical
+    corpus), gap threshold 30 min: per conversation the episode count,
+    largest episode, longest span, and singleton count.  Strict->
+    boundary pinned by unit test."""
+    from mopper_spark.textops.conversation import inactivity_episodes
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE).withColumn(
+        "ts", F.expr("timestampadd(SECOND, (turn_idx div 7) * 3600, ts)")
+    )
+    return inactivity_episodes(tr, gap_seconds=1800)
+
+
+_SQL_TRANSCRIPTS_EPISODES = f"""
+WITH shifted AS (
+  SELECT conv_id, turn_idx,
+         epoch_us(ts) + CAST(turn_idx // 7 AS BIGINT) * 3600000000 AS at_us
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+), marked AS (
+  SELECT conv_id, turn_idx, at_us,
+         CASE WHEN at_us - lag(at_us) OVER (PARTITION BY conv_id
+                                            ORDER BY turn_idx)
+                   > 1800000000 THEN 1
+              WHEN lag(at_us) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   IS NULL THEN 1
+              ELSE 0 END AS new_ep
+  FROM shifted
+), eps AS (
+  SELECT conv_id,
+         SUM(new_ep) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS UNBOUNDED PRECEDING) AS ep_id,
+         at_us
+  FROM marked
+), agg AS (
+  SELECT conv_id, ep_id, CAST(count(*) AS BIGINT) AS ep_turns,
+         CAST(max(at_us) - min(at_us) AS BIGINT) AS ep_span_us
+  FROM eps GROUP BY 1, 2
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_episodes,
+       CAST(max(ep_turns) AS BIGINT) AS max_episode_turns,
+       CAST(max(ep_span_us) AS BIGINT) AS max_episode_span_us,
+       CAST(SUM(CASE WHEN ep_turns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS singleton_episodes
+FROM agg GROUP BY conv_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -12821,6 +12942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_tool_loops": _q_transcripts_tool_loops,
         "events_psi_drift": _q_events_psi_drift,
         "kg_sparql_in": _q_kg_sparql_in,
+        "transcripts_turn_taking": _q_transcripts_turn_taking,
+        "transcripts_time_allocation": _q_transcripts_time_allocation,
+        "transcripts_episodes": _q_transcripts_episodes,
     }
 
 
@@ -13095,4 +13219,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_tool_loops": _SQL_TRANSCRIPTS_TOOL_LOOPS,
         "events_psi_drift": _SQL_EVENTS_PSI_DRIFT,
         "kg_sparql_in": _SQL_KG_SPARQL_IN,
+        "transcripts_turn_taking": _SQL_TRANSCRIPTS_TURN_TAKING,
+        "transcripts_time_allocation": _SQL_TRANSCRIPTS_TIME_ALLOCATION,
+        "transcripts_episodes": _SQL_TRANSCRIPTS_EPISODES,
     }
