@@ -12680,6 +12680,146 @@ FROM agg GROUP BY conv_id
 """
 
 
+def _q_docs_zone_maps(spark: SparkSession, sf: str) -> DataFrame:
+    """Zone-map statistics + data-skipping audit (layout.py::
+    zone_map_stats): 64-doc file zones over the doc_id-clustered column
+    with a [100, 200] range predicate — exactly the min/max footer-stat
+    skip rule Parquet/Iceberg readers apply; the clustered column shows
+    real pruning (the unclustered n_chars case would show prunable=0,
+    which is the argument for zorder_files).  One combine-able
+    aggregate."""
+    from mopper_spark.textops.layout import zone_map_stats
+
+    docs = spark.read.schema("doc_id long").parquet(
+        f"{sf}/documents.parquet"
+    ).withColumn("file_id", F.expr("doc_id div 64").cast("long"))
+    return zone_map_stats(
+        docs, "file_id", "doc_id", predicate_lo=100, predicate_hi=200
+    )
+
+
+_SQL_DOCS_ZONE_MAPS = """
+SELECT CAST(doc_id // 64 AS BIGINT) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_nulls,
+       CAST(MIN(doc_id) AS BIGINT) AS min_v,
+       CAST(MAX(doc_id) AS BIGINT) AS max_v,
+       CAST(CASE WHEN MAX(doc_id) < 100 OR MIN(doc_id) > 200
+                 THEN 1 ELSE 0 END AS BIGINT) AS prunable
+FROM documents GROUP BY 1
+"""
+
+
+def _q_docs_langid_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-class precision/recall/F1 (evaluation.py::
+    classification_report) of the n-gram language identifier against
+    the corpus's lang labels — the thresholded companion to
+    docs_langid_confusion (same confusion cells, rolled to the
+    scikit-learn report with zero_division=0, every ratio an integer
+    div)."""
+    from mopper_spark.textops.analysis import lang_id
+    from mopper_spark.textops.evaluation import classification_report
+
+    docs = spark.read.schema("doc_id long, text string, lang string").parquet(
+        f"{sf}/documents.parquet"
+    )
+    pairs = docs.select(
+        F.col("lang").alias("y"), lang_id(F.col("text")).alias("p")
+    )
+    return classification_report(pairs, "y", "p")
+
+
+_SQL_DOCS_LANGID_REPORT = f"""
+WITH pred AS ({_SQL_LANG_ID}),
+pairs AS MATERIALIZED (
+  SELECT d.lang AS y, p.lang_pred AS p
+  FROM documents d JOIN pred p USING (doc_id)
+), cells AS MATERIALIZED (
+  SELECT y, p, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1, 2
+), truth AS (
+  SELECT y AS cls, CAST(SUM(n) AS BIGINT) AS n_true FROM cells GROUP BY y
+), predc AS (
+  SELECT p AS cls, CAST(SUM(n) AS BIGINT) AS n_pred FROM cells GROUP BY p
+), tp AS (
+  SELECT y AS cls, n AS tp FROM cells WHERE y = p
+), base AS (
+  SELECT COALESCE(truth.cls, predc.cls) AS cls,
+         COALESCE(tp.tp, 0) AS tp,
+         COALESCE(predc.n_pred, 0) - COALESCE(tp.tp, 0) AS fp,
+         COALESCE(truth.n_true, 0) - COALESCE(tp.tp, 0) AS fn
+  FROM truth FULL JOIN predc ON truth.cls = predc.cls
+  LEFT JOIN tp ON COALESCE(truth.cls, predc.cls) = tp.cls
+)
+SELECT cls, tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp)
+            ELSE 0 END AS precision_fp,
+       CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn)
+            ELSE 0 END AS recall_fp,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN (2 * tp * 1000000) // (2 * tp + fp + fn)
+            ELSE 0 END AS f1_fp
+FROM base
+"""
+
+
+def _q_embeddings_dominant_eigen(spark: SparkSession, sf: str) -> DataFrame:
+    """Dominant eigenvector of XtX by 3 power iterations with exact
+    integer max-renormalization (similarity.py::dominant_eigen) plus
+    the Rayleigh-quotient terms — the converged spectral readout over
+    the embedding corpus, bit-reproducible under any partitioning.
+    Three static matvec rounds, dim-bounded shuffles only."""
+    from mopper_spark.textops.similarity import dominant_eigen
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return dominant_eigen(emb)
+
+
+def _eigen_oracle_sql(n_steps: int = 3, dim: int = 64) -> str:
+    vs = 1 << 10
+    parts = [f"""
+WITH dims AS (SELECT unnest(range(0, {dim})) AS dim),
+x AS MATERIALIZED (
+  SELECT e.vec_id, CAST(d.dim AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(e.embedding[d.dim + 1] AS DOUBLE) * 1024.0)
+              AS BIGINT) AS x_fp
+  FROM embeddings e CROSS JOIN dims d
+), v0 AS (
+  SELECT CAST(dim AS BIGINT) AS dim,
+         CAST(CASE WHEN substr(md5('pi-v1:' || CAST(dim AS VARCHAR)), 1, 1)
+                        < '8'
+                   THEN 1 ELSE -1 END * {vs} AS BIGINT) AS v_fp
+  FROM dims
+)"""]
+    prev = "v0"
+    for i in range(1, n_steps + 1):
+        parts.append(f""",
+s{i} AS MATERIALIZED (
+  SELECT x.vec_id, CAST(SUM(x.x_fp * {prev}.v_fp) AS BIGINT) AS s
+  FROM x JOIN {prev} ON x.dim = {prev}.dim GROUP BY x.vec_id
+), w{i} AS MATERIALIZED (
+  SELECT x.dim, CAST(SUM(x.x_fp * s{i}.s) AS BIGINT) AS w
+  FROM x JOIN s{i} ON x.vec_id = s{i}.vec_id GROUP BY x.dim
+), m{i} AS (SELECT MAX(abs(w)) AS mx FROM w{i}),
+v{i} AS MATERIALIZED (
+  SELECT dim, CAST(CASE WHEN mx > 0 THEN (w * {vs}) // mx
+                        ELSE 0 END AS BIGINT) AS v_fp
+  FROM w{i} CROSS JOIN m{i}
+)""")
+        prev = f"v{i}"
+    parts.append(f""",
+sf AS MATERIALIZED (
+  SELECT x.vec_id, CAST(SUM(x.x_fp * {prev}.v_fp) AS BIGINT) AS s
+  FROM x JOIN {prev} ON x.dim = {prev}.dim GROUP BY x.vec_id
+), rq AS (SELECT CAST(SUM(s * s) AS BIGINT) AS rq_num FROM sf),
+vden AS (SELECT CAST(SUM(v_fp * v_fp) AS BIGINT) AS rq_den FROM {prev})
+SELECT {prev}.dim, {prev}.v_fp, rq.rq_num, vden.rq_den
+FROM {prev} CROSS JOIN rq CROSS JOIN vden""")
+    return "".join(parts)
+
+
+_SQL_EMBEDDINGS_DOMINANT_EIGEN = _eigen_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -12945,6 +13085,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_turn_taking": _q_transcripts_turn_taking,
         "transcripts_time_allocation": _q_transcripts_time_allocation,
         "transcripts_episodes": _q_transcripts_episodes,
+        "docs_zone_maps": _q_docs_zone_maps,
+        "docs_langid_report": _q_docs_langid_report,
+        "embeddings_dominant_eigen": _q_embeddings_dominant_eigen,
     }
 
 
@@ -13222,4 +13365,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_turn_taking": _SQL_TRANSCRIPTS_TURN_TAKING,
         "transcripts_time_allocation": _SQL_TRANSCRIPTS_TIME_ALLOCATION,
         "transcripts_episodes": _SQL_TRANSCRIPTS_EPISODES,
+        "docs_zone_maps": _SQL_DOCS_ZONE_MAPS,
+        "docs_langid_report": _SQL_DOCS_LANGID_REPORT,
+        "embeddings_dominant_eigen": _SQL_EMBEDDINGS_DOMINANT_EIGEN,
     }

@@ -130,3 +130,80 @@ def cohens_kappa(
         (F.col("n") * agree - pe_num).cast("long").alias("kappa_num"),
         (F.col("n") * F.col("n") - pe_num).cast("long").alias("kappa_den"),
     )
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+    *,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-class precision/recall/F1 from exact confusion counts — the
+    thresholded companion to the threshold-free ``rank_auc`` and
+    ``calibration_bins``: one row per class appearing in labels or
+    predictions, ``(class, tp, fp, fn, precision_fp, recall_fp,
+    f1_fp)``, all BIGINT (fixed-point ratios by integer div;
+    ``f1 = 2tp / (2tp + fp + fn)`` needs no float ever).  Classes with
+    zero denominator (never predicted / never true) report the ratio as
+    0 — the scikit-learn ``zero_division=0`` convention.  Macro
+    averages are one consumer aggregation over these rows; micro-F1
+    equals accuracy on single-label data and falls out of the tp sums.
+
+    Plan: one (label, pred) cell aggregate (class²-bounded, classes are
+    enum-cardinality) + two class-level rollups joined back.
+    """
+    cells = (
+        df.select(
+            F.col(label_col).cast("string").alias("y"),
+            F.col(pred_col).cast("string").alias("p"),
+        )
+        .groupBy("y", "p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tp = (
+        cells.filter(F.col("y") == F.col("p"))
+        .select(F.col("y").alias("cls"), F.col("n").alias("tp"))
+    )
+    truth = cells.groupBy(F.col("y").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_true")
+    )
+    pred = cells.groupBy(F.col("p").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    base = (
+        truth.join(pred, "cls", "full")
+        .select(
+            "cls",
+            F.coalesce(F.col("n_true"), F.lit(0)).alias("n_true"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
+        )
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+            (F.col("n_pred") - F.coalesce(F.col("tp"), F.lit(0)))
+            .cast("long")
+            .alias("fp"),
+            (F.col("n_true") - F.coalesce(F.col("tp"), F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    s = int(scale)
+    return base.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") > 0,
+               F.expr(f"(tp * {s}) div (tp + fp)"))
+        .otherwise(0).cast("long").alias("precision_fp"),
+        F.when(F.col("tp") + F.col("fn") > 0,
+               F.expr(f"(tp * {s}) div (tp + fn)"))
+        .otherwise(0).cast("long").alias("recall_fp"),
+        F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+               F.expr(f"(2 * tp * {s}) div (2 * tp + fp + fn)"))
+        .otherwise(0).cast("long").alias("f1_fp"),
+    )

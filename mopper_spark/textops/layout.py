@@ -146,3 +146,57 @@ def compaction_plan(
             F.expr(f"start_bytes div {int(target_bytes)}").alias("grp"),
         )
     )
+
+
+def zone_map_stats(
+    df: DataFrame,
+    file_col: str,
+    value_col: str,
+    *,
+    predicate_lo: int | None = None,
+    predicate_hi: int | None = None,
+) -> DataFrame:
+    """Zone maps (min/max/null-count per file) plus the data-skipping
+    audit — the statistics Parquet row groups and Iceberg manifests
+    carry, computed FROM the table so a layout owner can ask "how many
+    files would this range predicate actually skip?" before and after a
+    re-sort (``zorder_files``/``compaction_plan`` are the write side of
+    the same loop; this is the read side).
+
+    Returns one row per ``file_col`` group: ``(file_id, n_rows, n_nulls,
+    min_v, max_v, prunable)`` with min/max over the non-null BIGINT cast
+    of ``value_col``; when both predicate bounds are given, ``prunable``
+    is 1 iff the zone cannot contain a match (``max_v < lo`` or
+    ``min_v > hi``) AND has no NULLs that an IS NULL-tolerant plan would
+    still need — the exact skip rule an engine applies from footer
+    stats.  With no predicate, ``prunable`` is 0 everywhere (stats-only
+    mode).  All-NULL zones report min/max as the -1 sentinel with
+    n_nulls = n_rows (gid-style disambiguation: a real min cannot be
+    told apart from -1 ONLY by callers whose domain includes it — pass a
+    shifted column if so; NULLs on the fetch path are the alternative
+    this codebase avoids).
+
+    One combine-able aggregate — file-count-shaped output.
+    """
+    v = F.col(value_col).cast("long")
+    agg = df.groupBy(F.col(file_col).alias("file_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(v.isNull().cast("long")).cast("long").alias("n_nulls"),
+        F.coalesce(F.min(v), F.lit(-1)).cast("long").alias("min_v"),
+        F.coalesce(F.max(v), F.lit(-1)).cast("long").alias("max_v"),
+    )
+    if predicate_lo is None or predicate_hi is None:
+        prunable = F.lit(0)
+    else:
+        prunable = (
+            (F.col("n_nulls") == 0)
+            & (F.col("n_rows") > 0)
+            & (
+                (F.col("max_v") < int(predicate_lo))
+                | (F.col("min_v") > int(predicate_hi))
+            )
+        ).cast("long")
+    return agg.select(
+        "file_id", "n_rows", "n_nulls", "min_v", "max_v",
+        prunable.cast("long").alias("prunable"),
+    )

@@ -528,3 +528,109 @@ def power_iteration_step(
         .join(F.broadcast(signs), "dim")
         .select("dim", "v0", "w_fp")
     )
+
+
+def dominant_eigen(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_steps: int = 3,
+    x_scale: int = 1 << 10,
+    v_scale: int = 1 << 10,
+    seed: str = "pi-v1",
+) -> DataFrame:
+    """Dominant-eigenvector estimate of the corpus Gram matrix XᵀX by
+    ``n_steps`` power iterations with EXACT INTEGER renormalization —
+    the converged sibling of ``power_iteration_step``: after each
+    ``w = Xᵀ(X v)`` matvec pair, the iterate is rescaled to
+    ``v' = (w · v_scale) div max|w|`` (integer div against the max
+    absolute component), so every iterate is a bounded BIGINT vector and
+    the whole trajectory is bit-reproducible on any engine and under any
+    partitioning — the same fixed-point discipline as
+    ``ivf.kmeans_step`` and ``graph.pagerank_fixed``.
+
+    Returns one row per dimension: ``(dim, v_fp, rq_num, rq_den)`` —
+    the final iterate plus the Rayleigh-quotient terms
+    ``rq_num = Σᵢ (Σⱼ xᵢⱼ vⱼ)²`` and ``rq_den = Σⱼ vⱼ²`` (identical on
+    every row; λ₁ ≈ rq_num / (rq_den · x_scale²) is the consumer
+    division).
+
+    Each step is the two dim-bounded shuffles of the single-step
+    operator plus a 1-row broadcast max; ``n_steps`` is a literal, so
+    the whole loop is a static plan chain with per-step lineage cuts.
+    Overflow: |w| ≤ n·dim·x_scale²·v_scale — safe through ~10⁸ rows at
+    the defaults; halve the scales past that.
+    """
+    if n_steps < 1:
+        raise ValueError("dominant_eigen: n_steps must be >= 1")
+    spark = embeddings.sparkSession
+    x = embeddings.select(
+        F.col(id_col).alias("_row"),
+        F.posexplode(F.col(vec_col)).alias("dim", "xv"),
+    ).select(
+        "_row",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("xv").cast("double") * F.lit(float(x_scale)))
+        .cast("long")
+        .alias("x_fp"),
+    ).localCheckpoint(eager=False)
+    dim_count = embeddings.select(
+        F.size(F.col(vec_col)).alias("d")
+    ).limit(1).collect()[0]["d"]
+    v = spark.range(dim_count).select(
+        F.col("id").cast("long").alias("dim"),
+        (
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit(seed + ":"), F.col("id"))), 1, 1
+                )
+                < "8",
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+            * F.lit(int(v_scale))
+        )
+        .cast("long")
+        .alias("v_fp"),
+    ).localCheckpoint(eager=False)
+    for _ in range(n_steps):
+        s = (
+            x.join(F.broadcast(v), "dim")
+            .groupBy("_row")
+            .agg(F.sum(F.col("x_fp") * F.col("v_fp")).alias("s"))
+        )
+        w = (
+            x.join(s, "_row")
+            .groupBy("dim")
+            .agg(F.sum(F.col("x_fp") * F.col("s")).alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                "dim",
+                # Spark `div` and DuckDB `//` both truncate toward zero
+                # for integers (verified: -7//2 = -3 on both), so the
+                # plain div is engine-equal even for negative w
+                F.when(F.col("mx") > 0,
+                       F.expr(f"(w * {int(v_scale)}) div mx"))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("v_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sv = (
+        x.join(F.broadcast(v), "dim")
+        .groupBy("_row")
+        .agg(F.sum(F.col("x_fp") * F.col("v_fp")).alias("s"))
+    )
+    rq = sv.agg(F.sum(F.col("s") * F.col("s")).cast("long").alias("rq_num"))
+    vden = v.agg(
+        F.sum(F.col("v_fp") * F.col("v_fp")).cast("long").alias("rq_den")
+    )
+    return (
+        v.crossJoin(F.broadcast(rq))
+        .crossJoin(F.broadcast(vden))
+        .select("dim", "v_fp", "rq_num", "rq_den")
+    )

@@ -241,3 +241,29 @@ class TestGroupTrendOls:
         assert got["pos"] == (1, 1, 0)
         assert got["neg"] == (1, 0, 1)
         assert "w" not in got  # present in both live docs -> c+d==0 degenerate
+
+
+class TestClassificationReport:
+    def test_per_class_exact(self, spark):
+        from mopper_spark.textops.evaluation import classification_report
+
+        rows = [("a", "a")] * 3 + [("a", "b")] * 1 + [("b", "b")] * 2 + [
+            ("b", "a")
+        ] * 2 + [("c", "a")]  # c never predicted
+        df = spark.createDataFrame(rows, "y string, p string")
+        got = {r.cls: (r.tp, r.fp, r.fn, r.precision_fp, r.recall_fp, r.f1_fp)
+               for r in classification_report(df, "y", "p").collect()}
+        s = 10**6
+        assert got["a"] == (3, 3, 1, (3 * s) // 6, (3 * s) // 4,
+                            (6 * s) // 10)
+        assert got["b"] == (2, 1, 2, (2 * s) // 3, (2 * s) // 4,
+                            (4 * s) // 7)
+        assert got["c"] == (0, 0, 1, 0, 0, 0)  # zero_division=0
+
+    def test_class_only_in_predictions(self, spark):
+        from mopper_spark.textops.evaluation import classification_report
+
+        df = spark.createDataFrame([("a", "z")], "y string, p string")
+        got = {r.cls: (r.tp, r.fp, r.fn)
+               for r in classification_report(df, "y", "p").collect()}
+        assert got["z"] == (0, 1, 0) and got["a"] == (0, 0, 1)

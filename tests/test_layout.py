@@ -60,3 +60,24 @@ class TestZOrder:
             map(tuple, zorder_files(pts.repartition(9), ["x", "y"], 8, bits=5).collect())
         )
         assert a == b
+
+
+class TestZoneMapStats:
+    def test_stats_and_pruning(self, spark):
+        from mopper_spark.textops.layout import zone_map_stats
+
+        rows = [(0, 5), (0, 9), (1, 20), (1, 30), (2, None), (2, 7)]
+        df = spark.createDataFrame(rows, "f int, v int")
+        got = {r.file_id: (r.n_rows, r.n_nulls, r.min_v, r.max_v, r.prunable)
+               for r in zone_map_stats(
+                   df, "f", "v", predicate_lo=10, predicate_hi=15).collect()}
+        assert got[0] == (2, 0, 5, 9, 1)      # max < lo: skip
+        assert got[1] == (2, 0, 20, 30, 1)    # min > hi: skip
+        assert got[2] == (2, 1, 7, 7, 0)      # has NULLs: never prunable
+
+    def test_all_null_zone_sentinel_and_no_predicate(self, spark):
+        from mopper_spark.textops.layout import zone_map_stats
+
+        df = spark.createDataFrame([(0, None), (0, None)], "f int, v int")
+        (r,) = zone_map_stats(df, "f", "v").collect()
+        assert (r.n_nulls, r.min_v, r.max_v, r.prunable) == (2, -1, -1, 0)

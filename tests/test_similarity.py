@@ -73,3 +73,54 @@ class TestPowerIterationStep:
         a = sorted(map(tuple, power_iteration_step(df).collect()))
         b = sorted(map(tuple, power_iteration_step(df.repartition(9)).collect()))
         assert a == b and len(a) == 8
+
+
+class TestDominantEigen:
+    def _replica(self, vecs, n_steps=3, xs=1 << 10, vs=1 << 10):
+        import hashlib
+        import math
+
+        dim = len(vecs[0][1])
+        x = [[math.floor(e * xs) for e in v] for _, v in vecs]
+        v = [
+            (1 if hashlib.md5(f"pi-v1:{j}".encode()).hexdigest()[0] < "8"
+             else -1) * vs
+            for j in range(dim)
+        ]
+        for _ in range(n_steps):
+            s = [sum(xi[j] * v[j] for j in range(dim)) for xi in x]
+            w = [sum(x[i][j] * s[i] for i in range(len(x))) for j in range(dim)]
+            mx = max(abs(c) for c in w)
+            # truncating division toward zero (Spark div / DuckDB // on
+            # ints), exact for big ints — no float division
+            v = [(abs(c) * vs // mx) * (1 if c >= 0 else -1) if mx > 0 else 0
+                 for c in w]
+        s = [sum(xi[j] * v[j] for j in range(dim)) for xi in x]
+        num = sum(c * c for c in s)
+        den = sum(c * c for c in v)
+        return v, num, den
+
+    def test_matches_replica_with_negatives(self, spark):
+        from mopper_spark.textops.similarity import dominant_eigen
+
+        vecs = [
+            (0, [0.9, -0.1, 0.05]),
+            (1, [-0.8, 0.2, 0.0]),
+            (2, [0.85, -0.15, 0.1]),
+            (3, [0.05, 0.9, -0.3]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        rows = dominant_eigen(df).collect()
+        v, num, den = self._replica(vecs)
+        assert {r.dim: r.v_fp for r in rows} == {j: v[j] for j in range(3)}
+        assert all((r.rq_num, r.rq_den) == (num, den) for r in rows)
+
+    def test_partitioning_invariance(self, spark):
+        from mopper_spark.textops.similarity import dominant_eigen
+
+        rows = [(i, [((i * 31 + j * 7) % 13 - 6) / 6.0 for j in range(6)])
+                for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        a = sorted(map(tuple, dominant_eigen(df).collect()))
+        b = sorted(map(tuple, dominant_eigen(df.repartition(7)).collect()))
+        assert a == b and len(a) == 6
