@@ -12820,6 +12820,32 @@ FROM {prev} CROSS JOIN rq CROSS JOIN vden""")
 _SQL_EMBEDDINGS_DOMINANT_EIGEN = _eigen_oracle_sql()
 
 
+def _q_multimodal_bmp_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL BMP decode path (third non-stub media kernel after WAV and
+    PNG): deterministic 24-bpp BMPs generated executor-side across every
+    row-padding remainder, decoded with the strict struct kernel
+    (bottom-up rows, BGR, padding), features = EXACT integer channel
+    sums.  Oracle: a parquet fixture re-derived from the pixel FORMULA
+    alone (scripts/gen_bmp_oracle.py) — no BMP parsing in the oracle, so
+    only a genuinely correct decoder round-trips it."""
+    from mopper_spark.textops.multimodal import (
+        extract_bmp_features,
+        synth_bmp_media,
+    )
+
+    return extract_bmp_features(synth_bmp_media(spark, n=24))
+
+
+_BMP_ORACLE_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "bmp_features.parquet"
+)
+
+_SQL_MULTIMODAL_BMP = f"""
+SELECT media_id, width, height, bpp, n_px, sum_b, sum_g, sum_r
+FROM read_parquet('{_BMP_ORACLE_FIXTURE}')
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -13088,6 +13114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_zone_maps": _q_docs_zone_maps,
         "docs_langid_report": _q_docs_langid_report,
         "embeddings_dominant_eigen": _q_embeddings_dominant_eigen,
+        "multimodal_bmp_features": _q_multimodal_bmp_features,
     }
 
 
@@ -13368,4 +13395,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_zone_maps": _SQL_DOCS_ZONE_MAPS,
         "docs_langid_report": _SQL_DOCS_LANGID_REPORT,
         "embeddings_dominant_eigen": _SQL_EMBEDDINGS_DOMINANT_EIGEN,
+        "multimodal_bmp_features": _SQL_MULTIMODAL_BMP,
     }

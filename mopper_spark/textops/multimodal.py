@@ -440,3 +440,147 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.select(
         "media_id", F.explode(idx).alias("frame_idx")
     )
+
+
+# ------------------------------------------------------------------ BMP
+
+BMP_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bpp", IntegerType()),
+        StructField("n_px", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_r", LongType()),
+    ]
+)
+
+
+def synth_bmp_pixel(media_id: int, x: int, y: int, c: int, seed: int = 11) -> int:
+    """The deterministic BMP pixel formula (c: 0=B, 1=G, 2=R) — the only
+    ground truth shared with the oracle (scripts/gen_bmp_oracle.py
+    re-derives the channel sums from this formula alone, never parsing
+    BMP bytes)."""
+    return (x * 11 + y * 17 + c * 23 + media_id * 37 + seed * 19) % 256
+
+
+def synth_bmp_payload(media_id: int, seed: int = 11) -> bytes:
+    """A REAL 24-bpp Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER,
+    bottom-up rows, BGR pixel order, rows zero-padded to 4 bytes — the
+    uncompressed on-disk layout every BMP reader must honor).  Width and
+    height vary with media_id so the row-padding remainder (3·w mod 4)
+    takes every value across the fixture — the part naive decoders get
+    wrong."""
+    import struct
+
+    w = 5 + media_id % 6
+    h = 3 + (media_id * 3) % 5
+    row_len = (3 * w + 3) // 4 * 4
+    pixel_bytes = bytearray()
+    for row in range(h - 1, -1, -1):  # bottom-up
+        for x in range(w):
+            for c in range(3):  # B, G, R
+                pixel_bytes.append(synth_bmp_pixel(media_id, x, row, c, seed))
+        pixel_bytes.extend(b"\x00" * (row_len - 3 * w))
+    data_size = len(pixel_bytes)
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    return file_header + info_header + bytes(pixel_bytes)
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, int, list[int], list[int], list[int]]:
+    """Strict 24-bpp BMP decode: magic/offset/header-size/planes/bpp/
+    compression all validated (fail-loud — same contract as decode_png),
+    bottom-up row order undone, padding skipped.  Returns ``(width,
+    height, bpp, b_channel, g_channel, r_channel)`` with channels in
+    top-down raster order."""
+    import struct
+
+    if len(data) < 54:
+        raise ValueError("BMP: truncated header")
+    magic, _fsize, _r1, _r2, offset = struct.unpack_from("<2sIHHI", data, 0)
+    if magic != b"BM":
+        raise ValueError("BMP: bad magic")
+    (hsize, w, h, planes, bpp, comp, _isize, _xp, _yp, _cu, _ci) = (
+        struct.unpack_from("<IiiHHIIiiII", data, 14)
+    )
+    if hsize != 40:
+        raise ValueError(f"BMP: unsupported DIB header size {hsize}")
+    if planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError(
+            f"BMP: only uncompressed 24-bpp supported (planes={planes}, "
+            f"bpp={bpp}, compression={comp})"
+        )
+    if h <= 0 or w <= 0:
+        raise ValueError("BMP: top-down or empty images not supported")
+    row_len = (3 * w + 3) // 4 * 4
+    if len(data) < offset + row_len * h:
+        raise ValueError("BMP: truncated pixel data")
+    bs: list[int] = []
+    gs: list[int] = []
+    rs: list[int] = []
+    for row in range(h):  # top-down output: read rows from the END
+        base = offset + (h - 1 - row) * row_len
+        for x in range(w):
+            p = base + 3 * x
+            bs.append(data[p])
+            gs.append(data[p + 1])
+            rs.append(data[p + 2])
+    return w, h, bpp, bs, gs, rs
+
+
+def synth_bmp_media(spark, n: int = 24, seed: int = 11) -> DataFrame:
+    """Media table whose payloads are REAL decodable BMP bytes (generated
+    executor-side in Arrow batches — payloads never touch the driver)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "mime": ["image/bmp"] * len(ids),
+                    "payload": [synth_bmp_payload(i, seed) for i in ids],
+                    "width": pd.array([None] * len(ids), dtype="Int32"),
+                    "height": pd.array([None] * len(ids), dtype="Int32"),
+                }
+            )
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def extract_bmp_features(media: DataFrame) -> DataFrame:
+    """REAL decode kernel for ``image/bmp`` payloads — the third non-stub
+    media kernel (WAV, PNG, BMP): strict header parse + bottom-up/padded
+    row walk in Arrow batches, features = header fields + EXACT integer
+    per-channel sums (no float anywhere, so the driver gate hashes these
+    bit-for-bit).  Malformed payloads raise (fail-loud)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height", "bpp",
+                                   "n_px", "sum_b", "sum_g", "sum_r")}
+            for media_id, mime, payload in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"]
+            ):
+                if mime != "image/bmp":
+                    raise NotImplementedError(
+                        f"decode for {mime!r} requires PIL "
+                        "(unavailable in this container)"
+                    )
+                w, h, bpp, bs, gs, rs = decode_bmp(bytes(payload))
+                out["media_id"].append(media_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bpp"].append(bpp)
+                out["n_px"].append(w * h)
+                out["sum_b"].append(sum(bs))
+                out["sum_g"].append(sum(gs))
+                out["sum_r"].append(sum(rs))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, BMP_FEATURE_SCHEMA)

@@ -1829,3 +1829,56 @@ class TestOphMinhash:
 
         with pytest.raises(ValueError):
             minhash_band_table(df, scheme="nope")
+
+
+class TestBmpKernel:
+    def test_payload_roundtrips_formula(self, spark):
+        from mopper_spark.textops.multimodal import (
+            decode_bmp,
+            synth_bmp_payload,
+            synth_bmp_pixel,
+        )
+
+        for m in (0, 3, 7):  # different padding remainders
+            w, h, bpp, bs, gs, rs = decode_bmp(synth_bmp_payload(m))
+            assert bpp == 24 and w == 5 + m % 6 and h == 3 + (m * 3) % 5
+            i = 0
+            for y in range(h):
+                for x in range(w):
+                    assert bs[i] == synth_bmp_pixel(m, x, y, 0)
+                    assert gs[i] == synth_bmp_pixel(m, x, y, 1)
+                    assert rs[i] == synth_bmp_pixel(m, x, y, 2)
+                    i += 1
+
+    def test_strict_rejections(self, spark):
+        import struct
+
+        from mopper_spark.textops.multimodal import decode_bmp, synth_bmp_payload
+
+        good = synth_bmp_payload(1)
+        with pytest.raises(ValueError, match="magic"):
+            decode_bmp(b"XX" + good[2:])
+        with pytest.raises(ValueError, match="truncated header"):
+            decode_bmp(good[:30])
+        # flip bpp to 8 in the info header (offset 14+14=28)
+        bad = bytearray(good)
+        struct.pack_into("<H", bad, 28, 8)
+        with pytest.raises(ValueError, match="24-bpp"):
+            decode_bmp(bytes(bad))
+        with pytest.raises(ValueError, match="truncated pixel"):
+            decode_bmp(good[:-4])
+
+    def test_extract_matches_fixture(self, spark):
+        from mopper_spark.textops.multimodal import (
+            extract_bmp_features,
+            synth_bmp_media,
+        )
+
+        got = sorted(
+            map(tuple, extract_bmp_features(synth_bmp_media(spark, n=8)).collect())
+        )
+        want = sorted(
+            map(tuple, spark.read.parquet("fixtures/bmp_features.parquet")
+                .filter("media_id < 8").collect())
+        )
+        assert got == want
