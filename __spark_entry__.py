@@ -12846,6 +12846,72 @@ FROM read_parquet('{_BMP_ORACLE_FIXTURE}')
 """
 
 
+def _q_graph_weighted_distances(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted shortest distances (graph.py::weighted_distances —
+    level-synchronous Bellman-Ford with a semi-naive delta frontier)
+    over the undirected doc-id tree (ids < 512) with deterministic
+    integer weights 1 + (child+parent) mod 5, from seeds {1, 100}.
+    Unit-weight equality with bfs_distances is pinned in tests; the
+    oracle is 20 rounds of full relaxation as chained CTEs — an
+    independent (non-frontier) formulation of the same fixpoint."""
+    from mopper_spark.pipeline.graph import weighted_distances
+
+    docs = spark.read.schema("doc_id long").parquet(
+        f"{sf}/documents.parquet"
+    ).filter(F.col("doc_id") < 512)
+    edges = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("src"),
+        F.expr("doc_id div 2").cast("long").alias("dst"),
+        (F.lit(1) + (F.col("doc_id") + F.expr("doc_id div 2")) % 5)
+        .cast("long")
+        .alias("w"),
+    )
+    seeds = spark.createDataFrame([(1,), (100,)], "origin long")
+    return weighted_distances(edges, seeds, directed=False)
+
+
+def _weighted_dist_oracle_sql(rounds: int = 20) -> str:
+    head = """
+WITH ed AS MATERIALIZED (
+  SELECT s, d, w FROM (
+    SELECT CAST(doc_id AS BIGINT) AS s, CAST(doc_id // 2 AS BIGINT) AS d,
+           CAST(1 + (doc_id + doc_id // 2) % 5 AS BIGINT) AS w
+    FROM documents WHERE doc_id >= 2 AND doc_id < 512
+    UNION ALL
+    SELECT CAST(doc_id // 2 AS BIGINT), CAST(doc_id AS BIGINT),
+           CAST(1 + (doc_id + doc_id // 2) % 5 AS BIGINT)
+    FROM documents WHERE doc_id >= 2 AND doc_id < 512
+  )
+), d0 AS MATERIALIZED (
+  SELECT o.origin, ed.d AS node, MIN(ed.w) AS dist
+  FROM (SELECT unnest([CAST(1 AS BIGINT), 100]) AS origin) o
+  JOIN ed ON ed.s = o.origin
+  WHERE ed.d <> o.origin
+  GROUP BY o.origin, ed.d
+)"""
+    parts = [head]
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT origin, node, MIN(dist) AS dist FROM (
+    SELECT origin, node, dist FROM {prev}
+    UNION ALL
+    SELECT p.origin, ed.d AS node, p.dist + ed.w AS dist
+    FROM {prev} p JOIN ed ON ed.s = p.node
+    WHERE ed.d <> p.origin
+  ) GROUP BY origin, node
+)""")
+        prev = f"d{i}"
+    parts.append(
+        f"\nSELECT origin, node, CAST(dist AS BIGINT) AS dist FROM {prev}"
+    )
+    return "".join(parts)
+
+
+_SQL_GRAPH_WEIGHTED_DISTANCES = _weighted_dist_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -13115,6 +13181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_langid_report": _q_docs_langid_report,
         "embeddings_dominant_eigen": _q_embeddings_dominant_eigen,
         "multimodal_bmp_features": _q_multimodal_bmp_features,
+        "graph_weighted_distances": _q_graph_weighted_distances,
     }
 
 
@@ -13396,4 +13463,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_langid_report": _SQL_DOCS_LANGID_REPORT,
         "embeddings_dominant_eigen": _SQL_EMBEDDINGS_DOMINANT_EIGEN,
         "multimodal_bmp_features": _SQL_MULTIMODAL_BMP,
+        "graph_weighted_distances": _SQL_GRAPH_WEIGHTED_DISTANCES,
     }

@@ -2053,3 +2053,99 @@ def eccentricity_from(
     return ecc.join(witness, "origin").select(
         "origin", "ecc", "n_reached", "farthest"
     )
+
+
+def weighted_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    *,
+    max_rounds: int = 30,
+    directed: bool = True,
+) -> DataFrame:
+    """Single-source shortest WEIGHTED distances from each seed —
+    Bellman-Ford relaxation run level-synchronously with a delta
+    frontier (the distributed classic; Dijkstra's priority queue has no
+    parallel analogue, delta-stepping degenerates to exactly this when
+    every bucket is one round).  Weights are positive BIGINTs; returns
+    ``(origin, node, dist)`` for every node reachable from each origin
+    (dist >= 1·min_w; the origin itself is not emitted — the
+    ``bfs_distances`` contract, whose unweighted answers this reproduces
+    when all weights are 1).
+
+    Per round: relax the DELTA frontier only (rows whose distance
+    improved last round — semi-naive, like ``transitive_closure``),
+    merge with one associative ``min`` per (origin, node), cut lineage.
+    Terminates when a round improves nothing; raises past
+    ``max_rounds`` (rounds needed = max hop count of any shortest path
+    — raise the bound for deep graphs rather than silently truncating;
+    negative weights are rejected up front because Bellman-Ford with
+    negative cycles has no shortest path to report).
+
+    Scale: cost proportional to the seeds' cones × hop depth; each
+    round is one keyed join + one combine-able min — no global
+    structure, same posture as bfs_distances.
+    """
+    e = edges.select(
+        F.col(src).alias("_s"),
+        F.col(dst).alias("_d"),
+        F.col(weight).cast("long").alias("_w"),
+    )
+    if not directed:
+        e = e.unionByName(
+            edges.select(
+                F.col(dst).alias("_s"),
+                F.col(src).alias("_d"),
+                F.col(weight).cast("long").alias("_w"),
+            )
+        )
+    # parallel edges: keep the cheapest; negative weights are an error
+    e = (
+        e.groupBy("_s", "_d")
+        .agg(F.min("_w").alias("_w"))
+        .localCheckpoint(eager=False)
+    )
+    if e.filter(F.col("_w") < 0).limit(1).count() > 0:
+        raise ValueError("weighted_distances: negative weights not supported")
+    (seed_col,) = seeds.columns
+    frontier = (
+        seeds.select(F.col(seed_col).alias("origin"))
+        .distinct()
+        .join(e, F.col("origin") == F.col("_s"))
+        .select("origin", F.col("_d").alias("node"), F.col("_w").alias("dist"))
+        .filter(F.col("node") != F.col("origin"))
+        .groupBy("origin", "node")
+        .agg(F.min("dist").alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    acc = frontier
+    for _ in range(max_rounds):
+        if frontier.isEmpty():
+            return acc.localCheckpoint(eager=True)
+        relaxed = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(
+                "origin",
+                F.col("_d").alias("node"),
+                (F.col("dist") + F.col("_w")).alias("dist"),
+            )
+            .filter(F.col("node") != F.col("origin"))
+        )
+        merged = (
+            acc.unionByName(relaxed)
+            .groupBy("origin", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.join(
+            acc, ["origin", "node", "dist"], "left_anti"
+        ).localCheckpoint(eager=False)
+        acc = merged
+    if not frontier.isEmpty():
+        raise ValueError(
+            f"weighted_distances: no fixpoint within {max_rounds} rounds "
+            "(raise max_rounds for deeper graphs)"
+        )
+    return acc.localCheckpoint(eager=True)

@@ -268,3 +268,52 @@ class TestEccentricityFrom:
         seeds = spark.createDataFrame([(1,)], "origin long")
         got = eccentricity_from(e, seeds).collect()
         assert [(r.ecc, r.n_reached, r.farthest) for r in got] == [(1, 1, 2)]
+
+
+class TestWeightedDistances:
+    def _run(self, spark, edges, seeds, **kw):
+        from mopper_spark.pipeline.graph import weighted_distances
+
+        e = spark.createDataFrame(edges, "src long, dst long, w long")
+        s = spark.createDataFrame([(x,) for x in seeds], "origin long")
+        return {
+            (r.origin, r.node): r.dist
+            for r in weighted_distances(e, s, **kw).collect()
+        }
+
+    def test_cheaper_long_path_wins(self, spark):
+        # 1->3 direct costs 10; 1->2->3 costs 2+3=5
+        got = self._run(
+            spark, [(1, 3, 10), (1, 2, 2), (2, 3, 3)], [1]
+        )
+        assert got == {(1, 2): 2, (1, 3): 5}
+
+    def test_matches_bfs_on_unit_weights(self, spark):
+        from mopper_spark.pipeline.graph import bfs_distances
+
+        edges = [(v, v // 2, 1) for v in range(2, 40)]
+        e = spark.createDataFrame(edges, "src long, dst long, w long")
+        s = spark.createDataFrame([(1,)], "origin long")
+        wd = self._run(spark, edges, [1], directed=False)
+        bf = {
+            (r.origin, r.node): r.dist
+            for r in bfs_distances(
+                e.select("src", "dst"), s, directed=False
+            ).collect()
+        }
+        assert wd == bf
+
+    def test_parallel_edges_and_negative_rejection(self, spark):
+        got = self._run(spark, [(1, 2, 9), (1, 2, 4)], [1])
+        assert got == {(1, 2): 4}
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="negative"):
+            self._run(spark, [(1, 2, -1)], [1])
+
+    def test_round_bound_raises(self, spark):
+        import pytest as _pt
+
+        chain = [(i, i + 1, 1) for i in range(12)]
+        with _pt.raises(ValueError, match="fixpoint"):
+            self._run(spark, chain, [0], max_rounds=3)
