@@ -12912,6 +12912,112 @@ d{i} AS MATERIALIZED (
 _SQL_GRAPH_WEIGHTED_DISTANCES = _weighted_dist_oracle_sql()
 
 
+def _q_events_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-digit audit (timeseries.py::benford_audit): per
+    event type the observed leading-digit counts of |value| against the
+    Benford-expected mass in fixed point — the forensic data-quality
+    screen.  Digit from string arithmetic, one double log10 constant
+    floored once; digit-bounded output."""
+    from mopper_spark.textops.timeseries import benford_audit
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return benford_audit(ev, "event_type", "value")
+
+
+_SQL_EVENTS_BENFORD = """
+WITH d AS MATERIALIZED (
+  SELECT event_type AS grp,
+         CAST(substr(CAST(CAST(FLOOR(ABS(value)) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM events WHERE FLOOR(ABS(value)) >= 1
+), counts AS MATERIALIZED (
+  SELECT grp, digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2
+), tot AS (
+  SELECT grp, CAST(SUM(n) AS BIGINT) AS tot FROM counts GROUP BY grp
+)
+SELECT counts.grp AS event_type, digit, n,
+       CAST(FLOOR(1000000.0 * tot * log10(1.0 + 1.0 / digit)) AS BIGINT)
+         AS expected_fp
+FROM counts JOIN tot ON counts.grp = tot.grp
+"""
+
+
+def _q_events_gap_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-arrival burstiness fingerprint (timeseries.py::
+    gap_histogram): per event type, the log2-bucketed histogram of
+    per-user consecutive gaps — bucket from the binary-representation
+    length, no float log; event_id pins same-microsecond ties.  One lag
+    window + one combine-able aggregate."""
+    from mopper_spark.textops.timeseries import gap_histogram
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return gap_histogram(
+        ev, "event_type", "ts", per_entity_col="user_id",
+        tiebreak_col="event_id",
+    )
+
+
+_SQL_EVENTS_GAP_HISTOGRAM = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY event_type, user_id
+                 ORDER BY ts, event_id) AS gap_us
+  FROM events
+), b AS (
+  SELECT event_type,
+         CASE WHEN gap_us <= 0 THEN -1
+              ELSE length(bin(gap_us)) - 1 END AS bucket
+  FROM gaps WHERE gap_us IS NOT NULL
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
+def _q_docs_zipf(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf-fit OLS terms (analysis.py::zipf_terms): per source the
+    exact-integer regression inputs of ln(freq) on ln(rank) over the
+    top-50 tokens — slope ≈ −1 is the natural-language signature, the
+    quality readout beside docs_lexical_profile.  Word-count shuffles +
+    a vocabulary-sized rank window."""
+    from mopper_spark.textops.analysis import zipf_terms
+
+    docs = spark.read.schema("source string, text string").parquet(
+        f"{sf}/documents.parquet"
+    )
+    return zipf_terms(docs, top_k=50)
+
+
+_SQL_DOCS_ZIPF = r"""
+WITH freq AS MATERIALIZED (
+  SELECT source AS grp, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT grp, c,
+         row_number() OVER (PARTITION BY grp ORDER BY c DESC, tok ASC) AS r
+  FROM freq QUALIFY r <= 50
+), xy AS (
+  SELECT grp,
+         CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+         CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+  FROM ranked
+)
+SELECT grp AS source,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sx,
+       CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(SUM(x * x) AS BIGINT) AS sxx,
+       CAST(SUM(x * y) AS BIGINT) AS sxy
+FROM xy GROUP BY grp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -13182,6 +13288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_dominant_eigen": _q_embeddings_dominant_eigen,
         "multimodal_bmp_features": _q_multimodal_bmp_features,
         "graph_weighted_distances": _q_graph_weighted_distances,
+        "events_benford": _q_events_benford,
+        "events_gap_histogram": _q_events_gap_histogram,
+        "docs_zipf": _q_docs_zipf,
     }
 
 
@@ -13464,4 +13573,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_dominant_eigen": _SQL_EMBEDDINGS_DOMINANT_EIGEN,
         "multimodal_bmp_features": _SQL_MULTIMODAL_BMP,
         "graph_weighted_distances": _SQL_GRAPH_WEIGHTED_DISTANCES,
+        "events_benford": _SQL_EVENTS_BENFORD,
+        "events_gap_histogram": _SQL_EVENTS_GAP_HISTOGRAM,
+        "docs_zipf": _SQL_DOCS_ZIPF,
     }

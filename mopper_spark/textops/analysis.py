@@ -1086,3 +1086,64 @@ def lexical_profile(
             " + (100000 * n_long) div n_tokens"
         ).alias("lix_fp"),
     )
+
+
+def zipf_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    *,
+    top_k: int = 100,
+    log_scale: int = 10**6,
+) -> DataFrame:
+    """Zipf's-law fit inputs per group: the OLS regression terms of
+    ``ln(freq)`` on ``ln(rank)`` over the group's ``top_k`` tokens —
+    ``(group, n, sx, sy, sxx, sxy)`` with every log a
+    ``floor(ln·log_scale)`` BIGINT, so the slope
+
+        b = (n·sxy − sx·sy) / (n·sxx − sx²)
+
+    is one consumer division and b ≈ −1 is the natural-language
+    signature (a much flatter slope flags templated/boilerplate
+    corpora, a steeper one flags vocabulary collapse — the
+    quality-triage readout next to ``lexical_profile``).
+
+    Ranks are deterministic: frequency DESC, token ASC on ties.  Only
+    the head (`top_k`) is fitted — the classic practice, since the
+    Zipf tail bends and the head carries the law.  One word-count
+    aggregate + one per-group top-k window (vocabulary-sized) + one
+    combine-able sum.
+    """
+    if top_k < 2:
+        raise ValueError("zipf_terms: top_k must be >= 2")
+    from pyspark.sql import Window
+
+    freq = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("c").desc(), F.col("tok").asc())
+    ranked = freq.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= top_k
+    )
+    s = float(log_scale)
+    xy = ranked.select(
+        "grp",
+        F.floor(F.log(F.col("r").cast("double")) * F.lit(s))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * F.lit(s))
+        .cast("long")
+        .alias("y"),
+    )
+    return xy.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    ).withColumnRenamed("grp", group_col)

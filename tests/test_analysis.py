@@ -83,3 +83,31 @@ class TestLexicalProfile:
         got = {r.source: (r.n_types, r.n_hapax)
                for r in lexical_profile(docs).collect()}
         assert got["a"] == (1, 0) and got["b"] == (2, 2)
+
+
+class TestZipfTerms:
+    def test_terms_match_replica(self, spark):
+        import math
+
+        from mopper_spark.textops.analysis import zipf_terms
+
+        text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+        df = spark.createDataFrame([("s", text)], "source string, text string")
+        (r,) = zipf_terms(df, top_k=4).collect()
+        freqs = [8, 4, 2, 1]  # ranks 1..4 (a,b,c,d)
+        xs = [math.floor(math.log(i + 1) * 1e6) for i in range(4)]
+        ys = [math.floor(math.log(f) * 1e6) for f in freqs]
+        assert (r.n, r.sx, r.sy) == (4, sum(xs), sum(ys))
+        assert r.sxx == sum(x * x for x in xs)
+        assert r.sxy == sum(x * y for x, y in zip(xs, ys))
+
+    def test_tie_rank_deterministic_and_validation(self, spark):
+        from mopper_spark.textops.analysis import zipf_terms
+
+        df = spark.createDataFrame([("s", "b a b a")], "source string, text string")
+        a = zipf_terms(df, top_k=2).collect()
+        b = zipf_terms(df.repartition(5), top_k=2).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            zipf_terms(df, top_k=1)

@@ -419,3 +419,59 @@ class TestPsiDrift:
         (r,) = psi_drift(df, "ts", "value", "2024-01-15").collect()
         # common support is band 1 alone: ratio (1*1)/(1*1) -> ln 0
         assert (r.band, r.n_a, r.n_b, r.ln_ratio_fp) == (1, 1, 1, 0)
+
+
+class TestBenfordAudit:
+    def test_digits_and_expected(self, spark):
+        import datetime as dt
+        import math
+
+        from mopper_spark.textops.timeseries import benford_audit
+
+        rows = [("t", float(v)) for v in [1.2, 15, 19, 0.5, 250, 27, 9.9]]
+        df = spark.createDataFrame(rows, "g string, value double")
+        got = {r.digit: (r.n, r.expected_fp)
+               for r in benford_audit(df, "g", "value").collect()}
+        # 0.5 excluded; digits: 1 (1.2? no -> floor(1.2)=1), 1(15), 1(19),
+        # 2(250), 2(27), 9(9.9)
+        assert got[1][0] == 3 and got[2][0] == 2 and got[9][0] == 1
+        n_tot = 6
+        assert got[2][1] == math.floor(1e6 * n_tot * math.log10(1 + 1 / 2))
+
+    def test_negative_values_use_magnitude(self, spark):
+        from mopper_spark.textops.timeseries import benford_audit
+
+        df = spark.createDataFrame([("g", -42.0), ("g", 41.0)], "g string, value double")
+        got = {r.digit: r.n for r in benford_audit(df, "g", "value").collect()}
+        assert got == {4: 2}
+
+
+class TestGapHistogram:
+    def test_log2_buckets_exact(self, spark):
+        import datetime as dt
+
+        from mopper_spark.textops.timeseries import gap_histogram
+
+        base = dt.datetime(2024, 1, 1)
+        # gaps: 1us (bucket 0), 7us (bucket 2), 1s = 1e6us (bucket 19)
+        ts = [base,
+              base + dt.timedelta(microseconds=1),
+              base + dt.timedelta(microseconds=8),
+              base + dt.timedelta(microseconds=8, seconds=1)]
+        df = spark.createDataFrame([("k", t) for t in ts], "k string, ts timestamp")
+        got = {r.bucket: r.n for r in gap_histogram(df, "k", "ts").collect()}
+        assert got == {0: 1, 2: 1, 19: 1}
+
+    def test_zero_gap_and_entity_scope(self, spark):
+        import datetime as dt
+
+        from mopper_spark.textops.timeseries import gap_histogram
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [("k", "u1", base), ("k", "u1", base),               # 0-gap
+                ("k", "u2", base), ("k", "u2", base + dt.timedelta(seconds=2))]
+        df = spark.createDataFrame(rows, "k string, u string, ts timestamp")
+        got = {r.bucket: r.n
+               for r in gap_histogram(df, "k", "ts", per_entity_col="u").collect()}
+        assert got[-1] == 1          # same-microsecond pair
+        assert got[20] == 1          # 2s = 2e6us -> floor(log2) = 20
