@@ -13018,6 +13018,97 @@ FROM xy GROUP BY grp
 """
 
 
+def _q_stream_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming PSI drift monitor (streaming.py::drift_counts_stream):
+    the frozen first-half band counts are the baseline; the second-half
+    events arrive as a 4-micro-batch file stream whose per-band counts
+    fold into versioned parquet state by SUM (the simplest mergeable
+    sketch — drained state equals the batch GROUP BY under any split),
+    then timeseries.psi_terms_from_counts emits the same terms as the
+    batch events_psi_drift — which is exactly the oracle used."""
+    from mopper_spark.streaming import drift_counts_stream, read_band_counts
+    from mopper_spark.textops.timeseries import psi_terms_from_counts
+
+    root = _scratch_root("stream_psi")
+    src, state, ck = (os.path.join(root, d) for d in ("src", "state", "ck"))
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    split = F.to_timestamp(F.lit("2024-01-16"))
+    baseline = (
+        ev.filter(F.col("ts") < split)
+        .select(F.floor(F.col("value").cast("double")).cast("long").alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    )
+    ev.filter(F.col("ts") >= split).select("value").repartition(4).write.parquet(
+        src
+    )
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = drift_counts_stream(stream, state, ck)
+    q.awaitTermination(300)
+    live = read_band_counts(spark, state).withColumnRenamed("n", "n_b")
+    return psi_terms_from_counts(baseline, live)
+
+
+def _q_transcripts_sft_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """The full SFT data-prep path as ONE composition: sft_pairs
+    (nearest-preceding-prompt extraction) → deterministic numeric pair
+    ids → pack_sequences (seq_len=64 bucketed distributed prefix sum) —
+    per training pair, its offset and sequence span in the packed token
+    stream.  Two library operators end-to-end, no glue logic beyond the
+    id arithmetic; the oracle replays both stages in SQL."""
+    from mopper_spark.textops.packing import pack_sequences
+    from mopper_spark.textops.prepare import sft_pairs
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    pairs = sft_pairs(tr).select(
+        (
+            F.expr("CAST(substring(conv_id, 6) AS BIGINT)") * 1000
+            + F.col("turn_idx")
+        ).alias("pair_id"),
+        F.concat_ws(" ", F.col("prompt"), F.col("response")).alias("text"),
+    )
+    return pack_sequences(pairs, seq_len=64, id_col="pair_id").withColumnRenamed(
+        "doc_id", "pair_id"
+    )
+
+
+_SQL_TRANSCRIPTS_SFT_PACKING = f"""
+WITH p AS (
+  SELECT conv_id, turn_idx, role, text,
+         last_value(CASE WHEN role = 'user' THEN text END IGNORE NULLS)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prompt
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+), pairs AS MATERIALIZED (
+  SELECT CAST(substr(conv_id, 6) AS BIGINT) * 1000 + turn_idx AS pair_id,
+         prompt || ' ' || text AS text
+  FROM p WHERE role = 'assistant' AND prompt IS NOT NULL
+), toks AS (
+  SELECT pair_id,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM pairs
+), o AS (
+  SELECT pair_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY pair_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+  FROM toks
+)
+SELECT pair_id, n_tokens, start_tok,
+       CASE WHEN n_tokens > 0 THEN CAST(start_tok // 64 AS BIGINT) END
+         AS seq_first,
+       CASE WHEN n_tokens > 0
+            THEN CAST((start_tok + n_tokens - 1) // 64 AS BIGINT) END
+         AS seq_last
+FROM o
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -13291,6 +13382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_benford": _q_events_benford,
         "events_gap_histogram": _q_events_gap_histogram,
         "docs_zipf": _q_docs_zipf,
+        "stream_psi_drift": _q_stream_psi_drift,
+        "transcripts_sft_packing": _q_transcripts_sft_packing,
     }
 
 
@@ -13576,4 +13669,6 @@ def oracle_sql() -> dict[str, str]:
         "events_benford": _SQL_EVENTS_BENFORD,
         "events_gap_histogram": _SQL_EVENTS_GAP_HISTOGRAM,
         "docs_zipf": _SQL_DOCS_ZIPF,
+        "stream_psi_drift": _SQL_EVENTS_PSI_DRIFT,
+        "transcripts_sft_packing": _SQL_TRANSCRIPTS_SFT_PACKING,
     }

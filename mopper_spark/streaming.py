@@ -677,3 +677,95 @@ def lateness_audit(
         )
     )
     return out.drop("_ts_us", "_arr", "_bkt", "_bpre", "_run")
+
+
+def process_band_count_batch(
+    batch_df: DataFrame, batch_id: int, state_dir: str
+) -> None:
+    """One micro-batch of the streaming drift monitor: fold the batch's
+    per-band value counts into the versioned count state by per-band SUM
+    — counts are the simplest mergeable sketch of all, so the drained
+    state equals the batch GROUP BY over the same rows under any micro-
+    batch split.  Same versioned-parquet + ``_LATEST``-pointer-last
+    idempotence discipline as ``process_hll_batch`` (replay
+    short-circuit, eager localCheckpoint before the overwrite)."""
+    import os
+
+    spark = batch_df.sparkSession
+    version = f"v{batch_id:06d}"
+    latest_path = os.path.join(state_dir, "_LATEST")
+
+    def read_latest() -> DataFrame:
+        try:
+            with open(latest_path) as fh:
+                v = fh.read().strip()
+        except FileNotFoundError:
+            return spark.createDataFrame([], "band long, n long")
+        return spark.read.parquet(os.path.join(state_dir, v))
+
+    try:
+        with open(latest_path) as fh:
+            if fh.read().strip() == version:
+                return  # replayed batch already fully applied
+    except FileNotFoundError:
+        pass
+    batch_counts = batch_df.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    merged = (
+        read_latest()
+        .unionByName(batch_counts)
+        .groupBy("band")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("overwrite").parquet(os.path.join(state_dir, version))
+    tmp = latest_path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(version)
+    os.replace(tmp, latest_path)
+
+
+def drift_counts_stream(
+    value_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    value_col: str = "value",
+    band_width: int = 1,
+):
+    """Streaming side of the PSI drift monitor: bin the live value
+    stream into the SAME fixed-width bands as the frozen baseline and
+    fold per-band counts into versioned parquet state via
+    ``foreachBatch``.  After the stream drains (or at any checkpointed
+    point mid-stream), ``timeseries.psi_terms_from_counts(baseline,
+    read_band_counts(...))`` yields the drift terms — the
+    train-vs-serving monitor, incremental because counts merge by sum.
+    """
+    import os
+
+    os.makedirs(state_dir, exist_ok=True)
+    banded = value_stream.select(
+        F.floor(F.col(value_col).cast("double") / F.lit(float(band_width)))
+        .cast("long")
+        .alias("band")
+    )
+
+    def process(bdf: DataFrame, bid: int) -> None:
+        process_band_count_batch(bdf, bid, state_dir)
+
+    return (
+        banded.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_band_counts(spark, state_dir: str) -> DataFrame:
+    """Resolve the _LATEST pointer to the current band-count table."""
+    import os
+
+    with open(os.path.join(state_dir, "_LATEST")) as fh:
+        v = fh.read().strip()
+    return spark.read.parquet(os.path.join(state_dir, v))

@@ -663,6 +663,35 @@ def psi_drift(
             F.sum(F.col("is_a").cast("long")).alias("n_a"),
             F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
         )
+    )
+    return psi_terms_from_counts(
+        per.select("band", "n_a"),
+        per.select("band", F.col("n_b").alias("n_a")).withColumnRenamed(
+            "n_a", "n_b"
+        ),
+        log_scale=log_scale,
+    )
+
+
+def psi_terms_from_counts(
+    counts_a: DataFrame,
+    counts_b: DataFrame,
+    *,
+    log_scale: int = 10**6,
+) -> DataFrame:
+    """The PSI term computation over two pre-binned count relations —
+    the shared tail of ``psi_drift`` (which bins a single table by a
+    timestamp split) and the streaming drift monitor (whose live side
+    is a streaming aggregation drained to counts).  Inputs:
+    ``counts_a(band, n_a)`` and ``counts_b(band, n_b)``; same
+    common-support exclusion and integer-ratio log as ``psi_drift``.
+    """
+    per = (
+        counts_a.groupBy("band")
+        .agg(F.sum("n_a").alias("n_a"))
+        .join(
+            counts_b.groupBy("band").agg(F.sum("n_b").alias("n_b")), "band"
+        )
         .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
     )
     totals = per.agg(

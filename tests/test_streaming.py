@@ -575,3 +575,46 @@ class TestLatenessAudit:
                    lateness_audit(df.repartition(9), "ts", "event_id",
                                   delay_seconds=600).collect())
         assert a == b
+
+
+class TestDriftCountsStream:
+    def test_drained_state_equals_batch_groupby(self, spark, tmp_path):
+        from mopper_spark.streaming import drift_counts_stream, read_band_counts
+
+        src = str(tmp_path / "psi_src")
+        state, ck = str(tmp_path / "psi_state"), str(tmp_path / "psi_ck")
+        rows = [(float(v % 7) + 0.3,) for v in range(200)]
+        spark.createDataFrame(rows, "value double").repartition(4).write.parquet(src)
+
+        stream = (
+            spark.readStream.schema("value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        drift_counts_stream(stream, state, ck).awaitTermination(300)
+        got = {r.band: r.n for r in read_band_counts(spark, state).collect()}
+        import pyspark.sql.functions as F
+
+        want = {
+            r.band: r.n
+            for r in spark.read.parquet(src)
+            .select(F.floor("value").cast("long").alias("band"))
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+        assert got == want and len(got) == 7
+
+    def test_replayed_batch_short_circuits(self, spark, tmp_path):
+        from mopper_spark.streaming import process_band_count_batch, read_band_counts
+
+        state = str(tmp_path / "replay_state")
+        import os
+
+        os.makedirs(state, exist_ok=True)
+        bdf = spark.createDataFrame([(1,), (1,), (2,)], "band long")
+        process_band_count_batch(bdf, 0, state)
+        # replay of the SAME batch id must not double-count
+        process_band_count_batch(bdf, 0, state)
+        got = {r.band: r.n for r in read_band_counts(spark, state).collect()}
+        assert got == {1: 2, 2: 1}
