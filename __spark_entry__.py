@@ -13109,6 +13109,107 @@ FROM o
 """
 
 
+def _q_embeddings_covariance_diag(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-health moments (similarity.py::covariance_diag): exact
+    per-dimension first/second moment integers — variance and the
+    collapsed-dimension flag are consumer divisions.  One posexplode +
+    one dim-bounded aggregate."""
+    from mopper_spark.textops.similarity import covariance_diag
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return covariance_diag(emb)
+
+
+_SQL_EMBEDDINGS_COVARIANCE_DIAG = """
+WITH dims AS (SELECT unnest(range(0, 64)) AS dim),
+x AS (
+  SELECT CAST(d.dim AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(e.embedding[d.dim + 1] AS DOUBLE) * 16384.0)
+              AS BIGINT) AS x_fp
+  FROM embeddings e CROSS JOIN dims d
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(x_fp) AS BIGINT) AS s1,
+       CAST(SUM(x_fp * x_fp) AS BIGINT) AS s2
+FROM x GROUP BY dim
+"""
+
+
+def _q_events_outliers_robust(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust k×MAD outlier counts per event type (rankstats.py::
+    robust_outliers): median/MAD from the exact rank windows, outlier
+    comparison entirely in fixed-point integers, MAD=0 degeneracy
+    pinned to the x != median fallback.  grouped_mad + one broadcast
+    join + one combine-able count."""
+    from mopper_spark.textops.rankstats import robust_outliers
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("event_type", "value")
+    return robust_outliers(ev, "event_type", "value")
+
+
+_SQL_EVENTS_OUTLIERS_ROBUST = """
+WITH fp AS MATERIALIZED (
+  SELECT event_type AS grp, CAST(FLOOR(value * 100.0) AS BIGINT) AS x
+  FROM events
+), med AS MATERIALIZED (
+  SELECT grp, x AS med, n FROM (
+    SELECT grp, x,
+           row_number() OVER (PARTITION BY grp ORDER BY x) AS rn,
+           CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+    FROM fp
+  ) WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT fp.grp, abs(fp.x - med.med) AS d FROM fp JOIN med USING (grp)
+), mad AS MATERIALIZED (
+  SELECT grp, d AS mad_fp FROM (
+    SELECT grp, d,
+           row_number() OVER (PARTITION BY grp ORDER BY d) AS rn,
+           count(*) OVER (PARTITION BY grp) AS n
+    FROM dev
+  ) WHERE rn = (n + 1) // 2
+), out_c AS (
+  SELECT fp.grp,
+         CAST(SUM(CASE WHEN abs(fp.x - med.med) > 3 * mad.mad_fp
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM fp JOIN med USING (grp) JOIN mad USING (grp)
+  GROUP BY fp.grp
+)
+SELECT med.grp AS event_type, med.n, med.med AS median_fp, mad.mad_fp,
+       out_c.n_outliers
+FROM med JOIN mad USING (grp) JOIN out_c USING (grp)
+"""
+
+
+def _q_docs_frequency_spectrum(spark: SparkSession, sf: str) -> DataFrame:
+    """Good-Turing frequency spectrum (analysis.py::frequency_spectrum):
+    per source, how many token types occur exactly r times (r <= 10 + a
+    reconciling tail row) — the N_r table LM smoothing consumes and the
+    quickest templated-corpus detector.  Two word-count aggregations."""
+    from mopper_spark.textops.analysis import frequency_spectrum
+
+    docs = spark.read.schema("source string, text string").parquet(
+        f"{sf}/documents.parquet"
+    )
+    return frequency_spectrum(docs)
+
+
+_SQL_DOCS_FREQUENCY_SPECTRUM = r"""
+WITH freq AS MATERIALIZED (
+  SELECT source AS grp, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY 1, 2
+)
+SELECT grp AS source,
+       CAST(CASE WHEN c <= 10 THEN c ELSE 11 END AS BIGINT) AS r,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(SUM(c) AS BIGINT) AS n_tokens
+FROM freq GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -13384,6 +13485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_zipf": _q_docs_zipf,
         "stream_psi_drift": _q_stream_psi_drift,
         "transcripts_sft_packing": _q_transcripts_sft_packing,
+        "embeddings_covariance_diag": _q_embeddings_covariance_diag,
+        "events_outliers_robust": _q_events_outliers_robust,
+        "docs_frequency_spectrum": _q_docs_frequency_spectrum,
     }
 
 
@@ -13671,4 +13775,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_zipf": _SQL_DOCS_ZIPF,
         "stream_psi_drift": _SQL_EVENTS_PSI_DRIFT,
         "transcripts_sft_packing": _SQL_TRANSCRIPTS_SFT_PACKING,
+        "embeddings_covariance_diag": _SQL_EMBEDDINGS_COVARIANCE_DIAG,
+        "events_outliers_robust": _SQL_EVENTS_OUTLIERS_ROBUST,
+        "docs_frequency_spectrum": _SQL_DOCS_FREQUENCY_SPECTRUM,
     }

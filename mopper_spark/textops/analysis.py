@@ -1147,3 +1147,48 @@ def zipf_terms(
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
     ).withColumnRenamed("grp", group_col)
+
+
+def frequency_spectrum(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    *,
+    max_r: int = 10,
+) -> DataFrame:
+    """Frequency-of-frequencies spectrum per group — ``N_r`` = how many
+    token types occur exactly ``r`` times — the input table of
+    Good-Turing smoothing (Gale & Sampson 1995) and the quickest
+    Heaps/Zipf sanity check (natural text has a heavy ``N_1`` and a
+    smooth decay; templated corpora show spikes).  Returns
+    ``(group, r, n_types, n_tokens)`` for ``r <= max_r`` plus ONE tail
+    row ``r = max_r + 1`` aggregating all rarer-than-``max_r``…
+    i.e. higher-count types (the GT estimator only uses small r;
+    the tail row keeps the rows bounded and the totals reconcilable:
+    Σ n_tokens over a group = the group's token count).
+
+    Two word-count-shaped aggregations — nothing rank- or
+    window-shaped anywhere.
+    """
+    if max_r < 1:
+        raise ValueError("frequency_spectrum: max_r must be >= 1")
+    freq = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    r = F.when(F.col("c") <= max_r, F.col("c")).otherwise(
+        F.lit(max_r + 1)
+    )
+    return (
+        freq.select("grp", r.cast("long").alias("r"), "c")
+        .groupBy("grp", "r")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )

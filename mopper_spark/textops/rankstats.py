@@ -548,3 +548,45 @@ def grouped_mad(
         .join(mad.withColumnRenamed("grp", group_col), group_col)
         .select(group_col, "n", "median_fp", "mad_fp")
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    k: int = 3,
+    scale: int = 100,
+) -> DataFrame:
+    """Robust outlier counts per group by the k×MAD rule: a row is an
+    outlier iff ``|x − median| > k·MAD`` (all in the exact fixed-point
+    integers of ``grouped_mad``, so the comparison never touches a
+    float) — the dispersion screen that still works when the outliers
+    themselves wreck mean/stddev.  Returns ``(group, n, median_fp,
+    mad_fp, n_outliers)``.
+
+    Degenerate groups (MAD = 0 — more than half the values identical)
+    fall back to "outlier iff x ≠ median", the natural k·0 limit of the
+    same rule, pinned here so the behavior is a contract rather than an
+    accident.
+
+    Composition over ``grouped_mad`` (two rank windows) + one broadcast
+    join back + one combine-able count.
+    """
+    stats = grouped_mad(df, group_col, value_col, scale=scale)
+    fp = df.select(
+        F.col(group_col).alias(group_col),
+        F.floor(F.col(value_col).cast("double") * F.lit(float(scale)))
+        .cast("long")
+        .alias("_x"),
+    )
+    joined = fp.join(F.broadcast(stats), group_col)
+    is_out = F.abs(F.col("_x") - F.col("median_fp")) > F.lit(int(k)) * F.col(
+        "mad_fp"
+    )
+    counts = joined.groupBy(group_col).agg(
+        F.sum(is_out.cast("long")).cast("long").alias("n_outliers")
+    )
+    return stats.join(counts, group_col).select(
+        group_col, "n", "median_fp", "mad_fp", "n_outliers"
+    )

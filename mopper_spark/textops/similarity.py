@@ -634,3 +634,36 @@ def dominant_eigen(
         .crossJoin(F.broadcast(vden))
         .select("dim", "v_fp", "rq_num", "rq_den")
     )
+
+
+def covariance_diag(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    scale: int = 1 << 14,
+) -> DataFrame:
+    """Per-dimension embedding health check: exact integer first and
+    second moments of each coordinate — ``(dim, n, s1, s2)`` with
+    ``s1 = Σ floor(x·scale)`` and ``s2 = Σ floor(x·scale)²``, so mean,
+    variance (``(n·s2 − s1²) / n²``), and the collapsed-dimension flag
+    (variance ≈ 0 — the classic embedding-degeneration symptom a
+    representation audit looks for first) are consumer divisions over
+    BIGINTs.  The full covariance matrix is a dim² extension of the
+    same shape; the diagonal answers the health question at dim cost.
+
+    One posexplode + one combine-able per-dim aggregate — a single
+    dim-bounded shuffle.
+    """
+    x = embeddings.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "xv")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("xv").cast("double") * F.lit(float(scale)))
+        .cast("long")
+        .alias("x_fp"),
+    )
+    return x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_fp").cast("long").alias("s1"),
+        F.sum(F.col("x_fp") * F.col("x_fp")).cast("long").alias("s2"),
+    )

@@ -111,3 +111,20 @@ class TestZipfTerms:
         import pytest as _pt
         with _pt.raises(ValueError):
             zipf_terms(df, top_k=1)
+
+
+class TestFrequencySpectrum:
+    def test_spectrum_and_tail(self, spark):
+        from mopper_spark.textops.analysis import frequency_spectrum
+
+        text = " ".join(["a"] * 5 + ["b"] * 2 + ["c"] * 2 + ["d"])
+        df = spark.createDataFrame([("s", text)], "source string, text string")
+        got = {r.r: (r.n_types, r.n_tokens)
+               for r in frequency_spectrum(df, max_r=3).collect()}
+        assert got[1] == (1, 1)    # d
+        assert got[2] == (2, 4)    # b, c
+        assert got[4] == (1, 5)    # tail row r = max_r + 1 holds 'a'
+        assert sum(t for _, t in got.values()) == 10
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            frequency_spectrum(df, max_r=0)

@@ -114,3 +114,19 @@ class TestFeatureHashing:
         df = spark.createDataFrame([(1, "x")], "id long, text string")
         with pytest.raises(ValueError):
             feature_hashing(df, "id", "text", n_buckets=1)
+
+
+class TestRobustOutliers:
+    def test_mad_rule_and_degenerate_fallback(self, spark):
+        from mopper_spark.textops.rankstats import robust_outliers
+
+        rows = ([("a", float(v)) for v in [1, 2, 3, 4, 5, 100]]
+                + [("b", 7.0)] * 5 + [("b", 9.0)])
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {r.g: (r.median_fp, r.mad_fp, r.n_outliers)
+               for r in robust_outliers(df, "g", "v", scale=1).collect()}
+        # a: median 3, MAD 1 (lower-median of {2,1,0,1,2,97}); only 100 is
+        # beyond 3*MAD
+        assert got["a"] == (3, 1, 1)
+        # b: median 7, MAD 0 -> fallback: x != median
+        assert got["b"] == (7, 0, 1)

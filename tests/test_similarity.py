@@ -124,3 +124,19 @@ class TestDominantEigen:
         a = sorted(map(tuple, dominant_eigen(df).collect()))
         b = sorted(map(tuple, dominant_eigen(df.repartition(7)).collect()))
         assert a == b and len(a) == 6
+
+
+class TestCovarianceDiag:
+    def test_exact_moments(self, spark):
+        import math
+
+        from mopper_spark.textops.similarity import covariance_diag
+
+        vecs = [(0, [0.5, -0.25]), (1, [1.0, 0.0]), (2, [-0.5, 0.25])]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        got = {r.dim: (r.n, r.s1, r.s2)
+               for r in covariance_diag(df).collect()}
+        s = 1 << 14
+        for j in range(2):
+            xs = [math.floor(v[j] * s) for _, v in vecs]
+            assert got[j] == (3, sum(xs), sum(x * x for x in xs))
