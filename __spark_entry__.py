@@ -13210,6 +13210,95 @@ FROM freq GROUP BY 1, 2
 """
 
 
+def _q_embeddings_quant_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 quantization audit (similarity.py::quantization_audit):
+    per-dimension absmax scaling residuals as exact integers — the
+    pre-flight error report before shipping a compressed ANN index.
+    Two dim-bounded shuffles."""
+    from mopper_spark.textops.similarity import quantization_audit
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return quantization_audit(emb)
+
+
+_SQL_EMBEDDINGS_QUANT_AUDIT = """
+WITH dims AS (SELECT unnest(range(0, 64)) AS dim),
+x AS MATERIALIZED (
+  SELECT CAST(d.dim AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(e.embedding[d.dim + 1] AS DOUBLE) * 16384.0)
+              AS BIGINT) AS x_fp
+  FROM embeddings e CROSS JOIN dims d
+), mx AS (
+  SELECT dim, CAST(MAX(abs(x_fp)) AS BIGINT) AS max_abs_fp
+  FROM x GROUP BY dim
+), e AS (
+  SELECT x.dim, mx.max_abs_fp,
+         abs(x.x_fp * 127
+             - (CASE WHEN mx.max_abs_fp > 0
+                     THEN (x.x_fp * 127) // mx.max_abs_fp ELSE 0 END)
+               * mx.max_abs_fp) AS err
+  FROM x JOIN mx ON x.dim = mx.dim
+)
+SELECT dim, max_abs_fp, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(err) AS BIGINT) AS sum_abs_err,
+       CAST(MAX(err) AS BIGINT) AS max_abs_err
+FROM e GROUP BY dim, max_abs_fp
+"""
+
+
+def _q_transcripts_catalog(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversation catalog (conversation.py::conversation_catalog):
+    one summary row per conversation with role counts, time span, and
+    the md5 content digest (per-turn-text-equality fingerprint at
+    whole-conversation grain) — the keying table for catalog diffs and
+    incremental loads.  One order-proofed aggregate, no window."""
+    from mopper_spark.textops.conversation import conversation_catalog
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return conversation_catalog(tr)
+
+
+_SQL_TRANSCRIPTS_CATALOG = f"""
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_user,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_assistant,
+       CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool_turns,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       md5(string_agg(text, chr(30) ORDER BY turn_idx)) AS digest
+FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+GROUP BY conv_id
+"""
+
+
+def _q_kg_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-predicate out-degree histogram on a log2 scale
+    (curate.py::degree_histogram): the KG health chart — functional
+    predicates at bucket 0, hub tails visible release-over-release;
+    bucket from binary-representation length, no float log.  Two
+    word-count-shaped aggregations over the extracted graph."""
+    from mopper_spark.pipeline.curate import degree_histogram
+
+    return degree_histogram(_kg_triples(spark))
+
+
+_SQL_KG_DEGREE_DISTRIBUTION = f"""
+WITH kg AS ({_SQL_KG_GRAPH}),
+deg AS MATERIALIZED (
+  SELECT pred, subj, CAST(count(*) AS BIGINT) AS deg
+  FROM kg GROUP BY pred, subj
+)
+SELECT pred, CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_subjects
+FROM deg GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -13488,6 +13577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_covariance_diag": _q_embeddings_covariance_diag,
         "events_outliers_robust": _q_events_outliers_robust,
         "docs_frequency_spectrum": _q_docs_frequency_spectrum,
+        "embeddings_quant_audit": _q_embeddings_quant_audit,
+        "transcripts_catalog": _q_transcripts_catalog,
+        "kg_degree_distribution": _q_kg_degree_distribution,
     }
 
 
@@ -13778,4 +13870,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_covariance_diag": _SQL_EMBEDDINGS_COVARIANCE_DIAG,
         "events_outliers_robust": _SQL_EVENTS_OUTLIERS_ROBUST,
         "docs_frequency_spectrum": _SQL_DOCS_FREQUENCY_SPECTRUM,
+        "embeddings_quant_audit": _SQL_EMBEDDINGS_QUANT_AUDIT,
+        "transcripts_catalog": _SQL_TRANSCRIPTS_CATALOG,
+        "kg_degree_distribution": _SQL_KG_DEGREE_DISTRIBUTION,
     }

@@ -378,3 +378,28 @@ def schema_cooccurrence(triples: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def degree_histogram(triples: DataFrame) -> DataFrame:
+    """Per-predicate out-degree distribution on a log₂ scale: for each
+    predicate, how many subjects have ``2^b <= deg < 2^(b+1)`` outgoing
+    arcs — ``(pred, bucket, n_subjects)`` with the bucket computed
+    EXACTLY from the binary-representation length (no float log — the
+    ``timeseries.gap_histogram`` idiom applied to graph shape).  This is
+    the first chart of every KG health review: functional predicates
+    pile at bucket 0, hub predicates grow a heavy tail, and a tail that
+    appears release-over-release is the extraction-regression signal
+    ``predicate_profile``'s single-row summary can't show.
+
+    Two combine-able aggregations ((subj, pred) degree, then the
+    histogram) — word-count-shaped shuffles, predicate×~60 output rows.
+    """
+    deg = triples.groupBy("pred", "subj").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    bucket = F.length(F.expr("bin(deg)")) - 1
+    return (
+        deg.select("pred", bucket.cast("long").alias("bucket"))
+        .groupBy("pred", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_subjects"))
+    )

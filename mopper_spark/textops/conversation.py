@@ -180,3 +180,49 @@ def inactivity_episodes(
         .cast("long")
         .alias("singleton_episodes"),
     )
+
+
+def conversation_catalog(
+    transcripts: DataFrame,
+    *,
+    sep: str = "\x1e",
+) -> DataFrame:
+    """The conversation CATALOG table — one summary row per conversation
+    that every other transcript operator can key against: ``(conv_id,
+    n_turns, n_user, n_assistant, n_tool_turns, first_ts, last_ts,
+    n_chars, digest)`` where ``digest`` is the md5 of the
+    (turn_idx-ordered, separator-joined) turn texts — the per-turn-text-
+    equality fingerprint (identical digest ⟺ identical ordered turn
+    texts), the same fingerprint family ``prepare.prefix_duplicates``
+    banks on, here at whole-conversation grain for catalog diffs and
+    incremental-load change detection.
+
+    One per-conversation aggregate with the order-proofed concat idiom
+    (array_sort after collect_list) — no window at all.
+    """
+    return transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long"))
+        .cast("long")
+        .alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("long"))
+        .cast("long")
+        .alias("n_assistant"),
+        F.sum(F.col("tool").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_tool_turns"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.md5(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("turn_idx", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+            )
+        ).alias("digest"),
+    )

@@ -667,3 +667,56 @@ def covariance_diag(
         F.sum("x_fp").cast("long").alias("s1"),
         F.sum(F.col("x_fp") * F.col("x_fp")).cast("long").alias("s2"),
     )
+
+
+def quantization_audit(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    scale: int = 1 << 14,
+    q_max: int = 127,
+) -> DataFrame:
+    """Symmetric int8 quantization audit — the pre-flight check before
+    shipping an ANN index in compressed form: per dimension, quantize
+    every coordinate to ``q = (x_fp · q_max) div max_abs`` (per-dim
+    absmax scaling, the faiss/PQ-free symmetric scheme; truncating
+    integer div — identical on Spark/DuckDB) and report the EXACT
+    residual ``err = x_fp · q_max − q · max_abs`` in the scaled space:
+    ``(dim, max_abs_fp, n, sum_abs_err, max_abs_err)``.
+
+    Relative error per coordinate is ``err / (q_max · max_abs)`` — one
+    consumer division; a dimension whose ``max_abs`` is dominated by
+    one outlier shows a large error mass, which is exactly the signal
+    to clip before quantizing.  All-BIGINT, bit-reproducible.
+
+    One posexplode + one per-dim max (broadcast back) + one per-dim
+    aggregate — two dim-bounded shuffles.
+    """
+    x = embeddings.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "xv")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("xv").cast("double") * F.lit(float(scale)))
+        .cast("long")
+        .alias("x_fp"),
+    )
+    mx = x.groupBy("dim").agg(
+        F.max(F.abs(F.col("x_fp"))).cast("long").alias("max_abs_fp")
+    )
+    j = x.join(F.broadcast(mx), "dim")
+    q = F.when(
+        F.col("max_abs_fp") > 0,
+        F.expr(f"(x_fp * {int(q_max)}) div max_abs_fp"),
+    ).otherwise(F.lit(0))
+    err = F.abs(
+        F.col("x_fp") * F.lit(int(q_max)) - q * F.col("max_abs_fp")
+    )
+    return (
+        j.select("dim", "max_abs_fp", err.alias("e"))
+        .groupBy("dim", "max_abs_fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("e").cast("long").alias("sum_abs_err"),
+            F.max("e").cast("long").alias("max_abs_err"),
+        )
+    )

@@ -85,3 +85,36 @@ class TestInactivityEpisodes:
         assert (r.n_episodes, r.max_episode_turns) == (1, 5)
         with pytest.raises(ValueError):
             inactivity_episodes(_tr(spark, rows), gap_seconds=0)
+
+
+class TestConversationCatalog:
+    def test_digest_and_counts(self, spark):
+        from mopper_spark.textops.conversation import conversation_catalog
+        import hashlib
+
+        rows = [
+            ("c", 1, "assistant", "world", None, BASE),
+            ("c", 0, "user", "hello", "search", BASE),
+        ]
+        tr = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp",
+        )
+        (r,) = conversation_catalog(tr).collect()
+        assert (r.n_turns, r.n_user, r.n_assistant, r.n_tool_turns) == (2, 1, 1, 1)
+        assert r.n_chars == len("hello") + len("world")
+        assert r.digest == hashlib.md5("hello\x1eworld".encode()).hexdigest()
+
+    def test_digest_order_independent_of_partitioning(self, spark):
+        from mopper_spark.textops.conversation import conversation_catalog
+
+        rows = [("c", i, "user", f"t{i}", None, BASE) for i in range(40)]
+        tr = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp",
+        )
+        a = conversation_catalog(tr).collect()[0].digest
+        b = conversation_catalog(tr.repartition(11)).collect()[0].digest
+        assert a == b

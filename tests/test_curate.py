@@ -410,3 +410,16 @@ class TestSchemaCooccurrence:
         assert got[("p_conv", "p_role")] == (2, 2, 3, 2 / 3)
         assert got[("p_conv", "p_tool")] == (1, 2, 1, 0.5)
         assert got[("p_role", "p_tool")] == (1, 3, 1, 1 / 3)
+
+
+class TestDegreeHistogram:
+    def test_log2_buckets(self, spark):
+        from mopper_spark.pipeline.curate import degree_histogram
+
+        rows = ([("s1", "p", f"o{i}") for i in range(5)]     # deg 5 -> bucket 2
+                + [("s2", "p", "o")]                          # deg 1 -> bucket 0
+                + [("s3", "q", f"o{i}") for i in range(8)])   # deg 8 -> bucket 3
+        t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+        got = {(r.pred, r.bucket): r.n_subjects
+               for r in degree_histogram(t).collect()}
+        assert got == {("p", 2): 1, ("p", 0): 1, ("q", 3): 1}

@@ -140,3 +140,32 @@ class TestCovarianceDiag:
         for j in range(2):
             xs = [math.floor(v[j] * s) for _, v in vecs]
             assert got[j] == (3, sum(xs), sum(x * x for x in xs))
+
+
+class TestQuantizationAudit:
+    def test_residuals_match_replica(self, spark):
+        import math
+
+        from mopper_spark.textops.similarity import quantization_audit
+
+        vecs = [(0, [0.5, -0.3]), (1, [1.0, 0.1]), (2, [-0.25, 0.7])]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        got = {r.dim: (r.max_abs_fp, r.n, r.sum_abs_err, r.max_abs_err)
+               for r in quantization_audit(df).collect()}
+        s = 1 << 14
+        for j in range(2):
+            xs = [math.floor(v[j] * s) for _, v in vecs]
+            mx = max(abs(x) for x in xs)
+            qs = [(abs(x) * 127 // mx) * (1 if x >= 0 else -1) for x in xs]
+            errs = [abs(x * 127 - q * mx) for x, q in zip(xs, qs)]
+            assert got[j] == (mx, 3, sum(errs), max(errs))
+
+    def test_zero_dim_no_div_error(self, spark):
+        from mopper_spark.textops.similarity import quantization_audit
+
+        df = spark.createDataFrame(
+            [(0, [0.0, 0.5]), (1, [0.0, 0.25])], "vec_id long, embedding array<double>"
+        )
+        got = {r.dim: (r.max_abs_fp, r.sum_abs_err)
+               for r in quantization_audit(df).collect()}
+        assert got[0] == (0, 0)
