@@ -13299,6 +13299,141 @@ FROM deg GROUP BY 1, 2
 """
 
 
+def _q_events_dfg(spark: SparkSession, sf: str) -> DataFrame:
+    """Directly-follows graph (process.py::directly_follows): per-user
+    consecutive event-type pairs with frequency and exact duration mass,
+    plus _START_/_END_ boundary edges that reconcile to the case count —
+    the process-mining map.  One lag window + one pair aggregate."""
+    from mopper_spark.textops.process import directly_follows
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return directly_follows(ev, "user_id", "event_type", "ts", "event_id")
+
+
+_SQL_EVENTS_DFG = """
+WITH seq AS MATERIALIZED (
+  SELECT user_id AS c, event_type AS act, epoch_us(ts) AS at_us,
+         lag(event_type) OVER w AS prev_act,
+         lag(epoch_us(ts)) OVER w AS prev_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_end
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), edges AS (
+  SELECT prev_act, act AS next_act, at_us - prev_us AS gap_us
+  FROM seq WHERE prev_act IS NOT NULL
+  UNION ALL
+  SELECT '_START_', act, 0 FROM seq WHERE prev_act IS NULL
+  UNION ALL
+  SELECT act, '_END_', 0 FROM seq WHERE rn_end = 1
+)
+SELECT prev_act, next_act, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM edges GROUP BY 1, 2
+"""
+
+
+#: allowed-transition model shared verbatim by the Spark query and the
+#: DuckDB oracle — a plausible funnel DFA over the fixture's five event
+#: types; the synthetic log roams freely, so violations are plentiful and
+#: the conformance statistic is non-trivial.
+_CONFORMANCE_MODEL = [
+    ("_START_", "signup"), ("_START_", "view"),
+    ("signup", "view"),
+    ("view", "view"), ("view", "click"), ("view", "_END_"),
+    ("click", "view"), ("click", "click"), ("click", "purchase"),
+    ("click", "error"),
+    ("purchase", "view"), ("purchase", "_END_"),
+    ("error", "view"), ("error", "_END_"),
+]
+
+
+def _q_events_conformance(spark: SparkSession, sf: str) -> DataFrame:
+    """Footprint conformance checking (process.py::
+    conformance_violations): every user's event sequence replayed
+    against the _CONFORMANCE_MODEL transition DFA — per case the step
+    count, violation count, and earliest offending edge.  Model rides
+    broadcast; one lag window + membership join + per-case aggregate."""
+    from mopper_spark.textops.process import conformance_violations
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return conformance_violations(
+        ev, "user_id", "event_type", "ts", "event_id", _CONFORMANCE_MODEL
+    ).withColumnRenamed("case", "user_id")
+
+
+def _conformance_model_values() -> str:
+    rows = ", ".join(f"('{p}', '{q}')" for p, q in _CONFORMANCE_MODEL)
+    return f"(VALUES {rows}) AS m(p, q)"
+
+
+_SQL_EVENTS_CONFORMANCE = f"""
+WITH seq AS MATERIALIZED (
+  SELECT user_id AS c, event_type AS act, epoch_us(ts) AS at_us,
+         lag(event_type) OVER w AS prev_act,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn_end
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), model AS (SELECT p, q FROM {_conformance_model_values()}),
+edges AS (
+  SELECT c, COALESCE(prev_act, '_START_') AS p_act, act AS q_act, at_us
+  FROM seq
+  UNION ALL
+  SELECT c, act, '_END_', at_us FROM seq WHERE rn_end = 1
+), marked AS (
+  SELECT e.c, e.at_us,
+         m.p IS NULL AS bad,
+         e.p_act || '>' || e.q_act AS edge
+  FROM edges e LEFT JOIN model m ON e.p_act = m.p AND e.q_act = m.q
+)
+SELECT c AS user_id, CAST(count(*) AS BIGINT) AS n_steps,
+       CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       COALESCE(substr(min(CASE WHEN bad THEN
+           lpad(CAST(at_us AS VARCHAR), 20, '0') || '|' || edge END), 22), '')
+         AS first_violation
+FROM marked GROUP BY c
+"""
+
+
+def _q_docs_uncertainty_queue(spark: SparkSession, sf: str) -> DataFrame:
+    """Active-learning labeling queue (quality_model.quality_scores +
+    one per-source top-k window): the 5 docs per source whose hashed-
+    linear quality score sits closest to the 0 decision boundary —
+    margin sampling, the standard uncertainty heuristic.  Scoring is
+    the shuffle-free narrow pass; the queue is a source-bounded
+    window."""
+    from pyspark.sql import Window
+
+    from mopper_spark.textops.quality_model import quality_scores
+
+    docs = spark.read.schema("doc_id long, text string, source string").parquet(
+        f"{sf}/documents.parquet"
+    )
+    scored = quality_scores(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.abs(F.col("score_fp")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "rank", "doc_id", "score_fp")
+    )
+
+
+_SQL_DOCS_UNCERTAINTY_QUEUE = f"""
+WITH scores AS MATERIALIZED ({_SQL_DOCS_QUALITY_MODEL})
+SELECT d.source, CAST(row_number() OVER (PARTITION BY d.source
+           ORDER BY abs(s.score_fp) ASC, s.doc_id ASC) AS BIGINT) AS rank,
+       s.doc_id, s.score_fp
+FROM scores s JOIN documents d USING (doc_id)
+QUALIFY rank <= 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -13580,6 +13715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_quant_audit": _q_embeddings_quant_audit,
         "transcripts_catalog": _q_transcripts_catalog,
         "kg_degree_distribution": _q_kg_degree_distribution,
+        "events_dfg": _q_events_dfg,
+        "events_conformance": _q_events_conformance,
+        "docs_uncertainty_queue": _q_docs_uncertainty_queue,
     }
 
 
@@ -13873,4 +14011,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_quant_audit": _SQL_EMBEDDINGS_QUANT_AUDIT,
         "transcripts_catalog": _SQL_TRANSCRIPTS_CATALOG,
         "kg_degree_distribution": _SQL_KG_DEGREE_DISTRIBUTION,
+        "events_dfg": _SQL_EVENTS_DFG,
+        "events_conformance": _SQL_EVENTS_CONFORMANCE,
+        "docs_uncertainty_queue": _SQL_DOCS_UNCERTAINTY_QUEUE,
     }
