@@ -236,6 +236,42 @@ HEADLINE = [
     # similarity_topk_ivfpq is NOT in the headline for the same reason as
     # pq_adc_topk: PQ training (8 subspaces x Lloyd rounds) dominates its
     # toy-scale wall clock; it stays correctness-gated in the oracle sweep.
+    # round 4, fourth-sitting additions.  graph_weighted_distances and
+    # tokenizer_unigram_viterbi are NOT in the headline (graph_scc
+    # reasoning: their fixpoints run ~12-18 bounded rounds whose per-step
+    # scheduling overhead dominates toy-scale wall; both stay
+    # correctness-gated in the oracle sweep).
+    "transcripts_dpo_pairs",
+    "transcripts_prefix_dedup",
+    "transcripts_truncate_context",
+    "events_cube",
+    "events_mad",
+    "docs_target_encoding",
+    "graph_simrank",
+    "docs_feature_hashing",
+    "events_sax",
+    "events_theilsen",
+    "docs_lexical_profile",
+    "docs_curriculum_interleave",
+    "embeddings_dominant_eigen",
+    "transcripts_tool_loops",
+    "events_psi_drift",
+    "kg_sparql_in",
+    "transcripts_turn_taking",
+    "transcripts_episodes",
+    "docs_langid_report",
+    "multimodal_bmp_features",
+    "events_benford",
+    "events_gap_histogram",
+    "docs_zipf",
+    "transcripts_sft_packing",
+    "events_outliers_robust",
+    "embeddings_quant_audit",
+    "transcripts_catalog",
+    "kg_degree_distribution",
+    "events_dfg",
+    "events_conformance",
+    "docs_uncertainty_queue",
 ]
 
 
