@@ -39,10 +39,10 @@ def turn_taking(
       alternation count; a healthy dialog alternates, a monologue or a
       tool storm does not.
     - ``n_same_role_runs`` / ``max_same_role_run``: maximal runs of
-      consecutive same-role turns (every turn belongs to exactly one
-      run, so ``n_switches + n_same_role_runs = n_turns`` ... per run
-      arithmetic: runs = switches + 1), with the longest run length —
-      the "assistant talked 14 times in a row" signal.
+      consecutive same-role turns (every switch starts a new run, so
+      ``n_same_role_runs = n_switches + 1`` for any non-empty
+      conversation), with the longest run length — the "assistant
+      talked 14 times in a row" signal.
     - ``user_token_share_fp``: whitespace tokens in ``user`` turns as a
       fixed-point fraction of the conversation's tokens (integer div;
       conversations with zero tokens report 0).
