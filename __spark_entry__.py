@@ -13434,6 +13434,69 @@ QUALIFY rank <= 5
 """
 
 
+def _q_events_srm(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (sampling.py::srm_check): the
+    1-df chi-square of the 50/50 hash split over distinct users — the
+    validity check events_ab_test's readout presumes, as one
+    exact-integer row.  One distinct + one combine-able aggregate."""
+    from mopper_spark.textops.sampling import srm_check
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return srm_check(ev, "user_id")
+
+
+_SQL_EVENTS_SRM = """
+WITH units AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS u FROM events
+), arms AS (
+  SELECT CASE WHEN ('0x' || substr(md5('ab-v1' || u), 1, 4))::BIGINT < 32768
+              THEN 1 ELSE 0 END AS a
+  FROM units
+), counts AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+         CAST(SUM(1 - a) AS BIGINT) AS n_b
+  FROM arms
+)
+SELECT n_a, n_b,
+       CAST(((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b) AS BIGINT)
+         AS chi2_fp
+FROM counts
+"""
+
+
+def _q_docs_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet perplexity bucketing (ranking.py::perplexity_buckets): the
+    held-out 20% banded into equal-count head/middle/tail by
+    Stupid-Backoff bigram cross entropy — THE classic LM quality filter;
+    per-doc means as exact integer milli-fixed-point, deterministic
+    (xm, doc_id) rank.  Same train/score split as docs_bigram_xent."""
+    from mopper_spark.textops.ranking import perplexity_buckets
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return perplexity_buckets(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )
+
+
+_SQL_DOCS_PERPLEXITY_BUCKETS = f"""
+WITH perdoc AS MATERIALIZED ({_SQL_BIGRAM_XENT.rstrip()}
+), xm AS (
+  SELECT doc_id, n_bigrams,
+         CAST((-sum_lp_fp * 1000) // n_bigrams AS BIGINT) AS xm_fp
+  FROM perdoc WHERE n_bigrams > 0
+), ranked AS (
+  SELECT doc_id, n_bigrams, xm_fp,
+         row_number() OVER (ORDER BY xm_fp ASC, doc_id ASC) AS rn,
+         count(*) OVER () AS n
+  FROM xm
+)
+SELECT doc_id, n_bigrams, xm_fp,
+       CAST((3 * (rn - 1)) // n AS BIGINT) AS bucket
+FROM ranked
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -13718,6 +13781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dfg": _q_events_dfg,
         "events_conformance": _q_events_conformance,
         "docs_uncertainty_queue": _q_docs_uncertainty_queue,
+        "events_srm": _q_events_srm,
+        "docs_perplexity_buckets": _q_docs_perplexity_buckets,
     }
 
 
@@ -14014,4 +14079,6 @@ def oracle_sql() -> dict[str, str]:
         "events_dfg": _SQL_EVENTS_DFG,
         "events_conformance": _SQL_EVENTS_CONFORMANCE,
         "docs_uncertainty_queue": _SQL_DOCS_UNCERTAINTY_QUEUE,
+        "events_srm": _SQL_EVENTS_SRM,
+        "docs_perplexity_buckets": _SQL_DOCS_PERPLEXITY_BUCKETS,
     }

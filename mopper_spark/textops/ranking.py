@@ -728,3 +728,61 @@ def kneser_ney_bigrams(
         F.col("n1b").cast("long").alias("n1b"),
         p_kn.alias("p_kn"),
     )
+
+
+def perplexity_buckets(
+    train: DataFrame,
+    score: DataFrame,
+    *,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al., LREC 2020 §3.3): the
+    scored corpus split into ``n_buckets`` equal-count bands by language-
+    model perplexity — CCNet keeps the "head" (lowest-perplexity third)
+    as the quality tier, which made this THE standard LM-based quality
+    filter before classifier-era pipelines.  The LM is this package's
+    Stupid-Backoff bigram model (``bigram_backoff_xent``), trained on
+    ``train`` and applied to ``score``.
+
+    Returns ``(doc_id, n_bigrams, xm_fp, bucket)``: ``xm_fp =
+    (−sum_lp_fp · 1000) div n_bigrams`` is the per-doc milli-fixed-point
+    cross entropy (non-negative BIGINT — the per-doc mean as one exact
+    integer division, so ordering never touches a float), and ``bucket``
+    is 0-based (0 = head/lowest perplexity) by the equal-count rule
+    ``bucket = (n_buckets · (rank − 1)) div n`` with the deterministic
+    (xm_fp, doc_id) rank order.  Documents with zero bigrams are
+    EXCLUDED (no evidence to band on — score them by a unigram fallback
+    upstream if they matter).
+
+    One LM scoring pass + one corpus-wide rank.  The rank is a single
+    ORDER BY window at this fixture scale; at 10¹²-doc scale swap it
+    for the bucketed prefix-sum idiom (``packing.pack_sequences``) —
+    the banding rule itself is already integer-exact either way.
+    """
+    if n_buckets < 2:
+        raise ValueError("perplexity_buckets: n_buckets must be >= 2")
+    from pyspark.sql import Window
+
+    scored = bigram_backoff_xent(
+        train, score, text_col=text_col, id_col=id_col
+    ).filter(F.col("n_bigrams") > 0)
+    xm = scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("(-sum_lp_fp * 1000) div n_bigrams").alias("xm_fp"),
+    )
+    w = Window.orderBy(F.col("xm_fp").asc(), F.col("doc_id").asc())
+    return (
+        xm.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "xm_fp",
+            F.expr(f"({int(n_buckets)} * (rn - 1)) div n")
+            .cast("long")
+            .alias("bucket"),
+        )
+    )

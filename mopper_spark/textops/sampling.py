@@ -571,3 +571,44 @@ def curriculum_interleave(
         "src_rank",
         "global_pos",
     )
+
+
+def srm_check(
+    df: DataFrame,
+    unit_col: str,
+    *,
+    seed: str = "ab-v1",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for a 50/50 hash-split experiment
+    (the FIRST check every A/B readout must pass — Kohavi et al.,
+    "Trustworthy Online Controlled Experiments" §21: a biased split
+    invalidates the metric comparison before any effect is measured):
+    one exact-integer row ``(n_a, n_b, chi2_fp)`` with
+
+        chi2_fp = ((n_a − n_b)² · scale) div (n_a + n_b)
+
+    — exactly the 1-df chi-square statistic for an expected 50/50 split
+    at fixed point (both cells contribute ``(n−N/2)²/(N/2)``; algebra
+    collapses the pair to the difference form, which is integer-exact).
+    chi2 > 3.84·scale rejects the split at p < 0.05 — consumer compare.
+
+    Arms use the SAME md5-bucket assignment as
+    ``ab_test_two_proportions`` (seed-pinned, growth-stable), so this is
+    literally the guardrail for that readout.  Distinct units are
+    counted exactly; one combine-able aggregate over the distinct-unit
+    relation — no window, no join.
+    """
+    arm_a = hash_bucket(F.col("u"), seed) < BUCKETS // 2
+    units = df.select(F.col(unit_col).alias("u")).distinct()
+    return units.agg(
+        F.sum(arm_a.cast("long")).cast("long").alias("n_a"),
+        F.sum((~arm_a).cast("long")).cast("long").alias("n_b"),
+    ).select(
+        "n_a",
+        "n_b",
+        F.expr(
+            f"((n_a - n_b) * (n_a - n_b) * CAST({int(scale)} AS BIGINT))"
+            f" div (n_a + n_b)"
+        ).alias("chi2_fp"),
+    )

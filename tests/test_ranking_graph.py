@@ -919,3 +919,52 @@ class TestReviewFixes:
         }
         assert got[0] == (3, 1, 2, 4 * 1 * 1 - 4)
         assert got[1] == (2, 0, 0, 0)
+
+
+class TestPerplexityBuckets:
+    def test_equal_count_bands_and_ordering(self, spark):
+        from mopper_spark.textops.ranking import perplexity_buckets
+
+        train = spark.createDataFrame(
+            [(100 + i, "the cat sat on the mat") for i in range(5)],
+            "doc_id long, text string",
+        )
+        score = spark.createDataFrame(
+            [
+                (1, "the cat sat"),          # in-distribution: low xent
+                (2, "the cat sat on"),
+                (3, "zeb qux flurg"),        # OOV everywhere: high xent
+                (4, "mat the cat"),
+                (5, "qux the zeb on flurg"),
+                (6, "on the mat"),
+            ],
+            "doc_id long, text string",
+        )
+        out = perplexity_buckets(train, score).collect()
+        assert len(out) == 6
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r.bucket, []).append(r.xm_fp)
+        # equal-count thirds
+        assert [len(by_bucket[b]) for b in (0, 1, 2)] == [2, 2, 2]
+        # bands are ordered: every head xm <= every tail xm
+        assert max(by_bucket[0]) <= min(by_bucket[2])
+        # the OOV docs land in the tail
+        tail_ids = {r.doc_id for r in out if r.bucket == 2}
+        assert 3 in tail_ids and 5 in tail_ids
+
+    def test_zero_bigram_docs_excluded_and_validation(self, spark):
+        import pytest as _pt
+
+        from mopper_spark.textops.ranking import perplexity_buckets
+
+        train = spark.createDataFrame(
+            [(9, "a b a b")], "doc_id long, text string"
+        )
+        score = spark.createDataFrame(
+            [(1, "a b"), (2, "single")], "doc_id long, text string"
+        )
+        out = perplexity_buckets(train, score).collect()
+        assert {r.doc_id for r in out} == {1}
+        with _pt.raises(ValueError):
+            perplexity_buckets(train, score, n_buckets=1)

@@ -335,3 +335,30 @@ class TestCurriculumInterleave:
             df.repartition(11), "source", "m", "doc_id"
         ).collect()
         assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+class TestSrmCheck:
+    def test_chi2_formula_and_arm_consistency(self, spark):
+        import hashlib
+
+        from mopper_spark.textops.sampling import srm_check
+
+        rows = [(i,) for i in range(200)] * 3  # duplicates: units distinct
+        df = spark.createDataFrame(rows, "user_id long")
+        (r,) = srm_check(df, "user_id").collect()
+        n_a = sum(
+            1 for i in range(200)
+            if int(hashlib.md5(f"ab-v1{i}".encode()).hexdigest()[:4], 16)
+            < 65536 // 2
+        )
+        assert (r.n_a, r.n_b) == (n_a, 200 - n_a)
+        d = r.n_a - r.n_b
+        assert r.chi2_fp == (d * d * 10**6) // 200
+
+    def test_balanced_split_small_stat(self, spark):
+        from mopper_spark.textops.sampling import srm_check
+
+        df = spark.createDataFrame([(i,) for i in range(5000)], "u long")
+        (r,) = srm_check(df, "u").collect()
+        # hash split is near-balanced: chi2 well under the 3.84 line
+        assert r.chi2_fp < 3_840_000
