@@ -280,6 +280,8 @@ HEADLINE = [
     "events_dfg",
     "events_conformance",
     "docs_uncertainty_queue",
+    "events_srm",
+    "docs_perplexity_buckets",
 ]
 
 
