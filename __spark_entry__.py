@@ -13497,6 +13497,96 @@ FROM ranked
 """
 
 
+def _q_transcripts_tool_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-tool latency attribution (conversation.py::tool_latency):
+    the inter-turn gap before every tool-carrying turn summed per tool
+    — the "which tool is slow" breakdown, exact epoch-µs integers.
+    One lag window + one tool-cardinality aggregate."""
+    from mopper_spark.textops.conversation import tool_latency
+
+    tr = spark.read.parquet(_TRANSCRIPTS_FIXTURE)
+    return tool_latency(tr)
+
+
+_SQL_TRANSCRIPTS_TOOL_LATENCY = f"""
+WITH gaps AS (
+  SELECT tool,
+         COALESCE(epoch_us(ts)
+                  - lag(epoch_us(ts)) OVER (PARTITION BY conv_id
+                                            ORDER BY turn_idx), 0) AS gap_us
+  FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
+)
+SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(SUM(gap_us) AS BIGINT) AS total_us,
+       CAST(MIN(gap_us) AS BIGINT) AS min_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_us
+FROM gaps WHERE tool IS NOT NULL GROUP BY tool
+"""
+
+
+def _q_graph_rich_club(spark: SparkSession, sf: str) -> DataFrame:
+    """Rich-club connectivity (graph.py::rich_club) over the undirected
+    doc-id tree + successor ring (ids < 1024) at degree cuts 2/3/4:
+    density among the above-cut nodes as exact fixed point — the
+    hub-interlinking signature.  One degree aggregate + one broadcast-
+    filtered edge count per cut."""
+    from mopper_spark.pipeline.graph import rich_club
+
+    docs = spark.read.schema("doc_id long").parquet(
+        f"{sf}/documents.parquet"
+    ).filter(F.col("doc_id") < 1024)
+    tree = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").cast("long").alias("a"),
+        F.expr("doc_id div 2").cast("long").alias("b"),
+    )
+    ring = docs.select(
+        F.col("doc_id").cast("long").alias("a"),
+        ((F.col("doc_id") + 1) % 1024).cast("long").alias("b"),
+    )
+    return rich_club(tree.unionAll(ring), degree_cuts=(2, 3, 4))
+
+
+_SQL_GRAPH_RICH_CLUB = """
+WITH ed AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT CAST(doc_id AS BIGINT) AS u, CAST(doc_id // 2 AS BIGINT) AS v
+    FROM documents WHERE doc_id >= 2 AND doc_id < 1024
+    UNION ALL
+    SELECT CAST(doc_id // 2 AS BIGINT), CAST(doc_id AS BIGINT)
+    FROM documents WHERE doc_id >= 2 AND doc_id < 1024
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), CAST((doc_id + 1) % 1024 AS BIGINT)
+    FROM documents WHERE doc_id < 1024
+    UNION ALL
+    SELECT CAST((doc_id + 1) % 1024 AS BIGINT), CAST(doc_id AS BIGINT)
+    FROM documents WHERE doc_id < 1024
+  ) WHERE u <> v
+), deg AS MATERIALIZED (
+  SELECT u, count(*) AS deg FROM ed GROUP BY u
+), und AS MATERIALIZED (
+  SELECT u, v FROM ed WHERE u < v
+), cuts AS (SELECT unnest([CAST(2 AS BIGINT), 3, 4]) AS k),
+elite AS MATERIALIZED (
+  SELECT cuts.k, deg.u AS n FROM cuts JOIN deg ON deg.deg > cuts.k
+), nn AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_nodes FROM elite GROUP BY k
+), ne AS (
+  SELECT l.k, CAST(count(*) AS BIGINT) AS n_edges
+  FROM und
+  JOIN elite l ON und.u = l.n
+  JOIN elite r ON und.v = r.n AND r.k = l.k
+  GROUP BY l.k
+)
+SELECT cuts.k, COALESCE(nn.n_nodes, 0) AS n_nodes,
+       COALESCE(ne.n_edges, 0) AS n_edges,
+       CAST(CASE WHEN COALESCE(nn.n_nodes, 0) >= 2
+                 THEN (2 * COALESCE(ne.n_edges, 0) * 1000000)
+                      // (nn.n_nodes * (nn.n_nodes - 1))
+                 ELSE 0 END AS BIGINT) AS phi_fp
+FROM cuts LEFT JOIN nn ON cuts.k = nn.k LEFT JOIN ne ON cuts.k = ne.k
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rml_extend_customer": _q_rml_extend_customer,
@@ -13783,6 +13873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_uncertainty_queue": _q_docs_uncertainty_queue,
         "events_srm": _q_events_srm,
         "docs_perplexity_buckets": _q_docs_perplexity_buckets,
+        "transcripts_tool_latency": _q_transcripts_tool_latency,
+        "graph_rich_club": _q_graph_rich_club,
     }
 
 
@@ -14081,4 +14173,6 @@ def oracle_sql() -> dict[str, str]:
         "docs_uncertainty_queue": _SQL_DOCS_UNCERTAINTY_QUEUE,
         "events_srm": _SQL_EVENTS_SRM,
         "docs_perplexity_buckets": _SQL_DOCS_PERPLEXITY_BUCKETS,
+        "transcripts_tool_latency": _SQL_TRANSCRIPTS_TOOL_LATENCY,
+        "graph_rich_club": _SQL_GRAPH_RICH_CLUB,
     }

@@ -2149,3 +2149,69 @@ def weighted_distances(
             "(raise max_rounds for deeper graphs)"
         )
     return acc.localCheckpoint(eager=True)
+
+
+def rich_club(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    *,
+    degree_cuts: tuple[int, ...] = (2, 4, 8, 16),
+    scale: int = 10**6,
+) -> DataFrame:
+    """Rich-club connectivity (Colizza et al., Nature Physics 2006): for
+    each degree cut k, how densely the nodes of degree > k connect to
+    EACH OTHER — ``phi(k) = 2·E_k / (N_k·(N_k−1))`` over the undirected
+    simple graph, reported as ``(k, n_nodes, n_edges, phi_fp)`` with the
+    ratio in exact fixed point (integer div).  A rising phi(k) is the
+    "elite clique" signature (hubs preferentially interlinked); KGs and
+    citation graphs show it, road networks don't.  Degenerate cuts
+    (N_k < 2) report phi_fp = 0.
+
+    The normalized variant divides by a degree-preserving random
+    rewiring's phi — sequential Monte Carlo, deliberately out of scope
+    (named boundary); the raw phi across cuts is the distributable
+    readout.
+
+    One degree aggregate + one broadcast-filtered edge count per cut
+    (cuts are a literal handful, so this is ≤ |cuts| cheap passes over
+    the edge list with the qualifying-node set broadcast).
+    """
+    if not degree_cuts:
+        raise ValueError("rich_club: empty degree_cuts")
+    sym = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .union(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    und = sym.filter(F.col("u") < F.col("v")).localCheckpoint(eager=False)
+    out = None
+    for k in sorted(set(int(k) for k in degree_cuts)):
+        elite = deg.filter(F.col("deg") > k).select(F.col("u").alias("n"))
+        n_nodes = elite.count()
+        n_edges = (
+            und.join(F.broadcast(elite.withColumnRenamed("n", "u")), "u")
+            .join(F.broadcast(elite.withColumnRenamed("n", "v")), "v")
+            .count()
+        )
+        row = [(k, n_nodes, n_edges)]
+        df = edges.sparkSession.createDataFrame(
+            row, "k long, n_nodes long, n_edges long"
+        )
+        out = df if out is None else out.unionByName(df)
+    return out.select(
+        "k",
+        "n_nodes",
+        "n_edges",
+        F.when(
+            F.col("n_nodes") >= 2,
+            F.expr(f"(2 * n_edges * CAST({int(scale)} AS BIGINT))"
+                   f" div (n_nodes * (n_nodes - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("phi_fp"),
+    )

@@ -226,3 +226,34 @@ def conversation_catalog(
             )
         ).alias("digest"),
     )
+
+
+def tool_latency(transcripts: DataFrame) -> DataFrame:
+    """Per-TOOL latency attribution: for every turn that carries a tool
+    call, the wall-clock gap from the previous turn of its conversation
+    is attributed to that tool — ``(tool, n_calls, total_us, min_us,
+    max_us)`` with exact epoch-µs integers — the "which tool is slow"
+    breakdown an agent platform reads next to ``time_allocation``'s
+    per-role view.  First-turn tool calls (no predecessor) contribute a
+    0 gap and still count as calls, so call counts reconcile with the
+    catalog's ``n_tool_turns``.
+
+    One lag window + one tool-cardinality aggregate.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = (
+        transcripts.select(
+            "conv_id", "turn_idx", "tool", F.expr(_EPOCH_US).alias("at_us")
+        )
+        .withColumn(
+            "gap_us",
+            F.coalesce(F.col("at_us") - F.lag("at_us").over(w), F.lit(0)),
+        )
+        .filter(F.col("tool").isNotNull())
+    )
+    return gaps.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+        F.sum("gap_us").cast("long").alias("total_us"),
+        F.min("gap_us").cast("long").alias("min_us"),
+        F.max("gap_us").cast("long").alias("max_us"),
+    )

@@ -118,3 +118,24 @@ class TestConversationCatalog:
         a = conversation_catalog(tr).collect()[0].digest
         b = conversation_catalog(tr.repartition(11)).collect()[0].digest
         assert a == b
+
+
+class TestToolLatency:
+    def test_attribution_per_tool(self, spark):
+        from mopper_spark.textops.conversation import tool_latency
+
+        rows = [
+            ("c", 0, "user", "x", None, BASE),
+            ("c", 1, "assistant", "x", "search", BASE + dt.timedelta(seconds=4)),
+            ("c", 2, "assistant", "x", "read", BASE + dt.timedelta(seconds=9)),
+            ("d", 0, "assistant", "x", "search", BASE),  # first turn: gap 0
+        ]
+        tr = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp",
+        )
+        got = {r.tool: (r.n_calls, r.total_us, r.min_us, r.max_us)
+               for r in tool_latency(tr).collect()}
+        assert got["search"] == (2, 4_000_000, 0, 4_000_000)
+        assert got["read"] == (1, 5_000_000, 5_000_000, 5_000_000)

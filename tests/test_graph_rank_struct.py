@@ -317,3 +317,33 @@ class TestWeightedDistances:
         chain = [(i, i + 1, 1) for i in range(12)]
         with _pt.raises(ValueError, match="fixpoint"):
             self._run(spark, chain, [0], max_rounds=3)
+
+
+class TestRichClub:
+    def test_phi_exact(self, spark):
+        from mopper_spark.pipeline.graph import rich_club
+
+        # clique on {1,2,3,4} plus pendant leaves on each: clique nodes
+        # have degree 4, leaves degree 1.
+        clique = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+        leaves = [(i, 10 + i) for i in range(1, 5)]
+        e = spark.createDataFrame(clique + leaves, "a long, b long")
+        got = {r.k: (r.n_nodes, r.n_edges, r.phi_fp)
+               for r in rich_club(e, degree_cuts=(1, 3, 4)).collect()}
+        # k=1: elite = clique nodes (deg 4): 6 edges, phi = 1
+        assert got[1] == (4, 6, 10**6)
+        assert got[3] == (4, 6, 10**6)
+        # k=4: nobody qualifies
+        assert got[4] == (0, 0, 0)
+
+    def test_validation_and_degenerate(self, spark):
+        import pytest as _pt
+
+        from mopper_spark.pipeline.graph import rich_club
+
+        e = spark.createDataFrame([(1, 2)], "a long, b long")
+        with _pt.raises(ValueError):
+            rich_club(e, degree_cuts=())
+        (r,) = rich_club(e, degree_cuts=(0,)).collect()
+        # both nodes have degree 1 > 0: elite = {1,2}, one edge, phi 1
+        assert (r.n_nodes, r.n_edges, r.phi_fp) == (2, 1, 10**6)
