@@ -282,6 +282,8 @@ HEADLINE = [
     "docs_uncertainty_queue",
     "events_srm",
     "docs_perplexity_buckets",
+    "transcripts_tool_latency",
+    "graph_rich_club",
 ]
 
 
