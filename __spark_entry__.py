@@ -11778,7 +11778,7 @@ WITH base AS MATERIALIZED (
 ), pref AS MATERIALIZED (
   SELECT conv_id,
          row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
-         md5(string_agg(text, chr(30))
+         md5(string_agg(coalesce(text, chr(0) || 'NULL'), chr(30))
                OVER (PARTITION BY conv_id ORDER BY turn_idx
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS ph
   FROM corpus QUALIFY rn <= 32
@@ -12133,7 +12133,7 @@ WITH paa AS MATERIALIZED (
          count(*) OVER (PARTITION BY key) AS n
   FROM paa
 ), cuts AS MATERIALIZED (
-  SELECT key, mean_fp AS cut, ci FROM ranked
+  SELECT DISTINCT key, mean_fp AS cut FROM ranked
   CROSS JOIN (SELECT unnest([1, 2, 3]) AS ci)
   WHERE rn = greatest(1, (ci * n) // 4)
 ), sym AS (
@@ -12511,8 +12511,8 @@ WITH per AS MATERIALIZED (
   FROM per
 )
 SELECT band, n_a, n_b,
-       CAST(FLOOR(1000000.0 * ln(CAST(n_a * tot_b AS DOUBLE)
-                                 / CAST(n_b * tot_a AS DOUBLE)))
+       CAST(FLOOR(1000000.0 * ln((CAST(n_a AS DOUBLE) * CAST(tot_b AS DOUBLE))
+                                 / (CAST(n_b AS DOUBLE) * CAST(tot_a AS DOUBLE))))
             AS BIGINT) AS ln_ratio_fp
 FROM per CROSS JOIN tot
 """
@@ -13270,7 +13270,8 @@ SELECT conv_id,
        MIN(ts) AS first_ts,
        MAX(ts) AS last_ts,
        CAST(SUM(length(text)) AS BIGINT) AS n_chars,
-       md5(string_agg(text, chr(30) ORDER BY turn_idx)) AS digest
+       md5(string_agg(coalesce(text, chr(0) || 'NULL'), chr(30)
+                      ORDER BY turn_idx)) AS digest
 FROM read_parquet('{_TRANSCRIPTS_FIXTURE}')
 GROUP BY conv_id
 """

@@ -1598,36 +1598,95 @@ def butterfly_counts(
     Returns ``(u, butterflies bigint)`` for left vertices on ≥ 1
     butterfly.  Exact integers throughout.
 
-    Scale shape: one wedge join through the right side (wedges =
-    Σ_item C(deg_item, 2) — the quadratic lives on right-side degree, so
-    a celebrity ITEM is the hazard, same as the triangle wedge bound),
-    one (u, w) count aggregation, one per-u sum.  At corpus scale,
-    degree-cap or sample hot items first (the KDD'18 vertex-priority
-    trick mirrors ``_triangles``' degree orientation); this operator
-    computes the exact count of whatever edge set it is given.
+    Hub-proof by VERTEX-PRIORITY orientation (Wang et al., VLDB'19 —
+    the bipartite analogue of ``_triangles``' degree orientation):
+    every wedge (start, middle, end) is enumerated exactly once FROM
+    its highest-priority vertex, priority = (degree, side, id), i.e.
+    only wedges with p(middle) < p(start) and p(end) < p(start) are
+    generated.  A butterfly's four wedges collapse to the single pair
+    of wedges rooted at its maximum-priority vertex, so each butterfly
+    is counted once — and a celebrity middle (the naive formulation's
+    C(deg, 2) hazard) generates ≈ nothing, because a max-degree vertex
+    has no higher-priority neighbors to be a middle FOR: wedge work is
+    Σ_m d⁺(m)·deg(m) with d⁺ the higher-priority-neighbor count
+    (O(√E) amortized, the degeneracy bound), not Σ_m C(deg(m), 2).
+
+    Per-left attribution: a start-LEFT group (u, w) of c middles holds
+    C(c, 2) butterflies whose two left corners are u and w; a
+    start-RIGHT group (it, jt) of c middles holds C(c, 2) butterflies
+    whose left corners are middle PAIRS — each middle lies on (c − 1)
+    of them.  Summing both contributions reproduces the definition
+    bf(u) = Σ_w C(|N(u) ∩ N(w)|, 2) exactly.
+
+    Scale shape: two degree aggregates, two oriented wedge joins
+    (fanout bounded as above), two wedge-group count aggregations, one
+    group-size join-back (start-RIGHT side only), one per-u sum.
     """
     e = edges.select(
         F.col(left).alias("u"), F.col(right).alias("it")
     ).distinct()
-    w1 = e.withColumnRenamed("u", "ua")
-    w2 = e.withColumnRenamed("u", "ub")
-    wedges = (
-        w1.join(w2, "it")
-        .filter(F.col("ua") < F.col("ub"))
-        .groupBy("ua", "ub")
+    dl = e.groupBy("u").agg(F.count(F.lit(1)).alias("du"))
+    dr = e.groupBy("it").agg(F.count(F.lit(1)).alias("dit"))
+    ed = e.join(dl, "u").join(dr, "it").select("u", "it", "du", "dit")
+
+    # total order p = (degree, side, id): cross-side degree ties settle
+    # on the side tag (left < right), ids only ever compare within a side
+    # — any fixed total order is valid, this one needs no unified id type.
+
+    # wedges rooted at a LEFT start: u ← it(middle) → w, with
+    # p(it) < p(u) and p(w) < p(u)
+    e1a = ed.filter(F.col("dit") < F.col("du")).select(
+        "u", "it", "du"
+    )
+    e2a = ed.select(F.col("it").alias("it"), F.col("u").alias("w"),
+                    F.col("du").alias("dw"))
+    ga = (
+        e1a.join(e2a, "it")
+        .filter(
+            (F.col("dw") < F.col("du"))
+            | ((F.col("dw") == F.col("du")) & (F.col("w") < F.col("u")))
+        )
+        .groupBy("u", "w")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
     )
-    pair_bf = wedges.select(
-        "ua", "ub", (F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("bf")
+    bf_a = ga.select(
+        "u", "w",
+        (F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("bf"),
     )
-    per_u = (
-        pair_bf.select(F.col("ua").alias("u"), "bf")
-        .unionAll(pair_bf.select(F.col("ub").alias("u"), "bf"))
+    contrib_a = bf_a.select(F.col("u"), "bf").unionAll(
+        bf_a.select(F.col("w").alias("u"), "bf")
+    )
+
+    # wedges rooted at a RIGHT start: it ← u(middle) → jt, with
+    # p(u) < p(it) and p(jt) < p(it); at equal degree left < right,
+    # so the middle condition is du <= dit
+    e1b = ed.filter(F.col("du") <= F.col("dit")).select(
+        "it", "u", "dit"
+    )
+    e2b = ed.select(F.col("u").alias("u"), F.col("it").alias("jt"),
+                    F.col("dit").alias("djt"))
+    wedges_b = (
+        e1b.join(e2b, "u")
+        .filter(
+            (F.col("djt") < F.col("dit"))
+            | ((F.col("djt") == F.col("dit")) & (F.col("jt") < F.col("it")))
+        )
+        .select("it", "jt", "u")
+    )
+    gb = wedges_b.groupBy("it", "jt").agg(
+        F.count(F.lit(1)).alias("c")
+    ).filter(F.col("c") >= 2)
+    contrib_b = wedges_b.join(gb, ["it", "jt"]).select(
+        "u", (F.col("c") - 1).cast("long").alias("bf")
+    )
+
+    return (
+        contrib_a.unionAll(contrib_b)
         .groupBy("u")
         .agg(F.sum("bf").cast("long").alias("butterflies"))
+        .filter(F.col("butterflies") >= 1)
     )
-    return per_u
 
 
 def densest_peel_stats(
@@ -2107,8 +2166,13 @@ def weighted_distances(
         .agg(F.min("_w").alias("_w"))
         .localCheckpoint(eager=False)
     )
-    if e.filter(F.col("_w") < 0).limit(1).count() > 0:
-        raise ValueError("weighted_distances: negative weights not supported")
+    # docstring contract is POSITIVE weights (dist >= 1*min_w): zero-weight
+    # edges would admit dist=0 rows, so reject w <= 0, not just w < 0
+    # (ADVICE r4).
+    if e.filter(F.col("_w") <= 0).limit(1).count() > 0:
+        raise ValueError(
+            "weighted_distances: weights must be strictly positive"
+        )
     (seed_col,) = seeds.columns
     frontier = (
         seeds.select(F.col(seed_col).alias("origin"))

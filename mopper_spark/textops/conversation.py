@@ -221,7 +221,12 @@ def conversation_catalog(
                     F.array_sort(
                         F.collect_list(F.struct("turn_idx", "text"))
                     ),
-                    lambda s: s["text"],
+                    # concat_ws silently SKIPS null elements, so a NULL-text
+                    # turn would digest identically to that turn being absent
+                    # — coalesce to a sentinel no real text can contain (NUL
+                    # is outside the transcript text contract) so distinct
+                    # conversations never collide (ADVICE r4).
+                    lambda s: F.coalesce(s["text"], F.lit("\x00NULL")),
                 ),
             )
         ).alias("digest"),

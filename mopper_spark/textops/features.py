@@ -53,8 +53,11 @@ def target_encoding_loo(
 
     Plan: one combine-able groupBy per category (category-count-shaped
     shuffle), one single-row global aggregate crossed in (broadcast),
-    one broadcast join back to the rows — no window, no per-row state,
-    so a category with a billion rows costs a map-side-combined count.
+    one equi-join back to the rows with NO forced broadcast — AQE
+    chooses broadcast when the category table measures small and falls
+    back to a shuffle join when the key is high-cardinality, so neither
+    a billion-row category (map-side-combined count) nor a
+    billion-category key (shuffle join) caps out memory.
 
     Categories with a single row have ``loo_n = 0``: the encoding
     degenerates to the smoothed global rate, which is exactly what the
@@ -72,8 +75,13 @@ def target_encoding_loo(
     glob = rows.agg(
         F.sum("label").alias("g_pos"), F.count(F.lit(1)).alias("g_n")
     )
+    # no broadcast hint on per_key: its cardinality is the CATEGORY count,
+    # which on a high-cardinality key would make driver/executor memory the
+    # hard cap — AQE picks broadcast vs shuffle from the measured size at
+    # runtime, which is the scale-safe default (ADVICE r4).  glob is one
+    # row, always broadcast.
     joined = (
-        rows.join(F.broadcast(per_key), "key")
+        rows.join(per_key, "key")
         .crossJoin(F.broadcast(glob))
         .select(
             "id",

@@ -741,7 +741,19 @@ def prefix_duplicates(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= max_prefix_turns)
         .withColumn(
-            "ph", F.md5(F.concat_ws(sep, F.collect_list("text").over(cum)))
+            # collect_list AND concat_ws both silently skip NULLs, so a
+            # NULL-text turn would fingerprint identically to no turn at
+            # all and distinct prefixes could collide — coalesce to a NUL
+            # sentinel (outside the text contract) first (ADVICE r4).
+            "ph",
+            F.md5(
+                F.concat_ws(
+                    sep,
+                    F.collect_list(
+                        F.coalesce(F.col("text"), F.lit("\x00NULL"))
+                    ).over(cum),
+                )
+            ),
         )
     )
     n_turns = transcripts.groupBy("conv_id").agg(

@@ -521,6 +521,13 @@ def sax_symbols(
             F.col("rn") == F.greatest(F.lit(1), F.expr(f"({i} * n) div {alphabet}"))
         ).select("key", F.col("mean_fp").alias("cut"), F.lit(i).alias("ci"))
         cuts = cut_i if cuts is None else cuts.unionByName(cut_i)
+    # When a key has fewer windows than `alphabet` (or tied quantile
+    # values), several quantile ranks collapse onto the same cut value;
+    # summing the indicator over DUPLICATE cuts makes letters jump (n=2,
+    # alphabet=4 yields only 'a'/'d').  Dedupe cut VALUES per key first:
+    # letter = count of distinct cuts strictly below the mean, so letters
+    # are always contiguous from 'a' (ADVICE r4).
+    cuts = cuts.select("key", "cut").distinct()
     sym = (
         paa.join(F.broadcast(cuts), "key")
         .groupBy("key", "win", "mean_fp")
@@ -703,11 +710,22 @@ def psi_terms_from_counts(
             "band",
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
+            # each factor is cast to double BEFORE the multiply: a
+            # BIGINT product n_a*tot_b overflows int64 once per-band and
+            # total counts both exceed ~3e9, while the double product is
+            # exact below 2^53 and only ~1-ulp rounded beyond — invisible
+            # under the subsequent ln + floor(1e6·) (ADVICE r4).
             F.floor(
                 F.lit(float(log_scale))
                 * F.log(
-                    (F.col("n_a") * F.col("tot_b")).cast("double")
-                    / (F.col("n_b") * F.col("tot_a")).cast("double")
+                    (
+                        F.col("n_a").cast("double")
+                        * F.col("tot_b").cast("double")
+                    )
+                    / (
+                        F.col("n_b").cast("double")
+                        * F.col("tot_a").cast("double")
+                    )
                 )
             )
             .cast("long")

@@ -92,3 +92,14 @@ def test_canonical_rewrite_broadcasts(spark, transcripts):
     )
     s = _plan_str(mention_triples(mentions, canonical))
     assert "BroadcastHashJoin" in s
+
+
+def test_skew_profile_is_take_ordered(spark):
+    """skew_profile's top-k must plan as TakeOrderedAndProject (per-
+    partition top-k heaps), NOT a single-partition rank window over every
+    distinct key (VERDICT r4 #5)."""
+    from mopper_spark.textops.analysis import skew_profile
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    s = _plan_str(skew_profile(ev, ["event_type"], top_k=5))
+    assert "TakeOrderedAndProject" in s
