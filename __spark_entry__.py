@@ -448,6 +448,28 @@ def _q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def _q_dedup_embedding_planned(spark: SparkSession, sf: str) -> DataFrame:
+    """The SCALE-SAFE embedding near-dup path (r4 VERDICT #3): band
+    geometry comes from ``similarity.lsh_band_plan`` — depth
+    r = ⌈log₂(n/target_bucket)⌉ grows with the corpus so per-bucket
+    occupancy (and with it the within-bucket verify) stays constant and
+    total candidate work is Θ(n^(1+ρ)), vs the fixed-config gate query
+    whose sf1 probe measured 117.9× wall at 10× rows.  This planned
+    path is the DEFAULT for production corpora; ``dedup_embedding``
+    (fixed 2×24) remains as the regression fixture.  target_recall
+    0.999 plans r=1,B=7 at sf0.01 and r=2,B=14 at sf0.1 — measured
+    recall 1.0 on both fixtures (RECALL_PINS), so the exact all-pairs
+    SQL is an equality oracle."""
+    from mopper_spark.textops.dedup import embedding_near_dup_pairs
+    from mopper_spark.textops.similarity import lsh_band_plan
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    r, bands = lsh_band_plan(emb.count(), 0.4, target_recall=0.999)
+    return embedding_near_dup_pairs(
+        emb, threshold=0.4, n_planes=r, n_bands=bands
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def _dedup_deep_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup corpus for the production-shape ANN config: every 4th
     vector gets a perturbed copy (id + 1_000_000).  The perturbation uses
@@ -2156,23 +2178,59 @@ FROM joined GROUP BY doc_id
 
 def _q_docs_tfidf_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """TF-IDF cosine near-dup pairs (textops/ranking.py::
-    tfidf_cosine_pairs, threshold 0.8): Salton VSM over the
-    max_df-restricted vocabulary — frequency-sensitive where Jaccard
-    is set-based.  Fixed-point idf, exact integer dots/norms, bounded
-    inverted-index join."""
+    tfidf_cosine_pairs, threshold 0.8): Salton VSM — frequency-sensitive
+    where Jaccard is set-based.  Fixed-point idf, exact integer
+    dots/norms, prefix-filtered inverted-index join.
+
+    Runs over TRIGRAM-SHINGLED text (r4 VERDICT #7): the raw synthetic
+    ~50-token vocabulary makes the unigram VSM DENSE — 3.6% of all doc
+    pairs genuinely exceed cosine 0.8 (the answer is quadratic by its
+    own size, 120+ s at sf0.1, and Bayardo prefix filtering cannot prune
+    a corpus where every doc shares every token).  Shingling to word
+    trigrams is the standard near-dup move on template-heavy text: the
+    reachable vocabulary explodes (~27k trigrams on this fixture), df
+    collapses, and the prefix filter is effective again — 256 pairs,
+    measured <10 s warm at sf0.1.  On real text the unigram path works
+    as shipped; the shingled variant IS the dense-template discipline."""
     from mopper_spark.textops.ranking import tfidf_cosine_pairs
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return tfidf_cosine_pairs(docs, threshold=0.8)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    tri = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.when(
+                F.size(toks) >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 3),
+                    lambda i: F.concat_ws(
+                        "_",
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                        F.element_at(toks, i + 3),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ).alias("text"),
+    )
+    return tfidf_cosine_pairs(tri, threshold=0.8)
 
 
 _SQL_TFIDF_PAIRS = r"""
-WITH tf AS (
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), tf AS (
   SELECT doc_id AS id, tok, CAST(COUNT(*) AS BIGINT) AS tf
   FROM (SELECT doc_id,
-               unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                                  x -> x <> '')) AS tok
-        FROM documents)
+               unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                      i -> tk[i] || '_' || tk[i+1] || '_' || tk[i+2])) AS tok
+        FROM base)
   GROUP BY doc_id, tok
 ), nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
 dfreq AS (
@@ -5839,6 +5897,17 @@ RECALL_PINS: dict[str, dict[str, object]] = {
         "test_embedding_banding_recall_is_total",
         "fixtures": ["/root/testdata/sf0.01/embeddings.parquet"],
     },
+    # the PLANNED band geometry (lsh_band_plan at target_recall 0.999 —
+    # the scale-safe default path) must also find every qualifying pair,
+    # pinned at both the sf0.01 gate and sf0.1 bench operating points
+    "dedup_embedding_planned": {
+        "test": "tests/test_textops.py::TestDedupScaleGuards::"
+        "test_embedding_planned_band_recall_total",
+        "fixtures": [
+            "/root/testdata/sf0.01/embeddings.parquet",
+            "/root/testdata/sf0.1/embeddings.parquet",
+        ],
+    },
     "dedup_embedding_deep": {
         "test": "tests/test_textops.py::TestDedupScaleGuards::"
         "test_embedding_deep_band_recall_total",
@@ -6920,6 +6989,50 @@ WITH v AS (
 ), seeds AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, vec AS cvec
   FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)
+), dists AS (
+  SELECT vec_id, cid, vec,
+         CAST(list_sum(list_transform(range(1, len(vec) + 1),
+              i -> CAST(round((vec[i] - cvec[i]) * (vec[i] - cvec[i]) * 1e12) AS BIGINT)))
+              AS BIGINT) AS dist_fp
+  FROM v CROSS JOIN seeds
+), assign AS (
+  SELECT vec_id, cid, vec FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_fp, cid) AS rn
+    FROM dists) WHERE rn = 1
+), drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.4
+)
+SELECT vec_id FROM v WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+"""
+
+
+def _q_dedup_semantic_scaledk(spark: SparkSession, sf: str) -> DataFrame:
+    """The SCALE-SAFE SemDeDup path (r4 VERDICT #3): K comes from
+    ``ivf.scaled_k`` — K = max(8, n // 50) holds the expected cluster
+    size at ~50 so the within-cluster pair stage is Θ(n·50), vs the
+    fixed-K gate query whose Σ cluster² ≈ n²/8 measured 36.5× wall at
+    10× rows in the sf1 probe.  This planned path is the DEFAULT for
+    production corpora; ``dedup_semantic`` (K=8 pinned) remains as the
+    regression fixture.  The K rule is a pure integer function of the
+    row count, so the SQL oracle recomputes the identical K and replays
+    the whole operator (integer routing + exact within-cluster cosine)
+    from the data."""
+    from mopper_spark.textops.ivf import scaled_k, seed_centroids, semantic_dedup
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = seed_centroids(emb, k=scaled_k(emb.count()))
+    return semantic_dedup(emb, cents, threshold=0.4).select("vec_id")
+
+
+_SQL_DEDUP_SEMANTIC_SCALEDK = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+), seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, vec AS cvec
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS srn FROM v
+        QUALIFY srn <= greatest(8, (SELECT count(*) FROM v) // 50))
 ), dists AS (
   SELECT vec_id, cid, vec,
          CAST(list_sum(list_transform(range(1, len(vec) + 1),
@@ -13590,6 +13703,12 @@ FROM cuts LEFT JOIN nn ON cuts.k = nn.k LEFT JOIN ne ON cuts.k = ne.k
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- DRIVER ROTATION (r5): the correctness gate hash-checks the
+        # FIRST 50 entries.  Slots 1-9 are the pinned rml_* reference-
+        # parity rows (green r1-r4); slots 10-50 are catalog queries the
+        # driver has never checked (VERDICT r4 #1), incl. the new scale-
+        # safe gated configs dedup_embedding_planned / dedup_semantic_
+        # scaledk (VERDICT #3) and graph_hyperball (VERDICT #6).
         "rml_extend_customer": _q_rml_extend_customer,
         "rml_join_customer_nation": _q_rml_join_customer_nation,
         "rml_quads_orders": _q_rml_quads_orders,
@@ -13599,6 +13718,223 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rml_invalid_iri": _q_rml_invalid_iri,
         "rml_turtle_supplier": _q_rml_turtle_supplier,
         "rml_selfjoin_part": _q_rml_selfjoin_part,
+        # rotation slots 10-50: never driver-checked before r5
+        "dedup_embedding_planned": _q_dedup_embedding_planned,
+        "dedup_semantic_scaledk": _q_dedup_semantic_scaledk,
+        "dedup_semantic": _q_dedup_semantic,
+        "dedup_minhash_oph": _q_dedup_minhash_oph,
+        "dedup_incremental_shard": _q_dedup_incremental_shard,
+        "docs_containment": _q_docs_containment,
+        "docs_tfidf_pairs": _q_docs_tfidf_pairs,
+        "similarity_topk_ivfpq": _q_similarity_topk_ivfpq,
+        "ivf_kmeans_train": _q_ivf_kmeans_train,
+        "graph_hyperball": _q_graph_hyperball,
+        "graph_butterflies": _q_graph_butterflies,
+        "graph_kcore": _q_graph_kcore,
+        "graph_ktruss": _q_graph_ktruss,
+        "graph_modularity": _q_graph_modularity,
+        "graph_ppr": _q_graph_ppr,
+        "graph_shortest_path": _q_graph_shortest_path,
+        "graph_weighted_distances": _q_graph_weighted_distances,
+        "linking_quality": _q_linking_quality,
+        "entity_linking_incremental": _q_entity_linking_incremental,
+        "mention_communities": _q_mention_communities,
+        "kg_resolve_weighted": _q_kg_resolve_weighted,
+        "kg_sameas_canonical": _q_kg_sameas_canonical,
+        "kg_entity_intervals": _q_kg_entity_intervals,
+        "kg_temporal_quads": _q_kg_temporal_quads,
+        "kg_pagerank_weighted": _q_kg_pagerank_weighted,
+        "kg_sparql_modifiers": _q_kg_sparql_modifiers,
+        "kg_sparql_construct": _q_kg_sparql_construct,
+        "kg_sparql_subquery": _q_kg_sparql_subquery,
+        "kg_sparql_group_concat": _q_kg_sparql_group_concat,
+        "kg_blank_canonical": _q_kg_blank_canonical,
+        "kg_wl_structural_dedup": _q_kg_wl_structural_dedup,
+        "kg_rdfs_entailment": _q_kg_rdfs_entailment,
+        "kg_shacl_violations": _q_kg_shacl_violations,
+        "transcripts_sft_pairs": _q_transcripts_sft_pairs,
+        "transcripts_dedup_paragraphs": _q_transcripts_dedup_paragraphs,
+        "transcripts_prefix_dedup": _q_transcripts_prefix_dedup,
+        "transcripts_catalog": _q_transcripts_catalog,
+        "transcripts_tool_transitions": _q_transcripts_tool_transitions,
+        "events_sax": _q_events_sax,
+        "events_psi_drift": _q_events_psi_drift,
+        "docs_target_encoding": _q_docs_target_encoding,
+        # --- below the driver cut: remaining never-checked catalog ---
+        "docs_unigram_xent": _q_docs_unigram_xent,
+        "docs_hll_distinct": _q_docs_hll_distinct,
+        "docs_importance_resample": _q_docs_importance_resample,
+        "docs_winnowing": _q_docs_winnowing,
+        "stream_hll_distinct": _q_stream_hll_distinct,
+        "docs_cdc_chunks": _q_docs_cdc_chunks,
+        "docs_textrank": _q_docs_textrank,
+        "docs_bigram_xent": _q_docs_bigram_xent,
+        "docs_filter_pipeline": _q_docs_filter_pipeline,
+        "docs_mixture_weights": _q_docs_mixture_weights,
+        "docs_top_tokens_per_source": _q_docs_top_tokens_per_source,
+        "embeddings_label_cosines": _q_embeddings_label_cosines,
+        "docs_source_divergence": _q_docs_source_divergence,
+        "pq_encode_codes": _q_pq_encode_codes,
+        "pq_adc_topk": _q_pq_adc_topk,
+        "docs_duplicated_ranges": _q_docs_duplicated_ranges,
+        "dedup_keep_list": _q_dedup_keep_list,
+        "kg_verbalize_docs": _q_kg_verbalize_docs,
+        "kg_interval_cooccurrence": _q_kg_interval_cooccurrence,
+        "kg_intervals_incremental": _q_kg_intervals_incremental,
+        "kg_entity_profiles": _q_kg_entity_profiles,
+        "kg_active_between": _q_kg_active_between,
+        "docs_sample_per_group": _q_docs_sample_per_group,
+        "docs_weighted_sample": _q_docs_weighted_sample,
+        "docs_heavy_tokens": _q_docs_heavy_tokens,
+        "kg_intervals_canonical": _q_kg_intervals_canonical,
+        "kg_mentions_by_segment": _q_kg_mentions_by_segment,
+        "transcripts_dedup_convs": _q_transcripts_dedup_convs,
+        "transcripts_latency": _q_transcripts_latency,
+        "kg_temporal_communities": _q_kg_temporal_communities,
+        "kg_bgp_aggregate": _q_kg_bgp_aggregate,
+        "graph_link_prediction": _q_graph_link_prediction,
+        "kg_entity_pmi": _q_kg_entity_pmi,
+        "kg_schema_graph": _q_kg_schema_graph,
+        "kg_entity_trending": _q_kg_entity_trending,
+        "docs_source_overlap": _q_docs_source_overlap,
+        "bigram_pmi": _q_bigram_pmi,
+        "skew_salted_join": _q_skew_salted_join,
+        "stream_interval_join": _q_stream_interval_join,
+        "doc_hash_split": _q_doc_hash_split,
+        "graph_closure": _q_graph_closure,
+        "graph_closure_incremental": _q_graph_closure_incremental,
+        "graph_assortativity": _q_graph_assortativity,
+        "graph_clustering": _q_graph_clustering,
+        "kg_predicate_profile": _q_kg_predicate_profile,
+        "kg_resolve_functional": _q_kg_resolve_functional,
+        "kg_negative_samples": _q_kg_negative_samples,
+        "kg_nquads_roundtrip": _q_kg_nquads_roundtrip,
+        "kg_turtle_roundtrip": _q_kg_turtle_roundtrip,
+        "kg_bgp_path_descendants": _q_kg_bgp_path_descendants,
+        "kg_bgp_path_inverse_seq": _q_kg_bgp_path_inverse_seq,
+        "kg_bgp_path_bounded": _q_kg_bgp_path_bounded,
+        "kg_bgp_path_nps": _q_kg_bgp_path_nps,
+        "kg_sparql_ask": _q_kg_sparql_ask,
+        "kg_describe": _q_kg_describe,
+        "kg_transe_eval": _q_kg_transe_eval,
+        "kg_snapshot_diff": _q_kg_snapshot_diff,
+        "kg_snapshot_asof": _q_kg_snapshot_asof,
+        "kg_rdfs_incremental": _q_kg_rdfs_incremental,
+        "kg_owl_inference": _q_kg_owl_inference,
+        "kg_provenance": _q_kg_provenance,
+        "docs_quality_model": _q_docs_quality_model,
+        "docs_quality_model_trained": _q_docs_quality_model_trained,
+        "transcripts_render": _q_transcripts_render,
+        "docs_pii_scrub": _q_docs_pii_scrub,
+        "docs_budget_mix": _q_docs_budget_mix,
+        "transcripts_segment": _q_transcripts_segment,
+        "events_gap_fill": _q_events_gap_fill,
+        "events_window_features": _q_events_window_features,
+        "docs_rank_fusion": _q_docs_rank_fusion,
+        "events_ewma": _q_events_ewma,
+        "events_ab_test": _q_events_ab_test,
+        "events_changepoint": _q_events_changepoint,
+        "kg_sparql_update": _q_kg_sparql_update,
+        "docs_quality_auc": _q_docs_quality_auc,
+        "events_assoc_rules": _q_events_assoc_rules,
+        "kg_graph_diff": _q_kg_graph_diff,
+        "kg_sparql_text": _q_kg_sparql_text,
+        "kg_sparql_text_path_agg": _q_kg_sparql_text_path_agg,
+        "events_autocorr": _q_events_autocorr,
+        "docs_quality_calibration": _q_docs_quality_calibration,
+        "docs_rater_kappa": _q_docs_rater_kappa,
+        "transcripts_k_anonymity": _q_transcripts_k_anonymity,
+        "stream_heavy_tokens": _q_stream_heavy_tokens,
+        "kg_distmult_eval": _q_kg_distmult_eval,
+        "docs_token_chi2": _q_docs_token_chi2,
+        "events_trend_ols": _q_events_trend_ols,
+        "docs_pareto_front": _q_docs_pareto_front,
+        "kg_sparql_graph": _q_kg_sparql_graph,
+        "graph_scc": _q_graph_scc,
+        "graph_harmonic": _q_graph_harmonic,
+        "events_ndcg": _q_events_ndcg,
+        "docs_collocations_llr": _q_docs_collocations_llr,
+        "docs_kneser_ney": _q_docs_kneser_ney,
+        "linking_fs_scores": _q_linking_fs_scores,
+        "kg_reify_roundtrip": _q_kg_reify_roundtrip,
+        "graph_mis": _q_graph_mis,
+        "graph_densest": _q_graph_densest,
+        "graph_betweenness": _q_graph_betweenness,
+        "graph_hits": _q_graph_hits,
+        "graph_topo_layers": _q_graph_topo_layers,
+        "graph_node_jaccard": _q_graph_node_jaccard,
+        "docs_mannwhitney_length": _q_docs_mannwhitney_length,
+        "docs_ks_length": _q_docs_ks_length,
+        "docs_spearman_len_ws": _q_docs_spearman_len_ws,
+        "docs_kendall_buckets": _q_docs_kendall_buckets,
+        "events_pivot": _q_events_pivot,
+        "events_active_users": _q_events_active_users,
+        "docs_gini_tokens": _q_docs_gini_tokens,
+        "transcripts_loss_mask": _q_transcripts_loss_mask,
+        "kg_sparql_strfns": _q_kg_sparql_strfns,
+        "docs_shuffle_order": _q_docs_shuffle_order,
+        "events_props_stats": _q_events_props_stats,
+        "events_subseq_patterns": _q_events_subseq_patterns,
+        "events_itemsets": _q_events_itemsets,
+        "docs_bootstrap_mean": _q_docs_bootstrap_mean,
+        "events_attribution_linear": _q_events_attribution_linear,
+        "docs_percentile_by_source": _q_docs_percentile_by_source,
+        "kg_rdf_lists": _q_kg_rdf_lists,
+        "events_active_users_hll": _q_events_active_users_hll,
+        "events_pit_join": _q_events_pit_join,
+        "docs_compaction_plan": _q_docs_compaction_plan,
+        "events_seasonal_anomaly": _q_events_seasonal_anomaly,
+        "docs_winsorized_len": _q_docs_winsorized_len,
+        "events_lateness_audit": _q_events_lateness_audit,
+        "docs_nfc_dedup": _q_docs_nfc_dedup,
+        "docs_token_burstiness": _q_docs_token_burstiness,
+        "transcripts_tool_entropy": _q_transcripts_tool_entropy,
+        "docs_hrw_shards": _q_docs_hrw_shards,
+        "embeddings_jl_project": _q_embeddings_jl_project,
+        "docs_bootstrap_by_source": _q_docs_bootstrap_by_source,
+        "kg_sparql_update_text": _q_kg_sparql_update_text,
+        "kg_temporal_reachability": _q_kg_temporal_reachability,
+        "transcripts_boilerplate_strip": _q_transcripts_boilerplate_strip,
+        "transcripts_dpo_pairs": _q_transcripts_dpo_pairs,
+        "transcripts_truncate_context": _q_transcripts_truncate_context,
+        "events_cube": _q_events_cube,
+        "events_mad": _q_events_mad,
+        "kg_rdf_containers": _q_kg_rdf_containers,
+        "graph_simrank": _q_graph_simrank,
+        "docs_feature_hashing": _q_docs_feature_hashing,
+        "events_theilsen": _q_events_theilsen,
+        "graph_eccentricity": _q_graph_eccentricity,
+        "docs_lexical_profile": _q_docs_lexical_profile,
+        "tokenizer_unigram_viterbi": _q_tokenizer_unigram_viterbi,
+        "embeddings_power_iteration": _q_embeddings_power_iteration,
+        "docs_curriculum_interleave": _q_docs_curriculum_interleave,
+        "transcripts_tool_loops": _q_transcripts_tool_loops,
+        "kg_sparql_in": _q_kg_sparql_in,
+        "transcripts_turn_taking": _q_transcripts_turn_taking,
+        "transcripts_time_allocation": _q_transcripts_time_allocation,
+        "transcripts_episodes": _q_transcripts_episodes,
+        "docs_zone_maps": _q_docs_zone_maps,
+        "docs_langid_report": _q_docs_langid_report,
+        "embeddings_dominant_eigen": _q_embeddings_dominant_eigen,
+        "multimodal_bmp_features": _q_multimodal_bmp_features,
+        "events_benford": _q_events_benford,
+        "events_gap_histogram": _q_events_gap_histogram,
+        "docs_zipf": _q_docs_zipf,
+        "stream_psi_drift": _q_stream_psi_drift,
+        "transcripts_sft_packing": _q_transcripts_sft_packing,
+        "embeddings_covariance_diag": _q_embeddings_covariance_diag,
+        "events_outliers_robust": _q_events_outliers_robust,
+        "docs_frequency_spectrum": _q_docs_frequency_spectrum,
+        "embeddings_quant_audit": _q_embeddings_quant_audit,
+        "kg_degree_distribution": _q_kg_degree_distribution,
+        "events_dfg": _q_events_dfg,
+        "events_conformance": _q_events_conformance,
+        "docs_uncertainty_queue": _q_docs_uncertainty_queue,
+        "events_srm": _q_events_srm,
+        "docs_perplexity_buckets": _q_docs_perplexity_buckets,
+        "transcripts_tool_latency": _q_transcripts_tool_latency,
+        "graph_rich_club": _q_graph_rich_club,
+        # --- previously driver-checked (green in r1-r4) ---
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -13644,238 +13980,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_ngram": _q_contamination_ngram,
         "docs_repetition": _q_docs_repetition,
         "vocab_oov_rate": _q_vocab_oov_rate,
-        "docs_unigram_xent": _q_docs_unigram_xent,
-        "docs_hll_distinct": _q_docs_hll_distinct,
-        "docs_importance_resample": _q_docs_importance_resample,
-        "docs_winnowing": _q_docs_winnowing,
-        "stream_hll_distinct": _q_stream_hll_distinct,
-        "docs_cdc_chunks": _q_docs_cdc_chunks,
-        "docs_textrank": _q_docs_textrank,
-        "docs_bigram_xent": _q_docs_bigram_xent,
-        "docs_tfidf_pairs": _q_docs_tfidf_pairs,
-        "docs_filter_pipeline": _q_docs_filter_pipeline,
-        "docs_mixture_weights": _q_docs_mixture_weights,
-        "docs_top_tokens_per_source": _q_docs_top_tokens_per_source,
-        "embeddings_label_cosines": _q_embeddings_label_cosines,
-        "docs_source_divergence": _q_docs_source_divergence,
         "pack_sequences": _q_pack_sequences,
         "stream_contamination": _q_stream_contamination,
         "transcript_turn_dedup": _q_transcript_turn_dedup,
         "ivf_kmeans_step": _q_ivf_kmeans_step,
-        "ivf_kmeans_train": _q_ivf_kmeans_train,
-        "pq_encode_codes": _q_pq_encode_codes,
-        "pq_adc_topk": _q_pq_adc_topk,
         "repeated_spans": _q_repeated_spans,
-        "docs_duplicated_ranges": _q_docs_duplicated_ranges,
         "docs_length_profile": _q_docs_length_profile,
         "events_sessionize": _q_events_sessionize,
         "cc_components": _q_cc_components,
-        "dedup_keep_list": _q_dedup_keep_list,
         "entity_linking_transcripts": _q_entity_linking_transcripts,
-        "linking_quality": _q_linking_quality,
-        "kg_resolve_weighted": _q_kg_resolve_weighted,
-        "kg_verbalize_docs": _q_kg_verbalize_docs,
         "kg_graph_transcripts": _q_kg_graph_transcripts,
-        "kg_entity_intervals": _q_kg_entity_intervals,
-        "kg_interval_cooccurrence": _q_kg_interval_cooccurrence,
-        "kg_temporal_quads": _q_kg_temporal_quads,
-        "kg_intervals_incremental": _q_kg_intervals_incremental,
-        "kg_entity_profiles": _q_kg_entity_profiles,
-        "kg_pagerank_weighted": _q_kg_pagerank_weighted,
-        "kg_active_between": _q_kg_active_between,
-        "docs_sample_per_group": _q_docs_sample_per_group,
-        "docs_weighted_sample": _q_docs_weighted_sample,
-        "docs_heavy_tokens": _q_docs_heavy_tokens,
-        "kg_intervals_canonical": _q_kg_intervals_canonical,
-        "kg_mentions_by_segment": _q_kg_mentions_by_segment,
-        "transcripts_dedup_convs": _q_transcripts_dedup_convs,
-        "transcripts_latency": _q_transcripts_latency,
-        "transcripts_tool_transitions": _q_transcripts_tool_transitions,
-        "kg_temporal_communities": _q_kg_temporal_communities,
         "kg_bgp_comention": _q_kg_bgp_comention,
-        "kg_bgp_aggregate": _q_kg_bgp_aggregate,
         "kg_bgp_optional": _q_kg_bgp_optional,
         "kg_stream_parity": _q_kg_stream_parity,
         "events_asof_attribution": _q_events_asof_attribution,
         "events_value_bands": _q_events_value_bands,
         "events_sessions_stream": _q_events_sessions_stream,
         "stream_dedup_counts": _q_stream_dedup_counts,
-        "graph_link_prediction": _q_graph_link_prediction,
         "mention_triangles": _q_mention_triangles,
         "mention_pagerank": _q_mention_pagerank,
-        "mention_communities": _q_mention_communities,
-        "kg_entity_pmi": _q_kg_entity_pmi,
-        "kg_schema_graph": _q_kg_schema_graph,
-        "kg_entity_trending": _q_kg_entity_trending,
-        "docs_source_overlap": _q_docs_source_overlap,
         "docs_bm25": _q_docs_bm25,
-        "bigram_pmi": _q_bigram_pmi,
-        "skew_salted_join": _q_skew_salted_join,
-        "stream_interval_join": _q_stream_interval_join,
-        "doc_hash_split": _q_doc_hash_split,
-        "graph_closure": _q_graph_closure,
-        "graph_closure_incremental": _q_graph_closure_incremental,
-        "graph_kcore": _q_graph_kcore,
-        "graph_ppr": _q_graph_ppr,
-        "graph_shortest_path": _q_graph_shortest_path,
-        "graph_assortativity": _q_graph_assortativity,
-        "graph_clustering": _q_graph_clustering,
-        "kg_predicate_profile": _q_kg_predicate_profile,
-        "kg_resolve_functional": _q_kg_resolve_functional,
-        "kg_negative_samples": _q_kg_negative_samples,
-        "kg_nquads_roundtrip": _q_kg_nquads_roundtrip,
-        "kg_turtle_roundtrip": _q_kg_turtle_roundtrip,
-        "kg_shacl_violations": _q_kg_shacl_violations,
-        "kg_bgp_path_descendants": _q_kg_bgp_path_descendants,
-        "kg_bgp_path_inverse_seq": _q_kg_bgp_path_inverse_seq,
-        "kg_bgp_path_bounded": _q_kg_bgp_path_bounded,
-        "kg_bgp_path_nps": _q_kg_bgp_path_nps,
-        "kg_sparql_modifiers": _q_kg_sparql_modifiers,
-        "kg_sparql_ask": _q_kg_sparql_ask,
-        "kg_describe": _q_kg_describe,
-        "kg_sparql_construct": _q_kg_sparql_construct,
-        "entity_linking_incremental": _q_entity_linking_incremental,
-        "kg_transe_eval": _q_kg_transe_eval,
-        "dedup_semantic": _q_dedup_semantic,
-        "kg_snapshot_diff": _q_kg_snapshot_diff,
-        "kg_snapshot_asof": _q_kg_snapshot_asof,
-        "kg_rdfs_entailment": _q_kg_rdfs_entailment,
-        "kg_rdfs_incremental": _q_kg_rdfs_incremental,
-        "kg_owl_inference": _q_kg_owl_inference,
-        "kg_sameas_canonical": _q_kg_sameas_canonical,
-        "kg_provenance": _q_kg_provenance,
-        "docs_quality_model": _q_docs_quality_model,
-        "docs_quality_model_trained": _q_docs_quality_model_trained,
-        "transcripts_render": _q_transcripts_render,
-        "transcripts_sft_pairs": _q_transcripts_sft_pairs,
-        "transcripts_dedup_paragraphs": _q_transcripts_dedup_paragraphs,
-        "docs_pii_scrub": _q_docs_pii_scrub,
-        "docs_budget_mix": _q_docs_budget_mix,
-        "transcripts_segment": _q_transcripts_segment,
-        "dedup_incremental_shard": _q_dedup_incremental_shard,
-        "docs_containment": _q_docs_containment,
-        "events_gap_fill": _q_events_gap_fill,
-        "events_window_features": _q_events_window_features,
-        "docs_rank_fusion": _q_docs_rank_fusion,
-        "events_ewma": _q_events_ewma,
-        "events_ab_test": _q_events_ab_test,
-        "events_changepoint": _q_events_changepoint,
-        "kg_sparql_update": _q_kg_sparql_update,
-        "docs_quality_auc": _q_docs_quality_auc,
-        "events_assoc_rules": _q_events_assoc_rules,
-        "kg_wl_structural_dedup": _q_kg_wl_structural_dedup,
-        "kg_blank_canonical": _q_kg_blank_canonical,
-        "kg_graph_diff": _q_kg_graph_diff,
-        "kg_sparql_text": _q_kg_sparql_text,
-        "kg_sparql_text_path_agg": _q_kg_sparql_text_path_agg,
-        "events_autocorr": _q_events_autocorr,
-        "docs_quality_calibration": _q_docs_quality_calibration,
-        "docs_rater_kappa": _q_docs_rater_kappa,
-        "graph_ktruss": _q_graph_ktruss,
-        "transcripts_k_anonymity": _q_transcripts_k_anonymity,
-        "dedup_minhash_oph": _q_dedup_minhash_oph,
-        "stream_heavy_tokens": _q_stream_heavy_tokens,
-        "kg_distmult_eval": _q_kg_distmult_eval,
-        "docs_token_chi2": _q_docs_token_chi2,
-        "events_trend_ols": _q_events_trend_ols,
-        "graph_modularity": _q_graph_modularity,
-        "docs_pareto_front": _q_docs_pareto_front,
-        "kg_sparql_subquery": _q_kg_sparql_subquery,
-        "kg_sparql_graph": _q_kg_sparql_graph,
-        "kg_sparql_group_concat": _q_kg_sparql_group_concat,
-        "graph_scc": _q_graph_scc,
-        "graph_harmonic": _q_graph_harmonic,
-        "graph_hyperball": _q_graph_hyperball,
-        "events_ndcg": _q_events_ndcg,
-        "docs_collocations_llr": _q_docs_collocations_llr,
-        "docs_kneser_ney": _q_docs_kneser_ney,
-        "linking_fs_scores": _q_linking_fs_scores,
-        "kg_reify_roundtrip": _q_kg_reify_roundtrip,
-        "graph_mis": _q_graph_mis,
-        "graph_butterflies": _q_graph_butterflies,
-        "graph_densest": _q_graph_densest,
-        "graph_betweenness": _q_graph_betweenness,
-        "graph_hits": _q_graph_hits,
-        "graph_topo_layers": _q_graph_topo_layers,
-        "graph_node_jaccard": _q_graph_node_jaccard,
-        "docs_mannwhitney_length": _q_docs_mannwhitney_length,
-        "docs_ks_length": _q_docs_ks_length,
-        "docs_spearman_len_ws": _q_docs_spearman_len_ws,
-        "docs_kendall_buckets": _q_docs_kendall_buckets,
-        "events_pivot": _q_events_pivot,
-        "events_active_users": _q_events_active_users,
-        "docs_gini_tokens": _q_docs_gini_tokens,
-        "transcripts_loss_mask": _q_transcripts_loss_mask,
-        "kg_sparql_strfns": _q_kg_sparql_strfns,
-        "docs_shuffle_order": _q_docs_shuffle_order,
-        "events_props_stats": _q_events_props_stats,
-        "events_subseq_patterns": _q_events_subseq_patterns,
-        "events_itemsets": _q_events_itemsets,
-        "docs_bootstrap_mean": _q_docs_bootstrap_mean,
-        "events_attribution_linear": _q_events_attribution_linear,
-        "docs_percentile_by_source": _q_docs_percentile_by_source,
-        "similarity_topk_ivfpq": _q_similarity_topk_ivfpq,
-        "kg_rdf_lists": _q_kg_rdf_lists,
-        "events_active_users_hll": _q_events_active_users_hll,
-        "events_pit_join": _q_events_pit_join,
-        "docs_compaction_plan": _q_docs_compaction_plan,
-        "events_seasonal_anomaly": _q_events_seasonal_anomaly,
-        "docs_winsorized_len": _q_docs_winsorized_len,
-        "events_lateness_audit": _q_events_lateness_audit,
-        "docs_nfc_dedup": _q_docs_nfc_dedup,
-        "docs_token_burstiness": _q_docs_token_burstiness,
-        "transcripts_tool_entropy": _q_transcripts_tool_entropy,
-        "docs_hrw_shards": _q_docs_hrw_shards,
-        "embeddings_jl_project": _q_embeddings_jl_project,
-        "docs_bootstrap_by_source": _q_docs_bootstrap_by_source,
-        "kg_sparql_update_text": _q_kg_sparql_update_text,
-        "kg_temporal_reachability": _q_kg_temporal_reachability,
-        "transcripts_boilerplate_strip": _q_transcripts_boilerplate_strip,
-        "transcripts_dpo_pairs": _q_transcripts_dpo_pairs,
-        "transcripts_prefix_dedup": _q_transcripts_prefix_dedup,
-        "transcripts_truncate_context": _q_transcripts_truncate_context,
-        "events_cube": _q_events_cube,
-        "events_mad": _q_events_mad,
-        "docs_target_encoding": _q_docs_target_encoding,
-        "kg_rdf_containers": _q_kg_rdf_containers,
-        "graph_simrank": _q_graph_simrank,
-        "docs_feature_hashing": _q_docs_feature_hashing,
-        "events_sax": _q_events_sax,
-        "events_theilsen": _q_events_theilsen,
-        "graph_eccentricity": _q_graph_eccentricity,
-        "docs_lexical_profile": _q_docs_lexical_profile,
-        "tokenizer_unigram_viterbi": _q_tokenizer_unigram_viterbi,
-        "embeddings_power_iteration": _q_embeddings_power_iteration,
-        "docs_curriculum_interleave": _q_docs_curriculum_interleave,
-        "transcripts_tool_loops": _q_transcripts_tool_loops,
-        "events_psi_drift": _q_events_psi_drift,
-        "kg_sparql_in": _q_kg_sparql_in,
-        "transcripts_turn_taking": _q_transcripts_turn_taking,
-        "transcripts_time_allocation": _q_transcripts_time_allocation,
-        "transcripts_episodes": _q_transcripts_episodes,
-        "docs_zone_maps": _q_docs_zone_maps,
-        "docs_langid_report": _q_docs_langid_report,
-        "embeddings_dominant_eigen": _q_embeddings_dominant_eigen,
-        "multimodal_bmp_features": _q_multimodal_bmp_features,
-        "graph_weighted_distances": _q_graph_weighted_distances,
-        "events_benford": _q_events_benford,
-        "events_gap_histogram": _q_events_gap_histogram,
-        "docs_zipf": _q_docs_zipf,
-        "stream_psi_drift": _q_stream_psi_drift,
-        "transcripts_sft_packing": _q_transcripts_sft_packing,
-        "embeddings_covariance_diag": _q_embeddings_covariance_diag,
-        "events_outliers_robust": _q_events_outliers_robust,
-        "docs_frequency_spectrum": _q_docs_frequency_spectrum,
-        "embeddings_quant_audit": _q_embeddings_quant_audit,
-        "transcripts_catalog": _q_transcripts_catalog,
-        "kg_degree_distribution": _q_kg_degree_distribution,
-        "events_dfg": _q_events_dfg,
-        "events_conformance": _q_events_conformance,
-        "docs_uncertainty_queue": _q_docs_uncertainty_queue,
-        "events_srm": _q_events_srm,
-        "docs_perplexity_buckets": _q_docs_perplexity_buckets,
-        "transcripts_tool_latency": _q_transcripts_tool_latency,
-        "graph_rich_club": _q_graph_rich_club,
     }
 
 
@@ -14034,6 +14158,10 @@ def oracle_sql() -> dict[str, str]:
         "entity_linking_incremental": _SQL_ENTITY_LINKING,
         "kg_transe_eval": _SQL_KG_TRANSE,
         "dedup_semantic": _SQL_DEDUP_SEMANTIC,
+        "dedup_semantic_scaledk": _SQL_DEDUP_SEMANTIC_SCALEDK,
+        # the planned-band path answers the same exact question, so it
+        # shares the exact all-pairs oracle (recall-1.0 pinned)
+        "dedup_embedding_planned": _SQL_DEDUP_EMBEDDING,
         "kg_snapshot_diff": _SQL_KG_SNAPSHOT_DIFF,
         "kg_snapshot_asof": _SQL_KG_SNAPSHOT_ASOF,
         "kg_rdfs_entailment": _SQL_KG_RDFS_ENTAILMENT,

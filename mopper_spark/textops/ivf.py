@@ -44,6 +44,26 @@ S_DIST = 10**12
 S_CENT = 10**6
 
 
+def scaled_k(n_rows: int, target_cluster: int = 50, k_min: int = 8) -> int:
+    """The K ∝ n sizing rule for the IVF/SemDeDup family, as code.
+
+    ``semantic_dedup``'s pair stage costs Σ cluster² ≈ n²/K: a FIXED K
+    is quadratic in the corpus (the round-4 sf1 probe measured 36.5×
+    wall at 10× rows with K=8), while K = n / target_cluster holds the
+    expected cluster size constant so the pair stage is
+    Θ(n · target_cluster) — linear (the companion probe measured the
+    K=80 re-run at ~linear).  ``k_min`` keeps tiny corpora from
+    degenerating to one cluster.
+
+    The rule is deliberately a pure integer function of the row count so
+    a SQL oracle can recompute the identical K
+    (``greatest(k_min, n // target_cluster)``).
+    """
+    if n_rows < 1 or target_cluster < 1 or k_min < 1:
+        raise ValueError("scaled_k: all arguments must be >= 1")
+    return max(k_min, n_rows // target_cluster)
+
+
 def seed_centroids(
     vectors: DataFrame,
     k: int,

@@ -103,6 +103,7 @@ def test_oracle_fetch_path_parity():
 _RECALL_PIN_DIGESTS = {
     "/root/testdata/sf0.01/documents.parquet": "b733c5a4f655b98c6136fbe529e33dc4",
     "/root/testdata/sf0.01/embeddings.parquet": "4232d4b317b4b9f35bd5a6abf25d0ade",
+    "/root/testdata/sf0.1/embeddings.parquet": "bbd0e892440de45163b6f5c5e446ff36",
     "/root/testdata/sf0.001/embeddings.parquet": "d68af55d86db0576d8bd68a6857087bb",
     "fixtures/transcripts_2000.parquet": "f6842bc21b86a71825995762c6519f9c",
 }

@@ -277,3 +277,39 @@ class TestKmeansTrain:
         # so the fixpoint probe never fired before max_iters
         assert all(a > b for a, b in zip(inertias, inertias[1:]))
 
+
+
+class TestScaledK:
+    """ivf.scaled_k — the K ∝ n sizing rule for the SemDeDup family
+    (r4 VERDICT #3): expected cluster size stays ~target_cluster, so the
+    within-cluster pair stage is linear in the corpus."""
+
+    def test_rule_values(self):
+        from mopper_spark.textops.ivf import scaled_k
+
+        assert scaled_k(500) == 10          # sf0.01 gate operating point
+        assert scaled_k(2000) == 40         # sf0.1 bench operating point
+        assert scaled_k(100) == 8           # k_min floor
+        assert scaled_k(10**9) == 20_000_000
+        # the SQL oracle recomputes greatest(k_min, n // target_cluster)
+        for n in (1, 49, 50, 51, 399, 400, 401, 12345):
+            assert scaled_k(n) == max(8, n // 50)
+
+    def test_rejects_nonpositive(self):
+        import pytest
+
+        from mopper_spark.textops.ivf import scaled_k
+
+        with pytest.raises(ValueError):
+            scaled_k(0)
+        with pytest.raises(ValueError):
+            scaled_k(100, target_cluster=0)
+
+    def test_linear_pair_work(self):
+        from mopper_spark.textops.ivf import scaled_k
+
+        # sum(cluster^2) ~ n * target_cluster under the rule: pair work
+        # at 10x rows is ~10x, not 100x
+        w1 = 10_000**2 / scaled_k(10_000)
+        w10 = 100_000**2 / scaled_k(100_000)
+        assert w10 / w1 < 12

@@ -183,6 +183,41 @@ class TestDedupScaleGuards:
         }
         assert exact == lsh
 
+    def test_embedding_planned_band_recall_total(self, spark):
+        """ORACLE PRECONDITION for the dedup_embedding_planned gate query:
+        the lsh_band_plan(n, 0.4, target_recall=0.999) geometry must find
+        every exact-cosine pair on BOTH the sf0.01 gate fixture (plans
+        r=1, B=7) and the sf0.1 bench fixture (plans r=2, B=14) — the
+        planned path is the scale default, so its recall contract is
+        pinned at both operating points."""
+        from mopper_spark.textops.similarity import cosine_native, lsh_band_plan
+
+        for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+            emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+            r, bands = lsh_band_plan(emb.count(), 0.4, target_recall=0.999)
+            t = emb.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            )
+            a, b = t.alias("a"), t.alias("b")
+            exact = {
+                (x.id_a, x.id_b)
+                for x in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+                .select(
+                    F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                    cosine_native(F.col("a.v"), F.col("b.v")).alias("c"),
+                )
+                .filter(F.col("c") >= 0.4)
+                .collect()
+            }
+            lsh = {
+                (x.id_a, x.id_b)
+                for x in embedding_near_dup_pairs(
+                    emb, threshold=0.4, n_planes=r, n_bands=bands
+                ).collect()
+            }
+            assert exact == lsh, sf
+
     def test_embedding_deep_band_recall_total(self, spark):
         """ORACLE PRECONDITION for the dedup_embedding_deep gate query
         (__spark_entry__.py): at the production config (threshold 0.9,
