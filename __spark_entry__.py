@@ -7013,16 +7013,24 @@ def _q_dedup_semantic_scaledk(spark: SparkSession, sf: str) -> DataFrame:
     ``ivf.scaled_k`` — K = max(8, n // 50) holds the expected cluster
     size at ~50 so the within-cluster pair stage is Θ(n·50), vs the
     fixed-K gate query whose Σ cluster² ≈ n²/8 measured 36.5× wall at
-    10× rows in the sf1 probe.  This planned path is the DEFAULT for
-    production corpora; ``dedup_semantic`` (K=8 pinned) remains as the
-    regression fixture.  The K rule is a pure integer function of the
-    row count, so the SQL oracle recomputes the identical K and replays
-    the whole operator (integer routing + exact within-cluster cosine)
-    from the data."""
-    from mopper_spark.textops.ivf import scaled_k, seed_centroids, semantic_dedup
+    10× rows in the sf1 probe.  Seeds are HASH-SPREAD
+    (``hash_seed_centroids``: K smallest by (md5(id), id)) — prefix-id
+    seeds only cover the oldest ingest slice at scale and the rest of
+    the corpus piles into few giant clusters (57.9× measured at 10×
+    with prefix seeds; ~linear with spread seeds).  This planned path
+    is the DEFAULT for production corpora; ``dedup_semantic`` (K=8,
+    prefix seeds) remains as the regression fixture.  Both the K rule
+    and the seed order are pure functions of the data, so the SQL
+    oracle replays the whole operator (seed choice, integer routing,
+    exact within-cluster cosine)."""
+    from mopper_spark.textops.ivf import (
+        hash_seed_centroids,
+        scaled_k,
+        semantic_dedup,
+    )
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    cents = seed_centroids(emb, k=scaled_k(emb.count()))
+    cents = hash_seed_centroids(emb, k=scaled_k(emb.count()))
     return semantic_dedup(emb, cents, threshold=0.4).select("vec_id")
 
 
@@ -7030,8 +7038,12 @@ _SQL_DEDUP_SEMANTIC_SCALEDK = """
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
 ), seeds AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, vec AS cvec
-  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS srn FROM v
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+              AS INTEGER) AS cid,
+         vec AS cvec
+  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS srn
+        FROM v
         QUALIFY srn <= greatest(8, (SELECT count(*) FROM v) // 50))
 ), dists AS (
   SELECT vec_id, cid, vec,

@@ -37,6 +37,7 @@ members per cluster).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -85,6 +86,43 @@ def seed_centroids(
     )
 
 
+def hash_seed_centroids(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic SPREAD seeds: the K vectors smallest by
+    ``(md5(id), id)``, numbered 0..K-1 in that order.
+
+    ``seed_centroids``' smallest-K-ids rule is fine on an id-shuffled
+    corpus but is a coverage hazard at scale: ids usually correlate with
+    ingest order (shard, source, time), so a prefix of ids seeds only
+    the oldest slice and the rest of the corpus piles into few giant
+    clusters — Σ cluster² explodes even with K ∝ n (the r5 sf1 probe
+    measured 57.9× wall at 10× rows from exactly this skew; hash-spread
+    seeds restore balanced ~target-size clusters).  md5 of the id string
+    is a pseudo-random but engine-exact order, so a SQL oracle replays
+    the identical seed set (``ORDER BY md5(CAST(id AS VARCHAR)), id``).
+    """
+    hid = F.md5(F.col(id_col).cast("string"))
+    return (
+        vectors.orderBy(hid, F.col(id_col))
+        .limit(k)
+        .withColumn(
+            "cid",
+            F.row_number().over(
+                Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            )
+            - 1,
+        )
+        .select(
+            F.col("cid").cast("int"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
+        )
+    )
+
+
 def _dist_fp_col():
     """Fixed-point squared L2 between array columns ``vec`` and ``cvec``."""
     return F.aggregate(
@@ -108,26 +146,102 @@ def assign_vectors(
 ) -> DataFrame:
     """Nearest centroid per vector: ``(vec_id, cid, dist_fp, vec)``.
 
-    One narrow pass: centroids broadcast into a nested-loop expansion of K
-    rows per vector, then a combine-able ``min(struct(dist_fp, cid, vec))``
-    argmin — the vec rides inside the struct (cid is unique per group, so
-    the array is never compared) instead of costing a join-back.
+    The K-per-vector nested-loop expansion stays SKINNY: the vec array
+    is read to compute each distance but only ``(vec_id, cid, dist_fp)``
+    survives the projection, so the combine-able ``min(struct)`` argmin
+    aggregates 3-field structs — not K copies of a d-dim array per
+    vector.  (The previous vec-rides-in-the-struct shape materialized
+    n·K array copies through the aggregation buffers: measured 275 s vs
+    ~5 s for the identical semantic_dedup answer at n=20k, K=400, d=64.)
+    The vec column is re-attached by one n-row join on vec_id.
     """
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
     )
-    cross = v.crossJoin(F.broadcast(centroids))
-    return (
-        cross.withColumn("dist_fp", _dist_fp_col())
+    best = (
+        v.crossJoin(F.broadcast(centroids))
+        .withColumn("dist_fp", _dist_fp_col())
+        .select("vec_id", "cid", "dist_fp")
         .groupBy("vec_id")
-        .agg(F.min(F.struct(F.col("dist_fp"), F.col("cid"), F.col("vec"))).alias("b"))
+        .agg(F.min(F.struct(F.col("dist_fp"), F.col("cid"))).alias("b"))
         .select(
             "vec_id",
             F.col("b.cid").alias("cid"),
             F.col("b.dist_fp").alias("dist_fp"),
-            F.col("b.vec").alias("vec"),
         )
+    )
+    return best.join(v, "vec_id").select("vec_id", "cid", "dist_fp", "vec")
+
+
+def assign_vectors_np(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``assign_vectors``, Arrow-vectorized — BIT-IDENTICAL output.
+
+    The JVM path's n·K·d distance evaluation runs through Catalyst
+    higher-order functions (zip_with/aggregate), which are interpreted
+    per element, never codegen'd — measured ~275 s for n=20k, K=400,
+    d=64 where numpy does the same arithmetic in ~2 s.  This variant
+    computes the identical fixed-point distance in numpy inside
+    ``mapInPandas``: per element ``floor((a-b)²·S_DIST + 0.5)`` (the
+    IEEE-exact spelling of Spark's HALF_UP ``round`` for non-negative
+    values, same multiply order) summed as int64 — integer sums are
+    order-independent, so the result is exactly ``_dist_fp_col`` and
+    the strict SQL oracles hold unchanged (pinned by
+    tests/test_ivf.py::test_np_assign_bit_identical).
+
+    Ties go to the smallest cid (ascending-cid scan with strict-less
+    update — the same ``min(struct(dist_fp, cid))`` rule).
+
+    Scale bound: the centroid table is collected to the driver and
+    closure-broadcast (K·d doubles — ~50 MB at K=100k, d=64; beyond
+    that, route hierarchically or shard the centroid blocks).
+    """
+    id_type = next(
+        f.dataType.simpleString()
+        for f in vectors.schema.fields
+        if f.name == id_col
+    )
+    rows = centroids.orderBy("cid").collect()
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    cmat = np.array([list(r["cvec"]) for r in rows], dtype=np.float64)
+    scale = float(S_DIST)
+
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack([np.asarray(a, dtype=np.float64) for a in pdf["vec"]])
+            best_d = None
+            best_c = None
+            for k in range(len(cids)):
+                diff = x - cmat[k]
+                dk = (
+                    np.floor(diff * diff * scale + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                if best_d is None:
+                    best_d, best_c = dk, np.full(len(dk), cids[k])
+                else:
+                    m = dk < best_d
+                    best_d = np.where(m, dk, best_d)
+                    best_c = np.where(m, cids[k], best_c)
+            pdf = pdf.assign(cid=best_c.astype(np.int32), dist_fp=best_d)
+            yield pdf[["vec_id", "cid", "dist_fp", "vec"]]
+
+    return v.mapInPandas(
+        assign,
+        f"vec_id {id_type}, cid int, dist_fp long, vec array<double>",
     )
 
 
@@ -392,17 +506,21 @@ def semantic_dedup(
     defensible reading of "keep one"; CC semantics are available by
     feeding the pair table to ``pipeline/cc.py`` instead.)
 
-    Scale shape: one broadcast assignment pass (``assign_vectors``), then
-    the pairwise stage is confined to clusters — the SemDeDup trick that
-    replaces the corpus-quadratic comparison with K small quadratics.
-    Clusters larger than ``max_cluster`` are EXCLUDED from pair
-    generation (their members are all kept) — same documented
+    Scale shape: one numpy-vectorized assignment pass
+    (``assign_vectors_np`` — bit-identical to ``assign_vectors`` but the
+    n·K·d distance arithmetic runs in Arrow batches instead of
+    interpreted Catalyst higher-order functions), then the pairwise
+    stage is confined to clusters — the SemDeDup trick that replaces
+    the corpus-quadratic comparison with K small quadratics.  Clusters
+    larger than ``max_cluster`` are EXCLUDED from pair generation
+    (their members are all kept) — same documented
     cap-over-silent-quadratic trade as the LSH dedup buckets; size K so
-    corpus/K stays under the cap.
+    corpus/K stays under the cap (``scaled_k``), and seed with
+    ``hash_seed_centroids`` so cluster sizes stay near corpus/K.
 
     Returns the KEPT rows of ``vectors`` (original schema).
     """
-    assign = assign_vectors(vectors, centroids, id_col, vec_col)
+    assign = assign_vectors_np(vectors, centroids, id_col, vec_col)
     sizes = assign.groupBy("cid").count().filter(F.col("count") <= max_cluster)
     member = assign.join(sizes.select("cid"), "cid").select("cid", "vec_id", "vec")
     a = member.select(

@@ -303,13 +303,18 @@ class TestWeightedDistances:
         }
         assert wd == bf
 
-    def test_parallel_edges_and_negative_rejection(self, spark):
+    def test_parallel_edges_and_nonpositive_rejection(self, spark):
         got = self._run(spark, [(1, 2, 9), (1, 2, 4)], [1])
         assert got == {(1, 2): 4}
         import pytest as _pt
 
-        with _pt.raises(ValueError, match="negative"):
+        # contract is STRICTLY positive weights (ADVICE r4): zero-weight
+        # edges would admit dist=0 rows against the documented
+        # dist >= 1*min_w bound, so both -1 and 0 must be rejected
+        with _pt.raises(ValueError, match="strictly positive"):
             self._run(spark, [(1, 2, -1)], [1])
+        with _pt.raises(ValueError, match="strictly positive"):
+            self._run(spark, [(1, 2, 0)], [1])
 
     def test_round_bound_raises(self, spark):
         import pytest as _pt

@@ -313,3 +313,29 @@ class TestScaledK:
         w1 = 10_000**2 / scaled_k(10_000)
         w10 = 100_000**2 / scaled_k(100_000)
         assert w10 / w1 < 12
+
+
+def test_np_assign_bit_identical(spark):
+    """assign_vectors_np must reproduce assign_vectors EXACTLY — same
+    (vec_id, cid, dist_fp) for every vector — because the strict SQL
+    oracles for the semantic-dedup family replay the JVM fixed-point
+    arithmetic.  Integer per-element rounding + int64 sums make the
+    distance order-independent, so the two implementations can (and
+    must) agree bit-for-bit."""
+    from mopper_spark.textops.ivf import (
+        assign_vectors,
+        assign_vectors_np,
+        hash_seed_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = hash_seed_centroids(emb, k=10)
+    jvm = {
+        (r["vec_id"], r["cid"], r["dist_fp"])
+        for r in assign_vectors(emb, cents).collect()
+    }
+    nps = {
+        (r["vec_id"], r["cid"], r["dist_fp"])
+        for r in assign_vectors_np(emb, cents).collect()
+    }
+    assert jvm == nps
