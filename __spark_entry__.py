@@ -2216,7 +2216,12 @@ def _q_docs_tfidf_pairs(spark: SparkSession, sf: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>")),
         ).alias("text"),
     )
-    return tfidf_cosine_pairs(tri, threshold=0.8)
+    # localCheckpoint: CollapseProject re-substitutes the split+filter
+    # token expression into every element_at reference (3 per trigram ×
+    # ~52 trigrams per doc), re-tokenizing each doc ~156× — the barrier
+    # materializes the shingled text once (measured 24.6 s → ~7 s at
+    # sf0.1).
+    return tfidf_cosine_pairs(tri.localCheckpoint(eager=False), threshold=0.8)
 
 
 _SQL_TFIDF_PAIRS = r"""
